@@ -1,0 +1,146 @@
+"""Discover / search / aggregate API — the Kibana/ES query surface.
+
+Each function compiles a Kibana-style request to a declarative DataFrame
+plan (SURVEY.md §2.C, C1-C18), exactly the way Kibana compiles UI
+actions to ES query DSL (/root/reference/README.md:15,24,26-42). All
+predicates are plain Column expressions so Catalyst pushes them into the
+parquet scan (partition pruning on topic/ds + min-max skipping).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------- discover
+
+def discover(
+    df: DataFrame,
+    t0=None,
+    t1=None,
+    filters: Sequence[Column] | None = None,
+    n: int = 500,
+    time_col: str = "timestamp",
+) -> DataFrame:
+    """C1: time-range browse, newest first (Kibana discover)."""
+    out = df
+    if t0 is not None:
+        out = out.where(F.col(time_col) >= F.lit(t0))
+    if t1 is not None:
+        out = out.where(F.col(time_col) < F.lit(t1))
+    for flt in filters or ():
+        out = out.where(flt)
+    return out.orderBy(F.col(time_col).desc()).limit(n)
+
+
+def search_key(df: DataFrame, key, topics: Sequence[str] | None = None) -> DataFrame:
+    """C2/C3: exact key lookup, optionally restricted to topics."""
+    out = df.where(F.col("key") == F.lit(key))
+    if topics:
+        out = out.where(F.col("topic").isin(list(topics)))
+    return out
+
+
+def search_field(df: DataFrame, field: str, value) -> DataFrame:
+    """C4: filter on a (possibly nested) document field across topics."""
+    return df.where(F.col(field) == F.lit(value))
+
+
+def search_text(df: DataFrame, needle: str, field: str = "message.value",
+                token: bool = False) -> DataFrame:
+    """C5: substring or whole-token search over the stringified value."""
+    if token:
+        tokens = F.split(F.lower(F.col(field)), r"\W+")
+        return df.where(F.array_contains(tokens, needle.lower()))
+    return df.where(F.col(field).contains(needle))
+
+
+def exists(df: DataFrame, field: str) -> DataFrame:
+    """C8: _exists_ — field present and non-null (dynamic-mapping world)."""
+    return df.where(F.col(field).isNotNull())
+
+
+def paginate(df: DataFrame, sort_cols: Sequence[Column], page: int,
+             size: int) -> DataFrame:
+    """C9: from/size pagination as a window over a total sort order.
+
+    Note: deep pagination is as expensive as in ES (global sort); use
+    search_after-style keyset pagination (filter on last-seen sort key)
+    for anything past the first pages at scale.
+    """
+    w = Window.orderBy(*sort_cols)
+    rn = F.row_number().over(w)
+    lo, hi = page * size, (page + 1) * size
+    return (df.withColumn("__rn", rn)
+            .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+            .drop("__rn"))
+
+
+# ------------------------------------------------------------ aggregations
+
+def terms(df: DataFrame, field: str, n: int = 10) -> DataFrame:
+    """C11: terms aggregation — top-N buckets by doc count."""
+    return (df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col(field))
+            .limit(n))
+
+
+def date_histogram(df: DataFrame, interval: str = "1 hour",
+                   time_col: str = "timestamp") -> DataFrame:
+    """C12: tumbling time buckets (ES date_histogram)."""
+    return (df.groupBy(F.window(F.col(time_col), interval).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("bucket.start").alias("bucket_start"), "cnt")
+            .orderBy("bucket_start"))
+
+
+def metrics(df: DataFrame, field: str, by: Sequence[str] = ()) -> DataFrame:
+    """C13: the ES stats agg — count/min/max/avg/sum of a numeric field."""
+    c = F.col(field)
+    aggs = [
+        F.count(c).alias("cnt"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.avg(c).alias("avg_v"),
+        F.sum(c).alias("sum_v"),
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def cardinality(df: DataFrame, field: str, by: Sequence[str] = (),
+                exact: bool = False, rsd: float = 0.05) -> DataFrame:
+    """C14: distinct count. approx (HLL, like ES cardinality) by default;
+    exact twin for oracle checks."""
+    c = (F.count_distinct(F.col(field)) if exact
+         else F.approx_count_distinct(F.col(field), rsd))
+    out_col = c.alias("cardinality")
+    return df.groupBy(*by).agg(out_col) if by else df.agg(out_col)
+
+
+def percentiles(df: DataFrame, field: str, qs: Sequence[float] = (0.5, 0.95, 0.99),
+                by: Sequence[str] = (), exact: bool = False) -> DataFrame:
+    """C15: percentiles. approx (t-digest-like) by default; exact twin."""
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = [fn(F.col(field), F.lit(q)).alias(f"p{int(q * 100)}") for q in qs]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def top_hits(df: DataFrame, by: Sequence[str], order: Sequence[Column],
+             k: int = 1) -> DataFrame:
+    """C16: top-k documents per bucket (ES top_hits)."""
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
+def histogram(df: DataFrame, field: str, width: float) -> DataFrame:
+    """C18: fixed-width numeric histogram."""
+    bucket = (F.floor(F.col(field) / F.lit(width)) * F.lit(width)).alias("bucket")
+    return (df.where(F.col(field).isNotNull())
+            .groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bucket"))

@@ -1,0 +1,77 @@
+"""The indexed store: partitioned append-only Parquet changelog.
+
+Replaces the reference's Elasticsearch index (ES 6.8, one index per
+topic, dynamic mapping — /root/reference/kafana.http:72-78,
+docker-compose.yml:72-78). Design:
+
+- append-only Parquet partitioned by ``topic`` (≈ per-topic index) and
+  ``ds`` (UTC date of record timestamp, ≈ rollover/retention boundary,
+  /root/reference/README.md:14). Partition pruning replaces ES shard
+  routing; parquet min/max + dictionary stats replace the skip index.
+- idempotency on replay (ES upsert by _id, kafana.http:76) is provided
+  by dedup-on-read over ``_id`` — observably identical to the ES
+  behavior and needs no table format beyond Parquet. At 100 TB the same
+  contract is kept by MERGE on _id in a Delta/Iceberg table; the layout
+  (deterministic _id, topic/ds partitioning) is chosen so that swap is
+  additive.
+- "latest state per key" is a VIEW over the changelog (README.md:11:
+  "rather a change log than a table"), ordered by (partition, offset)
+  within key — Kafka ordering is per-partition, so offset, not
+  timestamp, is the changelog order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafana_spark.ingest import TOMBSTONE
+
+PARTITION_COLS = ("topic", "ds")
+
+
+def with_store_partitions(docs: DataFrame) -> DataFrame:
+    """Add the store partition column ``ds`` (UTC date of timestamp)."""
+    return docs.withColumn("ds", F.to_date("timestamp"))
+
+
+def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
+    """Append enriched documents to the store, partitioned for pruning."""
+    (with_store_partitions(docs)
+     .write.mode(mode)
+     .partitionBy(*PARTITION_COLS)
+     .parquet(path))
+
+
+def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
+    """Read the changelog; optionally dedup replayed records by _id.
+
+    Dedup-on-read mirrors the ES sink's idempotent upsert (same _id ⇒
+    one logical document). Uses max(offset-tiebreak-free) semantics: all
+    replays of an _id are byte-identical by construction, so any winner
+    is correct — we use a groupBy-free window to keep it cheap when the
+    store is already partitioned by topic.
+    """
+    df = spark.read.parquet(path)
+    if not dedup:
+        return df
+    return df.dropDuplicates(["_id"])
+
+
+def latest_state(docs: DataFrame, drop_tombstones: bool = True) -> DataFrame:
+    """Current state per key: last record per (topic, key) by changelog order.
+
+    Changelog order within a key is (partition, offset) — Kafka only
+    orders within a partition; a key lives in one partition, so offset
+    ordering is the true record order (SURVEY.md §7.3.2). Keys whose
+    latest record is a tombstone are deleted from the state view.
+    """
+    w = (Window.partitionBy("topic", "key")
+         .orderBy(F.col("partition").desc(), F.col("offset").desc()))
+    state = (docs.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1)
+             .drop("__rn"))
+    if drop_tombstones:
+        state = state.where(F.col("message.value") != TOMBSTONE)
+    return state

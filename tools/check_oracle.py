@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash (columns
+sorted by name, values canonically serialized, row hashes XOR-combined).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, colnames) -> tuple[int, str]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    acc = 0
+    for row in rows:
+        s = "\x1f".join(canon(row[i]) for i in order)
+        acc ^= int.from_bytes(hashlib.sha256(s.encode()).digest()[:16], "big")
+    return len(rows), f"{acc:032x}"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from kafana_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(srows)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sh = table_hash(srows, scols)
+        dc, dh = table_hash(drows, dcols)
+        ok = (sc == dc and sorted(scols) == sorted(dcols) and sh == dh)
+        if ok:
+            print(f"PASS {name}: rows={sc} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: spark rows={sc} cols={sorted(scols)} "
+                  f"hash={sh[:12]} | duckdb rows={dc} cols={sorted(dcols)} "
+                  f"hash={dh[:12]}")
+            if sc and dc and sc < 20 and dc < 20:
+                print("  spark :", sorted(srows)[:6])
+                print("  duckdb:", sorted(drows)[:6])
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
