@@ -1,0 +1,69 @@
+"""Column-expression helpers shared by the extension operators.
+
+Everything here is a pure Column expression (JVM-side, codegen'd — no
+Python UDFs) and is *engine-portable*: each helper has an exact DuckDB
+SQL twin used by the oracle checks, so operator outputs can be
+hash-compared across engines. The portable 60-bit hash is
+``md5(x)[:15]`` parsed as hex — identical bytes in any engine with md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus for MinHash permutations (2^31 - 1, prime); keeps a*h + b
+#: within int64 for a,h < P.
+MINHASH_P = 2_147_483_647
+
+
+def portable_hash64(c: Column) -> Column:
+    """Deterministic 60-bit hash, identical in Spark and DuckDB.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (documents.text is space-separated)."""
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Empty array for texts shorter than n tokens (mirrors DuckDB's empty
+    generate_series range).
+    """
+    tok = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    return F.when(F.size(tok) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric array columns, summed in index order
+    (same order DuckDB's list_dot_product uses → bit-comparable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double_array(a: Column) -> Column:
+    """Cast array<float> -> array<double> (float->double is exact, so
+    both engines see identical doubles)."""
+    return a.cast("array<double>")

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (SURVEY.md §2.E1/E2), all expressed as shuffled-join-
+minimizing DataFrame plans:
+
+- exact: content-hash groupBy (one shuffle on the hash key)
+- minhash: shingle → K permuted min-hashes → LSH banding → bucket join
+  → exact-Jaccard verify on candidates only (never the O(n²) cross
+  join; candidate generation shuffles on (band, key) — bounded bucket
+  sizes at scale via the band hash's uniformity)
+- simhash: 32-bit fingerprint + chunk blocking + Hamming verify
+- embedding: cosine-threshold self-join over LSH/modulo-sampled probes
+
+Hash/permutation constants are engine-portable (see
+kafana_spark.functions.portable_hash64) so every step here has an
+exact DuckDB oracle twin generated in operators/registry.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafana_spark.functions import (
+    MINHASH_P, as_double_array, cosine, portable_hash64, shingles,
+)
+
+# --- MinHash parameters (fixed seed; the DuckDB oracle embeds the same
+# literals, generated from this very list) --------------------------------
+_rng = random.Random(42)
+MINHASH_K = 32           # permutations
+MINHASH_BANDS = 16       # bands of 2 rows → recall ≈ .99 at J = 0.5
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(MINHASH_K)
+]
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4       # 8-bit blocking chunks
+SIMHASH_MAX_HAMMING = 4
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: one survivor (min id) per content group.
+
+    At scale: group on sha2 of the content, not the content itself, so
+    the shuffle key is 32 bytes regardless of document size.
+    """
+    content = F.concat_ws("\x1f", *(cols or ["text"]))
+    h = F.sha2(content, 256)
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
+# -------------------------------------------------------------- minhash
+
+def shingle_set(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — the inverted index every near-dup op shares."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s"))
+
+
+def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """K min-hash values per document (one aggregation, map-side
+    combinable — partial mins merge associatively on the shuffle)."""
+    h = portable_hash64(F.col("s")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode the signature into (band, band_key) rows for bucketing."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
+                for r in range(MINHASH_ROWS)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws(",", *cols)).alias("bkey")))
+    return (sig.select(id_col, F.explode(F.array(*bands)).alias("bb"))
+            .select(id_col, "bb.band", "bb.bkey"))
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct id pairs sharing ≥1 LSH bucket (da < db)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, [F.col(f"a.band") == F.col(f"b.band"),
+                       F.col(f"a.bkey") == F.col(f"b.bkey"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("da"),
+                    F.col(f"b.{id_col}").alias("db"))
+            .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs only.
+
+    Intersections come from a shuffle on the shingle (the inverted
+    index join), sizes from a broadcast-able per-doc aggregate —
+    never a document×document cross join.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (sh.alias("x").join(sh.alias("y"), F.col("x.s") == F.col("y.s"))
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("da"),
+                      F.col("y.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    joined = (pairs.join(inter, ["da", "db"])
+              .join(sizes.withColumnRenamed("doc_id", "da")
+                    .withColumnRenamed("n", "na"), "da")
+              .join(sizes.withColumnRenamed("doc_id", "db")
+                    .withColumnRenamed("n", "nb"), "db"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (joined.select("da", "db", F.round(jac, 4).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
+                     text_col: str = "text") -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
+    bucket join → exact verify. Output: (da, db, jaccard)."""
+    sh = shingle_set(df, text_col=text_col).cache()
+    pairs = candidate_pairs(lsh_bands(minhash_signature(sh)))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
+    shingle (inverted index), then exact verify. The recall-1.0 oracle
+    twin of minhash_near_dup."""
+    sh = shingle_set(df, text_col=text_col).cache()
+    pairs = (sh.alias("a").join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("da"),
+                     F.col("b.doc_id").alias("db"))
+             .distinct())
+    return jaccard_verify(pairs, sh, threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over shingle hashes.
+
+    bit b = 1 iff sum over shingles of ±1 (sign of hash bit b) > 0.
+    One groupBy with 32 conditional sums — map-side combinable.
+    """
+    sh = shingle_set(df, id_col=id_col, text_col=text_col)
+    h = portable_hash64(F.col("s"))
+    bit_sums = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_near_dup(df: DataFrame,
+                     max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-dup: block on 8-bit fingerprint chunks, verify with
+    Hamming distance ≤ max_hamming. Output: (da, db, hamming)."""
+    fp = simhash(df)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 F.shiftright(F.col("simhash"), c * chunk_bits)
+                 .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("v"))
+        for c in range(SIMHASH_CHUNKS)
+    ])
+    blocks = (fp.select("doc_id", "simhash", F.explode(chunks).alias("ch"))
+              .select("doc_id", "simhash", "ch.c", "ch.v"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, [F.col("a.c") == F.col("b.c"),
+                       F.col("a.v") == F.col("b.v"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("da", "db", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------------ embeddings
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.99,
+                       probe_mod: int = 1) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+
+    probe_mod > 1 audits a deterministic 1/probe_mod sample of left
+    sides (vec_id % probe_mod == 0) — the full O(n²) join is reserved
+    for small n; at scale use LSH bucketing (see similarity.ivf_topk's
+    coarse quantizer for the same trick).
+    """
+    e = df.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    a = e.alias("a")
+    if probe_mod > 1:
+        a = e.where(F.col("vec_id") % probe_mod == 0).alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("da"),
+                    F.col("b.vec_id").alias("db"),
+                    F.round(cos, 4).alias("cos"))
+            .where(F.col("cos") >= threshold))

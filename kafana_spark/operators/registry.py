@@ -1,8 +1,12 @@
 """Registry of extension-operator queries (SURVEY.md §2.E) exposed to the
 driver's correctness harness via __spark_entry__.queries()/oracle_sql().
 
-Filled in as operators land; keys absent from EXTENSION_ORACLE get the
-weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
+Every Spark plan here has a DuckDB oracle generated from the SAME
+constants (MinHash coefficients, thresholds, marker word lists), so the
+two sides compute the identical deterministic algorithm. The only
+rows-only entries (no oracle) are the genuinely approximate /
+non-SQL-expressible ops: IVF ANN (approximate by design) and
+rolling-hash chunking (sequential mapInPandas).
 """
 
 from __future__ import annotations
@@ -10,6 +14,302 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-EXTENSION_ORACLE: dict[str, str] = {}
+from kafana_spark.operators import dedup, multimodal, similarity, text
+from kafana_spark.operators.dedup import (
+    MINHASH_BANDS, MINHASH_COEFFS, MINHASH_P, MINHASH_ROWS, SIMHASH_BITS,
+    SIMHASH_CHUNKS, SIMHASH_MAX_HAMMING,
+)
+from kafana_spark.session import tune_session
+from kafana_spark.sources.tables import load_table
+
+NEAR_DUP_THRESHOLD = 0.5
+EMB_DUP_THRESHOLD = 0.45
+ANN_QUERY_MOD = 100
+ANN_K = 10
+
+
+def _docs(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------ Spark side
+
+def x_dedup_keep_first(spark, sf_dir):
+    return (dedup.exact_dedup(_docs(spark, sf_dir))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def x_minhash_near_dup(spark, sf_dir):
+    return (dedup.minhash_near_dup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+            .orderBy("da", "db"))
+
+
+def x_ngram_jaccard_dup(spark, sf_dir):
+    return (dedup.ngram_jaccard_dup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+            .orderBy("da", "db"))
+
+
+def x_simhash_fingerprints(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_simhash_near_dup(spark, sf_dir):
+    return dedup.simhash_near_dup(_docs(spark, sf_dir)).orderBy("da", "db")
+
+
+def x_embedding_near_dup(spark, sf_dir):
+    return (dedup.embedding_near_dup(_embs(spark, sf_dir), EMB_DUP_THRESHOLD)
+            .orderBy("da", "db"))
+
+
+def x_ann_brute_force(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.brute_force_topk(e, q, ANN_K)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_ann_ivf(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.ivf_topk(e, q, ANN_K)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_quality_score(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_rolling_chunks(spark, sf_dir):
+    return (text.rolling_hash_chunks(_docs(spark, sf_dir))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def x_multimodal_meta(spark, sf_dir):
+    media = multimodal.attach_binary_payload(
+        _docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.media_metadata(media).orderBy("media_id")
+
+
+EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x01_dedup_keep_first": x_dedup_keep_first,
+    "x02_minhash_near_dup": x_minhash_near_dup,
+    "x03_ngram_jaccard_dup": x_ngram_jaccard_dup,
+    "x04_simhash_fingerprints": x_simhash_fingerprints,
+    "x05_simhash_near_dup": x_simhash_near_dup,
+    "x06_embedding_near_dup": x_embedding_near_dup,
+    "x07_ann_brute_force": x_ann_brute_force,
+    "x08_ann_ivf": x_ann_ivf,
+    "x09_token_count": x_token_count,
+    "x10_lang_id": x_lang_id,
+    "x11_quality_score": x_quality_score,
+    "x12_fingerprint": x_fingerprint,
+    "x13_rolling_chunks": x_rolling_chunks,
+    "x14_multimodal_meta": x_multimodal_meta,
+}
+
+
+# ----------------------------------------------------------- oracle SQL
+# DuckDB twins generated from the same constants as the Spark plans.
+
+_SHINGLES = (
+    "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "generate_series(1, 1000) g(i) WHERE i + 2 <= len(t))"
+)
+_H60 = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+
+_JACCARD_TAIL = (
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i FROM sh x "
+    "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+    "SELECT c.da, c.db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard "
+    "FROM cand c JOIN inter ON inter.da = c.da AND inter.db = c.db "
+    "JOIN sizes sa ON sa.doc_id = c.da JOIN sizes sb ON sb.doc_id = c.db "
+    f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= {NEAR_DUP_THRESHOLD} "
+    "ORDER BY 1, 2"
+)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * hm + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS))
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(f"CAST(mh{b * MINHASH_ROWS + r} AS VARCHAR)"
+                         for r in range(MINHASH_ROWS))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) "
+            "AS bkey FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH {_SHINGLES}, "
+        f"hm AS (SELECT doc_id, {_H60} % {MINHASH_P} AS hm FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hm GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey "
+        "AND a.doc_id < b.doc_id), "
+        + _JACCARD_TAIL
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return (
+        f"WITH {_SHINGLES}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM sh a "
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id), "
+        + _JACCARD_TAIL
+    )
+
+
+def _simhash_core() -> str:
+    bit_sums = ", ".join(
+        f"SUM(((hv >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(SIMHASH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return (
+        f"{_SHINGLES}, "
+        f"hv AS (SELECT doc_id, {_H60} AS hv FROM sh), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id), "
+        f"sims AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)"
+    )
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_core()} SELECT doc_id, simhash FROM sims ORDER BY doc_id"
+
+
+def _simhash_near_dup_sql() -> str:
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_vals = ", ".join(f"({c})" for c in range(SIMHASH_CHUNKS))
+    return (
+        f"WITH {_simhash_core()}, "
+        f"blocks AS (SELECT doc_id, simhash, c, (simhash >> (c * {chunk_bits})) "
+        f"& {(1 << chunk_bits) - 1} AS v FROM sims, (VALUES {chunk_vals}) t(c)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, "
+        "a.simhash AS ha, b.simhash AS hb FROM blocks a JOIN blocks b "
+        "ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id) "
+        "SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
+        f"FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING} "
+        "ORDER BY da, db"
+    )
+
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))")
+
+
+def _embedding_near_dup_sql() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        f"SELECT a.vec_id AS da, b.vec_id AS db, ROUND({cos}, 4) AS cos "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        f"WHERE ROUND({cos}, 4) >= {EMB_DUP_THRESHOLD} ORDER BY da, db"
+    )
+
+
+def _ann_brute_force_sql() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        f"scored AS (SELECT q.qid, c.vec_id, ROUND({cos}, 4) AS cos FROM q, e c "
+        "WHERE c.vec_id <> q.qid), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank"
+    )
+
+
+def _lang_id_sql() -> str:
+    score = ("len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+             "[{words}]))")
+    s = {lang: score.format(words=", ".join(f"'{w}'" for w in words))
+         for lang, words in text.LANG_MARKERS.items()}
+    return (
+        "WITH sc AS (SELECT doc_id, text, "
+        + ", ".join(f"{s[lang]} AS s_{lang}" for lang in sorted(s)) +
+        " FROM documents) "
+        "SELECT doc_id, CASE "
+        f"WHEN regexp_matches(text, '{text.CJK_PATTERN}') THEN 'zh' "
+        "WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_fr THEN 'es' "
+        "ELSE 'fr' END AS pred_lang FROM sc ORDER BY doc_id"
+    )
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n, "
+        "len(list_distinct(string_split(text, ' '))) AS uniq, "
+        f"len(list_filter(string_split(text, ' '), x -> list_contains([{stop}], x))) "
+        "AS stop_hits FROM documents) "
+        "SELECT doc_id, n_chars, CAST(("
+        "4 * (LEAST(n, 100) * 100) + "
+        "3 * ((10000 * uniq + n // 2) // n) + "
+        "3 * LEAST((50000 * stop_hits) // n, 10000)"
+        ") // 10 AS BIGINT) AS quality_bp FROM t ORDER BY doc_id"
+    )
+
+
+EXTENSION_ORACLE: dict[str, str] = {
+    "x01_dedup_keep_first": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
+        "ORDER BY doc_id"
+    ),
+    "x02_minhash_near_dup": _minhash_sql(),
+    "x03_ngram_jaccard_dup": _ngram_jaccard_sql(),
+    "x04_simhash_fingerprints": _simhash_sql(),
+    "x05_simhash_near_dup": _simhash_near_dup_sql(),
+    "x06_embedding_near_dup": _embedding_near_dup_sql(),
+    "x07_ann_brute_force": _ann_brute_force_sql(),
+    # x08_ann_ivf: approximate by design → rows-only check; pytest
+    # asserts recall ≥ 0.8 vs brute force instead.
+    "x09_token_count": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "x10_lang_id": _lang_id_sql(),
+    "x11_quality_score": _quality_sql(),
+    "x12_fingerprint": (
+        "SELECT doc_id, md5(text) AS fp_full, "
+        "md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) "
+        "AS fp_head FROM documents ORDER BY doc_id"
+    ),
+    # x13_rolling_chunks: sequential per-document mapInPandas → rows-only.
+    "x14_multimodal_meta": (
+        "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) "
+        "AS BIGINT) AS byte_len, md5(text) AS payload_md5, "
+        "'application/octet-stream' AS mime FROM documents ORDER BY media_id"
+    ),
+}

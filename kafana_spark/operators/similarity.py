@@ -1,0 +1,103 @@
+"""Vector similarity search over an embedding column (SURVEY.md §2.E3).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline and
+  the oracle-checked path.
+- ivf_topk: IVF-style approximate search — deterministic coarse
+  quantizer (modulo-sampled centroids), assignment shuffle on
+  centroid id, probes limited to n_probe cells. This is the 100 TB
+  path: the per-query work drops from O(N) to O(N * n_probe / n_cells),
+  and the inner join is an equi-join on cell id (shuffle-partitionable)
+  instead of a cross join.
+
+All math is Column-expression only (kafana_spark.functions.cosine);
+no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafana_spark.functions import as_double_array, cosine
+
+
+def _vectors(df: DataFrame) -> DataFrame:
+    return df.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    queries: (qid, v) — typically few; broadcast against the corpus so
+    the scan stays embarrassingly parallel (no shuffle of the corpus).
+    Output: (qid, vec_id, cos, rank), self-matches excluded.
+    """
+    corpus = _vectors(df)
+    cos = F.round(cosine(F.col("q.v"), F.col("c.v")), 4)
+    scored = (corpus.alias("c")
+              .join(F.broadcast(queries.alias("q")),
+                    F.col("q.qid") != F.col("c.vec_id"))
+              .select(F.col("q.qid").alias("qid"),
+                      F.col("c.vec_id").alias("vec_id"),
+                      cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def modulo_queries(df: DataFrame, mod: int = 100) -> DataFrame:
+    """Deterministic query subset: vec_id % mod == 0."""
+    return _vectors(df).where(F.col("vec_id") % mod == 0) \
+        .select(F.col("vec_id").alias("qid"), "v")
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+             centroid_mod: int = 40, n_probe: int = 3) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Coarse quantizer: vectors with vec_id % centroid_mod == 0 act as
+    centroids (deterministic; a KMeans fit is a drop-in replacement at
+    scale). Every corpus vector is assigned to its nearest centroid
+    (broadcast join — centroids are tiny). Each query probes its
+    n_probe nearest cells and ranks only those cells' members.
+    """
+    corpus = _vectors(df)
+    centroids = corpus.where(F.col("vec_id") % centroid_mod == 0) \
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+
+    # assignment: nearest centroid per corpus vector (broadcast)
+    ac = cosine(F.col("x.v"), F.col("ct.cv"))
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                                    F.col("cid"))
+    assigned = (corpus.alias("x")
+                .join(F.broadcast(centroids.alias("ct")))
+                .select("vec_id", "v", "cid", ac.alias("acos"))
+                .withColumn("r", F.row_number().over(assign_w))
+                .where(F.col("r") == 1)
+                .select("vec_id", "v", "cid"))
+
+    # probe list: n_probe nearest centroids per query
+    qc = cosine(F.col("q.v"), F.col("ct.cv"))
+    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(),
+                                                F.col("cid"))
+    probes = (queries.alias("q")
+              .join(F.broadcast(centroids.alias("ct")))
+              .select(F.col("qid"), F.col("q.v").alias("qv"),
+                      F.col("cid"), qc.alias("qcos"))
+              .withColumn("r", F.row_number().over(probe_w))
+              .where(F.col("r") <= n_probe)
+              .select("qid", "qv", "cid"))
+
+    # rank within probed cells only (equi-join on cell id)
+    cos = F.round(cosine(F.col("p.qv"), F.col("m.v")), 4)
+    scored = (probes.alias("p")
+              .join(assigned.alias("m"), F.col("p.cid") == F.col("m.cid"))
+              .where(F.col("p.qid") != F.col("m.vec_id"))
+              .select(F.col("p.qid").alias("qid"),
+                      F.col("m.vec_id").alias("vec_id"),
+                      cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.dropDuplicates(["qid", "vec_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

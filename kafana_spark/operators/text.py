@@ -1,0 +1,168 @@
+"""Text-analysis operators (SURVEY.md §2.E4): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All scoring paths are pure Column expressions with DuckDB oracle twins;
+the rolling-hash chunker is the one mapInPandas operator (content-
+defined chunking is inherently sequential per document, not per row
+set — the Arrow batch path keeps it vectorized per partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafana_spark.functions import tokens
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "et", "les", "est", "un"),
+}
+# literal CJK chars (not \u escapes): Java regex and DuckDB's RE2 both
+# accept the raw range, while RE2 rejects \uXXXX escapes
+CJK_PATTERN = "[一-鿿]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace token count + distinct count + a BPE-ish subword
+    estimate (≈ chars/4 per the usual byte-pair heuristic)."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_uniq"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_subwords"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK char ratio → zh, else argmax of
+    marker-stopword hits (alphabetical tiebreak, 'und' = unknown)."""
+    tok = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    scores = {
+        lang: F.size(F.array_intersect(
+            tok, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cjk = F.length(F.regexp_replace(F.col(text_col), CJK_PATTERN, "")) \
+        < F.length(F.col(text_col))
+    # argmax with deterministic tiebreak: forward alphabetical order +
+    # strict > means the alphabetically-first language wins ties
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    pred = F.when(cjk, F.lit("zh")).otherwise(best_lang)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in basis points [0, 10000]:
+    0.4·length_score + 0.3·diversity + 0.3·stopword_presence.
+
+    length_score  = min(n_tokens/100, 1)
+    diversity     = n_uniq / n_tokens
+    stopword_rate = fraction of tokens in STOPWORDS (capped at 0.2,
+                    scaled — total stopword absence reads as low quality)
+
+    Computed entirely in integer arithmetic (scaled by 10⁴) so the
+    result is bit-identical across engines — float ROUND lands on .5
+    boundaries for ratio-of-small-int scores and differs per engine.
+    """
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    uniq = F.size(F.array_distinct(tok))
+    stop_hits = F.size(F.filter(
+        tok, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS])))
+    length_k = F.least(n, F.lit(100)) * 100                      # /100 * 1e4
+    diversity_k = F.floor((F.lit(10000) * uniq + F.floor(n / 2)) / n)
+    stop_k = F.least(F.floor(F.lit(50000) * stop_hits / n), F.lit(10000))
+    quality = F.floor((F.lit(4) * length_k + F.lit(3) * diversity_k
+                       + F.lit(3) * stop_k) / 10)
+    return df.select(
+        F.col(id_col),
+        F.col("n_chars") if "n_chars" in df.columns else F.length(text_col).alias("n_chars"),
+        quality.cast("long").alias("quality_bp"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", prefix_tokens: int = 8) -> DataFrame:
+    """Document fingerprints: full-content md5 + head fingerprint
+    (md5 of the first `prefix_tokens` tokens — catches truncation/
+    near-prefix duplicates cheaply)."""
+    tok = tokens(F.col(text_col))
+    head = F.concat_ws(" ", F.slice(tok, 1, prefix_tokens))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_full"),
+        F.md5(head).alias("fp_head"),
+    )
+
+
+# ----------------------------------------------------- rolling-hash chunks
+
+CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk_hash long, chunk_len int"
+
+
+def rolling_hash_chunks(df: DataFrame, window: int = 16,
+                        mask_bits: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Content-defined chunking via Karp-Rabin rolling hash.
+
+    A chunk boundary falls wherever the rolling hash of the last
+    `window` bytes has its low `mask_bits` bits zero (expected chunk
+    ≈ 2^mask_bits bytes). Chunk hashes enable chunk-level dedup of
+    giant documents — the standard CDC trick (LBFS/rsync lineage).
+
+    Sequential per document ⇒ mapInPandas (Arrow-batched, one pass per
+    partition; no shuffle — chunking is embarrassingly parallel).
+    """
+    b, m = 257, (1 << 61) - 1
+    bw = pow(b, window, m)
+    mask = (1 << mask_bits) - 1
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, int, int]] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = text.encode("utf-8")
+                h, start, idx = 0, 0, 0
+                for i, byte in enumerate(data):
+                    h = (h * b + byte) % m
+                    if i >= window:
+                        h = (h - data[i - window] * bw) % m
+                    if i + 1 - start >= window and (h & mask) == 0:
+                        chunk = data[start:i + 1]
+                        out.append((doc_id, idx,
+                                    hash_bytes(chunk), len(chunk)))
+                        start, idx = i + 1, idx + 1
+                if start < len(data):
+                    chunk = data[start:]
+                    out.append((doc_id, idx, hash_bytes(chunk), len(chunk)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "chunk_hash",
+                              "chunk_len"])
+
+    return df.select(id_col, text_col).mapInPandas(chunker, CHUNK_SCHEMA)
+
+
+def hash_bytes(data: bytes) -> int:
+    """Stable 61-bit polynomial hash of a byte string."""
+    h, m = 0, (1 << 61) - 1
+    for byte in data:
+        h = (h * 257 + byte) % m
+    return h

@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: binary payload columns + Arrow-batched
+feature extraction (decode stubbed; plumbing real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafana_spark.operators import multimodal as M
+from kafana_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    return M.attach_binary_payload(docs, "text", "doc_id")
+
+
+def test_payload_schema(spark):
+    df = media(spark)
+    assert [f.name for f in df.schema.fields] == ["media_id", "payload", "meta"]
+    assert df.schema["payload"].dataType.typeName() == "binary"
+
+
+def test_metadata_pass_is_jvm_only(spark):
+    out = M.media_metadata(media(spark))
+    # no Python workers: the plan must be pure project (no mapInPandas)
+    assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString().lower().replace(" ", "")
+    row = out.orderBy("media_id").collect()[0]
+    assert row.byte_len > 0 and len(row.payload_md5) == 32
+
+
+def test_extract_features_shapes_and_determinism(spark):
+    out = M.extract_features(media(spark)).orderBy("media_id").collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.features) == M.FEATURE_DIM
+        assert len(r.sha) == 64
+    again = M.extract_features(media(spark)).orderBy("media_id").collect()
+    assert [r.features for r in out] == [r.features for r in again]
+
+
+def test_extract_features_matches_local_hash(spark):
+    first = media(spark).orderBy("media_id").limit(1).collect()[0]
+    row = (M.extract_features(media(spark))
+           .where(F.col("media_id") == first.media_id).collect()[0])
+    assert row.sha == hashlib.sha256(bytes(first.payload)).hexdigest()
+
+
+def test_real_decode_path_raises(spark):
+    with pytest.raises(Exception) as exc_info:
+        M.extract_features(media(spark), decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)

@@ -1,0 +1,77 @@
+"""Vector similarity search tests: brute-force exactness, IVF recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafana_spark.operators import similarity
+from kafana_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_brute_force_topk_shape_and_order(spark):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    nq = q.count()
+    out = similarity.brute_force_topk(e, q, k=5).collect()
+    assert len(out) == nq * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r.cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id != qid for r in rows)
+
+
+def test_brute_force_matches_numpy_ground_truth(spark):
+    """Top-1 neighbor per query must equal an independent numpy
+    computation over the same vectors."""
+    import numpy as np
+
+    e = embs(spark)
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    ids = sorted(data)
+    mat = np.stack([data[i] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    q = similarity.modulo_queries(e, 100)
+    top1 = {r.qid: r.vec_id for r in
+            similarity.brute_force_topk(e, q, k=1).collect()}
+    for qid in top1:
+        sims = mat @ mat[ids.index(qid)]
+        sims[ids.index(qid)] = -2.0
+        # same tiebreak as the operator: cos desc, then vec_id asc —
+        # operator compares at 4-decimal rounding, so accept any id
+        # whose rounded cos ties the numpy max
+        best = max(round(s, 4) for s in sims)
+        candidates = [ids[i] for i, s in enumerate(sims)
+                      if round(s, 4) == best]
+        assert top1[qid] == min(candidates)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = similarity.brute_force_topk(e, q, k=10).collect()
+    approx = similarity.ivf_topk(e, q, k=10, centroid_mod=40, n_probe=3).collect()
+    exact_set = {(r.qid, r.vec_id) for r in exact}
+    approx_set = {(r.qid, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_output_contract(spark):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    out = similarity.ivf_topk(e, q, k=10).collect()
+    for r in out:
+        assert 1 <= r.rank <= 10
+        assert -1.0001 <= r.cos <= 1.0001

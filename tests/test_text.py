@@ -1,0 +1,76 @@
+"""Text-analysis operator tests: lang-id, quality, tokens, fingerprints,
+rolling-hash chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafana_spark.operators import text as T
+from kafana_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_lang_id_on_real_languages(spark):
+    fixture = spark.createDataFrame([
+        (1, "the cat is on the mat and a dog is here"),
+        (2, "der hund und die katze das ist ein haus"),
+        (3, "el perro y la casa es un lugar de madrid"),
+        (4, "le chien et la maison les arbres est un"),
+        (5, "这是一个中文句子"),
+        (6, "qwerty zxcvb asdfgh"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r.pred_lang for r in T.lang_id(fixture).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_token_count_consistency(spark):
+    out = T.token_count(docs(spark)).collect()
+    for r in out:
+        assert r.n_uniq <= r.n_tokens
+        assert r.n_subwords > 0
+
+
+def test_quality_score_bounds_and_monotonic_length(spark):
+    fixture = spark.createDataFrame([
+        (1, "the a of and to is in it word other thing stuff more yet"),
+        (2, "x x"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r.quality_bp for r in T.quality_score(fixture).collect()}
+    assert all(0 <= v <= 10000 for v in out.values())
+    assert out[1] > out[2]
+
+
+def test_fingerprint_detects_shared_prefix(spark):
+    fixture = spark.createDataFrame([
+        (1, "a b c d e f g h i j k"),
+        (2, "a b c d e f g h x y z"),   # same first 8 tokens
+        (3, "totally different text here now ok yes no"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in T.fingerprint(fixture).collect()}
+    assert out[1].fp_head == out[2].fp_head
+    assert out[1].fp_full != out[2].fp_full
+    assert out[3].fp_head != out[1].fp_head
+
+
+def test_rolling_chunks_reassemble(spark):
+    sample = docs(spark).limit(50)
+    chunks = T.rolling_hash_chunks(sample).collect()
+    expected = {r.doc_id: len(r.text.encode()) for r in sample.collect()}
+    total = {}
+    for c in chunks:
+        total[c.doc_id] = total.get(c.doc_id, 0) + c.chunk_len
+    assert total == expected  # chunks partition every document exactly
+
+
+def test_rolling_chunks_identical_texts_share_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "w " * 400), (2, "w " * 400)], ["doc_id", "text"])
+    rows = T.rolling_hash_chunks(df).collect()
+    seq = {}
+    for r in rows:
+        seq.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_hash))
+    assert sorted(seq[1]) == sorted(seq[2])
