@@ -206,22 +206,91 @@ def simhash_near_dup(df: DataFrame,
 # ------------------------------------------------------------ embeddings
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.99,
-                       probe_mod: int = 1) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+                       probe_mod: int = 1,
+                       block_size: int = 2048) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with ROUND(cosine, 4) ≥
+    threshold, as a *blocked matrix product* instead of a row-pair join.
 
-    probe_mod > 1 audits a deterministic 1/probe_mod sample of left
-    sides (vec_id % probe_mod == 0) — the full O(n²) join is reserved
-    for small n; at scale use LSH bucketing (see similarity.ivf_topk's
-    coarse quantizer for the same trick).
+    Physical plan (the standard distributed all-pairs-similarity
+    shape): vectors are bucketed into ceil(n / block_size) blocks by
+    ``vec_id % n_blocks``; each block is packed into ONE Arrow row
+    (id list + float64 matrix bytes); blocks self-join on
+    ``a.blk <= b.blk`` so every unordered vector pair lands in exactly
+    one block-pair task; each task computes its block×block cosine
+    slab with a single BLAS matmul and emits only above-threshold
+    pairs. Work per task is O(block²·dim) vectorized — versus the
+    naive theta-join, which evaluates three interpreted higher-order
+    aggregates per pair and is ~100× slower at 2k vectors already.
+
+    At 100 TB scale the block-pair count grows as (n/block)²; this
+    operator is the exact/verify kernel — cap the candidate space
+    first with LSH bucketing (minhash_near_dup's banding or
+    similarity.ivf_topk's coarse quantizer) and run this within
+    buckets.
+
+    probe_mod > 1 audits the deterministic 1/probe_mod sample of
+    pairs whose smaller id satisfies ``da % probe_mod == 0``.
     """
+    import numpy as np
+    import pandas as pd
+
     e = df.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    a = e.alias("a")
+    n = e.count()
+    n_blocks = max(1, -(-n // block_size))
+    thr = float(threshold)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        return pd.DataFrame({
+            "blk": [int(pdf["blk"].iloc[0])],
+            "ids": [ids[order].tolist()],
+            "mat": [mat.tobytes()],
+        })
+
+    packed = (e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+              .groupBy("blk")
+              .applyInPandas(_pack, "blk int, ids array<long>, mat binary"))
+
+    tasks = (packed.alias("a")
+             .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+             .select(F.col("a.blk").alias("ablk"), F.col("b.blk").alias("bblk"),
+                     F.col("a.ids").alias("aids"), F.col("a.mat").alias("amat"),
+                     F.col("b.ids").alias("bids"), F.col("b.mat").alias("bmat"))
+             .repartition(max(32, n_blocks * (n_blocks + 1) // 2)))
+
+    def _cosine_pairs(batches):
+        for pdf in batches:
+            out_da, out_db, out_cos = [], [], []
+            for row in pdf.itertuples(index=False):
+                aids = np.asarray(row.aids, dtype=np.int64)
+                bids = np.asarray(row.bids, dtype=np.int64)
+                A = np.frombuffer(row.amat).reshape(len(aids), -1)
+                B = np.frombuffer(row.bmat).reshape(len(bids), -1)
+                # same formula as the oracle: dot / (||a|| * ||b||)
+                S = A @ B.T
+                na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                cos = np.round(S / np.outer(na, nb), 4)
+                mask = cos >= thr
+                if row.ablk == row.bblk:
+                    mask &= aids[:, None] < bids[None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    da = np.minimum(aids[ii], bids[jj])
+                    db = np.maximum(aids[ii], bids[jj])
+                    out_da.append(da)
+                    out_db.append(db)
+                    out_cos.append(cos[ii, jj])
+            if out_da:
+                yield pd.DataFrame({
+                    "da": np.concatenate(out_da),
+                    "db": np.concatenate(out_db),
+                    "cos": np.concatenate(out_cos),
+                })
+
+    pairs = tasks.mapInPandas(_cosine_pairs, "da long, db long, cos double")
     if probe_mod > 1:
-        a = e.where(F.col("vec_id") % probe_mod == 0).alias("a")
-    b = e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("da"),
-                    F.col("b.vec_id").alias("db"),
-                    F.round(cos, 4).alias("cos"))
-            .where(F.col("cos") >= threshold))
+        pairs = pairs.where(F.col("da") % probe_mod == 0)
+    return pairs
