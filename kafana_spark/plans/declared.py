@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafana_spark.session import tune_session
-from kafana_spark.sources.tables import load_table
+from kafana_spark.sources.tables import load_table, ts_bounds
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -31,8 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- C1 discover: time-range filter + sort + limit --------------------------
 def q1_discover(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return (ev.where((F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-                     & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp")))
+    return (ev.where(ts_bounds("2024-01-05 00:00:00", "2024-01-06 00:00:00"))
             .orderBy(F.col("ts").desc(), F.col("event_id"))
             .limit(50)
             .select("event_id", "user_id", "event_type"))

@@ -44,10 +44,41 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Keep the raw nanos long as ts_ns: predicates on the derived
+        # timestamp column cannot be pushed into the parquet scan
+        # (timestamp_micros() is opaque to pushdown), but the equivalent
+        # long comparison on ts_ns reaches row-group min/max stats —
+        # the difference between a pruned read and a full scan on a
+        # time-ordered 100 TB table. See ts_bounds() for the helper.
+        df = (df.withColumn("ts_ns", F.col("ts"))
+              .withColumn(
+                  "ts",
+                  F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))))
     return df
+
+
+def ts_bounds(t0: str | None = None, t1: str | None = None) -> F.Column:
+    """Pushdown-friendly time-range predicate for the events table.
+
+    Returns ``ts`>=t0 AND ts<t1`` expressed on BOTH the derived
+    timestamp (exact semantics) and the raw ``ts_ns`` long (redundant,
+    but sargable — Catalyst pushes it to the parquet reader for
+    row-group skipping).
+    """
+    import datetime as _dt
+
+    def _ns(s: str) -> int:
+        d = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000
+
+    pred = F.lit(True)
+    if t0 is not None:
+        pred = pred & (F.col("ts") >= F.lit(t0).cast("timestamp")) \
+            & (F.col("ts_ns") >= F.lit(_ns(t0)))
+    if t1 is not None:
+        pred = pred & (F.col("ts") < F.lit(t1).cast("timestamp")) \
+            & (F.col("ts_ns") < F.lit(_ns(t1)))
+    return pred
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

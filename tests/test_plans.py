@@ -1,0 +1,149 @@
+"""Physical-plan quality gates — the 100 TB design checks.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these tests pin the *physical plans* that make them viable at
+1000-executor scale: broadcast joins for small dims (no shuffle of the
+fact table's join key), predicate pushdown into the parquet scan
+(row-group skipping), column pruning (no full-width reads), and no
+accidental cartesian products. A regression here is invisible to the
+oracle checks but catastrophic at scale — so it fails CI instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from kafana_spark.plans import declared
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    """Formatted explain output (full scan metadata — the plain plan
+    string truncates PushedFilters/ReadSchema)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def pushed_filters(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: ([^\n]*)", plan)
+
+
+# ------------------------------------------------------------ join strategy
+
+def test_q14_broadcasts_all_dims(spark):
+    """lineitem is the only big side; orders/customer/nation must arrive
+    broadcast so the fact table is never shuffled for the join."""
+    plan = plan_of(declared.q14_revenue(spark, SF_SMOKE))
+    assert len(re.findall(r"BroadcastHashJoin Inner", plan)) == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_broadcasts_nation(spark):
+    plan = plan_of(declared.q13_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_theta_join_is_equi_hash_not_nested_loop(spark):
+    """The range predicate must ride as a residual condition on the
+    partkey equi-join — a BroadcastNestedLoopJoin here would be O(n*m)
+    at scale."""
+    plan = plan_of(declared.q16_theta_join(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+
+
+def test_q15_uses_semi_anti_joins(spark):
+    plan = plan_of(declared.q15_semi_anti(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+# --------------------------------------------------------------- pushdown
+
+def test_q01_time_bounds_reach_parquet_scan(spark):
+    """ts is stored as TIMESTAMP(NANOS); the derived timestamp column is
+    opaque to pushdown, so ts_bounds adds the sargable raw-long twin.
+    Without it this is a full scan of the events table."""
+    plan = plan_of(declared.q1_discover(spark, SF_SMOKE))
+    pf = pushed_filters(plan)
+    assert "GreaterThanOrEqual(ts," in pf and "LessThan(ts," in pf
+
+
+def test_q04_filters_pushed(spark):
+    plan = plan_of(declared.q4_field_range(spark, SF_SMOKE))
+    pf = pushed_filters(plan)
+    assert "GreaterThan(l_quantity,45" in pf
+    assert "EqualTo(l_returnflag,R)" in pf
+
+
+def test_q02_key_filter_pushed(spark):
+    pf = pushed_filters(plan_of(declared.q2_key_lookup(spark, SF_SMOKE)))
+    assert "EqualTo(user_id,13)" in pf
+
+
+# ---------------------------------------------------------- column pruning
+
+def test_q14_scans_only_needed_columns(spark):
+    """A scan reading all 16 lineitem columns for a 3-column need is the
+    classic 100 TB mistake; ReadSchema must be pruned."""
+    plan = plan_of(declared.q14_revenue(spark, SF_SMOKE))
+    li_schemas = [s for s in read_schemas(plan) if "l_orderkey" in s]
+    assert li_schemas, plan
+    for s in li_schemas:
+        assert "l_comment" not in s and "l_shipdate" not in s
+        assert set(re.findall(r"l_\w+", s)) == {
+            "l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_q01_scans_only_needed_columns(spark):
+    plan = plan_of(declared.q1_discover(spark, SF_SMOKE))
+    schemas = read_schemas(plan)
+    assert schemas and all("props" not in s and "value" not in s
+                           for s in schemas)
+
+
+# ------------------------------------------------- store partition pruning
+
+def test_store_prunes_topic_partitions(spark, tmp_path):
+    """topic is a store partition column (= per-topic ES index); a
+    single-topic query must prune at the metadata level, visible as a
+    PartitionFilters entry and a pruned partition count."""
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.store import write_store
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(100)
+    recs = events_as_kafka_records(ev)
+    for t in ("foo", "bar"):
+        write_store(enrich(recs.withColumn("topic", F.lit(t))),
+                    str(tmp_path / "store"))
+
+    df = (spark.read.parquet(str(tmp_path / "store"))
+          .where(F.col("topic") == "foo"))
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*topic[^\]]*\]", plan)
+    assert m, plan
+
+
+# ----------------------------------------------------- whole-stage codegen
+
+def test_q09_metrics_is_codegen_hash_agg(spark):
+    """Metric aggs must stay JVM-side: HashAggregate inside a codegen'd
+    stage, no Python evals in the hot path. Codegen ids only appear in
+    the final adaptive plan, so execute first."""
+    df = declared.q9_metrics(spark, SF_SMOKE)
+    df.collect()
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
