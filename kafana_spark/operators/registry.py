@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafana_spark.operators import dedup, multimodal, similarity, text
+from kafana_spark.operators import asof, dedup, multimodal, similarity, text
 from kafana_spark.operators.dedup import (
     MINHASH_BANDS, MINHASH_COEFFS, MINHASH_P, MINHASH_ROWS, SIMHASH_BITS,
     SIMHASH_CHUNKS, SIMHASH_MAX_HAMMING,
@@ -105,6 +105,40 @@ def x_rolling_chunks(spark, sf_dir):
             .orderBy("doc_id", "chunk_idx"))
 
 
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def x_sessionize(spark, sf_dir):
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (asof.sessionize_batch(ev, SESSION_GAP)
+            .orderBy("user_id", "start_us"))
+
+
+def x_asof_join(spark, sf_dir):
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = asof.asof_join(purchases, errors, on="user_id")
+    return (joined.select("event_id",
+                          F.unix_micros("asof_ts").alias("asof_us"))
+            .orderBy("event_id"))
+
+
+PCT_QS = (0.5, 0.95, 0.99)
+
+
+def x_percentiles(spark, sf_dir):
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.round(F.percentile("value", F.lit(q)), 4)
+            .alias(f"p{int(q * 100)}") for q in PCT_QS]
+    return (ev.where(F.col("value").isNotNull())
+            .groupBy("event_type").agg(*aggs).orderBy("event_type"))
+
+
 def x_multimodal_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(
         _docs(spark, sf_dir), "text", "doc_id")
@@ -126,6 +160,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x12_fingerprint": x_fingerprint,
     "x13_rolling_chunks": x_rolling_chunks,
     "x14_multimodal_meta": x_multimodal_meta,
+    "x15_sessionize": x_sessionize,
+    "x16_asof_join": x_asof_join,
+    "x17_percentiles": x_percentiles,
 }
 
 
@@ -307,6 +344,33 @@ EXTENSION_ORACLE: dict[str, str] = {
         "AS fp_head FROM documents ORDER BY doc_id"
     ),
     # x13_rolling_chunks: sequential per-document mapInPandas → rows-only.
+    "x15_sessionize": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "d AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) > "
+        f"{SESSION_GAP_US} THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS sid FROM d) "
+        "SELECT user_id, MIN(us) AS start_us, MAX(us) - MIN(us) AS dur_us, "
+        "COUNT(*) AS events FROM s GROUP BY user_id, sid "
+        "ORDER BY user_id, start_us"
+    ),
+    "x16_asof_join": (
+        "SELECT p.event_id, MAX(epoch_us(e.ts)) AS asof_us FROM events p "
+        "LEFT JOIN events e ON e.user_id = p.user_id AND "
+        "e.event_type = 'error' AND e.ts <= p.ts "
+        "WHERE p.event_type = 'purchase' GROUP BY p.event_id "
+        "ORDER BY p.event_id"
+    ),
+    "x17_percentiles": (
+        "SELECT event_type, "
+        + ", ".join(
+            f"ROUND(quantile_cont(value, {q}), 4) AS p{int(q * 100)}"
+            for q in PCT_QS) +
+        " FROM events WHERE value IS NOT NULL GROUP BY event_type "
+        "ORDER BY event_type"
+    ),
     "x14_multimodal_meta": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) "
         "AS BIGINT) AS byte_len, md5(text) AS payload_md5, "
