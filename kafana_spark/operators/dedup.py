@@ -72,13 +72,19 @@ def shingle_set(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K min-hash values per document (one aggregation, map-side
-    combinable — partial mins merge associatively on the shuffle)."""
-    h = portable_hash64(F.col("s")) % MINHASH_P
+    combinable — partial mins merge associatively on the shuffle).
+
+    The md5-based portable hash is projected ONCE per shingle row
+    before the aggregation — referencing it inside each of the K agg
+    expressions would recompute the md5 K times per row.
+    """
+    hashed = sh.select(
+        id_col, (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -106,15 +112,24 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
-                   threshold: float) -> DataFrame:
+                   threshold: float, prune: bool = True) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
 
     Intersections come from a shuffle on the shingle (the inverted
     index join), sizes from a broadcast-able per-doc aggregate —
-    never a document×document cross join.
+    never a document×document cross join. With ``prune`` (default),
+    the inverted index is first semi-joined down to docs that appear
+    in ANY candidate pair, so the verify cost tracks the candidate
+    count (what LSH bought us), not the corpus size.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (sh.alias("x").join(sh.alias("y"), F.col("x.s") == F.col("y.s"))
+    sh_v = sh
+    if prune:
+        cand_ids = (pairs.select(F.col("da").alias("doc_id"))
+                    .unionByName(pairs.select(F.col("db").alias("doc_id")))
+                    .distinct())
+        sh_v = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (sh_v.alias("x").join(sh_v.alias("y"), F.col("x.s") == F.col("y.s"))
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
              .groupBy(F.col("x.doc_id").alias("da"),
                       F.col("y.doc_id").alias("db"))
@@ -149,7 +164,9 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
              .select(F.col("a.doc_id").alias("da"),
                      F.col("b.doc_id").alias("db"))
              .distinct())
-    return jaccard_verify(pairs, sh, threshold)
+    # candidates here are ALL shingle-sharing pairs — pruning the
+    # inverted index to candidate docs would keep ~everything
+    return jaccard_verify(pairs, sh, threshold, prune=False)
 
 
 # -------------------------------------------------------------- simhash
@@ -162,12 +179,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     One groupBy with 32 conditional sums — map-side combinable.
     """
     sh = shingle_set(df, id_col=id_col, text_col=text_col)
-    h = portable_hash64(F.col("s"))
+    # project the md5-based hash once per row (see minhash_signature)
+    hashed = sh.select(id_col, portable_hash64(F.col("s")).alias("h"))
     bit_sums = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     fingerprint = None
     for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
