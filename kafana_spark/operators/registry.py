@@ -145,6 +145,11 @@ def x_multimodal_meta(spark, sf_dir):
     return multimodal.media_metadata(media).orderBy("media_id")
 
 
+def x_tfidf(spark, sf_dir):
+    return (text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+            .orderBy("doc_id", "rk"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -163,6 +168,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x15_sessionize": x_sessionize,
     "x16_asof_join": x_asof_join,
     "x17_percentiles": x_percentiles,
+    "x18_tfidf": x_tfidf,
 }
 
 
@@ -333,8 +339,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x09_token_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
         "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq, "
-        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords "
-        "FROM documents ORDER BY doc_id"
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords, "
+        f"CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT) "
+        "AS n_bpe FROM documents ORDER BY doc_id"
     ),
     "x10_lang_id": _lang_id_sql(),
     "x11_quality_score": _quality_sql(),
@@ -370,6 +377,23 @@ EXTENSION_ORACLE: dict[str, str] = {
             for q in PCT_QS) +
         " FROM events WHERE value IS NOT NULL GROUP BY event_type "
         "ORDER BY event_type"
+    ),
+    "x18_tfidf": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+        "token FROM documents), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks "
+        "GROUP BY doc_id, token), "
+        "dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY token), "
+        "nd AS (SELECT COUNT(*) AS n FROM documents), "
+        "scored AS (SELECT doc_id, tf.token, "
+        "ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf "
+        "FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN nd), "
+        "ranked AS (SELECT doc_id, token, tfidf, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk "
+        "FROM scored) "
+        "SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3 "
+        "ORDER BY doc_id, rk"
     ),
     "x14_multimodal_meta": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) "

@@ -31,16 +31,25 @@ CJK_PATTERN = "[一-鿿]"
 STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it")
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 style, ASCII-simplified so Java
+#: regex and DuckDB's RE2 agree): a token is an optionally-space-prefixed
+#: letter run, digit run, or punctuation run.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
 def token_count(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Whitespace token count + distinct count + a BPE-ish subword
-    estimate (≈ chars/4 per the usual byte-pair heuristic)."""
+    """Whitespace token count + distinct count + two BPE-ish subword
+    estimates: chars/4 (the usual byte-pair heuristic) and a real
+    pre-tokenizer regex count (GPT-2-style split)."""
     tok = tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_uniq"),
         F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_subwords"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+        .alias("n_bpe"),
     )
 
 
@@ -111,6 +120,38 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.md5(F.col(text_col)).alias("fp_full"),
         F.md5(head).alias("fp_head"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by tf-idf (pure SQL, oracle-checkable).
+
+    tf    = term occurrences within the document (non-distinct)
+    idf   = ln(N / df), df = number of documents containing the term
+    score = ROUND(tf * idf, 4); ties broken by token ascending.
+
+    Plan shape: one explode + two aggregations; the docs-count N and
+    the per-token df ride in via a broadcast-able token-level frame
+    (tokens ≪ corpus at scale after the groupBy).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (toks.groupBy("token")
+               .agg(F.count_distinct(F.col(id_col)).alias("df")))
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).alias("nd")
+    scored = (tf.join(docfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(F.col(id_col), "token",
+                      F.round(F.col("tf") * F.log(F.col("n") / F.col("df")),
+                              4).alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(id_col, "token", "tfidf", F.col("rk").cast("int").alias("rk")))
 
 
 # ----------------------------------------------------- rolling-hash chunks

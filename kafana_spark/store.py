@@ -22,6 +22,8 @@ docker-compose.yml:72-78). Design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -57,6 +59,59 @@ def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
     if not dedup:
         return df
     return df.dropDuplicates(["_id"])
+
+
+def compact(spark: SparkSession, path: str,
+            max_records_per_file: int = 1_000_000) -> None:
+    """Rewrite the store so each (topic, ds) partition holds few,
+    full-size files — the OPTIMIZE twin of the reference's "define some
+    rollover conditions" advice (/root/reference/README.md:14).
+
+    Streaming ingest leaves one small file per micro-batch per
+    partition; at 100 TB that's death by file listing. One shuffle
+    keyed on the partition columns lands each partition in one task;
+    ``maxRecordsPerFile`` re-splits partitions that exceed the target
+    so file size stays bounded on the high side too.
+    """
+    df = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.repartition(*PARTITION_COLS)
+         .write.mode("overwrite")
+         .option("maxRecordsPerFile", str(max_records_per_file))
+         .partitionBy(*PARTITION_COLS)
+         .parquet(path))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def retention(path: str, cutoff_ds: str) -> list[str]:
+    """Drop ds partitions strictly older than ``cutoff_ds`` (ISO date).
+
+    Metadata-only: removes partition directories, no data rewrite —
+    the retention/rollover-deletion half of the reference's index-size
+    bound. Returns the removed partition paths. (Local-FS walk; on an
+    object store the same loop runs over the FileSystem API.)
+    """
+    import re
+    import shutil
+
+    removed: list[str] = []
+    if not os.path.isdir(path):
+        return removed
+    for topic_dir in os.listdir(path):
+        tpath = os.path.join(path, topic_dir)
+        if not (os.path.isdir(tpath) and topic_dir.startswith("topic=")):
+            continue
+        for ds_dir in os.listdir(tpath):
+            m = re.fullmatch(r"ds=(\d{4}-\d{2}-\d{2})", ds_dir)
+            if m and m.group(1) < cutoff_ds:
+                full = os.path.join(tpath, ds_dir)
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed
 
 
 def latest_state(docs: DataFrame, drop_tombstones: bool = True) -> DataFrame:

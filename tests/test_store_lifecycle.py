@@ -1,0 +1,87 @@
+"""Store lifecycle (compaction + retention) and skew utilities."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from kafana_spark.ingest import enrich, events_as_kafka_records
+from kafana_spark.operators.skew import salted_agg, salted_join
+from kafana_spark.sources.tables import load_table
+from kafana_spark.store import compact, read_store, retention, write_store
+from tests.conftest import SF_SMOKE
+
+
+def _build_store(spark, path, appends=4):
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    recs = events_as_kafka_records(ev)
+    for _ in range(appends):  # each append = small files per partition
+        write_store(enrich(recs), str(path))
+    return recs
+
+
+def parquet_files(path):
+    return glob.glob(f"{path}/**/*.parquet", recursive=True)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    store = tmp_path / "store"
+    _build_store(spark, store, appends=4)
+    before_files = len(parquet_files(store))
+    before = read_store(spark, str(store), dedup=False)
+    before_count = before.count()
+    before_ids = set(r._id for r in before.select("_id").distinct().collect())
+
+    compact(spark, str(store))
+
+    after = read_store(spark, str(store), dedup=False)
+    assert after.count() == before_count
+    assert set(r._id for r in after.select("_id").distinct().collect()) \
+        == before_ids
+    assert len(parquet_files(store)) < before_files
+
+
+def test_retention_drops_old_ds_partitions(spark, tmp_path):
+    store = tmp_path / "store"
+    _build_store(spark, store, appends=1)
+    ds_vals = sorted(r.ds for r in spark.read.parquet(str(store))
+                     .select("ds").distinct().collect())
+    assert len(ds_vals) >= 2, "fixture needs multiple days"
+    cutoff = str(ds_vals[1])
+
+    removed = retention(str(store), cutoff)
+
+    assert removed, "should remove at least one partition"
+    left = spark.read.parquet(str(store))
+    assert left.where(F.col("ds") < cutoff).count() == 0
+    assert left.where(F.col("ds") >= cutoff).count() > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(
+            ["click", "view", "purchase", "error", "signup"])],
+        ["event_type", "type_id"])
+    plain = (ev.join(dim, "event_type")
+             .select("event_id", "type_id"))
+    salted = (salted_join(ev, dim, on=["event_type"],
+                          unique_col="event_id", buckets=8)
+              .select("event_id", "type_id"))
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {(r.event_type): (r.cnt, r.sv)
+             for r in ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.round(F.sum("value"), 2).alias("sv")).collect()}
+    salted = salted_agg(ev, keys=["event_type"], unique_col="event_id",
+                        aggs={"value": "sum", "event_id": "count"},
+                        buckets=8)
+    got = {r.event_type: (r.count_event_id, round(r.sum_value, 2))
+           for r in salted.collect()}
+    assert got == plain
