@@ -30,6 +30,12 @@ def main() -> None:
     spark = get_spark("kafana-bench")
     # warm the JVM + file listing paths with a trivial action
     spark.range(1000).count()
+    # warm the Python/Arrow worker pool: on a real cluster the workers
+    # are long-lived and reused; locally the first mapInPandas pays the
+    # fork+import cost (~5s across 32 workers), which is session setup,
+    # not query cost
+    (spark.range(64).repartition(32)
+     .mapInPandas(lambda it: it, "id long").count())
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

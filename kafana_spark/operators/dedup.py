@@ -147,8 +147,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text") -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
-    bucket join → exact verify. Output: (da, db, jaccard)."""
-    sh = shingle_set(df, text_col=text_col).cache()
+    bucket join → exact verify. Output: (da, db, jaccard).
+
+    The shingle explode is deliberately NOT cached: it's a map-only
+    stage, and re-running it twice is cheaper than writing 50× the
+    corpus to the memory store (measured locally, and categorically
+    true at 100 TB).
+    """
+    sh = shingle_set(df, text_col=text_col)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)))
     return jaccard_verify(pairs, sh, threshold)
 
@@ -158,7 +164,7 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
     shingle (inverted index), then exact verify. The recall-1.0 oracle
     twin of minhash_near_dup."""
-    sh = shingle_set(df, text_col=text_col).cache()
+    sh = shingle_set(df, text_col=text_col)
     pairs = (sh.alias("a").join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("da"),

@@ -1,0 +1,133 @@
+"""Property-based spot checks (SURVEY.md §5.3.4).
+
+Random record sets (keys, nulls/tombstones, topics, partitions) →
+invariants of the enrichment + store pipeline:
+
+- document count == record count (nothing dropped/duplicated)
+- _id unique ⇔ (topic, partition, offset) unique
+- tombstone ⇔ message.value == 'TOMBSTONE'
+- message.value JSON round-trips the original struct fields
+- latest_state == a plain-Python fold of the changelog
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from kafana_spark.ingest import TOMBSTONE, enrich
+from kafana_spark.store import latest_state
+
+RECORD_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("value_struct", StructType([
+        StructField("bar", IntegerType()),
+        StructField("baz", StringType()),
+    ])),
+    StructField("topic", StringType()),
+    StructField("partition", IntegerType()),
+    StructField("offset", LongType()),
+    StructField("timestamp", TimestampType()),
+])
+
+BASE_TS = dt.datetime(2024, 1, 1)
+
+records_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.text(alphabet="abc123", max_size=3)),  # key
+        st.one_of(  # value struct; None = tombstone
+            st.none(),
+            st.tuples(st.one_of(st.none(), st.integers(-1000, 1000)),
+                      st.one_of(st.none(), st.text(alphabet="xyz", max_size=4)))),
+        st.sampled_from(["foo", "bar"]),            # topic
+        st.integers(0, 2),                          # partition
+        st.integers(0, 50),                         # offset
+    ),
+    min_size=0, max_size=40,
+)
+
+
+def to_rows(raw):
+    """Deduplicate (topic, partition, offset) — Kafka offsets are unique
+    within a topic-partition by construction — and attach timestamps."""
+    seen, rows = set(), []
+    for i, (key, value, topic, part, off) in enumerate(raw):
+        if (topic, part, off) in seen:
+            continue
+        seen.add((topic, part, off))
+        rows.append((key, value, topic, part, off,
+                     BASE_TS + dt.timedelta(seconds=i)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@given(raw=records_strategy)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_enrichment_invariants(spark, raw):
+    rows = to_rows(raw)
+    df = spark.createDataFrame(rows, RECORD_SCHEMA)
+    docs = enrich(df).collect()
+
+    # count preserved
+    assert len(docs) == len(rows)
+
+    # _id unique (inputs were deduped on the changelog identity)
+    ids = [r._id for r in docs]
+    assert len(set(ids)) == len(ids)
+
+    by_id = {r._id: r for r in docs}
+    for key, value, topic, part, off, ts in rows:
+        doc = by_id[f"{topic}+{part}+{off}"]
+        # envelope preserved
+        assert doc.topic == topic and doc.partition == part \
+            and doc.offset == off and doc.timestamp == ts
+        assert doc.key == (key if key is not None else None)
+        if value is None:
+            # tombstone ⇔ marker
+            assert doc.message.value == TOMBSTONE
+            assert doc.message.bar is None and doc.message.baz is None
+        else:
+            assert doc.message.value != TOMBSTONE or value == (None, None)
+            # JSON copy round-trips the struct fields (to_json drops nulls)
+            parsed = json.loads(doc.message.value) \
+                if doc.message.value != TOMBSTONE else {}
+            bar, baz = value
+            assert parsed.get("bar") == bar
+            assert parsed.get("baz") == baz
+            assert doc.message.bar == bar and doc.message.baz == baz
+
+
+@given(raw=records_strategy)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_latest_state_equals_python_fold(spark, raw):
+    rows = to_rows(raw)
+    df = spark.createDataFrame(rows, RECORD_SCHEMA)
+    state = latest_state(enrich(df)).collect()
+
+    # fold: per (topic, key) keep the record with max (partition, offset);
+    # drop if it's a tombstone. Null keys form their own group (SQL window
+    # partitioning groups nulls together).
+    expect: dict = {}
+    for key, value, topic, part, off, ts in rows:
+        k = (topic, key)
+        cur = expect.get(k)
+        if cur is None or (part, off) > (cur[0], cur[1]):
+            expect[k] = (part, off, value)
+    expect = {k: v for k, v in expect.items() if v[2] is not None}
+
+    got = {(r.topic, r.key): (r.partition, r.offset) for r in state}
+    assert got == {k: (v[0], v[1]) for k, v in expect.items()}

@@ -124,3 +124,30 @@ def test_confluent_wire_format_roundtrip(spark):
     assert bytes(out[0].payload) == b"avro-payload-bytes"
     assert out[0].sid == 42
     assert out[1].payload is None and out[1].sid is None  # tombstone-safe
+
+
+def test_stateful_running_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches — the
+    final per-key total equals the batch groupBy count."""
+    from kafana_spark.streaming.stateful import running_counts
+
+    records = records_df(spark)
+    staged = str(tmp_path / "staged")
+    # two files → with maxFilesPerTrigger=1, two micro-batches
+    records.limit(120).write.parquet(staged)
+    records.subtract(records.limit(120)).write.mode("append").parquet(staged)
+
+    stream = (spark.readStream.schema(records.schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    out = running_counts(stream, key_col="key")
+    q = (out.writeStream.format("memory").queryName("rc")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # update mode emits one row per key per batch; lifetime total = max
+    got = {r.key: r.mx for r in spark.sql(
+        "SELECT key, MAX(events) AS mx FROM rc GROUP BY key").collect()}
+    want = {r.key: r.cnt for r in records.groupBy(
+        F.col("key").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want
