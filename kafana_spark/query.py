@@ -59,6 +59,16 @@ def search_text(df: DataFrame, needle: str, field: str = "message.value",
     return df.where(F.col(field).contains(needle))
 
 
+def search(df: DataFrame, qs: str,
+           default_field: str = "message.value") -> DataFrame:
+    """Kibana-search-box twin: filter by a Lucene-ish query string
+    (`key: "1" and topic: "bar"`), compiled to Column predicates so
+    Catalyst pushes it into the scan like any native filter."""
+    from kafana_spark.query_string import compile_query_string
+
+    return df.where(compile_query_string(qs, default_field))
+
+
 def exists(df: DataFrame, field: str) -> DataFrame:
     """C8: _exists_ — field present and non-null (dynamic-mapping world)."""
     return df.where(F.col(field).isNotNull())
