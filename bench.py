@@ -39,12 +39,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # collect, not count: count() lets Catalyst prune the payload
-        # columns and would under-measure the real query cost
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: first run pays per-plan JIT/codegen compilation
+        # (amortized away on a long-lived cluster); min shaves scheduler
+        # noise on a shared box. collect, not count: count() lets
+        # Catalyst prune payload columns and under-measures.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -52,6 +52,34 @@ def ingest_stream(records: DataFrame, store_path: str, checkpoint: str,
     return writer.start()
 
 
+def ingest_stream_exactly_once(records: DataFrame, store_path: str,
+                               checkpoint: str,
+                               value_col: str = "value_struct",
+                               available_now: bool = True) -> StreamingQuery:
+    """Exactly-once ingest to plain parquet without a table format.
+
+    foreachBatch + a deterministic per-batch output directory
+    (``batch=<epoch_id>``): a replayed micro-batch (failure between
+    write and checkpoint commit) OVERWRITES its own directory instead
+    of appending duplicates — the same observable contract as the ES
+    sink's idempotent upsert by _id (/root/reference/kafana.http:76)
+    and the plain-parquet twin of a Delta MERGE. Readers glob the
+    store root; `batch=` behaves as an extra partition column.
+    """
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = with_store_partitions(enrich(batch_df, value_col))
+        (docs.write.mode("overwrite")
+         .partitionBy(*[c for c in ("topic", "ds")])
+         .parquet(f"{store_path}/batch={epoch_id}"))
+
+    writer = (records.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(docs: DataFrame, window: str = "1 hour",
                     slide: str | None = None,
                     watermark: str = "10 minutes",
