@@ -70,18 +70,43 @@ def shingle_set(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s"))
 
 
+def hashed_shingle_set(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, h) pairs: the inverted index with each shingle replaced by
+    its 60-bit portable hash, computed ONCE at explode time.
+
+    Every downstream stage (signature mins, intersection join, size
+    counts) then shuffles/compares 8-byte longs instead of ~25-byte
+    strings — at 100 TB the difference between shuffling the corpus
+    and shuffling a third of it. Shingles are distinct per document,
+    so hash collisions (P ≈ n²/2⁶¹ per pair) are the only way counts
+    can differ from the string-keyed oracle — negligible and caught by
+    the oracle gate if ever hit.
+    """
+    # explode first, hash after: the post-explode projection is
+    # whole-stage-codegen'd, while a hash inside the array transform
+    # runs as an interpreted higher-order lambda (~30% slower measured)
+    return (df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .select(id_col, portable_hash64(F.col("s")).alias("h")))
+
+
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K min-hash values per document (one aggregation, map-side
     combinable — partial mins merge associatively on the shuffle).
 
     The md5-based portable hash is projected ONCE per shingle row
     before the aggregation — referencing it inside each of the K agg
-    expressions would recompute the md5 K times per row.
+    expressions would recompute the md5 K times per row. Accepts
+    either a string inverted index (column ``s``) or a pre-hashed one
+    (column ``h`` from hashed_shingle_set).
     """
-    hashed = sh.select(
-        id_col, (portable_hash64(F.col("s")) % MINHASH_P).alias("h"))
+    h = (portable_hash64(F.col("s")) if "s" in sh.columns
+         else F.col("h"))
+    hashed = sh.select(id_col, (h % MINHASH_P).alias("hm"))
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -122,6 +147,7 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     in ANY candidate pair, so the verify cost tracks the candidate
     count (what LSH bought us), not the corpus size.
     """
+    key = "h" if "h" in sh.columns else "s"
     sh_v = sh
     if prune:
         cand_ids = (pairs.select(F.col("da").alias("doc_id"))
@@ -129,7 +155,8 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                     .distinct())
         sh_v = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (sh_v.alias("x").join(sh_v.alias("y"), F.col("x.s") == F.col("y.s"))
+    inter = (sh_v.alias("x").join(sh_v.alias("y"),
+                                  F.col(f"x.{key}") == F.col(f"y.{key}"))
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
              .groupBy(F.col("x.doc_id").alias("da"),
                       F.col("y.doc_id").alias("db"))
@@ -154,7 +181,7 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
     corpus to the memory store (measured locally, and categorically
     true at 100 TB).
     """
-    sh = shingle_set(df, text_col=text_col)
+    sh = hashed_shingle_set(df, text_col=text_col)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)))
     return jaccard_verify(pairs, sh, threshold)
 
@@ -164,8 +191,8 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
     shingle (inverted index), then exact verify. The recall-1.0 oracle
     twin of minhash_near_dup."""
-    sh = shingle_set(df, text_col=text_col)
-    pairs = (sh.alias("a").join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+    sh = hashed_shingle_set(df, text_col=text_col)
+    pairs = (sh.alias("a").join(sh.alias("b"), F.col("a.h") == F.col("b.h"))
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("da"),
                      F.col("b.doc_id").alias("db"))
@@ -184,9 +211,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     bit b = 1 iff sum over shingles of ±1 (sign of hash bit b) > 0.
     One groupBy with 32 conditional sums — map-side combinable.
     """
-    sh = shingle_set(df, id_col=id_col, text_col=text_col)
-    # project the md5-based hash once per row (see minhash_signature)
-    hashed = sh.select(id_col, portable_hash64(F.col("s")).alias("h"))
+    hashed = hashed_shingle_set(df, id_col=id_col, text_col=text_col)
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"b{b}")
