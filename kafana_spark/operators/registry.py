@@ -150,6 +150,33 @@ def x_tfidf(spark, sf_dir):
             .orderBy("doc_id", "rk"))
 
 
+def x_enrich_discover(spark, sf_dir):
+    """The core ingest path itself, oracle-checked: events → Kafka
+    envelope → enrich (SMT chain + _id) → a discover-style filter on
+    the enriched document's fields."""
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    docs = enrich(events_as_kafka_records(ev))
+    return (docs.where(F.col("message.event_type") == "purchase")
+            .select("_id", "key", "topic", "offset",
+                    F.col("message.event_type").alias("event_type"))
+            .orderBy("offset"))
+
+
+def x_latest_state(spark, sf_dir):
+    """Changelog latest-state view over the enriched store frame
+    (offset-ordered per key, tombstone-aware), oracle-checked."""
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+    from kafana_spark.store import latest_state
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    docs = enrich(events_as_kafka_records(ev))
+    return (latest_state(docs).select("key", "offset").orderBy("key"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -169,6 +196,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x16_asof_join": x_asof_join,
     "x17_percentiles": x_percentiles,
     "x18_tfidf": x_tfidf,
+    "x19_enrich_discover": x_enrich_discover,
+    "x20_latest_state_store": x_latest_state,
 }
 
 
@@ -377,6 +406,16 @@ EXTENSION_ORACLE: dict[str, str] = {
             for q in PCT_QS) +
         " FROM events WHERE value IS NOT NULL GROUP BY event_type "
         "ORDER BY event_type"
+    ),
+    "x19_enrich_discover": (
+        "SELECT 'events+0+' || CAST(event_id AS VARCHAR) AS _id, "
+        "CAST(user_id AS VARCHAR) AS key, 'events' AS topic, "
+        "event_id AS \"offset\", event_type FROM events "
+        "WHERE event_type = 'purchase' ORDER BY \"offset\""
+    ),
+    "x20_latest_state_store": (
+        "SELECT CAST(user_id AS VARCHAR) AS key, MAX(event_id) AS offset "
+        "FROM events GROUP BY user_id ORDER BY key"
     ),
     "x18_tfidf": (
         "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "

@@ -90,6 +90,20 @@ def paginate(df: DataFrame, sort_cols: Sequence[Column], page: int,
             .drop("__rn"))
 
 
+def search_after(df: DataFrame, sort_col: str, last_seen, size: int,
+                 descending: bool = False) -> DataFrame:
+    """C9 at scale: keyset pagination (ES search_after).
+
+    Instead of a global sort + row_number (deep pages re-sort
+    everything), filter past the last-seen sort key and take the next
+    page — the filter pushes into the scan, so page N costs the same
+    as page 1. Requires a unique sort key (use _id or (ts, _id))."""
+    c = F.col(sort_col)
+    if descending:
+        return df.where(c < F.lit(last_seen)).orderBy(c.desc()).limit(size)
+    return df.where(c > F.lit(last_seen)).orderBy(c).limit(size)
+
+
 # ------------------------------------------------------------ aggregations
 
 def terms(df: DataFrame, field: str, n: int = 10) -> DataFrame:

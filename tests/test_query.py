@@ -107,3 +107,28 @@ def test_histogram_bucket_math(spark):
     assert all(r.bucket % 100 == 0 for r in rows)
     assert sum(r.cnt for r in rows) == events(spark).where(
         F.col("value").isNotNull()).count()
+
+
+def test_search_after_keyset_pagination(spark):
+    """Keyset pages must tile the full sorted sequence exactly, and the
+    keyset filter must reach the scan (pushdown) unlike window-based
+    from/size."""
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark import query as q
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id")
+    all_ids = sorted(r.event_id for r in ev.collect())
+
+    got, last = [], -1
+    while True:
+        page = [r.event_id for r in
+                q.search_after(ev, "event_id", last, 400).collect()]
+        if not page:
+            break
+        got.extend(page)
+        last = page[-1]
+    assert got == all_ids
+
+    plan = (q.search_after(ev, "event_id", 50, 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "GreaterThan(event_id,50)" in plan
