@@ -62,7 +62,8 @@ def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
 
 
 def compact(spark: SparkSession, path: str,
-            max_records_per_file: int = 1_000_000) -> None:
+            max_records_per_file: int = 1_000_000,
+            cluster_by: tuple[str, ...] = ("key", "offset")) -> None:
     """Rewrite the store so each (topic, ds) partition holds few,
     full-size files — the OPTIMIZE twin of the reference's "define some
     rollover conditions" advice (/root/reference/README.md:14).
@@ -72,13 +73,20 @@ def compact(spark: SparkSession, path: str,
     keyed on the partition columns lands each partition in one task;
     ``maxRecordsPerFile`` re-splits partitions that exceed the target
     so file size stays bounded on the high side too.
+
+    ``cluster_by`` sorts rows within each rewritten partition (a
+    Z-ORDER-lite): parquet row-group min/max stats on the sort columns
+    become disjoint ranges, so needle queries (`key = X`) skip most
+    row groups instead of scanning the day.
     """
     df = spark.read.parquet(path)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.repartition(*PARTITION_COLS)
+    if cluster_by:
+        out = out.sortWithinPartitions(*PARTITION_COLS, *cluster_by)
     try:
-        (df.repartition(*PARTITION_COLS)
-         .write.mode("overwrite")
+        (out.write.mode("overwrite")
          .option("maxRecordsPerFile", str(max_records_per_file))
          .partitionBy(*PARTITION_COLS)
          .parquet(path))
