@@ -188,18 +188,29 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
 
 def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
                       text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
-    shingle (inverted index), then exact verify. The recall-1.0 oracle
-    twin of minhash_near_dup."""
+    """Exact n-gram Jaccard near-dup: every pair sharing ≥1 shingle,
+    verified exactly. The recall-1.0 oracle twin of minhash_near_dup.
+
+    One inverted-index self-join does double duty: its groupBy count
+    IS both the candidate set (any pair it produces shares a shingle)
+    and the intersection size — no separate candidate-pair join or
+    distinct pass.
+    """
     sh = hashed_shingle_set(df, text_col=text_col)
-    pairs = (sh.alias("a").join(sh.alias("b"), F.col("a.h") == F.col("b.h"))
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("da"),
-                     F.col("b.doc_id").alias("db"))
-             .distinct())
-    # candidates here are ALL shingle-sharing pairs — pruning the
-    # inverted index to candidate docs would keep ~everything
-    return jaccard_verify(pairs, sh, threshold, prune=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (sh.alias("x").join(sh.alias("y"), F.col("x.h") == F.col("y.h"))
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("da"),
+                      F.col("y.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    joined = (inter
+              .join(sizes.withColumnRenamed("doc_id", "da")
+                    .withColumnRenamed("n", "na"), "da")
+              .join(sizes.withColumnRenamed("doc_id", "db")
+                    .withColumnRenamed("n", "nb"), "db"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (joined.select("da", "db", F.round(jac, 4).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
 
 
 # -------------------------------------------------------------- simhash

@@ -139,6 +139,21 @@ def x_percentiles(spark, sf_dir):
             .groupBy("event_type").agg(*aggs).orderBy("event_type"))
 
 
+SLIDE_US = 30 * 60 * 1_000_000  # 30-minute slide of a 1-hour window
+
+
+def x_sliding_histogram(spark, sf_dir):
+    """C12 extended: sliding-window date histogram (1h window / 30m
+    slide) — the same window() operator the streaming path uses, here
+    batch + oracle-checked. Each event lands in exactly W/S windows."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_micros(F.col("w.start")).alias("ws_us"), "cnt")
+            .orderBy("ws_us"))
+
+
 def x_multimodal_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(
         _docs(spark, sf_dir), "text", "doc_id")
@@ -198,6 +213,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_tfidf": x_tfidf,
     "x19_enrich_discover": x_enrich_discover,
     "x20_latest_state_store": x_latest_state,
+    "x21_sliding_histogram": x_sliding_histogram,
 }
 
 
@@ -416,6 +432,13 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x20_latest_state_store": (
         "SELECT CAST(user_id AS VARCHAR) AS key, MAX(event_id) AS offset "
         "FROM events GROUP BY user_id ORDER BY key"
+    ),
+    "x21_sliding_histogram": (
+        "WITH e AS (SELECT epoch_us(ts) AS us FROM events), "
+        "w AS (SELECT ((us // {S}) - k) * {S} AS ws_us FROM e "
+        "CROSS JOIN (VALUES (0), (1)) t(k)) "
+        "SELECT ws_us, COUNT(*) AS cnt FROM w GROUP BY ws_us "
+        "ORDER BY ws_us".format(S=SLIDE_US)
     ),
     "x18_tfidf": (
         "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
