@@ -154,6 +154,33 @@ def x_sliding_histogram(spark, sf_dir):
             .orderBy("ws_us"))
 
 
+def x_suppliers_by_region(spark, sf_dir):
+    """Dim-chain join (supplier → nation → region): both dims broadcast;
+    completes table coverage (supplier/region were otherwise unused)."""
+    tune_session(spark)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name").agg(F.count(F.lit(1)).alias("supps"))
+            .orderBy("r_name"))
+
+
+def x_cube(spark, sf_dir):
+    """CUBE aggregation: all 4 grouping combinations of
+    (event_type, user_id decile) in one pass."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    decile = (F.col("user_id") % 10).cast("string")
+    return (ev.select("event_type", decile.alias("ud"), "event_id")
+            .cube("event_type", "ud")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("et"),
+                    F.coalesce("ud", F.lit("ALL")).alias("ud"), "cnt")
+            .orderBy("et", "ud"))
+
+
 def x_multimodal_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(
         _docs(spark, sf_dir), "text", "doc_id")
@@ -214,6 +241,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_enrich_discover": x_enrich_discover,
     "x20_latest_state_store": x_latest_state,
     "x21_sliding_histogram": x_sliding_histogram,
+    "x22_suppliers_by_region": x_suppliers_by_region,
+    "x23_cube": x_cube,
 }
 
 
@@ -439,6 +468,19 @@ EXTENSION_ORACLE: dict[str, str] = {
         "CROSS JOIN (VALUES (0), (1)) t(k)) "
         "SELECT ws_us, COUNT(*) AS cnt FROM w GROUP BY ws_us "
         "ORDER BY ws_us".format(S=SLIDE_US)
+    ),
+    "x22_suppliers_by_region": (
+        "SELECT r.r_name, COUNT(*) AS supps FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "x23_cube": (
+        "SELECT COALESCE(event_type, 'ALL') AS et, "
+        "COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS ud, "
+        "COUNT(*) AS cnt FROM events "
+        "GROUP BY CUBE(event_type, CAST(user_id % 10 AS VARCHAR)) "
+        "ORDER BY et, ud"
     ),
     "x18_tfidf": (
         "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
