@@ -35,13 +35,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``value_cols`` (prefixed ``asof_``), null when no right row
     precedes.
 
-    Only ``direction='backward'`` (the pandas ``merge_asof`` default)
-    is implemented; forward is a symmetric window with reversed order.
+    ``direction='backward'`` (the pandas ``merge_asof`` default)
+    matches the latest right row at-or-before; ``'forward'`` matches
+    the earliest right row at-or-after — same single-shuffle plan with
+    the window order reversed.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    carried = [right_ts, *value_cols]
     l_tagged = left.withColumn("__side", F.lit(1))
     r_tagged = (right.select(F.col(on),
                              F.col(right_ts).alias("__rts"),
@@ -65,10 +66,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col("__rts").alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols])
 
-    # right rows sort before left rows at equal timestamps, so an
-    # exactly-simultaneous right row IS matched (at-or-before).
-    w = (Window.partitionBy(on).orderBy(F.col("__ts"), F.col("__side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # right rows sort "inside" left rows at equal timestamps, so an
+    # exactly-simultaneous right row IS matched in either direction.
+    if direction == "backward":
+        w = (Window.partitionBy(on).orderBy(F.col("__ts"), F.col("__side"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(on).orderBy(F.col("__ts").desc(),
+                                            F.col("__side"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = lu.unionByName(ru)
     out = out.withColumn("asof_ts", F.last("__r_ts", ignorenulls=True).over(w))
     for c in value_cols:

@@ -38,12 +38,25 @@ def with_store_partitions(docs: DataFrame) -> DataFrame:
     return docs.withColumn("ds", F.to_date("timestamp"))
 
 
+#: needle-query columns that get parquet bloom filters at write time:
+#: `key = X` / `_id = Y` lookups skip row groups whose bloom excludes
+#: the value — the parquet-native stand-in for the ES inverted index
+#: on exact terms (expected-ndv sized for ~1M keys per file).
+BLOOM_COLS = ("key", "_id")
+BLOOM_NDV = 1_000_000
+
+
 def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
     """Append enriched documents to the store, partitioned for pruning."""
-    (with_store_partitions(docs)
-     .write.mode(mode)
-     .partitionBy(*PARTITION_COLS)
-     .parquet(path))
+    writer = (with_store_partitions(docs)
+              .write.mode(mode)
+              .partitionBy(*PARTITION_COLS))
+    for c in BLOOM_COLS:
+        writer = (writer
+                  .option(f"parquet.bloom.filter.enabled#{c}", "true")
+                  .option(f"parquet.bloom.filter.expected.ndv#{c}",
+                          str(BLOOM_NDV)))
+    writer.parquet(path)
 
 
 def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:

@@ -115,6 +115,37 @@ def sessionize(docs: DataFrame, gap: str = "30 minutes",
                     key_col, "events"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str = "timestamp",
+                         right_ts: str = "timestamp",
+                         upper_seconds: int = 900,
+                         watermark: str = "30 minutes",
+                         right_prefix: str = "r_") -> DataFrame:
+    """Stream-stream inner join: right rows within
+    ``[left_ts, left_ts + upper_seconds]`` per key.
+
+    Both sides carry watermarks so the join state is bounded: a left
+    row can be dropped once the watermark passes its upper bound, a
+    right row once no future left row can reach back to it. Works on
+    batch frames too (same plan, no state) — one code path, two modes.
+    Right-side columns come back prefixed to avoid collisions.
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    l_in, r_in = left, r
+    if left.isStreaming:
+        l_in = l_in.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r_in = r_in.withWatermark(f"{right_prefix}{right_ts}", watermark)
+    rts = F.col(f"{right_prefix}{right_ts}")
+    cond = ((F.col(key) == F.col(f"{right_prefix}{key}"))
+            & (rts >= F.col(left_ts))
+            & (rts <= F.col(left_ts)
+               + F.expr(f"INTERVAL {upper_seconds} SECONDS")))
+    return l_in.join(r_in, cond, "inner")
+
+
 def dedup_stream(records: DataFrame, id_cols: tuple[str, ...] = ("_id",),
                  watermark: str = "1 hour",
                  time_col: str = "timestamp") -> DataFrame:

@@ -90,3 +90,24 @@ def test_sessionize_matches_streaming_twin_semantics(spark):
                     for r in sessionize(df, gap="30 minutes").collect()}
     batch_style = {("u", ts(0), 3), ("u", ts(120), 2)}
     assert stream_style == batch_style
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after each left row."""
+    left = make(spark, [(1, "u", ts(10)), (2, "u", ts(30))],
+                ["event_id", "user_id", "ts"])
+    right = make(spark, [("u", ts(10), 1.0), ("u", ts(20), 2.0),
+                         ("u", ts(40), 3.0)],
+                 ["user_id", "ts", "v"])
+    out = {r.event_id: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, on="user_id",
+                              value_cols=("v",),
+                              direction="forward").collect()}
+    assert out[1] == (ts(10), 1.0)   # simultaneous matches
+    assert out[2] == (ts(40), 3.0)   # next at-or-after
+
+    # no right row after → null
+    late = make(spark, [(3, "u", ts(99))], ["event_id", "user_id", "ts"])
+    row = asof_join(late, right, on="user_id", value_cols=("v",),
+                    direction="forward").first()
+    assert row.asof_ts is None

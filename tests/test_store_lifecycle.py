@@ -85,3 +85,21 @@ def test_salted_agg_matches_plain_agg(spark):
     got = {r.event_type: (r.count_event_id, round(r.sum_value, 2))
            for r in salted.collect()}
     assert got == plain
+
+
+def test_store_writes_bloom_filters_on_needle_columns(spark, tmp_path):
+    """write_store attaches parquet bloom filters to key/_id — verified
+    by the byte overhead vs a bloom-less write of identical data (the
+    pyarrow in this env doesn't expose bloom offsets directly)."""
+    import os
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    docs = enrich(events_as_kafka_records(ev))
+
+    write_store(docs, str(tmp_path / "with_bloom"))
+    from kafana_spark.store import with_store_partitions
+    (with_store_partitions(docs).write.partitionBy("topic", "ds")
+     .parquet(str(tmp_path / "no_bloom")))
+
+    size = lambda p: sum(os.path.getsize(f) for f in parquet_files(p))
+    assert size(tmp_path / "with_bloom") > size(tmp_path / "no_bloom")

@@ -181,3 +181,31 @@ def test_exactly_once_replayed_batch_overwrites(spark, tmp_path):
     replayed = spark.read.parquet(store)
     assert replayed.count() == 200  # no duplicates
     assert sorted(r._id for r in replayed.select("_id").collect()) == first_ids
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pairs as the identical batch join."""
+    from kafana_spark.streaming.pipeline import stream_interval_join
+
+    records = enrich(records_df(spark)).select("key", "timestamp", "offset")
+    left = records.where(F.col("offset") % 2 == 0)
+    right = records.where(F.col("offset") % 2 == 1)
+
+    batch = stream_interval_join(left, right, key="key",
+                                 upper_seconds=3600)
+    want = sorted((r.offset, r.r_offset) for r in batch.collect())
+    assert want, "fixture should produce at least one joined pair"
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    joined = stream_interval_join(ls, rs, key="key", upper_seconds=3600)
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.offset, r.r_offset) for r in
+                 spark.sql("SELECT offset, r_offset FROM ssj").collect())
+    assert got == want
