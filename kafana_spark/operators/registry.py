@@ -80,7 +80,9 @@ def x_ann_brute_force(spark, sf_dir):
 def x_ann_ivf(spark, sf_dir):
     e = _embs(spark, sf_dir)
     q = similarity.modulo_queries(e, ANN_QUERY_MOD)
-    return (similarity.ivf_topk(e, q, ANN_K)
+    # n_assign=2 (multi-assignment IVF): 2x cell storage for the recall
+    # lift that n_probe alone can't buy at the cell-boundary
+    return (similarity.ivf_topk(e, q, ANN_K, n_assign=2)
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 

@@ -75,3 +75,21 @@ def test_ivf_output_contract(spark):
     for r in out:
         assert 1 <= r.rank <= 10
         assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """KMeans-fitted cells must reach at least the recall bar; typically
+    they beat the modulo quantizer because cells track the data."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = similarity.modulo_queries(e, 100)
+    exact = {(r.qid, r.vec_id) for r in
+             similarity.brute_force_topk(e, q, 10).collect()}
+    approx = {(r.qid, r.vec_id) for r in
+              similarity.ivf_topk(e, q, 10, method="kmeans",
+                                  n_assign=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
