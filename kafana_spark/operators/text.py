@@ -154,6 +154,64 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "token", "tfidf", F.col("rk").cast("int").alias("rk")))
 
 
+# ------------------------------------------------------------ token bloom
+
+#: sized for ~200 distinct tokens/doc: fill ≈ 1-e^(-3·200/1024) ≈ 0.44,
+#: FPR ≈ 0.44³ ≈ 9% — 128 bytes/row buys ~10× scan reduction on
+#: selective terms
+BLOOM_BITS = 1024         # 16 longs per row
+BLOOM_HASHES = 3
+
+
+def token_bloom(text_col: "F.Column", bits: int = BLOOM_BITS,
+                k: int = BLOOM_HASHES) -> "F.Column":
+    """Per-row token bloom filter as ``array<long>`` (bits/64 words).
+
+    The additive C5 skipping column from SURVEY §7.3.6: stored beside
+    the document, it lets token searches prefilter rows with pure
+    bitwise math before the expensive contains/token scan. Build cost
+    is write-time only; false positives only cost a redundant verify.
+    """
+    words = bits // 64
+    toks = F.array_distinct(tokens(F.lower(text_col)))
+    zero = F.array_repeat(F.lit(0).cast("long"), words)
+
+    def set_bit(w, mask):
+        # closure factory: PySpark validates HOF lambda arity including
+        # defaulted params, so bind w/mask outside the lambda
+        return lambda x, i: F.when(i == w, x.bitwiseOR(mask)).otherwise(x)
+
+    def add_token(acc, t):
+        out = acc
+        for seed in range(k):
+            b = F.pmod(F.xxhash64(F.lit(seed), t), F.lit(bits))
+            w = (b / 64).cast("int")
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (b % 64).cast("int"))
+            out = F.transform(out, set_bit(w, mask))
+        return out
+
+    return F.aggregate(toks, zero, add_token)
+
+
+def bloom_might_contain(bloom_col: "F.Column", term: str,
+                        bits: int = BLOOM_BITS,
+                        k: int = BLOOM_HASHES) -> "F.Column":
+    """Membership test against a token_bloom column — false positives
+    possible (verify after), false negatives impossible. The term's
+    hash is constant-folded by Catalyst, so per row this is k array
+    lookups + ANDs."""
+    cond = F.lit(True)
+    t = F.lit(term.lower())
+    for seed in range(k):
+        b = F.pmod(F.xxhash64(F.lit(seed), t), F.lit(bits))
+        word = F.element_at(bloom_col, (b / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (b % 64).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
 # ----------------------------------------------------- rolling-hash chunks
 
 CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk_hash long, chunk_len int"

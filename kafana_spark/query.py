@@ -51,11 +51,24 @@ def search_field(df: DataFrame, field: str, value) -> DataFrame:
 
 
 def search_text(df: DataFrame, needle: str, field: str = "message.value",
-                token: bool = False) -> DataFrame:
-    """C5: substring or whole-token search over the stringified value."""
+                token: bool = False,
+                bloom_col: str | None = None) -> DataFrame:
+    """C5: substring or whole-token search over the stringified value.
+
+    For token search, ``bloom_col`` names a token_bloom column
+    (operators/text.py) stored beside the document: the bloom test
+    prefilters rows with bitwise math, and the exact token match
+    verifies survivors — same results, fraction of the scan work.
+    """
     if token:
         tokens = F.split(F.lower(F.col(field)), r"\W+")
-        return df.where(F.array_contains(tokens, needle.lower()))
+        match = F.array_contains(tokens, needle.lower())
+        if bloom_col is not None:
+            from kafana_spark.operators.text import bloom_might_contain
+
+            return df.where(bloom_might_contain(F.col(bloom_col), needle)
+                            & match)
+        return df.where(match)
     return df.where(F.col(field).contains(needle))
 
 

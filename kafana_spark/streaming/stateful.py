@@ -24,6 +24,75 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 RUNNING_COUNT_OUTPUT = "key string, events bigint"
 RUNNING_COUNT_STATE = "events bigint"
 
+SESSION_OUTPUT = ("key string, start_us bigint, end_us bigint, "
+                  "events bigint")
+SESSION_STATE = "start_us bigint, end_us bigint, events bigint"
+
+
+def sessionize_stateful(records: DataFrame, gap_seconds: int = 1800,
+                        key_col: str = "key",
+                        time_col: str = "timestamp",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Custom session operator with explicit state + event-time timeout.
+
+    Unlike the built-in ``session_window`` aggregation (which only
+    counts), this owns its state record (start, end, count per key) and
+    EMITS a finalized session when the event-time timeout fires — i.e.
+    when the watermark passes ``last_event + gap``. The built-in
+    covers the query surface; this is the extension point for session
+    state Spark's aggregates can't express (e.g. carrying arbitrary
+    per-session payloads).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, end_us, events = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "start_us": [start_us],
+                                "end_us": [end_us], "events": [events]})
+            return
+        lo, hi, n = None, None, 0
+        for pdf in pdfs:
+            ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
+            lo = min(ts_us.min(), lo) if lo is not None else ts_us.min()
+            hi = max(ts_us.max(), hi) if hi is not None else ts_us.max()
+            n += len(ts_us)
+        done = []
+        if state.exists:
+            start_us, end_us, events = state.get
+            if lo is not None and lo - end_us > gap_us:
+                # new burst beyond the gap: close the old session
+                done.append((start_us, end_us, events))
+                start_us, end_us, events = lo, hi, n
+            else:
+                start_us = min(start_us, lo)
+                end_us = max(end_us, hi)
+                events += n
+        else:
+            start_us, end_us, events = int(lo), int(hi), n
+        state.update((int(start_us), int(end_us), int(events)))
+        # epoch-millis; plain Python int (numpy int64 breaks the
+        # JSON-serialized state command)
+        state.setTimeoutTimestamp(int(end_us) // 1000 + gap_seconds * 1000)
+        if done:
+            yield pd.DataFrame(
+                [(key[0], s, e, c) for s, e, c in done],
+                columns=["key", "start_us", "end_us", "events"])
+
+    return (records.selectExpr(f"CAST({key_col} AS STRING) AS key",
+                               f"{time_col}")
+            .withWatermark(time_col, watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                update,
+                outputStructType=SESSION_OUTPUT,
+                stateStructType=SESSION_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
 
 def running_counts(records: DataFrame, key_col: str = "key") -> DataFrame:
     """Per-key cumulative event count across all micro-batches.

@@ -209,3 +209,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     got = sorted((r.offset, r.r_offset) for r in
                  spark.sql("SELECT offset, r_offset FROM ssj").collect())
     assert got == want
+
+
+def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
+    """Custom session operator (applyInPandasWithState + event-time
+    timeout): a session is emitted either when a new burst starts
+    beyond the gap, or when the watermark passes last_event + gap;
+    a still-open session at stream end stays unemitted (append-mode
+    streaming semantics)."""
+    import time as _time
+    from kafana_spark.streaming.stateful import sessionize_stateful
+
+    schema = "key string, timestamp timestamp"
+    batches = [
+        [("u", dt.datetime(2024, 1, 1, 0, 0)),
+         ("u", dt.datetime(2024, 1, 1, 0, 10))],
+        [("u", dt.datetime(2024, 1, 1, 3, 0))],   # closes session 1
+        [("u", dt.datetime(2024, 1, 1, 9, 0))],   # times out session 2
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(str(tmp_path / "in"))
+        _time.sleep(1.2)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    out = sessionize_stateful(stream, gap_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("ssf")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = [(r.start_us, r.end_us, r.events) for r in
+            spark.sql("SELECT * FROM ssf ORDER BY start_us").collect()]
+    us = lambda h, m=0: int(dt.datetime(
+        2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert rows == [(us(0), us(0, 10), 2), (us(3), us(3), 1)]

@@ -74,3 +74,39 @@ def test_rolling_chunks_identical_texts_share_hashes(spark):
     for r in rows:
         seq.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_hash))
     assert sorted(seq[1]) == sorted(seq[2])
+
+
+def test_token_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom prefilter: identical results to the exact token search,
+    and genuinely selective (most non-matching rows are pruned by the
+    bloom alone)."""
+    from pyspark.sql import functions as F
+
+    from kafana_spark import query
+    from kafana_spark.operators.text import bloom_might_contain, token_bloom
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = (load_table(spark, SF_SMOKE, "documents")
+            .withColumn("tb", token_bloom(F.col("text"))))
+
+    # pick a genuinely selective term (the synthetic vocabulary is tiny,
+    # so common words appear in ~80% of docs — useless for a skip test)
+    rare = (docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"),
+                        "doc_id")
+            .groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df").between(3, 25))
+            .orderBy("df", "t").first())
+    term = rare.t
+
+    exact = query.search_text(docs, term, field="text", token=True)
+    bloomed = query.search_text(docs, term, field="text", token=True,
+                                bloom_col="tb")
+    e = sorted(r.doc_id for r in exact.select("doc_id").collect())
+    b = sorted(r.doc_id for r in bloomed.select("doc_id").collect())
+    assert e == b and e, "bloom must not change token-search results"
+
+    total = docs.count()
+    passed = docs.where(bloom_might_contain(F.col("tb"), term)).count()
+    assert passed < total * 0.5, (term, passed, total)
+    assert passed >= len(e)  # no false negatives by construction
