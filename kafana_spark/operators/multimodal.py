@@ -94,6 +94,76 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224,
+                  decode_stub: bool = True) -> DataFrame:
+    """Resize pass over image payloads (mapInPandas, 1:1 rows).
+
+    Real plumbing, stubbed kernel: without PIL the "resized" payload is
+    a deterministic truncation/pad of the original bytes to
+    width*height — schema, batching, and partition behavior are
+    exactly what a real PIL/opencv kernel would see.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize needs PIL/opencv; not in this env")
+            out = [bytes(p[:target]).ljust(target, b"\0")
+                   for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "payload": out,
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+            })
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
+                  max_frames: int = 8,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame sampling over video payloads (mapInPandas, 1:N explode).
+
+    Stub kernel: "frames" are fixed-stride byte slices standing in for
+    ffmpeg keyframe extraction; output cardinality (N frames per
+    input) and the (media_id, frame_idx) key shape are the real
+    contract downstream featurizers depend on.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling needs ffmpeg; not in this env")
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(min(max_frames,
+                                   max(1, len(p) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(
+                        p[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame({
+                "media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """JVM-only metadata pass (no UDF): byte length + md5 per payload.
 

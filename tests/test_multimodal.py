@@ -54,3 +54,34 @@ def test_real_decode_path_raises(spark):
         M.extract_features(media(spark), decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError)
+
+
+def test_resize_images_shape_contract(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    out = M.resize_images(media, width=16, height=16).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 256 and r.width == 16 and r.height == 16
+               for r in out)
+
+
+def test_sample_frames_cardinality_and_keys(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    out = M.sample_frames(media, every_n_bytes=64,
+                                   max_frames=4).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(by_media) == {r.media_id for r in media.collect()}
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..N-1
+        assert 1 <= len(idxs) <= 4
+
+
+def test_stub_gates_raise_without_decoder(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        M.resize_images(media, decode_stub=False).collect()
