@@ -339,17 +339,22 @@ DECLARED_ORACLE: dict[str, str] = {
         "FROM events) t WHERE rn = 1 ORDER BY user_id"
     ),
     "q18_running_window": (
-        "SELECT event_id, SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
-        "ROW) AS seq FROM events WHERE user_id = 12 ORDER BY event_id"
+        # CAST the window SUM: DuckDB widens integer SUM to HUGEINT
+        # (Arrow decimal128) while Spark emits BIGINT — the driver's
+        # canonicalizer hashes them differently.
+        "SELECT event_id, CAST(SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS seq FROM events WHERE user_id = 12 "
+        "ORDER BY event_id"
     ),
     "q19_set_ops": (
         "SELECT user_id FROM events WHERE event_type = 'purchase' INTERSECT "
         "SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"
     ),
     "q20_text_stats": (
-        "SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars FROM documents "
-        "GROUP BY lang ORDER BY lang"
+        # CAST: DuckDB integer SUM -> HUGEINT; Spark emits BIGINT.
+        "SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "q21_exact_dedup": (
         "SELECT COUNT(*) AS dup_texts FROM (SELECT text FROM documents "

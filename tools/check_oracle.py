@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -36,7 +37,29 @@ def canon(v) -> str:
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT str(): DuckDB widens integer SUM to HUGEINT
+        # (surfacing here as Decimal) while Spark emits BIGINT — the
+        # driver's canonicalizer hashes those differently, so the local
+        # gate must too (r1 masked q18/q20 by str()-ing Decimals).
+        return f"dec:{v}"
     return str(v)
+
+
+def lint_decimals(name: str, rows, colnames) -> None:
+    """Flag oracle columns that came back as Decimal/HUGEINT.
+
+    Spark never emits Decimal for these query plans (they use BIGINT /
+    DOUBLE), so a Decimal in oracle output means the oracle SQL needs an
+    explicit CAST (e.g. integer SUM -> HUGEINT in DuckDB).
+    """
+    for row in rows[:50]:
+        for i, v in enumerate(row):
+            if isinstance(v, decimal.Decimal):
+                print(f"  LINT {name}: oracle col '{colnames[i]}' is "
+                      f"DECIMAL/HUGEINT — add CAST(... AS BIGINT/DOUBLE) "
+                      f"in the oracle SQL")
+                return
 
 
 def table_hash(rows, colnames) -> tuple[int, str]:
@@ -91,6 +114,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        lint_decimals(name, drows, dcols)
         sc, sh = table_hash(srows, scols)
         dc, dh = table_hash(drows, dcols)
         ok = (sc == dc and sorted(scols) == sorted(dcols) and sh == dh)
