@@ -28,6 +28,9 @@ NEAR_DUP_THRESHOLD = 0.5
 EMB_DUP_THRESHOLD = 0.45
 ANN_QUERY_MOD = 100
 ANN_K = 10
+ANN_CENTROID_MOD = 40
+ANN_N_PROBE = 3
+ANN_N_ASSIGN = 2
 
 
 def _docs(spark, sf_dir):
@@ -82,7 +85,8 @@ def x_ann_ivf(spark, sf_dir):
     q = similarity.modulo_queries(e, ANN_QUERY_MOD)
     # n_assign=2 (multi-assignment IVF): 2x cell storage for the recall
     # lift that n_probe alone can't buy at the cell-boundary
-    return (similarity.ivf_topk(e, q, ANN_K, n_assign=2)
+    return (similarity.ivf_topk(e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
+                                n_probe=ANN_N_PROBE, n_assign=ANN_N_ASSIGN)
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
@@ -365,6 +369,33 @@ def _ann_brute_force_sql() -> str:
     )
 
 
+def _ann_ivf_sql() -> str:
+    """Full IVF pipeline in DuckDB — the modulo quantizer is
+    deterministic, so the whole approximate path (centroid set,
+    6dp-rounded argmax assignment with n_assign cells, n_probe probes,
+    4dp-rounded in-cell ranking) is exactly reproducible in SQL."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="p.qv", b="m.v") + ", 4)"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        f"q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "asg AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id "
+        f"ORDER BY {acos} DESC, c.cid) AS r FROM e x, c) t WHERE r <= {ANN_N_ASSIGN}), "
+        "probes AS (SELECT qid, qv, cid FROM ("
+        f"SELECT q.qid, q.v AS qv, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid "
+        f"ORDER BY {qcos} DESC, c.cid) AS r FROM q, c) t WHERE r <= {ANN_N_PROBE}), "
+        f"scored AS (SELECT DISTINCT p.qid, m.vec_id, {cos} AS cos "
+        "FROM probes p JOIN asg m ON p.cid = m.cid WHERE m.vec_id <> p.qid), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank"
+    )
+
+
 def _lang_id_sql() -> str:
     score = ("len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
              "[{words}]))")
@@ -410,8 +441,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x05_simhash_near_dup": _simhash_near_dup_sql(),
     "x06_embedding_near_dup": _embedding_near_dup_sql(),
     "x07_ann_brute_force": _ann_brute_force_sql(),
-    # x08_ann_ivf: approximate by design → rows-only check; pytest
-    # asserts recall ≥ 0.8 vs brute force instead.
+    # x08: approximate vs BRUTE FORCE, but the modulo-quantizer pipeline
+    # itself is deterministic — the oracle replays the whole IVF path.
+    # (pytest still asserts recall@10 >= 0.8 vs brute force.)
+    "x08_ann_ivf": _ann_ivf_sql(),
     "x09_token_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
         "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq, "

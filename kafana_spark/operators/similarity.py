@@ -116,20 +116,49 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     else:
         raise ValueError(f"method must be modulo|kmeans, got {method!r}")
 
-    # assignment: nearest centroid per corpus vector (broadcast)
-    ac = dot(F.col("x.v"), F.col("ct.cv")) / (F.col("x.nrm") * F.col("ct.cnrm"))
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                                    F.col("cid"))
-    assigned = (corpus.alias("x")
+    # assignment: nearest centroid(s) per corpus vector. The broadcast
+    # join expands the frame centroids×, but the groupBy collapses it
+    # back to one row per vec_id in the map-side partial aggregation —
+    # the exchange moves |corpus| rows, never the expanded frame (the
+    # r1 window-based argmax shuffled corpus×centroids rows, which at
+    # 100 TB with ~1e4 cells IS the job). acos is rounded to 6dp so the
+    # argmax ordering is reproducible across engines (oracle parity).
+    ac = F.round(dot(F.col("x.v"), F.col("ct.cv"))
+                 / (F.col("x.nrm") * F.col("ct.cnrm")), 6)
+    expanded = (corpus.alias("x")
                 .join(F.broadcast(centroids.alias("ct")))
-                .select("vec_id", "v", "nrm", "cid", ac.alias("acos"))
-                .withColumn("r", F.row_number().over(assign_w))
-                .where(F.col("r") <= n_assign)
-                .select("vec_id", "v", "nrm", "cid"))
+                .select("vec_id", "v", "nrm", "cid", ac.alias("acos")))
+    if n_assign <= 1:
+        # argmax(acos desc, cid asc) == max of struct(acos, -cid):
+        # struct comparison is lexicographic and map-side combinable.
+        best = F.max(F.struct(F.col("acos"),
+                              (-F.col("cid")).alias("ncid"))).alias("best")
+        assigned = (expanded.groupBy("vec_id")
+                    .agg(F.any_value(F.col("v")).alias("v"),
+                         F.any_value(F.col("nrm")).alias("nrm"), best)
+                    .select("vec_id", "v", "nrm",
+                            (-F.col("best.ncid")).alias("cid")))
+    else:
+        # top-n cells per vector: sorted-slice of the collected
+        # (−acos, cid) structs. The collected list is |centroids| long
+        # pre-slice; acceptable while centroids stay ~1e4 — beyond
+        # that, pre-bucket with a coarser quantizer first.
+        cells = F.slice(
+            F.array_sort(F.collect_list(
+                F.struct((-F.col("acos")).alias("nacos"), F.col("cid")))),
+            1, n_assign)
+        assigned = (expanded.groupBy("vec_id")
+                    .agg(F.any_value(F.col("v")).alias("v"),
+                         F.any_value(F.col("nrm")).alias("nrm"),
+                         cells.alias("cells"))
+                    .select("vec_id", "v", "nrm",
+                            F.explode("cells.cid").alias("cid")))
 
-    # probe list: n_probe nearest centroids per query
+    # probe list: n_probe nearest centroids per query (queries are few —
+    # a window over them is driver-trivial)
     q = _with_norm(queries)
-    qc = dot(F.col("q.v"), F.col("ct.cv")) / (F.col("q.nrm") * F.col("ct.cnrm"))
+    qc = F.round(dot(F.col("q.v"), F.col("ct.cv"))
+                 / (F.col("q.nrm") * F.col("ct.cnrm")), 6)
     probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(),
                                                 F.col("cid"))
     probes = (q.alias("q")
