@@ -76,6 +76,29 @@ def test_rolling_chunks_identical_texts_share_hashes(spark):
     assert sorted(seq[1]) == sorted(seq[2])
 
 
+def test_rolling_chunks_match_scalar_reference(spark):
+    """The numpy-vectorized chunker is bit-identical to the r1 scalar
+    per-byte loop (kept as _chunk_doc_reference) on the real documents
+    table plus adversarial shapes: empty, shorter than the window,
+    all-identical bytes (no boundaries), multi-byte UTF-8."""
+    cases = [(1000, ""), (1001, "x"), (1002, "short doc"),
+             (1003, "a" * 5000), (1004, "é中" * 700),
+             (1005, "the quick brown fox " * 300)]
+    df = docs(spark).limit(200).select("doc_id", "text").unionByName(
+        spark.createDataFrame(cases, ["doc_id", "text"]))
+    got = {}
+    for r in T.rolling_hash_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_hash, r.chunk_len))
+    want = {}
+    for r in df.collect():
+        ref = T._chunk_doc_reference(r.text.encode("utf-8"))
+        if ref:
+            want[r.doc_id] = ref
+    assert {k: sorted(v) for k, v in got.items()} == \
+        {k: sorted(v) for k, v in want.items()}
+
+
 def test_token_bloom_no_false_negatives_and_prunes(spark):
     """Bloom prefilter: identical results to the exact token search,
     and genuinely selective (most non-matching rows are pruned by the
