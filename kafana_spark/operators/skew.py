@@ -34,7 +34,16 @@ def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
     times (explode of a literal range — cheap when small really is
     small), and the join key becomes (on…, salt). Each hot key now
     spreads over ``buckets`` reducers instead of one straggler.
+
+    Only ``inner`` and ``left`` (big side preserved) are equivalent to
+    the unsalted join: for right/full/left_semi-style joins the
+    unmatched *replicated* small-side rows would surface ``buckets``
+    times, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "replicating the small side breaks outer/semi semantics")
     big_s = with_salt(big, unique_col, buckets)
     small_s = (small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))

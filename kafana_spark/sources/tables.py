@@ -69,9 +69,15 @@ def ts_bounds(t0: str | None = None, t1: str | None = None) -> F.Column:
     """
     import datetime as _dt
 
+    _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
     def _ns(s: str) -> int:
+        # integer datetime arithmetic: int(d.timestamp()) would truncate
+        # fractional seconds, silently making the redundant sargable
+        # predicate stricter than the exact timestamp one for
+        # sub-second bounds (rows in [floor(t1), t1) dropped)
         d = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
-        return int(d.timestamp()) * 1_000_000_000
+        return ((d - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
 
     pred = F.lit(True)
     if t0 is not None:

@@ -91,21 +91,31 @@ def compact(spark: SparkSession, path: str,
     Z-ORDER-lite): parquet row-group min/max stats on the sort columns
     become disjoint ranges, so needle queries (`key = X`) skip most
     row groups instead of scanning the day.
+
+    Staged rewrite: the compacted copy is written to a sibling temp
+    directory and swapped in with two renames, so a failure mid-write
+    never touches the live store (the in-place overwrite it replaces
+    could lose committed partitions on plain parquet). A crash between
+    the renames leaves the previous store at ``<path>.compact-old``.
     """
+    import shutil
+
     df = spark.read.parquet(path)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.repartition(*PARTITION_COLS)
     if cluster_by:
         out = out.sortWithinPartitions(*PARTITION_COLS, *cluster_by)
-    try:
-        (out.write.mode("overwrite")
-         .option("maxRecordsPerFile", str(max_records_per_file))
-         .partitionBy(*PARTITION_COLS)
-         .parquet(path))
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    base = path.rstrip("/")
+    tmp, old = base + ".compact-tmp", base + ".compact-old"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    (out.write.mode("overwrite")
+     .option("maxRecordsPerFile", str(max_records_per_file))
+     .partitionBy(*PARTITION_COLS)
+     .parquet(tmp))
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
 
 
 def retention(path: str, cutoff_ds: str) -> list[str]:

@@ -147,3 +147,36 @@ def test_q09_metrics_is_codegen_hash_agg(spark):
     assert "HashAggregate" in plan
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------- predicate exactness
+
+def test_ts_bounds_subsecond_upper_bound_keeps_fractional_rows(spark):
+    """The sargable ts_ns twin must not be stricter than the exact
+    timestamp predicate: a sub-second upper bound t1 must keep rows in
+    [floor(t1), t1) (regression: int(timestamp()) truncation)."""
+    from kafana_spark.sources.tables import ts_bounds
+
+    rows = [
+        ("2024-01-05 00:00:00.200",),   # inside [t0, t1)
+        ("2024-01-05 00:00:00.499",),   # inside, fractional < t1
+        ("2024-01-05 00:00:00.500",),   # == t1, excluded
+        ("2024-01-04 23:59:59.900",),   # before t0
+    ]
+    df = (spark.createDataFrame(rows, ["s"])
+          .withColumn("ts", F.col("s").cast("timestamp"))
+          .withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000)))
+    got = sorted(r.s for r in df.where(
+        ts_bounds("2024-01-05 00:00:00", "2024-01-05 00:00:00.5"))
+        .collect())
+    assert got == ["2024-01-05 00:00:00.200", "2024-01-05 00:00:00.499"]
+
+
+def test_salted_join_rejects_outer_howtypes(spark):
+    import pytest
+
+    from kafana_spark.operators.skew import salted_join
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, ["k"], "k", how="full")
