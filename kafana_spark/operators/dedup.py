@@ -124,8 +124,25 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .select(id_col, "bb.band", "bb.bkey"))
 
 
-def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct id pairs sharing ≥1 LSH bucket (da < db)."""
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
+                    bucket_cap: int | None = None) -> DataFrame:
+    """Distinct id pairs sharing ≥1 LSH bucket (da < db).
+
+    ``bucket_cap`` is an explicit recall/cost safety valve: a bucket of
+    B ids contributes B(B-1)/2 candidate pairs, so one adversarial
+    bucket can dominate the whole job. Buckets holding more than
+    ``bucket_cap`` ids are skipped (their ids usually still pair in
+    their other, smaller bands). Exact-duplicate collapse
+    (minhash_near_dup ``collapse_exact``) is the semantics-preserving
+    fix for duplicate-heavy corpora; the cap guards what remains.
+    Default None = exact behavior.
+    """
+    if bucket_cap is not None:
+        sizes = (bands.groupBy("band", "bkey")
+                 .agg(F.count(F.lit(1)).alias("__bn"))
+                 .where(F.col("__bn") > bucket_cap)
+                 .select("band", "bkey"))
+        bands = bands.join(sizes, ["band", "bkey"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, [F.col(f"a.band") == F.col(f"b.band"),
@@ -172,18 +189,64 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 
 
 def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text", collapse_exact: bool = True,
+                     bucket_cap: int | None = None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact verify. Output: (da, db, jaccard).
+
+    ``collapse_exact`` (default on) first collapses byte-identical
+    texts to one representative (min doc_id), runs the whole expensive
+    middle — shingling, signatures, banding, verify — on distinct
+    texts only, then expands representative pairs back to member
+    pairs. Identical texts have identical shingle sets, so the output
+    is exactly the uncollapsed output; but a duplicate-heavy corpus
+    (the common case in web crawls) no longer turns one LSH bucket
+    into a quadratic candidate join. The expansion itself is
+    output-bound — if the pair LIST is quadratic, that's the contract;
+    use exact_dedup/cluster assignment when a pair list isn't needed.
 
     The shingle explode is deliberately NOT cached: it's a map-only
     stage, and re-running it twice is cheaper than writing 50× the
     corpus to the memory store (measured locally, and categorically
     true at 100 TB).
     """
-    sh = hashed_shingle_set(df, text_col=text_col)
-    pairs = candidate_pairs(lsh_bands(minhash_signature(sh)))
-    return jaccard_verify(pairs, sh, threshold)
+    if not collapse_exact:
+        sh = hashed_shingle_set(df, text_col=text_col)
+        pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
+                                bucket_cap=bucket_cap)
+        return jaccard_verify(pairs, sh, threshold)
+
+    reps = df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+    members = (df.select(F.col("doc_id").alias("member"), text_col)
+               .join(reps.withColumnRenamed("doc_id", "rep"), text_col)
+               .select("rep", "member"))
+    sh = hashed_shingle_set(reps, text_col=text_col)
+    pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
+                            bucket_cap=bucket_cap)
+    rep_pairs = jaccard_verify(pairs, sh, threshold)
+
+    # cross-group expansion: every member pair inherits its rep pair's
+    # jaccard (identical shingle sets); least/greatest restores da<db
+    ma = members.select(F.col("rep").alias("da"), F.col("member").alias("a"))
+    mb = members.select(F.col("rep").alias("db"), F.col("member").alias("b"))
+    cross = (rep_pairs.join(ma, "da").join(mb, "db")
+             .select(F.least("a", "b").alias("da"),
+                     F.greatest("a", "b").alias("db"), "jaccard"))
+    # intra-group pairs: identical texts are jaccard 1.0 by definition —
+    # but only for texts that shingle at all (the uncollapsed pipeline
+    # never pairs shingle-less docs)
+    shingled = sh.select("doc_id").distinct() \
+        .withColumnRenamed("doc_id", "rep")
+    mm = members.join(shingled, "rep")
+    intra = (mm.alias("x").join(
+        mm.alias("y"), (F.col("x.rep") == F.col("y.rep"))
+        & (F.col("x.member") < F.col("y.member")))
+        .select(F.col("x.member").alias("da"),
+                F.col("y.member").alias("db"),
+                F.lit(1.0).alias("jaccard")))
+    if threshold > 1.0:
+        intra = intra.where(F.lit(False))
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
@@ -296,8 +359,6 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.99,
     import pandas as pd
 
     e = df.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    n = e.count()
-    n_blocks = max(1, -(-n // block_size))
     thr = float(threshold)
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -310,16 +371,22 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.99,
             "mat": [mat.tobytes()],
         })
 
-    packed = (e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
-              .groupBy("blk")
-              .applyInPandas(_pack, "blk int, ids array<long>, mat binary"))
+    # blk = vec_id // block_size: needs no row count (the r1 version ran
+    # an extra count() job just to size the modulo). Output is invariant
+    # to the blocking — any partition of the ids works; only BLAS batch
+    # shape depends on it (sparse id spaces just mean leaner blocks).
+    packed = (e.withColumn(
+        "blk", (F.col("vec_id") / F.lit(block_size)).cast("long"))
+        .groupBy("blk")
+        .applyInPandas(_pack, "blk long, ids array<long>, mat binary"))
 
+    par = max(32, df.sparkSession.sparkContext.defaultParallelism)
     tasks = (packed.alias("a")
              .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
              .select(F.col("a.blk").alias("ablk"), F.col("b.blk").alias("bblk"),
                      F.col("a.ids").alias("aids"), F.col("a.mat").alias("amat"),
                      F.col("b.ids").alias("bids"), F.col("b.mat").alias("bmat"))
-             .repartition(max(32, n_blocks * (n_blocks + 1) // 2)))
+             .repartition(par))
 
     def _cosine_pairs(batches):
         for pdf in batches:

@@ -71,3 +71,48 @@ def test_embedding_near_dup_probe_sampling(spark):
     sampled = {(r.da, r.db) for r in
                dedup.embedding_near_dup(e, threshold=0.45, probe_mod=10).collect()}
     assert sampled == {p for p in full if p[0] % 10 == 0}
+
+
+def test_minhash_collapse_exact_is_output_identical(spark):
+    """collapse_exact=True must produce exactly the uncollapsed pairs on
+    a corpus mixing exact copies, near-dups, and shingle-less shorts."""
+    base = docs(spark).limit(60).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "tiny"), (9002, "tiny"),          # shingle-less twins
+         (9003, "one two three four five six seven eight nine ten"),
+         (9004, "one two three four five six seven eight nine ten"),
+         (9005, "one two three four five six seven eight nine eleven")],
+        ["doc_id", "text"])
+    corpus = base.unionByName(extra).unionByName(
+        base.limit(10).select((F.col("doc_id") + 5000).alias("doc_id"),
+                              "text"))
+    on = {(r.da, r.db, r.jaccard) for r in
+          dedup.minhash_near_dup(corpus, 0.5, collapse_exact=True).collect()}
+    off = {(r.da, r.db, r.jaccard) for r in
+           dedup.minhash_near_dup(corpus, 0.5, collapse_exact=False).collect()}
+    assert on == off and len(on) > 0
+
+
+def test_minhash_duplicate_heavy_corpus_bounded(spark):
+    """A 400-copy text: with collapse_exact the LSH middle sees ONE
+    representative (no quadratic bucket), and the expanded output is
+    exactly the C(400,2) copy pairs plus nothing else."""
+    n = 400
+    rows = [(i, "the same exact document body repeated many times over")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    reps = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert reps.count() == 1
+    out = dedup.minhash_near_dup(df, 0.5).collect()
+    assert len(out) == n * (n - 1) // 2
+    assert all(r.jaccard == 1.0 and r.da < r.db for r in out)
+
+
+def test_candidate_pairs_bucket_cap_drops_only_fat_buckets(spark):
+    bands = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(10)] + [(100, 0, "cold"), (101, 0, "cold")],
+        ["doc_id", "band", "bkey"])
+    capped = dedup.candidate_pairs(bands, bucket_cap=5).collect()
+    assert {(r.da, r.db) for r in capped} == {(100, 101)}
+    full = dedup.candidate_pairs(bands).collect()
+    assert len(full) == 45 + 1
