@@ -164,17 +164,12 @@ BLOOM_BITS = 1024         # 16 longs per row
 BLOOM_HASHES = 3
 
 
-def token_bloom(text_col: "F.Column", bits: int = BLOOM_BITS,
-                k: int = BLOOM_HASHES) -> "F.Column":
-    """Per-row token bloom filter as ``array<long>`` (bits/64 words).
-
-    The additive C5 skipping column from SURVEY §7.3.6: stored beside
-    the document, it lets token searches prefilter rows with pure
-    bitwise math before the expensive contains/token scan. Build cost
-    is write-time only; false positives only cost a redundant verify.
-    """
+def _bloom_from_terms(terms: "F.Column", bits: int, k: int) -> "F.Column":
+    """Fold an array<string> of terms into a bits-wide bloom
+    (array<long>, bits/64 words). Write-time-only cost; the interpreted
+    HOF is acceptable here because it runs once per ingested row, never
+    per query."""
     words = bits // 64
-    toks = F.array_distinct(tokens(F.lower(text_col)))
     zero = F.array_repeat(F.lit(0).cast("long"), words)
 
     def set_bit(w, mask):
@@ -182,7 +177,7 @@ def token_bloom(text_col: "F.Column", bits: int = BLOOM_BITS,
         # defaulted params, so bind w/mask outside the lambda
         return lambda x, i: F.when(i == w, x.bitwiseOR(mask)).otherwise(x)
 
-    def add_token(acc, t):
+    def add_term(acc, t):
         out = acc
         for seed in range(k):
             b = F.pmod(F.xxhash64(F.lit(seed), t), F.lit(bits))
@@ -192,7 +187,49 @@ def token_bloom(text_col: "F.Column", bits: int = BLOOM_BITS,
             out = F.transform(out, set_bit(w, mask))
         return out
 
-    return F.aggregate(toks, zero, add_token)
+    return F.aggregate(terms, zero, add_term)
+
+
+def token_bloom(text_col: "F.Column", bits: int = BLOOM_BITS,
+                k: int = BLOOM_HASHES) -> "F.Column":
+    """Per-row token bloom filter as ``array<long>`` (bits/64 words).
+
+    The additive C5 skipping column from SURVEY §7.3.6: stored beside
+    the document, it lets token searches prefilter rows with pure
+    bitwise math before the expensive contains/token scan. Build cost
+    is write-time only; false positives only cost a redundant verify.
+    """
+    return _bloom_from_terms(
+        F.array_distinct(tokens(F.lower(text_col))), bits, k)
+
+
+#: trigram bloom sizing: ~n_chars distinct trigrams per doc (≈400 at
+#: 500 chars). 4096 bits / 3 hashes → fill ≈ 1-e^(-1200/4096) ≈ 0.25,
+#: per-trigram FPR ≈ 0.25³ ≈ 1.6% — and a query needle of length L
+#: ANDs its L-2 trigrams, driving the row FPR down geometrically.
+#: 512 B/row buys substring-search skipping, which tokens cannot give.
+TRIGRAM_BLOOM_BITS = 4096
+
+
+def char_trigrams(text_col: "F.Column") -> "F.Column":
+    """Distinct lowercase character 3-grams of a string column."""
+    t = F.lower(text_col)
+    idx = F.sequence(F.lit(1), F.length(t) - 2)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, F.lit(3))))
+    # sequence(1, n) runs DESCENDING for n < 1 — guard short strings
+    return F.when(F.length(t) >= 3, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def trigram_bloom(text_col: "F.Column", bits: int = TRIGRAM_BLOOM_BITS,
+                  k: int = BLOOM_HASHES) -> "F.Column":
+    """Per-row character-trigram bloom: the substring-search (non-token
+    C5 `contains`) skipping column. A needle matches a row only if ALL
+    of the needle's trigrams are present, so testing each needle
+    trigram against the bloom prefilters rows before the contains scan
+    — no false negatives, FPR shrinks with needle length."""
+    return _bloom_from_terms(char_trigrams(text_col), bits, k)
 
 
 def bloom_might_contain(bloom_col: "F.Column", term: str,
@@ -210,6 +247,21 @@ def bloom_might_contain(bloom_col: "F.Column", term: str,
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (b % 64).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_might_contain_substring(bloom_col: "F.Column", needle: str,
+                                  bits: int = TRIGRAM_BLOOM_BITS,
+                                  k: int = BLOOM_HASHES) -> "F.Column":
+    """Substring prefilter against a trigram_bloom column: every
+    trigram of the needle must test positive. Needles shorter than 3
+    chars have no trigrams — the filter degrades to always-true (the
+    exact contains scan still runs). All hashes constant-fold."""
+    s = needle.lower()
+    cond = F.lit(True)
+    for i in range(len(s) - 2):
+        cond = cond & bloom_might_contain(bloom_col, s[i:i + 3],
+                                          bits=bits, k=k)
     return cond
 
 

@@ -55,10 +55,11 @@ def search_text(df: DataFrame, needle: str, field: str = "message.value",
                 bloom_col: str | None = None) -> DataFrame:
     """C5: substring or whole-token search over the stringified value.
 
-    For token search, ``bloom_col`` names a token_bloom column
-    (operators/text.py) stored beside the document: the bloom test
-    prefilters rows with bitwise math, and the exact token match
-    verifies survivors — same results, fraction of the scan work.
+    ``bloom_col`` names a skipping column stored beside the document —
+    a token_bloom for token search, a trigram_bloom for substring
+    search (operators/text.py). The bloom test prefilters rows with
+    bitwise math and the exact match verifies survivors — identical
+    results, a fraction of the scan work.
     """
     if token:
         tokens = F.split(F.lower(F.col(field)), r"\W+")
@@ -69,7 +70,15 @@ def search_text(df: DataFrame, needle: str, field: str = "message.value",
             return df.where(bloom_might_contain(F.col(bloom_col), needle)
                             & match)
         return df.where(match)
-    return df.where(F.col(field).contains(needle))
+    match = F.col(field).contains(needle)
+    if bloom_col is not None:
+        from kafana_spark.operators.text import (
+            bloom_might_contain_substring,
+        )
+
+        return df.where(
+            bloom_might_contain_substring(F.col(bloom_col), needle) & match)
+    return df.where(match)
 
 
 def search(df: DataFrame, qs: str,
