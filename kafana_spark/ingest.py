@@ -65,7 +65,9 @@ def value_as_string(value_struct: Column, raw_value: Column | None = None) -> Co
     return F.coalesce(rendered, F.lit(TOMBSTONE))
 
 
-def enrich(df: DataFrame, value_col: str = "value_struct") -> DataFrame:
+def enrich(df: DataFrame, value_col: str = "value_struct",
+           extract_json: dict[str, tuple[str, str, str]] | None = None,
+           ) -> DataFrame:
     """Full enrichment: envelope + decoded value -> indexed document.
 
     Input: a DataFrame with the Kafka envelope columns
@@ -78,6 +80,14 @@ def enrich(df: DataFrame, value_col: str = "value_struct") -> DataFrame:
       * InsertTimestamp/Topic/Partition/Offset -> already envelope columns
       * InsertKey            -> ``key`` cast to string
       * ES _id derivation    -> ``_id``
+
+    ``extract_json`` materializes hot JSON keys as additional TOP-LEVEL
+    typed columns at ingest time: ``{out_col: (value_field, json_path,
+    cast_type)}``, e.g. ``{"props_k": ("props", "$.k", "int")}``. A
+    query filtering ``props_k > 80`` then pushes down to parquet
+    row-group min/max stats, where the equivalent get_json_object()
+    predicate over the stored JSON string is opaque to pushdown and
+    parses every row. Write-time cost, additive schema change.
     """
     value = F.col(value_col)
     dt = df.schema[value_col].dataType
@@ -89,6 +99,10 @@ def enrich(df: DataFrame, value_col: str = "value_struct") -> DataFrame:
         *value_fields,
         value_as_string(value).alias("value"),
     )
+    extracted = [
+        F.get_json_object(value.getField(field), path).cast(cast_t).alias(out)
+        for out, (field, path, cast_t) in (extract_json or {}).items()
+    ]
     return df.select(
         message.alias("message"),
         F.col("timestamp"),
@@ -96,6 +110,7 @@ def enrich(df: DataFrame, value_col: str = "value_struct") -> DataFrame:
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
         F.col("key").cast("string").alias("key"),
+        *extracted,
     ).withColumn("_id", doc_id())
 
 

@@ -180,3 +180,31 @@ def test_salted_join_rejects_outer_howtypes(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="inner"):
         salted_join(df, df, ["k"], "k", how="full")
+
+
+def test_extracted_json_key_pushes_down_to_store_scan(spark, tmp_path):
+    """Hot JSON keys materialized at ingest (enrich extract_json) must
+    reach the parquet scan as PushedFilters — the get_json_object
+    equivalent is opaque to pushdown and parses every row."""
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.store import write_store
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    recs = events_as_kafka_records(ev)
+    docs = enrich(recs, extract_json={"props_k": ("props", "$.k", "int")})
+    write_store(docs, str(tmp_path / "store"))
+
+    stored = spark.read.parquet(str(tmp_path / "store"))
+    df = stored.where(F.col("props_k") > 80).select("_id", "props_k")
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters: \[[^\]]*props_k[^\]]*\]", plan), plan
+
+    # extracted values match the on-the-fly parse
+    onfly = stored.select(
+        "_id",
+        F.get_json_object(F.col("message.props"), "$.k").cast("int")
+        .alias("k"))
+    got = {r._id: r.props_k for r in stored.select("_id", "props_k").collect()}
+    want = {r._id: r.k for r in onfly.collect()}
+    assert got == want
