@@ -69,8 +69,8 @@ def x_simhash_near_dup(spark, sf_dir):
 
 
 def x_embedding_near_dup(spark, sf_dir):
-    return (dedup.embedding_near_dup(_embs(spark, sf_dir), EMB_DUP_THRESHOLD)
-            .orderBy("da", "db"))
+    # no orderBy: see x_rolling_chunks (double-exec of the BLAS stage)
+    return dedup.embedding_near_dup(_embs(spark, sf_dir), EMB_DUP_THRESHOLD)
 
 
 def x_ann_brute_force(spark, sf_dir):
@@ -107,8 +107,11 @@ def x_fingerprint(spark, sf_dir):
 
 
 def x_rolling_chunks(spark, sf_dir):
-    return (text.rolling_hash_chunks(_docs(spark, sf_dir))
-            .orderBy("doc_id", "chunk_idx"))
+    # no global orderBy: a range sort directly over a mapInPandas stage
+    # runs the Python stage TWICE (the range partitioner's sampling job
+    # re-executes the child), and the driver's value hash is
+    # order-insensitive anyway — same for every Python-stage output.
+    return text.rolling_hash_chunks(_docs(spark, sf_dir))
 
 
 SESSION_GAP = "30 minutes"

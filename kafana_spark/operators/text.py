@@ -431,7 +431,14 @@ def rolling_hash_chunks(df: DataFrame, window: int = 16,
     Horner over all chunks at once. Output is bit-identical to the
     scalar reference (`_chunk_doc_reference`, pinned by tests).
     """
-    import numpy as np
+    # chunking is CPU-bound: if the source partitioning is coarser than
+    # the cluster (a single local parquet file, a few fat S3 objects),
+    # a cheap round-robin exchange of (id, text) buys full-width
+    # parallelism for the kernel. No-op when the input is already wide.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, text_col)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
 
     mask = (1 << mask_bits) - 1
 
@@ -498,7 +505,7 @@ def rolling_hash_chunks(df: DataFrame, window: int = 16,
                 "chunk_len": (e - s).astype(np.int32),
             })
 
-    return df.select(id_col, text_col).mapInPandas(chunker, CHUNK_SCHEMA)
+    return src.mapInPandas(chunker, CHUNK_SCHEMA)
 
 
 def _chunk_doc_reference(data: bytes, window: int = 16,
