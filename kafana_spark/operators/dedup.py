@@ -276,6 +276,57 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold))
 
 
+def dup_clusters(df: DataFrame, threshold: float = 0.5,
+                 text_col: str = "text", max_iter: int = 25) -> DataFrame:
+    """Near-dup CLUSTER assignment: (doc_id, cluster_id) for every
+    document, where cluster_id is the min doc_id in the document's
+    connected component of the verified near-dup pair graph (itself if
+    isolated).
+
+    This is the scale-sane consumption shape for dedup: a pair LIST is
+    quadratic in group size, a cluster column is linear — downstream
+    keep-one-per-cluster is a groupBy away. Components are found by
+    iterative min-label propagation (label = min of self and
+    neighbors, repeated to fixpoint). Near-dup graphs are
+    shallow — duplicate groups are cliques or short chains — so the
+    iteration count tracks component DIAMETER, not size; each round is
+    one shuffled join on node id. The pair edges are materialized once
+    up front (persist) so the LSH pipeline does not re-execute per
+    round. DuckDB oracle: recursive reachability CTE (registry x24).
+    """
+    pairs = minhash_near_dup(df, threshold, text_col).select("da", "db")
+    sym = (pairs.unionByName(pairs.select(F.col("db").alias("da"),
+                                          F.col("da").alias("db"))))
+    sym = sym.persist()
+    try:
+        sym.count()
+        labels = (df.select(F.col("doc_id").alias("node"))
+                  .withColumn("label", F.col("node")).persist())
+        labels.count()
+        for _ in range(max_iter):
+            nbr = (sym.join(labels.withColumnRenamed("node", "db")
+                            .withColumnRenamed("label", "nl"), "db")
+                   .groupBy(F.col("da").alias("node"))
+                   .agg(F.min("nl").alias("nl")))
+            new_labels = (labels.join(nbr, "node", "left")
+                          .select("node",
+                                  F.least(F.col("label"),
+                                          F.coalesce("nl", "label"))
+                                  .alias("label"))
+                          .persist())
+            changed = (new_labels.withColumnRenamed("label", "nl")
+                       .join(labels, "node")
+                       .where(F.col("nl") != F.col("label")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+    finally:
+        sym.unpersist()
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, id_col: str = "doc_id",

@@ -228,6 +228,36 @@ def x_latest_state(spark, sf_dir):
     return (latest_state(docs).select("key", "offset").orderBy("key"))
 
 
+def x_dup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment (connected components over the
+    verified pair graph) — the linear-output consumption shape of
+    dedup at scale."""
+    return dedup.dup_clusters(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+#: x25 mixture weights: upsample zh, downsample en, default for rest
+STRATA_FRACTIONS = {"en": 0.3, "zh": 0.8, "de": 0.5}
+STRATA_DEFAULT = 0.6
+
+
+def x_stratified_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling over documents."""
+    from kafana_spark.operators.sample import stratified_sample
+
+    return (stratified_sample(_docs(spark, sf_dir), STRATA_FRACTIONS,
+                              default=STRATA_DEFAULT)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+VOCAB_K = 30
+
+
+def x_vocab_topk(spark, sf_dir):
+    """Top-k corpus vocabulary (tokenizer-training prep)."""
+    return text.vocab_topk(_docs(spark, sf_dir), k=VOCAB_K) \
+        .orderBy("rk")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -252,6 +282,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x21_sliding_histogram": x_sliding_histogram,
     "x22_suppliers_by_region": x_suppliers_by_region,
     "x23_cube": x_cube,
+    "x24_dup_clusters": x_dup_clusters,
+    "x25_stratified_sample": x_stratified_sample,
+    "x26_vocab_topk": x_vocab_topk,
 }
 
 
@@ -265,19 +298,24 @@ _SHINGLES = (
 )
 _H60 = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
-_JACCARD_TAIL = (
+_JACCARD_CTES = (
     "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
     "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i FROM sh x "
-    "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+    "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+)
+_JACCARD_SELECT = (
     "SELECT c.da, c.db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard "
     "FROM cand c JOIN inter ON inter.da = c.da AND inter.db = c.db "
     "JOIN sizes sa ON sa.doc_id = c.da JOIN sizes sb ON sb.doc_id = c.db "
-    f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= {NEAR_DUP_THRESHOLD} "
-    "ORDER BY 1, 2"
+    f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= {NEAR_DUP_THRESHOLD}"
 )
+_JACCARD_TAIL = f"{_JACCARD_CTES} {_JACCARD_SELECT} ORDER BY 1, 2"
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The full minhash+LSH pipeline as a CTE chain ending in the
+    verified-pairs ingredients (cand/sizes/inter) — shared by the x02
+    oracle and the x24 clustering oracle."""
     mins = ", ".join(
         f"MIN(({a} * hm + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS))
@@ -290,14 +328,37 @@ def _minhash_sql() -> str:
             "AS bkey FROM sig")
     bands = " UNION ALL ".join(band_selects)
     return (
-        f"WITH {_SHINGLES}, "
+        f"{_SHINGLES}, "
         f"hm AS (SELECT doc_id, {_H60} % {MINHASH_P} AS hm FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM hm GROUP BY doc_id), "
         f"bands AS ({bands}), "
         "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey "
         "AND a.doc_id < b.doc_id), "
-        + _JACCARD_TAIL
+        + _JACCARD_CTES
+    )
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()} {_JACCARD_SELECT} ORDER BY 1, 2"
+
+
+def _dup_clusters_sql() -> str:
+    """x24 oracle: connected components over the near-dup pair graph as
+    a recursive min-label reachability CTE — every document gets the
+    min doc_id reachable through verified near-dup pairs (itself if
+    isolated)."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes()}, "
+        f"p AS ({_JACCARD_SELECT}), "
+        "edges AS (SELECT da AS a, db AS b FROM p "
+        "UNION ALL SELECT db, da FROM p), "
+        "reach(node, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b) "
+        "SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach "
+        "GROUP BY node ORDER BY doc_id"
     )
 
 
@@ -541,5 +602,25 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) "
         "AS BIGINT) AS byte_len, md5(text) AS payload_md5, "
         "'application/octet-stream' AS mime FROM documents ORDER BY media_id"
+    ),
+    "x24_dup_clusters": _dup_clusters_sql(),
+    "x25_stratified_sample": (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) % 1000000 < "
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{v}' THEN {int(f * 1_000_000)}"
+            for v, f in sorted(STRATA_FRACTIONS.items()))
+        + f" ELSE {int(STRATA_DEFAULT * 1_000_000)} END "
+        "ORDER BY doc_id"
+    ),
+    "x26_vocab_topk": (
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token "
+        f"ORDER BY cnt DESC, token LIMIT {VOCAB_K}) "
+        "SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, "
+        "token) AS INTEGER) AS rk FROM c ORDER BY rk"
     ),
 }

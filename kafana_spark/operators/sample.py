@@ -1,0 +1,73 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Dataset curation at 100 TB needs samples that are (a) reproducible
+across runs and engines (no RNG state, no partition-order dependence),
+(b) pushdown-friendly (a pure column predicate — no shuffle, no
+collect), and (c) per-stratum tunable (the standard
+"mix 30% web / 60% code / 10% papers" recipe). All of that falls out
+of hashing a stable row key into a uniform bucket and comparing
+against a per-stratum threshold — the same trick as deterministic
+A/B bucketing.
+
+The hash is kafana_spark.functions.portable_hash64 (md5-based), which
+has an exact DuckDB twin, so every sampler here is fully
+oracle-checkable (registry x25).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafana_spark.functions import portable_hash64
+
+#: sampling resolution: fractions are quantized to 1/1e6
+SAMPLE_DENOM = 1_000_000
+
+
+def sample_bucket(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform bucket in [0, SAMPLE_DENOM) from a row key.
+
+    Seed changes produce independent samples (the seed is concatenated
+    into the hashed bytes, not added to the output — adding would just
+    rotate the buckets).
+    """
+    return F.pmod(
+        portable_hash64(
+            F.concat_ws("#", key.cast("string"), F.lit(str(seed)))),
+        F.lit(SAMPLE_DENOM))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         seed: int = 0) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash.
+
+    Unlike DataFrame.sample(): stable across runs, partitionings and
+    engines; the SAME keys are kept when re-run on a superset (sampling
+    is a property of the row, not the pass) — which is what makes
+    incremental pipeline re-runs consistent.
+    """
+    return df.where(
+        sample_bucket(F.col(key_col), seed)
+        < F.lit(int(fraction * SAMPLE_DENOM)))
+
+
+def stratified_sample(df: DataFrame, fractions: Mapping[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      default: float = 0.0, seed: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum
+    value -> keep fraction; strata not listed keep ``default``.
+
+    One pure column predicate (CASE over the stratum + hash compare):
+    pushes into the scan, no shuffle, no per-stratum passes. This is
+    the mixture-weights op of a training-data pipeline (upsample rare
+    languages, downsample boilerplate-heavy sources).
+    """
+    thr: Column = F.lit(int(default * SAMPLE_DENOM))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(value),
+                     F.lit(int(frac * SAMPLE_DENOM))).otherwise(thr)
+    return df.where(sample_bucket(F.col(key_col), seed) < thr)

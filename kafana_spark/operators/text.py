@@ -155,6 +155,26 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "token", "tfidf", F.col("rk").cast("int").alias("rk")))
 
 
+def vocab_topk(df: DataFrame, k: int = 30,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k token vocabulary with counts and rank.
+
+    The vocabulary-building pass of a tokenizer-training pipeline.
+    Shape: explode → hash-agg (map-side combinable) → distributed
+    top-k via orderBy+limit (TakeOrderedAndProject — never a
+    single-partition window over the full vocabulary). Rank is
+    assigned AFTER the limit, over k rows.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token").limit(k))
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return counts.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 # ------------------------------------------------------------ token bloom
 
 #: sized for ~200 distinct tokens/doc: fill ≈ 1-e^(-3·200/1024) ≈ 0.44,

@@ -116,3 +116,27 @@ def test_candidate_pairs_bucket_cap_drops_only_fat_buckets(spark):
     assert {(r.da, r.db) for r in capped} == {(100, 101)}
     full = dedup.candidate_pairs(bands).collect()
     assert len(full) == 45 + 1
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    """Chain a~b, b~c (a never directly pairs c) must collapse into one
+    cluster labeled min(id); isolated docs keep their own id."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"      # ~ t1
+    t3 = "alpha beta gamma delta epsilon zeta kappa iota"    # ~ t2, far from t1? still shares 5-grams with t1
+    df = spark.createDataFrame(
+        [(10, t1), (20, t2), (30, t3),
+         (40, "completely different words here nothing shared at all")],
+        ["doc_id", "text"])
+    pairs = {(r.da, r.db) for r in
+             dedup.minhash_near_dup(df, 0.5).select("da", "db").collect()}
+    labels = {r.doc_id: r.cluster_id for r in
+              dedup.dup_clusters(df, 0.5).collect()}
+    assert labels[40] == 40
+    # every pair is intra-cluster, and the component label is its min
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    if pairs:
+        comp = {10, 20, 30} & {x for p in pairs for x in p}
+        assert all(labels[x] == min(comp) for x in comp)
+    assert len(labels) == 4
