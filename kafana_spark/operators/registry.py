@@ -258,6 +258,49 @@ def x_vocab_topk(spark, sf_dir):
         .orderBy("rk")
 
 
+CURATE_MIN_QUALITY = 5000
+CURATE_LANGS = ("en", "de")
+CURATE_FRACTIONS = {"en": 0.5}
+
+
+def x_curation(spark, sf_dir):
+    """End-to-end curation composition — the whole point of the
+    pipeline operators: quality gate → language gate → exact dedup
+    keep-first → deterministic per-language downsample, one lazy plan,
+    fully oracle-checked."""
+    from kafana_spark.operators.dedup import exact_dedup
+    from kafana_spark.operators.sample import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    kept = (d.join(q, "doc_id")
+            .where((F.col("quality_bp") >= CURATE_MIN_QUALITY)
+                   & F.col("lang").isin(*CURATE_LANGS)))
+    deduped = exact_dedup(kept)
+    sampled = stratified_sample(deduped, CURATE_FRACTIONS, default=1.0)
+    return (sampled.select("doc_id", "lang", "quality_bp")
+            .orderBy("doc_id"))
+
+
+def x_redact(spark, sf_dir):
+    """PII-pattern redaction over documents (tags url/email/phone/ip)."""
+    return (text.redact(_docs(spark, sf_dir))
+            .select("doc_id", "redacted", "was_redacted")
+            .orderBy("doc_id"))
+
+
+PACK_BUDGET = 128
+
+
+def x_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing (per-partition next-fit;
+    sequential bin assignment → rows-only driver check, invariants
+    pinned by pytest)."""
+    from kafana_spark.operators.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -285,6 +328,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x24_dup_clusters": x_dup_clusters,
     "x25_stratified_sample": x_stratified_sample,
     "x26_vocab_topk": x_vocab_topk,
+    "x27_curation": x_curation,
+    "x28_redact": x_redact,
+    "x29_pack_sequences": x_pack_sequences,
 }
 
 
@@ -604,6 +650,35 @@ EXTENSION_ORACLE: dict[str, str] = {
         "'application/octet-stream' AS mime FROM documents ORDER BY media_id"
     ),
     "x24_dup_clusters": _dup_clusters_sql(),
+    "x27_curation": (
+        f"WITH q AS ({{quality}}), "
+        "k AS (SELECT d.doc_id, d.lang, d.text, q.quality_bp "
+        "FROM documents d JOIN q USING (doc_id) "
+        f"WHERE q.quality_bp >= {CURATE_MIN_QUALITY} AND d.lang IN "
+        + "(" + ", ".join(f"'{x}'" for x in CURATE_LANGS) + ")), "
+        "dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text "
+        "ORDER BY doc_id) AS rn FROM k) "
+        "SELECT doc_id, lang, quality_bp FROM dd WHERE rn = 1 AND "
+        "CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) % 1000000 < "
+        "CASE "
+        + " ".join(f"WHEN lang = '{v}' THEN {int(f * 1_000_000)}"
+                   for v, f in sorted(CURATE_FRACTIONS.items()))
+        + " ELSE 1000000 END ORDER BY doc_id"
+    ).format(quality=_quality_sql().replace(" ORDER BY doc_id", "")),
+    "x28_redact": (
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, "
+        f"'{text.REDACTION_PATTERNS[0][1]}', '<url>', 'g'), "
+        f"'{text.REDACTION_PATTERNS[1][1]}', '<email>', 'g'), "
+        f"'{text.REDACTION_PATTERNS[2][1]}', '<phone>', 'g'), "
+        f"'{text.REDACTION_PATTERNS[3][1]}', '<ipv4>', 'g') AS redacted, "
+        "redacted <> text AS was_redacted "
+        "FROM documents ORDER BY doc_id"
+    ),
+    # x29_pack_sequences: sequential greedy bin assignment (no SQL
+    # equivalent) → rows-only driver check; invariants pinned by pytest.
     "x25_stratified_sample": (
         "SELECT doc_id, lang FROM documents WHERE "
         "CAST(concat('0x', substr(md5(concat_ws('#', "

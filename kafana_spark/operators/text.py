@@ -155,6 +155,36 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "token", "tfidf", F.col("rk").cast("int").alias("rk")))
 
 
+#: PII-ish redaction patterns, conservative syntax shared by Java regex
+#: and DuckDB's RE2 (character classes + bounded quantifiers only).
+#: Order matters: url before email (urls can embed @), specific first.
+REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+def redact(df: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text",
+           patterns: tuple[tuple[str, str], ...] = REDACTION_PATTERNS,
+           ) -> DataFrame:
+    """PII-style pattern redaction: each match is replaced by a
+    ``<name>`` tag. Pure column expressions (chained regexp_replace,
+    whole-stage codegen); ``was_redacted`` marks changed rows so
+    downstream can audit/sample redactions.
+    """
+    out = F.col(text_col)
+    for name, pat in patterns:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return df.select(
+        F.col(id_col),
+        out.alias("redacted"),
+        (out != F.col(text_col)).alias("was_redacted"),
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 30,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k token vocabulary with counts and rank.

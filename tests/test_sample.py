@@ -62,3 +62,45 @@ def test_vocab_topk_rank_and_monotone_counts(spark):
     assert [r.rk for r in out] == list(range(1, 11))
     cnts = [r.cnt for r in out]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_pack_sequences_invariants(spark):
+    from kafana_spark.operators.pack import pack_sequences
+
+    budget = 64
+    d = docs(spark)
+    out = pack_sequences(d, budget=budget).collect()
+    n_docs = d.count()
+    # every doc exactly once
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in d.select("doc_id").collect())
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for sid, rows in seqs.items():
+        total = sum(r.n_tokens for r in rows)
+        assert all(r.seq_tokens == total and r.seq_docs == len(rows)
+                   for r in rows)
+        # budget respected unless a single over-budget doc owns the seq
+        assert total <= budget or len(rows) == 1
+    # packing actually packs: fewer sequences than documents
+    assert len(seqs) < n_docs
+
+
+def test_redact_tags_planted_pii(spark):
+    from kafana_spark.operators.text import redact
+
+    df = spark.createDataFrame([
+        (1, "contact me at jane.doe+x@example.org or +1-555-123-4567 ok"),
+        (2, "served from 192.168.10.250 see https://ex.org/p?q=1 now"),
+        (3, "nothing sensitive here at all"),
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact(df).collect()}
+    assert "<email>" in got[1].redacted and "<phone>" in got[1].redacted
+    assert "<ipv4>" in got[2].redacted and "<url>" in got[2].redacted
+    assert got[3].redacted == "nothing sensitive here at all"
+    assert got[1].was_redacted and got[2].was_redacted
+    assert not got[3].was_redacted
+    # no raw PII survives
+    assert "example.org" not in got[1].redacted
+    assert "192.168" not in got[2].redacted
