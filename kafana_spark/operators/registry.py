@@ -289,6 +289,46 @@ def x_redact(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: A2 roundtrip: the reference's events value schema as Avro
+AVRO_EVENT_SCHEMA = (
+    '{"type": "record", "name": "event", "fields": ['
+    '{"name": "event_type", "type": "string"}, '
+    '{"name": "value", "type": ["null", "double"]}, '
+    '{"name": "props", "type": ["null", "string"]}]}'
+)
+
+
+def x_avro_roundtrip(spark, sf_dir):
+    """A1+A2 under the oracle: events → Kafka envelope → Confluent-Avro
+    SERIALIZE (fromConnectData) → jar-free DESERIALIZE (toConnectData)
+    → enrich → discover filter. The oracle is the plain-events SQL — a
+    single corrupted varint/frame byte anywhere breaks the hash."""
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+    from kafana_spark.sources.avro_codec import (
+        from_confluent_avro_py,
+        to_confluent_avro,
+    )
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    recs = events_as_kafka_records(ev)
+    framed = to_confluent_avro(recs, AVRO_EVENT_SCHEMA, schema_id=1)
+    decoded = from_confluent_avro_py(
+        framed, AVRO_EVENT_SCHEMA,
+        "event_type string, value double, props string")
+    docs = enrich(decoded)
+    # message.value is the InsertValueAsString JSON render (the enrich
+    # contract) — read the numeric field back out of the JSON, proving
+    # the value survived Avro encode -> decode -> to_json bit-exactly
+    val = F.get_json_object(F.col("message.value"), "$.value") \
+        .cast("double")
+    return (docs.where(F.col("message.event_type") == "error")
+            .select("_id", "key", F.col("offset").alias("off"),
+                    F.col("message.event_type").alias("event_type"),
+                    F.round(val, 2).alias("val"))
+            .orderBy("off"))
+
+
 PACK_BUDGET = 128
 
 
@@ -331,6 +371,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x27_curation": x_curation,
     "x28_redact": x_redact,
     "x29_pack_sequences": x_pack_sequences,
+    "x30_avro_roundtrip": x_avro_roundtrip,
 }
 
 
@@ -679,6 +720,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     ),
     # x29_pack_sequences: sequential greedy bin assignment (no SQL
     # equivalent) → rows-only driver check; invariants pinned by pytest.
+    "x30_avro_roundtrip": (
+        "SELECT 'events+0+' || CAST(event_id AS VARCHAR) AS _id, "
+        "CAST(user_id AS VARCHAR) AS key, event_id AS off, event_type, "
+        "ROUND(value, 2) AS val FROM events "
+        "WHERE event_type = 'error' ORDER BY off"
+    ),
     "x25_stratified_sample": (
         "SELECT doc_id, lang FROM documents WHERE "
         "CAST(concat('0x', substr(md5(concat_ws('#', "
