@@ -216,14 +216,8 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                                 bucket_cap=bucket_cap)
         return jaccard_verify(pairs, sh, threshold)
 
-    reps = df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
-    members = (df.select(F.col("doc_id").alias("member"), text_col)
-               .join(reps.withColumnRenamed("doc_id", "rep"), text_col)
-               .select("rep", "member"))
-    sh = hashed_shingle_set(reps, text_col=text_col)
-    pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
-                            bucket_cap=bucket_cap)
-    rep_pairs = jaccard_verify(pairs, sh, threshold)
+    reps, members, rep_pairs, sh = _rep_near_dup(
+        df, threshold, text_col, bucket_cap)
 
     # cross-group expansion: every member pair inherits its rep pair's
     # jaccard (identical shingle sets); least/greatest restores da<db
@@ -276,8 +270,45 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold))
 
 
+def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
+                  bucket_cap: int | None = None):
+    """Shared exact-collapse front end: distinct-text representatives
+    (min doc_id), the rep<->member map, verified near-dup pairs among
+    REPRESENTATIVES only, and the rep shingle index."""
+    reps = df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+    members = (df.select(F.col("doc_id").alias("member"), text_col)
+               .join(reps.withColumnRenamed("doc_id", "rep"), text_col)
+               .select("rep", "member"))
+    sh = hashed_shingle_set(reps, text_col=text_col)
+    pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
+                            bucket_cap=bucket_cap)
+    return reps, members, jaccard_verify(pairs, sh, threshold), sh
+
+
+def _unionfind_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with path compression; labels = component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def dup_clusters(df: DataFrame, threshold: float = 0.5,
-                 text_col: str = "text", max_iter: int = 25) -> DataFrame:
+                 text_col: str = "text", max_iter: int = 25,
+                 driver_cc_max_edges: int = 5_000_000) -> DataFrame:
     """Near-dup CLUSTER assignment: (doc_id, cluster_id) for every
     document, where cluster_id is the min doc_id in the document's
     connected component of the verified near-dup pair graph (itself if
@@ -285,46 +316,90 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
 
     This is the scale-sane consumption shape for dedup: a pair LIST is
     quadratic in group size, a cluster column is linear — downstream
-    keep-one-per-cluster is a groupBy away. Components are found by
-    iterative min-label propagation (label = min of self and
-    neighbors, repeated to fixpoint). Near-dup graphs are
-    shallow — duplicate groups are cliques or short chains — so the
-    iteration count tracks component DIAMETER, not size; each round is
-    one shuffled join on node id. The pair edges are materialized once
-    up front (persist) so the LSH pipeline does not re-execute per
-    round. DuckDB oracle: recursive reachability CTE (registry x24).
+    keep-one-per-cluster is a groupBy away.
+
+    Two-level structure: exact-duplicate groups collapse to their
+    representative (min doc_id) first, connected components run over
+    the REPRESENTATIVE pair graph only, and members inherit their
+    rep's label — identical texts trivially share a component, so this
+    matches pair-graph CC exactly while skipping the quadratic pair
+    expansion. Shingle-less rep groups (texts too short to pair) stay
+    singletons, matching the pair semantics.
+
+    CC itself is hybrid: edge lists up to ``driver_cc_max_edges``
+    (they are LSH-pruned and verified — tiny next to the corpus) run
+    union-find on the driver in one pass; larger graphs run
+    distributed iterative min-label propagation, whose round count
+    tracks component DIAMETER (near-dup graphs are shallow cliques/
+    chains), each round one shuffled join on node id, edges persisted
+    once. DuckDB oracle: recursive reachability CTE (registry x24).
     """
-    pairs = minhash_near_dup(df, threshold, text_col).select("da", "db")
-    sym = (pairs.unionByName(pairs.select(F.col("db").alias("da"),
-                                          F.col("da").alias("db"))))
-    sym = sym.persist()
+    spark = df.sparkSession
+    reps, members, rep_pairs, sh = _rep_near_dup(df, threshold, text_col)
+    pairs = rep_pairs.select("da", "db").persist()
     try:
-        sym.count()
-        labels = (df.select(F.col("doc_id").alias("node"))
-                  .withColumn("label", F.col("node")).persist())
-        labels.count()
-        for _ in range(max_iter):
-            nbr = (sym.join(labels.withColumnRenamed("node", "db")
-                            .withColumnRenamed("label", "nl"), "db")
-                   .groupBy(F.col("da").alias("node"))
-                   .agg(F.min("nl").alias("nl")))
-            new_labels = (labels.join(nbr, "node", "left")
-                          .select("node",
-                                  F.least(F.col("label"),
-                                          F.coalesce("nl", "label"))
-                                  .alias("label"))
-                          .persist())
-            changed = (new_labels.withColumnRenamed("label", "nl")
-                       .join(labels, "node")
-                       .where(F.col("nl") != F.col("label")).count())
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("node").alias("doc_id"),
-                             F.col("label").alias("cluster_id"))
+        n_edges = pairs.count()
+        if n_edges <= driver_cc_max_edges:
+            # The verified edge list is LSH-candidate-pruned — orders of
+            # magnitude smaller than the corpus (n_edges ≈ number of
+            # true near-dup relations among DISTINCT texts). When it
+            # fits on the driver, union-find beats a shuffle round per
+            # graph-diameter hop by a wide margin; the distributed
+            # propagation below stays the path for genuinely huge
+            # edge sets. The corpus itself never moves to the driver.
+            lbl = _unionfind_labels(
+                [(r.da, r.db) for r in pairs.collect()])
+            labels = spark.createDataFrame(
+                list(lbl.items()) or [(None, None)],
+                "node long, label long").where(F.col("node").isNotNull())
+        else:
+            sym = (pairs.unionByName(
+                pairs.select(F.col("db").alias("da"),
+                             F.col("da").alias("db")))).persist()
+            sym.count()
+            # only nodes that touch an edge can ever change labels —
+            # everything else is a singleton and skips the loop
+            labels = (sym.select(F.col("da").alias("node")).distinct()
+                      .withColumn("label", F.col("node")).persist())
+            labels.count()
+            for _ in range(max_iter):
+                nbr = (sym.join(labels.withColumnRenamed("node", "db")
+                                .withColumnRenamed("label", "nl"), "db")
+                       .groupBy(F.col("da").alias("node"))
+                       .agg(F.min("nl").alias("nl")))
+                # carry the old label so convergence is read off the
+                # SAME materializing action — one job per round
+                new_labels = (labels.withColumnRenamed("label", "old")
+                              .join(nbr, "node")
+                              .select("node", "old",
+                                      F.least(F.col("old"), F.col("nl"))
+                                      .alias("label"))
+                              .persist())
+                changed = new_labels.where(
+                    F.col("label") != F.col("old")).count()
+                labels.unpersist()
+                labels = new_labels.select("node", "label")
+                if changed == 0:
+                    break
+            sym.unpersist()
+        # members inherit their rep's component label (the rep itself
+        # when the rep has no edges — identical shingled texts still
+        # share their jaccard-1.0 component). Shingle-less rep groups
+        # have NO pairs in the oracle graph, so their members stay
+        # individual singletons.
+        shingled = sh.select("doc_id").distinct() \
+            .withColumnRenamed("doc_id", "rep")
+        inherit = (members.join(shingled, "rep")
+                   .join(labels.withColumnRenamed("node", "rep"),
+                         "rep", "left")
+                   .select(F.col("member").alias("doc_id"),
+                           F.coalesce("label", "rep").alias("cluster_id")))
+        isolated = (members.join(shingled, "rep", "left_anti")
+                    .select(F.col("member").alias("doc_id"),
+                            F.col("member").alias("cluster_id")))
+        return inherit.unionByName(isolated)
     finally:
-        sym.unpersist()
+        pairs.unpersist()
 
 
 # -------------------------------------------------------------- simhash

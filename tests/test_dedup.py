@@ -140,3 +140,14 @@ def test_dup_clusters_transitive_and_singletons(spark):
         comp = {10, 20, 30} & {x for p in pairs for x in p}
         assert all(labels[x] == min(comp) for x in comp)
     assert len(labels) == 4
+
+
+def test_dup_clusters_distributed_path_matches_driver_path(spark):
+    """Forcing the iterative label-propagation path (threshold 0) must
+    produce exactly the driver union-find labels."""
+    d = (load_table(spark, SF_SMOKE, "documents").limit(120)
+         .select("doc_id", "text"))
+    a = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(d).collect()}
+    b = {r.doc_id: r.cluster_id for r in
+         dedup.dup_clusters(d, driver_cc_max_edges=0).collect()}
+    assert a == b and len(a) == 120
