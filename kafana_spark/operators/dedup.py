@@ -386,18 +386,22 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
         # when the rep has no edges — identical shingled texts still
         # share their jaccard-1.0 component). Shingle-less rep groups
         # have NO pairs in the oracle graph, so their members stay
-        # individual singletons.
-        shingled = sh.select("doc_id").distinct() \
-            .withColumnRenamed("doc_id", "rep")
-        inherit = (members.join(shingled, "rep")
-                   .join(labels.withColumnRenamed("node", "rep"),
-                         "rep", "left")
-                   .select(F.col("member").alias("doc_id"),
-                           F.coalesce("label", "rep").alias("cluster_id")))
-        isolated = (members.join(shingled, "rep", "left_anti")
-                    .select(F.col("member").alias("doc_id"),
-                            F.col("member").alias("cluster_id")))
-        return inherit.unionByName(isolated)
+        # individual singletons. "Has shingles" is the cheap per-row
+        # predicate size(tokens) >= n — re-deriving it from the shingle
+        # index would re-explode every rep's shingles and scan members
+        # twice (the r1 inherit/isolated union did exactly that).
+        from kafana_spark.functions import tokens
+        has_sh = (F.size(tokens(F.col(text_col))) >= 3).alias("has_sh")
+        reps_f = reps.select(text_col, F.col("doc_id").alias("rep"), has_sh)
+        return (df.select(F.col("doc_id").alias("member"), text_col)
+                .join(reps_f, text_col)
+                .join(labels.withColumnRenamed("node", "rep"),
+                      "rep", "left")
+                .select(
+                    F.col("member").alias("doc_id"),
+                    F.when(~F.col("has_sh"), F.col("member"))
+                    .otherwise(F.coalesce("label", "rep"))
+                    .alias("cluster_id")))
     finally:
         pairs.unpersist()
 
