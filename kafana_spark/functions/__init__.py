@@ -44,6 +44,20 @@ def shingles(text: Column, n: int = 3) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
+def grams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (no array_distinct) — the variant
+    frequency analyses need (repetition ratios, BPE pair counts), where
+    `shingles` would collapse exactly the repeats being measured.
+
+    Empty array below n tokens (mirrors DuckDB's empty generate_series
+    range)."""
+    tok = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    out = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    return F.when(F.size(tok) >= n, out) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric array columns, summed in index order
     (same order DuckDB's list_dot_product uses → bit-comparable)."""

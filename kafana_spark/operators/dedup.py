@@ -406,6 +406,44 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
         pairs.unpersist()
 
 
+# ------------------------------------------------------- decontamination
+
+def benchmark_overlap(df: DataFrame, benchmark: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams shared with a held-out benchmark/eval set.
+
+    The standard pre-training hygiene pass (filter documents that leak
+    eval data). Returns every corpus document as
+    (id, n_hits, contaminated) — callers drop ``contaminated`` rows or
+    audit by ``n_hits``.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs against 100 TB), so its distinct shingle
+    hashes BROADCAST — the corpus-side probe is a map-side hash join on
+    8-byte keys off the shared ``hashed_shingle_set`` inverted index;
+    the corpus never shuffles. The only exchange is the per-doc hit
+    count (doc_id keyed, combinable) and the final left join back to
+    ids. Shingles are distinct per document, so ``n_hits`` counts
+    distinct shared n-grams without a dedup pass.
+    """
+    corpus_sh = hashed_shingle_set(df, id_col=id_col,
+                                   text_col=text_col, n=n)
+    bench_sh = (hashed_shingle_set(benchmark, id_col=id_col,
+                                   text_col=text_col, n=n)
+                .select("h").distinct())
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (df.select(id_col).join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, id_col: str = "doc_id",

@@ -341,6 +341,41 @@ def x_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+#: decontamination fixture: every doc_id divisible by this is "benchmark"
+DECON_BENCH_MOD = 50
+PAIR_K = 30
+
+
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs scored by distinct
+    3-gram overlap with a held-out benchmark slice (doc_id % 50 == 0
+    stands in for the eval set)."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return dedup.benchmark_overlap(corpus, bench).orderBy("doc_id")
+
+
+def x_repetition(spark, sf_dir):
+    """Gopher-style duplicated-bigram repetition ratios per document."""
+    return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_pair_counts(spark, sf_dir):
+    """BPE merge-candidate table: corpus-wide top-k adjacent token
+    pairs."""
+    return text.pair_counts(_docs(spark, sf_dir), PAIR_K).orderBy("rk")
+
+
+def x_mixture_rebalance(spark, sf_dir):
+    """Self-tuning mixture sampler: per-lang rates equalize strata to
+    the smallest one, applied as a deterministic hash sample."""
+    from kafana_spark.operators.sample import mixture_rebalance
+
+    return (mixture_rebalance(_docs(spark, sf_dir))
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -372,6 +407,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x28_redact": x_redact,
     "x29_pack_sequences": x_pack_sequences,
     "x30_avro_roundtrip": x_avro_roundtrip,
+    "x31_decontaminate": x_decontaminate,
+    "x32_repetition": x_repetition,
+    "x33_pair_counts": x_pair_counts,
+    "x34_mixture_rebalance": x_mixture_rebalance,
 }
 
 
@@ -744,5 +783,50 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"ORDER BY cnt DESC, token LIMIT {VOCAB_K}) "
         "SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, "
         "token) AS INTEGER) AS rk FROM c ORDER BY rk"
+    ),
+    "x31_decontaminate": (
+        f"WITH {_SHINGLES}, "
+        f"b AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM sh JOIN b USING (s) "
+        f"WHERE doc_id % {DECON_BENCH_MOD} <> 0 GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h USING (doc_id) "
+        f"WHERE d.doc_id % {DECON_BENCH_MOD} <> 0 ORDER BY doc_id"
+    ),
+    "x32_repetition": (
+        # non-distinct bigrams; SUM -> HUGEINT is fine inside the double
+        # division but never emitted raw
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s FROM t, "
+        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        "c AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g GROUP BY doc_id, s), "
+        "a AS (SELECT doc_id, MAX(cnt) AS top, SUM(cnt) AS total, "
+        "COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS dup "
+        "FROM c GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(FLOOR(10000 * top / total), 0) AS BIGINT) AS top_bp, "
+        "CAST(COALESCE(FLOOR(10000 * dup / total), 0) AS BIGINT) AS dup_bp "
+        "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"
+    ),
+    "x33_pair_counts": (
+        "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+        "FROM documents), "
+        "g AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM t, "
+        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        "c AS (SELECT pair, COUNT(*) AS cnt FROM g GROUP BY pair "
+        f"ORDER BY cnt DESC, pair LIMIT {PAIR_K}) "
+        "SELECT pair, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, "
+        "pair) AS INTEGER) AS rk FROM c ORDER BY rk"
+    ),
+    "x34_mixture_rebalance": (
+        "WITH tot AS (SELECT lang, COUNT(*) AS tot FROM documents "
+        "GROUP BY lang), "
+        "mn AS (SELECT MIN(tot) AS mn FROM tot), "
+        "r AS (SELECT lang, (1000000 * mn) // tot AS rate FROM tot, mn) "
+        "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+        "WHERE CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) % 1000000 "
+        "< rate ORDER BY doc_id"
     ),
 }

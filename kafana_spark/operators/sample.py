@@ -71,3 +71,31 @@ def stratified_sample(df: DataFrame, fractions: Mapping[str, float],
         thr = F.when(F.col(strata_col) == F.lit(value),
                      F.lit(int(frac * SAMPLE_DENOM))).otherwise(thr)
     return df.where(sample_bucket(F.col(key_col), seed) < thr)
+
+
+def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
+                      key_col: str = "doc_id", weight_col: str | None = None,
+                      seed: int = 0) -> DataFrame:
+    """Equalizing mixture sampler: computes per-stratum keep rates that
+    level every stratum down to the smallest one, then applies the
+    deterministic hash sample — the self-tuning variant of
+    ``stratified_sample`` (rates measured from the data instead of
+    hand-picked). ``weight_col`` rebalances by a weight sum (e.g. token
+    counts) instead of row counts.
+
+    Two-phase adaptive plan: phase 1 is one tiny aggregation
+    (|strata| rows); phase 2 broadcasts the rate table and filters with
+    the same pure-column predicate as every sampler here — the corpus
+    is scanned once and never shuffled. Rates are exact integers
+    (1e6·min div total), so the DuckDB oracle twin is bit-identical.
+    """
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    totals = df.groupBy(strata_col).agg(w.cast("long").alias("__tot"))
+    mn = totals.agg(F.min("__tot").alias("__mn"))
+    rates = (totals.crossJoin(F.broadcast(mn))
+             .select(strata_col,
+                     F.expr(f"({SAMPLE_DENOM} * __mn) div __tot")
+                     .alias("__rate")))
+    return (df.join(F.broadcast(rates), strata_col)
+            .where(sample_bucket(F.col(key_col), seed) < F.col("__rate"))
+            .drop("__rate"))

@@ -158,6 +158,69 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
 #: PII-ish redaction patterns, conservative syntax shared by Java regex
 #: and DuckDB's RE2 (character classes + bounded quantifiers only).
 #: Order matters: url before email (urls can embed @), specific first.
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Intra-document repetition quality signal (the duplicated-n-gram
+    filters of Gopher/MassiveText-style curation): per document,
+
+    - ``top_bp``: share of n-gram occurrences taken by the single most
+      frequent n-gram (basis points, floor),
+    - ``dup_bp``: share of n-gram occurrences whose n-gram appears more
+      than once (basis points, floor).
+
+    Boilerplate/spam pages score high on both; prose scores low.
+    Integer basis points keep the DuckDB oracle bit-exact (the one
+    double op, FLOOR(1e4·a/b), is IEEE-identical across engines).
+
+    Scale shape: explode n-grams (with multiplicity) → two doc-keyed
+    hash aggregations, both map-side combinable; no join wider than the
+    final id-preserving left join (docs shorter than n tokens report
+    zeros rather than dropping).
+    """
+    from kafana_spark.functions import grams
+
+    g = df.select(F.col(id_col),
+                  F.explode(grams(F.col(text_col), n)).alias("g"))
+    per_gram = (g.groupBy(id_col, "g")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    per_doc = (per_gram.groupBy(id_col)
+               .agg(F.max("cnt").alias("top"),
+                    F.sum("cnt").alias("total"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))),
+                        F.lit(0)).alias("dup")))
+    bp = lambda c: F.floor(F.lit(10000) * c / F.col("total"))  # noqa: E731
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(bp(F.col("top")), F.lit(0)).alias("top_bp"),
+                F.coalesce(bp(F.col("dup")), F.lit(0)).alias("dup_bp")))
+
+
+def pair_counts(df: DataFrame, k: int = 30,
+                text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k adjacent token-pair counts — the merge-candidate
+    scoring step of BPE tokenizer training (count every adjacent symbol
+    pair, merge the most frequent, repeat). One Spark pass computes one
+    round's candidate table; the training loop re-runs it on re-tokenized
+    text.
+
+    Shape mirrors ``vocab_topk``: explode pairs (with multiplicity) →
+    map-side-combinable hash agg → distributed top-k via orderBy+limit
+    (TakeOrderedAndProject), rank assigned after the limit over k rows.
+    """
+    from pyspark.sql.window import Window
+
+    from kafana_spark.functions import grams
+
+    counts = (df.select(
+        F.explode(grams(F.lower(F.col(text_col)), 2)).alias("pair"))
+        .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair").limit(k))
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return counts.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
     ("url", r"https?://[^\s]+"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),

@@ -151,3 +151,21 @@ def test_dup_clusters_distributed_path_matches_driver_path(spark):
     b = {r.doc_id: r.cluster_id for r in
          dedup.dup_clusters(d, driver_cc_max_edges=0).collect()}
     assert a == b and len(a) == 120
+
+
+def test_benchmark_overlap_flags_exact_and_not_unrelated(spark):
+    from kafana_spark.operators.dedup import benchmark_overlap
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # shares 2 3-grams w/ 1
+        (3, "one two three four five"),          # disjoint
+    ]
+    corpus = spark.createDataFrame(rows[1:], "doc_id long, text string")
+    bench = spark.createDataFrame(rows[:1], "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in benchmark_overlap(corpus, bench).collect()}
+    assert got[2] == (2, True)       # 'alpha beta gamma', 'beta gamma delta'
+    assert got[3] == (0, False)
+    # every corpus doc is reported, contaminated or not
+    assert set(got) == {2, 3}

@@ -104,3 +104,27 @@ def test_redact_tags_planted_pii(spark):
     # no raw PII survives
     assert "example.org" not in got[1].redacted
     assert "192.168" not in got[2].redacted
+
+
+def test_mixture_rebalance_equalizes_strata(spark):
+    from kafana_spark.operators.sample import mixture_rebalance
+
+    d = docs(spark)
+    out = mixture_rebalance(d)
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    pre = {r.lang: r.n for r in
+           d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    target = min(pre.values())
+    # every stratum is leveled near the smallest one (hash-sampling
+    # variance on a few hundred rows: allow a generous band)
+    assert set(by_lang) == set(pre)
+    for lang, n in by_lang.items():
+        assert n <= pre[lang]
+        assert abs(n - target) <= max(10, 0.35 * target), (lang, n, target)
+    # deterministic across runs
+    again = {r.lang: r.n for r in
+             mixture_rebalance(d).groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by_lang

@@ -179,3 +179,27 @@ def test_trigram_bloom_substring_search_no_false_negatives(spark):
         docs, "qu", field="text", bloom_col="gb")
         .select("doc_id").collect())
     assert short_exact == short_bloom
+
+
+def test_repetition_stats_separates_loops_from_prose(spark):
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham"),   # one bigram loop
+        (2, "the quick brown fox jumps over dogs"),   # all bigrams unique
+        (3, "x"),                                     # < n tokens -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top_bp, r.dup_bp)
+           for r in T.repetition_stats(df).collect()}
+    # doc 1: 7 bigrams, 'spam ham' x4, 'ham spam' x3 -> top 4/7, dup 7/7
+    assert got[1] == (int(10000 * 4 / 7), 10000)
+    assert got[2] == (int(10000 * 1 / 6), 0)
+    assert got[3] == (0, 0)
+
+
+def test_pair_counts_ranks_most_frequent_pair_first(spark):
+    rows = [(1, "a b a b c"), (2, "a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.pair_counts(df, k=3).collect()
+    assert [r.pair for r in out][0] == "a b"
+    assert out[0].cnt == 3
+    assert [r.rk for r in out] == [1, 2, 3]
