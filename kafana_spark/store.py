@@ -46,17 +46,85 @@ BLOOM_COLS = ("key", "_id")
 BLOOM_NDV = 1_000_000
 
 
-def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
-    """Append enriched documents to the store, partitioned for pruning."""
-    writer = (with_store_partitions(docs)
-              .write.mode(mode)
-              .partitionBy(*PARTITION_COLS))
+def _bloomed(writer):
+    """Attach the store's parquet bloom-filter options to a writer."""
     for c in BLOOM_COLS:
         writer = (writer
                   .option(f"parquet.bloom.filter.enabled#{c}", "true")
                   .option(f"parquet.bloom.filter.expected.ndv#{c}",
                           str(BLOOM_NDV)))
-    writer.parquet(path)
+    return writer
+
+
+def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
+    """Append enriched documents to the store, partitioned for pruning."""
+    _bloomed(with_store_partitions(docs)
+             .write.mode(mode)
+             .partitionBy(*PARTITION_COLS)).parquet(path)
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
+    """MERGE (upsert on ``_id``) into the plain-parquet store: the
+    Delta/Iceberg ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
+    contract, implemented as partition-granular copy-on-write — the
+    env hosts no table format, and at 100 TB this is exactly what those
+    formats do underneath (rewrite affected files, commit atomically),
+    just at partition rather than file granularity.
+
+    Plan shape: only partitions named by the updates are READ (the
+    touched-set semi-join prunes the scan to those directories), rows
+    whose ``_id`` is being replaced are anti-joined out (updates
+    broadcast — an update batch is small next to the store), and the
+    union is staged to a sibling directory, then swapped in with
+    per-partition renames. Untouched partitions are never read, never
+    written, and keep their files byte-identical. A crash mid-swap
+    leaves at most one partition in its ``.merge-old`` copy; the store
+    is never in a half-written state.
+
+    Assumes updates keep each record's original ``ds`` (true by
+    construction: ``ds`` derives from the record timestamp, which is
+    part of the record identity in the changelog model). Returns the
+    number of partitions rewritten.
+    """
+    import shutil
+
+    up = with_store_partitions(updates) if "ds" not in updates.columns \
+        else updates
+    touched = up.select(*PARTITION_COLS).distinct()
+    existing = (spark.read.parquet(path)
+                .join(F.broadcast(touched), list(PARTITION_COLS),
+                      "left_semi"))
+    keep = existing.join(F.broadcast(up.select("_id").distinct()),
+                         "_id", "left_anti")
+    merged = keep.unionByName(up.select(*existing.columns))
+
+    base = path.rstrip("/")
+    tmp = base + ".merge-tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _bloomed(merged.write.mode("overwrite")
+             .partitionBy(*PARTITION_COLS)).parquet(tmp)
+
+    swapped = 0
+    for topic_dir in os.listdir(tmp):
+        tsrc = os.path.join(tmp, topic_dir)
+        if not (os.path.isdir(tsrc) and topic_dir.startswith("topic=")):
+            continue
+        os.makedirs(os.path.join(base, topic_dir), exist_ok=True)
+        for ds_dir in os.listdir(tsrc):
+            src = os.path.join(tsrc, ds_dir)
+            dst = os.path.join(base, topic_dir, ds_dir)
+            old = dst + ".merge-old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            swapped += 1
+    shutil.rmtree(tmp)
+    return swapped
 
 
 def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:

@@ -103,3 +103,47 @@ def test_store_writes_bloom_filters_on_needle_columns(spark, tmp_path):
 
     size = lambda p: sum(os.path.getsize(f) for f in parquet_files(p))
     assert size(tmp_path / "with_bloom") > size(tmp_path / "no_bloom")
+
+
+def test_merge_upsert_updates_inserts_and_leaves_rest_untouched(
+        spark, tmp_path):
+    import os
+
+    from kafana_spark.store import merge_upsert, with_store_partitions
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMOKE, "events").limit(400)
+    docs = enrich(events_as_kafka_records(ev))
+    write_store(docs, store)
+
+    full = with_store_partitions(docs)
+    parts = [tuple(r) for r in
+             full.select("topic", "ds").distinct().orderBy("ds").collect()]
+    assert len(parts) >= 2, "fixture must span several ds partitions"
+    touched_ds = str(parts[0][1])
+
+    # one UPDATE of an existing _id (new key value) + one INSERT with a
+    # fresh _id, both landing in the oldest ds partition
+    victim = (full.where(F.col("ds") == touched_ds).limit(1)
+              .drop("ds").collect()[0])
+    upd = (docs.where(F.col("_id") == victim._id)
+           .withColumn("key", F.lit("UPDATED")))
+    ins = (docs.where(F.col("_id") == victim._id)
+           .withColumn("_id", F.lit("synthetic+0+999999"))
+           .withColumn("offset", F.lit(999999).cast("long")))
+    before = {f: os.path.getmtime(f) for f in parquet_files(store)}
+
+    n = merge_upsert(spark, store, upd.unionByName(ins))
+    assert n == 1                       # exactly one partition rewritten
+
+    got = read_store(spark, store)
+    assert got.where(F.col("_id") == victim._id).collect()[0].key \
+        == "UPDATED"
+    assert got.where(F.col("_id") == "synthetic+0+999999").count() == 1
+    assert got.count() == full.count() + 1     # no dup of the updated _id
+    # untouched partitions keep byte-identical files
+    untouched = {f: m for f, m in before.items()
+                 if f"ds={touched_ds}" not in f}
+    after = {f: os.path.getmtime(f) for f in parquet_files(store)
+             if f"ds={touched_ds}" not in f}
+    assert after == untouched
