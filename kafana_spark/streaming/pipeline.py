@@ -150,8 +150,16 @@ def dedup_stream(records: DataFrame, id_cols: tuple[str, ...] = ("_id",),
                  watermark: str = "1 hour",
                  time_col: str = "timestamp") -> DataFrame:
     """Exactly-once-style in-stream dedup: drop redelivered records by
-    deterministic id within the watermark horizon (state is bounded by
-    the watermark — unbounded exact dedup belongs to the store's
-    dedup-on-read)."""
-    return (records.withWatermark(time_col, watermark)
-            .dropDuplicates([*id_cols]))
+    deterministic id within the watermark horizon (unbounded exact
+    dedup belongs to the store's dedup-on-read).
+
+    Uses ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``:
+    with plain dropDuplicates the watermark only evicts state when the
+    event-time column is PART of the dedup key — keyed on ``_id`` alone
+    the state store grows one entry per record forever, which at 100 TB
+    is the job's death. WithinWatermark evicts every key once the
+    watermark passes its first-seen event time, bounding state to the
+    redelivery horizon.
+    """
+    wm = records.withWatermark(time_col, watermark)
+    return wm.dropDuplicatesWithinWatermark([*id_cols])

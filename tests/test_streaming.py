@@ -245,3 +245,47 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     us = lambda h, m=0: int(dt.datetime(
         2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert rows == [(us(0), us(0, 10), 2), (us(3), us(3), 1)]
+
+
+def test_dedup_stream_drops_cross_microbatch_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes an _id redelivered in a
+    LATER micro-batch (within the watermark horizon) — the in-stream
+    twin of the store's dedup-on-read."""
+    import time
+
+    from kafana_spark.streaming.pipeline import dedup_stream
+
+    staged = str(tmp_path / "staged")
+    records = records_df(spark).limit(50)
+    # batch 1: originals; batch 2 (separate file, arrives later):
+    # the same 20 records redelivered + 10 genuinely new ones
+    originals = enrich(records)
+    first = originals.limit(30)
+    redelivered = originals.limit(20)
+    fresh = originals.subtract(first).limit(10)
+    first.write.parquet(staged)
+
+    stream = (spark.readStream.schema(originals.schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (dedup_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        time.sleep(5)  # batch 1 through
+        redelivered.unionByName(fresh).coalesce(1).write.mode("append") \
+            .parquet(staged)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.read.parquet(out_dir)
+            if got.count() >= 40:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 40                       # 30 + 10, no replays
+    assert got.select("_id").distinct().count() == 40
