@@ -406,6 +406,34 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
         pairs.unpersist()
 
 
+def incremental_near_dup(new: DataFrame, old: DataFrame,
+                         threshold: float = 0.5,
+                         text_col: str = "text") -> DataFrame:
+    """Incremental near-dedup: near-dup pairs between an incoming batch
+    and an existing corpus — the daily-crawl-vs-historical-index shape.
+    Output (da, db, jaccard) with da < db; ids across the two frames
+    must be disjoint.
+
+    The LSH bucket join is NEW×OLD only (each side gets its own band
+    frame; the join never pairs two old docs), so the per-bucket cost is
+    |new∩bucket|·|old∩bucket|, not |bucket|² — re-ingesting a day's
+    batch never re-verifies the historical corpus against itself.
+    Within-batch duplicates are the batch's own ``minhash_near_dup``
+    pass. At 100 TB the old side's band frame is a precomputed index
+    you persist once (it's a pure per-document function) and re-read
+    per batch.
+    """
+    sh_new = hashed_shingle_set(new, text_col=text_col)
+    sh_old = hashed_shingle_set(old, text_col=text_col)
+    bn = lsh_bands(minhash_signature(sh_new))
+    bo = lsh_bands(minhash_signature(sh_old))
+    cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
+            .select(F.least("a.doc_id", "b.doc_id").alias("da"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("db"))
+            .distinct())
+    return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+
+
 # ------------------------------------------------------- decontamination
 
 def benchmark_overlap(df: DataFrame, benchmark: DataFrame,

@@ -376,6 +376,17 @@ def x_mixture_rebalance(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def x_incremental_near_dup(spark, sf_dir):
+    """Cross-corpus near-dup: odd doc_ids play the incoming batch, even
+    the historical corpus; pairs within either side are excluded by
+    construction."""
+    d = _docs(spark, sf_dir)
+    return (dedup.incremental_near_dup(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        NEAR_DUP_THRESHOLD).orderBy("da", "db"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -411,6 +422,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_repetition": x_repetition,
     "x33_pair_counts": x_pair_counts,
     "x34_mixture_rebalance": x_mixture_rebalance,
+    "x35_incremental_near_dup": x_incremental_near_dup,
 }
 
 
@@ -828,5 +840,12 @@ EXTENSION_ORACLE: dict[str, str] = {
         "WHERE CAST(concat('0x', substr(md5(concat_ws('#', "
         "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) % 1000000 "
         "< rate ORDER BY doc_id"
+    ),
+    # cross-side filter over the shared minhash CTE chain: the oracle
+    # generates ALL candidate pairs then keeps opposite-parity ones —
+    # the Spark side never materializes within-side pairs at all.
+    "x35_incremental_near_dup": (
+        f"WITH {_minhash_ctes()} {_JACCARD_SELECT} "
+        "AND (c.da % 2) <> (c.db % 2) ORDER BY 1, 2"
     ),
 }

@@ -169,3 +169,23 @@ def test_benchmark_overlap_flags_exact_and_not_unrelated(spark):
     assert got[3] == (0, False)
     # every corpus doc is reported, contaminated or not
     assert set(got) == {2, 3}
+
+
+def test_incremental_near_dup_is_cross_side_slice_of_full(spark):
+    """incremental(new, old) == full-pipeline pairs with exactly one
+    endpoint in each side (and never a within-side pair)."""
+    from kafana_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_near_dup,
+    )
+
+    d = docs(spark)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    inc = {(r.da, r.db) for r in incremental_near_dup(new, old, 0.3)
+           .collect()}
+    full = {(r.da, r.db) for r in
+            minhash_near_dup(d, 0.3, collapse_exact=False).collect()}
+    cross = {(a, b) for a, b in full if (a % 2) != (b % 2)}
+    assert inc == cross
+    assert all((a % 2) != (b % 2) for a, b in inc)
