@@ -208,3 +208,37 @@ def test_extracted_json_key_pushes_down_to_store_scan(spark, tmp_path):
     got = {r._id: r.props_k for r in stored.select("_id", "props_k").collect()}
     want = {r._id: r.k for r in onfly.collect()}
     assert got == want
+
+
+def test_x31_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark side must arrive broadcast — the corpus shingle
+    index is the 100 TB side and may never shuffle for this probe."""
+    from kafana_spark.operators.registry import x_decontaminate
+
+    plan = plan_of(x_decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x34_mixture_rebalance_broadcasts_rate_table(spark):
+    """Rates (|strata| rows) broadcast; the corpus is scanned once and
+    only filtered — no shuffle of the sampled frame."""
+    from kafana_spark.operators.registry import x_mixture_rebalance
+
+    plan = plan_of(x_mixture_rebalance(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side contributes no exchange beyond the final orderBy
+    # + the tiny rate aggregation; a SortMergeJoin would mean the
+    # corpus shuffled on lang
+    assert "SortMergeJoin" not in plan
+
+
+def test_x32_repetition_aggs_are_partial(spark):
+    """Both n-gram aggregations must be hash aggs with map-side partial
+    combine (explode output collapses before the exchange)."""
+    from kafana_spark.operators.registry import x_repetition
+
+    plan = plan_of(x_repetition(spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
