@@ -387,6 +387,22 @@ def x_incremental_near_dup(spark, sf_dir):
         NEAR_DUP_THRESHOLD).orderBy("da", "db"))
 
 
+#: Kibana-surface features beyond the screenshots: ?-wildcard, regex
+#: clause, fuzzy clause (Lucene edit distance), all in one boolean query
+QS_X36 = "lang:e? OR source:src1* OR lang:/z.+/ OR lang:fra~2"
+
+
+def x_query_string_search(spark, sf_dir):
+    """C5/C6 extended: the query-string compiler's wildcard / regex /
+    fuzzy clauses, hash-checked against the SQL each clause documents
+    (LIKE / regexp_matches / levenshtein)."""
+    from kafana_spark.query_string import compile_query_string
+
+    d = _docs(spark, sf_dir)
+    return (d.where(compile_query_string(QS_X36, default_field="text"))
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -423,6 +439,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_pair_counts": x_pair_counts,
     "x34_mixture_rebalance": x_mixture_rebalance,
     "x35_incremental_near_dup": x_incremental_near_dup,
+    "x36_query_string_search": x_query_string_search,
 }
 
 
@@ -847,5 +864,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x35_incremental_near_dup": (
         f"WITH {_minhash_ctes()} {_JACCARD_SELECT} "
         "AND (c.da % 2) <> (c.db % 2) ORDER BY 1, 2"
+    ),
+    "x36_query_string_search": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE lang LIKE 'e_' OR source LIKE 'src1%' "
+        "OR regexp_matches(lang, 'z.+') OR levenshtein(lang, 'fra') <= 2 "
+        "ORDER BY doc_id"
     ),
 }

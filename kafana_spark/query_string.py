@@ -17,15 +17,23 @@ exercise):
     primary := '(' expr ')' | clause
     clause  := field ':' value              # equality (number | string)
              | field cmp number             # cmp ∈ {>, >=, <, <=}
-             | field ':' value '*'          # prefix match
+             | field ':' value '*'          # prefix match (sargable)
+             | field ':' wildcard           # '*' any run / '?' one char
+             | field ':' '/' regex '/'      # regex (partial match, RE2-
+                                            # portable subset recommended)
+             | field ':' value '~' [n]      # fuzzy: edit distance ≤ n
+                                            # (Lucene default n=2)
              | '_exists_' ':' field         # non-null check
              | value                        # full-text contains on the
                                             # default field
+             | value '~' [n]                # fuzzy full-text: some token
+                                            # of the default field within
+                                            # edit distance n
     value   := "quoted string" | bare-token
 
 Keywords are case-insensitive. Field paths may be dotted
 (``message.bar``). Bare numeric values compare numerically; quoted
-values always compare as strings.
+values always compare as strings (and never as wildcards/fuzzy).
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ _TOKEN_RE = re.compile(r"""
     \s*(
         \(|\)|:|>=|<=|>|<
       | "(?:[^"\\]|\\.)*"
+      | /(?:[^/\\]|\\.)*/
       | [^\s():<>"]+
     )""", re.VERBOSE)
 
@@ -74,6 +83,40 @@ def _literal(raw: str):
         return float(raw), False
     except ValueError:
         return raw, False
+
+
+#: Lucene's default fuzziness
+_FUZZY_DEFAULT = 2
+_FUZZY_RE = re.compile(r"(.+?)~(\d*)$")
+
+
+def _wildcard_to_like(pat: str) -> str:
+    """Lucene wildcard → SQL LIKE: `*` → `%`, `?` → `_` (LIKE's own
+    metachars escaped)."""
+    return (pat.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+
+
+def _special_clause(col: Column, raw: str) -> Column | None:
+    """Regex / wildcard / fuzzy value forms of `field:value`; None when
+    `raw` is a plain literal.
+
+    The single-trailing-`*` prefix form stays `startswith` — it compiles
+    to a sargable StringStartsWith that reaches parquet min/max stats;
+    general wildcards/regex/fuzzy are scan-time predicates (same as ES,
+    where leading-wildcard and fuzzy terms can't use the term index).
+    """
+    if raw.startswith("/") and raw.endswith("/") and len(raw) > 1:
+        return col.rlike(re.sub(r"\\(.)", r"\1", raw[1:-1]))
+    fz = _FUZZY_RE.fullmatch(raw)
+    if fz:
+        n = int(fz.group(2)) if fz.group(2) else _FUZZY_DEFAULT
+        return F.levenshtein(col, F.lit(fz.group(1))) <= n
+    if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
+        return col.startswith(raw[:-1])
+    if "*" in raw or "?" in raw:
+        return col.like(_wildcard_to_like(raw))
+    return None
 
 
 class _Parser:
@@ -137,8 +180,10 @@ class _Parser:
             if head == "_exists_":
                 return F.col(self.take()).isNotNull()
             raw = self.take()
-            if not raw.startswith('"') and raw.endswith("*"):
-                return F.col(head).startswith(raw[:-1])
+            if not raw.startswith('"'):
+                special = _special_clause(F.col(head), raw)
+                if special is not None:
+                    return special
             val, _quoted = _literal(raw)
             return F.col(head) == F.lit(val)
         if nxt in (">", ">=", "<", "<="):
@@ -147,7 +192,14 @@ class _Parser:
             col = F.col(head)
             return {"<": col < val, "<=": col <= val,
                     ">": col > val, ">=": col >= val}[op]
-        # bare term → full-text contains on the default field
+        # bare term → full-text contains on the default field; `term~n`
+        # → fuzzy: some whitespace token within edit distance n
+        fz = _FUZZY_RE.fullmatch(head) if not head.startswith('"') else None
+        if fz:
+            n = int(fz.group(2)) if fz.group(2) else _FUZZY_DEFAULT
+            return F.exists(
+                F.split(F.col(self.default_field), r"\s+"),
+                lambda t: F.levenshtein(t, F.lit(fz.group(1))) <= n)
         val, _ = _literal(head)
         return F.col(self.default_field).contains(str(val))
 

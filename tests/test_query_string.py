@@ -107,3 +107,48 @@ def test_syntax_errors(docs):
     for bad in ("(key: 1", "key:", "key >", "key: 1 )"):
         with pytest.raises(QueryStringError):
             compile_query_string(bad)
+
+
+def test_wildcard_question_and_midstar(docs):
+    # key is a numeric string; '1?' matches two-digit keys starting 1
+    got = query.search(docs, 'key: 1?')
+    want = docs.where(F.col("key").rlike("^1.$"))
+    assert ids(got) == ids(want)
+    got2 = query.search(docs, 'key: 1*0')
+    want2 = docs.where(F.col("key").rlike("^1.*0$"))
+    assert ids(got2) == ids(want2)
+
+
+def test_regex_clause(docs):
+    got = query.search(docs, 'message.event_type: /err.*/')
+    want = docs.where(F.col("message.event_type").rlike("err.*"))
+    assert ids(got) == ids(want)
+
+
+def test_fuzzy_field_and_fulltext(docs):
+    # field fuzzy: 'clck~1' is one edit from 'click'
+    got = query.search(docs, 'message.event_type: clck~1')
+    want = docs.where(
+        F.levenshtein(F.col("message.event_type"), F.lit("clck")) <= 1)
+    assert ids(got) == ids(want)
+    assert got.count() > 0
+    # default fuzziness is Lucene's 2
+    got2 = query.search(docs, 'message.event_type: clik~')
+    want2 = docs.where(
+        F.levenshtein(F.col("message.event_type"), F.lit("clik")) <= 2)
+    assert ids(got2) == ids(want2)
+
+
+def test_quoted_values_are_never_special(docs):
+    got = query.search(docs, 'key: "1?"')
+    assert got.count() == docs.where(F.col("key") == "1?").count() == 0
+
+
+def test_prefix_star_stays_sargable(spark, docs, tmp_path):
+    from kafana_spark.store import write_store
+
+    write_store(docs, str(tmp_path / "s"))
+    df = spark.read.parquet(str(tmp_path / "s"))
+    plan = (df.where(compile_query_string("key: 12*"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "StringStartsWith(key,12)" in plan
