@@ -403,6 +403,31 @@ def x_query_string_search(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+ROLLUP_DS0, ROLLUP_DS1 = "2024-01-05", "2024-01-20"
+
+
+def x_rollup_metrics(spark, sf_dir):
+    """Continuous-aggregate roll-through: raw events → daily rollup
+    partials → arbitrary day-range re-aggregation. The oracle is the
+    DIRECT single-level aggregation — a hash match proves the two-level
+    partial merge is lossless (the HLL ndv columns are the pytest-
+    tolerance part and are excluded here)."""
+    from kafana_spark.rollup import build_rollup, rollup_range
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("event_type", F.to_date("ts").alias("ds"), "value")
+    ru = build_rollup(days, by=("event_type",), value_col="value")
+    rng = rollup_range(ru, ROLLUP_DS0, ROLLUP_DS1, by=("event_type",),
+                       value_col="value")
+    return (rng.select(
+        "event_type", "cnt",
+        F.round("sum_value", 2).alias("sum_val"),
+        F.round("min_value", 4).alias("min_val"),
+        F.round("max_value", 4).alias("max_val"))
+        .orderBy("event_type"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -440,6 +465,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x34_mixture_rebalance": x_mixture_rebalance,
     "x35_incremental_near_dup": x_incremental_near_dup,
     "x36_query_string_search": x_query_string_search,
+    "x37_rollup_metrics": x_rollup_metrics,
 }
 
 
@@ -870,5 +896,13 @@ EXTENSION_ORACLE: dict[str, str] = {
         "WHERE lang LIKE 'e_' OR source LIKE 'src1%' "
         "OR regexp_matches(lang, 'z.+') OR levenshtein(lang, 'fra') <= 2 "
         "ORDER BY doc_id"
+    ),
+    "x37_rollup_metrics": (
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "ROUND(SUM(value), 2) AS sum_val, "
+        "ROUND(MIN(value), 4) AS min_val, "
+        "ROUND(MAX(value), 4) AS max_val "
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' "
+        "AND '2024-01-20' GROUP BY event_type ORDER BY event_type"
     ),
 }

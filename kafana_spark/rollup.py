@@ -1,0 +1,74 @@
+"""Pre-aggregated rollups — the continuous-aggregate / hypertable twin.
+
+The reference's posture is "index once, query many" with rollover
+bounding index growth (/root/reference/README.md:6,14). At 100 TB the
+query-many half needs more than partition pruning: dashboard-style
+queries (date histograms, per-topic metrics, distinct-key counts over a
+day range) should not rescan the raw changelog at all. A daily rollup
+table — ~|group values| × |days| rows — answers them by re-aggregating
+PARTIALS:
+
+- count/sum/min/max merge exactly (associative),
+- distinct counts merge via Apache DataSketches HLL
+  (``hll_sketch_agg`` → binary sketch column; ``hll_union_agg`` merges
+  any subset of rows; ``hll_sketch_estimate`` reads the result),
+
+so query cost is proportional to rollup size, not raw size, and the
+rollup itself is built incrementally (one new ds row-group per group per
+day; ``unionByName`` of daily builds is the maintenance path — sketches
+and partial metrics merge across builds exactly like across days).
+
+Exactness contract: everything except the ``ndv_*`` columns is
+bit-equal to aggregating the raw data (x37 hash-checks that through the
+DuckDB oracle); ``ndv_*`` is approximate with HLL's standard error
+(lgConfigK=12 ⇒ ~1.6%), pinned by tolerance test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: HLL precision: 2^12 registers ≈ 1.6% relative standard error
+HLL_LG_K = 12
+
+
+def build_rollup(df: DataFrame, by: Sequence[str] = ("topic",),
+                 ds_col: str = "ds",
+                 value_col: str | None = None,
+                 distinct_cols: Sequence[str] = ()) -> DataFrame:
+    """One rollup row per (by…, ds): exact partial metrics + HLL
+    sketches. One shuffle on the (small-cardinality) group key; every
+    aggregate is map-side combinable."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs += [F.sum(value_col).alias(f"sum_{value_col}"),
+                 F.min(value_col).alias(f"min_{value_col}"),
+                 F.max(value_col).alias(f"max_{value_col}")]
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(c, HLL_LG_K).alias(f"hll_{c}"))
+    return df.groupBy(*by, ds_col).agg(*aggs)
+
+
+def rollup_range(rollup: DataFrame, ds0: str, ds1: str,
+                 by: Sequence[str] = ("topic",),
+                 value_col: str | None = None,
+                 distinct_cols: Sequence[str] = (),
+                 ds_col: str = "ds") -> DataFrame:
+    """Answer an arbitrary [ds0, ds1] day range from the rollup alone:
+    merge the day partials per group. The input is rollup-sized, so this
+    runs in milliseconds regardless of raw-data scale."""
+    sel = rollup.where((F.col(ds_col) >= F.lit(ds0).cast("date"))
+                       & (F.col(ds_col) <= F.lit(ds1).cast("date")))
+    aggs = [F.sum("cnt").alias("cnt")]
+    if value_col is not None:
+        aggs += [F.sum(f"sum_{value_col}").alias(f"sum_{value_col}"),
+                 F.min(f"min_{value_col}").alias(f"min_{value_col}"),
+                 F.max(f"max_{value_col}").alias(f"max_{value_col}")]
+    for c in distinct_cols:
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(f"hll_{c}"))
+            .alias(f"ndv_{c}"))
+    return sel.groupBy(*by).agg(*aggs)
