@@ -1,0 +1,95 @@
+"""Inverted token index — the Elasticsearch posting-list twin.
+
+The reference delegates full-text search to ES, whose core structure is
+the inverted index: term → posting list of document ids. The store-side
+stand-ins (per-row token/trigram blooms, `operators/text.py`) skip
+row-groups probabilistically; this module is the exact version for the
+terms worth a real index: a (token, _id) table SHARDED BY TOKEN HASH,
+so a term lookup prunes to one shard — O(postings) work per query
+against a 100 TB store.
+
+Scale shape:
+- build: explode distinct tokens per doc (map-only) → one write
+  partitioned by ``bucket = pmod(xxhash64(token), n_buckets)``. No
+  shuffle beyond the write's own partitioning.
+- lookup: the bucket of the queried term is a LITERAL, so the scan
+  reads one directory (partition pruning, pinned by test); the
+  surviving posting ids semi-join the store on ``_id``, where the
+  parquet bloom filters on ``_id`` (store.BLOOM_COLS) skip row groups.
+- maintenance: append-only — new documents append their postings; the
+  index needs no rewrite (a token's postings may span files within its
+  bucket; the reader unions them for free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 64
+
+
+def tokenize_field(col: F.Column) -> F.Column:
+    """Distinct lowercase word tokens of a field (ES standard-analyzer
+    flavored: split on non-alphanumerics, drop empties)."""
+    return F.array_distinct(F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"),
+        lambda t: t != F.lit("")))
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
+def build_token_index(docs: DataFrame, field: str = "message.value",
+                      id_col: str = "_id") -> DataFrame:
+    """(token, bucket, id) posting pairs for every distinct token per
+    document."""
+    return (docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize_field(F.col(field))).alias("token"))
+        .withColumn("bucket", _bucket(F.col("token"))))
+
+
+def write_token_index(postings: DataFrame, path: str,
+                      mode: str = "append") -> None:
+    """Persist postings sharded by token-hash bucket (append-only)."""
+    (postings.write.mode(mode).partitionBy("bucket").parquet(path))
+
+
+def lookup_ids(spark: SparkSession, index_path: str, term: str) -> DataFrame:
+    """Posting ids for one term: reads exactly one bucket directory."""
+    t = term.lower()
+    b = None
+    # compute the bucket driver-side so the scan filter is a literal
+    # (partition pruning happens at planning, before any file is read)
+    b_row = (spark.range(1)
+             .select(_bucket(F.lit(t)).alias("b")).collect())
+    b = b_row[0].b
+    return (spark.read.parquet(index_path)
+            .where((F.col("bucket") == b) & (F.col("token") == t))
+            .select("_id"))
+
+
+def search_via_index(spark: SparkSession, index_path: str,
+                     docs: DataFrame, term: str) -> DataFrame:
+    """Exact token search driven by the index: posting ids semi-join the
+    store on _id (ids broadcast — a selective term's postings are tiny
+    next to the store; for stop-word-like terms prefer the scan path)."""
+    ids = lookup_ids(spark, index_path, term)
+    return docs.join(F.broadcast(ids), "_id", "left_semi")
+
+
+def index_size_report(spark: SparkSession, index_path: str) -> dict:
+    """Operational stats: buckets present, files, postings."""
+    files = []
+    for root, _dirs, names in os.walk(index_path):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet")]
+    n_postings = spark.read.parquet(index_path).count()
+    buckets = len([d for d in os.listdir(index_path)
+                   if d.startswith("bucket=")])
+    return {"buckets": buckets, "files": len(files),
+            "postings": n_postings}

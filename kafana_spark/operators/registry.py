@@ -428,6 +428,36 @@ def x_rollup_metrics(spark, sf_dir):
         .orderBy("event_type"))
 
 
+INDEX_TERM = "scan"
+
+
+def x_indexed_token_search(spark, sf_dir):
+    """Inverted-index token search: postings for the term semi-join the
+    corpus — result must equal the direct scan (the oracle IS the
+    direct scan in SQL). The sharded on-disk path (one-bucket pruning,
+    append maintenance) is pinned by tests/test_index.py."""
+    from kafana_spark.index import build_token_index
+
+    d = _docs(spark, sf_dir)
+    postings = build_token_index(d, field="text", id_col="doc_id")
+    ids = (postings.where(F.col("token") == INDEX_TERM)
+           .select(F.col("_id").alias("doc_id")))
+    return (d.join(ids, "doc_id", "left_semi")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+SIGTERMS_K = 20
+SIGTERMS_MIN_FG = 3
+
+
+def x_significant_terms(spark, sf_dir):
+    """ES significant-terms agg: tokens over-represented in the
+    English-language foreground vs the whole corpus."""
+    d = _docs(spark, sf_dir)
+    return text.significant_terms(d, F.col("lang") == "en",
+                                  k=SIGTERMS_K, min_fg=SIGTERMS_MIN_FG)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -466,6 +496,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x35_incremental_near_dup": x_incremental_near_dup,
     "x36_query_string_search": x_query_string_search,
     "x37_rollup_metrics": x_rollup_metrics,
+    "x38_indexed_token_search": x_indexed_token_search,
+    "x39_significant_terms": x_significant_terms,
 }
 
 
@@ -904,5 +936,24 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ROUND(MAX(value), 4) AS max_val "
         "FROM events WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' "
         "AND '2024-01-20' GROUP BY event_type ORDER BY event_type"
+    ),
+    "x38_indexed_token_search": (
+        "SELECT doc_id, lang FROM documents WHERE "
+        f"list_contains(string_split(lower(text), ' '), '{INDEX_TERM}') "
+        "ORDER BY doc_id"
+    ),
+    "x39_significant_terms": (
+        "WITH tk AS (SELECT DISTINCT doc_id, lang = 'en' AS fg, "
+        "unnest(string_split(lower(text), ' ')) AS token FROM documents), "
+        "st AS (SELECT token, COUNT(*) AS bg_cnt, "
+        "CAST(COALESCE(SUM(CASE WHEN fg THEN 1 END), 0) AS BIGINT) "
+        "AS fg_cnt FROM tk GROUP BY token), "
+        "tot AS (SELECT COUNT(*) AS n, CAST(COALESCE(SUM(CASE WHEN "
+        "lang = 'en' THEN 1 END), 0) AS BIGINT) AS nf FROM documents) "
+        "SELECT token, fg_cnt, bg_cnt, "
+        "CAST(FLOOR(10000.0 * fg_cnt * n / (nf * bg_cnt)) AS BIGINT) "
+        "AS score_bp FROM st, tot "
+        f"WHERE fg_cnt >= {SIGTERMS_MIN_FG} "
+        f"ORDER BY score_bp DESC, token LIMIT {SIGTERMS_K}"
     ),
 }

@@ -221,6 +221,45 @@ def pair_counts(df: DataFrame, k: int = 30,
     return counts.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
+def significant_terms(df: DataFrame, foreground,
+                      k: int = 20, text_col: str = "text",
+                      min_fg: int = 3) -> DataFrame:
+    """ES significant-terms aggregation: tokens whose DOCUMENT frequency
+    in a foreground subset is over-represented vs the whole corpus
+    ("what is different about these documents?" — the Kibana
+    significant-terms panel the reference's ES delegates to).
+
+    ``foreground`` is a boolean Column. Score is a deterministic lift
+    ratio in basis points — floor(1e4 · (fg/nf)/(bg/n)) — rather than
+    ES's JLH (which is not cross-engine reproducible); ordering by lift
+    matches JLH's direction for fixed totals.
+
+    Shape: one distinct-token explode (doc frequency), one token-keyed
+    combinable agg carrying both fg and bg counts (no second pass over
+    the corpus), scalar totals broadcast, distributed top-k. All
+    exchanges carry token-keyed partials.
+    """
+    toks = df.select(
+        F.col("doc_id"), foreground.alias("fg"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col)))))
+        .alias("token"))
+    stats = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("bg_cnt"),
+                  F.coalesce(F.sum(F.when(F.col("fg"), 1)), F.lit(0))
+                  .cast("long").alias("fg_cnt")))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.when(foreground, 1)), F.lit(0))
+        .cast("long").alias("nf"))
+    score = F.floor(F.lit(10000.0) * F.col("fg_cnt") * F.col("n")
+                    / (F.col("nf") * F.col("bg_cnt")))
+    return (stats.crossJoin(F.broadcast(totals))
+            .where(F.col("fg_cnt") >= min_fg)
+            .select("token", "fg_cnt", "bg_cnt",
+                    score.alias("score_bp"))
+            .orderBy(F.col("score_bp").desc(), "token").limit(k))
+
+
 REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
     ("url", r"https?://[^\s]+"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),

@@ -203,3 +203,26 @@ def test_pair_counts_ranks_most_frequent_pair_first(spark):
     assert [r.pair for r in out][0] == "a b"
     assert out[0].cnt == 3
     assert [r.rk for r in out] == [1, 2, 3]
+
+
+def test_significant_terms_surfaces_foreground_only_token(spark):
+    rows = [
+        (1, "alpha shared words here", "en"),
+        (2, "alpha shared words there", "en"),
+        (3, "alpha shared words again", "en"),
+        (4, "beta shared words here", "de"),
+        (5, "beta shared words there", "de"),
+        (6, "beta shared words again", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = T.significant_terms(df, F.col("lang") == "en", k=5, min_fg=2)
+    out = got.collect()
+    # 'alpha' is foreground-exclusive -> lift = (3/3)/(3/6) = 2x = 20000bp
+    top = out[0]
+    assert top.token == "alpha"
+    assert top.score_bp == 20000
+    # corpus-uniform tokens score 10000bp (no lift)
+    scores = {r.token: r.score_bp for r in out}
+    assert scores["shared"] == 10000
+    # background-exclusive tokens never outrank uniform ones
+    assert "beta" not in scores or scores["beta"] < 10000
