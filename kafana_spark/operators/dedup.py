@@ -618,3 +618,36 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.99,
     if probe_mod > 1:
         pairs = pairs.where(F.col("da") % probe_mod == 0)
     return pairs
+
+
+def canonical_per_cluster(df: DataFrame, threshold: float = 0.5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Pick the KEEPER document of every near-dup cluster: highest
+    quality score, lowest doc_id as the deterministic tiebreak — the
+    consumption step that turns cluster assignment (``dup_clusters``)
+    into a deduplicated corpus while keeping the best copy, not an
+    arbitrary one.
+
+    Output: one row per cluster — (cluster_id, keeper id, member
+    count, keeper quality).
+
+    Scale: quality is a pure column pass; the join with the cluster
+    assignment shuffles (id, cluster_id, quality_bp) only — never
+    text; the keeper choice is a per-cluster window (partitioned, no
+    global sort). Cluster count ≤ doc count, so every stage is linear.
+    """
+    from kafana_spark.operators.text import quality_score
+
+    clusters = dup_clusters(df, threshold, text_col=text_col)
+    q = quality_score(df, id_col=id_col, text_col=text_col) \
+        .select(id_col, "quality_bp")
+    m = clusters.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_bp").desc(), F.col(id_col))
+    wc = Window.partitionBy("cluster_id")
+    return (m.withColumn("__rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(wc))
+            .where(F.col("__rn") == 1)
+            .select(F.col("cluster_id"), F.col(id_col).alias("keeper"),
+                    "n_members", "quality_bp"))

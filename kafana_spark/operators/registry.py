@@ -458,6 +458,126 @@ def x_significant_terms(spark, sf_dir):
                                   k=SIGTERMS_K, min_fg=SIGTERMS_MIN_FG)
 
 
+# --- ES bucket / pipeline aggregation surface (x40-x44) ---------------
+
+PIPE_MA_BUCKETS = 3
+
+
+def x_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations over the daily date-histogram:
+    derivative, cumulative sum, 3-bucket moving average (the Kibana
+    TSVB / Timelion panel surface)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = query.pipeline_aggs(ev, "ts", "value", unit="day",
+                            ma_buckets=PIPE_MA_BUCKETS)
+    return (p.select(
+        F.to_date("bucket").alias("ds"),
+        "cnt",
+        F.round("sum_v", 2).alias("sum_val"),
+        "deriv_cnt",
+        "cum_cnt",
+        F.round("ma_sum", 4).alias("ma_sum"))
+        .orderBy("ds"))
+
+
+COMPOSITE_KEYS = ("lang", "source")
+COMPOSITE_AFTER = ("de", "src12")
+COMPOSITE_SIZE = 10
+
+
+def x_composite_agg(spark, sf_dir):
+    """ES composite aggregation: page of (lang, source) buckets AFTER
+    the ('de','src12') after-key — the tuple predicate is applied to
+    raw rows before the aggregation shuffle."""
+    from kafana_spark import query
+
+    return query.composite_agg(_docs(spark, sf_dir), list(COMPOSITE_KEYS),
+                               after=COMPOSITE_AFTER, size=COMPOSITE_SIZE)
+
+
+RANGE_BOUNDS = (50.0, 150.0, 300.0)
+
+
+def x_range_agg(spark, sf_dir):
+    """ES range aggregation: explicit half-open value buckets with
+    per-bucket count + sum."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.range_agg(ev, "value", RANGE_BOUNDS)
+
+
+def x_filters_agg(spark, sf_dir):
+    """ES filters aggregation: three OVERLAPPING named buckets counted
+    in one scan."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.filters_agg(ev, {
+        "clicks": F.col("event_type") == "click",
+        "big_value": F.col("value") > 400,
+        "view_small": (F.col("event_type") == "view") & (F.col("value") < 100),
+    })
+
+
+RARE_MAX_DF = 2
+
+
+def x_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation over word bigrams: phrases appearing
+    in at most RARE_MAX_DF documents (the long tail a terms/top-N agg
+    can never surface)."""
+    from kafana_spark import query
+    from kafana_spark.functions import shingles
+
+    d = _docs(spark, sf_dir)
+    terms_df = d.select(F.explode(shingles(F.col("text"), 2)).alias("term"))
+    return query.rare_terms(terms_df, "term", max_count=RARE_MAX_DF)
+
+
+# --- training-pipeline consumption ops (x45-x47) ----------------------
+
+CHUNK_BLOCK_TOKENS = 3
+CHUNK_MAX_FREQ = 2
+
+
+def x_chunk_dedup(spark, sf_dir):
+    """Boilerplate-chunk removal with in-order reconstruction (CCNet
+    line-dedup shape): 3-token blocks occurring more than twice across
+    the corpus are dropped from every document."""
+    return (text.chunk_dedup(_docs(spark, sf_dir),
+                             block_tokens=CHUNK_BLOCK_TOKENS,
+                             max_freq=CHUNK_MAX_FREQ)
+            .orderBy("doc_id"))
+
+
+def x_canonical_docs(spark, sf_dir):
+    """Keeper selection per near-dup cluster: highest quality_bp wins,
+    doc_id breaks ties — dup_clusters → deduplicated corpus."""
+    return (dedup.canonical_per_cluster(_docs(spark, sf_dir),
+                                        NEAR_DUP_THRESHOLD)
+            .orderBy("cluster_id"))
+
+
+SHARD_N = 8
+SHARD_SEED = 0
+
+
+def x_shard_assign(spark, sf_dir):
+    """Deterministic training-order (shard, pos) assignment — the
+    reproducible global shuffle, keyed on portable hashes."""
+    from kafana_spark.operators import sample
+
+    return (sample.shard_assign(_docs(spark, sf_dir), n_shards=SHARD_N,
+                                seed=SHARD_SEED)
+            .orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -498,6 +618,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x37_rollup_metrics": x_rollup_metrics,
     "x38_indexed_token_search": x_indexed_token_search,
     "x39_significant_terms": x_significant_terms,
+    "x40_pipeline_aggs": x_pipeline_aggs,
+    "x41_composite_agg": x_composite_agg,
+    "x42_range_agg": x_range_agg,
+    "x43_filters_agg": x_filters_agg,
+    "x44_rare_terms": x_rare_terms,
+    "x45_chunk_dedup": x_chunk_dedup,
+    "x46_canonical_docs": x_canonical_docs,
+    "x47_shard_assign": x_shard_assign,
 }
 
 
@@ -556,23 +684,30 @@ def _minhash_sql() -> str:
     return f"WITH {_minhash_ctes()} {_JACCARD_SELECT} ORDER BY 1, 2"
 
 
-def _dup_clusters_sql() -> str:
-    """x24 oracle: connected components over the near-dup pair graph as
-    a recursive min-label reachability CTE — every document gets the
-    min doc_id reachable through verified near-dup pairs (itself if
-    isolated)."""
+def _dup_clusters_ctes() -> str:
+    """CTE chain ending in ``cl(doc_id, cluster_id)``: connected
+    components over the near-dup pair graph as a recursive min-label
+    reachability CTE — every document gets the min doc_id reachable
+    through verified near-dup pairs (itself if isolated). Must be
+    opened with WITH RECURSIVE."""
     return (
-        f"WITH RECURSIVE {_minhash_ctes()}, "
+        f"{_minhash_ctes()}, "
         f"p AS ({_JACCARD_SELECT}), "
         "edges AS (SELECT da AS a, db AS b FROM p "
         "UNION ALL SELECT db, da FROM p), "
         "reach(node, label) AS ("
         "SELECT doc_id, doc_id FROM documents "
         "UNION "
-        "SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b) "
-        "SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach "
-        "GROUP BY node ORDER BY doc_id"
+        "SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b), "
+        "cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach "
+        "GROUP BY node)"
     )
+
+
+def _dup_clusters_sql() -> str:
+    """x24 oracle."""
+    return (f"WITH RECURSIVE {_dup_clusters_ctes()} "
+            "SELECT doc_id, cluster_id FROM cl ORDER BY doc_id")
 
 
 def _ngram_jaccard_sql() -> str:
@@ -692,18 +827,78 @@ def _lang_id_sql() -> str:
     )
 
 
-def _quality_sql() -> str:
+def _quality_core(final_name: str = "q") -> str:
+    """CTE chain ending in ``<final_name>(doc_id, n_chars, quality_bp)``."""
     stop = ", ".join(f"'{w}'" for w in text.STOPWORDS)
     return (
-        "WITH t AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n, "
+        "qt AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n, "
         "len(list_distinct(string_split(text, ' '))) AS uniq, "
         f"len(list_filter(string_split(text, ' '), x -> list_contains([{stop}], x))) "
-        "AS stop_hits FROM documents) "
-        "SELECT doc_id, n_chars, CAST(("
+        "AS stop_hits FROM documents), "
+        f"{final_name} AS (SELECT doc_id, n_chars, CAST(("
         "4 * (LEAST(n, 100) * 100) + "
         "3 * ((10000 * uniq + n // 2) // n) + "
         "3 * LEAST((50000 * stop_hits) // n, 10000)"
-        ") // 10 AS BIGINT) AS quality_bp FROM t ORDER BY doc_id"
+        ") // 10 AS BIGINT) AS quality_bp FROM qt)"
+    )
+
+
+def _quality_sql() -> str:
+    return (f"WITH {_quality_core()} "
+            "SELECT doc_id, n_chars, quality_bp FROM q ORDER BY doc_id")
+
+
+def _chunk_dedup_sql() -> str:
+    k, t = CHUNK_BLOCK_TOKENS, CHUNK_MAX_FREQ
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"b AS (SELECT doc_id, i AS blk_pos, "
+        f"array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS blk "
+        f"FROM t, generate_series(0, 400) g(i) WHERE i*{k} < len(toks)), "
+        "f AS (SELECT blk, COUNT(*) AS freq FROM b GROUP BY blk), "
+        "kept AS (SELECT b.doc_id, b.blk_pos, b.blk FROM b "
+        f"JOIN f USING (blk) WHERE f.freq <= {t}) "
+        "SELECT doc_id, string_agg(blk, ' ' ORDER BY blk_pos) AS clean_text "
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _canonical_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_dup_clusters_ctes()}, {_quality_core()}, "
+        "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "
+        "FROM cl JOIN q USING (doc_id)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality_bp DESC, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS nm FROM m) "
+        "SELECT cluster_id, doc_id AS keeper, CAST(nm AS BIGINT) AS n_members, "
+        "quality_bp FROM r WHERE rn = 1 ORDER BY cluster_id"
+    )
+
+
+def _shard_sql() -> str:
+    n, s = SHARD_N, SHARD_SEED
+    hexp = ("CAST(concat('0x', substr(md5(concat_ws('#', "
+            "CAST(doc_id AS VARCHAR), '{ns}{seed}')), 1, 15)) AS BIGINT)")
+    hs = hexp.format(ns="shard", seed=s)
+    hp = hexp.format(ns="pos", seed=s)
+    return (
+        f"WITH h AS (SELECT doc_id, {hs} AS hs, {hp} AS hp FROM documents) "
+        f"SELECT doc_id, CAST(hs % {n} AS INTEGER) AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY hs % {n} "
+        "ORDER BY hp, doc_id) AS INTEGER) AS pos "
+        "FROM h ORDER BY doc_id"
+    )
+
+
+def _rare_terms_sql() -> str:
+    return (
+        "WITH sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        "f AS (SELECT s AS term, COUNT(*) AS cnt FROM sh2 GROUP BY s) "
+        f"SELECT term, cnt FROM f WHERE cnt <= {RARE_MAX_DF} ORDER BY term"
     )
 
 
@@ -956,4 +1151,43 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"WHERE fg_cnt >= {SIGTERMS_MIN_FG} "
         f"ORDER BY score_bp DESC, token LIMIT {SIGTERMS_K}"
     ),
+    "x40_pipeline_aggs": (
+        "WITH b AS (SELECT date_trunc('day', ts) AS bucket, "
+        "COUNT(*) AS cnt, SUM(value) AS sum_v FROM events GROUP BY 1) "
+        "SELECT CAST(bucket AS DATE) AS ds, cnt, "
+        "ROUND(sum_v, 2) AS sum_val, "
+        "cnt - LAG(cnt) OVER (ORDER BY bucket) AS deriv_cnt, "
+        "CAST(SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt, "
+        f"ROUND(AVG(sum_v) OVER (ORDER BY bucket ROWS BETWEEN "
+        f"{PIPE_MA_BUCKETS - 1} PRECEDING AND CURRENT ROW), 4) AS ma_sum "
+        "FROM b ORDER BY ds"
+    ),
+    "x41_composite_agg": (
+        "SELECT lang, source, COUNT(*) AS cnt FROM documents "
+        f"WHERE (lang > '{COMPOSITE_AFTER[0]}') OR "
+        f"(lang = '{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}') "
+        f"GROUP BY lang, source ORDER BY lang, source LIMIT {COMPOSITE_SIZE}"
+    ),
+    "x42_range_agg": (
+        "SELECT CASE "
+        f"WHEN value < {RANGE_BOUNDS[0]:g} THEN '*-{RANGE_BOUNDS[0]:g}' "
+        f"WHEN value < {RANGE_BOUNDS[1]:g} THEN "
+        f"'{RANGE_BOUNDS[0]:g}-{RANGE_BOUNDS[1]:g}' "
+        f"WHEN value < {RANGE_BOUNDS[2]:g} THEN "
+        f"'{RANGE_BOUNDS[1]:g}-{RANGE_BOUNDS[2]:g}' "
+        f"ELSE '{RANGE_BOUNDS[2]:g}-*' END AS bucket, "
+        "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_v FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1 ORDER BY bucket"
+    ),
+    "x43_filters_agg": (
+        "SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS clicks, "
+        "COUNT(*) FILTER (WHERE value > 400) AS big_value, "
+        "COUNT(*) FILTER (WHERE event_type = 'view' AND value < 100) "
+        "AS view_small FROM events"
+    ),
+    "x44_rare_terms": _rare_terms_sql(),
+    "x45_chunk_dedup": _chunk_dedup_sql(),
+    "x46_canonical_docs": _canonical_sql(),
+    "x47_shard_assign": _shard_sql(),
 }

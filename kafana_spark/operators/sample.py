@@ -20,6 +20,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafana_spark.functions import portable_hash64
 
@@ -99,3 +100,34 @@ def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
     return (df.join(F.broadcast(rates), strata_col)
             .where(sample_bucket(F.col(key_col), seed) < F.col("__rate"))
             .drop("__rate"))
+
+
+def shard_assign(df: DataFrame, key_col: str = "doc_id",
+                 n_shards: int = 8, seed: int = 0) -> DataFrame:
+    """Deterministic training-order assignment: every row gets a
+    ``(shard, pos)`` — a reproducible global shuffle for training-data
+    ordering (epoch order = ORDER BY shard, pos) that is stable across
+    runs, engines and partitionings, like every sampler here.
+
+    Scale: the shard id is a pure column expression (no shuffle); the
+    within-shard position is a row_number window PARTITIONED BY shard —
+    n_shards independent sorts, each 1/n_shards of the data, instead
+    of one global single-partition sort. Writers consume it as
+    ``.repartition("shard").sortWithinPartitions("pos")`` — one
+    shuffle, fully parallel.
+
+    The position key is a SECOND independent hash (different seed
+    namespace): ordering by the shard hash would correlate order with
+    shard assignment; ordering by the raw key would preserve corpus
+    order within shards.
+    """
+    k = F.col(key_col).cast("string")
+    h_shard = portable_hash64(F.concat_ws("#", k, F.lit(f"shard{seed}")))
+    h_pos = portable_hash64(F.concat_ws("#", k, F.lit(f"pos{seed}")))
+    w = Window.partitionBy("shard").orderBy("h_pos", key_col)
+    return (df.select(F.col(key_col),
+                      F.pmod(h_shard, F.lit(n_shards)).cast("int")
+                      .alias("shard"),
+                      h_pos.alias("h_pos"))
+            .withColumn("pos", F.row_number().over(w))
+            .select(key_col, "shard", "pos"))

@@ -689,3 +689,47 @@ def hash_bytes(data: bytes) -> int:
     for byte in data:
         h = (h * 257 + byte) % m
     return h
+
+
+# ------------------------------------------------ boilerplate chunk dedup
+
+def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", block_tokens: int = 3,
+                max_freq: int = 2) -> DataFrame:
+    """Boilerplate-chunk removal (CCNet-style line-level dedup,
+    re-expressed for unstructured text): split every document into
+    consecutive ``block_tokens``-token blocks, drop each block whose
+    exact text occurs more than ``max_freq`` times across the corpus,
+    and reconstruct the surviving text in original order.
+
+    This is the corpus-level cleanup between exact dedup (whole-doc)
+    and near dedup (whole-doc similarity): headers, navigation chrome
+    and license blurbs repeat across *different* documents and survive
+    both.
+
+    Scale: block frequency is counted on the 60-bit portable hash, so
+    the count shuffles 8-byte keys, not block text (collisions at 2^60
+    are negligible and would only misdrop a block, never corrupt one);
+    reconstruction shuffles each surviving block once, keyed by doc_id.
+    Both shuffles are linear in corpus size — nothing quadratic, nothing
+    collected. The per-doc block list is built by an interpreted
+    ``transform`` lambda, but over O(n_tokens/block_tokens) elements —
+    the same cost class as the shingle builders.
+    """
+    from kafana_spark.functions import portable_hash64
+
+    toks = tokens(F.col(text_col))
+    nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * block_tokens + 1, block_tokens), " "))
+    b = df.select(F.col(id_col), F.posexplode(blocks).alias("blk_pos", "blk"))
+    bh = b.withColumn("bh", portable_hash64(F.col("blk")))
+    freq = bh.groupBy("bh").agg(F.count(F.lit(1)).alias("freq"))
+    kept = bh.join(freq, "bh").where(F.col("freq") <= F.lit(max_freq))
+    ordered = F.array_sort(F.collect_list(F.struct("blk_pos", "blk")))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(ordered, lambda s: s["blk"]), " ")
+                .alias("clean_text")))

@@ -190,3 +190,104 @@ def histogram(df: DataFrame, field: str, width: float) -> DataFrame:
     return (df.where(F.col(field).isNotNull())
             .groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("bucket"))
+
+
+# ------------------------------------------------- pipeline / bucket aggs
+
+def pipeline_aggs(df: DataFrame, time_col: str, value_col: str,
+                  unit: str = "day", ma_buckets: int = 3) -> DataFrame:
+    """ES pipeline aggregations: ``derivative``, ``cumulative_sum`` and
+    ``moving_fn`` (moving average) computed over the buckets of a parent
+    date_histogram — the Kibana TSVB / Timelion panel surface
+    (ES 6.8 pipeline aggs; the reference delegates all charting to
+    Kibana, /root/reference/README.md:15).
+
+    Scale: the raw scan aggregates FIRST (distributed, map-side
+    combinable); the window functions then run over the bucket frame —
+    one row per time bucket, O(range/interval) rows even at 100 TB —
+    so the unpartitioned window is a deliberate post-aggregation step
+    over a tiny frame, not a global sort of the data.
+    """
+    b = (df.groupBy(F.date_trunc(unit, F.col(time_col)).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(value_col).alias("sum_v")))
+    w = Window.orderBy("bucket")
+    return b.select(
+        "bucket", "cnt", "sum_v",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("deriv_cnt"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cnt"),
+        F.avg("sum_v").over(w.rowsBetween(-(ma_buckets - 1), 0))
+        .alias("ma_sum"),
+    )
+
+
+def composite_agg(df: DataFrame, keys: Sequence[str],
+                  after: Sequence | None = None, size: int = 10) -> DataFrame:
+    """ES composite aggregation: multi-source buckets in natural key
+    order with ``after``-key pagination.
+
+    Scale: the after-key becomes a predicate on the RAW rows (bucket
+    keys are row values), applied BEFORE the aggregation shuffle — rows
+    belonging to already-paged buckets never enter the shuffle, and the
+    predicate reaches the parquet scan. Deep bucket pages therefore
+    cost the same as page one (the aggregation twin of keyset
+    search_after, C9).
+    """
+    if after is not None:
+        pred = None
+        eq = None
+        for k, v in zip(keys, after):
+            gt = F.col(k) > F.lit(v)
+            clause = gt if eq is None else eq & gt
+            pred = clause if pred is None else pred | clause
+            e = F.col(k) == F.lit(v)
+            eq = e if eq is None else eq & e
+        df = df.where(pred)
+    return (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(*keys).limit(size))
+
+
+def range_agg(df: DataFrame, field: str, bounds: Sequence[float]) -> DataFrame:
+    """ES range aggregation: explicit half-open buckets
+    ``[*,b0) [b0,b1) … [bn,*)`` with per-bucket count + sum.
+
+    One scan, no join: the bucket label is a chained CASE expression
+    (whole-stage-codegen'd), the agg is map-side combinable, and bucket
+    cardinality is len(bounds)+1 regardless of data size.
+    """
+    c = F.col(field)
+    label = F.when(c < F.lit(bounds[0]), F.lit(f"*-{bounds[0]:g}"))
+    for lo, hi in zip(bounds, bounds[1:]):
+        label = label.when(c < F.lit(hi), F.lit(f"{lo:g}-{hi:g}"))
+    label = label.otherwise(F.lit(f"{bounds[-1]:g}-*"))
+    return (df.where(c.isNotNull())
+            .groupBy(label.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum(c), 2).alias("sum_v"))
+            .orderBy("bucket"))
+
+
+def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES filters aggregation: arbitrary, possibly-OVERLAPPING named
+    buckets in ONE scan — each bucket is a conditional count, so k
+    filters cost one pass, not k scans (overlap is exactly what a
+    groupBy-CASE bucketing cannot express).
+    """
+    return df.agg(*[
+        F.count(F.when(p, F.lit(1))).alias(name)
+        for name, p in filters.items()])
+
+
+def rare_terms(df: DataFrame, field: str, max_count: int = 2) -> DataFrame:
+    """ES rare_terms aggregation: the LONG-TAIL buckets — terms whose
+    doc count is at most ``max_count`` (the dual of terms/top-N, which
+    can never surface them; ES added it precisely because sorting
+    terms ascending by count is abuse-prone).
+
+    Scale: map-side-combinable group-count then filter; the output is
+    the tail itself — never a global sort of the full term dictionary.
+    """
+    return (df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") <= F.lit(max_count))
+            .orderBy(field))

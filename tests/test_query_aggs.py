@@ -1,0 +1,153 @@
+"""ES bucket/pipeline aggregation surface (query.py x40-x44 APIs) and
+the training-pipeline consumption ops (chunk_dedup, canonical_per_cluster,
+shard_assign)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from kafana_spark import query
+from kafana_spark.operators import dedup, sample, text
+
+
+def _events(spark):
+    rows = []
+    for d in range(3):
+        for i in range(d + 1):  # 1, 2, 3 events on days 0..2
+            rows.append((datetime.datetime(2024, 1, 1 + d, 10, i), 10.0))
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_pipeline_aggs_values(spark):
+    out = query.pipeline_aggs(_events(spark), "ts", "value",
+                              unit="day", ma_buckets=2)
+    rows = {r["bucket"].day: r for r in out.collect()}
+    assert [rows[d]["cnt"] for d in (1, 2, 3)] == [1, 2, 3]
+    # derivative: None, +1, +1
+    assert rows[1]["deriv_cnt"] is None
+    assert rows[2]["deriv_cnt"] == 1 and rows[3]["deriv_cnt"] == 1
+    # cumulative count: 1, 3, 6
+    assert [rows[d]["cum_cnt"] for d in (1, 2, 3)] == [1, 3, 6]
+    # 2-bucket moving average of sum_v (10, 20, 30): 10, 15, 25
+    assert [rows[d]["ma_sum"] for d in (1, 2, 3)] == [10.0, 15.0, 25.0]
+
+
+def test_composite_agg_pages_tile_the_buckets(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in "abc" for b in ("x", "y") for _ in range(2)],
+        "k1 string, k2 string")
+    seen, after = [], None
+    while True:
+        page = query.composite_agg(df, ["k1", "k2"], after=after, size=2) \
+            .collect()
+        if not page:
+            break
+        seen += [(r["k1"], r["k2"], r["cnt"]) for r in page]
+        after = (page[-1]["k1"], page[-1]["k2"])
+    # pages are disjoint, ordered, and cover every bucket exactly once
+    assert seen == sorted(set(seen))
+    assert seen == [(a, b, 2) for a in "abc" for b in ("x", "y")]
+
+
+def test_composite_after_key_filters_before_aggregation(spark):
+    df = spark.range(10).select(
+        (F.col("id") % 5).cast("string").alias("k1"),
+        F.lit("z").alias("k2"))
+    plan = query.composite_agg(df, ["k1", "k2"], after=("2", "z"), size=9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the tuple predicate must sit below the aggregate, not above it
+    agg_pos = plan.index("HashAggregate")
+    assert "Filter" in plan[agg_pos:], plan
+
+
+def test_range_and_filters_aggs(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (5, 50, 99, 150, 299, 300, 400)],
+        "value double")
+    buckets = {r["bucket"]: r["cnt"]
+               for r in query.range_agg(df, "value", (50.0, 150.0, 300.0))
+               .collect()}
+    assert buckets == {"*-50": 1, "50-150": 2, "150-300": 2, "300-*": 2}
+
+    row = query.filters_agg(df, {
+        "small": F.col("value") < 100,
+        "big": F.col("value") >= 100,
+        "all": F.lit(True),          # overlaps both
+    }).collect()[0]
+    assert (row["small"], row["big"], row["all"]) == (3, 4, 7)
+
+
+def test_rare_terms_surfaces_only_the_tail(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "term string")
+    out = query.rare_terms(df, "term", max_count=2).collect()
+    assert [(r["term"], r["cnt"]) for r in out] == [("b", 2), ("c", 1)]
+
+
+def test_chunk_dedup_drops_boilerplate_and_preserves_order(spark):
+    boiler = "all rights reserved"
+    docs = [(i, f"doc{i} unique words here {boiler}") for i in range(4)]
+    docs.append((9, "completely original text entirely"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in text.chunk_dedup(df, block_tokens=4, max_freq=2)
+           .collect()}
+    # blocks are 4 tokens: "docN unique words here" (unique) +
+    # "all rights reserved" tail block (appears 4x > max_freq 2)
+    for i in range(4):
+        assert out[i] == f"doc{i} unique words here"
+    assert out[9] == "completely original text entirely"
+
+
+def test_chunk_dedup_can_drop_whole_documents(spark):
+    df = spark.createDataFrame(
+        [(i, "same exact text") for i in range(5)],
+        "doc_id long, text string")
+    assert text.chunk_dedup(df, block_tokens=3, max_freq=2).count() == 0
+
+
+def test_canonical_per_cluster_prefers_quality(spark):
+    # two near-identical docs (shared shingles) + one isolated
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base + " extra"), (2, base + " extra padding tokens"),
+         (3, "totally different words never repeating anywhere else")],
+        "doc_id long, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+    out = {r["cluster_id"]: r
+           for r in dedup.canonical_per_cluster(df, 0.5).collect()}
+    dup_cluster = out[1]
+    assert dup_cluster["n_members"] == 2
+    # keeper is the member with the higher quality_bp (len 2 tiebreak)
+    from kafana_spark.operators.text import quality_score
+    q = {r["doc_id"]: r["quality_bp"]
+         for r in quality_score(df).collect()}
+    expect = max((1, 2), key=lambda d: (q[d], -d))
+    assert dup_cluster["keeper"] == expect
+    assert out[3]["n_members"] == 1 and out[3]["keeper"] == 3
+
+
+def test_shard_assign_deterministic_and_complete(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = sample.shard_assign(df, n_shards=4).collect()
+    b = sample.shard_assign(df.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 100 and len({r["doc_id"] for r in a}) == 100
+    # pos is contiguous 1..n within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_assign_window_is_partitioned(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = sample.shard_assign(df, n_shards=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the row_number window must partition by shard — a SinglePartition
+    # exchange would mean a global sort bottleneck
+    assert "SinglePartition" not in plan, plan
