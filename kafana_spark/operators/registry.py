@@ -578,6 +578,30 @@ def x_shard_assign(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def x_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, exploded to (label, pos, c) long
+    format for the oracle hash (arrays stay the operator's output
+    shape)."""
+    cent = similarity.label_centroids(_embs(spark, sf_dir))
+    return (cent.select("label", F.posexplode("centroid").alias("pos", "c"))
+            .select("label", "pos", F.round("c", 4).alias("c"))
+            .orderBy("label", "pos"))
+
+
+def x_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix agg: named filters + pairwise intersections
+    over events, one scan."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.adjacency_matrix(ev, {
+        "click": F.col("event_type") == "click",
+        "big": F.col("value") > 300,
+        "even_user": F.col("user_id") % 2 == 0,
+    })
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -626,6 +650,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x45_chunk_dedup": x_chunk_dedup,
     "x46_canonical_docs": x_canonical_docs,
     "x47_shard_assign": x_shard_assign,
+    "x48_label_centroids": x_label_centroids,
+    "x49_adjacency_matrix": x_adjacency_matrix,
 }
 
 
@@ -1190,4 +1216,31 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x45_chunk_dedup": _chunk_dedup_sql(),
     "x46_canonical_docs": _canonical_sql(),
     "x47_shard_assign": _shard_sql(),
+    "x48_label_centroids": (
+        "WITH e AS (SELECT label, i - 1 AS pos, embedding[i] AS v "
+        "FROM embeddings, generate_series(1, 4096) g(i) "
+        "WHERE i <= len(embedding)) "
+        "SELECT label, pos, ROUND(AVG(v), 4) AS c FROM e "
+        "GROUP BY label, pos ORDER BY label, pos"
+    ),
+    "x49_adjacency_matrix": (
+        "WITH m AS (SELECT "
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS c_click, "
+        "COUNT(*) FILTER (WHERE value > 300) AS c_big, "
+        "COUNT(*) FILTER (WHERE user_id % 2 = 0) AS c_even, "
+        "COUNT(*) FILTER (WHERE event_type = 'click' AND value > 300) "
+        "AS c_click_big, "
+        "COUNT(*) FILTER (WHERE event_type = 'click' AND user_id % 2 = 0) "
+        "AS c_click_even, "
+        "COUNT(*) FILTER (WHERE value > 300 AND user_id % 2 = 0) "
+        "AS c_big_even FROM events) "
+        "SELECT bucket, cnt FROM ("
+        "SELECT 'click' AS bucket, c_click AS cnt FROM m "
+        "UNION ALL SELECT 'click&big', c_click_big FROM m "
+        "UNION ALL SELECT 'click&even_user', c_click_even FROM m "
+        "UNION ALL SELECT 'big', c_big FROM m "
+        "UNION ALL SELECT 'big&even_user', c_big_even FROM m "
+        "UNION ALL SELECT 'even_user', c_even FROM m) "
+        "WHERE cnt > 0 ORDER BY bucket"
+    ),
 }

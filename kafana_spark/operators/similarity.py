@@ -183,3 +183,25 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.dropDuplicates(["qid", "vec_id"])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-class embedding centroids — elementwise mean vector of every
+    label (nearest-class-mean classification, cluster health checks,
+    IVF/PQ codebook seeding).
+
+    Scale: posexplode expands to (label, pos, component) — a dim× row
+    expansion, but the average is map-side combinable on (label, pos),
+    so the shuffle carries one partial (sum, count) per (label, pos)
+    per input partition, NOT the expanded rows. The centroid array is
+    rebuilt with a per-label sort over dim elements. No driver-side
+    math, no collect.
+    """
+    e = df.select(F.col(label_col).alias("label"),
+                  F.posexplode(vec_col).alias("pos", "v"))
+    agg = e.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (agg.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("centroid")))

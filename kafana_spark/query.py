@@ -291,3 +291,28 @@ def rare_terms(df: DataFrame, field: str, max_count: int = 2) -> DataFrame:
     return (df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") <= F.lit(max_count))
             .orderBy(field))
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts for every named
+    filter and every pairwise intersection — the co-occurrence matrix
+    behind Kibana's graph visualizations.
+
+    One scan: k(k+1)/2 conditional counts instead of one pass per
+    cell; the single aggregated row is then unpivoted to ES's bucket
+    shape. Empty intersections are omitted, as ES does.
+    """
+    names = list(filters)
+    cols, keys = [], []
+    for i, a in enumerate(names):
+        for j in range(i, len(names)):
+            b = names[j]
+            key = a if i == j else f"{a}&{b}"
+            pred = filters[a] if i == j else (filters[a] & filters[b])
+            keys.append(key)
+            cols.append(F.count(F.when(pred, F.lit(1))).alias(key))
+    row = df.agg(*cols)
+    pairs = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return (row.selectExpr(f"stack({len(keys)}, {pairs}) AS (bucket, cnt)")
+            .where(F.col("cnt") > 0)
+            .orderBy("bucket"))

@@ -151,3 +151,28 @@ def test_shard_assign_window_is_partitioned(spark):
     # the row_number window must partition by shard — a SinglePartition
     # exchange would mean a global sort bottleneck
     assert "SinglePartition" not in plan, plan
+
+
+def test_label_centroids_elementwise_mean(spark):
+    from kafana_spark.operators import similarity
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>")
+    out = {r["label"]: r["centroid"]
+           for r in similarity.label_centroids(df).collect()}
+    assert out[0] == [2.0, 3.0]
+    assert out[1] == [10.0, 20.0]
+
+
+def test_adjacency_matrix_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "v int, t string")
+    out = {r["bucket"]: r["cnt"]
+           for r in query.adjacency_matrix(df, {
+               "ta": F.col("t") == "a",
+               "small": F.col("v") <= 2,
+               "odd": F.col("v") % 2 == 1,
+           }).collect()}
+    # ta∩small = {1,2}; ta∩odd = {1}; small∩odd = {1}; empties omitted
+    assert out == {"ta": 2, "small": 2, "odd": 2,
+                   "ta&small": 2, "ta&odd": 1, "small&odd": 1}
