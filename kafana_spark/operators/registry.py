@@ -602,6 +602,15 @@ def x_adjacency_matrix(spark, sf_dir):
     })
 
 
+def x_int8_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embeddings corpus, exploded to
+    (vec_id, pos, q) long format — integer-only output, so the hash
+    check is exact (scale/recall semantics are pytest-pinned)."""
+    qz = similarity.int8_quantize(_embs(spark, sf_dir))
+    return (qz.select("vec_id", F.posexplode("q8").alias("pos", "q"))
+            .orderBy("vec_id", "pos"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -652,6 +661,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x47_shard_assign": x_shard_assign,
     "x48_label_centroids": x_label_centroids,
     "x49_adjacency_matrix": x_adjacency_matrix,
+    "x50_int8_quantize": x_int8_quantize,
 }
 
 
@@ -1242,5 +1252,16 @@ EXTENSION_ORACLE: dict[str, str] = {
         "UNION ALL SELECT 'big&even_user', c_big_even FROM m "
         "UNION ALL SELECT 'even_user', c_even FROM m) "
         "WHERE cnt > 0 ORDER BY bucket"
+    ),
+    "x50_int8_quantize": (
+        "WITH m AS (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), "
+        "e AS (SELECT vec_id, i - 1 AS pos, "
+        "CAST(embedding[i] AS DOUBLE) AS x, maxabs FROM m, "
+        "generate_series(1, 4096) g(i) WHERE i <= len(embedding)) "
+        "SELECT vec_id, pos, CASE WHEN maxabs = 0 THEN 0 ELSE "
+        "CAST(FLOOR(x * 127.0 / maxabs) AS INTEGER) END AS q "
+        "FROM e ORDER BY vec_id, pos"
     ),
 }

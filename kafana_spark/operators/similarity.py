@@ -205,3 +205,40 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))),
                 lambda s: s["c"]).alias("centroid")))
+
+
+def int8_quantize(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-vector
+    max-abs scale, components mapped into [-127, 127] — the standard
+    4× memory cut for an ANN corpus (recall impact pinned by test).
+
+    Engine-portable determinism: q = FLOOR(x·127/maxabs). FLOOR, not
+    round-half-anything — Spark truncates double→int casts while DuckDB
+    rounds them, so an explicit FLOOR is the only mapping both engines
+    agree on bit-for-bit (float→double widening is exact, and IEEE
+    double ops are identical given identical expression shape).
+
+    Scale: pure per-row column math, map-only — no shuffle, no UDF.
+    The transform/array_max lambdas are interpreted, but over dim
+    elements once per row at WRITE time; the read path consumes the
+    int8 codes.
+    """
+    v = as_double_array(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(maxabs == 0, F.transform(v, lambda x: F.lit(0))) \
+        .otherwise(F.transform(
+            v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("int")))
+    return df.select(
+        F.col(id_col),
+        F.round(maxabs / F.lit(127.0), 8).alias("scale"),
+        q.alias("q8"))
+
+
+def dequantize(df: DataFrame, q_col: str = "q8",
+               scale_col: str = "scale") -> DataFrame:
+    """Inverse of int8_quantize (modulo quantization error): component
+    ≈ q·scale. Used by the recall tests to bound the accuracy cost."""
+    return df.withColumn(
+        "v", F.transform(F.col(q_col),
+                         lambda x: x.cast("double") * F.col(scale_col)))

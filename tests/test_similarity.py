@@ -93,3 +93,32 @@ def test_ivf_kmeans_centroids_recall(spark):
                                   n_assign=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_int8_quantize_bounds_and_roundtrip(spark):
+    e = embs(spark)
+    qz = similarity.int8_quantize(e)
+    joined = (similarity.dequantize(qz)
+              .join(e.select("vec_id",
+                             F.col("embedding").cast("array<double>")
+                             .alias("orig")), "vec_id"))
+    rows = joined.select("vec_id", "q8", "scale", "v", "orig").collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert all(-127 <= q <= 127 for q in r.q8)
+        # reconstruction error per component is bounded by one code step
+        for a, b in zip(r.v, r.orig):
+            assert abs(a - b) <= r.scale + 1e-12
+
+
+def test_int8_quantized_topk_recall(spark):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = similarity.brute_force_topk(e, q, k=10).collect()
+    deq = (similarity.dequantize(similarity.int8_quantize(e))
+           .select("vec_id", F.col("v").alias("embedding")))
+    approx = similarity.brute_force_topk(deq, q, k=10).collect()
+    exact_set = {(r.qid, r.vec_id) for r in exact}
+    approx_set = {(r.qid, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.85, f"int8 recall too low: {recall:.2f}"
