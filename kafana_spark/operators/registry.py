@@ -611,6 +611,21 @@ def x_int8_quantize(spark, sf_dir):
             .orderBy("vec_id", "pos"))
 
 
+GAPFILL_USER = 13
+
+
+def x_gapfill_histogram(spark, sf_dir):
+    """ES date_histogram with min_doc_count=0: daily buckets for one
+    sparse key, empty days zero-filled from the sequence() spine."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id") == GAPFILL_USER))
+    g = query.date_histogram_gapfill(ev, "ts", unit="day")
+    return g.select(F.to_date("bucket").alias("ds"), "cnt").orderBy("ds")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -662,6 +677,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x48_label_centroids": x_label_centroids,
     "x49_adjacency_matrix": x_adjacency_matrix,
     "x50_int8_quantize": x_int8_quantize,
+    "x51_gapfill_histogram": x_gapfill_histogram,
 }
 
 
@@ -1263,5 +1279,15 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT vec_id, pos, CASE WHEN maxabs = 0 THEN 0 ELSE "
         "CAST(FLOOR(x * 127.0 / maxabs) AS INTEGER) END AS q "
         "FROM e ORDER BY vec_id, pos"
+    ),
+    "x51_gapfill_histogram": (
+        "WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+        "AS bucket, COUNT(*) AS cnt FROM events "
+        f"WHERE user_id = {GAPFILL_USER} GROUP BY 1), "
+        "sp AS (SELECT unnest(generate_series("
+        "(SELECT MIN(bucket) FROM b), (SELECT MAX(bucket) FROM b), "
+        "INTERVAL 1 DAY)) AS bucket) "
+        "SELECT CAST(sp.bucket AS DATE) AS ds, COALESCE(b.cnt, 0) AS cnt "
+        "FROM sp LEFT JOIN b ON sp.bucket = b.bucket ORDER BY ds"
     ),
 }

@@ -316,3 +316,26 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
     return (row.selectExpr(f"stack({len(keys)}, {pairs}) AS (bucket, cnt)")
             .where(F.col("cnt") > 0)
             .orderBy("bucket"))
+
+
+def date_histogram_gapfill(df: DataFrame, time_col: str,
+                           unit: str = "day") -> DataFrame:
+    """ES date_histogram with ``min_doc_count: 0`` + extended_bounds:
+    emit EMPTY buckets for intervals with no documents. Kibana charts
+    need the zero points, and a plain groupBy can never produce them.
+
+    Scale: the raw scan aggregates FIRST; the bucket spine is
+    sequence()-generated between the aggregated min/max buckets —
+    O(range/interval) rows — and LEFT-joined to the bucket frame. The
+    spine join touches bucket rows only (both sides post-aggregation,
+    broadcast-sized); raw data is never re-shuffled.
+    """
+    b = (df.groupBy(F.date_trunc(unit, F.col(time_col)).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    spine = (b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+             .select(F.explode(F.sequence(
+                 F.col("lo"), F.col("hi"),
+                 F.expr(f"interval 1 {unit}"))).alias("bucket")))
+    return (spine.join(b, "bucket", "left")
+            .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .orderBy("bucket"))

@@ -72,3 +72,70 @@ def rollup_range(rollup: DataFrame, ds0: str, ds1: str,
             F.hll_sketch_estimate(F.hll_union_agg(f"hll_{c}"))
             .alias(f"ndv_{c}"))
     return sel.groupBy(*by).agg(*aggs)
+
+
+def update_rollup(existing: DataFrame | None, batch: DataFrame,
+                  by: Sequence[str] = ("topic",), ds_col: str = "ds",
+                  value_col: str | None = None,
+                  distinct_cols: Sequence[str] = ()) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: merge one batch's
+    daily partials into an existing rollup so the result equals
+    ``build_rollup`` over the full history (partials and HLL sketches
+    merge associatively — pinned by test).
+
+    Partition-granular, like store.merge_upsert: rollup rows for
+    UNTOUCHED (group, day) keys pass through without re-aggregation —
+    only keys present in the batch are re-merged. A late event for an
+    old day therefore costs one semi/anti join against the (tiny)
+    rollup plus a re-aggregation of the touched rows only.
+    """
+    delta = build_rollup(batch, by=by, ds_col=ds_col, value_col=value_col,
+                         distinct_cols=distinct_cols)
+    if existing is None:
+        return delta
+    keys = [*by, ds_col]
+    touched_keys = delta.select(*keys).distinct()
+    untouched = existing.join(touched_keys, keys, "left_anti")
+    touched = existing.join(touched_keys, keys, "left_semi") \
+        .unionByName(delta)
+    aggs = [F.sum("cnt").alias("cnt")]
+    if value_col is not None:
+        aggs += [F.sum(f"sum_{value_col}").alias(f"sum_{value_col}"),
+                 F.min(f"min_{value_col}").alias(f"min_{value_col}"),
+                 F.max(f"max_{value_col}").alias(f"max_{value_col}")]
+    for c in distinct_cols:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
+    merged = touched.groupBy(*keys).agg(*aggs)
+    return untouched.unionByName(merged)
+
+
+def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
+                       time_col: str = "ts", ds_col: str = "ds",
+                       value_col: str | None = None,
+                       distinct_cols: Sequence[str] = ()):
+    """foreachBatch sink keeping a parquet rollup continuously up to
+    date: each micro-batch re-merges only the (group, day) keys it
+    touches. Use with
+    ``stream.writeStream.foreachBatch(rollup_stream_sink(...))``.
+
+    The merged frame is eagerly materialized (localCheckpoint) before
+    the overwrite so the read-modify-write on the same path never
+    races its own scan.
+    """
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        days = batch_df.withColumn(ds_col, F.to_date(time_col))
+        existing = None
+        if os.path.isdir(path) and any(
+                f.endswith(".parquet") or f == "_SUCCESS"
+                for _, _, fs in os.walk(path) for f in fs):
+            existing = spark.read.parquet(path)
+        merged = update_rollup(existing, days, by=by, ds_col=ds_col,
+                               value_col=value_col,
+                               distinct_cols=distinct_cols)
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    return _sink

@@ -71,3 +71,95 @@ def test_incremental_builds_merge_like_one_shot(spark):
         assert abs(m[et].sum_value - o[et].sum_value) < 1e-6
         # sketch union is exact over the SAME underlying values
         assert m[et].ndv_user_id == o[et].ndv_user_id
+
+
+def test_update_rollup_equals_full_rebuild(spark):
+    """Incremental maintenance with OVERLAPPING days: merging the late
+    batch re-aggregates only touched (group, day) keys and the result
+    matches a one-shot build over the full history."""
+    from kafana_spark.rollup import update_rollup
+
+    ev = events(spark)
+    first = ev.where(F.col("ds") <= "2024-01-15")
+    late = ev.where(F.col("ds") > "2024-01-10")      # overlaps 5 days
+    full = ev.where(F.col("ds") <= "2024-01-15") \
+        .unionByName(ev.where(F.col("ds") > "2024-01-10"))
+
+    base = build_rollup(first, by=("event_type",), value_col="value",
+                        distinct_cols=("user_id",))
+    merged = update_rollup(base, late, by=("event_type",),
+                           value_col="value", distinct_cols=("user_id",))
+    expect = build_rollup(full, by=("event_type",), value_col="value",
+                          distinct_cols=("user_id",))
+
+    got = {(r.event_type, r.ds): r for r in merged.collect()}
+    exp = {(r.event_type, r.ds): r for r in expect.collect()}
+    assert set(got) == set(exp)
+    for k, er in exp.items():
+        assert got[k].cnt == er.cnt
+        assert abs(got[k].sum_value - er.sum_value) < 1e-6
+        assert got[k].min_value == er.min_value
+        assert got[k].max_value == er.max_value
+
+
+def test_update_rollup_unions_only_touched_keys(spark):
+    """Untouched (group, day) rollup rows pass through the anti-join
+    branch byte-identically (no re-aggregation of old partials)."""
+    from kafana_spark.rollup import update_rollup
+
+    ev = events(spark)
+    base = build_rollup(ev.where(F.col("ds") <= "2024-01-10"),
+                        by=("event_type",), value_col="value")
+    late = ev.where(F.col("ds") == "2024-01-10")      # touches 1 day
+    merged = update_rollup(base, late, by=("event_type",),
+                           value_col="value")
+    untouched_before = {(r.event_type, r.ds): r.cnt for r in base
+                        .where(F.col("ds") < "2024-01-10").collect()}
+    untouched_after = {(r.event_type, r.ds): r.cnt for r in merged
+                       .where(F.col("ds") < "2024-01-10").collect()}
+    assert untouched_before == untouched_after
+    doubled = {r.event_type: r.cnt for r in merged
+               .where(F.col("ds") == F.lit("2024-01-10").cast("date"))
+               .collect()}
+    single = {r.event_type: r.cnt for r in base
+              .where(F.col("ds") == F.lit("2024-01-10").cast("date"))
+              .collect()}
+    assert doubled == {k: 2 * v for k, v in single.items()}
+
+
+def test_rollup_stream_sink_maintains_parquet(spark, tmp_path):
+    """foreachBatch sink: two manual batch invocations leave a rollup
+    equal to a one-shot build over both batches."""
+    from kafana_spark.rollup import rollup_stream_sink
+
+    tune_session(spark)
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_type", "ts", "value")
+    b1 = ev.where(F.to_date("ts") <= "2024-01-10")
+    b2 = ev.where(F.to_date("ts") > "2024-01-08")
+    out = str(tmp_path / "rollup")
+    sink = rollup_stream_sink(out, by=("event_type",), time_col="ts",
+                              value_col="value")
+    sink(b1, 0)
+    sink(b2, 1)
+    got = {(r.event_type, r.ds): (r.cnt, round(r.sum_value, 6))
+           for r in spark.read.parquet(out).collect()}
+    expect_df = build_rollup(
+        b1.unionByName(b2).withColumn("ds", F.to_date("ts")),
+        by=("event_type",), value_col="value")
+    exp = {(r.event_type, r.ds): (r.cnt, round(r.sum_value, 6))
+           for r in expect_df.collect()}
+    assert got == exp
+
+
+def test_date_histogram_gapfill_zero_buckets(spark):
+    from kafana_spark import query
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 5),),
+         (datetime.datetime(2024, 1, 1, 7),),
+         (datetime.datetime(2024, 1, 4, 2),)], "ts timestamp")
+    out = [(r["bucket"].day, r["cnt"])
+           for r in query.date_histogram_gapfill(df, "ts").collect()]
+    assert out == [(1, 2), (2, 0), (3, 0), (4, 1)]
