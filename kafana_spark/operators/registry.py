@@ -626,6 +626,51 @@ def x_gapfill_histogram(spark, sf_dir):
     return g.select(F.to_date("bucket").alias("ds"), "cnt").orderBy("ds")
 
 
+PRANK_VALUES = (50.0, 250.0, 400.0)
+
+
+def x_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (exact twin) over events.value."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    return query.percentile_ranks(
+        load_table(spark, sf_dir, "events"), "value", PRANK_VALUES)
+
+
+def x_weighted_avg(spark, sf_dir):
+    """ES weighted_avg: l_extendedprice weighted by l_quantity per
+    return flag."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (query.weighted_avg(li, "l_extendedprice", "l_quantity",
+                               by=("l_returnflag",))
+            .orderBy("l_returnflag"))
+
+
+def x_extended_stats(spark, sf_dir):
+    """ES extended_stats (population moments) of l_extendedprice per
+    return flag."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (query.extended_stats(li, "l_extendedprice",
+                                 by=("l_returnflag",))
+            .orderBy("l_returnflag"))
+
+
+OOV_VOCAB_K = 25
+
+
+def x_oov_rate(spark, sf_dir):
+    """Per-document OOV rate vs the corpus top-25 vocabulary."""
+    return (text.oov_rate(_docs(spark, sf_dir), vocab_k=OOV_VOCAB_K)
+            .orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -678,6 +723,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x49_adjacency_matrix": x_adjacency_matrix,
     "x50_int8_quantize": x_int8_quantize,
     "x51_gapfill_histogram": x_gapfill_histogram,
+    "x52_percentile_ranks": x_percentile_ranks,
+    "x53_weighted_avg": x_weighted_avg,
+    "x54_extended_stats": x_extended_stats,
+    "x55_oov_rate": x_oov_rate,
 }
 
 
@@ -1289,5 +1338,39 @@ EXTENSION_ORACLE: dict[str, str] = {
         "INTERVAL 1 DAY)) AS bucket) "
         "SELECT CAST(sp.bucket AS DATE) AS ds, COALESCE(b.cnt, 0) AS cnt "
         "FROM sp LEFT JOIN b ON sp.bucket = b.bucket ORDER BY ds"
+    ),
+    "x52_percentile_ranks": (
+        "SELECT ROUND(100.0 * COUNT(*) FILTER (WHERE value <= 50) / COUNT(va"
+        "lue), 4) AS rank_50_0, ROUND(100.0 * COUNT(*) FILTER (WHERE "
+        "value <= 250) / COUNT(value), 4) AS rank_250_0, ROUND(100.0 "
+        "* COUNT(*) FILTER (WHERE value <= 400) / COUNT(value), 4) AS"
+        " rank_400_0 "
+        "FROM events"
+    ),
+    "x53_weighted_avg": (
+        "SELECT l_returnflag, "
+        "ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) "
+        "AS w_avg FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "x54_extended_stats": (
+        "SELECT l_returnflag, COUNT(l_extendedprice) AS cnt, "
+        "ROUND(MIN(l_extendedprice), 2) AS min_v, "
+        "ROUND(MAX(l_extendedprice), 2) AS max_v, "
+        "ROUND(AVG(l_extendedprice), 4) AS avg_v, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_v, "
+        "ROUND(var_pop(l_extendedprice), 1) AS var_v, "
+        "ROUND(stddev_pop(l_extendedprice), 4) AS std_v "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "x55_oov_rate": (
+        "WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS token FROM documents), "
+        "v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token "
+        "ORDER BY cnt DESC, token LIMIT 25), "
+        "d AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+        "COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM v)) "
+        "AS n_oov FROM t GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_oov, "
+        "(10000 * n_oov) // n_tokens AS oov_bp FROM d ORDER BY doc_id"
     ),
 }

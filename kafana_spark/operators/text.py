@@ -733,3 +733,32 @@ def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
             .agg(F.array_join(
                 F.transform(ordered, lambda s: s["blk"]), " ")
                 .alias("clean_text")))
+
+
+def oov_rate(df: DataFrame, vocab_k: int = 25, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-k
+    vocabulary — the tokenizer-coverage signal that decides whether a
+    vocab/tokenizer fits a corpus (integer basis points, bit-identical
+    across engines like quality_score).
+
+    Scale: the vocabulary is top-k (tiny) and broadcast; the per-doc
+    count is explode → broadcast left join → groupBy(doc) — linear,
+    and only (id, flag) pairs reach the shuffle. Two passes over the
+    corpus total (one to build the vocab, one to score), both
+    map-side combinable.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    vocab = (vocab_topk(df, k=vocab_k, text_col=text_col)
+             .select("token", F.lit(1).alias("__in")))
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("__in").isNull(), F.lit(1)))
+                 .alias("n_oov"))
+            .select(F.col(id_col), "n_tokens", "n_oov",
+                    F.floor(F.lit(10000) * F.col("n_oov")
+                            / F.col("n_tokens")).cast("long")
+                    .alias("oov_bp")))

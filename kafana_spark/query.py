@@ -339,3 +339,45 @@ def date_histogram_gapfill(df: DataFrame, time_col: str,
     return (spine.join(b, "bucket", "left")
             .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
             .orderBy("bucket"))
+
+
+def percentile_ranks(df: DataFrame, field: str,
+                     values: Sequence[float]) -> DataFrame:
+    """ES percentile_ranks: the inverse of percentiles — for each given
+    value, the percentage of docs with field <= value. Exact,
+    single-pass conditional counts (ES itself approximates with
+    t-digest; the exact form is the oracle-checkable twin, the same
+    stance as C14/C15's exact twins)."""
+    c = F.col(field)
+    total = F.count(c)
+    return df.agg(*[
+        F.round(F.lit(100.0)
+                * F.count(F.when(c <= F.lit(v), F.lit(1))) / total, 4)
+        .alias(f"rank_{str(v).replace('.', '_')}")
+        for v in values])
+
+
+def weighted_avg(df: DataFrame, value_col: str, weight_col: str,
+                 by: Sequence[str] = ()) -> DataFrame:
+    """ES weighted_avg aggregation: sum(v·w)/sum(w) per bucket — one
+    pass, both sums map-side combinable."""
+    wa = (F.sum(F.col(value_col) * F.col(weight_col))
+          / F.sum(F.col(weight_col)))
+    out = F.round(wa, 4).alias("w_avg")
+    return df.groupBy(*by).agg(out) if by else df.agg(out)
+
+
+def extended_stats(df: DataFrame, field: str,
+                   by: Sequence[str] = ()) -> DataFrame:
+    """ES extended_stats aggregation: stats + population variance /
+    std deviation (ES reports population moments), all one combinable
+    pass."""
+    c = F.col(field)
+    aggs = [F.count(c).alias("cnt"),
+            F.round(F.min(c), 2).alias("min_v"),
+            F.round(F.max(c), 2).alias("max_v"),
+            F.round(F.avg(c), 4).alias("avg_v"),
+            F.round(F.sum(c), 2).alias("sum_v"),
+            F.round(F.var_pop(c), 1).alias("var_v"),
+            F.round(F.stddev_pop(c), 4).alias("std_v")]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)

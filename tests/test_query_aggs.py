@@ -176,3 +176,43 @@ def test_adjacency_matrix_buckets(spark):
     # ta∩small = {1,2}; ta∩odd = {1}; small∩odd = {1}; empties omitted
     assert out == {"ta": 2, "small": 2, "odd": 2,
                    "ta&small": 2, "ta&odd": 1, "small&odd": 1}
+
+
+def test_percentile_ranks_exact(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                               "value double")
+    row = query.percentile_ranks(df, "value", (3.0, 10.0)).collect()[0]
+    assert row["rank_3_0"] == 30.0
+    assert row["rank_10_0"] == 100.0
+
+
+def test_weighted_avg(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)],
+        "k string, v double, w double")
+    out = {r["k"]: r["w_avg"]
+           for r in query.weighted_avg(df, "v", "w", by=("k",)).collect()}
+    assert out["a"] == round((10 * 1 + 20 * 3) / 4.0, 4)
+    assert out["b"] == 5.0
+
+
+def test_extended_stats_population_moments(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "v double")
+    r = query.extended_stats(df, "v").collect()[0]
+    assert (r["cnt"], r["min_v"], r["max_v"]) == (3, 2.0, 6.0)
+    assert r["avg_v"] == 4.0 and r["sum_v"] == 12.0
+    # population variance of {2,4,6} = 8/3
+    assert r["var_v"] == round(8 / 3, 1)
+    assert r["std_v"] == round((8 / 3) ** 0.5, 4)
+
+
+def test_oov_rate(spark):
+    # counts: a=4, b=4, z=1 -> vocab_k=2 keeps {'a','b'}; 'z' is OOV
+    df = spark.createDataFrame(
+        [(1, "a a b z"), (2, "a b"), (3, "b b a")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.oov_rate(df, vocab_k=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_bp"]) \
+        == (4, 1, 2500)
+    assert out[2]["n_oov"] == 0 and out[2]["oov_bp"] == 0
+    assert out[3]["n_oov"] == 0 and out[3]["oov_bp"] == 0
