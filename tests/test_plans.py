@@ -242,3 +242,55 @@ def test_x32_repetition_aggs_are_partial(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x40_window_runs_over_bucket_frame(spark):
+    """Pipeline aggs: the (unpartitioned) window must consume the
+    AGGREGATED bucket frame, not raw rows — the aggregate sits below
+    the window in the plan."""
+    from kafana_spark.operators.registry import x_pipeline_aggs
+
+    plan = plan_of(x_pipeline_aggs(spark, SF_SMOKE))
+    # formatted explain numbers nodes bottom-up: a smaller id is deeper
+    # in the tree, so the aggregate must carry a smaller id than the
+    # window that consumes its buckets
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids, plan[:1500]
+    assert min(agg_ids) < min(win_ids), plan[:2000]
+
+
+def test_x42_range_agg_is_single_scan(spark):
+    """Range agg: one parquet scan, no join — bucket labels are a CASE
+    projection."""
+    from kafana_spark.operators.registry import x_range_agg
+
+    plan = plan_of(x_range_agg(spark, SF_SMOKE))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_x55_oov_vocab_join_is_broadcast(spark):
+    """OOV scoring: the top-k vocabulary must broadcast — the exploded
+    token stream never shuffles on token."""
+    from kafana_spark.operators import text as t
+    from kafana_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(t.oov_rate(d, vocab_k=25))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_x51_gapfill_spine_joins_after_aggregation(spark):
+    """Gap-fill: the spine joins the AGGREGATED bucket frame (join
+    above the aggregate in the plan), so raw rows never re-shuffle."""
+    from kafana_spark.operators.registry import x_gapfill_histogram
+
+    plan = plan_of(x_gapfill_histogram(spark, SF_SMOKE))
+    assert "Join" in plan
+    # every scan feeding the join is below a HashAggregate already
+    first_join = plan.index("Join")
+    assert "HashAggregate" in plan[first_join:] or \
+        plan[:first_join].count("HashAggregate") >= 1, plan[:2000]
