@@ -671,6 +671,27 @@ def x_oov_rate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+CURATE2_MAX_OOV = 2000
+
+
+def x_curation_v2(spark, sf_dir):
+    """Curation composition v2 — the near-dup-aware pipeline: keep one
+    canonical (highest-quality) doc per near-dup CLUSTER, then gate on
+    quality and tokenizer coverage (OOV rate vs the corpus top-25
+    vocab). One lazy plan, whole DAG under one oracle hash."""
+    d = _docs(spark, sf_dir)
+    keepers = (dedup.canonical_per_cluster(d, NEAR_DUP_THRESHOLD)
+               .select(F.col("keeper").alias("doc_id")))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    q = text.quality_score(kept).select("doc_id", "quality_bp")
+    o = text.oov_rate(d, vocab_k=OOV_VOCAB_K).select("doc_id", "oov_bp")
+    return (kept.join(q, "doc_id").join(o, "doc_id")
+            .where((F.col("quality_bp") >= CURATE_MIN_QUALITY)
+                   & (F.col("oov_bp") <= CURATE2_MAX_OOV))
+            .select("doc_id", "lang", "quality_bp", "oov_bp")
+            .orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -727,6 +748,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x53_weighted_avg": x_weighted_avg,
     "x54_extended_stats": x_extended_stats,
     "x55_oov_rate": x_oov_rate,
+    "x56_curation_v2": x_curation_v2,
 }
 
 
@@ -991,6 +1013,18 @@ def _shard_sql() -> str:
         "ORDER BY hp, doc_id) AS INTEGER) AS pos "
         "FROM h ORDER BY doc_id"
     )
+
+
+#: OOV CTE chain (tk2/v2/oo) shared by the x55-style scoring inside
+#: the x56 composition oracle
+_OOV_CTES = (
+    "tk2 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+    "AS token FROM documents), "
+    "v2 AS (SELECT token, COUNT(*) AS cnt FROM tk2 GROUP BY token "
+    "ORDER BY cnt DESC, token LIMIT 25), "
+    "oo AS (SELECT doc_id, (10000 * COUNT(*) FILTER (WHERE token NOT IN "
+    "(SELECT token FROM v2))) // COUNT(*) AS oov_bp FROM tk2 "
+    "GROUP BY doc_id)")
 
 
 def _rare_terms_sql() -> str:
@@ -1373,4 +1407,16 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT doc_id, n_tokens, n_oov, "
         "(10000 * n_oov) // n_tokens AS oov_bp FROM d ORDER BY doc_id"
     ),
+    "x56_curation_v2": (
+        "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", "
+        "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "
+        "FROM cl JOIN q USING (doc_id)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality_bp DESC, doc_id) AS rn FROM m) "
+        "SELECT d.doc_id, d.lang, r.quality_bp, oo.oov_bp "
+        "FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1 "
+        "JOIN oo ON oo.doc_id = d.doc_id "
+        "WHERE r.quality_bp >= 5000 AND oo.oov_bp <= 2000 "
+        "ORDER BY d.doc_id"
+    ).format(_dup_clusters_ctes(), _quality_core()),
 }
