@@ -225,7 +225,9 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
     int8 codes.
     """
     v = as_double_array(F.col(vec_col))
-    maxabs = F.array_max(F.transform(v, F.abs))
+    # max(|x|) = max(max(x), -min(x)) — array_max/array_min are native
+    # (codegen'd), vs an interpreted per-element abs() transform
+    maxabs = F.greatest(F.array_max(v), -F.array_min(v))
     q = F.when(maxabs == 0, F.transform(v, lambda x: F.lit(0))) \
         .otherwise(F.transform(
             v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("int")))
