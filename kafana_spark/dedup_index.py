@@ -1,0 +1,107 @@
+"""Persisted near-dup index — index-once / query-many for dedup.
+
+The reference's whole posture is "index once, query many"
+(/root/reference/README.md:6): the ES store pays enrichment at write
+time so queries never re-derive it. The near-dup pipeline deserves the
+same treatment at 100 TB: MinHash signatures and hashed shingles are
+pure per-document functions, so recomputing them per query (what the
+standalone x02/x24/x35/x46 queries do, and what dominates the local
+bench) is the first thing a real deployment amortizes away.
+
+Layout under one index root:
+
+- ``<path>/signatures`` — one row per doc: (doc_id, mh0..mhK) parquet.
+- ``<path>/bands``      — the LSH index itself: (doc_id, band, bkey)
+  rows, so queries bucket-join stored keys without re-hashing anything.
+- ``<path>/shingles``   — hashed 3-gram inverted index: (doc_id, h)
+  parquet, 8-byte shingle hashes (see hashed_shingle_set).
+
+Both are append-only for new documents (per-doc functions — no global
+state), so daily-batch maintenance is one map-side pass over the new
+docs. Queries then run LSH banding + exact verify FROM the store,
+touching no text:
+
+- ``near_dup_from_index``  — all verified pairs in the index.
+- ``incremental_from_index`` — NEW batch × indexed corpus, the
+  daily-crawl shape: the batch is signed on the fly, the corpus side
+  reads the store; within-store pairs never materialize.
+
+Equivalence with the recompute-everything pipeline is pinned by
+tests/test_dedup_index.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafana_spark.operators.dedup import (
+    candidate_pairs, hashed_shingle_set, jaccard_verify, lsh_bands,
+    minhash_signature,
+)
+
+SIG_DIR = "signatures"
+BAND_DIR = "bands"
+SH_DIR = "shingles"
+
+
+def build_dedup_index(df: DataFrame, path: str, text_col: str = "text",
+                      mode: str = "overwrite") -> None:
+    """Sign + shingle the corpus once and persist both tables.
+
+    One map-side pass over the text (shingle explode), one combinable
+    aggregation (signature mins); writes are partitioned however the
+    input is — at 100 TB partition the input by ingest day and this
+    becomes the per-day index build.
+    """
+    sh = hashed_shingle_set(df, text_col=text_col)
+    sig = minhash_signature(sh).persist()
+    try:
+        sig.write.mode(mode).parquet(f"{path}/{SIG_DIR}")
+        lsh_bands(sig).write.mode(mode).parquet(f"{path}/{BAND_DIR}")
+    finally:
+        sig.unpersist()
+    sh.write.mode(mode).parquet(f"{path}/{SH_DIR}")
+
+
+def append_dedup_index(df: DataFrame, path: str,
+                       text_col: str = "text") -> None:
+    """Add new documents to an existing index (append-only: signatures
+    and shingles are per-doc functions, so no existing row changes)."""
+    build_dedup_index(df, path, text_col=text_col, mode="append")
+
+
+def near_dup_from_index(spark: SparkSession, path: str,
+                        threshold: float = 0.5,
+                        bucket_cap: int | None = None) -> DataFrame:
+    """All verified near-dup pairs (da, db, jaccard), da < db, computed
+    from the stored signatures + shingles — no text is read and nothing
+    is re-hashed."""
+    bands = spark.read.parquet(f"{path}/{BAND_DIR}")
+    sh = spark.read.parquet(f"{path}/{SH_DIR}")
+    pairs = candidate_pairs(bands, bucket_cap=bucket_cap)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def incremental_from_index(new: DataFrame, path: str,
+                           threshold: float = 0.5,
+                           text_col: str = "text") -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus.
+
+    The batch is signed on the fly (it is new — nothing stored yet);
+    the corpus side reads the store. The band join is NEW×STORE only,
+    so per-bucket cost is |new∩bucket|·|store∩bucket| and the
+    historical corpus is never verified against itself. Ids across
+    batch and store must be disjoint. Call append_dedup_index
+    afterwards to fold the batch in.
+    """
+    spark = new.sparkSession
+    sh_new = hashed_shingle_set(new, text_col=text_col)
+    bn = lsh_bands(minhash_signature(sh_new))
+    bo = spark.read.parquet(f"{path}/{BAND_DIR}")
+    cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
+            .select(F.least("a.doc_id", "b.doc_id").alias("da"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("db"))
+            .distinct())
+    sh_old = spark.read.parquet(f"{path}/{SH_DIR}")
+    return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)

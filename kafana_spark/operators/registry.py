@@ -4,9 +4,10 @@ driver's correctness harness via __spark_entry__.queries()/oracle_sql().
 Every Spark plan here has a DuckDB oracle generated from the SAME
 constants (MinHash coefficients, thresholds, marker word lists), so the
 two sides compute the identical deterministic algorithm. The only
-rows-only entries (no oracle) are the genuinely approximate /
-non-SQL-expressible ops: IVF ANN (approximate by design) and
-rolling-hash chunking (sequential mapInPandas).
+rows-only entries (no oracle) are the genuinely non-SQL-expressible
+ops: rolling-hash chunking (x13, sequential mapInPandas) and sequence
+packing (x29, per-partition greedy state). Everything else — including
+the full IVF ANN pipeline (x08, r2) — hash-matches a DuckDB twin.
 """
 
 from __future__ import annotations
@@ -692,6 +693,24 @@ def x_curation_v2(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def x_stored_near_dup(spark, sf_dir):
+    """x02's near-dup output through the PERSISTED dedup index: build
+    (sign+band+shingle once) → read back → LSH from stored bands →
+    verify from stored shingles. The oracle is the same full-recompute
+    minhash SQL, so a hash match proves the store roundtrip is
+    lossless and the stored-band query path is exact."""
+    import tempfile
+
+    from kafana_spark import dedup_index
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kafana_ndidx_")
+    dedup_index.build_dedup_index(d, root)
+    return (dedup_index.near_dup_from_index(spark, root,
+                                            NEAR_DUP_THRESHOLD)
+            .orderBy("da", "db"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -749,6 +768,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x54_extended_stats": x_extended_stats,
     "x55_oov_rate": x_oov_rate,
     "x56_curation_v2": x_curation_v2,
+    "x57_stored_near_dup": x_stored_near_dup,
 }
 
 
@@ -1043,6 +1063,7 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ORDER BY doc_id"
     ),
     "x02_minhash_near_dup": _minhash_sql(),
+    "x57_stored_near_dup": _minhash_sql(),
     "x03_ngram_jaccard_dup": _ngram_jaccard_sql(),
     "x04_simhash_fingerprints": _simhash_sql(),
     "x05_simhash_near_dup": _simhash_near_dup_sql(),

@@ -1,0 +1,65 @@
+"""Persisted near-dup index: store-backed queries equal the
+recompute-everything pipeline, and append maintenance is lossless."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafana_spark import dedup_index
+from kafana_spark.operators import dedup
+from kafana_spark.session import tune_session
+from kafana_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+THRESH = 0.5
+
+
+def docs(spark):
+    tune_session(spark)
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def pairs_set(df):
+    return {(r.da, r.db, r.jaccard) for r in df.collect()}
+
+
+def test_index_query_equals_direct_pipeline(spark, tmp_path):
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(d, root)
+    got = dedup_index.near_dup_from_index(spark, root, THRESH)
+    expect = dedup.minhash_near_dup(d, THRESH)
+    assert pairs_set(got) == pairs_set(expect)
+
+
+def test_append_maintenance_is_lossless(spark, tmp_path):
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(d.where(F.col("doc_id") % 2 == 0), root)
+    dedup_index.append_dedup_index(d.where(F.col("doc_id") % 2 == 1), root)
+    got = dedup_index.near_dup_from_index(spark, root, THRESH)
+    expect = dedup.minhash_near_dup(d, THRESH)
+    assert pairs_set(got) == pairs_set(expect)
+
+
+def test_incremental_query_equals_df_incremental(spark, tmp_path):
+    d = docs(spark)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(old, root)
+    got = dedup_index.incremental_from_index(new, root, THRESH)
+    expect = dedup.incremental_near_dup(new, old, THRESH)
+    assert pairs_set(got) == pairs_set(expect)
+
+
+def test_index_query_reads_no_text(spark, tmp_path):
+    """The store-backed query plan touches only the index tables —
+    no documents.parquet scan, no md5/shingle recomputation."""
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(d, root)
+    plan = dedup_index.near_dup_from_index(spark, root, THRESH) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "md5" not in plan
