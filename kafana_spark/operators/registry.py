@@ -711,6 +711,25 @@ def x_stored_near_dup(spark, sf_dir):
             .orderBy("da", "db"))
 
 
+def x_stored_ann(spark, sf_dir):
+    """x08's IVF ANN through the PERSISTED index: build (centroids +
+    cell assignments once) → probe + rank from the store. Same DuckDB
+    oracle as x08 — a hash match proves the store roundtrip and the
+    stored-assignment query path are exact."""
+    import tempfile
+
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    root = tempfile.mkdtemp(prefix="kafana_annidx_")
+    ann_index.build_ann_index(e, root, centroid_mod=ANN_CENTROID_MOD,
+                              n_assign=ANN_N_ASSIGN)
+    return (ann_index.ann_topk_from_index(spark, root, q, ANN_K,
+                                          n_probe=ANN_N_PROBE)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -769,6 +788,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x55_oov_rate": x_oov_rate,
     "x56_curation_v2": x_curation_v2,
     "x57_stored_near_dup": x_stored_near_dup,
+    "x58_stored_ann": x_stored_ann,
 }
 
 
@@ -1073,6 +1093,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # itself is deterministic — the oracle replays the whole IVF path.
     # (pytest still asserts recall@10 >= 0.8 vs brute force.)
     "x08_ann_ivf": _ann_ivf_sql(),
+    "x58_stored_ann": _ann_ivf_sql(),
     "x09_token_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
         "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq, "

@@ -104,18 +104,29 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     when n_probe alone plateaus.
     """
     corpus = _with_norm(_vectors(df))
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod)
+    assigned = _ivf_assign(corpus, centroids, n_assign)
+    return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
+
+
+def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
+                   centroid_mod: int) -> DataFrame:
+    """(cid, cv, cnrm) coarse-quantizer centroids."""
     if method == "kmeans":
         n = corpus.count()
         raw = kmeans_centroids(df, k=max(2, n // centroid_mod))
-        centroids = raw.select("cid", "cv",
-                               l2_norm(F.col("cv")).alias("cnrm"))
-    elif method == "modulo":
-        centroids = corpus.where(F.col("vec_id") % centroid_mod == 0) \
+        return raw.select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
+    if method == "modulo":
+        return corpus.where(F.col("vec_id") % centroid_mod == 0) \
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                     F.col("nrm").alias("cnrm"))
-    else:
-        raise ValueError(f"method must be modulo|kmeans, got {method!r}")
+    raise ValueError(f"method must be modulo|kmeans, got {method!r}")
 
+
+def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
+                n_assign: int) -> DataFrame:
+    """(vec_id, v, nrm, cid) cell assignment — one row per vector per
+    assigned cell."""
     # assignment: nearest centroid(s) per corpus vector. The broadcast
     # join expands the frame centroids×, but the groupBy collapses it
     # back to one row per vec_id in the map-side partial aggregation —
@@ -154,6 +165,13 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                     .select("vec_id", "v", "nrm",
                             F.explode("cells.cid").alias("cid")))
 
+    return assigned
+
+
+def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
+                    queries: DataFrame, k: int, n_probe: int) -> DataFrame:
+    """Probe n_probe nearest cells per query and rank only those
+    cells' members (equi-join on cell id)."""
     # probe list: n_probe nearest centroids per query (queries are few —
     # a window over them is driver-trivial)
     q = _with_norm(queries)

@@ -1,0 +1,67 @@
+"""Persisted ANN index: store-backed queries equal the inline IVF
+pipeline, append assigns against stored centroids, and the query plan
+touches only index tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafana_spark import ann_index
+from kafana_spark.operators import similarity
+from kafana_spark.session import tune_session
+from kafana_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def embs(spark):
+    tune_session(spark)
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def result_set(df):
+    return {(r.qid, r.vec_id, r.cos, r.rank) for r in df.collect()}
+
+
+def test_index_query_equals_inline_ivf(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "annidx")
+    ann_index.build_ann_index(e, root, centroid_mod=40, n_assign=2)
+    got = ann_index.ann_topk_from_index(spark, root, q, k=10, n_probe=3)
+    expect = similarity.ivf_topk(e, q, k=10, centroid_mod=40,
+                                 n_probe=3, n_assign=2)
+    assert result_set(got) == result_set(expect)
+
+
+def test_append_assigns_against_stored_centroids(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "annidx")
+    # centroids come from the FULL corpus (modulo quantizer is a row
+    # filter), so split-build + append matches the one-shot build
+    ann_index.build_ann_index(e, root, centroid_mod=40, n_assign=2)
+    root2 = str(tmp_path / "annidx2")
+    ann_index.build_ann_index(e.where(F.col("vec_id") % 40 == 0), root2,
+                              centroid_mod=40, n_assign=2)
+    ann_index.append_ann_index(e.where(F.col("vec_id") % 40 != 0), root2,
+                               n_assign=2)
+    a = ann_index.ann_topk_from_index(spark, root, q, k=10, n_probe=3)
+    b = ann_index.ann_topk_from_index(spark, root2, q, k=10, n_probe=3)
+    assert result_set(a) == result_set(b)
+
+
+def test_index_query_reads_only_index_tables(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "annidx")
+    ann_index.build_ann_index(e, root, centroid_mod=40)
+    df = ann_index.ann_topk_from_index(spark, root, q)
+    qe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = qe.explainString(mode).replace("\\", "/")
+    # the assignment side must come from the index tables, not from a
+    # re-derivation over the corpus parquet
+    assert "annidx/assignments" in plan
+    assert "annidx/centroids" in plan
