@@ -91,17 +91,26 @@ def incremental_from_index(new: DataFrame, path: str,
     The batch is signed on the fly (it is new — nothing stored yet);
     the corpus side reads the store. The band join is NEW×STORE only,
     so per-bucket cost is |new∩bucket|·|store∩bucket| and the
-    historical corpus is never verified against itself. Ids across
-    batch and store must be disjoint. Call append_dedup_index
+    historical corpus is never verified against itself. Ids are
+    expected to be disjoint across batch and store, but overlap is
+    tolerated: store rows for any doc_id present in the batch are
+    dropped (the batch copy wins — signatures/shingles are per-doc
+    functions, so both copies are identical anyway) and self-pairs
+    are filtered, so a re-delivered batch cannot inflate shingle
+    intersections or jaccard values. Call append_dedup_index
     afterwards to fold the batch in.
     """
     spark = new.sparkSession
     sh_new = hashed_shingle_set(new, text_col=text_col)
+    new_ids = sh_new.select("doc_id").distinct()
     bn = lsh_bands(minhash_signature(sh_new))
-    bo = spark.read.parquet(f"{path}/{BAND_DIR}")
+    bo = (spark.read.parquet(f"{path}/{BAND_DIR}")
+          .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
             .select(F.least("a.doc_id", "b.doc_id").alias("da"),
                     F.greatest("a.doc_id", "b.doc_id").alias("db"))
+            .where(F.col("da") < F.col("db"))
             .distinct())
-    sh_old = spark.read.parquet(f"{path}/{SH_DIR}")
+    sh_old = (spark.read.parquet(f"{path}/{SH_DIR}")
+              .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)

@@ -411,8 +411,11 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
                          text_col: str = "text") -> DataFrame:
     """Incremental near-dedup: near-dup pairs between an incoming batch
     and an existing corpus — the daily-crawl-vs-historical-index shape.
-    Output (da, db, jaccard) with da < db; ids across the two frames
-    must be disjoint.
+    Output (da, db, jaccard) with da < db. Ids are expected to be
+    disjoint across the two frames, but overlap is tolerated: old-side
+    rows for any doc_id present in the batch are dropped (both copies
+    are identical — per-doc functions) and self-pairs filtered, so
+    re-delivery cannot inflate intersections.
 
     The LSH bucket join is NEW×OLD only (each side gets its own band
     frame; the join never pairs two old docs), so the per-bucket cost is
@@ -424,12 +427,15 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
     per batch.
     """
     sh_new = hashed_shingle_set(new, text_col=text_col)
-    sh_old = hashed_shingle_set(old, text_col=text_col)
+    new_ids = sh_new.select("doc_id").distinct()
+    sh_old = (hashed_shingle_set(old, text_col=text_col)
+              .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     bn = lsh_bands(minhash_signature(sh_new))
     bo = lsh_bands(minhash_signature(sh_old))
     cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
             .select(F.least("a.doc_id", "b.doc_id").alias("da"),
                     F.greatest("a.doc_id", "b.doc_id").alias("db"))
+            .where(F.col("da") < F.col("db"))
             .distinct())
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
 

@@ -810,10 +810,30 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ----------------------------------------------------------- oracle SQL
 # DuckDB twins generated from the same constants as the Spark plans.
 
+#: DuckDB's generate_series takes only constant bounds (no lateral /
+#: subquery parameters), so per-doc iteration in the oracles is capped
+#: by these literals. Every capped site wraps its array in _capped(),
+#: which error()s on any row exceeding the cap — a fixture change that
+#: outgrows the bound fails the oracle LOUDLY instead of silently
+#: under-generating rows and reporting a confusing hash mismatch.
+ORACLE_MAX_TOKENS = 1000   # per-doc token count (sf0.1 max ≈ 100)
+ORACLE_MAX_DIM = 4096      # embedding dims (testdata: 64)
+
+
+def _capped(arr_expr: str, cap: int, what: str) -> str:
+    return (f"CASE WHEN len({arr_expr}) > {cap} THEN "
+            f"error('oracle {what} cap {cap} exceeded') "
+            f"ELSE {arr_expr} END")
+
+
+_TOKS = _capped("string_split(text, ' ')", ORACLE_MAX_TOKENS, "token")
+_TOKS_LOWER = _capped("string_split(lower(text), ' ')",
+                      ORACLE_MAX_TOKENS, "token")
+
 _SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
-    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "generate_series(1, 1000) g(i) WHERE i + 2 <= len(t))"
+    f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+    f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) WHERE i + 2 <= len(t))"
 )
 _H60 = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
@@ -1028,9 +1048,9 @@ def _quality_sql() -> str:
 
 def _chunk_dedup_sql() -> str:
     k, t = CHUNK_BLOCK_TOKENS, CHUNK_MAX_FREQ
+    toks = _capped("string_split(text, ' ')", 400 * k, "chunk-token")
     return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
-        "FROM documents), "
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
         f"b AS (SELECT doc_id, i AS blk_pos, "
         f"array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS blk "
         f"FROM t, generate_series(0, 400) g(i) WHERE i*{k} < len(toks)), "
@@ -1085,8 +1105,8 @@ _OOV_CTES = (
 def _rare_terms_sql() -> str:
     return (
         "WITH sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s "
-        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) WHERE i + 1 <= len(t)), "
         "f AS (SELECT s AS term, COUNT(*) AS cnt FROM sh2 GROUP BY s) "
         f"SELECT term, cnt FROM f WHERE cnt <= {RARE_MAX_DF} ORDER BY term"
     )
@@ -1271,9 +1291,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x32_repetition": (
         # non-distinct bigrams; SUM -> HUGEINT is fine inside the double
         # division but never emitted raw
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
         "g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s FROM t, "
-        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) WHERE i + 1 <= len(t)), "
         "c AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g GROUP BY doc_id, s), "
         "a AS (SELECT doc_id, MAX(cnt) AS top, SUM(cnt) AS total, "
         "COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS dup "
@@ -1284,10 +1304,10 @@ EXTENSION_ORACLE: dict[str, str] = {
         "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"
     ),
     "x33_pair_counts": (
-        "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t "
+        f"WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS t "
         "FROM documents), "
         "g AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM t, "
-        "generate_series(1, 1000) g(i) WHERE i + 1 <= len(t)), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) WHERE i + 1 <= len(t)), "
         "c AS (SELECT pair, COUNT(*) AS cnt FROM g GROUP BY pair "
         f"ORDER BY cnt DESC, pair LIMIT {PAIR_K}) "
         "SELECT pair, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, "
@@ -1383,8 +1403,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x46_canonical_docs": _canonical_sql(),
     "x47_shard_assign": _shard_sql(),
     "x48_label_centroids": (
-        "WITH e AS (SELECT label, i - 1 AS pos, embedding[i] AS v "
-        "FROM embeddings, generate_series(1, 4096) g(i) "
+        "WITH ec AS (SELECT label, "
+        f"{_capped('embedding', ORACLE_MAX_DIM, 'dim')} AS embedding "
+        "FROM embeddings), "
+        "e AS (SELECT label, i - 1 AS pos, embedding[i] AS v "
+        f"FROM ec, generate_series(1, {ORACLE_MAX_DIM}) g(i) "
         "WHERE i <= len(embedding)) "
         "SELECT label, pos, ROUND(AVG(v), 4) AS c FROM e "
         "GROUP BY label, pos ORDER BY label, pos"
@@ -1410,12 +1433,13 @@ EXTENSION_ORACLE: dict[str, str] = {
         "WHERE cnt > 0 ORDER BY bucket"
     ),
     "x50_int8_quantize": (
-        "WITH m AS (SELECT vec_id, embedding, "
+        "WITH m AS (SELECT vec_id, "
+        f"{_capped('embedding', ORACLE_MAX_DIM, 'dim')} AS embedding, "
         "list_max(list_transform(embedding, "
         "x -> abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), "
         "e AS (SELECT vec_id, i - 1 AS pos, "
         "CAST(embedding[i] AS DOUBLE) AS x, maxabs FROM m, "
-        "generate_series(1, 4096) g(i) WHERE i <= len(embedding)) "
+        f"generate_series(1, {ORACLE_MAX_DIM}) g(i) WHERE i <= len(embedding)) "
         "SELECT vec_id, pos, CASE WHEN maxabs = 0 THEN 0 ELSE "
         "CAST(FLOOR(x * 127.0 / maxabs) AS INTEGER) END AS q "
         "FROM e ORDER BY vec_id, pos"
@@ -1473,7 +1497,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT d.doc_id, d.lang, r.quality_bp, oo.oov_bp "
         "FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1 "
         "JOIN oo ON oo.doc_id = d.doc_id "
-        "WHERE r.quality_bp >= 5000 AND oo.oov_bp <= 2000 "
+        "WHERE r.quality_bp >= {} AND oo.oov_bp <= {} "
         "ORDER BY d.doc_id"
-    ).format(_dup_clusters_ctes(), _quality_core()),
+    ).format(_dup_clusters_ctes(), _quality_core(),
+             CURATE_MIN_QUALITY, CURATE2_MAX_OOV),
 }

@@ -70,6 +70,15 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 def _encode(schema: Any, v: Any, out: bytearray) -> None:
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(schema, list):                     # union
+        # Branch selection is by null-ness only, which is sound solely
+        # for the nullable-field shape ["null", T] / [T, "null"] that
+        # Connect emits; a union of two non-null types would silently
+        # pick the first branch, so reject anything wider outright.
+        nulls = sum(1 for b in schema
+                    if (b["type"] if isinstance(b, dict) else b) == "null")
+        if len(schema) != 2 or nulls != 1:
+            raise NotImplementedError(
+                f"only [null, T] unions are supported, got {schema!r}")
         for i, branch in enumerate(schema):
             bt = branch["type"] if isinstance(branch, dict) else branch
             if (v is None) == (bt == "null"):

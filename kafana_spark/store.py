@@ -88,6 +88,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     """
     import shutil
 
+    _recover_merge(path)
     up = with_store_partitions(updates) if "ds" not in updates.columns \
         else updates
     touched = up.select(*PARTITION_COLS).distinct()
