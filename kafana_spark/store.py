@@ -63,6 +63,38 @@ def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
              .partitionBy(*PARTITION_COLS)).parquet(path)
 
 
+def _recover_merge(path: str) -> None:
+    """Finish or roll back a partition swap interrupted by a crash.
+
+    ``merge_upsert``'s per-partition swap has a window between renaming
+    the live dir to ``<ds>.merge-old`` and renaming the staged dir in,
+    during which the partition exists only under its ``.merge-old``
+    name. This pass (run at the start of every merge) repairs either
+    outcome: a ``.merge-old`` next to a live dir means the swap
+    completed and the copy is garbage — drop it; a ``.merge-old`` with
+    no live dir means the swap was interrupted — rename it back.
+    Either way the store is whole before the next merge stages files.
+    """
+    import shutil
+
+    base = path.rstrip("/")
+    if not os.path.isdir(base):
+        return
+    for topic_dir in os.listdir(base):
+        tdir = os.path.join(base, topic_dir)
+        if not (os.path.isdir(tdir) and topic_dir.startswith("topic=")):
+            continue
+        for name in os.listdir(tdir):
+            if not name.endswith(".merge-old"):
+                continue
+            old = os.path.join(tdir, name)
+            dst = old[: -len(".merge-old")]
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
+
+
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     """MERGE (upsert on ``_id``) into the plain-parquet store: the
     Delta/Iceberg ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
@@ -78,8 +110,10 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     union is staged to a sibling directory, then swapped in with
     per-partition renames. Untouched partitions are never read, never
     written, and keep their files byte-identical. A crash mid-swap
-    leaves at most one partition in its ``.merge-old`` copy; the store
-    is never in a half-written state.
+    leaves at most one partition parked under its ``.merge-old`` name
+    (no partition is ever half-written); ``_recover_merge`` runs at the
+    start of every merge and restores or garbage-collects that copy, so
+    the store self-heals on the next merge after a crash.
 
     Assumes updates keep each record's original ``ds`` (true by
     construction: ``ds`` derives from the record timestamp, which is

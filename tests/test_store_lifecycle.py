@@ -147,3 +147,41 @@ def test_merge_upsert_updates_inserts_and_leaves_rest_untouched(
     after = {f: os.path.getmtime(f) for f in parquet_files(store)
              if f"ds={touched_ds}" not in f}
     assert after == untouched
+
+
+def test_merge_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames parks a partition under
+    .merge-old; the next merge restores it before staging anything."""
+    import os
+    import shutil
+
+    from kafana_spark.store import merge_upsert, with_store_partitions
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMOKE, "events").limit(400)
+    docs = enrich(events_as_kafka_records(ev))
+    write_store(docs, store)
+    total = docs.count()
+
+    # simulate the crash window: live dir renamed away, staged dir lost
+    full = with_store_partitions(docs)
+    topic, ds = full.select("topic", "ds").distinct().orderBy("ds") \
+        .collect()[0]
+    live = os.path.join(store, f"topic={topic}", f"ds={ds}")
+    os.rename(live, live + ".merge-old")
+
+    # also leave a completed-swap leftover on another partition
+    other = full.select("topic", "ds").distinct().orderBy("ds") \
+        .collect()[-1]
+    done = os.path.join(store, f"topic={other.topic}", f"ds={other.ds}")
+    shutil.copytree(done, done + ".merge-old")
+
+    upd = (docs.limit(1).withColumn("key", F.lit("RECOVERED")))
+    merge_upsert(spark, store, upd)
+
+    assert not any(p.endswith(".merge-old")
+                   for t in os.listdir(store) if t.startswith("topic=")
+                   for p in os.listdir(os.path.join(store, t)))
+    got = read_store(spark, store)
+    assert got.count() == total            # parked partition restored
+    assert got.where(F.col("key") == "RECOVERED").count() == 1
