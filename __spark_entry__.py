@@ -29,10 +29,11 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     """Driver-window-aware ordering of the extension block.
 
     The driver records at most the first 50 ``queries()`` entries in
-    CORRECTNESS_r{N}.json. Round 2's file covered q01–q22 + x01–x28, so
-    round 3 yields q01–q22 (the declared contract, always first) followed
-    by x29–x58 — the block with no driver-signed row yet — then any new
-    round-3 keys, then the already-driver-green x01–x28.
+    CORRECTNESS_r{N}.json. Round 2's file covered q01–q22 + x01–x28;
+    round 3's covered q01–q22 + x29–x56. Round 4 therefore yields
+    q01–q22 (the declared contract, always first) followed by x57–x58
+    — the only keys with no driver-signed row yet — then new round-4
+    keys (x59+), then the already-driver-green blocks.
     """
 
     def rank(k: str) -> tuple[int, str]:
@@ -41,12 +42,14 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:3])
             except ValueError:
                 n = 99
-            if 29 <= n <= 58:
+            if 57 <= n <= 58:
                 return (0, k)  # unverified-by-driver block first
             if n >= 59:
-                return (1, k)  # new round-3 keys next
-            return (2, k)  # x01–x28: driver-green in r2
-        return (3, k)
+                return (1, k)  # new round-4 keys next
+            if n <= 28:
+                return (2, k)  # x01–x28: driver-green in r2
+            return (3, k)      # x29–x56: driver-green in r3
+        return (4, k)
 
     return sorted(extension_keys, key=rank)
 

@@ -745,6 +745,58 @@ def x_stored_ann(spark, sf_dir):
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
+# --- ES straggler aggs (x60-x62): global / missing / sampler ----------
+
+GLOBAL_FILTER_TYPE = "purchase"
+
+
+def x_global_agg(spark, sf_dir):
+    """ES ``global`` aggregation: value metrics in the
+    event_type='purchase' filtered context next to the all-docs global
+    bucket — both contexts as conditional aggregates in ONE scan."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.global_agg(ev, F.col("event_type") == GLOBAL_FILTER_TYPE,
+                            "value")
+
+
+MISSING_MOD = 5
+
+
+def x_missing_agg(spark, sf_dir):
+    """ES ``missing`` aggregation per event_type. The fixture carries no
+    physical nulls, so the sparse field is derived deterministically
+    (props.k where k % 5 != 0, else missing) — the operator under test
+    is the conditional null-bucket count, identical either way."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    sparse = F.when(k % MISSING_MOD != 0, k)
+    return query.missing_agg(ev.select("event_type",
+                                       sparse.alias("k_sparse")),
+                             "k_sparse", by="event_type")
+
+
+SAMPLER_SHARD_SIZE = 1000
+
+
+def x_sampler_agg(spark, sf_dir):
+    """ES ``sampler`` aggregation: terms sub-agg over only the
+    top-1000 events by (value DESC, event_id) — the bounded-sample
+    shape ES uses to keep expensive sub-aggs cheap; top-N is a
+    TakeOrdered, never a full sort."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.sampler_agg(ev, "value", "event_id",
+                             SAMPLER_SHARD_SIZE, "event_type")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -804,6 +856,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x56_curation_v2": x_curation_v2,
     "x57_stored_near_dup": x_stored_near_dup,
     "x58_stored_ann": x_stored_ann,
+    "x60_global_agg": x_global_agg,
+    "x61_missing_agg": x_missing_agg,
+    "x62_sampler_agg": x_sampler_agg,
 }
 
 
@@ -1501,4 +1556,32 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ORDER BY d.doc_id"
     ).format(_dup_clusters_ctes(), _quality_core(),
              CURATE_MIN_QUALITY, CURATE2_MAX_OOV),
+    "x60_global_agg": (
+        f"SELECT COUNT(*) FILTER (WHERE event_type = "
+        f"'{GLOBAL_FILTER_TYPE}') AS cnt, "
+        f"ROUND(SUM(value) FILTER (WHERE event_type = "
+        f"'{GLOBAL_FILTER_TYPE}'), 2) AS sum_v, "
+        f"ROUND(AVG(value) FILTER (WHERE event_type = "
+        f"'{GLOBAL_FILTER_TYPE}'), 4) AS avg_v, "
+        "COUNT(*) AS global_cnt, "
+        "ROUND(SUM(value), 2) AS global_sum_v, "
+        "ROUND(AVG(value), 4) AS global_avg_v FROM events"
+    ),
+    "x61_missing_agg": (
+        "WITH s AS (SELECT event_type, CASE WHEN "
+        f"CAST(json_extract_string(props, '$.k') AS INT) % {MISSING_MOD} "
+        "!= 0 THEN CAST(json_extract_string(props, '$.k') AS INT) END "
+        "AS k_sparse FROM events) "
+        "SELECT event_type, "
+        "COUNT(*) FILTER (WHERE k_sparse IS NULL) AS missing_cnt, "
+        "COUNT(k_sparse) AS present_cnt FROM s "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "x62_sampler_agg": (
+        "WITH top AS (SELECT event_type, value FROM events "
+        f"ORDER BY value DESC, event_id LIMIT {SAMPLER_SHARD_SIZE}) "
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "ROUND(AVG(value), 4) AS avg_score FROM top "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
 }

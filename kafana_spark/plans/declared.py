@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- C1 discover: time-range filter + sort + limit --------------------------
 def q1_discover(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return (ev.where(ts_bounds("2024-01-05 00:00:00", "2024-01-06 00:00:00"))
+    return (ev.where(ts_bounds("2024-01-05 00:00:00", "2024-01-06 00:00:00", ev))
             .orderBy(F.col("ts").desc(), F.col("event_id"))
             .limit(50)
             .select("event_id", "user_id", "event_type"))

@@ -279,6 +279,62 @@ def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
         for name, p in filters.items()])
 
 
+def global_agg(df: DataFrame, query_filter: Column, field: str) -> DataFrame:
+    """ES ``global`` aggregation: metrics over ALL documents next to the
+    same metrics in the query-filtered context — the "filtered vs total"
+    breakdown Kibana renders above every filtered dashboard.
+
+    One scan, no self-join: the filtered twin of each metric aggregates
+    ``CASE WHEN filter``-masked inputs, so both contexts are conditional
+    aggregates in a single map-side-combinable pass (the naive form —
+    agg the table twice and cross-join — scans twice).
+    """
+    c = F.col(field)
+    masked = F.when(query_filter, c)
+    return df.agg(
+        F.count(F.when(query_filter, F.lit(1))).alias("cnt"),
+        F.round(F.sum(masked), 2).alias("sum_v"),
+        F.round(F.avg(masked), 4).alias("avg_v"),
+        F.count(F.lit(1)).alias("global_cnt"),
+        F.round(F.sum(c), 2).alias("global_sum_v"),
+        F.round(F.avg(c), 4).alias("global_avg_v"))
+
+
+def missing_agg(df: DataFrame, field: str, by: str) -> DataFrame:
+    """ES ``missing`` aggregation: the bucket of documents that have NO
+    value for a field (null here — parquet's untyped-missing twin),
+    broken down by ``by`` so the bucket is usable as a sub-agg parent.
+
+    Scale: a conditional count per group — one combinable pass; never
+    a separate IS NULL scan next to the main agg.
+    """
+    c = F.col(field)
+    return (df.groupBy(by)
+            .agg(F.count(F.when(c.isNull(), F.lit(1))).alias("missing_cnt"),
+                 F.count(c).alias("present_cnt"))
+            .orderBy(by))
+
+
+def sampler_agg(df: DataFrame, order_col: str, tiebreak: str,
+                shard_size: int, field: str) -> DataFrame:
+    """ES ``sampler`` aggregation: run sub-aggregations over only the
+    top-``shard_size`` highest-scoring documents instead of the full
+    result set (ES uses it to keep expensive sub-aggs bounded).
+
+    ES's sample is per-shard by _score; the deterministic twin samples
+    the global top-N by (order_col DESC, tiebreak ASC) — a total order,
+    so the sample set is reproducible and oracle-checkable. Scale: the
+    top-N is a TakeOrdered (per-partition heaps + merge of N·P rows),
+    never a full sort; the sub-agg then runs on N rows.
+    """
+    top = (df.orderBy(F.col(order_col).desc(), F.col(tiebreak))
+           .limit(shard_size))
+    return (top.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg(order_col), 4).alias("avg_score"))
+            .orderBy(field))
+
+
 def rare_terms(df: DataFrame, field: str, max_count: int = 2) -> DataFrame:
     """ES rare_terms aggregation: the LONG-TAIL buckets — terms whose
     doc count is at most ``max_count`` (the dual of terms/top-N, which

@@ -22,6 +22,7 @@ docker-compose.yml:72-78). Design:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafana_spark.ingest import TOMBSTONE
+
+_LOG = logging.getLogger(__name__)
 
 PARTITION_COLS = ("topic", "ds")
 
@@ -63,36 +66,61 @@ def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
              .partitionBy(*PARTITION_COLS)).parquet(path)
 
 
-def _recover_merge(path: str) -> None:
+def _recover_merge(path: str) -> list[str]:
     """Finish or roll back a partition swap interrupted by a crash.
 
-    ``merge_upsert``'s per-partition swap has a window between renaming
-    the live dir to ``<ds>.merge-old`` and renaming the staged dir in,
-    during which the partition exists only under its ``.merge-old``
-    name. This pass (run at the start of every merge) repairs either
-    outcome: a ``.merge-old`` next to a live dir means the swap
-    completed and the copy is garbage — drop it; a ``.merge-old`` with
-    no live dir means the swap was interrupted — rename it back.
-    Either way the store is whole before the next merge stages files.
+    ``merge_upsert``'s per-partition swap has a window between parking
+    the live dir as ``.merge-old.ds=<date>`` and renaming the staged
+    dir in, during which the partition exists only under its parked
+    name. This pass (run at the start of every merge AND by
+    ``read_store`` before reading) repairs either outcome: a parked
+    copy next to a live dir means the swap completed and the copy is
+    garbage — drop it; a parked copy with no live dir means the swap
+    was interrupted — rename it back (a rollback: the interrupted
+    merge's staged result for that partition is discarded, so the
+    caller must re-run the same merge to land those updates).
+
+    The parked name is dot-prefixed ON PURPOSE: Spark/Hadoop partition
+    discovery only hides ``_``/``.``-prefixed paths, so a plain
+    ``ds=<date>.merge-old`` sibling would be read as a partition
+    between a crash and the next merge (duplicate _ids + a string ds
+    value). Returns the partition dirs that were rolled back (restored
+    from the parked copy) and logs them, so operators know the prior
+    merge must be retried.
     """
     import shutil
 
+    rolled_back: list[str] = []
     base = path.rstrip("/")
     if not os.path.isdir(base):
-        return
+        return rolled_back
     for topic_dir in os.listdir(base):
         tdir = os.path.join(base, topic_dir)
         if not (os.path.isdir(tdir) and topic_dir.startswith("topic=")):
             continue
         for name in os.listdir(tdir):
-            if not name.endswith(".merge-old"):
+            # current parked form ".merge-old.ds=<date>" plus the legacy
+            # "ds=<date>.merge-old" suffix form, repaired identically
+            if name.startswith(".merge-old."):
+                dst_name = name[len(".merge-old."):]
+            elif name.endswith(".merge-old"):
+                dst_name = name[: -len(".merge-old")]
+            else:
                 continue
             old = os.path.join(tdir, name)
-            dst = old[: -len(".merge-old")]
+            dst = os.path.join(tdir, dst_name)
             if os.path.isdir(dst):
                 shutil.rmtree(old)
             else:
                 os.rename(old, dst)
+                rolled_back.append(dst)
+    if rolled_back:
+        _LOG.warning(
+            "merge recovery rolled back %d partition(s) (%s): the "
+            "interrupted merge's updates for these partitions were "
+            "discarded — re-run the same merge to apply them",
+            len(rolled_back), ", ".join(rolled_back))
+    return rolled_back
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
@@ -149,7 +177,10 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
         for ds_dir in os.listdir(tsrc):
             src = os.path.join(tsrc, ds_dir)
             dst = os.path.join(base, topic_dir, ds_dir)
-            old = dst + ".merge-old"
+            # dot-prefixed park name: hidden from Spark/Hadoop partition
+            # discovery, so a crash mid-swap never exposes stale rows as
+            # a readable partition (see _recover_merge)
+            old = os.path.join(base, topic_dir, ".merge-old." + ds_dir)
             if os.path.isdir(old):
                 shutil.rmtree(old)
             if os.path.isdir(dst):
@@ -170,7 +201,12 @@ def read_store(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
     replays of an _id are byte-identical by construction, so any winner
     is correct — we use a groupBy-free window to keep it cheap when the
     store is already partitioned by topic.
+
+    Runs merge-crash recovery first so a read between a crash and the
+    next merge never sees a partition parked mid-swap (local-FS only;
+    the check is a directory listing, negligible next to the scan).
     """
+    _recover_merge(path)
     df = spark.read.parquet(path)
     if not dedup:
         return df

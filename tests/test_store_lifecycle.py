@@ -150,8 +150,10 @@ def test_merge_upsert_updates_inserts_and_leaves_rest_untouched(
 
 
 def test_merge_recovers_interrupted_swap(spark, tmp_path):
-    """A crash between the two swap renames parks a partition under
-    .merge-old; the next merge restores it before staging anything."""
+    """A crash between the two swap renames parks a partition under the
+    hidden .merge-old.<ds> name; the next merge restores it before
+    staging anything. Covers the legacy suffix park name and a stale
+    .merge-tmp staging dir from the crashed merge too."""
     import os
     import shutil
 
@@ -163,25 +165,76 @@ def test_merge_recovers_interrupted_swap(spark, tmp_path):
     write_store(docs, store)
     total = docs.count()
 
-    # simulate the crash window: live dir renamed away, staged dir lost
+    # simulate the crash window: live dir parked away, staged dir lost
     full = with_store_partitions(docs)
     topic, ds = full.select("topic", "ds").distinct().orderBy("ds") \
         .collect()[0]
-    live = os.path.join(store, f"topic={topic}", f"ds={ds}")
-    os.rename(live, live + ".merge-old")
+    tdir = os.path.join(store, f"topic={topic}")
+    os.rename(os.path.join(tdir, f"ds={ds}"),
+              os.path.join(tdir, f".merge-old.ds={ds}"))
 
-    # also leave a completed-swap leftover on another partition
+    # also leave a completed-swap leftover on another partition, under
+    # the legacy (pre-hidden) suffix name a crashed old version wrote
     other = full.select("topic", "ds").distinct().orderBy("ds") \
         .collect()[-1]
     done = os.path.join(store, f"topic={other.topic}", f"ds={other.ds}")
     shutil.copytree(done, done + ".merge-old")
 
+    # and the staging dir the crashed merge abandoned mid-write
+    stale_tmp = store + ".merge-tmp"
+    os.makedirs(os.path.join(stale_tmp, f"topic={topic}", f"ds={ds}"))
+    with open(os.path.join(stale_tmp, f"topic={topic}", f"ds={ds}",
+                           "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+
     upd = (docs.limit(1).withColumn("key", F.lit("RECOVERED")))
     merge_upsert(spark, store, upd)
 
-    assert not any(p.endswith(".merge-old")
-                   for t in os.listdir(store) if t.startswith("topic=")
-                   for p in os.listdir(os.path.join(store, t)))
+    leftovers = [p for t in os.listdir(store) if t.startswith("topic=")
+                 for p in os.listdir(os.path.join(store, t))
+                 if "merge-old" in p]
+    assert leftovers == []
+    assert not os.path.isdir(stale_tmp)    # stale staging dir replaced
     got = read_store(spark, store)
     assert got.count() == total            # parked partition restored
     assert got.where(F.col("key") == "RECOVERED").count() == 1
+
+
+def test_read_store_recovers_and_hides_crash_artifacts(spark, tmp_path):
+    """Between a crash and the next merge, read_store must neither see
+    the parked copy as a partition (hidden dot-prefix) nor miss the
+    partition whose swap was interrupted (read-time recovery)."""
+    import os
+    import shutil
+
+    from kafana_spark.store import with_store_partitions
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMOKE, "events").limit(400)
+    docs = enrich(events_as_kafka_records(ev))
+    write_store(docs, store)
+    total = docs.count()
+
+    full = with_store_partitions(docs)
+    parts = full.select("topic", "ds").distinct().orderBy("ds").collect()
+    assert len(parts) >= 2
+
+    # completed-swap crash: live dir + parked stale copy side by side —
+    # the hidden name keeps the duplicate rows out of partition discovery
+    t0, d0 = parts[0]
+    live0 = os.path.join(store, f"topic={t0}", f"ds={d0}")
+    shutil.copytree(live0,
+                    os.path.join(store, f"topic={t0}", f".merge-old.ds={d0}"))
+
+    # interrupted-swap crash on another partition: only the parked copy
+    # exists — read-time recovery must restore it before the scan
+    t1, d1 = parts[-1]
+    tdir1 = os.path.join(store, f"topic={t1}")
+    os.rename(os.path.join(tdir1, f"ds={d1}"),
+              os.path.join(tdir1, f".merge-old.ds={d1}"))
+
+    got = read_store(spark, store, dedup=False)
+    assert got.count() == total
+    assert got.where(F.col("ds") == d1).count() > 0
+    assert dict(got.groupBy("_id").count()
+                .where(F.col("count") > 1).collect()) == {}
