@@ -28,24 +28,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kafana_spark.operators.similarity import (
-    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _vectors, _with_norm,
+    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _pq_adc_rank,
+    _pq_refine, _vectors, _with_norm, pq_codebooks, pq_encode,
 )
 
 CENT_DIR = "centroids"
 ASSIGN_DIR = "assignments"
+PQ_CB_DIR = "pq_codebooks"
+PQ_CODE_DIR = "pq_codes"
+PQ_VEC_DIR = "pq_vectors"
 
 
 def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
                     method: str = "modulo", n_assign: int = 1,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    n_vectors: int | None = None) -> None:
     """Fit the quantizer and persist centroids + cell assignments.
 
     Work: one (broadcast) pass of the corpus against the centroids,
     collapsed map-side to n_assign rows per vector — the same plan as
-    the inline operator, paid once instead of per query.
+    the inline operator, paid once instead of per query. Pass
+    ``n_vectors`` (store metadata) so the kmeans path sizes k without
+    a counting job.
     """
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod, n_vectors)
     centroids.write.mode(mode).parquet(f"{path}/{CENT_DIR}")
     _ivf_assign(corpus, centroids, n_assign) \
         .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}")
@@ -74,3 +81,49 @@ def ann_topk_from_index(spark: SparkSession, path: str,
     centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
     assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}")
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
+
+
+def build_pq_index(df: DataFrame, path: str, dim: int = 64,
+                   m_total: int = 16, ksub: int = 32, train_mod: int = 3,
+                   mode: str = "overwrite") -> None:
+    """Persist PQ codebooks + codes + refine vectors — the
+    FAISS-IVFPQ+refine serving shape: the ADC scan reads m_total
+    1-byte codes per vector (~dim/2× smaller than float32); the
+    vectors table exists only for the fixed-size candidate re-rank.
+    """
+    cb = pq_codebooks(df, dim, m_total, ksub, train_mod)
+    cb.write.mode(mode).parquet(f"{path}/{PQ_CB_DIR}")
+    codes = pq_encode(df, df.sparkSession.read.parquet(
+        f"{path}/{PQ_CB_DIR}"), m_total, dim // m_total)
+    codes.write.mode(mode).parquet(f"{path}/{PQ_CODE_DIR}")
+    _vectors(df).write.mode(mode).parquet(f"{path}/{PQ_VEC_DIR}")
+
+
+def append_pq_index(df: DataFrame, path: str, dim: int = 64,
+                    m_total: int = 16) -> None:
+    """Encode a NEW batch against the STORED codebooks and append —
+    append-only like the IVF assignments; rebuild codebooks on drift."""
+    spark = df.sparkSession
+    cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
+    pq_encode(df, cb, m_total, dim // m_total) \
+        .write.mode("append").parquet(f"{path}/{PQ_CODE_DIR}")
+    _vectors(df).write.mode("append").parquet(f"{path}/{PQ_VEC_DIR}")
+
+
+def pq_topk_from_index(spark: SparkSession, path: str,
+                       queries: DataFrame, k: int = 10,
+                       pool: int | None = 100, dim: int = 64,
+                       m_total: int = 16) -> DataFrame:
+    """PQ top-k from the stored index: per-query distance table
+    against the stored codebooks (tiny, broadcast), one lookup-join
+    against the stored codes, then (with ``pool``) an exact re-rank
+    of the pool from the stored refine vectors. ``pool=None`` serves
+    raw ADC without touching any vector."""
+    cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
+    codes = spark.read.parquet(f"{path}/{PQ_CODE_DIR}")
+    sub = dim // m_total
+    if pool is None:
+        return _pq_adc_rank(codes, cb, queries, k, m_total, sub)
+    cands = _pq_adc_rank(codes, cb, queries, pool, m_total, sub)
+    vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}")
+    return _pq_refine(cands, vectors, queries, k)

@@ -745,6 +745,52 @@ def x_stored_ann(spark, sf_dir):
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
+# --- product quantization ANN (x59, x63) ------------------------------
+
+PQ_DIM = 64
+PQ_M = 16         # subspaces → 4-dim subvectors, 32 codes each
+PQ_KSUB = 32
+PQ_TRAIN_MOD = 3
+PQ_POOL = 100     # ADC candidate pool per query, exact-reranked to K
+
+
+def x_pq_ann(spark, sf_dir):
+    """PQ/ADC + exact refine (x59): deterministic per-subspace
+    codebooks → 1-byte codes → asymmetric-distance candidate pool →
+    exact re-rank of the fixed-size pool (FAISS refine shape,
+    recall@10 ≥ 0.9 pinned by test). Distances are exact integer
+    micro-units end-to-end; full DuckDB oracle because every step is
+    deterministic SQL."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.pq_topk_refined(
+        e, q, ANN_K, pool=PQ_POOL, dim=PQ_DIM, m_total=PQ_M,
+        ksub=PQ_KSUB, train_mod=PQ_TRAIN_MOD)
+        .select("qid", "vec_id", "d2u", "rank")
+        .orderBy("qid", "rank"))
+
+
+def x_stored_pq(spark, sf_dir):
+    """x59's PQ ANN through the PERSISTED index (x63): codebooks,
+    codes and refine vectors stored once; ADC + re-rank served from
+    the store. Same oracle as x59 — a hash match proves the store
+    roundtrip and the stored-code query path are exact."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    root = _cached_index_root(
+        "pqidx", sf_dir,
+        lambda r: ann_index.build_pq_index(
+            e, r, dim=PQ_DIM, m_total=PQ_M, ksub=PQ_KSUB,
+            train_mod=PQ_TRAIN_MOD))
+    return (ann_index.pq_topk_from_index(spark, root, q, ANN_K,
+                                         pool=PQ_POOL, dim=PQ_DIM,
+                                         m_total=PQ_M)
+            .select("qid", "vec_id", "d2u", "rank")
+            .orderBy("qid", "rank"))
+
+
 # --- ES straggler aggs (x60-x62): global / missing / sampler ----------
 
 GLOBAL_FILTER_TYPE = "purchase"
@@ -856,9 +902,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x56_curation_v2": x_curation_v2,
     "x57_stored_near_dup": x_stored_near_dup,
     "x58_stored_ann": x_stored_ann,
+    "x59_pq_ann": x_pq_ann,
     "x60_global_agg": x_global_agg,
     "x61_missing_agg": x_missing_agg,
     "x62_sampler_agg": x_sampler_agg,
+    "x63_stored_pq": x_stored_pq,
 }
 
 
@@ -1058,6 +1106,63 @@ def _ann_ivf_sql() -> str:
         "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
         f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
         "ORDER BY qid, rank"
+    )
+
+
+def _pq_sql() -> str:
+    """Full PQ/ADC + exact-refine pipeline in DuckDB. Deterministic
+    codebooks (modulo-sampled training vectors) and integer micro-unit
+    distances (ROUND(d2·1e6)::BIGINT per subspace, exact integer sums)
+    make the entire approximate path bit-reproducible across engines —
+    the only float ops are the square sums, each rounded before any
+    order-sensitive accumulation."""
+    sub = PQ_DIM // PQ_M
+    d2 = ("(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * "
+          "(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i])").format(s=sub)
+    qd2 = d2.replace("x.v", "q.v")
+    return (
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"e AS (SELECT vec_id, CASE WHEN len(v) <> {PQ_DIM} THEN "
+        f"error('oracle pq dim {PQ_DIM} mismatch') ELSE v END AS v "
+        "FROM e0), "
+        "tr AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS code FROM (SELECT vec_id, v FROM e "
+        f"WHERE vec_id % {PQ_TRAIN_MOD} = 0 ORDER BY vec_id "
+        f"LIMIT {PQ_KSUB})), "
+        "enc AS (SELECT x.vec_id, mm.m, tr.code, "
+        f"CAST(ROUND(SUM({d2}) * 1000000) AS BIGINT) AS d2u "
+        f"FROM e x, generate_series(0, {PQ_M - 1}) mm(m), tr, "
+        f"generate_series(1, {sub}) g(i) "
+        "GROUP BY x.vec_id, mm.m, tr.code), "
+        "codes AS (SELECT vec_id, m, code FROM ("
+        "SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY "
+        "vec_id, m ORDER BY d2u, code) AS r FROM enc) t WHERE r = 1), "
+        f"q AS (SELECT vec_id AS qid, v FROM e "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "tab AS (SELECT q.qid, mm.m, tr.code, "
+        f"CAST(ROUND(SUM({qd2}) * 1000000) AS BIGINT) AS d2u "
+        f"FROM q, generate_series(0, {PQ_M - 1}) mm(m), tr, "
+        f"generate_series(1, {sub}) g(i) "
+        "GROUP BY q.qid, mm.m, tr.code), "
+        "sc AS (SELECT t.qid, c.vec_id, CAST(SUM(t.d2u) AS BIGINT) "
+        "AS adist_u FROM codes c JOIN tab t ON t.m = c.m "
+        "AND t.code = c.code WHERE t.qid <> c.vec_id "
+        "GROUP BY t.qid, c.vec_id), "
+        "cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) "
+        f"AS r FROM sc) t WHERE r <= {PQ_POOL}), "
+        "rr AS (SELECT cd.qid, cd.vec_id, "
+        "CAST(ROUND(SUM((q.v[i] - x.v[i]) * (q.v[i] - x.v[i])) "
+        "* 1000000) AS BIGINT) AS d2u "
+        "FROM cand cd JOIN e x ON x.vec_id = cd.vec_id "
+        f"JOIN q ON q.qid = cd.qid, generate_series(1, {PQ_DIM}) g(i) "
+        "GROUP BY cd.qid, cd.vec_id), "
+        "fin AS (SELECT qid, vec_id, d2u, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY d2u, vec_id) AS INTEGER) AS rank "
+        "FROM rr) "
+        f"SELECT qid, vec_id, d2u, rank FROM fin "
+        f"WHERE rank <= {ANN_K} ORDER BY qid, rank"
     )
 
 
@@ -1556,6 +1661,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ORDER BY d.doc_id"
     ).format(_dup_clusters_ctes(), _quality_core(),
              CURATE_MIN_QUALITY, CURATE2_MAX_OOV),
+    "x59_pq_ann": _pq_sql(),
+    "x63_stored_pq": _pq_sql(),
     "x60_global_agg": (
         f"SELECT COUNT(*) FILTER (WHERE event_type = "
         f"'{GLOBAL_FILTER_TYPE}') AS cnt, "

@@ -87,7 +87,8 @@ def kmeans_centroids(df: DataFrame, k: int, seed: int = 42,
 
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              centroid_mod: int = 40, n_probe: int = 3,
-             method: str = "modulo", n_assign: int = 1) -> DataFrame:
+             method: str = "modulo", n_assign: int = 1,
+             n_vectors: int | None = None) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Coarse quantizer: ``method='modulo'`` uses vectors with
@@ -104,16 +105,23 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     when n_probe alone plateaus.
     """
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod, n_vectors)
     assigned = _ivf_assign(corpus, centroids, n_assign)
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
 
 
 def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
-                   centroid_mod: int) -> DataFrame:
-    """(cid, cv, cnrm) coarse-quantizer centroids."""
+                   centroid_mod: int,
+                   n_vectors: int | None = None) -> DataFrame:
+    """(cid, cv, cnrm) coarse-quantizer centroids.
+
+    ``n_vectors`` sizes the kmeans cell count (k = n/centroid_mod)
+    without a counting job — pass the known corpus size (store
+    metadata, ingest row count); only when absent does the build pay a
+    one-off count() (never on the default modulo path).
+    """
     if method == "kmeans":
-        n = corpus.count()
+        n = n_vectors if n_vectors is not None else corpus.count()
         raw = kmeans_centroids(df, k=max(2, n // centroid_mod))
         return raw.select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
     if method == "modulo":
@@ -201,6 +209,151 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
     return (scored.dropDuplicates(["qid", "vec_id"])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# --- product quantization (PQ / ADC) ----------------------------------
+#
+# The 100 TB ANN memory story next to IVF (cells) and int8 (4× cut):
+# each vector becomes m_total 1-byte codes — dim×4-byte floats shrink
+# ~dim/2× (64-dim float32 → 8 bytes), and queries never touch the
+# original vectors (Asymmetric Distance Computation sums per-subspace
+# lookup-table entries). Deterministic codebooks (modulo-sampled
+# training rows, same stance as IVF's modulo quantizer) make every
+# step SQL-expressible, so x59/x63 run under a full DuckDB oracle.
+# Distances are integer micro-units end-to-end: ROUND(d2·1e6)::long
+# per subspace, summed exactly — integer sums are order-independent,
+# so Spark and DuckDB agree bit-for-bit (the float-sum ordering hazard
+# the 6dp rounding in IVF merely shrinks is eliminated here).
+
+
+def _l2sq_u(a, b) -> F.Column:
+    """Squared L2 distance in integer micro-units (exact, portable)."""
+    d2 = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(d2 * F.lit(1_000_000.0)).cast("long")
+
+
+def pq_codebooks(df: DataFrame, dim: int, m_total: int = 8,
+                 ksub: int = 8, train_mod: int = 7) -> DataFrame:
+    """(m, code, cv) product-quantizer codebooks: the ksub
+    modulo-sampled training vectors contribute their m-th subvector as
+    code ``code`` of subspace ``m``. Zero training cost, deterministic
+    across engines; swap in per-subspace k-means centroids via
+    ``kmeans_centroids`` for production recall (same downstream plan).
+    """
+    sub = dim // m_total
+    train = (_vectors(df).where(F.col("vec_id") % train_mod == 0)
+             .orderBy("vec_id").limit(ksub))
+    # row_number over ksub rows — driver-trivial by construction
+    w = Window.orderBy("vec_id")
+    coded = train.withColumn("code", F.row_number().over(w) - 1)
+    return (coded.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(m_total - 1))).alias("m"),
+        "v")
+        .select("m", "code",
+                F.expr(f"slice(v, m*{sub}+1, {sub})").alias("cv")))
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, m_total: int,
+              sub: int) -> DataFrame:
+    """(vec_id, m, code) PQ codes: nearest codebook entry per subspace.
+
+    Scale: the broadcast join expands corpus×ksub per subspace, but the
+    argmin groupBy collapses map-side (min(struct) is combinable) — the
+    exchange moves |corpus|·m_total code rows (~16 bytes each), never
+    the expanded frame and never the vectors.
+    """
+    expanded = (_vectors(df)
+                .select("vec_id",
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(m_total - 1))).alias("m"),
+                        "v")
+                .select("vec_id", "m",
+                        F.expr(f"slice(v, m*{sub}+1, {sub})").alias("sv")))
+    scored = (expanded.alias("x")
+              .join(F.broadcast(codebooks.alias("cb")),
+                    F.col("x.m") == F.col("cb.m"))
+              .select("vec_id", F.col("x.m").alias("m"),
+                      F.col("cb.code").alias("code"),
+                      _l2sq_u(F.col("x.sv"), F.col("cb.cv")).alias("d2u")))
+    # argmin(d2u, tie → smallest code) == lexicographic struct min
+    best = F.min(F.struct("d2u", "code")).alias("b")
+    return (scored.groupBy("vec_id", "m").agg(best)
+            .select("vec_id", "m", F.col("b.code").alias("code")))
+
+
+def _pq_adc_rank(codes: DataFrame, codebooks: DataFrame,
+                 queries: DataFrame, k: int, m_total: int,
+                 sub: int) -> DataFrame:
+    """ADC top-k from stored codes: per-query distance TABLE against
+    the codebooks (|q|·m_total·ksub rows — broadcast), then one
+    lookup-join against the codes and an exact integer sum per
+    (query, vector). The corpus vectors are never read."""
+    qexp = (queries
+            .select("qid",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(m_total - 1))).alias("m"),
+                    "v")
+            .select("qid", "m",
+                    F.expr(f"slice(v, m*{sub}+1, {sub})").alias("qsv")))
+    table = (qexp.alias("q")
+             .join(F.broadcast(codebooks.alias("cb")),
+                   F.col("q.m") == F.col("cb.m"))
+             .select("qid", F.col("q.m").alias("m"), "code",
+                     _l2sq_u(F.col("q.qsv"), F.col("cb.cv")).alias("d2u")))
+    scored = (codes.alias("c")
+              .join(F.broadcast(table.alias("t")),
+                    (F.col("c.m") == F.col("t.m"))
+                    & (F.col("c.code") == F.col("t.code")))
+              .where(F.col("t.qid") != F.col("c.vec_id"))
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("d2u").alias("adist_u")))
+    w = Window.partitionBy("qid").orderBy("adist_u", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+            dim: int = 64, m_total: int = 8, ksub: int = 8,
+            train_mod: int = 7) -> DataFrame:
+    """PQ/ADC approximate top-k by squared-L2 (on normalized vectors
+    this ranks like cosine): codebooks → codes → ADC, end to end.
+    Output: (qid, vec_id, adist_u, rank), self-matches excluded."""
+    sub = dim // m_total
+    cb = pq_codebooks(df, dim, m_total, ksub, train_mod)
+    codes = pq_encode(df, cb, m_total, sub)
+    return _pq_adc_rank(codes, cb, queries, k, m_total, sub)
+
+
+def _pq_refine(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+               k: int) -> DataFrame:
+    """Exact squared-L2 re-rank of an ADC candidate pool (FAISS-style
+    refine): the candidate list (|queries|·pool rows) broadcasts
+    against ONE corpus scan, so true vectors are read for candidates
+    only and nothing larger than the pool ever shuffles."""
+    d2u = _l2sq_u(F.col("q.v"), F.col("c.v"))
+    scored = (corpus.alias("c")
+              .join(F.broadcast(cands.select("qid", "vec_id")), "vec_id")
+              .join(F.broadcast(queries.alias("q")), "qid")
+              .select("qid", "vec_id", d2u.alias("d2u")))
+    w = Window.partitionBy("qid").orderBy("d2u", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def pq_topk_refined(df: DataFrame, queries: DataFrame, k: int = 10,
+                    pool: int = 100, dim: int = 64, m_total: int = 16,
+                    ksub: int = 32, train_mod: int = 3) -> DataFrame:
+    """PQ/ADC candidate generation + exact re-rank — the production
+    PQ serving pipeline (ADC scans codes only; the true vectors are
+    touched for the ``pool`` candidates per query, then exact
+    squared-L2 picks the final k). The pool is FIXED as the corpus
+    grows, so at 100 TB the refine cost per query is constant while
+    the ADC scan stays ~dim/2× lighter than a float scan.
+    Output: (qid, vec_id, d2u, rank) with exact integer-µunit d2u."""
+    cands = pq_topk(df, queries, pool, dim, m_total, ksub, train_mod)
+    return _pq_refine(cands, _vectors(df), queries, k)
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",

@@ -65,3 +65,63 @@ def test_index_query_reads_only_index_tables(spark, tmp_path):
     # re-derivation over the corpus parquet
     assert "annidx/assignments" in plan
     assert "annidx/centroids" in plan
+
+
+def test_pq_index_query_equals_inline(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "pqidx")
+    ann_index.build_pq_index(e, root, m_total=16, ksub=32, train_mod=3)
+    got = ann_index.pq_topk_from_index(spark, root, q, k=10, pool=100,
+                                       m_total=16)
+    expect = similarity.pq_topk_refined(e, q, k=10, pool=100, m_total=16,
+                                        ksub=32, train_mod=3)
+    to_set = lambda df: {(r.qid, r.vec_id, r.d2u, r.rank)
+                         for r in df.collect()}
+    assert to_set(got) == to_set(expect)
+
+
+def test_pq_append_encodes_against_stored_codebooks(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    # codebooks come from the training rows (vec_id % 3 == 0), so a
+    # build on just those rows followed by appending the rest must
+    # serve identically to the one-shot build
+    root = str(tmp_path / "pqidx")
+    ann_index.build_pq_index(e, root, m_total=16, ksub=32, train_mod=3)
+    root2 = str(tmp_path / "pqidx2")
+    from pyspark.sql import functions as F
+    ann_index.build_pq_index(e.where(F.col("vec_id") % 3 == 0), root2,
+                             m_total=16, ksub=32, train_mod=3)
+    ann_index.append_pq_index(e.where(F.col("vec_id") % 3 != 0), root2,
+                              m_total=16)
+    to_set = lambda df: {(r.qid, r.vec_id, r.d2u, r.rank)
+                         for r in df.collect()}
+    a = ann_index.pq_topk_from_index(spark, root, q, k=10, pool=100,
+                                     m_total=16)
+    b = ann_index.pq_topk_from_index(spark, root2, q, k=10, pool=100,
+                                     m_total=16)
+    assert to_set(a) == to_set(b)
+
+
+def test_pq_index_query_reads_only_index_tables(spark, tmp_path):
+    e = embs(spark)
+    # literal query vectors: with the queries not derived from the
+    # corpus, NO scan of the corpus parquet is legitimate at serving
+    # time — everything must come from the index tables
+    qrows = [(r.qid, list(r.v)) for r in
+             similarity.modulo_queries(e, 100).collect()]
+    q = spark.createDataFrame(qrows, "qid long, v array<double>")
+    root = str(tmp_path / "pqidx")
+    ann_index.build_pq_index(e, root, m_total=16, ksub=32, train_mod=3)
+    df = ann_index.pq_topk_from_index(spark, root, q, k=10, pool=100,
+                                      m_total=16)
+    qe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = qe.explainString(mode).replace("\\", "/")
+    assert "pqidx/pq_codes" in plan
+    assert "pqidx/pq_codebooks" in plan
+    assert "pqidx/pq_vectors" in plan
+    assert "embeddings.parquet" not in plan

@@ -122,3 +122,41 @@ def test_int8_quantized_topk_recall(spark):
     approx_set = {(r.qid, r.vec_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.85, f"int8 recall too low: {recall:.2f}"
+
+
+def test_pq_refined_recall_vs_exact_l2(spark):
+    """PQ/ADC pool + exact refine must recover ≥0.9 of the true
+    squared-L2 top-10 (the raw ADC pool alone is much coarser — the
+    refine stage is what makes PQ serviceable on this corpus)."""
+    import numpy as np
+
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    got = similarity.pq_topk_refined(e, q, k=10, pool=100, m_total=16,
+                                     ksub=32, train_mod=3).collect()
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    ids = sorted(data)
+    mat = np.stack([data[i] for i in ids])
+    recalls = []
+    for qid in sorted({r.qid for r in got}):
+        d2 = ((mat - data[qid]) ** 2).sum(axis=1)
+        truth = [ids[j] for j in np.argsort(d2, kind="stable")
+                 if ids[j] != qid][:10]
+        approx = {r.vec_id for r in got if r.qid == qid}
+        recalls.append(len(set(truth) & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"PQ refined recall too low: {mean:.2f}"
+
+
+def test_pq_refined_output_contract(spark):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    nq = q.count()
+    out = similarity.pq_topk_refined(e, q, k=10, pool=100, m_total=16,
+                                     ksub=32, train_mod=3).collect()
+    assert len(out) == nq * 10
+    for r in out:
+        assert 1 <= r.rank <= 10
+        assert r.d2u >= 0          # exact integer-µunit distance
+        assert r.qid != r.vec_id   # self-matches excluded
