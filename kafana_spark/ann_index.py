@@ -54,22 +54,50 @@ def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
     corpus = _with_norm(_vectors(df))
     centroids = _ivf_centroids(df, corpus, method, centroid_mod, n_vectors)
     centroids.write.mode(mode).parquet(f"{path}/{CENT_DIR}")
+    # loads land under batch=<id> so batch builds, appends and the
+    # streaming sink share ONE layout (bare files next to batch= dirs
+    # would break parquet partition discovery); readers drop the column
     _ivf_assign(corpus, centroids, n_assign) \
-        .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}")
+        .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}/batch=base")
 
 
-def append_ann_index(df: DataFrame, path: str,
-                     n_assign: int = 1) -> None:
+def append_ann_index(df: DataFrame, path: str, n_assign: int = 1,
+                     batch: str | None = None) -> None:
     """Assign a NEW batch against the STORED centroids and append.
 
     Append-only: existing assignment rows never change. Centroids are
     not refit — monitor drift and rebuild when cell occupancy skews
-    (the standard IVF maintenance trade)."""
+    (the standard IVF maintenance trade). Pass ``batch`` (ingest day,
+    epoch) for idempotent re-runs; a random id is drawn otherwise."""
+    import uuid
+
     spark = df.sparkSession
     centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
     corpus = _with_norm(_vectors(df))
     _ivf_assign(corpus, centroids, n_assign) \
-        .write.mode("append").parquet(f"{path}/{ASSIGN_DIR}")
+        .write.mode("overwrite") \
+        .parquet(f"{path}/{ASSIGN_DIR}/batch={batch or uuid.uuid4().hex}")
+
+
+def ann_index_stream_sink(path: str, n_assign: int = 1):
+    """foreachBatch sink keeping the IVF index fresh under streaming
+    ingest: each micro-batch of new vectors is assigned against the
+    STORED centroids (no refit — the append_ann_index contract) and
+    written to its own ``batch=<epoch_id>`` subdirectory with
+    mode=overwrite, so an at-least-once redelivery REPLACES its
+    partition instead of duplicating assignment rows (duplicates would
+    surface the same vec_id twice per probed cell). Same idempotency
+    discipline as ingest_stream_exactly_once (streaming/pipeline.py).
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
+        _ivf_assign(_with_norm(_vectors(batch_df)), centroids, n_assign) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/{ASSIGN_DIR}/batch={epoch_id}")
+
+    return _sink
 
 
 def ann_topk_from_index(spark: SparkSession, path: str,
@@ -77,9 +105,11 @@ def ann_topk_from_index(spark: SparkSession, path: str,
                         n_probe: int = 3) -> DataFrame:
     """Approximate top-k from the stored index: probe n_probe cells per
     query, rank members of those cells only. Reads centroids (tiny,
-    broadcast) and the probed slice of the assignment table."""
+    broadcast) and the probed slice of the assignment table. drop("batch")
+    is a no-op on batch-built indexes and strips the partition column a
+    stream-built (batch=<id>-partitioned) index adds."""
     centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
-    assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}")
+    assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
 
 
@@ -95,19 +125,42 @@ def build_pq_index(df: DataFrame, path: str, dim: int = 64,
     cb.write.mode(mode).parquet(f"{path}/{PQ_CB_DIR}")
     codes = pq_encode(df, df.sparkSession.read.parquet(
         f"{path}/{PQ_CB_DIR}"), m_total, dim // m_total)
-    codes.write.mode(mode).parquet(f"{path}/{PQ_CODE_DIR}")
-    _vectors(df).write.mode(mode).parquet(f"{path}/{PQ_VEC_DIR}")
+    codes.write.mode(mode).parquet(f"{path}/{PQ_CODE_DIR}/batch=base")
+    _vectors(df).write.mode(mode).parquet(f"{path}/{PQ_VEC_DIR}/batch=base")
 
 
 def append_pq_index(df: DataFrame, path: str, dim: int = 64,
-                    m_total: int = 16) -> None:
+                    m_total: int = 16, batch: str | None = None) -> None:
     """Encode a NEW batch against the STORED codebooks and append —
-    append-only like the IVF assignments; rebuild codebooks on drift."""
+    append-only like the IVF assignments; rebuild codebooks on drift.
+    Pass ``batch`` for idempotent re-runs; random id otherwise."""
+    import uuid
+
     spark = df.sparkSession
     cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
+    bid = batch or uuid.uuid4().hex
     pq_encode(df, cb, m_total, dim // m_total) \
-        .write.mode("append").parquet(f"{path}/{PQ_CODE_DIR}")
-    _vectors(df).write.mode("append").parquet(f"{path}/{PQ_VEC_DIR}")
+        .write.mode("overwrite").parquet(f"{path}/{PQ_CODE_DIR}/batch={bid}")
+    _vectors(df).write.mode("overwrite") \
+        .parquet(f"{path}/{PQ_VEC_DIR}/batch={bid}")
+
+
+def pq_index_stream_sink(path: str, dim: int = 64, m_total: int = 16):
+    """foreachBatch sink for the PQ index: encode each new micro-batch
+    against the STORED codebooks, land codes + refine vectors in
+    per-batch ``batch=<epoch_id>`` dirs (overwrite ⇒ redelivery-safe,
+    same discipline as ann_index_stream_sink)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
+        pq_encode(batch_df, cb, m_total, dim // m_total) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/{PQ_CODE_DIR}/batch={epoch_id}")
+        _vectors(batch_df).write.mode("overwrite") \
+            .parquet(f"{path}/{PQ_VEC_DIR}/batch={epoch_id}")
+
+    return _sink
 
 
 def pq_topk_from_index(spark: SparkSession, path: str,
@@ -120,10 +173,10 @@ def pq_topk_from_index(spark: SparkSession, path: str,
     of the pool from the stored refine vectors. ``pool=None`` serves
     raw ADC without touching any vector."""
     cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
-    codes = spark.read.parquet(f"{path}/{PQ_CODE_DIR}")
+    codes = spark.read.parquet(f"{path}/{PQ_CODE_DIR}").drop("batch")
     sub = dim // m_total
     if pool is None:
         return _pq_adc_rank(codes, cb, queries, k, m_total, sub)
     cands = _pq_adc_rank(codes, cb, queries, pool, m_total, sub)
-    vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}")
+    vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}").drop("batch")
     return _pq_refine(cands, vectors, queries, k)

@@ -46,29 +46,66 @@ SH_DIR = "shingles"
 
 
 def build_dedup_index(df: DataFrame, path: str, text_col: str = "text",
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      batch: str = "base") -> None:
     """Sign + shingle the corpus once and persist both tables.
 
     One map-side pass over the text (shingle explode), one combinable
     aggregation (signature mins); writes are partitioned however the
     input is — at 100 TB partition the input by ingest day and this
     becomes the per-day index build.
+
+    Every load lands under a ``batch=<id>`` subdirectory so batch
+    builds, manual appends and the streaming sink share ONE layout
+    (mixing bare files with batch= dirs would break parquet partition
+    discovery); readers drop the resulting partition column.
     """
     sh = hashed_shingle_set(df, text_col=text_col)
     sig = minhash_signature(sh).persist()
     try:
-        sig.write.mode(mode).parquet(f"{path}/{SIG_DIR}")
-        lsh_bands(sig).write.mode(mode).parquet(f"{path}/{BAND_DIR}")
+        sig.write.mode(mode).parquet(f"{path}/{SIG_DIR}/batch={batch}")
+        lsh_bands(sig).write.mode(mode) \
+            .parquet(f"{path}/{BAND_DIR}/batch={batch}")
     finally:
         sig.unpersist()
-    sh.write.mode(mode).parquet(f"{path}/{SH_DIR}")
+    sh.write.mode(mode).parquet(f"{path}/{SH_DIR}/batch={batch}")
 
 
 def append_dedup_index(df: DataFrame, path: str,
-                       text_col: str = "text") -> None:
+                       text_col: str = "text",
+                       batch: str | None = None) -> None:
     """Add new documents to an existing index (append-only: signatures
-    and shingles are per-doc functions, so no existing row changes)."""
-    build_dedup_index(df, path, text_col=text_col, mode="append")
+    and shingles are per-doc functions, so no existing row changes).
+    Each append gets its own batch id — pass one (ingest day, epoch)
+    for idempotent re-runs, or let a random one be drawn."""
+    import uuid
+
+    build_dedup_index(df, path, text_col=text_col, mode="overwrite",
+                      batch=batch or uuid.uuid4().hex)
+
+
+def dedup_index_stream_sink(path: str, text_col: str = "text"):
+    """foreachBatch sink keeping the near-dup index fresh under
+    streaming ingest — use with
+    ``stream.writeStream.foreachBatch(dedup_index_stream_sink(p))``.
+
+    Idempotent under at-least-once redelivery with the same discipline
+    as ``ingest_stream_exactly_once`` (streaming/pipeline.py): each
+    micro-batch lands in its own ``batch=<epoch_id>`` subdirectory
+    with mode=overwrite, so a replayed batch REPLACES its partition
+    instead of appending a duplicate (a plain append would double the
+    (doc_id, h) shingle rows and inflate every jaccard intersection
+    the doc participates in). A crash mid-write heals the same way:
+    the retry overwrites whatever partial partition was left. Readers
+    see ``batch`` as an extra partition column; the from_index query
+    paths drop it.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        build_dedup_index(batch_df, path, text_col=text_col,
+                          mode="overwrite", batch=str(epoch_id))
+
+    return _sink
 
 
 def near_dup_from_index(spark: SparkSession, path: str,
@@ -77,8 +114,10 @@ def near_dup_from_index(spark: SparkSession, path: str,
     """All verified near-dup pairs (da, db, jaccard), da < db, computed
     from the stored signatures + shingles — no text is read and nothing
     is re-hashed."""
-    bands = spark.read.parquet(f"{path}/{BAND_DIR}")
-    sh = spark.read.parquet(f"{path}/{SH_DIR}")
+    # drop is a no-op when the column is absent, so one reader serves
+    # both batch-built and stream-built (batch=<id>-partitioned) indexes
+    bands = spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
+    sh = spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
     pairs = candidate_pairs(bands, bucket_cap=bucket_cap)
     return jaccard_verify(pairs, sh, threshold)
 
@@ -104,13 +143,13 @@ def incremental_from_index(new: DataFrame, path: str,
     sh_new = hashed_shingle_set(new, text_col=text_col)
     new_ids = sh_new.select("doc_id").distinct()
     bn = lsh_bands(minhash_signature(sh_new))
-    bo = (spark.read.parquet(f"{path}/{BAND_DIR}")
+    bo = (spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
           .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
             .select(F.least("a.doc_id", "b.doc_id").alias("da"),
                     F.greatest("a.doc_id", "b.doc_id").alias("db"))
             .where(F.col("da") < F.col("db"))
             .distinct())
-    sh_old = (spark.read.parquet(f"{path}/{SH_DIR}")
+    sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)

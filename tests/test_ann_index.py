@@ -125,3 +125,49 @@ def test_pq_index_query_reads_only_index_tables(spark, tmp_path):
     assert "pqidx/pq_codebooks" in plan
     assert "pqidx/pq_vectors" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_ivf_stream_sink_redelivery_safe(spark, tmp_path):
+    """IVF assignments via the foreachBatch sink (with a redelivered
+    epoch) serve identically to the one-shot build."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "annidx")
+    ann_index.build_ann_index(e, root, centroid_mod=40, n_assign=2)
+    # stream twin: centroids from the training slice, batches streamed
+    root2 = str(tmp_path / "annidx2")
+    ann_index.build_ann_index(e.where(F.col("vec_id") % 40 == 0), root2,
+                              centroid_mod=40, n_assign=2)
+    sink = ann_index.ann_index_stream_sink(root2, n_assign=2)
+    rest = e.where(F.col("vec_id") % 40 != 0)
+    sink(rest.where(F.col("vec_id") % 2 == 0), 0)
+    sink(rest.where(F.col("vec_id") % 2 == 1), 1)
+    sink(rest.where(F.col("vec_id") % 2 == 1), 1)   # redelivery
+    a = ann_index.ann_topk_from_index(spark, root, q, k=10, n_probe=3)
+    b = ann_index.ann_topk_from_index(spark, root2, q, k=10, n_probe=3)
+    assert result_set(a) == result_set(b)
+
+
+def test_pq_stream_sink_redelivery_safe(spark, tmp_path):
+    """PQ codes + refine vectors via the foreachBatch sink (with a
+    redelivered epoch) serve identically to the one-shot build."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "pqidx")
+    ann_index.build_pq_index(e, root, m_total=16, ksub=32, train_mod=3)
+    root2 = str(tmp_path / "pqidx2")
+    from pyspark.sql import functions as F
+    ann_index.build_pq_index(e.where(F.col("vec_id") % 3 == 0), root2,
+                             m_total=16, ksub=32, train_mod=3)
+    sink = ann_index.pq_index_stream_sink(root2, m_total=16)
+    rest = e.where(F.col("vec_id") % 3 != 0)
+    sink(rest.where(F.col("vec_id") % 2 == 0), 0)
+    sink(rest.where(F.col("vec_id") % 2 == 1), 1)
+    sink(rest.where(F.col("vec_id") % 2 == 1), 1)   # redelivery
+    to_set = lambda df: {(r.qid, r.vec_id, r.d2u, r.rank)
+                         for r in df.collect()}
+    a = ann_index.pq_topk_from_index(spark, root, q, k=10, pool=100,
+                                     m_total=16)
+    b = ann_index.pq_topk_from_index(spark, root2, q, k=10, pool=100,
+                                     m_total=16)
+    assert to_set(a) == to_set(b)

@@ -63,3 +63,36 @@ def test_index_query_reads_no_text(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
     assert "md5" not in plan
+
+
+def test_stream_sink_builds_index_redelivery_safe(spark, tmp_path):
+    """Driving the foreachBatch sink with micro-batches — including a
+    REDELIVERED epoch (at-least-once) — must yield exactly the
+    recompute-everything pairs: the per-epoch overwrite replaces the
+    replayed batch instead of duplicating its shingle rows."""
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    sink = dedup_index.dedup_index_stream_sink(root)
+    batches = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)       # redelivery of epoch 1
+    sink(batches[2], 2)
+    got = dedup_index.near_dup_from_index(spark, root, THRESH)
+    expect = dedup.minhash_near_dup(d, THRESH)
+    assert pairs_set(got) == pairs_set(expect)
+
+
+def test_incremental_after_stream_batches(spark, tmp_path):
+    """incremental_from_index over a stream-built index equals the
+    DataFrame incremental pipeline over the same corpus split."""
+    d = docs(spark)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "ndidx")
+    sink = dedup_index.dedup_index_stream_sink(root)
+    sink(old.where(F.col("doc_id") % 4 == 0), 0)
+    sink(old.where(F.col("doc_id") % 4 == 2), 1)
+    got = dedup_index.incremental_from_index(new, root, THRESH)
+    expect = dedup.incremental_near_dup(new, old, THRESH)
+    assert pairs_set(got) == pairs_set(expect)
