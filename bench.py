@@ -59,6 +59,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
+        # the suite grows every round; s/query is the honest
+        # cross-round comparison metric (BASELINE.md bench history)
+        "s_per_query": round(total / max(1, len(timings)), 4),
         "sf": sf,
     }))
     spark.stop()

@@ -179,4 +179,4 @@ def pq_topk_from_index(spark: SparkSession, path: str,
         return _pq_adc_rank(codes, cb, queries, k, m_total, sub)
     cands = _pq_adc_rank(codes, cb, queries, pool, m_total, sub)
     vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}").drop("batch")
-    return _pq_refine(cands, vectors, queries, k)
+    return _pq_refine(cands, vectors, queries, k, dim)

@@ -829,6 +829,20 @@ def x_missing_agg(spark, sf_dir):
 
 SAMPLER_SHARD_SIZE = 1000
 
+# --- RAG chunking (x64) -----------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def x_chunk_windows(spark, sf_dir):
+    """Sliding token windows with overlap (x64): the RAG /
+    context-window chunking pass — window=32 tokens, stride=24 (8-token
+    overlap), short tail chunks kept. Map-only column expressions."""
+    return (text.chunk_windows(_docs(spark, sf_dir),
+                               window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+            .orderBy("doc_id", "chunk_id"))
+
 
 def x_sampler_agg(spark, sf_dir):
     """ES ``sampler`` aggregation: terms sub-agg over only the
@@ -907,6 +921,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x61_missing_agg": x_missing_agg,
     "x62_sampler_agg": x_sampler_agg,
     "x63_stored_pq": x_stored_pq,
+    "x64_chunk_windows": x_chunk_windows,
 }
 
 
@@ -1690,5 +1705,16 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT event_type, COUNT(*) AS cnt, "
         "ROUND(AVG(value), 4) AS avg_score FROM top "
         "GROUP BY event_type ORDER BY event_type"
+    ),
+    "x64_chunk_windows": (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "c AS (SELECT doc_id, i AS chunk_id, "
+        f"toks[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_WINDOW})] "
+        "AS w FROM t, "
+        f"generate_series(0, {ORACLE_MAX_TOKENS // CHUNK_STRIDE}) g(i) "
+        f"WHERE i*{CHUNK_STRIDE} < len(toks)) "
+        "SELECT doc_id, chunk_id, array_to_string(w, ' ') AS chunk_text, "
+        "CAST(len(w) AS INTEGER) AS chunk_tokens FROM c "
+        "ORDER BY doc_id, chunk_id"
     ),
 }

@@ -226,10 +226,20 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
 # the 6dp rounding in IVF merely shrinks is eliminated here).
 
 
-def _l2sq_u(a, b) -> F.Column:
-    """Squared L2 distance in integer micro-units (exact, portable)."""
-    d2 = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                     F.lit(0.0), lambda acc, x: acc + x)
+def _l2sq_u(a, b, dim: int) -> F.Column:
+    """Squared L2 distance in integer micro-units (exact, portable).
+
+    ``dim`` is static at plan time, so the sum is UNROLLED into a
+    left-folded chain of codegen'd GetArrayItem/multiply/add nodes —
+    the interpreted F.aggregate/zip_with higher-order form costs ~3×
+    more per row on the encode path (1M+ rows at bench scale). The
+    left fold keeps the same index-order accumulation the sequential
+    aggregate had, so results are bit-identical.
+    """
+    d2 = None
+    for j in range(dim):
+        t = (a[j] - b[j]) * (a[j] - b[j])
+        d2 = t if d2 is None else d2 + t
     return F.round(d2 * F.lit(1_000_000.0)).cast("long")
 
 
@@ -276,7 +286,8 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m_total: int,
                     F.col("x.m") == F.col("cb.m"))
               .select("vec_id", F.col("x.m").alias("m"),
                       F.col("cb.code").alias("code"),
-                      _l2sq_u(F.col("x.sv"), F.col("cb.cv")).alias("d2u")))
+                      _l2sq_u(F.col("x.sv"), F.col("cb.cv"),
+                              sub).alias("d2u")))
     # argmin(d2u, tie → smallest code) == lexicographic struct min
     best = F.min(F.struct("d2u", "code")).alias("b")
     return (scored.groupBy("vec_id", "m").agg(best)
@@ -301,7 +312,8 @@ def _pq_adc_rank(codes: DataFrame, codebooks: DataFrame,
              .join(F.broadcast(codebooks.alias("cb")),
                    F.col("q.m") == F.col("cb.m"))
              .select("qid", F.col("q.m").alias("m"), "code",
-                     _l2sq_u(F.col("q.qsv"), F.col("cb.cv")).alias("d2u")))
+                     _l2sq_u(F.col("q.qsv"), F.col("cb.cv"),
+                             sub).alias("d2u")))
     scored = (codes.alias("c")
               .join(F.broadcast(table.alias("t")),
                     (F.col("c.m") == F.col("t.m"))
@@ -327,12 +339,12 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _pq_refine(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
-               k: int) -> DataFrame:
+               k: int, dim: int) -> DataFrame:
     """Exact squared-L2 re-rank of an ADC candidate pool (FAISS-style
     refine): the candidate list (|queries|·pool rows) broadcasts
     against ONE corpus scan, so true vectors are read for candidates
     only and nothing larger than the pool ever shuffles."""
-    d2u = _l2sq_u(F.col("q.v"), F.col("c.v"))
+    d2u = _l2sq_u(F.col("q.v"), F.col("c.v"), dim)
     scored = (corpus.alias("c")
               .join(F.broadcast(cands.select("qid", "vec_id")), "vec_id")
               .join(F.broadcast(queries.alias("q")), "qid")
@@ -353,7 +365,7 @@ def pq_topk_refined(df: DataFrame, queries: DataFrame, k: int = 10,
     the ADC scan stays ~dim/2× lighter than a float scan.
     Output: (qid, vec_id, d2u, rank) with exact integer-µunit d2u."""
     cands = pq_topk(df, queries, pool, dim, m_total, ksub, train_mod)
-    return _pq_refine(cands, _vectors(df), queries, k)
+    return _pq_refine(cands, _vectors(df), queries, k, dim)
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",

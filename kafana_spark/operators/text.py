@@ -762,3 +762,35 @@ def oov_rate(df: DataFrame, vocab_k: int = 25, id_col: str = "doc_id",
                     F.floor(F.lit(10000) * F.col("n_oov")
                             / F.col("n_tokens")).cast("long")
                     .alias("oov_bp")))
+
+
+def chunk_windows(df: DataFrame, window: int = 32, stride: int = 24,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Sliding token windows with overlap — the RAG / context-window
+    chunking a training-data pipeline runs over every document (fixed
+    ``window`` tokens per chunk, ``stride`` tokens between chunk
+    starts, so consecutive chunks overlap by window−stride).
+
+    One chunk starts at every i·stride < n_tokens; the tail chunk may
+    be shorter. Pure column expressions — the per-doc explode emits
+    ceil(n/stride) rows per document (bounded by document length, no
+    UDF, no shuffle before the explode), so at 100 TB this is a
+    map-only pass whose output is ~window/stride× the token volume.
+    """
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    # sequence(0, -1) would count DOWN; guard the empty-text case
+    idx = F.when(n > 0, F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (df.select(F.col(id_col), tok.alias("__tok"),
+                      F.explode(idx).alias("i"))
+            .select(F.col(id_col),
+                    F.col("i").alias("chunk_id"),
+                    F.concat_ws(" ", F.slice(
+                        F.col("__tok"), F.col("i") * stride + 1, window))
+                    .alias("chunk_text"),
+                    F.size(F.slice(F.col("__tok"),
+                                   F.col("i") * stride + 1, window))
+                    .alias("chunk_tokens")))

@@ -109,6 +109,22 @@ def update_rollup(existing: DataFrame | None, batch: DataFrame,
     return untouched.unionByName(merged)
 
 
+def topk_from_rollup(rollup: DataFrame, k: int = 10,
+                     by: Sequence[str] = ("topic",)) -> DataFrame:
+    """Continuous streaming top-k, served from the rollup: merge each
+    group's day partials and take the k largest by total count.
+
+    This is the scale-correct "streaming top-k terms" — Structured
+    Streaming can only sort in complete output mode (full state
+    rebroadcast per trigger), whereas rollup_stream_sink keeps
+    mergeable per-day partials fresh per micro-batch and the top-k is
+    a rollup-sized read view (TakeOrdered over ~|groups|·|days| rows,
+    never the raw stream). Pair with ``rollup_stream_sink``.
+    """
+    return (rollup.groupBy(*by).agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), *by).limit(k))
+
+
 def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
                        time_col: str = "ts", ds_col: str = "ds",
                        value_col: str | None = None,

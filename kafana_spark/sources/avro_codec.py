@@ -26,6 +26,7 @@ path keeps semantics runnable and tested everywhere.
 from __future__ import annotations
 
 import json
+import logging
 import struct
 from collections.abc import Iterator
 from typing import Any
@@ -35,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafana_spark.sources.kafka import CONFLUENT_MAGIC
+
+_LOG = logging.getLogger(__name__)
 
 # ------------------------------------------------------------ primitives
 
@@ -241,13 +244,50 @@ def to_confluent_avro(df: DataFrame, schema_json: str, schema_id: int,
     return src.mapInPandas(enc, schema)
 
 
+def decode_avro(df: DataFrame, schema_json: str, spark_struct: str,
+                value_col: str = "value",
+                out_col: str = "value_struct") -> DataFrame:
+    """Decode Confluent-framed Avro, preferring the JVM path.
+
+    PRODUCTION path: ``kafka.decode_avro_value`` (spark-avro's
+    ``from_avro``, codegen'd, zero Python in the hot loop). Only when
+    the spark-avro artifact is absent — ``from_avro`` import fails or
+    the call dies at analysis — does this fall back to the
+    interpreter-bound Python codec below, with a warning: per-record
+    Python decode is fine for dev/test corpora but is the ingest
+    bottleneck at 100 TB.
+    """
+    from kafana_spark.sources import kafka
+
+    if kafka.HAVE_AVRO:
+        try:
+            out = kafka.decode_avro_value(df, schema_json,
+                                          value_col=value_col,
+                                          out_col=out_col)
+            out.schema  # force analysis so a missing jar surfaces HERE
+            return out
+        except Exception:  # jar absent → analysis-time failure
+            pass
+    _LOG.warning(
+        "spark-avro JVM artifact unavailable — falling back to the "
+        "Python Avro codec (dev path; interpreter-bound, unfit for "
+        "production-scale ingest). Ship the spark-avro package to use "
+        "the JVM from_avro fast path.")
+    return from_confluent_avro_py(df, schema_json, spark_struct,
+                                  value_col=value_col, out_col=out_col)
+
+
 def from_confluent_avro_py(df: DataFrame, schema_json: str,
                            spark_struct: str,
                            value_col: str = "value",
                            out_col: str = "value_struct") -> DataFrame:
     """Jar-free A1 decode twin of ``decode_avro_value``: framed bytes ->
     struct column (``spark_struct`` is the struct DDL matching the Avro
-    schema). Tombstones (null bytes) decode to null structs."""
+    schema). Tombstones (null bytes) decode to null structs.
+
+    DEV PATH: prefer ``decode_avro`` (above), which dispatches to the
+    JVM ``from_avro`` whenever the spark-avro artifact is present and
+    only lands here as the documented jar-less fallback."""
     cols = [c for c in df.columns if c != out_col]
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

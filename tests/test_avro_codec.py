@@ -107,3 +107,42 @@ def test_spark_roundtrip_with_tombstones(spark):
     docs = {r.offset: r for r in enrich(env).collect()}
     assert docs[3].message.value == TOMBSTONE
     assert json.loads(docs[1].message.value)["event_type"] == "purchase"
+
+
+def test_decode_avro_prefers_jvm_path(monkeypatch, spark):
+    """When spark-avro is importable AND analyzable, decode_avro must
+    return the JVM from_avro plan, never the Python codec."""
+    from kafana_spark.sources import avro_codec, kafka
+
+    sentinel = spark.range(1)
+    calls = {}
+
+    def fake_decode(df, schema_json, value_col="value",
+                    out_col="value_struct"):
+        calls["jvm"] = True
+        return sentinel
+
+    monkeypatch.setattr(kafka, "HAVE_AVRO", True)
+    monkeypatch.setattr(kafka, "decode_avro_value", fake_decode)
+    out = avro_codec.decode_avro(spark.range(1), "{}", "k int")
+    assert calls.get("jvm") and out is sentinel
+
+
+def test_decode_avro_falls_back_without_jar(spark, caplog):
+    """In this env the spark-avro jar is absent: decode_avro must land
+    on the Python codec with a warning and still decode correctly."""
+    import logging
+
+    from kafana_spark.sources import avro_codec
+    from kafana_spark.sources.avro_codec import encode_record
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "k", "type": "int"}]}
+    sj = json.dumps(schema)
+    payload = b"\x00\x00\x00\x00\x07" + encode_record(sj, {"k": 41})
+    df = spark.createDataFrame([(payload,)], "value binary")
+    with caplog.at_level(logging.WARNING,
+                         logger="kafana_spark.sources.avro_codec"):
+        out = avro_codec.decode_avro(df, sj, "k int").collect()
+    assert out[0].value_struct.k == 41
+    assert any("dev path" in r.message for r in caplog.records)

@@ -163,3 +163,28 @@ def test_date_histogram_gapfill_zero_buckets(spark):
     out = [(r["bucket"].day, r["cnt"])
            for r in query.date_histogram_gapfill(df, "ts").collect()]
     assert out == [(1, 2), (2, 0), (3, 0), (4, 1)]
+
+
+def test_streaming_topk_from_rollup(spark, tmp_path):
+    """Continuous top-k: after N micro-batches through the rollup sink,
+    the rollup-served top-k equals the exact top-k over the full raw
+    history — the streaming-top-k contract without complete-mode sorts."""
+    from kafana_spark.rollup import rollup_stream_sink, topk_from_rollup
+
+    tune_session(spark)
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_type", "ts", "value")
+    batches = [ev.where(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    out = str(tmp_path / "rollup")
+    sink = rollup_stream_sink(out, by=("event_type",), time_col="ts",
+                              value_col="value")
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    got = [(r.event_type, r.cnt) for r in
+           topk_from_rollup(spark.read.parquet(out), k=3,
+                            by=("event_type",)).collect()]
+    exp = [(r.event_type, r.cnt) for r in
+           ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.col("cnt").desc(), "event_type").limit(3).collect()]
+    assert got == exp

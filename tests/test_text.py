@@ -226,3 +226,42 @@ def test_significant_terms_surfaces_foreground_only_token(spark):
     assert scores["shared"] == 10000
     # background-exclusive tokens never outrank uniform ones
     assert "beta" not in scores or scores["beta"] < 10000
+
+
+def test_chunk_windows_column_expression(spark):
+    """Window/stride/tail behavior of the RAG chunker."""
+    from kafana_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b")],
+        ["doc_id", "text"])
+    rows = t.chunk_windows(df, window=8, stride=6).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(c1) == 9                      # ceil(50/6)
+    assert c1[0].chunk_text.split(" ")[:2] == ["t0", "t1"]
+    assert c1[1].chunk_text.split(" ")[0] == "t6"   # 2-token overlap
+    assert c1[-1].chunk_tokens == 2          # short tail kept
+    assert by_doc[2][0].chunk_text == "a b"
+
+
+def test_chunk_windows_udtf_parity(spark):
+    """The Python UDTF demo must agree row-for-row with the production
+    column-expression chunker (the UDTF exists to demonstrate the
+    extension surface, not to replace the codegen'd path)."""
+    from kafana_spark.functions.udtfs import register_udtfs
+    from kafana_spark.operators import text as t
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    register_udtfs(spark)
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk_text, c.chunk_tokens "
+        "FROM udtf_docs d, LATERAL chunk_windows_udtf(d.text) c")
+    via_cols = t.chunk_windows(docs)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(via_udtf) == as_set(via_cols)
