@@ -216,3 +216,31 @@ def test_oov_rate(spark):
         == (4, 1, 2500)
     assert out[2]["n_oov"] == 0 and out[2]["oov_bp"] == 0
     assert out[3]["n_oov"] == 0 and out[3]["oov_bp"] == 0
+
+
+def test_global_agg_filtered_vs_all(spark):
+    df = spark.createDataFrame(
+        [("x", 10.0), ("x", 30.0), ("y", 100.0)], "k string, v double")
+    r = query.global_agg(df, F.col("k") == "x", "v").collect()[0]
+    assert (r["cnt"], r["sum_v"], r["avg_v"]) == (2, 40.0, 20.0)
+    assert (r["global_cnt"], r["global_sum_v"]) == (3, 140.0)
+    assert r["global_avg_v"] == round(140 / 3, 4)
+
+
+def test_missing_agg_counts_nulls_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None), ("b", None)],
+        "k string, f int")
+    out = {r["k"]: (r["missing_cnt"], r["present_cnt"])
+           for r in query.missing_agg(df, "f", by="k").collect()}
+    assert out == {"a": (1, 1), "b": (2, 0)}
+
+
+def test_sampler_agg_bounds_subagg_to_top_n(spark):
+    rows = [("hot", float(100 - i), i) for i in range(5)] \
+        + [("cold", 1.0, 100 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, score double, id long")
+    # shard_size=5 keeps exactly the 5 'hot' rows (scores 96..100)
+    out = {r["k"]: (r["cnt"], r["avg_score"]) for r in
+           query.sampler_agg(df, "score", "id", 5, "k").collect()}
+    assert out == {"hot": (5, 98.0)}
