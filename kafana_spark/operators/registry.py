@@ -791,6 +791,32 @@ def x_stored_pq(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+# --- multimodal frame sampling under the oracle (x65) -----------------
+
+FRAME_BYTES = 128
+FRAME_MAX = 8
+
+
+def x_frame_sample(spark, sf_dir):
+    """Multimodal 1:N frame sampling (x65): documents' bytes as opaque
+    payloads → mapInPandas frame sampler (the ffmpeg-keyframe stand-in
+    kernel is deterministic byte slicing, so the WHOLE Arrow path —
+    binary columns in/out, per-input explode cardinality, (media_id,
+    frame_idx) key shape — runs under a full DuckDB oracle; a real
+    decoder swaps into the same plumbing)."""
+    from kafana_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _docs(spark, sf_dir), "text", "doc_id")
+    frames = multimodal.sample_frames(media, every_n_bytes=FRAME_BYTES,
+                                      max_frames=FRAME_MAX)
+    return (frames.select(
+        "media_id", "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"))
+        .orderBy("media_id", "frame_idx"))
+
+
 # --- ES straggler aggs (x60-x62): global / missing / sampler ----------
 
 GLOBAL_FILTER_TYPE = "purchase"
@@ -922,6 +948,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x62_sampler_agg": x_sampler_agg,
     "x63_stored_pq": x_stored_pq,
     "x64_chunk_windows": x_chunk_windows,
+    "x65_frame_sample": x_frame_sample,
 }
 
 
@@ -1716,5 +1743,22 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT doc_id, chunk_id, array_to_string(w, ' ') AS chunk_text, "
         "CAST(len(w) AS INTEGER) AS chunk_tokens FROM c "
         "ORDER BY doc_id, chunk_id"
+    ),
+    # byte-slicing in VARCHAR domain is only exact while the text is
+    # pure ASCII; a fixture change that introduces multi-byte chars
+    # must fail LOUDLY, not hash-mismatch confusingly
+    "x65_frame_sample": (
+        "WITH d0 AS (SELECT doc_id, CASE WHEN "
+        "octet_length(encode(text)) <> length(text) THEN "
+        "error('oracle frame-sample requires ascii text') ELSE text END "
+        "AS text FROM documents), "
+        "f AS (SELECT doc_id AS media_id, i AS frame_idx, "
+        f"substr(text, i*{FRAME_BYTES}+1, {FRAME_BYTES}) AS frame "
+        f"FROM d0, generate_series(0, {FRAME_MAX - 1}) g(i) "
+        f"WHERE i < LEAST({FRAME_MAX}, "
+        f"GREATEST(1, length(text) // {FRAME_BYTES}))) "
+        "SELECT media_id, frame_idx, CAST(length(frame) AS BIGINT) "
+        "AS frame_len, md5(frame) AS frame_md5 FROM f "
+        "ORDER BY media_id, frame_idx"
     ),
 }
