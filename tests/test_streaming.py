@@ -289,3 +289,33 @@ def test_dedup_stream_drops_cross_microbatch_redeliveries(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 40                       # 30 + 10, no replays
     assert got.select("_id").distinct().count() == 40
+
+
+def test_dedup_index_sink_through_real_writestream(spark, tmp_path):
+    """End-to-end: readStream → writeStream.foreachBatch(
+    dedup_index_stream_sink) — the index a real stream builds serves
+    identically to the recompute-everything pipeline."""
+    from kafana_spark import dedup_index
+    from kafana_spark.operators import dedup
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text")
+    staged = str(tmp_path / "staged")
+    # several files → several micro-batches under maxFilesPerTrigger
+    docs.repartition(3).write.parquet(staged)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    root = str(tmp_path / "ndidx")
+    q = (stream.writeStream
+         .foreachBatch(dedup_index.dedup_index_stream_sink(root))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.da, r.db, r.jaccard) for r in
+           dedup_index.near_dup_from_index(spark, root, 0.5).collect()}
+    expect = {(r.da, r.db, r.jaccard) for r in
+              dedup.minhash_near_dup(docs, 0.5).collect()}
+    assert got == expect
