@@ -38,23 +38,31 @@ def main() -> None:
      .mapInPandas(lambda it: it, "id long").count())
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         # min of 2 runs: first run pays per-plan JIT/codegen compilation
         # (amortized away on a long-lived cluster); min shaves scheduler
         # noise on a shared box. collect, not count: count() lets
         # Catalyst prune payload columns and under-measures.
         best, n = None, 0
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-            el = time.time() - t0
-            best = el if best is None or el < best else best
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+        except Exception as exc:  # noqa: BLE001 — one bad query must
+            # not void the whole suite (round-3 lesson: a testdata
+            # schema change crashed q01 and erased every timing)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "declared_query_suite_total",
         "value": total,
         "unit": "sec",
@@ -64,7 +72,12 @@ def main() -> None:
         # cross-round comparison metric (BASELINE.md bench history)
         "s_per_query": round(total / max(1, len(timings)), 4),
         "sf": sf,
-    }))
+    }
+    if errors:
+        # still exit 0: a partial suite with timings beats a void one
+        # (the correctness gate is where per-query breakage is graded)
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -294,3 +294,72 @@ def test_x51_gapfill_spine_joins_after_aggregation(spark):
     first_join = plan.index("Join")
     assert "HashAggregate" in plan[first_join:] or \
         plan[:first_join].count("HashAggregate") >= 1, plan[:2000]
+
+
+# ------------------------------------------------ round-4 operator plans
+
+def test_x62_sampler_is_take_ordered_not_full_sort(spark):
+    """The sampler's top-N must be a TakeOrdered (per-partition heaps +
+    bounded merge), never a global Sort — at 100 TB the full sort IS
+    the job."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x62_sampler_agg"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x60_global_agg_single_scan(spark):
+    """global agg = one scan with conditional aggregates — never two
+    scans + self-join for the filtered/global contexts."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x60_global_agg"](spark, SF_SMOKE))
+    # formatted explain repeats each node in the details section —
+    # count numbered tree nodes only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_pq_encode_broadcasts_codebooks_and_shuffles_codes_only(spark):
+    """PQ encoding: codebooks broadcast (never shuffled against the
+    corpus), and the argmin is a partial-aggregated groupBy — the
+    exchange carries code rows, not the corpus×ksub expansion."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cb = similarity.pq_codebooks(e, dim=64, m_total=16, ksub=32,
+                                 train_mod=3)
+    codes = similarity.pq_encode(e, cb, 16, 4)
+    plan = plan_of(codes)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan          # map-side combine of the argmin
+
+
+def test_pq_refine_broadcasts_candidates_not_corpus(spark):
+    """The refine stage broadcasts the fixed-size candidate list against
+    ONE corpus scan; the corpus itself must never be the broadcast or
+    shuffle side of that join."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = similarity.modulo_queries(e, 100)
+    plan = plan_of(similarity.pq_topk_refined(e, q, k=10, pool=100,
+                                              m_total=16, ksub=32,
+                                              train_mod=3))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x64_chunk_windows_is_map_only_before_sort(spark):
+    """Chunking is a map-only explode: no aggregate, no join; the only
+    exchange allowed is the final output-determinism sort."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x64_chunk_windows"](spark, SF_SMOKE))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    # one numbered Exchange node: rangepartitioning for the orderBy
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
