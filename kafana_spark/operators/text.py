@@ -777,7 +777,15 @@ def chunk_windows(df: DataFrame, window: int = 32, stride: int = 24,
     ceil(n/stride) rows per document (bounded by document length, no
     UDF, no shuffle before the explode), so at 100 TB this is a
     map-only pass whose output is ~window/stride× the token volume.
+
+    Requires stride ≤ window: a larger stride would silently DROP the
+    tokens between window and stride boundaries (caught by the
+    coverage property test) — that's sampling, not chunking.
     """
+    if stride > window or stride < 1:
+        raise ValueError(
+            f"stride must be in [1, window]; got stride={stride} "
+            f"window={window} (stride > window loses tokens)")
     tok = tokens(F.col(text_col))
     n = F.size(tok)
     # sequence(0, -1) would count DOWN; guard the empty-text case

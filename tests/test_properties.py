@@ -131,3 +131,45 @@ def test_latest_state_equals_python_fold(spark, raw):
 
     got = {(r.topic, r.key): (r.partition, r.offset) for r in state}
     assert got == {k: (v[0], v[1]) for k, v in expect.items()}
+
+
+token_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=90).map(" ".join),
+    min_size=1, max_size=8)
+
+
+@given(texts=token_texts,
+       window=st.integers(min_value=2, max_value=12),
+       stride=st.integers(min_value=1, max_value=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_windows_invariants(spark, texts, window, stride):
+    from hypothesis import assume
+
+    assume(stride <= window)   # stride > window rejected by the op
+    """For any corpus and any (window, stride): every chunk has ≤window
+    tokens, chunk starts advance by exactly stride, every token of the
+    document is covered by at least one chunk, and concatenating each
+    chunk's FIRST stride tokens reconstructs the document exactly."""
+    from kafana_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    out = t.chunk_windows(df, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, txt in enumerate(texts):
+        toks = txt.split(" ")       # NB split(' ') of '' is [''], len 1
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == -(-len(toks) // stride)   # ceil
+        recon = []
+        for c in chunks:
+            ct = c.chunk_text.split(" ")
+            assert c.chunk_tokens == len(ct) <= window
+            assert ct == toks[c.chunk_id * stride:
+                              c.chunk_id * stride + window]
+            recon.extend(ct[:stride])
+        assert recon == toks        # stride-prefix concat reconstructs

@@ -265,3 +265,13 @@ def test_chunk_windows_udtf_parity(spark):
     via_cols = t.chunk_windows(docs)
     as_set = lambda df: {tuple(r) for r in df.collect()}
     assert as_set(via_udtf) == as_set(via_cols)
+
+
+def test_chunk_windows_rejects_token_dropping_stride(spark):
+    import pytest
+
+    from kafana_spark.operators import text as t
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        t.chunk_windows(df, window=2, stride=3)
