@@ -4,10 +4,12 @@ driver's correctness harness via __spark_entry__.queries()/oracle_sql().
 Every Spark plan here has a DuckDB oracle generated from the SAME
 constants (MinHash coefficients, thresholds, marker word lists), so the
 two sides compute the identical deterministic algorithm. The only
-rows-only entries (no oracle) are the genuinely non-SQL-expressible
-ops: rolling-hash chunking (x13, sequential mapInPandas) and sequence
-packing (x29, per-partition greedy state). Everything else — including
-the full IVF ANN pipeline (x08, r2) — hash-matches a DuckDB twin.
+rows-only entry (no oracle) is the one genuinely non-SQL-expressible
+op: sequence packing (x29 — per-partition greedy state, output depends
+on Spark partitioning). Everything else — including the full IVF ANN
+pipeline (x08, r2), PQ/ADC+refine (x59, r4) and rolling-hash CDC
+chunking (x13 — full oracle since r4 via set-wise window hashes + a
+jump-pointer recursive CTE) — hash-matches a DuckDB twin.
 """
 
 from __future__ import annotations
@@ -1151,6 +1153,80 @@ def _ann_ivf_sql() -> str:
     )
 
 
+def _cdc_sql() -> str:
+    """The FULL content-defined-chunking pipeline in DuckDB — upgrading
+    x13 from rows-only to a complete oracle. The kernel
+    (text.rolling_hash_chunks) is deterministic: per-position window
+    hashes are position-LOCAL (byte at p contributes 257^(i-p) to the
+    window ending at i — a set-wise aggregation, no sequential state),
+    and the only sequential part — greedy min-length acceptance of
+    boundary candidates — is a jump-pointer recursion: next(c) = first
+    candidate ≥ c + window, precomputed set-wise, then followed by a
+    pure equi-join recursive CTE (the first candidate of a doc is
+    always accepted: every candidate i ≥ window-1 satisfies the
+    i − (−1) ≥ window gap from the virtual cut at −1). Arithmetic is
+    HUGEINT mod 2^61−1 with a recursive 257^k power table, matching
+    the numpy kernel's Mersenne fold bit-for-bit. ASCII + length caps
+    error() loudly on fixture drift.
+    """
+    m = (1 << 61) - 1
+    w, mask_bits, cap = 16, 5, 2048
+    return (
+        "WITH RECURSIVE "
+        "d0 AS (SELECT doc_id, CASE WHEN "
+        "octet_length(encode(text)) <> length(text) THEN "
+        "error('x13 oracle requires ascii text') "
+        f"WHEN length(text) > {cap} THEN "
+        f"error('x13 oracle length cap {cap} exceeded') "
+        "ELSE text END AS text FROM documents), "
+        "dl AS (SELECT doc_id, text, length(text) AS n FROM d0), "
+        "pw AS (SELECT 0 AS k, CAST(1 AS HUGEINT) AS p "
+        f"UNION ALL SELECT k + 1, (p * 257) % {m} FROM pw "
+        f"WHERE k < {cap}), "
+        "bytes AS MATERIALIZED (SELECT dl.doc_id, g.p, "
+        "CAST(ascii(substr(dl.text, g.p + 1, 1)) AS HUGEINT) AS b "
+        f"FROM dl, generate_series(0, {cap - 1}) g(p) WHERE g.p < dl.n), "
+        "wh AS (SELECT b.doc_id, b.p + pw.k AS i, "
+        f"CAST(SUM(b.b * pw.p) % {m} AS BIGINT) AS h, "
+        "COUNT(*) AS nterms "
+        f"FROM bytes b JOIN pw ON pw.k < {w} "
+        "GROUP BY b.doc_id, b.p + pw.k), "
+        "cand AS MATERIALIZED (SELECT wh.doc_id, wh.i "
+        "FROM wh JOIN dl USING (doc_id) "
+        f"WHERE wh.i >= {w - 1} AND wh.i < dl.n "
+        f"AND wh.h % {1 << mask_bits} = 0 AND wh.nterms = {w}), "
+        "nxt AS MATERIALIZED (SELECT a.doc_id, a.i, MIN(b.i) AS nx "
+        "FROM cand a LEFT JOIN cand b "
+        f"ON b.doc_id = a.doc_id AND b.i >= a.i + {w} "
+        "GROUP BY a.doc_id, a.i), "
+        "acc AS MATERIALIZED ("
+        "SELECT doc_id, MIN(i) AS cut, 0 AS idx FROM cand GROUP BY doc_id "
+        "UNION ALL SELECT n.doc_id, n.nx, a.idx + 1 "
+        "FROM acc a JOIN nxt n ON n.doc_id = a.doc_id AND n.i = a.cut "
+        "WHERE n.nx IS NOT NULL), "
+        "starts AS (SELECT a.doc_id, a.idx AS chunk_idx, "
+        "COALESCE(p.cut, -1) + 1 AS s, a.cut + 1 AS e "
+        "FROM acc a LEFT JOIN acc p "
+        "ON p.doc_id = a.doc_id AND p.idx = a.idx - 1), "
+        "lastc AS (SELECT doc_id, MAX(cut) AS lc, MAX(idx) AS li "
+        "FROM acc GROUP BY doc_id), "
+        "tailc AS (SELECT dl.doc_id, COALESCE(l.li + 1, 0) AS chunk_idx, "
+        "COALESCE(l.lc + 1, 0) AS s, dl.n AS e "
+        "FROM dl LEFT JOIN lastc l USING (doc_id) "
+        "WHERE COALESCE(l.lc + 1, 0) < dl.n), "
+        "allc AS (SELECT * FROM starts UNION ALL SELECT * FROM tailc), "
+        "chash AS (SELECT a.doc_id, a.chunk_idx, a.e - a.s AS chunk_len, "
+        f"CAST(SUM(b.b * pw.p) % {m} AS BIGINT) AS chunk_hash "
+        "FROM allc a "
+        "JOIN bytes b ON b.doc_id = a.doc_id AND b.p >= a.s AND b.p < a.e "
+        "JOIN pw ON pw.k = a.e - 1 - b.p "
+        "GROUP BY a.doc_id, a.chunk_idx, a.e, a.s) "
+        "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+        "chunk_hash, CAST(chunk_len AS INTEGER) AS chunk_len "
+        "FROM chash ORDER BY doc_id, chunk_idx"
+    )
+
+
 def _pq_sql() -> str:
     """Full PQ/ADC + exact-refine pipeline in DuckDB. Deterministic
     codebooks (modulo-sampled training vectors) and integer micro-unit
@@ -1345,7 +1421,7 @@ EXTENSION_ORACLE: dict[str, str] = {
         "md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) "
         "AS fp_head FROM documents ORDER BY doc_id"
     ),
-    # x13_rolling_chunks: sequential per-document mapInPandas → rows-only.
+    "x13_rolling_chunks": _cdc_sql(),
     "x15_sessionize": (
         "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
         "d AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER "
