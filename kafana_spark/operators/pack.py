@@ -75,3 +75,57 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
                           "seq_tokens", "seq_docs"])
 
     return sized.mapInPandas(packer, PACK_SCHEMA)
+
+
+def pack_sequences_sharded(df: DataFrame, budget: int = 2048,
+                           n_shards: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Deterministic twin of ``pack_sequences``: documents are sharded
+    by a PORTABLE hash of their id (not by Spark partition), ordered by
+    id within shard, and greedy-next-fit packed per shard — the layout
+    is a pure function of the data, identical on any cluster/partition
+    count, so the whole packing is oracle-checkable (x66). Use this
+    when training-data layout must be reproducible across runs and
+    engines; ``pack_sequences`` stays the zero-coordination scale
+    variant (one partial sequence of waste per partition, but layout
+    tied to partitioning).
+
+    Scale: token sizing is JVM-side; the sequential next-fit runs per
+    shard via applyInPandas over (id, n_tokens) pairs only — one
+    shuffle on the shard key, shards sized by n_shards (pick ≥ cluster
+    width; each shard's state is a running counter, not the corpus).
+    """
+    from kafana_spark.functions import portable_hash64
+
+    k = F.col(id_col).cast("string")
+    shard = F.pmod(portable_hash64(F.concat_ws("#", k, F.lit("pack"))),
+                   F.lit(n_shards)).cast("int")
+    sized = df.select(F.col(id_col).alias("doc_id"),
+                      F.size(tokens(F.col(text_col))).alias("n_tokens"),
+                      shard.alias("shard"))
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sh = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        out: list[tuple] = []
+        seq_no, fill = 0, 0
+        members: list[tuple[int, int]] = []
+
+        def flush():
+            nonlocal seq_no, fill, members
+            for d, nt in members:
+                out.append((f"{sh}-{seq_no}", d, nt, fill, len(members)))
+            seq_no, fill, members = seq_no + 1, 0, []
+
+        for d, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+            nt = int(nt)
+            if members and fill + nt > budget:
+                flush()
+            members.append((int(d), nt))
+            fill += nt
+        if members:
+            flush()
+        return pd.DataFrame(out, columns=["seq_id", "doc_id", "n_tokens",
+                                          "seq_tokens", "seq_docs"])
+
+    return sized.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)

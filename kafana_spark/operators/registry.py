@@ -819,6 +819,24 @@ def x_frame_sample(spark, sf_dir):
         .orderBy("media_id", "frame_idx"))
 
 
+# --- deterministic sharded packing (x66) ------------------------------
+
+PACK2_BUDGET = 512
+PACK2_SHARDS = 8
+
+
+def x_pack_sharded(spark, sf_dir):
+    """Deterministic sequence packing (x66): portable-hash shards,
+    doc_id order within shard, greedy next-fit — layout is a pure
+    function of the data (never of Spark partitioning), so unlike x29
+    the whole packing runs under a full DuckDB oracle."""
+    from kafana_spark.operators import pack
+
+    return (pack.pack_sequences_sharded(
+        _docs(spark, sf_dir), budget=PACK2_BUDGET, n_shards=PACK2_SHARDS)
+        .orderBy("doc_id"))
+
+
 # --- ES straggler aggs (x60-x62): global / missing / sampler ----------
 
 GLOBAL_FILTER_TYPE = "purchase"
@@ -951,6 +969,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x63_stored_pq": x_stored_pq,
     "x64_chunk_windows": x_chunk_windows,
     "x65_frame_sample": x_frame_sample,
+    "x66_pack_sharded": x_pack_sharded,
 }
 
 
@@ -1224,6 +1243,56 @@ def _cdc_sql() -> str:
         "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
         "chunk_hash, CAST(chunk_len AS INTEGER) AS chunk_len "
         "FROM chash ORDER BY doc_id, chunk_idx"
+    )
+
+
+def _pack_sharded_sql() -> str:
+    """x66's deterministic packing in DuckDB: per-shard running token
+    sums, bin boundaries via the same jump-pointer recursion as x13
+    (next bin start = first item whose cumulative sum exceeds the
+    current bin's base + budget; an item larger than the budget forms
+    a singleton bin — j == a ⇒ next = a + 1, mirroring the kernel's
+    members-nonempty flush rule)."""
+    b, n = PACK2_BUDGET, PACK2_SHARDS
+    h = ("CAST(concat('0x', substr(md5(concat_ws('#', "
+         "CAST(doc_id AS VARCHAR), 'pack')), 1, 15)) AS BIGINT)")
+    return (
+        "WITH RECURSIVE "
+        "t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt, "
+        f"CAST({h} % {n} AS INTEGER) AS shard FROM documents), "
+        "o AS (SELECT shard, doc_id, nt, "
+        "ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS r, "
+        "SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS cs FROM t), "
+        "mx AS (SELECT shard, MAX(r) AS nr FROM o GROUP BY shard), "
+        "jmp AS (SELECT a.shard, a.r AS a, "
+        f"MIN(CASE WHEN b.cs - (a.cs - a.nt) > {b} THEN b.r END) AS j "
+        "FROM o a JOIN o b ON b.shard = a.shard AND b.r >= a.r "
+        "GROUP BY a.shard, a.r, a.cs, a.nt), "
+        "nx AS (SELECT shard, a, CASE WHEN j = a THEN a + 1 ELSE j END "
+        "AS nxt FROM jmp), "
+        "bins AS (SELECT shard, 1 AS start_r, 0 AS seq_no FROM mx "
+        "UNION ALL SELECT bi.shard, n2.nxt, bi.seq_no + 1 "
+        "FROM bins bi JOIN nx n2 "
+        "ON n2.shard = bi.shard AND n2.a = bi.start_r "
+        "JOIN mx ON mx.shard = bi.shard "
+        "WHERE n2.nxt IS NOT NULL AND n2.nxt <= mx.nr), "
+        "binsz AS (SELECT bi.shard, bi.seq_no, bi.start_r, "
+        "COALESCE(nb.start_r, mx.nr + 1) AS end_r "
+        "FROM bins bi JOIN mx ON mx.shard = bi.shard "
+        "LEFT JOIN bins nb "
+        "ON nb.shard = bi.shard AND nb.seq_no = bi.seq_no + 1), "
+        "asg AS (SELECT o.shard, o.doc_id, o.nt, bz.seq_no "
+        "FROM o JOIN binsz bz ON bz.shard = o.shard "
+        "AND o.r >= bz.start_r AND o.r < bz.end_r), "
+        "agg AS (SELECT shard, seq_no, SUM(nt) AS seq_tokens, "
+        "COUNT(*) AS seq_docs FROM asg GROUP BY shard, seq_no) "
+        "SELECT concat(CAST(a.shard AS VARCHAR), '-', "
+        "CAST(a.seq_no AS VARCHAR)) AS seq_id, a.doc_id, "
+        "CAST(a.nt AS INTEGER) AS n_tokens, "
+        "CAST(g.seq_tokens AS INTEGER) AS seq_tokens, "
+        "CAST(g.seq_docs AS INTEGER) AS seq_docs "
+        "FROM asg a JOIN agg g USING (shard, seq_no) ORDER BY a.doc_id"
     )
 
 
@@ -1823,6 +1892,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # byte-slicing in VARCHAR domain is only exact while the text is
     # pure ASCII; a fixture change that introduces multi-byte chars
     # must fail LOUDLY, not hash-mismatch confusingly
+    "x66_pack_sharded": _pack_sharded_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

@@ -128,3 +128,29 @@ def test_mixture_rebalance_equalizes_strata(spark):
              mixture_rebalance(d).groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == by_lang
+
+
+def test_pack_sharded_invariants_and_partition_independence(spark):
+    """Sharded packing: same invariants as pack_sequences PLUS layout
+    independence from Spark partitioning — the property that makes it
+    oracle-checkable (x66) and run-reproducible."""
+    from kafana_spark.operators.pack import pack_sequences_sharded
+
+    budget = 64
+    d = docs(spark)
+    out = pack_sequences_sharded(d, budget=budget, n_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in d.select("doc_id").collect())
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for sid, rows in seqs.items():
+        total = sum(r.n_tokens for r in rows)
+        assert all(r.seq_tokens == total and r.seq_docs == len(rows)
+                   for r in rows)
+        assert total <= budget or len(rows) == 1
+    # identical layout regardless of input partitioning
+    redist = pack_sequences_sharded(d.repartition(13), budget=budget,
+                                    n_shards=4).collect()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(redist) == key(out)
