@@ -122,6 +122,38 @@ def near_dup_from_index(spark: SparkSession, path: str,
     return jaccard_verify(pairs, sh, threshold)
 
 
+def clusters_from_index(spark: SparkSession, universe: DataFrame,
+                        path: str, threshold: float = 0.5,
+                        bucket_cap: int | None = None) -> DataFrame:
+    """(doc_id, cluster_id) near-dup cluster assignment served from the
+    PERSISTED index: verified pairs come from stored bands + shingles
+    (no text read, nothing re-hashed), connected components run over
+    that LSH-pruned edge list (same hybrid CC as dup_clusters), and
+    docs without an edge — including docs too short to be indexed at
+    all — label themselves. ``universe`` is the (doc_id) frame to
+    label (an id-column scan, not a text re-derivation).
+
+    This closes the index-once/query-many loop for the whole dedup
+    consumption chain: x57 serves pairs, this serves clusters, and
+    keep-one-per-cluster is a groupBy away — none of them touching
+    text after the one-time build.
+    """
+    from kafana_spark.operators.dedup import _cc_labels
+
+    pairs = near_dup_from_index(spark, path, threshold,
+                                bucket_cap=bucket_cap) \
+        .select("da", "db").persist()
+    try:
+        labels = _cc_labels(spark, pairs)
+        return (universe.select("doc_id")
+                .join(labels.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("label", "doc_id").alias("cluster_id")))
+    finally:
+        pairs.unpersist()
+
+
 def incremental_from_index(new: DataFrame, path: str,
                            threshold: float = 0.5,
                            text_col: str = "text") -> DataFrame:

@@ -306,6 +306,59 @@ def _unionfind_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def _cc_labels(spark, pairs: DataFrame, max_iter: int = 25,
+               driver_cc_max_edges: int = 5_000_000) -> DataFrame:
+    """(node, label) connected-component labels (label = min node in
+    component) for every node that touches an edge of ``pairs``.
+
+    Hybrid: the verified edge list is LSH-candidate-pruned — orders of
+    magnitude smaller than the corpus. Up to ``driver_cc_max_edges``
+    edges, union-find on the driver in one pass beats a shuffle round
+    per graph-diameter hop by a wide margin (the corpus itself never
+    moves to the driver); larger graphs run distributed iterative
+    min-label propagation, whose round count tracks component DIAMETER
+    (near-dup graphs are shallow cliques/chains), each round one
+    shuffled join on node id, edges persisted once.
+    """
+    n_edges = pairs.count()
+    if n_edges <= driver_cc_max_edges:
+        lbl = _unionfind_labels(
+            [(r.da, r.db) for r in pairs.collect()])
+        return spark.createDataFrame(
+            list(lbl.items()) or [(None, None)],
+            "node long, label long").where(F.col("node").isNotNull())
+    sym = (pairs.unionByName(
+        pairs.select(F.col("db").alias("da"),
+                     F.col("da").alias("db")))).persist()
+    sym.count()
+    # only nodes that touch an edge can ever change labels —
+    # everything else is a singleton and skips the loop
+    labels = (sym.select(F.col("da").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("node", "db")
+                        .withColumnRenamed("label", "nl"), "db")
+               .groupBy(F.col("da").alias("node"))
+               .agg(F.min("nl").alias("nl")))
+        # carry the old label so convergence is read off the
+        # SAME materializing action — one job per round
+        new_labels = (labels.withColumnRenamed("label", "old")
+                      .join(nbr, "node")
+                      .select("node", "old",
+                              F.least(F.col("old"), F.col("nl"))
+                              .alias("label"))
+                      .persist())
+        changed = new_labels.where(
+            F.col("label") != F.col("old")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def dup_clusters(df: DataFrame, threshold: float = 0.5,
                  text_col: str = "text", max_iter: int = 25,
                  driver_cc_max_edges: int = 5_000_000) -> DataFrame:
@@ -338,50 +391,7 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
     reps, members, rep_pairs, sh = _rep_near_dup(df, threshold, text_col)
     pairs = rep_pairs.select("da", "db").persist()
     try:
-        n_edges = pairs.count()
-        if n_edges <= driver_cc_max_edges:
-            # The verified edge list is LSH-candidate-pruned — orders of
-            # magnitude smaller than the corpus (n_edges ≈ number of
-            # true near-dup relations among DISTINCT texts). When it
-            # fits on the driver, union-find beats a shuffle round per
-            # graph-diameter hop by a wide margin; the distributed
-            # propagation below stays the path for genuinely huge
-            # edge sets. The corpus itself never moves to the driver.
-            lbl = _unionfind_labels(
-                [(r.da, r.db) for r in pairs.collect()])
-            labels = spark.createDataFrame(
-                list(lbl.items()) or [(None, None)],
-                "node long, label long").where(F.col("node").isNotNull())
-        else:
-            sym = (pairs.unionByName(
-                pairs.select(F.col("db").alias("da"),
-                             F.col("da").alias("db")))).persist()
-            sym.count()
-            # only nodes that touch an edge can ever change labels —
-            # everything else is a singleton and skips the loop
-            labels = (sym.select(F.col("da").alias("node")).distinct()
-                      .withColumn("label", F.col("node")).persist())
-            labels.count()
-            for _ in range(max_iter):
-                nbr = (sym.join(labels.withColumnRenamed("node", "db")
-                                .withColumnRenamed("label", "nl"), "db")
-                       .groupBy(F.col("da").alias("node"))
-                       .agg(F.min("nl").alias("nl")))
-                # carry the old label so convergence is read off the
-                # SAME materializing action — one job per round
-                new_labels = (labels.withColumnRenamed("label", "old")
-                              .join(nbr, "node")
-                              .select("node", "old",
-                                      F.least(F.col("old"), F.col("nl"))
-                                      .alias("label"))
-                              .persist())
-                changed = new_labels.where(
-                    F.col("label") != F.col("old")).count()
-                labels.unpersist()
-                labels = new_labels.select("node", "label")
-                if changed == 0:
-                    break
-            sym.unpersist()
+        labels = _cc_labels(spark, pairs, max_iter, driver_cc_max_edges)
         # members inherit their rep's component label (the rep itself
         # when the rep has no edges — identical shingled texts still
         # share their jaccard-1.0 component). Shingle-less rep groups

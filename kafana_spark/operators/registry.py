@@ -819,6 +819,25 @@ def x_frame_sample(spark, sf_dir):
         .orderBy("media_id", "frame_idx"))
 
 
+# --- stored-index cluster serving (x67) -------------------------------
+
+
+def x_stored_clusters(spark, sf_dir):
+    """x24's cluster assignment served from the PERSISTED dedup index
+    (x67): pairs from stored bands+shingles, CC over the pruned edge
+    list, singletons self-label — the full dedup consumption chain
+    without touching text after the one-time build. Same oracle as
+    x24, so a hash match proves index-served clusters are exact."""
+    from kafana_spark import dedup_index
+
+    d = _docs(spark, sf_dir)
+    root = _cached_index_root(
+        "ndidx", sf_dir, lambda r: dedup_index.build_dedup_index(d, r))
+    return (dedup_index.clusters_from_index(
+        spark, d.select("doc_id"), root, NEAR_DUP_THRESHOLD)
+        .orderBy("doc_id"))
+
+
 # --- deterministic sharded packing (x66) ------------------------------
 
 PACK2_BUDGET = 512
@@ -970,6 +989,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x64_chunk_windows": x_chunk_windows,
     "x65_frame_sample": x_frame_sample,
     "x66_pack_sharded": x_pack_sharded,
+    "x67_stored_clusters": x_stored_clusters,
 }
 
 
@@ -1893,6 +1913,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # pure ASCII; a fixture change that introduces multi-byte chars
     # must fail LOUDLY, not hash-mismatch confusingly
     "x66_pack_sharded": _pack_sharded_sql(),
+    "x67_stored_clusters": _dup_clusters_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

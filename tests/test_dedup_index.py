@@ -96,3 +96,18 @@ def test_incremental_after_stream_batches(spark, tmp_path):
     got = dedup_index.incremental_from_index(new, root, THRESH)
     expect = dedup.incremental_near_dup(new, old, THRESH)
     assert pairs_set(got) == pairs_set(expect)
+
+
+def test_clusters_from_index_equals_dup_clusters(spark, tmp_path):
+    """Index-served cluster assignment must equal the
+    recompute-everything dup_clusters, including singletons and
+    shingle-less docs."""
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(d, root)
+    got = {(r.doc_id, r.cluster_id) for r in
+           dedup_index.clusters_from_index(
+               spark, d.select("doc_id"), root, THRESH).collect()}
+    expect = {(r.doc_id, r.cluster_id) for r in
+              dedup.dup_clusters(d, THRESH).collect()}
+    assert got == expect
