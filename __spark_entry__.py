@@ -29,11 +29,13 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     """Driver-window-aware ordering of the extension block.
 
     The driver records at most the first 50 ``queries()`` entries in
-    CORRECTNESS_r{N}.json. Round 2's file covered q01–q22 + x01–x28;
-    round 3's covered q01–q22 + x29–x56. Round 4 therefore yields
-    q01–q22 (the declared contract, always first) followed by x57–x58
-    — the only keys with no driver-signed row yet — then new round-4
-    keys (x59+), then the already-driver-green blocks.
+    CORRECTNESS_r{N}.json. Round 4's window signed q01–q22 + x57–x67 +
+    x01–x17 on the CURRENT testdata; x18–x28's only driver rows (r2)
+    predate the round-3 testdata regeneration, so round 5 yields
+    q01–q22 (the declared contract, always first), then x18–x28 for
+    fresh signatures, then the new round-5 keys (x68+), then x29–x56
+    (r3-signed — the oldest remaining signatures) filling the window,
+    with the r4-signed blocks last.
     """
 
     def rank(k: str) -> tuple[int, str]:
@@ -42,13 +44,13 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:3])
             except ValueError:
                 n = 99
-            if 57 <= n <= 58:
-                return (0, k)  # unverified-by-driver block first
-            if n >= 59:
-                return (1, k)  # new round-4 keys next
-            if n <= 28:
-                return (2, k)  # x01–x28: driver-green in r2
-            return (3, k)      # x29–x56: driver-green in r3
+            if 18 <= n <= 28:
+                return (0, k)  # signed only pre-regeneration (r2)
+            if n >= 68:
+                return (1, k)  # new round-5 keys next
+            if 29 <= n <= 56:
+                return (2, k)  # r3-signed: oldest current signatures
+            return (3, k)      # x01–x17, x57–x67: r4-signed (fresh)
         return (4, k)
 
     return sorted(extension_keys, key=rank)

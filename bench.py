@@ -62,11 +62,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # field order matters: the driver keeps only the TAIL of a long
+    # line, so the per-query map goes FIRST and every summary field
+    # (metric/value/s_per_query/...) comes after it — r2–r4 had the
+    # summary up front and every recorded BENCH_r{N}.json lost it.
     out = {
+        "queries": timings,
         "metric": "declared_query_suite_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "n_queries": len(timings),
         # the suite grows every round; s/query is the honest
         # cross-round comparison metric (BASELINE.md bench history)
@@ -78,6 +82,13 @@ def main() -> None:
         # (the correctness gate is where per-query breakage is graded)
         out["errors"] = errors
     print(json.dumps(out))
+    # short tail-safe summary line as a second guard: even if the big
+    # line is truncated from the head, this one always survives intact
+    print(json.dumps({"metric": "declared_query_suite_total",
+                      "value": total, "unit": "sec",
+                      "n_queries": len(timings),
+                      "s_per_query": out["s_per_query"], "sf": sf}),
+          file=sys.stderr)
     spark.stop()
 
 

@@ -25,6 +25,9 @@ store roundtrip against the same DuckDB oracle as x08.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kafana_spark.operators.similarity import (
@@ -37,6 +40,18 @@ ASSIGN_DIR = "assignments"
 PQ_CB_DIR = "pq_codebooks"
 PQ_CODE_DIR = "pq_codes"
 PQ_VEC_DIR = "pq_vectors"
+
+
+def _clear_batched_dir(path: str) -> None:
+    """Drop a batch=<id>-partitioned index subtree before an overwrite
+    rebuild. mode='overwrite' on ``.../batch=base`` replaces only that
+    subdirectory — batch=<uuid>/<epoch> partitions left by
+    append_*/stream sinks would survive the rebuild while holding rows
+    computed against the OLD quantizer/codebooks, silently corrupting
+    every query in the documented rebuild-on-drift flow (ADVICE.md r5).
+    Local-FS delete, same stance as store.py's merge machinery."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
 
 
 def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
@@ -57,6 +72,8 @@ def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
     # loads land under batch=<id> so batch builds, appends and the
     # streaming sink share ONE layout (bare files next to batch= dirs
     # would break parquet partition discovery); readers drop the column
+    if mode == "overwrite":
+        _clear_batched_dir(f"{path}/{ASSIGN_DIR}")
     _ivf_assign(corpus, centroids, n_assign) \
         .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}/batch=base")
 
@@ -125,6 +142,9 @@ def build_pq_index(df: DataFrame, path: str, dim: int = 64,
     cb.write.mode(mode).parquet(f"{path}/{PQ_CB_DIR}")
     codes = pq_encode(df, df.sparkSession.read.parquet(
         f"{path}/{PQ_CB_DIR}"), m_total, dim // m_total)
+    if mode == "overwrite":
+        _clear_batched_dir(f"{path}/{PQ_CODE_DIR}")
+        _clear_batched_dir(f"{path}/{PQ_VEC_DIR}")
     codes.write.mode(mode).parquet(f"{path}/{PQ_CODE_DIR}/batch=base")
     _vectors(df).write.mode(mode).parquet(f"{path}/{PQ_VEC_DIR}/batch=base")
 

@@ -59,7 +59,20 @@ def build_dedup_index(df: DataFrame, path: str, text_col: str = "text",
     builds, manual appends and the streaming sink share ONE layout
     (mixing bare files with batch= dirs would break parquet partition
     discovery); readers drop the resulting partition column.
+
+    A full rebuild (mode='overwrite' with the default batch='base')
+    clears the whole index tree first: overwriting only batch=base
+    would leave batch=<uuid>/<epoch> partitions from prior appends/
+    streaming sinks in place, and their surviving (doc_id, h) shingle
+    rows would double-count every jaccard intersection those docs
+    participate in (ADVICE.md r5). Per-batch overwrites (appends,
+    stream redeliveries) still replace only their own partition.
     """
+    if mode == "overwrite" and batch == "base":
+        from kafana_spark.ann_index import _clear_batched_dir
+
+        for sub in (SIG_DIR, BAND_DIR, SH_DIR):
+            _clear_batched_dir(f"{path}/{sub}")
     sh = hashed_shingle_set(df, text_col=text_col)
     sig = minhash_signature(sh).persist()
     try:

@@ -259,6 +259,7 @@ def decode_avro(df: DataFrame, schema_json: str, spark_struct: str,
     """
     from kafana_spark.sources import kafka
 
+    jvm_err: Exception | None = None
     if kafka.HAVE_AVRO:
         try:
             out = kafka.decode_avro_value(df, schema_json,
@@ -266,13 +267,26 @@ def decode_avro(df: DataFrame, schema_json: str, spark_struct: str,
                                           out_col=out_col)
             out.schema  # force analysis so a missing jar surfaces HERE
             return out
-        except Exception:  # jar absent → analysis-time failure
-            pass
+        except Exception as exc:
+            # Only a missing spark-avro artifact justifies the Python
+            # fallback. Anything else (malformed schema_json, bad
+            # column, analysis bug) must SURFACE, not silently switch
+            # codecs — the two paths could then decode differently and
+            # mask the real defect (ADVICE.md r5). A missing jar shows
+            # up as an analysis/classpath error naming avro.
+            msg = str(exc)
+            jar_markers = ("AvroDataToCatalyst", "ClassNotFound",
+                           "NoClassDefFound", "Failed to find",
+                           "FAILED_TO_LOAD_AVRO", "avro")
+            if not any(m in msg for m in jar_markers):
+                raise
+            jvm_err = exc
     _LOG.warning(
-        "spark-avro JVM artifact unavailable — falling back to the "
+        "spark-avro JVM artifact unavailable%s — falling back to the "
         "Python Avro codec (dev path; interpreter-bound, unfit for "
         "production-scale ingest). Ship the spark-avro package to use "
-        "the JVM from_avro fast path.")
+        "the JVM from_avro fast path.",
+        f" ({type(jvm_err).__name__}: {jvm_err})" if jvm_err else "")
     return from_confluent_avro_py(df, schema_json, spark_struct,
                                   value_col=value_col, out_col=out_col)
 

@@ -66,7 +66,16 @@ def write_store(docs: DataFrame, path: str, mode: str = "append") -> None:
              .partitionBy(*PARTITION_COLS)).parquet(path)
 
 
-def _recover_merge(path: str) -> list[str]:
+#: merge-in-progress marker: while present and fresh, readers skip
+#: crash recovery so a reader racing a LIVE merge's park/rename window
+#: cannot mistake an in-flight swap for a crash and rename a parked
+#: dir back over the merge's staged result (ADVICE.md r5). A marker
+#: older than this is a crash leftover and recovery proceeds.
+MERGE_MARKER = ".merge-inprogress"
+MERGE_MARKER_STALE_SEC = 600
+
+
+def _recover_merge(path: str, ignore_marker: bool = False) -> list[str]:
     """Finish or roll back a partition swap interrupted by a crash.
 
     ``merge_upsert``'s per-partition swap has a window between parking
@@ -89,11 +98,20 @@ def _recover_merge(path: str) -> list[str]:
     merge must be retried.
     """
     import shutil
+    import time
 
     rolled_back: list[str] = []
     base = path.rstrip("/")
     if not os.path.isdir(base):
         return rolled_back
+    marker = os.path.join(base, MERGE_MARKER)
+    if os.path.exists(marker) and not ignore_marker:
+        age = time.time() - os.path.getmtime(marker)
+        if age < MERGE_MARKER_STALE_SEC:
+            # a merge is (very likely) live right now — parked dirs are
+            # its in-flight swap state, not crash debris; leave them
+            return rolled_back
+        os.remove(marker)  # crash leftover: clear and recover normally
     for topic_dir in os.listdir(base):
         tdir = os.path.join(base, topic_dir)
         if not (os.path.isdir(tdir) and topic_dir.startswith("topic=")):
@@ -150,7 +168,11 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     """
     import shutil
 
-    _recover_merge(path)
+    # single-writer contract (local-FS store): the merging process owns
+    # the store, so a marker left by a PRIOR crashed merge must not
+    # block ITS recovery — ignore_marker, then take the marker for the
+    # duration of the swap so concurrent readers stand down.
+    _recover_merge(path, ignore_marker=True)
     up = with_store_partitions(updates) if "ds" not in updates.columns \
         else updates
     touched = up.select(*PARTITION_COLS).distinct()
@@ -168,27 +190,39 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
     _bloomed(merged.write.mode("overwrite")
              .partitionBy(*PARTITION_COLS)).parquet(tmp)
 
+    marker = os.path.join(base, MERGE_MARKER)
+    os.makedirs(base, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(os.getpid()))
     swapped = 0
-    for topic_dir in os.listdir(tmp):
-        tsrc = os.path.join(tmp, topic_dir)
-        if not (os.path.isdir(tsrc) and topic_dir.startswith("topic=")):
-            continue
-        os.makedirs(os.path.join(base, topic_dir), exist_ok=True)
-        for ds_dir in os.listdir(tsrc):
-            src = os.path.join(tsrc, ds_dir)
-            dst = os.path.join(base, topic_dir, ds_dir)
-            # dot-prefixed park name: hidden from Spark/Hadoop partition
-            # discovery, so a crash mid-swap never exposes stale rows as
-            # a readable partition (see _recover_merge)
-            old = os.path.join(base, topic_dir, ".merge-old." + ds_dir)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            if os.path.isdir(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            swapped += 1
+    try:
+        for topic_dir in os.listdir(tmp):
+            tsrc = os.path.join(tmp, topic_dir)
+            if not (os.path.isdir(tsrc) and topic_dir.startswith("topic=")):
+                continue
+            os.makedirs(os.path.join(base, topic_dir), exist_ok=True)
+            for ds_dir in os.listdir(tsrc):
+                src = os.path.join(tsrc, ds_dir)
+                dst = os.path.join(base, topic_dir, ds_dir)
+                # dot-prefixed park name: hidden from Spark/Hadoop
+                # partition discovery, so a crash mid-swap never exposes
+                # stale rows as a readable partition (see _recover_merge)
+                old = os.path.join(base, topic_dir, ".merge-old." + ds_dir)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
+                os.rename(src, dst)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                swapped += 1
+    finally:
+        # remove the marker on success AND on failure: a surviving
+        # process that caught the error must let readers recover; a
+        # hard crash leaves the marker, which goes stale after
+        # MERGE_MARKER_STALE_SEC and recovery proceeds
+        if os.path.exists(marker):
+            os.remove(marker)
     shutil.rmtree(tmp)
     return swapped
 

@@ -171,3 +171,57 @@ def test_pq_stream_sink_redelivery_safe(spark, tmp_path):
     b = ann_index.pq_topk_from_index(spark, root2, q, k=10, pool=100,
                                      m_total=16)
     assert to_set(a) == to_set(b)
+
+
+def test_rebuild_clears_stale_append_batches(spark, tmp_path):
+    """An overwrite rebuild must drop batch=<id> partitions left by
+    prior appends: their assignments were computed against the OLD
+    centroids and would silently corrupt probe results (and duplicate
+    every appended vec_id in its probed cells). ADVICE.md r5."""
+    import os
+
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "annidx")
+    half = e.where(F.col("vec_id") % 2 == 0)
+    ann_index.build_ann_index(half, root, centroid_mod=40, n_assign=2)
+    ann_index.append_ann_index(e.where(F.col("vec_id") % 2 != 0), root,
+                               n_assign=2, batch="day1")
+    # rebuild over the FULL corpus (the rebuild-on-drift flow)
+    ann_index.build_ann_index(e, root, centroid_mod=40, n_assign=2)
+    batches = sorted(os.listdir(os.path.join(root, ann_index.ASSIGN_DIR)))
+    assert batches == ["batch=base"]
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_ann_index(e, fresh, centroid_mod=40, n_assign=2)
+    a = ann_index.ann_topk_from_index(spark, root, q, k=10, n_probe=3)
+    b = ann_index.ann_topk_from_index(spark, fresh, q, k=10, n_probe=3)
+    assert result_set(a) == result_set(b)
+
+
+def test_pq_rebuild_clears_stale_append_batches(spark, tmp_path):
+    """Same contract for the PQ index: rebuilt codebooks must never be
+    joined against codes encoded under the old codebooks."""
+    import os
+
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "pqidx")
+    half = e.where(F.col("vec_id") % 2 == 0)
+    ann_index.build_pq_index(half, root, dim=64, m_total=16, ksub=32,
+                             train_mod=3)
+    ann_index.append_pq_index(e.where(F.col("vec_id") % 2 != 0), root,
+                              dim=64, m_total=16, batch="day1")
+    ann_index.build_pq_index(e, root, dim=64, m_total=16, ksub=32,
+                             train_mod=3)
+    for sub in (ann_index.PQ_CODE_DIR, ann_index.PQ_VEC_DIR):
+        assert sorted(os.listdir(os.path.join(root, sub))) == ["batch=base"]
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_pq_index(e, fresh, dim=64, m_total=16, ksub=32,
+                             train_mod=3)
+    to_set = lambda df: {(r.qid, r.vec_id, r.d2u, r.rank)
+                         for r in df.collect()}
+    a = ann_index.pq_topk_from_index(spark, root, q, k=10, pool=100,
+                                     dim=64, m_total=16)
+    b = ann_index.pq_topk_from_index(spark, fresh, q, k=10, pool=100,
+                                     dim=64, m_total=16)
+    assert to_set(a) == to_set(b)

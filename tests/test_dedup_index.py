@@ -111,3 +111,28 @@ def test_clusters_from_index_equals_dup_clusters(spark, tmp_path):
     expect = {(r.doc_id, r.cluster_id) for r in
               dedup.dup_clusters(d, THRESH).collect()}
     assert got == expect
+
+
+def test_rebuild_clears_stale_append_batches(spark, tmp_path):
+    """A full rebuild (batch='base') must clear batch dirs left by
+    appends/stream epochs — surviving (doc_id, h) shingle rows would
+    double-count every jaccard intersection (ADVICE.md r5). Per-batch
+    appends must still be incremental (not clear siblings)."""
+    import os
+
+    d = docs(spark)
+    root = str(tmp_path / "ndidx")
+    half = d.where(F.col("doc_id") % 2 == 0)
+    dedup_index.build_dedup_index(half, root)
+    dedup_index.append_dedup_index(d.where(F.col("doc_id") % 2 != 0),
+                                   root, batch="day1")
+    # append kept both batches (incremental contract intact)
+    assert sorted(os.listdir(os.path.join(root, dedup_index.SH_DIR))) == \
+        ["batch=base", "batch=day1"]
+    dedup_index.build_dedup_index(d, root)   # rebuild-on-drift
+    for sub in (dedup_index.SIG_DIR, dedup_index.BAND_DIR,
+                dedup_index.SH_DIR):
+        assert sorted(os.listdir(os.path.join(root, sub))) == ["batch=base"]
+    got = dedup_index.near_dup_from_index(spark, root, THRESH)
+    expect = dedup.minhash_near_dup(d, THRESH)
+    assert pairs_set(got) == pairs_set(expect)

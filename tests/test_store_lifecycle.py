@@ -238,3 +238,60 @@ def test_read_store_recovers_and_hides_crash_artifacts(spark, tmp_path):
     assert got.where(F.col("ds") == d1).count() > 0
     assert dict(got.groupBy("_id").count()
                 .where(F.col("count") > 1).collect()) == {}
+
+
+def test_reader_skips_recovery_while_merge_marker_fresh(spark, tmp_path):
+    """A reader racing a LIVE merge must not mistake the in-flight
+    park/rename window for a crash: with a fresh .merge-inprogress
+    marker, _recover_merge stands down and leaves parked dirs alone;
+    once the marker goes stale (crashed merge), recovery proceeds."""
+    import os
+    import time
+
+    from kafana_spark.store import (
+        MERGE_MARKER, _recover_merge, with_store_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    docs = enrich(events_as_kafka_records(ev))
+    write_store(docs, store)
+
+    full = with_store_partitions(docs)
+    topic, ds = full.select("topic", "ds").distinct().orderBy("ds") \
+        .collect()[0]
+    tdir = os.path.join(store, f"topic={topic}")
+    parked = os.path.join(tdir, f".merge-old.ds={ds}")
+    os.rename(os.path.join(tdir, f"ds={ds}"), parked)
+
+    marker = os.path.join(store, MERGE_MARKER)
+    with open(marker, "w") as fh:
+        fh.write("test")
+
+    # fresh marker → no recovery, parked dir untouched
+    assert _recover_merge(store) == []
+    assert os.path.isdir(parked)
+
+    # stale marker → treated as crash debris: cleared, swap rolled back
+    old = time.time() - 7200
+    os.utime(marker, (old, old))
+    rolled = _recover_merge(store)
+    assert rolled and not os.path.exists(marker)
+    assert not os.path.isdir(parked)
+    assert os.path.isdir(os.path.join(tdir, f"ds={ds}"))
+
+
+def test_merge_upsert_clears_its_marker(spark, tmp_path):
+    """A completed merge leaves no marker behind (readers must not be
+    blind to genuine crashes for the staleness window)."""
+    import os
+
+    from kafana_spark.store import MERGE_MARKER, merge_upsert
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    docs = enrich(events_as_kafka_records(ev))
+    write_store(docs, store)
+    merge_upsert(spark, store, docs.limit(1).withColumn(
+        "key", F.lit("UPD")))
+    assert not os.path.exists(os.path.join(store, MERGE_MARKER))
