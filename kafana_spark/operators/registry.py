@@ -29,6 +29,15 @@ from kafana_spark.sources.tables import load_table
 
 NEAR_DUP_THRESHOLD = 0.5
 EMB_DUP_THRESHOLD = 0.45
+EMB_BUCKET_CELL_MOD = 40   # x68 coarse-quantizer sampling modulus
+#: x68 multi-assignment width. On the synthetic near-random embeddings
+#: the modulo quantizer's cells are loose, so boundary duplication is
+#: the recall lever that matters: measured recall vs the exhaustive
+#: x06 kernel at sf0.01 is 0.14/0.57/0.86/1.00 for n_assign=1/2/3/4
+#: (zero false positives throughout — pairs only ever go missing, as
+#: bucketing guarantees). 4 keeps assignment storage 4× and verify
+#: still cell-local; production k-means cells would need less.
+EMB_BUCKET_N_ASSIGN = 4
 ANN_QUERY_MOD = 100
 ANN_K = 10
 ANN_CENTROID_MOD = 40
@@ -72,8 +81,28 @@ def x_simhash_near_dup(spark, sf_dir):
 
 
 def x_embedding_near_dup(spark, sf_dir):
-    # no orderBy: see x_rolling_chunks (double-exec of the BLAS stage)
+    # no orderBy: see x_rolling_chunks (double-exec of the BLAS stage).
+    # This is the EXACT/verify kernel — all block pairs, O((n/block)²)
+    # tasks; the scale default is x68 (cell-local verify below).
     return dedup.embedding_near_dup(_embs(spark, sf_dir), EMB_DUP_THRESHOLD)
+
+
+def x_embedding_near_dup_bucketed(spark, sf_dir):
+    """x68 — the DEFAULT embedding-dedup path (SemDeDup shape): IVF
+    cell assignment buckets the corpus, the blocked-BLAS verify runs
+    cell-locally only. Deterministic end-to-end, so the oracle replays
+    assignment + in-cell pairing exactly; recall vs the exhaustive x06
+    kernel is pinned by pytest."""
+    return dedup.embedding_near_dup_bucketed(
+        _embs(spark, sf_dir), EMB_DUP_THRESHOLD,
+        centroid_mod=EMB_BUCKET_CELL_MOD, n_assign=EMB_BUCKET_N_ASSIGN)
+
+
+def x_exact_substr(spark, sf_dir):
+    """x69 — ExactSubstr-style duplicated-span detection over the
+    documents corpus (pure column/window plan — JVM end to end)."""
+    return (dedup.exact_substr_spans(_docs(spark, sf_dir))
+            .orderBy("doc_id", "span_idx"))
 
 
 def x_ann_brute_force(spark, sf_dir):
@@ -819,6 +848,32 @@ def x_frame_sample(spark, sf_dir):
         .orderBy("media_id", "frame_idx"))
 
 
+# --- multimodal image resize under the oracle (x70) -------------------
+
+RESIZE_W = 16
+RESIZE_H = 16
+
+
+def x_resize_images(spark, sf_dir):
+    """Multimodal image resize (x70): documents' bytes as opaque
+    payloads → mapInPandas resize (the PIL stand-in kernel is a
+    deterministic truncate/zero-pad to width·height, so the whole
+    Arrow 1:1 path — binary in/out, fixed output size, schema — runs
+    under a full DuckDB oracle; a real PIL/opencv kernel swaps into
+    the same plumbing). Companion of x65's frame-sampling oracle —
+    closes E5's image branch."""
+    from kafana_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _docs(spark, sf_dir), "text", "doc_id")
+    rs = multimodal.resize_images(media, width=RESIZE_W, height=RESIZE_H)
+    return (rs.select(
+        "media_id", "width", "height",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"))
+        .orderBy("media_id"))
+
+
 # --- stored-index cluster serving (x67) -------------------------------
 
 
@@ -990,6 +1045,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x65_frame_sample": x_frame_sample,
     "x66_pack_sharded": x_pack_sharded,
     "x67_stored_clusters": x_stored_clusters,
+    "x68_embedding_near_dup_bucketed": x_embedding_near_dup_bucketed,
+    "x69_exact_substr": x_exact_substr,
+    "x70_resize_images": x_resize_images,
 }
 
 
@@ -1148,6 +1206,84 @@ def _embedding_near_dup_sql() -> str:
         f"SELECT a.vec_id AS da, b.vec_id AS db, ROUND({cos}, 4) AS cos "
         "FROM e a JOIN e b ON a.vec_id < b.vec_id "
         f"WHERE ROUND({cos}, 4) >= {EMB_DUP_THRESHOLD} ORDER BY da, db"
+    )
+
+
+def _embedding_near_dup_bucketed_sql() -> str:
+    """x68 oracle — replays the full deterministic SemDeDup pipeline:
+    modulo centroids, 6dp-rounded multi-assignment (same convention as
+    the proven x08 IVF oracle), in-cell 4dp-rounded cosine pairs,
+    cross-cell dedup via MAX(cos) GROUP BY pair (mirrors the Spark
+    side's groupBy, which guards against last-ulp BLAS divergence
+    between two cells' batches)."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="a.v", b="b.v") + ", 4)"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"WHERE vec_id % {EMB_BUCKET_CELL_MOD} = 0), "
+        "asg AS (SELECT vec_id, v, cid FROM ("
+        "SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY x.vec_id ORDER BY {acos} DESC, c.cid) AS r "
+        f"FROM e x, c) t WHERE r <= {EMB_BUCKET_N_ASSIGN}), "
+        f"p AS (SELECT a.vec_id AS da, b.vec_id AS db, {cos} AS cos "
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {EMB_DUP_THRESHOLD}) "
+        "SELECT da, db, MAX(cos) AS cos FROM p GROUP BY da, db "
+        "ORDER BY da, db"
+    )
+
+
+def _exact_substr_sql() -> str:
+    """x69 oracle — gram-for-gram replay of exact_substr_spans: hashed
+    positional k-grams, duplicated-hash set (COUNT >= 2), coverage
+    join, gaps-and-islands span merge (break when consecutive covered
+    starts gap by > k — with fixed k the covered end is monotone in
+    the start, so this is exact)."""
+    k = dedup.EXSUB_K
+    gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
+    h = f"CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT)"
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"g AS (SELECT doc_id, i - 1 AS pos, {h} AS h "
+        f"FROM t, generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        f"WHERE i + {k - 1} <= len(t)), "
+        "d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (h)), "
+        "m AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) > {k} THEN 1 ELSE 0 END "
+        "AS brk FROM cov), "
+        "s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx FROM m) "
+        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, "
+        "CAST(MIN(pos) AS INTEGER) AS start_tok, "
+        f"CAST(MAX(pos) + {k - 1} AS INTEGER) AS end_tok, "
+        f"CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS INTEGER) "
+        "AS span_tokens "
+        "FROM s GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"
+    )
+
+
+def _resize_images_sql() -> str:
+    """x70 oracle — byte-exact replay of the resize stub: payload =
+    text bytes truncated to width·height and zero-padded; md5 over the
+    padded VARCHAR equals Spark's md5 over the padded binary because
+    the text is pure ASCII (guarded) and DuckDB hashes the raw bytes
+    including chr(0) padding (verified: md5('hi'||chr(0)×3) matches
+    hashlib.md5(b'hi\\x00\\x00\\x00'))."""
+    t = RESIZE_W * RESIZE_H
+    return (
+        "WITH d0 AS (SELECT doc_id, CASE WHEN "
+        "octet_length(encode(text)) <> length(text) THEN "
+        "error('oracle resize requires ascii text') ELSE text END "
+        "AS text FROM documents) "
+        f"SELECT doc_id AS media_id, CAST({RESIZE_W} AS INTEGER) AS width, "
+        f"CAST({RESIZE_H} AS INTEGER) AS height, "
+        f"CAST({t} AS BIGINT) AS payload_len, "
+        f"md5(substr(text, 1, {t}) || "
+        f"repeat(chr(0), greatest(0, {t} - length(text)))) AS payload_md5 "
+        "FROM d0 ORDER BY media_id"
     )
 
 
@@ -1319,13 +1455,16 @@ def _pack_sharded_sql() -> str:
 def _pq_sql() -> str:
     """Full PQ/ADC + exact-refine pipeline in DuckDB. Deterministic
     codebooks (modulo-sampled training vectors) and integer micro-unit
-    distances (ROUND(d2·1e6)::BIGINT per subspace, exact integer sums)
-    make the entire approximate path bit-reproducible across engines —
-    the only float ops are the square sums, each rounded before any
-    order-sensitive accumulation."""
+    distances (each per-DIMENSION squared difference rounded to
+    ROUND(t·1e6)::BIGINT before any accumulation) make the entire
+    approximate path bit-reproducible across engines — every SUM here
+    is an integer sum, order-independent by construction, so DuckDB's
+    unspecified aggregation order cannot diverge from Spark's fixed
+    left fold (ADVICE.md r5)."""
     sub = PQ_DIM // PQ_M
-    d2 = ("(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * "
-          "(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i])").format(s=sub)
+    d2 = ("CAST(ROUND((x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * "
+          "(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * 1000000) AS BIGINT)"
+          ).format(s=sub)
     qd2 = d2.replace("x.v", "q.v")
     return (
         "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
@@ -1338,7 +1477,7 @@ def _pq_sql() -> str:
         f"WHERE vec_id % {PQ_TRAIN_MOD} = 0 ORDER BY vec_id "
         f"LIMIT {PQ_KSUB})), "
         "enc AS (SELECT x.vec_id, mm.m, tr.code, "
-        f"CAST(ROUND(SUM({d2}) * 1000000) AS BIGINT) AS d2u "
+        f"CAST(SUM({d2}) AS BIGINT) AS d2u "
         f"FROM e x, generate_series(0, {PQ_M - 1}) mm(m), tr, "
         f"generate_series(1, {sub}) g(i) "
         "GROUP BY x.vec_id, mm.m, tr.code), "
@@ -1348,7 +1487,7 @@ def _pq_sql() -> str:
         f"q AS (SELECT vec_id AS qid, v FROM e "
         f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
         "tab AS (SELECT q.qid, mm.m, tr.code, "
-        f"CAST(ROUND(SUM({qd2}) * 1000000) AS BIGINT) AS d2u "
+        f"CAST(SUM({qd2}) AS BIGINT) AS d2u "
         f"FROM q, generate_series(0, {PQ_M - 1}) mm(m), tr, "
         f"generate_series(1, {sub}) g(i) "
         "GROUP BY q.qid, mm.m, tr.code), "
@@ -1360,8 +1499,8 @@ def _pq_sql() -> str:
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) "
         f"AS r FROM sc) t WHERE r <= {PQ_POOL}), "
         "rr AS (SELECT cd.qid, cd.vec_id, "
-        "CAST(ROUND(SUM((q.v[i] - x.v[i]) * (q.v[i] - x.v[i])) "
-        "* 1000000) AS BIGINT) AS d2u "
+        "CAST(SUM(CAST(ROUND((q.v[i] - x.v[i]) * (q.v[i] - x.v[i]) "
+        "* 1000000) AS BIGINT)) AS BIGINT) AS d2u "
         "FROM cand cd JOIN e x ON x.vec_id = cd.vec_id "
         f"JOIN q ON q.qid = cd.qid, generate_series(1, {PQ_DIM}) g(i) "
         "GROUP BY cd.qid, cd.vec_id), "
@@ -1914,6 +2053,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     # must fail LOUDLY, not hash-mismatch confusingly
     "x66_pack_sharded": _pack_sharded_sql(),
     "x67_stored_clusters": _dup_clusters_sql(),
+    "x68_embedding_near_dup_bucketed": _embedding_near_dup_bucketed_sql(),
+    "x69_exact_substr": _exact_substr_sql(),
+    "x70_resize_images": _resize_images_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

@@ -220,27 +220,33 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
 # lookup-table entries). Deterministic codebooks (modulo-sampled
 # training rows, same stance as IVF's modulo quantizer) make every
 # step SQL-expressible, so x59/x63 run under a full DuckDB oracle.
-# Distances are integer micro-units end-to-end: ROUND(d2·1e6)::long
-# per subspace, summed exactly — integer sums are order-independent,
-# so Spark and DuckDB agree bit-for-bit (the float-sum ordering hazard
-# the 6dp rounding in IVF merely shrinks is eliminated here).
+# Distances are integer micro-units end-to-end: each per-DIMENSION
+# squared difference is rounded to ROUND(t·1e6)::long BEFORE any
+# accumulation, so every sum downstream (subspace, ADC, refine) is an
+# integer sum — order-independent by construction, so Spark's fixed
+# left fold and DuckDB's unspecified SUM order agree bit-for-bit.
+# (r4 rounded only after the per-subspace float sum; a distance
+# landing within FP noise of a 0.5 µunit boundary could then
+# hash-mismatch across engines — ADVICE.md r5.)
 
 
 def _l2sq_u(a, b, dim: int) -> F.Column:
     """Squared L2 distance in integer micro-units (exact, portable).
 
+    Each dimension's squared difference is rounded to µunits and cast
+    to long INDIVIDUALLY; the sum is then pure integer arithmetic, so
+    the result is independent of accumulation order across engines.
     ``dim`` is static at plan time, so the sum is UNROLLED into a
     left-folded chain of codegen'd GetArrayItem/multiply/add nodes —
     the interpreted F.aggregate/zip_with higher-order form costs ~3×
-    more per row on the encode path (1M+ rows at bench scale). The
-    left fold keeps the same index-order accumulation the sequential
-    aggregate had, so results are bit-identical.
+    more per row on the encode path (1M+ rows at bench scale).
     """
     d2 = None
     for j in range(dim):
-        t = (a[j] - b[j]) * (a[j] - b[j])
+        t = F.round((a[j] - b[j]) * (a[j] - b[j])
+                    * F.lit(1_000_000.0)).cast("long")
         d2 = t if d2 is None else d2 + t
-    return F.round(d2 * F.lit(1_000_000.0)).cast("long")
+    return d2
 
 
 def pq_codebooks(df: DataFrame, dim: int, m_total: int = 8,

@@ -189,3 +189,93 @@ def test_incremental_near_dup_is_cross_side_slice_of_full(spark):
     cross = {(a, b) for a, b in full if (a % 2) != (b % 2)}
     assert inc == cross
     assert all((a % 2) != (b % 2) for a, b in inc)
+
+
+# ---------------------------------------------- bucketed embedding dedup
+
+def test_embedding_near_dup_bucketed_subset_and_recall(spark):
+    """x68 contract: bucketing can only DROP pairs (every reported pair
+    is a true above-threshold pair), and with n_assign=4 the measured
+    recall vs the exhaustive kernel stays high (1.0 at this sf)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    full = {(r.da, r.db) for r in
+            dedup.embedding_near_dup(e, 0.45).collect()}
+    buck = {(r.da, r.db) for r in
+            dedup.embedding_near_dup_bucketed(
+                e, 0.45, centroid_mod=40, n_assign=4).collect()}
+    assert full, "fixture lost its planted embedding dups"
+    assert buck <= full
+    assert len(buck & full) / len(full) >= 0.9
+
+
+# ------------------------------------------------- exact-substring dedup
+
+def test_exact_substr_spans_planted_cross_doc(spark):
+    dup = "alpha beta gamma delta epsilon"   # one 5-token gram (k=5)
+    df = spark.createDataFrame(
+        [(1, f"one two {dup} three four"),
+         (2, f"x y z {dup} w"),
+         (3, "totally unique tokens with nothing shared at all")],
+        ["doc_id", "text"])
+    spans = {r.doc_id: (r.start_tok, r.end_tok, r.span_tokens)
+             for r in dedup.exact_substr_spans(df, k=5).collect()}
+    assert spans[1] == (2, 6, 5)
+    assert spans[2] == (3, 7, 5)
+    assert 3 not in spans
+
+
+def test_exact_substr_spans_merge_overlapping_grams(spark):
+    """Six shared tokens = two overlapping 5-grams → ONE maximal span
+    of 6 tokens per doc, not two rows."""
+    dup = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"p q {dup}"), (2, f"{dup} r s")], ["doc_id", "text"])
+    got = dedup.exact_substr_spans(df, k=5).collect()
+    assert len(got) == 2
+    by_doc = {r.doc_id: r for r in got}
+    assert by_doc[1].span_tokens == 6 and by_doc[1].start_tok == 2
+    assert by_doc[2].span_tokens == 6 and by_doc[2].start_tok == 0
+
+
+def test_exact_substr_spans_within_doc_repeat(spark):
+    """A gram repeated WITHIN one document is a duplicated span too
+    (ExactSubstr counts total occurrences, not distinct docs)."""
+    dup = "r s t u v"
+    df = spark.createDataFrame(
+        [(1, f"{dup} filler1 filler2 {dup}"),
+         (2, "nothing shared here at all zz")], ["doc_id", "text"])
+    got = dedup.exact_substr_spans(df, k=5).collect()
+    assert {r.doc_id for r in got} == {1}
+    assert len(got) == 2                      # two disjoint spans
+    assert sorted((r.start_tok, r.end_tok) for r in got) == \
+        [(0, 4), (7, 11)]
+
+
+def test_exact_substr_strip_token_accounting(spark):
+    """strip removes EXACTLY the covered positions: surviving token
+    count = original - sum(span_tokens), per document."""
+    d = docs(spark).limit(200)
+    cut = {r.doc_id: r.cut for r in
+           dedup.exact_substr_spans(d).groupBy("doc_id")
+           .agg(F.sum("span_tokens").alias("cut")).collect()}
+    orig = {r.doc_id: r.n for r in
+            d.select("doc_id",
+                     F.size(F.split("text", " ")).alias("n")).collect()}
+    got = {r.doc_id: len(r.text.split())
+           for r in dedup.exact_substr_strip(d).collect()}
+    assert set(got) == set(orig)              # every doc survives (maybe empty)
+    for did, n in orig.items():
+        assert got[did] == n - cut.get(did, 0)
+
+
+def test_exact_substr_finds_spans_in_fixture(spark):
+    """The planted near-dups share long runs — the fixture must
+    actually exercise the operator."""
+    assert dedup.exact_substr_spans(docs(spark)).count() > 0
+
+
+# ------------------------------------------------------- cc driver gate
+
+def test_derived_cc_gate_bounds(spark):
+    g = dedup._derived_cc_gate(spark)
+    assert 100_000 <= g <= 5_000_000

@@ -85,3 +85,24 @@ def test_stub_gates_raise_without_decoder(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         M.resize_images(media, decode_stub=False).collect()
+
+
+def test_resize_stub_payload_is_truncate_pad(spark):
+    """x70's oracle contract: resized payload == first width·height
+    payload bytes, zero-padded — byte-for-byte (md5 checked locally)."""
+    import hashlib
+
+    from kafana_spark.operators.multimodal import (
+        attach_binary_payload, resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 300)], ["doc_id", "text"])
+    media = attach_binary_payload(df, "text", "doc_id")
+    got = {r.media_id: bytes(r.payload)
+           for r in resize_images(media, width=16, height=16).collect()}
+    for mid, text in ((1, "short"), (2, "x" * 300)):
+        expect = text.encode()[:256].ljust(256, b"\0")
+        assert got[mid] == expect
+        assert hashlib.md5(got[mid]).hexdigest() == \
+            hashlib.md5(expect).hexdigest()

@@ -363,3 +363,35 @@ def test_x64_chunk_windows_is_map_only_before_sort(spark):
     assert "Join" not in plan and "HashAggregate" not in plan
     # one numbered Exchange node: rangepartitioning for the orderBy
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_x68_block_pair_join_is_cell_local(spark):
+    """The SemDeDup default's block-pair self-join must be an EQUI join
+    keyed on the IVF cell id (blk <= blk only as residual) — the whole
+    point of x68 is that block pairs never span cells, so the pair
+    space is the sum of per-cell squares, not the corpus square. The
+    only nested-loop joins allowed are the broadcast-centroid
+    expansions (tiny build side, same shape x08 pins)."""
+    from kafana_spark.operators import dedup
+    from kafana_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    plan = plan_of(dedup.embedding_near_dup_bucketed(e, 0.45))
+    assert "CartesianProduct" not in plan
+    # the packed-block self-join: keys on cell, blk<=blk residual
+    assert re.search(r"keys \[\d+\]: \[cell#", plan)
+    assert re.search(r"Join condition: \(blk#\d+L <= blk#\d+L\)", plan)
+
+
+def test_x69_exact_substr_shuffles_hashes_not_text(spark):
+    """The gram index must hash at explode time: no exchange may carry
+    the gram STRING — only 8-byte hashes, ids and positions."""
+    from kafana_spark.operators import dedup
+    from kafana_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(dedup.exact_substr_spans(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "g#" not in m.group(1)      # gram string never a shuffle key
