@@ -848,6 +848,39 @@ def x_frame_sample(spark, sf_dir):
         .orderBy("media_id", "frame_idx"))
 
 
+# --- unigram LM quality + count-min sketch (x71, x72) -----------------
+
+CMS_TOP_K = 20
+
+
+def x_unigram_logprob(spark, sf_dir):
+    """x71 — CCNet/Gopher-style LM quality proxy: per-document unigram
+    negative log-likelihood under the corpus MLE, integer fixed-point
+    end to end (portable across engines)."""
+    return (text.unigram_logprob(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def x_cms_counts(spark, sf_dir):
+    """x72 — count-min sketch point estimates next to exact counts for
+    the corpus top-20 tokens. The sketch is the mergeable frequency
+    twin of the HLL rollup (fixed d×w size, bucket-wise summable);
+    the oracle replays hash rows, bucketing and the min-estimate
+    exactly. cms_cnt >= exact_cnt always (CM never undercounts)."""
+    from kafana_spark import rollup
+    from kafana_spark.functions import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "t").limit(CMS_TOP_K)
+    est = rollup.cms_estimate(rollup.cms_sketch(d, "text"),
+                              top.select("t"))
+    return (top.join(est, "t")
+            .select(F.col("t").alias("token"), "exact_cnt", "cms_cnt")
+            .orderBy(F.col("exact_cnt").desc(), "token"))
+
+
 # --- multimodal image resize under the oracle (x70) -------------------
 
 RESIZE_W = 16
@@ -1048,6 +1081,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x68_embedding_near_dup_bucketed": x_embedding_near_dup_bucketed,
     "x69_exact_substr": x_exact_substr,
     "x70_resize_images": x_resize_images,
+    "x71_unigram_logprob": x_unigram_logprob,
+    "x72_cms_counts": x_cms_counts,
 }
 
 
@@ -1262,6 +1297,62 @@ def _exact_substr_sql() -> str:
         f"CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS INTEGER) "
         "AS span_tokens "
         "FROM s GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"
+    )
+
+
+def _unigram_logprob_sql() -> str:
+    """x71 oracle — same hashed-token vocab, corpus total, and
+    fixed-point per-token cost (ROUND((ln N − ln cnt)·1e4)::BIGINT)
+    as the Spark plan; all sums are integer sums so accumulation
+    order cannot diverge. ln() inputs are integer counts, identical
+    on both engines well inside the 1e-4 rounding grain."""
+    fp = text.UNIGRAM_FP
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS t FROM documents), "
+        "hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) "
+        "AS BIGINT) AS h FROM tk), "
+        "v AS (SELECT h, COUNT(*) AS cnt FROM hh GROUP BY h), "
+        "tot AS (SELECT COUNT(*) AS n FROM hh), "
+        "dt AS (SELECT doc_id, h, COUNT(*) AS c FROM hh "
+        "GROUP BY doc_id, h), "
+        "cc AS (SELECT dt.doc_id, dt.c, "
+        f"CAST(ROUND((ln(tot.n) - ln(v.cnt)) * {fp}) AS BIGINT) "
+        "AS cost_u FROM dt JOIN v USING (h), tot) "
+        "SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_tokens, "
+        "CAST(SUM(c * cost_u) AS BIGINT) AS score_u, "
+        "CAST(SUM(c * cost_u) // SUM(c) AS BIGINT) AS avg_u "
+        "FROM cc GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _cms_counts_sql() -> str:
+    """x72 oracle — replays the count-min sketch exactly: d hash rows
+    of w buckets keyed by the portable hash of token||'#'||row, exact
+    top-K terms, min-over-rows estimate."""
+    from kafana_spark.rollup import CMS_D, CMS_W
+
+    hb = ("CAST(concat('0x', substr(md5({t} || '#' || "
+          "CAST({j} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(CMS_W))
+    return (
+        "WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t "
+        "FROM documents), "
+        "ex AS (SELECT t, COUNT(*) AS exact_cnt FROM tk GROUP BY t), "
+        "top AS (SELECT t, exact_cnt FROM ex "
+        f"ORDER BY exact_cnt DESC, t LIMIT {CMS_TOP_K}), "
+        "rows_ AS (SELECT t, j FROM tk, "
+        f"generate_series(0, {CMS_D - 1}) g(j)), "
+        f"sk AS (SELECT j, {hb.format(t='t', j='j')} AS b, "
+        "COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2), "
+        "cand AS (SELECT top.t, g.j FROM top, "
+        f"generate_series(0, {CMS_D - 1}) g(j)), "
+        f"cb AS (SELECT t, j, {hb.format(t='t', j='j')} AS b FROM cand), "
+        "est AS (SELECT cb.t, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) "
+        "AS cms_cnt FROM cb LEFT JOIN sk ON sk.j = cb.j AND sk.b = cb.b "
+        "GROUP BY cb.t) "
+        "SELECT top.t AS token, CAST(top.exact_cnt AS BIGINT) "
+        "AS exact_cnt, est.cms_cnt FROM top JOIN est ON est.t = top.t "
+        "ORDER BY exact_cnt DESC, token"
     )
 
 
@@ -2056,6 +2147,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x68_embedding_near_dup_bucketed": _embedding_near_dup_bucketed_sql(),
     "x69_exact_substr": _exact_substr_sql(),
     "x70_resize_images": _resize_images_sql(),
+    "x71_unigram_logprob": _unigram_logprob_sql(),
+    "x72_cms_counts": _cms_counts_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

@@ -802,3 +802,52 @@ def chunk_windows(df: DataFrame, window: int = 32, stride: int = 24,
                     F.size(F.slice(F.col("__tok"),
                                    F.col("i") * stride + 1, window))
                     .alias("chunk_tokens")))
+
+
+UNIGRAM_FP = 10_000  # fixed-point: token cost in 0.1-milli-nat units
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Unigram LM negative-log-likelihood per document — the CCNet /
+    Gopher-style language-model quality filter with the corpus itself
+    as the LM (the KenLM stand-in this environment can express): token
+    cost = ln(N_total) − ln(count(token)) nats, i.e. −ln p̂(token)
+    under the corpus MLE; rare-token-heavy (noisy) documents score
+    high, common-prose documents score low.
+
+    Engine-portable fixed point: each token cost is rounded to
+    UNIGRAM_FP units (0.1 milli-nats) BEFORE summation, so every
+    downstream SUM is an integer sum — order-independent across
+    engines (same discipline as the PQ micro-unit distances). The
+    ln() inputs are integers (counts), so Spark's Math.log and
+    DuckDB's libm agree well inside the rounding grain.
+
+    Output: (doc_id, n_tokens, score_u, avg_u) — total and per-token
+    cost in fixed-point units (avg = floor division, portable).
+
+    Scale: tokens are hashed to 8 bytes at explode time (the shuffle
+    key is never a token string); the vocab count and the per-doc
+    count are both map-side-combinable aggregations; the corpus total
+    is a 1-row broadcast, not a collected scalar. At 100 TB the vocab
+    join is the only real shuffle and carries (hash, count) pairs.
+    """
+    from kafana_spark.functions import portable_hash64, tokens
+
+    h = (df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("t"))
+        .select(id_col, portable_hash64(F.col("t")).alias("h")))
+    vocab = h.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    total = h.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    per_doc = h.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    cost_u = F.round((F.log(F.col("n")) - F.log(F.col("cnt")))
+                     * F.lit(float(UNIGRAM_FP))).cast("long")
+    j = (per_doc.join(vocab, "h")
+         .join(F.broadcast(total))
+         .select(id_col, "c", cost_u.alias("cost_u")))
+    return (j.groupBy(id_col)
+            .agg(F.sum("c").cast("int").alias("n_tokens"),
+                 F.sum(F.col("c") * F.col("cost_u")).alias("score_u"))
+            .select(F.col(id_col), "n_tokens", "score_u",
+                    F.expr("score_u div n_tokens").alias("avg_u")))

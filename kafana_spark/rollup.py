@@ -155,3 +155,67 @@ def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
             .write.mode("overwrite").parquet(path)
 
     return _sink
+
+
+# --------------------------------------------------- count-min sketch
+
+#: CMS geometry: 4 hash rows × 1024 buckets. Point-estimate error is
+#: bounded by e·N/w with probability 1−e^−d (standard CM guarantee);
+#: at the fixture's token volume the top-term estimates are near-exact
+#: (pinned by test and the x72 oracle).
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(t: F.Column, j: F.Column) -> F.Column:
+    from kafana_spark.functions import portable_hash64
+
+    return F.pmod(
+        portable_hash64(F.concat_ws("#", t, j.cast("string"))),
+        F.lit(CMS_W))
+
+
+def cms_sketch(df: DataFrame, col: F.Column | str) -> DataFrame:
+    """Count-min sketch of a token stream: (j, b, cnt) rows, one per
+    occupied bucket of each of the CMS_D hash rows.
+
+    The frequency twin of the HLL rollup sketches above: FIXED size
+    (≤ d·w rows regardless of corpus size), map-side combinable, and
+    MERGEABLE — sketches of shards/days/micro-batches sum bucket-wise
+    into the sketch of the union (``cms_merge``), so streaming
+    maintenance is a groupBy away and no raw recount is ever needed.
+    """
+    from kafana_spark.functions import tokens
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = df.select(F.explode(tokens(c)).alias("t"))
+    rows = toks.select(
+        "t", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"))
+    return (rows.select("j", _cms_bucket(F.col("t"), F.col("j")).alias("b"))
+            .groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise sum of CMS sketches = the sketch of the unioned
+    streams (exact, by linearity of the counters)."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, terms: DataFrame,
+                 term_col: str = "t") -> DataFrame:
+    """Point-frequency estimates: for each term, min over the d hash
+    rows of its bucket counter (never under the true count). The terms
+    frame is small (a query list) — it explodes d× and joins the
+    sketch on (j, b); the sketch itself is ≤ d·w rows, broadcast."""
+    rows = (terms.select(
+        F.col(term_col).alias("t"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"))
+        .select("t", "j", _cms_bucket(F.col("t"), F.col("j")).alias("b")))
+    j = rows.join(F.broadcast(sketch), ["j", "b"], "left")
+    return (j.groupBy("t")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_cnt")))

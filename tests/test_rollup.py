@@ -188,3 +188,34 @@ def test_streaming_topk_from_rollup(spark, tmp_path):
            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
            .orderBy(F.col("cnt").desc(), "event_type").limit(3).collect()]
     assert got == exp
+
+
+# --------------------------------------------------- count-min sketch
+
+def test_cms_never_undercounts_and_tight_on_top_terms(spark):
+    from kafana_spark.rollup import cms_estimate, cms_sketch
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = {r.t: r.n for r in
+             toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), "t").limit(50).collect()}
+    terms = spark.createDataFrame([(t,) for t in exact], ["t"])
+    est = {r.t: r.cms_cnt for r in
+           cms_estimate(cms_sketch(d, "text"), terms).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)   # CM never undercounts
+    # point error bound is e·N/w per row; on this fixture the top-term
+    # estimates should be near-exact — allow 5% slack
+    assert sum(est[t] == exact[t] for t in exact) >= 0.8 * len(exact)
+
+
+def test_cms_merge_equals_one_shot_sketch(spark):
+    from kafana_spark.rollup import cms_merge, cms_sketch
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    a = cms_sketch(d.where(F.col("doc_id") % 2 == 0), "text")
+    b = cms_sketch(d.where(F.col("doc_id") % 2 != 0), "text")
+    merged = {(r.j, r.b): r.cnt for r in cms_merge(a, b).collect()}
+    full = {(r.j, r.b): r.cnt for r in cms_sketch(d, "text").collect()}
+    assert merged == full

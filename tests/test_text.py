@@ -275,3 +275,33 @@ def test_chunk_windows_rejects_token_dropping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         t.chunk_windows(df, window=2, stride=3)
+
+
+# ------------------------------------------------- unigram LM quality
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    """Corpus MLE: a doc holding the corpus' rare token must average a
+    higher per-token cost than an all-common-tokens doc, and the
+    fixed-point values must equal the closed form exactly."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common common rareword")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in T.unigram_logprob(df).collect()}
+    # N=8 tokens; cnt(common)=7, cnt(rareword)=1
+    c_common = round(math.log(8 / 7) * T.UNIGRAM_FP)
+    c_rare = round(math.log(8) * T.UNIGRAM_FP)
+    assert got[1].score_u == 4 * c_common
+    assert got[2].score_u == 3 * c_common + c_rare
+    assert got[2].avg_u > got[1].avg_u
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+
+
+def test_unigram_logprob_fixture_nonnegative_total(spark):
+    d = docs(spark)
+    rows = T.unigram_logprob(d).collect()
+    assert len(rows) == d.count()
+    assert all(r.score_u >= 0 and 0 <= r.avg_u <= r.score_u
+               for r in rows)
