@@ -100,3 +100,26 @@ def index_size_report(spark: SparkSession, index_path: str) -> dict:
                    if d.startswith("bucket=")])
     return {"buckets": buckets, "files": len(files),
             "postings": n_postings}
+
+
+def token_index_stream_sink(path: str, field: str = "message.value",
+                            id_col: str = "_id"):
+    """foreachBatch sink keeping the token index fresh under streaming
+    ingest — the third index with streaming maintenance, next to the
+    near-dup and ANN sinks (dedup_index / ann_index).
+
+    Layout: each micro-batch lands under ``batch=<epoch_id>`` with its
+    own ``bucket=`` partitioning below, written with mode=overwrite —
+    an at-least-once redelivery REPLACES its epoch instead of
+    appending duplicate postings. The root must be DEDICATED to this
+    sink (mixing bare bucket= dirs with batch= dirs breaks partition
+    discovery); ``lookup_ids`` works unchanged — the bucket filter
+    still prunes to one directory per batch.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (build_token_index(batch_df, field=field, id_col=id_col)
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{path}/batch={epoch_id}"))
+
+    return _sink

@@ -846,3 +846,42 @@ def exact_substr_strip(df: DataFrame, k: int = EXSUB_K,
     ids = df.select(id_col)
     return (ids.join(rebuilt, id_col, "left")
             .select(id_col, F.coalesce("text", F.lit("")).alias("text")))
+
+
+def embedding_dup_clusters(df: DataFrame, threshold: float = 0.99,
+                           centroid_mod: int = 40, n_assign: int = 2,
+                           block_size: int = 2048,
+                           max_iter: int = 25) -> DataFrame:
+    """SemDeDup consumption chain: cluster assignment + keep-one over
+    the bucketed embedding near-dup graph — the embedding twin of
+    ``dup_clusters`` + ``canonical_per_cluster``.
+
+    Output: (vec_id, cluster_id, keep) for EVERY corpus vector —
+    cluster_id is the min vec_id reachable through above-threshold
+    pairs (itself if isolated), keep marks the cluster's min vec_id
+    (embeddings carry no quality signal, so the deterministic min-id
+    rule is the keeper policy; swap in a scored rule the same way
+    canonical_per_cluster does for text).
+
+    Scale: the pair graph is cell-local by construction (x68), the CC
+    labels run over the pruned edge list only (hybrid union-find /
+    distributed propagation, same gate as dup_clusters), and the keep
+    flag is one per-cluster window. The corpus never moves.
+    """
+    spark = df.sparkSession
+    pairs = (embedding_near_dup_bucketed(
+        df, threshold, centroid_mod, n_assign, block_size)
+        .select("da", "db").persist())
+    try:
+        labels = _cc_labels(spark, pairs, max_iter)
+        clustered = (df.select("vec_id")
+                     .join(labels.withColumnRenamed("node", "vec_id"),
+                           "vec_id", "left")
+                     .select("vec_id",
+                             F.coalesce("label", "vec_id")
+                             .alias("cluster_id")))
+        w = Window.partitionBy("cluster_id")
+        return clustered.withColumn(
+            "keep", F.col("vec_id") == F.min("vec_id").over(w))
+    finally:
+        pairs.unpersist()

@@ -98,6 +98,18 @@ def x_embedding_near_dup_bucketed(spark, sf_dir):
         centroid_mod=EMB_BUCKET_CELL_MOD, n_assign=EMB_BUCKET_N_ASSIGN)
 
 
+def x_semantic_dedup(spark, sf_dir):
+    """x73 — the SemDeDup CONSUMPTION chain: cluster assignment over
+    the x68 cell-local pair graph + deterministic keep-one flag, for
+    every corpus vector. Same oracle pattern as x24 (recursive
+    reachability CTE); the returned plan is JVM-only (labels are
+    materialized during the call), so the orderBy is safe."""
+    return (dedup.embedding_dup_clusters(
+        _embs(spark, sf_dir), EMB_DUP_THRESHOLD,
+        centroid_mod=EMB_BUCKET_CELL_MOD, n_assign=EMB_BUCKET_N_ASSIGN)
+        .orderBy("vec_id"))
+
+
 def x_exact_substr(spark, sf_dir):
     """x69 — ExactSubstr-style duplicated-span detection over the
     documents corpus (pure column/window plan — JVM end to end)."""
@@ -1083,6 +1095,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x70_resize_images": x_resize_images,
     "x71_unigram_logprob": x_unigram_logprob,
     "x72_cms_counts": x_cms_counts,
+    "x73_semantic_dedup": x_semantic_dedup,
 }
 
 
@@ -1244,17 +1257,16 @@ def _embedding_near_dup_sql() -> str:
     )
 
 
-def _embedding_near_dup_bucketed_sql() -> str:
-    """x68 oracle — replays the full deterministic SemDeDup pipeline:
-    modulo centroids, 6dp-rounded multi-assignment (same convention as
-    the proven x08 IVF oracle), in-cell 4dp-rounded cosine pairs,
-    cross-cell dedup via MAX(cos) GROUP BY pair (mirrors the Spark
-    side's groupBy, which guards against last-ulp BLAS divergence
-    between two cells' batches)."""
+def _emb_bucket_ctes() -> str:
+    """CTE chain ending in ``p(da, db, cos)`` — the deterministic
+    SemDeDup pipeline: modulo centroids, 6dp-rounded multi-assignment
+    (same convention as the proven x08 IVF oracle), in-cell
+    4dp-rounded cosine pairs. Shared by the x68 pair oracle and the
+    x73 clustering oracle."""
     acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
     cos = "ROUND(" + _COS.format(a="a.v", b="b.v") + ", 4)"
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
         f"c AS (SELECT vec_id AS cid, v AS cv FROM e "
         f"WHERE vec_id % {EMB_BUCKET_CELL_MOD} = 0), "
@@ -1264,9 +1276,40 @@ def _embedding_near_dup_bucketed_sql() -> str:
         f"FROM e x, c) t WHERE r <= {EMB_BUCKET_N_ASSIGN}), "
         f"p AS (SELECT a.vec_id AS da, b.vec_id AS db, {cos} AS cos "
         "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id "
-        f"WHERE {cos} >= {EMB_DUP_THRESHOLD}) "
+        f"WHERE {cos} >= {EMB_DUP_THRESHOLD})"
+    )
+
+
+def _embedding_near_dup_bucketed_sql() -> str:
+    """x68 oracle — the SemDeDup pair chain with cross-cell dedup via
+    MAX(cos) GROUP BY pair (mirrors the Spark side's groupBy, which
+    guards against last-ulp BLAS divergence between two cells'
+    batches)."""
+    return (
+        f"WITH {_emb_bucket_ctes()} "
         "SELECT da, db, MAX(cos) AS cos FROM p GROUP BY da, db "
         "ORDER BY da, db"
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """x73 oracle — connected components over the x68 pair graph as a
+    recursive min-label reachability CTE (same pattern as x24's
+    clustering oracle), plus the keep-one flag (cluster min)."""
+    return (
+        f"WITH RECURSIVE {_emb_bucket_ctes()}, "
+        "edges AS (SELECT da AS a, db AS b FROM p "
+        "UNION ALL SELECT db, da FROM p), "
+        "reach(node, label) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT e2.a, r.label FROM edges e2 JOIN reach r "
+        "ON r.node = e2.b), "
+        "cl AS (SELECT node AS vec_id, MIN(label) AS cluster_id "
+        "FROM reach GROUP BY node) "
+        "SELECT vec_id, cluster_id, "
+        "vec_id = MIN(vec_id) OVER (PARTITION BY cluster_id) AS keep "
+        "FROM cl ORDER BY vec_id"
     )
 
 
@@ -2149,6 +2192,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x70_resize_images": _resize_images_sql(),
     "x71_unigram_logprob": _unigram_logprob_sql(),
     "x72_cms_counts": _cms_counts_sql(),
+    "x73_semantic_dedup": _semantic_dedup_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

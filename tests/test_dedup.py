@@ -279,3 +279,26 @@ def test_exact_substr_finds_spans_in_fixture(spark):
 def test_derived_cc_gate_bounds(spark):
     g = dedup._derived_cc_gate(spark)
     assert 100_000 <= g <= 5_000_000
+
+
+def test_embedding_dup_clusters_pairs_share_cluster_keep_one(spark):
+    """x73 consistency: every x68 pair lands in one cluster, every
+    cluster keeps exactly its min vec_id, and non-dup vectors are
+    their own kept singleton."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = dedup.embedding_near_dup_bucketed(
+        e, 0.45, centroid_mod=40, n_assign=4).collect()
+    rows = dedup.embedding_dup_clusters(
+        e, 0.45, centroid_mod=40, n_assign=4).collect()
+    cl = {r.vec_id: r.cluster_id for r in rows}
+    keep = {r.vec_id: r.keep for r in rows}
+    assert len(cl) == e.count()
+    for p in pairs:
+        assert cl[p.da] == cl[p.db]
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in cl.items():
+        by_cluster.setdefault(c, []).append(v)
+    for c, members in by_cluster.items():
+        assert c == min(members)            # label is the component min
+        kept = [v for v in members if keep[v]]
+        assert kept == [min(members)]       # exactly one keeper, the min

@@ -71,3 +71,30 @@ def test_index_append_only_maintenance(spark, tmp_path):
     want = sorted(r._id for r in docs.where(F.array_contains(
         tokenize_field(F.col("message.value")), term)).collect())
     assert got == want
+
+
+def test_stream_sink_builds_index_redelivery_safe(spark, tmp_path):
+    """Epoch-partitioned sink: micro-batches (incl. a redelivered
+    epoch) must yield exactly the one-shot index's postings — the
+    overwrite-per-epoch discipline shared with the dedup/ANN sinks."""
+    from kafana_spark.index import token_index_stream_sink
+
+    docs = _store_docs(spark)
+    idx = str(tmp_path / "sidx")
+    sink = token_index_stream_sink(idx)
+    batches = [docs.where(F.col("offset") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)          # at-least-once redelivery
+    sink(batches[2], 2)
+
+    term = "error"
+    via_index = search_via_index(spark, idx, docs, term)
+    direct = docs.where(F.array_contains(
+        tokenize_field(F.col("message.value")), term))
+    assert sorted(r._id for r in via_index.collect()) \
+        == sorted(r._id for r in direct.collect())
+    # no duplicate postings from the replay
+    postings = spark.read.parquet(idx)
+    assert postings.count() == postings.dropDuplicates(
+        ["_id", "token"]).count()
