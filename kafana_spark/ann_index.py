@@ -29,6 +29,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafana_spark.operators.similarity import (
     _ivf_assign, _ivf_centroids, _ivf_probe_rank, _pq_adc_rank,
@@ -200,3 +201,20 @@ def pq_topk_from_index(spark: SparkSession, path: str,
     cands = _pq_adc_rank(codes, cb, queries, pool, m_total, sub)
     vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}").drop("batch")
     return _pq_refine(cands, vectors, queries, k, dim)
+
+
+def semantic_pairs_from_index(spark: SparkSession, path: str,
+                              threshold: float,
+                              block_size: int = 2048) -> DataFrame:
+    """x68's SemDeDup pairs served from the STORED IVF index: cell
+    assignments are already persisted (the expensive pass), so the
+    embedding-dedup consumption chain reduces to the cell-local
+    blocked-BLAS verify — no centroid fit, no re-assignment, no norms
+    recomputed. The dedup twin of ann_topk_from_index, and the
+    embedding twin of dedup_index.near_dup_from_index: one index now
+    serves BOTH similarity search and semantic dedup."""
+    from kafana_spark.operators.dedup import _blocked_cosine_pairs
+
+    assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
+    e = assigned.select(F.col("cid").alias("cell"), "vec_id", "v")
+    return _blocked_cosine_pairs(e, float(threshold), block_size)

@@ -117,6 +117,25 @@ def x_exact_substr(spark, sf_dir):
             .orderBy("doc_id", "span_idx"))
 
 
+def x_stored_semantic_pairs(spark, sf_dir):
+    """x74 — x68's SemDeDup pairs served from the PERSISTED IVF index
+    (built once with the x68 quantizer settings, cached per corpus):
+    the stored cell assignments skip centroid fit + re-assignment, so
+    the serving cost is the cell-local verify only. Same oracle as
+    x68 — a hash match proves the store roundtrip is lossless and one
+    index serves both ANN search and semantic dedup."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "semidx", sf_dir,
+        lambda r: ann_index.build_ann_index(
+            e, r, centroid_mod=EMB_BUCKET_CELL_MOD,
+            n_assign=EMB_BUCKET_N_ASSIGN))
+    return ann_index.semantic_pairs_from_index(spark, root,
+                                               EMB_DUP_THRESHOLD)
+
+
 def x_ann_brute_force(spark, sf_dir):
     e = _embs(spark, sf_dir)
     q = similarity.modulo_queries(e, ANN_QUERY_MOD)
@@ -1096,6 +1115,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x71_unigram_logprob": x_unigram_logprob,
     "x72_cms_counts": x_cms_counts,
     "x73_semantic_dedup": x_semantic_dedup,
+    "x74_stored_semantic_pairs": x_stored_semantic_pairs,
 }
 
 
@@ -2193,6 +2213,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x71_unigram_logprob": _unigram_logprob_sql(),
     "x72_cms_counts": _cms_counts_sql(),
     "x73_semantic_dedup": _semantic_dedup_sql(),
+    "x74_stored_semantic_pairs": _embedding_near_dup_bucketed_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

@@ -225,3 +225,21 @@ def test_pq_rebuild_clears_stale_append_batches(spark, tmp_path):
     b = ann_index.pq_topk_from_index(spark, fresh, q, k=10, pool=100,
                                      dim=64, m_total=16)
     assert to_set(a) == to_set(b)
+
+
+def test_semantic_pairs_from_index_equal_inline(spark, tmp_path):
+    """One IVF index serves both ANN search and semantic dedup: pairs
+    from stored assignments must equal the recompute-everything x68
+    pipeline (store roundtrip lossless)."""
+    from kafana_spark.operators import dedup
+
+    e = embs(spark)
+    root = str(tmp_path / "semidx")
+    ann_index.build_ann_index(e, root, centroid_mod=40, n_assign=4)
+    got = {(r.da, r.db, r.cos) for r in
+           ann_index.semantic_pairs_from_index(spark, root, 0.45)
+           .collect()}
+    expect = {(r.da, r.db, r.cos) for r in
+              dedup.embedding_near_dup_bucketed(
+                  e, 0.45, centroid_mod=40, n_assign=4).collect()}
+    assert got == expect and got
