@@ -117,6 +117,14 @@ def x_exact_substr(spark, sf_dir):
             .orderBy("doc_id", "span_idx"))
 
 
+def x_exact_substr_strip(spark, sf_dir):
+    """x75 — the ExactSubstr CONSUMPTION step under the oracle: every
+    duplicated span removed, surviving tokens reassembled in position
+    order (docs stripped to nothing kept with empty text)."""
+    return (dedup.exact_substr_strip(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def x_stored_semantic_pairs(spark, sf_dir):
     """x74 — x68's SemDeDup pairs served from the PERSISTED IVF index
     (built once with the x68 quantizer settings, cached per corpus):
@@ -1116,6 +1124,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x72_cms_counts": x_cms_counts,
     "x73_semantic_dedup": x_semantic_dedup,
     "x74_stored_semantic_pairs": x_stored_semantic_pairs,
+    "x75_exact_substr_strip": x_exact_substr_strip,
 }
 
 
@@ -1333,17 +1342,18 @@ def _semantic_dedup_sql() -> str:
     )
 
 
-def _exact_substr_sql() -> str:
-    """x69 oracle — gram-for-gram replay of exact_substr_spans: hashed
-    positional k-grams, duplicated-hash set (COUNT >= 2), coverage
-    join, gaps-and-islands span merge (break when consecutive covered
-    starts gap by > k — with fixed k the covered end is monotone in
-    the start, so this is exact)."""
+def _exact_substr_ctes() -> str:
+    """CTE chain through ``s(doc_id, pos, span_idx)`` — gram-for-gram
+    replay of exact_substr_spans: hashed positional k-grams,
+    duplicated-hash set (COUNT >= 2), coverage join, gaps-and-islands
+    span grouping (break when consecutive covered starts gap by > k —
+    with fixed k the covered end is monotone in the start, so this is
+    exact). Shared by the x69 span oracle and the x75 strip oracle."""
     k = dedup.EXSUB_K
     gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
     h = f"CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT)"
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"t AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
         f"g AS (SELECT doc_id, i - 1 AS pos, {h} AS h "
         f"FROM t, generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
         f"WHERE i + {k - 1} <= len(t)), "
@@ -1353,13 +1363,47 @@ def _exact_substr_sql() -> str:
         f"(PARTITION BY doc_id ORDER BY pos) > {k} THEN 1 ELSE 0 END "
         "AS brk FROM cov), "
         "s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
-        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx FROM m) "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx FROM m)"
+    )
+
+
+def _exact_substr_sql() -> str:
+    """x69 oracle — maximal duplicated spans from the shared chain."""
+    k = dedup.EXSUB_K
+    return (
+        f"WITH {_exact_substr_ctes()} "
         "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, "
         "CAST(MIN(pos) AS INTEGER) AS start_tok, "
         f"CAST(MAX(pos) + {k - 1} AS INTEGER) AS end_tok, "
         f"CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS INTEGER) "
         "AS span_tokens "
         "FROM s GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"
+    )
+
+
+def _exact_substr_strip_sql() -> str:
+    """x75 oracle — spans expand to covered token positions, the
+    positional token explode anti-joins them, and survivors reassemble
+    with a position-ordered string_agg (empty text for fully-stripped
+    docs, mirroring the Spark coalesce)."""
+    k = dedup.EXSUB_K
+    return (
+        f"WITH {_exact_substr_ctes()}, "
+        "spans AS (SELECT doc_id, MIN(pos) AS s0, "
+        f"MAX(pos) + {k - 1} AS e0 FROM s GROUP BY doc_id, span_idx), "
+        "cov2 AS (SELECT doc_id, gp.p AS pos FROM spans, "
+        f"generate_series(0, {ORACLE_MAX_TOKENS}) gp(p) "
+        "WHERE gp.p BETWEEN s0 AND e0), "
+        "tok2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tk FROM t, "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gi(i) "
+        "WHERE i <= len(t)), "
+        "kept AS (SELECT tok2.doc_id, tok2.pos, tok2.tk FROM tok2 "
+        "LEFT JOIN cov2 ON cov2.doc_id = tok2.doc_id "
+        "AND cov2.pos = tok2.pos WHERE cov2.pos IS NULL) "
+        "SELECT doc.doc_id, COALESCE(string_agg(kept.tk, ' ' "
+        "ORDER BY kept.pos), '') AS text "
+        "FROM documents doc LEFT JOIN kept ON kept.doc_id = doc.doc_id "
+        "GROUP BY doc.doc_id ORDER BY doc.doc_id"
     )
 
 
@@ -2214,6 +2258,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x72_cms_counts": _cms_counts_sql(),
     "x73_semantic_dedup": _semantic_dedup_sql(),
     "x74_stored_semantic_pairs": _embedding_near_dup_bucketed_sql(),
+    "x75_exact_substr_strip": _exact_substr_strip_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "
