@@ -1654,14 +1654,14 @@ def _pq_sql() -> str:
     """Full PQ/ADC + exact-refine pipeline in DuckDB. Deterministic
     codebooks (modulo-sampled training vectors) and integer micro-unit
     distances (each per-DIMENSION squared difference rounded to
-    ROUND(t·1e6)::BIGINT before any accumulation) make the entire
+    floor(t·1e6 + 0.5) before any accumulation) make the entire
     approximate path bit-reproducible across engines — every SUM here
-    is an integer sum, order-independent by construction, so DuckDB's
-    unspecified aggregation order cannot diverge from Spark's fixed
-    left fold (ADVICE.md r5)."""
+    adds integer values only, order-independent by construction, so
+    DuckDB's unspecified aggregation order cannot diverge from Spark's
+    fixed left fold (ADVICE.md r5)."""
     sub = PQ_DIM // PQ_M
-    d2 = ("CAST(ROUND((x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * "
-          "(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * 1000000) AS BIGINT)"
+    d2 = ("floor((x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * "
+          "(x.v[mm.m*{s}+i] - tr.v[mm.m*{s}+i]) * 1000000 + 0.5)"
           ).format(s=sub)
     qd2 = d2.replace("x.v", "q.v")
     return (
@@ -1697,8 +1697,8 @@ def _pq_sql() -> str:
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) "
         f"AS r FROM sc) t WHERE r <= {PQ_POOL}), "
         "rr AS (SELECT cd.qid, cd.vec_id, "
-        "CAST(SUM(CAST(ROUND((q.v[i] - x.v[i]) * (q.v[i] - x.v[i]) "
-        "* 1000000) AS BIGINT)) AS BIGINT) AS d2u "
+        "CAST(SUM(floor((q.v[i] - x.v[i]) * (q.v[i] - x.v[i]) "
+        "* 1000000 + 0.5)) AS BIGINT) AS d2u "
         "FROM cand cd JOIN e x ON x.vec_id = cd.vec_id "
         f"JOIN q ON q.qid = cd.qid, generate_series(1, {PQ_DIM}) g(i) "
         "GROUP BY cd.qid, cd.vec_id), "

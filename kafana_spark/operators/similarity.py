@@ -221,30 +221,36 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
 # training rows, same stance as IVF's modulo quantizer) make every
 # step SQL-expressible, so x59/x63 run under a full DuckDB oracle.
 # Distances are integer micro-units end-to-end: each per-DIMENSION
-# squared difference is rounded to ROUND(t·1e6)::long BEFORE any
-# accumulation, so every sum downstream (subspace, ADC, refine) is an
-# integer sum — order-independent by construction, so Spark's fixed
-# left fold and DuckDB's unspecified SUM order agree bit-for-bit.
-# (r4 rounded only after the per-subspace float sum; a distance
-# landing within FP noise of a 0.5 µunit boundary could then
-# hash-mismatch across engines — ADVICE.md r5.)
+# squared difference is rounded to floor(t·1e6 + 0.5) (half-up for
+# the nonneg squares) BEFORE any accumulation, so every sum downstream
+# (subspace, ADC, refine) is an integer sum — order-independent by
+# construction, so Spark's fixed left fold and DuckDB's unspecified
+# SUM order agree bit-for-bit. (r4 rounded only after the per-subspace
+# float sum; a distance landing within FP noise of a 0.5 µunit
+# boundary could then hash-mismatch across engines — ADVICE.md r5.)
 
 
 def _l2sq_u(a, b, dim: int) -> F.Column:
     """Squared L2 distance in integer micro-units (exact, portable).
 
-    Each dimension's squared difference is rounded to µunits and cast
-    to long INDIVIDUALLY; the sum is then pure integer arithmetic, so
-    the result is independent of accumulation order across engines.
-    ``dim`` is static at plan time, so the sum is UNROLLED into a
-    left-folded chain of codegen'd GetArrayItem/multiply/add nodes —
-    the interpreted F.aggregate/zip_with higher-order form costs ~3×
-    more per row on the encode path (1M+ rows at bench scale).
+    Each dimension's squared difference is rounded to µunits BEFORE
+    accumulation (floor(t·1e6 + 0.5) — round-half-up for nonneg), so
+    every sum downstream is pure integer arithmetic: independent of
+    accumulation order across engines by construction. ``dim`` is
+    static at plan time, so the sum is UNROLLED into a left-folded
+    chain of codegen'd GetArrayItem/multiply/add nodes — the
+    interpreted F.aggregate/zip_with higher-order form costs ~3× more
+    per row on the encode path (1M+ rows at bench scale).
     """
     d2 = None
     for j in range(dim):
-        t = F.round((a[j] - b[j]) * (a[j] - b[j])
-                    * F.lit(1_000_000.0)).cast("long")
+        # round-half-up == floor(t + 0.5) for the nonneg squares;
+        # Spark's ROUND on doubles detours through BigDecimal (~1.6×
+        # measured on the encode/refine paths) while floor codegens to
+        # Math.floor and yields LONG directly — integer sums from the
+        # first add. DuckDB floors bit-identically.
+        t = F.floor((a[j] - b[j]) * (a[j] - b[j]) * F.lit(1_000_000.0)
+                    + F.lit(0.5))
         d2 = t if d2 is None else d2 + t
     return d2
 
