@@ -198,3 +198,54 @@ def incremental_from_index(new: DataFrame, path: str,
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+
+
+# ------------------------------------------------ substring (gram) index
+
+GRAM_DIR = "grams"
+
+
+def build_substr_index(df: DataFrame, path: str, k: int | None = None,
+                       text_col: str = "text", mode: str = "overwrite",
+                       batch: str = "base") -> None:
+    """Persist the positional k-gram index the ExactSubstr family
+    shares: (doc_id, pos, h) — a pure per-document function, so the
+    same batch=<id> layout, append and rebuild discipline as the
+    minhash index above applies (full rebuilds clear stale batches;
+    per-batch overwrites stay incremental)."""
+    from kafana_spark.operators.dedup import (
+        EXSUB_K, positional_gram_index,
+    )
+
+    if mode == "overwrite" and batch == "base":
+        from kafana_spark.ann_index import _clear_batched_dir
+
+        _clear_batched_dir(f"{path}/{GRAM_DIR}")
+    positional_gram_index(df, k or EXSUB_K, text_col=text_col) \
+        .write.mode(mode).parquet(f"{path}/{GRAM_DIR}/batch={batch}")
+
+
+def substr_index_stream_sink(path: str, k: int | None = None,
+                             text_col: str = "text"):
+    """foreachBatch sink for the gram index — per-epoch ``batch=<id>``
+    overwrite, redelivery-safe like the other index sinks."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        build_substr_index(batch_df, path, k, text_col=text_col,
+                           mode="overwrite", batch=str(epoch_id))
+
+    return _sink
+
+
+def spans_from_index(spark: SparkSession, path: str,
+                     k: int | None = None,
+                     min_count: int = 2) -> DataFrame:
+    """x69's duplicated spans served from the STORED gram index: the
+    expensive pass (token explode + per-gram md5 over the whole
+    corpus) is paid at write time; serving is the duplicated-gram
+    count, coverage semi-join and per-doc islands merge only — no
+    text is read."""
+    from kafana_spark.operators.dedup import EXSUB_K, _spans_from_grams
+
+    g = spark.read.parquet(f"{path}/{GRAM_DIR}").drop("batch")
+    return _spans_from_grams(g, k or EXSUB_K, min_count=min_count)

@@ -782,6 +782,16 @@ def exact_substr_spans(df: DataFrame, k: int = EXSUB_K,
     Every stage is linear in corpus grams; the DuckDB oracle (x69)
     replays it gram-for-gram.
     """
+    g = positional_gram_index(df, k, id_col, text_col)
+    return _spans_from_grams(g, k, id_col, min_count)
+
+
+def positional_gram_index(df: DataFrame, k: int = EXSUB_K,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id, pos, h) positional k-gram index — the per-document pure
+    function the ExactSubstr family shares (persistable: see
+    dedup_index.build_substr_index)."""
     from kafana_spark.functions import portable_hash64, tokens
 
     tok = tokens(F.col(text_col))
@@ -790,9 +800,15 @@ def exact_substr_spans(df: DataFrame, k: int = EXSUB_K,
         F.size(tok) >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
     ).otherwise(F.array().cast("array<string>"))
-    g = (df.select(F.col(id_col), F.posexplode(grams_arr).alias("pos", "g"))
-         .select(id_col, "pos", portable_hash64(F.col("g")).alias("h")))
+    return (df.select(F.col(id_col),
+                      F.posexplode(grams_arr).alias("pos", "g"))
+            .select(id_col, "pos", portable_hash64(F.col("g")).alias("h")))
 
+
+def _spans_from_grams(g: DataFrame, k: int, id_col: str = "doc_id",
+                      min_count: int = 2) -> DataFrame:
+    """Duplicated-span derivation from a positional gram index —
+    shared by the inline operator and the stored-index serving path."""
     dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
            .where(F.col("cnt") >= min_count).select("h"))
     covered = g.join(dup, "h", "left_semi").select(id_col, "pos")

@@ -125,6 +125,22 @@ def x_exact_substr_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def x_stored_substr_spans(spark, sf_dir):
+    """x76 — x69's duplicated spans served from the PERSISTED gram
+    index (built once, cached per corpus): the token explode + per-gram
+    md5 pass is paid at write time; serving is count + semi-join +
+    islands only, no text read. Same oracle as x69 — a hash match
+    proves the store roundtrip is lossless."""
+    from kafana_spark import dedup_index
+
+    d = _docs(spark, sf_dir)
+    root = _cached_index_root(
+        "subidx", sf_dir,
+        lambda r: dedup_index.build_substr_index(d, r))
+    return (dedup_index.spans_from_index(spark, root)
+            .orderBy("doc_id", "span_idx"))
+
+
 def x_stored_semantic_pairs(spark, sf_dir):
     """x74 — x68's SemDeDup pairs served from the PERSISTED IVF index
     (built once with the x68 quantizer settings, cached per corpus):
@@ -1125,6 +1141,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x73_semantic_dedup": x_semantic_dedup,
     "x74_stored_semantic_pairs": x_stored_semantic_pairs,
     "x75_exact_substr_strip": x_exact_substr_strip,
+    "x76_stored_substr_spans": x_stored_substr_spans,
 }
 
 
@@ -2259,6 +2276,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x73_semantic_dedup": _semantic_dedup_sql(),
     "x74_stored_semantic_pairs": _embedding_near_dup_bucketed_sql(),
     "x75_exact_substr_strip": _exact_substr_strip_sql(),
+    "x76_stored_substr_spans": _exact_substr_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

@@ -136,3 +136,46 @@ def test_rebuild_clears_stale_append_batches(spark, tmp_path):
     got = dedup_index.near_dup_from_index(spark, root, THRESH)
     expect = dedup.minhash_near_dup(d, THRESH)
     assert pairs_set(got) == pairs_set(expect)
+
+
+def test_substr_spans_from_index_equal_inline(spark, tmp_path):
+    """Spans served from the stored gram index must equal the inline
+    pipeline (store roundtrip lossless)."""
+    d = docs(spark)
+    root = str(tmp_path / "subidx")
+    dedup_index.build_substr_index(d, root)
+    got = {tuple(r) for r in
+           dedup_index.spans_from_index(spark, root).collect()}
+    expect = {tuple(r) for r in dedup.exact_substr_spans(d).collect()}
+    assert got == expect and got
+
+
+def test_substr_stream_sink_redelivery_safe(spark, tmp_path):
+    """Micro-batches (incl. a redelivered epoch) through the gram-index
+    sink must serve exactly the one-shot spans."""
+    d = docs(spark)
+    root = str(tmp_path / "subidx")
+    sink = dedup_index.substr_index_stream_sink(root)
+    batches = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)          # at-least-once redelivery
+    sink(batches[2], 2)
+    got = {tuple(r) for r in
+           dedup_index.spans_from_index(spark, root).collect()}
+    expect = {tuple(r) for r in dedup.exact_substr_spans(d).collect()}
+    assert got == expect
+
+
+def test_substr_rebuild_clears_stale_batches(spark, tmp_path):
+    import os
+
+    d = docs(spark)
+    root = str(tmp_path / "subidx")
+    dedup_index.build_substr_index(d.where(F.col("doc_id") % 2 == 0),
+                                   root)
+    dedup_index.build_substr_index(d.where(F.col("doc_id") % 2 != 0),
+                                   root, mode="overwrite", batch="day1")
+    dedup_index.build_substr_index(d, root)    # full rebuild
+    assert sorted(os.listdir(
+        os.path.join(root, dedup_index.GRAM_DIR))) == ["batch=base"]
