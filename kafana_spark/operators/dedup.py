@@ -812,7 +812,14 @@ def _spans_from_grams(g: DataFrame, k: int, id_col: str = "doc_id",
     dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
            .where(F.col("cnt") >= min_count).select("h"))
     covered = g.join(dup, "h", "left_semi").select(id_col, "pos")
+    return _spans_from_covered(covered, k, id_col)
 
+
+def _spans_from_covered(covered: DataFrame, k: int,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of covered gram starts into maximal
+    spans (fixed k ⇒ covered ends are monotone in starts, so a span
+    breaks exactly where consecutive starts gap by > k)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
     run = Window.partitionBy(id_col).orderBy("pos") \
@@ -901,3 +908,31 @@ def embedding_dup_clusters(df: DataFrame, threshold: float = 0.99,
             "keep", F.col("vec_id") == F.min("vec_id").over(w))
     finally:
         pairs.unpersist()
+
+
+def benchmark_contamination_spans(df: DataFrame, benchmark: DataFrame,
+                                  k: int = EXSUB_K,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """Span-level benchmark decontamination: the maximal corpus token
+    spans covered by any k-gram that also occurs in a held-out
+    benchmark/eval set — the removal-grade complement of
+    ``benchmark_overlap`` (x31 scores documents; this localizes the
+    contamination so ``exact_substr_strip``-style removal can excise
+    it instead of dropping whole documents).
+
+    Output: (doc_id, span_idx, start_tok, end_tok, span_tokens), same
+    shape as exact_substr_spans.
+
+    Scale: benchmark gram hashes are DISTINCT and broadcast (eval sets
+    are tiny next to the corpus — same stance as benchmark_overlap);
+    the corpus side is one positional gram pass semi-joined against
+    them, then the per-doc islands window. The corpus never shuffles
+    on anything wider than (id, pos).
+    """
+    g = positional_gram_index(df, k, id_col, text_col)
+    bh = (positional_gram_index(benchmark, k, id_col, text_col)
+          .select("h").distinct())
+    covered = (g.join(F.broadcast(bh), "h", "left_semi")
+               .select(id_col, "pos"))
+    return _spans_from_covered(covered, k, id_col)

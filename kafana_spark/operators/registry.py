@@ -125,6 +125,19 @@ def x_exact_substr_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def x_benchmark_spans(spark, sf_dir):
+    """x77 — span-level benchmark decontamination: maximal corpus
+    token spans covered by any k-gram occurring in the held-out
+    benchmark slice (x31's doc_id % 50 fixture). x31 scores documents;
+    this localizes the contamination for surgical removal."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (dedup.benchmark_contamination_spans(corpus, bench,
+                                                k=DECON_SPAN_K)
+            .orderBy("doc_id", "span_idx"))
+
+
 def x_stored_substr_spans(spark, sf_dir):
     """x76 — x69's duplicated spans served from the PERSISTED gram
     index (built once, cached per corpus): the token explode + per-gram
@@ -1142,6 +1155,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x74_stored_semantic_pairs": x_stored_semantic_pairs,
     "x75_exact_substr_strip": x_exact_substr_strip,
     "x76_stored_substr_spans": x_stored_substr_spans,
+    "x77_benchmark_spans": x_benchmark_spans,
 }
 
 
@@ -1359,23 +1373,25 @@ def _semantic_dedup_sql() -> str:
     )
 
 
-def _exact_substr_ctes() -> str:
-    """CTE chain through ``s(doc_id, pos, span_idx)`` — gram-for-gram
-    replay of exact_substr_spans: hashed positional k-grams,
-    duplicated-hash set (COUNT >= 2), coverage join, gaps-and-islands
-    span grouping (break when consecutive covered starts gap by > k —
-    with fixed k the covered end is monotone in the start, so this is
-    exact). Shared by the x69 span oracle and the x75 strip oracle."""
-    k = dedup.EXSUB_K
+def _gram_ctes(k: int = dedup.EXSUB_K) -> str:
+    """``t`` + ``g(doc_id, pos, h)`` — the positional hashed k-gram
+    index every ExactSubstr-family oracle starts from."""
     gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
     h = f"CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT)"
     return (
         f"t AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
         f"g AS (SELECT doc_id, i - 1 AS pos, {h} AS h "
         f"FROM t, generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
-        f"WHERE i + {k - 1} <= len(t)), "
-        "d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), "
-        "cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (h)), "
+        f"WHERE i + {k - 1} <= len(t))"
+    )
+
+
+def _islands_ctes(k: int = dedup.EXSUB_K) -> str:
+    """``m`` + ``s(doc_id, pos, span_idx)`` — gaps-and-islands span
+    grouping over a ``cov(doc_id, pos)`` CTE (break when consecutive
+    covered starts gap by > k — with fixed k the covered end is
+    monotone in the start, so this is exact)."""
+    return (
         "m AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER "
         f"(PARTITION BY doc_id ORDER BY pos) > {k} THEN 1 ELSE 0 END "
         "AS brk FROM cov), "
@@ -1384,18 +1400,50 @@ def _exact_substr_ctes() -> str:
     )
 
 
+_SPAN_SELECT = (
+    "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, "
+    "CAST(MIN(pos) AS INTEGER) AS start_tok, "
+    "CAST(MAX(pos) + {km1} AS INTEGER) AS end_tok, "
+    "CAST(MAX(pos) + {km1} - MIN(pos) + 1 AS INTEGER) AS span_tokens "
+    "FROM s GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"
+)
+
+
+def _exact_substr_ctes() -> str:
+    """Full chain through ``s`` for the duplicated-span oracles (x69,
+    x75, x76): duplicated-hash set (COUNT >= 2) + coverage join +
+    islands."""
+    return (
+        f"{_gram_ctes()}, "
+        "d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (h)), "
+        f"{_islands_ctes()}"
+    )
+
+
+DECON_SPAN_K = 3  # x77 gram width — x31's 3-gram overlap convention
+
+
+def _benchmark_spans_sql() -> str:
+    """x77 oracle — contamination spans: covered positions are corpus
+    gram starts whose hash occurs in the benchmark slice (doc_id %
+    DECON_BENCH_MOD == 0), islands-merged like x69 but at the 3-gram
+    width x31's overlap scoring uses."""
+    return (
+        f"WITH {_gram_ctes(DECON_SPAN_K)}, "
+        "bh AS (SELECT DISTINCT h FROM g "
+        f"WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        "cov AS (SELECT DISTINCT g.doc_id, g.pos FROM g "
+        f"JOIN bh USING (h) WHERE g.doc_id % {DECON_BENCH_MOD} <> 0), "
+        f"{_islands_ctes(DECON_SPAN_K)} "
+        + _SPAN_SELECT.format(km1=DECON_SPAN_K - 1)
+    )
+
+
 def _exact_substr_sql() -> str:
     """x69 oracle — maximal duplicated spans from the shared chain."""
-    k = dedup.EXSUB_K
-    return (
-        f"WITH {_exact_substr_ctes()} "
-        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, "
-        "CAST(MIN(pos) AS INTEGER) AS start_tok, "
-        f"CAST(MAX(pos) + {k - 1} AS INTEGER) AS end_tok, "
-        f"CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS INTEGER) "
-        "AS span_tokens "
-        "FROM s GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"
-    )
+    return (f"WITH {_exact_substr_ctes()} "
+            + _SPAN_SELECT.format(km1=dedup.EXSUB_K - 1))
 
 
 def _exact_substr_strip_sql() -> str:
@@ -2277,6 +2325,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x74_stored_semantic_pairs": _embedding_near_dup_bucketed_sql(),
     "x75_exact_substr_strip": _exact_substr_strip_sql(),
     "x76_stored_substr_spans": _exact_substr_sql(),
+    "x77_benchmark_spans": _benchmark_spans_sql(),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

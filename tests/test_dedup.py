@@ -302,3 +302,20 @@ def test_embedding_dup_clusters_pairs_share_cluster_keep_one(spark):
         assert c == min(members)            # label is the component min
         kept = [v for v in members if keep[v]]
         assert kept == [min(members)]       # exactly one keeper, the min
+
+
+def test_benchmark_contamination_spans_planted(spark):
+    """A corpus doc holding a verbatim benchmark run must report
+    exactly that span; clean docs report nothing."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "intro words quick brown fox closing remark"),
+         (2, "completely unrelated clean document content")],
+        ["doc_id", "text"])
+    got = dedup.benchmark_contamination_spans(corpus, bench, k=3).collect()
+    assert {r.doc_id for r in got} == {1}
+    (span,) = got
+    # "quick brown fox" = tokens 2..4 of doc 1
+    assert (span.start_tok, span.end_tok, span.span_tokens) == (2, 4, 3)
