@@ -792,6 +792,31 @@ def x_curation_v2(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+CURATE3_MAX_AVG_U = 34050  # LM gate: drop the most perplexing ~quartile
+
+
+def x_curation_v3(spark, sf_dir):
+    """Curation composition v3 (x78) — v2's near-dup-aware pipeline
+    with the x71 unigram-LM gate added: keep one canonical doc per
+    near-dup cluster, then gate on quality, tokenizer coverage (OOV)
+    AND per-token LM cost (avg_u ≤ threshold — the CCNet-style
+    perplexity filter plugged into the real curation DAG). One lazy
+    plan, whole composition under one oracle hash."""
+    d = _docs(spark, sf_dir)
+    keepers = (dedup.canonical_per_cluster(d, NEAR_DUP_THRESHOLD)
+               .select(F.col("keeper").alias("doc_id")))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    q = text.quality_score(kept).select("doc_id", "quality_bp")
+    o = text.oov_rate(d, vocab_k=OOV_VOCAB_K).select("doc_id", "oov_bp")
+    lm = text.unigram_logprob(d).select("doc_id", "avg_u")
+    return (kept.join(q, "doc_id").join(o, "doc_id").join(lm, "doc_id")
+            .where((F.col("quality_bp") >= CURATE_MIN_QUALITY)
+                   & (F.col("oov_bp") <= CURATE2_MAX_OOV)
+                   & (F.col("avg_u") <= CURATE3_MAX_AVG_U))
+            .select("doc_id", "lang", "quality_bp", "oov_bp", "avg_u")
+            .orderBy("doc_id"))
+
+
 #: built stored-index roots per (kind, sf_dir) — index-once/query-many
 #: is the contract x57/x58 measure, so repeated calls (bench warm runs)
 #: query the existing store instead of rebuilding; stored tables are
@@ -1156,6 +1181,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x75_exact_substr_strip": x_exact_substr_strip,
     "x76_stored_substr_spans": x_stored_substr_spans,
     "x77_benchmark_spans": x_benchmark_spans,
+    "x78_curation_v3": x_curation_v3,
 }
 
 
@@ -1472,30 +1498,39 @@ def _exact_substr_strip_sql() -> str:
     )
 
 
-def _unigram_logprob_sql() -> str:
-    """x71 oracle — same hashed-token vocab, corpus total, and
-    fixed-point per-token cost (ROUND((ln N − ln cnt)·1e4)::BIGINT)
-    as the Spark plan; all sums are integer sums so accumulation
-    order cannot diverge. ln() inputs are integer counts, identical
-    on both engines well inside the 1e-4 rounding grain."""
+def _unigram_ctes() -> str:
+    """CTE chain ending in ``lm(doc_id, n_tokens, score_u, avg_u)`` —
+    the x71 unigram-LM pipeline (hashed-token vocab, corpus total,
+    fixed-point per-token cost ROUND((ln N − ln cnt)·1e4)::BIGINT; all
+    sums integer so accumulation order cannot diverge; ln() inputs are
+    integer counts, identical on both engines well inside the 1e-4
+    rounding grain). ``lm``-prefixed CTE names so the chain composes
+    into the curation oracle without collisions."""
     fp = text.UNIGRAM_FP
     return (
-        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "lmtk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
         "AS t FROM documents), "
-        "hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) "
-        "AS BIGINT) AS h FROM tk), "
-        "v AS (SELECT h, COUNT(*) AS cnt FROM hh GROUP BY h), "
-        "tot AS (SELECT COUNT(*) AS n FROM hh), "
-        "dt AS (SELECT doc_id, h, COUNT(*) AS c FROM hh "
+        "lmh AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) "
+        "AS BIGINT) AS h FROM lmtk), "
+        "lmv AS (SELECT h, COUNT(*) AS cnt FROM lmh GROUP BY h), "
+        "lmtot AS (SELECT COUNT(*) AS n FROM lmh), "
+        "lmdt AS (SELECT doc_id, h, COUNT(*) AS c FROM lmh "
         "GROUP BY doc_id, h), "
-        "cc AS (SELECT dt.doc_id, dt.c, "
-        f"CAST(ROUND((ln(tot.n) - ln(v.cnt)) * {fp}) AS BIGINT) "
-        "AS cost_u FROM dt JOIN v USING (h), tot) "
-        "SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_tokens, "
+        "lmc AS (SELECT lmdt.doc_id, lmdt.c, "
+        f"CAST(ROUND((ln(lmtot.n) - ln(lmv.cnt)) * {fp}) AS BIGINT) "
+        "AS cost_u FROM lmdt JOIN lmv USING (h), lmtot), "
+        "lm AS (SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_tokens, "
         "CAST(SUM(c * cost_u) AS BIGINT) AS score_u, "
         "CAST(SUM(c * cost_u) // SUM(c) AS BIGINT) AS avg_u "
-        "FROM cc GROUP BY doc_id ORDER BY doc_id"
+        "FROM lmc GROUP BY doc_id)"
     )
+
+
+def _unigram_logprob_sql() -> str:
+    """x71 oracle — the shared unigram chain, selected per doc."""
+    return (f"WITH {_unigram_ctes()} "
+            "SELECT doc_id, n_tokens, score_u, avg_u FROM lm "
+            "ORDER BY doc_id")
 
 
 def _cms_counts_sql() -> str:
@@ -2326,6 +2361,21 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x75_exact_substr_strip": _exact_substr_strip_sql(),
     "x76_stored_substr_spans": _exact_substr_sql(),
     "x77_benchmark_spans": _benchmark_spans_sql(),
+    "x78_curation_v3": (
+        "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
+        "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "
+        "FROM cl JOIN q USING (doc_id)), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality_bp DESC, doc_id) AS rn FROM m) "
+        "SELECT d.doc_id, d.lang, r.quality_bp, oo.oov_bp, lm.avg_u "
+        "FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1 "
+        "JOIN oo ON oo.doc_id = d.doc_id "
+        "JOIN lm ON lm.doc_id = d.doc_id "
+        "WHERE r.quality_bp >= {} AND oo.oov_bp <= {} "
+        "AND lm.avg_u <= {} "
+        "ORDER BY d.doc_id"
+    ).format(_dup_clusters_ctes(), _quality_core(), _unigram_ctes(),
+             CURATE_MIN_QUALITY, CURATE2_MAX_OOV, CURATE3_MAX_AVG_U),
     "x65_frame_sample": (
         "WITH d0 AS (SELECT doc_id, CASE WHEN "
         "octet_length(encode(text)) <> length(text) THEN "

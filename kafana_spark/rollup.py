@@ -219,3 +219,25 @@ def cms_estimate(sketch: DataFrame, terms: DataFrame,
     return (j.groupBy("t")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cms_cnt")))
+
+
+def cms_stream_sink(path: str, col: str = "text"):
+    """foreachBatch sink for streaming CMS maintenance: each
+    micro-batch's partial sketch lands under ``batch=<epoch_id>`` with
+    mode=overwrite (redelivery REPLACES, never double-counts — the
+    same per-epoch discipline as every other index sink here), and
+    ``cms_from_store`` folds the partials bucket-wise at read time —
+    exact by linearity, so the served sketch always equals the
+    one-shot sketch of everything ingested."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        cms_sketch(batch_df, col).write.mode("overwrite") \
+            .parquet(f"{path}/batch={epoch_id}")
+
+    return _sink
+
+
+def cms_from_store(spark, path: str) -> DataFrame:
+    """The current sketch: bucket-wise sum of all stored partials."""
+    raw = spark.read.parquet(path).drop("batch")
+    return raw.groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))

@@ -219,3 +219,19 @@ def test_cms_merge_equals_one_shot_sketch(spark):
     merged = {(r.j, r.b): r.cnt for r in cms_merge(a, b).collect()}
     full = {(r.j, r.b): r.cnt for r in cms_sketch(d, "text").collect()}
     assert merged == full
+
+
+def test_cms_stream_sink_redelivery_equals_one_shot(spark, tmp_path):
+    from kafana_spark.rollup import cms_from_store, cms_sketch, cms_stream_sink
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    root = str(tmp_path / "cms")
+    sink = cms_stream_sink(root)
+    batches = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)          # at-least-once redelivery
+    sink(batches[2], 2)
+    got = {(r.j, r.b): r.cnt for r in cms_from_store(spark, root).collect()}
+    full = {(r.j, r.b): r.cnt for r in cms_sketch(d, "text").collect()}
+    assert got == full
