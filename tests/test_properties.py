@@ -173,3 +173,77 @@ def test_chunk_windows_invariants(spark, texts, window, stride):
                               c.chunk_id * stride + window]
             recon.extend(ct[:stride])
         assert recon == toks        # stride-prefix concat reconstructs
+
+
+# -------------------------------------------- ExactSubstr span invariants
+
+def _ref_spans(texts: list[str], k: int) -> set[tuple]:
+    """Plain-Python reference: duplicated k-grams by total occurrence,
+    covered starts, gaps-and-islands merge."""
+    from collections import Counter
+
+    grams: list[tuple[int, int, tuple]] = []
+    counts: Counter = Counter()
+    for did, txt in enumerate(texts):
+        toks = txt.split(" ")
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            grams.append((did, p, g))
+            counts[g] += 1
+    covered: dict[int, list[int]] = {}
+    for did, p, g in grams:
+        if counts[g] >= 2:
+            covered.setdefault(did, []).append(p)
+    out = set()
+    for did, ps in covered.items():
+        ps = sorted(set(ps))
+        runs: list[list[int]] = [[ps[0]]]
+        for p in ps[1:]:
+            if p - runs[-1][-1] > k:
+                runs.append([p])
+            else:
+                runs[-1].append(p)
+        for idx, run in enumerate(runs):
+            out.add((did, idx, run[0], run[-1] + k - 1,
+                     run[-1] + k - 1 - run[0] + 1))
+    return out
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]),
+             min_size=0, max_size=30).map(" ".join),
+    min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_substr_spans_match_reference(spark, texts, k):
+    """Spark spans == the plain-Python reference on random corpora
+    (the 3-symbol alphabet makes duplicated grams near-certain)."""
+    from kafana_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               ["doc_id", "text"])
+    got = {tuple(r) for r in dedup.exact_substr_spans(df, k=k).collect()}
+    assert got == _ref_spans(texts, k)
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=1, max_size=40).map(" ".join),
+    min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_never_undercounts_property(spark, texts):
+    """CM estimates dominate exact counts for EVERY token on random
+    corpora (the structural sketch guarantee, not a fixture accident)."""
+    from collections import Counter
+
+    from kafana_spark.rollup import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               ["doc_id", "text"])
+    exact = Counter(t for txt in texts for t in txt.split(" "))
+    terms = spark.createDataFrame([(t,) for t in exact], ["t"])
+    est = {r.t: r.cms_cnt for r in
+           cms_estimate(cms_sketch(df, "text"), terms).collect()}
+    assert all(est[t] >= c for t, c in exact.items())
