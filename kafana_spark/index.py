@@ -91,14 +91,20 @@ def index_size_report(spark: SparkSession, index_path: str) -> dict:
     (ADVICE/VERDICT r4 flagged the old full count() here)."""
     import pyarrow.parquet as pq
 
-    files = []
-    for root, _dirs, names in os.walk(index_path):
+    files: list[str] = []
+    buckets: set[str] = set()
+    for root, dirs, names in os.walk(index_path):
+        # prune what Spark's reader ignores (_temporary, .staging, …)
+        # so crash debris never inflates the postings count
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        # bucket= dirs sit at the root for batch-built indexes and one
+        # level down (under batch=<epoch>) for stream-built ones;
+        # "buckets present" = distinct bucket values either way
+        buckets.update(d for d in dirs if d.startswith("bucket="))
         files += [os.path.join(root, n) for n in names
                   if n.endswith(".parquet")]
     n_postings = sum(pq.read_metadata(f).num_rows for f in files)
-    buckets = len([d for d in os.listdir(index_path)
-                   if d.startswith("bucket=")])
-    return {"buckets": buckets, "files": len(files),
+    return {"buckets": len(buckets), "files": len(files),
             "postings": n_postings}
 
 

@@ -315,9 +315,17 @@ def _derived_cc_gate(spark) -> int:
     mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = mem.strip().lower()
+    # JVM memory-string grammar: optional 'b' after the unit letter
+    # ('512m' == '512mb'), and a BARE number means MiB for
+    # spark.driver.memory (Spark's byteStringAsMb default) — not bytes
+    if len(m) > 1 and m.endswith("b") and m[-2] in units:
+        m = m[:-1]
+    if m and m[-1] in units:
+        mult, num = units[m[-1]], m[:-1]
+    else:
+        mult, num = 1 << 20, m
     try:
-        mult = units.get(m[-1], 1)
-        nbytes = int(float(m[:-1] if m[-1] in units else m)) * mult
+        nbytes = int(float(num)) * mult
     except ValueError:
         nbytes = 1 << 30
     return max(100_000, min(5_000_000, nbytes // 20 // 80))

@@ -780,12 +780,13 @@ def x_curation_v2(spark, sf_dir):
     quality and tokenizer coverage (OOV rate vs the corpus top-25
     vocab). One lazy plan, whole DAG under one oracle hash."""
     d = _docs(spark, sf_dir)
+    # canonical_per_cluster already carries each keeper's quality_bp
+    # (quality is a pure per-doc function) — reuse it instead of a
+    # second full quality pass over the kept docs
     keepers = (dedup.canonical_per_cluster(d, NEAR_DUP_THRESHOLD)
-               .select(F.col("keeper").alias("doc_id")))
-    kept = d.join(keepers, "doc_id", "left_semi")
-    q = text.quality_score(kept).select("doc_id", "quality_bp")
+               .select(F.col("keeper").alias("doc_id"), "quality_bp"))
     o = text.oov_rate(d, vocab_k=OOV_VOCAB_K).select("doc_id", "oov_bp")
-    return (kept.join(q, "doc_id").join(o, "doc_id")
+    return (d.join(keepers, "doc_id").join(o, "doc_id")
             .where((F.col("quality_bp") >= CURATE_MIN_QUALITY)
                    & (F.col("oov_bp") <= CURATE2_MAX_OOV))
             .select("doc_id", "lang", "quality_bp", "oov_bp")
@@ -803,13 +804,13 @@ def x_curation_v3(spark, sf_dir):
     perplexity filter plugged into the real curation DAG). One lazy
     plan, whole composition under one oracle hash."""
     d = _docs(spark, sf_dir)
+    # keeper quality_bp reused from canonical_per_cluster (pure per-doc
+    # function) — no second quality pass, same stance as x56
     keepers = (dedup.canonical_per_cluster(d, NEAR_DUP_THRESHOLD)
-               .select(F.col("keeper").alias("doc_id")))
-    kept = d.join(keepers, "doc_id", "left_semi")
-    q = text.quality_score(kept).select("doc_id", "quality_bp")
+               .select(F.col("keeper").alias("doc_id"), "quality_bp"))
     o = text.oov_rate(d, vocab_k=OOV_VOCAB_K).select("doc_id", "oov_bp")
     lm = text.unigram_logprob(d).select("doc_id", "avg_u")
-    return (kept.join(q, "doc_id").join(o, "doc_id").join(lm, "doc_id")
+    return (d.join(keepers, "doc_id").join(o, "doc_id").join(lm, "doc_id")
             .where((F.col("quality_bp") >= CURATE_MIN_QUALITY)
                    & (F.col("oov_bp") <= CURATE2_MAX_OOV)
                    & (F.col("avg_u") <= CURATE3_MAX_AVG_U))

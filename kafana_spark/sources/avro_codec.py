@@ -273,11 +273,15 @@ def decode_avro(df: DataFrame, schema_json: str, spark_struct: str,
             # column, analysis bug) must SURFACE, not silently switch
             # codecs — the two paths could then decode differently and
             # mask the real defect (ADVICE.md r5). A missing jar shows
-            # up as an analysis/classpath error naming avro.
+            # up as a classpath/JVM-registration error; deliberately NO
+            # bare-'avro' marker — a SchemaParseException mentions
+            # org.apache.avro too and must raise, not fall back.
             msg = str(exc)
-            jar_markers = ("AvroDataToCatalyst", "ClassNotFound",
-                           "NoClassDefFound", "Failed to find",
-                           "FAILED_TO_LOAD_AVRO", "avro")
+            jar_markers = ("AVRO_NOT_LOADED",        # Spark 4 error class
+                           "Avro data source is not loaded",
+                           "does not exist in the JVM",
+                           "ClassNotFound", "NoClassDefFound",
+                           "Failed to find", "FAILED_TO_LOAD_AVRO")
             if not any(m in msg for m in jar_markers):
                 raise
             jvm_err = exc

@@ -105,13 +105,26 @@ def _recover_merge(path: str, ignore_marker: bool = False) -> list[str]:
     if not os.path.isdir(base):
         return rolled_back
     marker = os.path.join(base, MERGE_MARKER)
-    if os.path.exists(marker) and not ignore_marker:
-        age = time.time() - os.path.getmtime(marker)
+
+    def _merge_live() -> bool:
+        if ignore_marker or not os.path.exists(marker):
+            return False
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except OSError:       # marker vanished between check and stat
+            return False
         if age < MERGE_MARKER_STALE_SEC:
-            # a merge is (very likely) live right now — parked dirs are
-            # its in-flight swap state, not crash debris; leave them
-            return rolled_back
-        os.remove(marker)  # crash leftover: clear and recover normally
+            return True
+        try:                  # crash leftover: clear, recover normally
+            os.remove(marker)
+        except FileNotFoundError:
+            pass              # a concurrent reader already cleared it
+        return False
+
+    if _merge_live():
+        # a merge is (very likely) live right now — parked dirs are
+        # its in-flight swap state, not crash debris; leave them
+        return rolled_back
     for topic_dir in os.listdir(base):
         tdir = os.path.join(base, topic_dir)
         if not (os.path.isdir(tdir) and topic_dir.startswith("topic=")):
@@ -130,6 +143,14 @@ def _recover_merge(path: str, ignore_marker: bool = False) -> list[str]:
             if os.path.isdir(dst):
                 shutil.rmtree(old)
             else:
+                # re-check the marker at the last instant: a merge that
+                # started AFTER the entry check parks dirs mid-scan, and
+                # rolling one back here would fight its swap (the writer
+                # also re-parks on a lost race — see merge_upsert — so
+                # this check narrows the window rather than carrying the
+                # whole guarantee)
+                if _merge_live():
+                    return rolled_back
                 os.rename(old, dst)
                 rolled_back.append(dst)
     if rolled_back:
@@ -212,7 +233,20 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame) -> int:
                     shutil.rmtree(old)
                 if os.path.isdir(dst):
                     os.rename(dst, old)
-                os.rename(src, dst)
+                try:
+                    os.rename(src, dst)
+                except OSError:
+                    # a reader that entered _recover_merge before this
+                    # merge took the marker may have rolled the parked
+                    # dir back into dst mid-swap; re-park it and retry
+                    # once — the marker is held now, so no second
+                    # rollback can race this window
+                    if os.path.isdir(dst):
+                        shutil.rmtree(old, ignore_errors=True)
+                        os.rename(dst, old)
+                        os.rename(src, dst)
+                    else:
+                        raise
                 if os.path.isdir(old):
                     shutil.rmtree(old)
                 swapped += 1
