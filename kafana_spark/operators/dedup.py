@@ -944,3 +944,61 @@ def benchmark_contamination_spans(df: DataFrame, benchmark: DataFrame,
     covered = (g.join(F.broadcast(bh), "h", "left_semi")
                .select(id_col, "pos"))
     return _spans_from_covered(covered, k, id_col)
+
+
+# --------------------------------------------- sorted-neighborhood dedup
+
+SNM_KEY_TOKENS = 2   # sorting-key width (leading tokens)
+SNM_WINDOW = 4       # neighborhood size in sort order
+SNM_BUCKETS = 16     # independent sort domains (hex nibble of the key)
+
+
+def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
+                            window: int = SNM_WINDOW,
+                            key_tokens: int = SNM_KEY_TOKENS,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup: the classic
+    merge/purge blocking — sort by a content key, compare each record
+    only with its ``window``-1 successors in sort order, verify with
+    exact shingle Jaccard. The fifth blocking family next to LSH
+    banding, SimHash chunks, n-gram inverted index and IVF cells;
+    SNM's strength is corpora where near-dups share a PREFIX (titles,
+    log lines) even when global similarity is diluted.
+
+    Key = md5 of the first ``key_tokens`` tokens; records sort inside
+    one of SNM_BUCKETS key-space buckets (first hex nibble), NEVER
+    globally: a global row_number would serialize the corpus through
+    one partition — the bucket is the unit of sort parallelism, and
+    the (documented) recall trade is that neighborhoods don't cross
+    bucket boundaries, exactly like LSH pairs don't cross band
+    buckets. At 100 TB widen the nibble to more buckets.
+
+    The rank-adjacency join is an EQUI join: each record explodes into
+    window-1 (bucket, rn+off) probes — no range join, no nested loop.
+    Output: (da, db, jaccard) — pairs adjacent in sort order that
+    pass the Jaccard threshold.
+    """
+    from kafana_spark.functions import tokens
+
+    key = F.md5(F.concat_ws(
+        " ", F.slice(tokens(F.col(text_col)), 1, key_tokens)))
+    ranked = (df.select(F.col(id_col), F.col(text_col))
+              .withColumn("snm_key", key)
+              .withColumn("bkt", F.substring("snm_key", 1, 1)))
+    w = Window.partitionBy("bkt").orderBy("snm_key", id_col)
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+
+    probes = (ranked.select(
+        F.col(id_col).alias("da0"), "bkt", "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off"))
+        .select("da0", "bkt", (F.col("rn") + F.col("off")).alias("rn2")))
+    cand = (probes.join(
+        ranked.select(F.col(id_col).alias("db0"), "bkt",
+                      F.col("rn").alias("rn2")),
+        ["bkt", "rn2"])
+        .select(F.least("da0", "db0").alias("da"),
+                F.greatest("da0", "db0").alias("db"))
+        .distinct())
+    return jaccard_verify(cand, hashed_shingle_set(df, id_col, text_col),
+                          threshold)

@@ -125,6 +125,31 @@ def x_exact_substr_strip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+WS_SAMPLE_K = 100
+
+
+def x_snm_near_dup(spark, sf_dir):
+    """x79 — sorted-neighborhood (merge/purge) near-dup: the fifth
+    blocking family. Sort inside 16 key-space buckets by the
+    leading-token key, compare each record with its window-1
+    successors, verify with exact shingle Jaccard."""
+    return (dedup.sorted_neighborhood_dup(_docs(spark, sf_dir),
+                                          NEAR_DUP_THRESHOLD)
+            .orderBy("da", "db"))
+
+
+def x_weighted_sample(spark, sf_dir):
+    """x80 — deterministic quality-weighted subsampling
+    (Efraimidis–Spirakis A-ES): portable-hash uniforms, fixed-point
+    ln(u)/w keys, top-K by key — inclusion probability tracks
+    quality_bp."""
+    from kafana_spark.operators import sample
+
+    d = _docs(spark, sf_dir)
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    return sample.weighted_sample(q, "quality_bp", WS_SAMPLE_K)
+
+
 def x_benchmark_spans(spark, sf_dir):
     """x77 — span-level benchmark decontamination: maximal corpus
     token spans covered by any k-gram occurring in the held-out
@@ -1183,6 +1208,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x76_stored_substr_spans": x_stored_substr_spans,
     "x77_benchmark_spans": x_benchmark_spans,
     "x78_curation_v3": x_curation_v3,
+    "x79_snm_near_dup": x_snm_near_dup,
+    "x80_weighted_sample": x_weighted_sample,
 }
 
 
@@ -1445,6 +1472,48 @@ def _exact_substr_ctes() -> str:
         "d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), "
         "cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (h)), "
         f"{_islands_ctes()}"
+    )
+
+
+def _snm_near_dup_sql() -> str:
+    """x79 oracle — bucketed sorted-neighborhood blocking replayed
+    exactly: md5 leading-token key, per-nibble-bucket ROW_NUMBER,
+    rank-adjacency candidates within the window, exact shingle-Jaccard
+    verify (the same _JACCARD_TAIL as x02/x03)."""
+    kt, w = dedup.SNM_KEY_TOKENS, dedup.SNM_WINDOW
+    return (
+        f"WITH t0 AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "k0 AS (SELECT doc_id, "
+        f"md5(array_to_string(list_slice(t, 1, {kt}), ' ')) AS snm_key "
+        "FROM t0), "
+        "rk AS (SELECT doc_id, snm_key, substr(snm_key, 1, 1) AS bkt, "
+        "ROW_NUMBER() OVER (PARTITION BY substr(snm_key, 1, 1) "
+        "ORDER BY snm_key, doc_id) AS rn FROM k0), "
+        "cand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS da, "
+        "GREATEST(a.doc_id, b.doc_id) AS db "
+        "FROM rk a JOIN rk b ON b.bkt = a.bkt AND b.rn > a.rn "
+        f"AND b.rn - a.rn < {w}), "
+        f"{_SHINGLES}, "
+        + _JACCARD_TAIL
+    )
+
+
+def _weighted_sample_sql() -> str:
+    """x80 oracle — the A-ES key replayed exactly: portable-hash
+    uniform (never 0), fixed-point ROUND(ln(u)/w · 1e9)::BIGINT key,
+    top-K by (key DESC, doc_id)."""
+    from kafana_spark.operators.sample import WS_KEY_SCALE, WS_U_GRAIN
+
+    u = ("((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) "
+         f"|| '#ws'), 1, 15)) AS BIGINT) % {WS_U_GRAIN}) + 0.5) "
+         f"/ {WS_U_GRAIN}.0")
+    return (
+        f"WITH {_quality_core()}, "
+        "w AS (SELECT doc_id, quality_bp, "
+        f"CAST(ROUND(ln({u}) / quality_bp * {WS_KEY_SCALE}) AS BIGINT) "
+        "AS skey FROM q WHERE quality_bp > 0) "
+        "SELECT doc_id, quality_bp, skey FROM w "
+        f"ORDER BY skey DESC, doc_id LIMIT {WS_SAMPLE_K}"
     )
 
 
@@ -2362,6 +2431,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x75_exact_substr_strip": _exact_substr_strip_sql(),
     "x76_stored_substr_spans": _exact_substr_sql(),
     "x77_benchmark_spans": _benchmark_spans_sql(),
+    "x79_snm_near_dup": _snm_near_dup_sql(),
+    "x80_weighted_sample": _weighted_sample_sql(),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

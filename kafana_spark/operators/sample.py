@@ -131,3 +131,39 @@ def shard_assign(df: DataFrame, key_col: str = "doc_id",
                       h_pos.alias("h_pos"))
             .withColumn("pos", F.row_number().over(w))
             .select(key_col, "shard", "pos"))
+
+
+WS_U_GRAIN = 1_000_000       # uniform draw resolution
+WS_KEY_SCALE = 1_000_000_000  # fixed-point key resolution (1e-9)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws a portable-hash uniform
+    u ∈ (0,1) and ranks by u^(1/w) — equivalently ln(u)/w, maximized —
+    so inclusion probability is proportional to weight. The standard
+    quality-weighted corpus subsampling shape (sample high-quality
+    docs more, never deterministically drop the tail).
+
+    Portability: u = (portable_hash64(id||'#ws') % grain + 0.5)/grain
+    (never 0, so ln is finite); the sort key is ROUND(ln(u)/w · 1e9)
+    cast to BIGINT — integer compare, so Spark and DuckDB order
+    identically (ln of the same rational inputs agrees well inside the
+    1e-9 grain). Zero/negative weights are excluded (a zero-weight row
+    has zero inclusion probability by definition).
+
+    Scale: key is pure per-row column math; top-k is a TakeOrdered
+    (never a full sort). Output: (id, weight, skey) for the k winners.
+    """
+    from kafana_spark.functions import portable_hash64
+
+    u = ((portable_hash64(F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.lit("ws")))
+        % WS_U_GRAIN) + F.lit(0.5)) / F.lit(float(WS_U_GRAIN))
+    skey = F.round(F.log(u) / F.col(weight_col)
+                   * F.lit(float(WS_KEY_SCALE))).cast("long")
+    return (df.where(F.col(weight_col) > 0)
+            .select(F.col(id_col), F.col(weight_col), skey.alias("skey"))
+            .orderBy(F.col("skey").desc(), F.col(id_col))
+            .limit(k))

@@ -319,3 +319,16 @@ def test_benchmark_contamination_spans_planted(spark):
     (span,) = got
     # "quick brown fox" = tokens 2..4 of doc 1
     assert (span.start_tok, span.end_tok, span.span_tokens) == (2, 4, 3)
+
+
+def test_snm_pairs_are_true_near_dups(spark):
+    """Every SNM-verified pair must be a genuine above-threshold
+    Jaccard pair (blocking can only DROP pairs, never invent them),
+    and the fixture must actually exercise the path."""
+    snm = {(r.da, r.db): r.jaccard for r in
+           dedup.sorted_neighborhood_dup(docs(spark), 0.5).collect()}
+    full = {(r.da, r.db): r.jaccard for r in
+            dedup.ngram_jaccard_dup(docs(spark), 0.5).collect()}
+    assert snm, "SNM found nothing — fixture lost its prefix dups"
+    assert set(snm) <= set(full)
+    assert all(snm[p] == full[p] for p in snm)

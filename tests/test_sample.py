@@ -154,3 +154,41 @@ def test_pack_sharded_invariants_and_partition_independence(spark):
                                     n_shards=4).collect()
     key = lambda rows: sorted(map(tuple, rows))
     assert key(redist) == key(out)
+
+
+def test_weighted_sample_matches_reference(spark):
+    """A-ES keys vs a plain-Python replay: same winners, same order,
+    and zero-weight rows excluded."""
+    import hashlib
+    import math
+
+    from kafana_spark.operators.sample import (
+        WS_KEY_SCALE, WS_U_GRAIN, weighted_sample,
+    )
+
+    rows = [(i, (i * 37) % 50) for i in range(1, 40)]   # some weight 0
+    df = spark.createDataFrame(rows, ["doc_id", "quality_bp"])
+    got = [(r.doc_id, r.skey) for r in
+           weighted_sample(df, "quality_bp", 10).collect()]
+
+    def skey(i, w):
+        h = int(hashlib.md5(f"{i}#ws".encode()).hexdigest()[:15], 16)
+        u = ((h % WS_U_GRAIN) + 0.5) / WS_U_GRAIN
+        return round(math.log(u) / w * WS_KEY_SCALE)
+
+    ref = sorted(((i, skey(i, w)) for i, w in rows if w > 0),
+                 key=lambda t: (-t[1], t[0]))[:10]
+    assert got == ref
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity: with weights 1 vs 100, the heavy half must
+    dominate the sample (A-ES inclusion tracks weight)."""
+    from kafana_spark.operators.sample import weighted_sample
+
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality_bp"])
+    picked = [r.doc_id for r in
+              weighted_sample(df, "quality_bp", 50).collect()]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    assert heavy >= 40          # ~96% expected; 40 is a loose floor
