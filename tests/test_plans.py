@@ -395,3 +395,28 @@ def test_x69_exact_substr_shuffles_hashes_not_text(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "g#" not in m.group(1)      # gram string never a shuffle key
+
+
+def test_x79_snm_adjacency_is_equi_join(spark):
+    """SNM's rank-adjacency must be the offset-explode EQUI join —
+    a range/nested-loop join here is O(n²) per bucket at scale."""
+    from kafana_spark.operators import dedup
+    from kafana_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(dedup.sorted_neighborhood_dup(d, 0.5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x80_weighted_sample_is_take_ordered(spark):
+    """orderBy().limit() must plan as TakeOrderedAndProject — a full
+    global sort before the limit is the complete-mode anti-pattern."""
+    from kafana_spark.operators import sample
+    from kafana_spark.operators.text import quality_score
+    from kafana_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    q = quality_score(d).select("doc_id", "quality_bp")
+    plan = plan_of(sample.weighted_sample(q, "quality_bp", 100))
+    assert "TakeOrderedAndProject" in plan
