@@ -43,6 +43,16 @@ ANN_K = 10
 ANN_CENTROID_MOD = 40
 ANN_N_PROBE = 3
 ANN_N_ASSIGN = 2
+#: x81 hyperplane-LSH shape. On the near-random synthetic embeddings
+#: (weak true-neighbor cosines — the hardest case for sign LSH) the
+#: measured recall@10 vs exact x07 at sf0.01 is pinned in
+#: tests/test_similarity.py; 6 tables × 4 bits keeps the candidate
+#: fraction well under the corpus while the union of tables recovers
+#: boundary neighbors (same lever as IVF's n_assign).
+LSH_N_TABLES = 6
+LSH_N_BITS = 4
+LSH_ANCHOR_MOD = 10
+EMB_DIM = 64
 
 
 def _docs(spark, sf_dir):
@@ -212,6 +222,22 @@ def x_ann_ivf(spark, sf_dir):
     # lift that n_probe alone can't buy at the cell-boundary
     return (similarity.ivf_topk(e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
                                 n_probe=ANN_N_PROBE, n_assign=ANN_N_ASSIGN)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_ann_lsh(spark, sf_dir):
+    """x81 — hyperplane-LSH bucketed ANN: the third index family next
+    to IVF cells (x08) and PQ codes (x59). L sign-signature tables,
+    candidates from an equi-join on (table, code), exact cosine rank
+    over the bucket union only. RNG-free (anchor-difference normals)
+    and integer micro-unit projections make the whole approximate path
+    DuckDB-replayable. Queries with sparse buckets honestly return
+    fewer than k rows."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.lsh_topk(e, q, ANN_K, n_tables=LSH_N_TABLES,
+                                n_bits=LSH_N_BITS,
+                                anchor_mod=LSH_ANCHOR_MOD, dim=EMB_DIM)
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
@@ -1210,6 +1236,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x78_curation_v3": x_curation_v3,
     "x79_snm_near_dup": x_snm_near_dup,
     "x80_weighted_sample": x_weighted_sample,
+    "x81_ann_lsh": x_ann_lsh,
 }
 
 
@@ -1691,6 +1718,48 @@ def _ann_ivf_sql() -> str:
         "FROM probes p JOIN asg m ON p.cid = m.cid WHERE m.vec_id <> p.qid), "
         "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
         "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    """Full hyperplane-LSH pipeline in DuckDB — anchor-difference
+    normals (deterministic modulo pool) and integer micro-unit
+    projections (per-dimension floor(t·1e6+0.5) before the sum — the
+    _pq_sql stance) make every bit reproducible across engines; the
+    candidate set and 4dp cosine ranking then replay exactly."""
+    need = 2 * LSH_N_TABLES * LSH_N_BITS
+    cos = _COS.format(a="q.v", b="m.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "a AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn "
+        f"FROM e WHERE vec_id % {LSH_ANCHOR_MOD} = 1), "
+        "pr AS (SELECT (rn-1)//2 AS pid, "
+        "any_value(CASE WHEN rn % 2 = 1 THEN v END) AS v1, "
+        "any_value(CASE WHEN rn % 2 = 0 THEN v END) AS v2 "
+        f"FROM a WHERE rn <= {need} GROUP BY 1), "
+        f"p AS (SELECT pid // {LSH_N_BITS} AS t, "
+        f"pid % {LSH_N_BITS} AS j, v1, v2 FROM pr), "
+        "du AS (SELECT x.vec_id, p.t, p.j, "
+        "CAST(SUM(floor(x.v[i] * (p.v1[i] - p.v2[i]) * 1000000 + 0.5)) "
+        "AS BIGINT) AS du "
+        f"FROM e x, p, generate_series(1, {EMB_DIM}) g(i) "
+        "GROUP BY x.vec_id, p.t, p.j), "
+        "codes AS (SELECT vec_id, t, CAST(SUM(CASE WHEN du >= 0 THEN 1 "
+        "ELSE 0 END * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS code "
+        "FROM du GROUP BY vec_id, t), "
+        "cand AS (SELECT DISTINCT qc.vec_id AS qid, c.vec_id "
+        "FROM codes qc JOIN codes c ON qc.t = c.t AND qc.code = c.code "
+        f"WHERE qc.vec_id % {ANN_QUERY_MOD} = 0 "
+        "AND c.vec_id <> qc.vec_id), "
+        f"scored AS (SELECT cand.qid, cand.vec_id, ROUND({cos}, 4) AS cos "
+        "FROM cand JOIN e q ON q.vec_id = cand.qid "
+        "JOIN e m ON m.vec_id = cand.vec_id), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank "
+        "FROM scored) "
         f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
         "ORDER BY qid, rank"
     )
@@ -2433,6 +2502,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x77_benchmark_spans": _benchmark_spans_sql(),
     "x79_snm_near_dup": _snm_near_dup_sql(),
     "x80_weighted_sample": _weighted_sample_sql(),
+    "x81_ann_lsh": _ann_lsh_sql(),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

@@ -211,6 +211,112 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
             .where(F.col("rank") <= k))
 
 
+# --- hyperplane LSH (sign-random-projection buckets) -------------------
+#
+# The third ANN family next to IVF (cells) and PQ (codes): L tables of
+# b-bit sign signatures (Charikar SimHash applied to dense vectors).
+# Hyperplane normals are DIFFERENCES of consecutive modulo-sampled
+# anchor vectors — data-derived and RNG-free (the same determinism
+# stance as the modulo IVF quantizer), and the difference centers the
+# direction distribution even when the corpus lives off-origin (raw
+# corpus vectors as normals would collapse every bit to 1 on an
+# all-positive-orthant embedding). Bit j of table t is the SIGN of the
+# projection onto normal (t, j), computed in integer micro-units
+# (floor(term*1e6 + 0.5) per dimension BEFORE the sum, the _l2sq_u
+# stance) so the sum is pure integer arithmetic — both engines agree
+# bit-for-bit regardless of accumulation order. Candidates come from an
+# equi-join on (table, code); the codes frame carries its vectors, so
+# ranking needs no second corpus join. The 100 TB shape: the index IS
+# the (t, code)-partitioned codes table, per-query work is
+# O(L * bucket), and the one exchange moves |corpus| * L compact rows.
+
+
+def _proj_u(v, h, dim: int) -> F.Column:
+    """Projection of ``v`` onto ``h`` in integer micro-units — unrolled
+    per-dimension floor-rounding (see _l2sq_u: order-independent
+    integer sums, and the static chain stays inside codegen where the
+    interpreted zip_with/aggregate form does not)."""
+    s = None
+    for j in range(dim):
+        t = F.floor(v[j] * h[j] * F.lit(1_000_000.0) + F.lit(0.5))
+        s = t if s is None else s + t
+    return s
+
+
+def lsh_planes(df: DataFrame, n_tables: int = 6, n_bits: int = 4,
+               anchor_mod: int = 10) -> DataFrame:
+    """(t, j, h) hyperplane normals: consecutive pairs of the
+    modulo-sampled anchor pool (vec_id % anchor_mod == 1, ordered by
+    vec_id), normal = first - second. Raises at plan time nothing —
+    short pools simply yield fewer planes (callers pin table/bit
+    counts in tests)."""
+    need = 2 * n_tables * n_bits
+    # the anchor pool is tiny (~n/anchor_mod rows, capped at `need`),
+    # so the single-partition row_number window is driver-trivial
+    rn_w = Window.orderBy("vec_id")
+    a = (_vectors(df).where(F.col("vec_id") % anchor_mod == 1)
+         .withColumn("rn", F.row_number().over(rn_w))
+         .where(F.col("rn") <= need)
+         .select(F.floor((F.col("rn") - 1) / 2).cast("int").alias("pid"),
+                 (F.col("rn") % 2 == 1).alias("lead"), "v"))
+    h = F.zip_with(F.any_value(F.when(F.col("lead"), F.col("v")), True),
+                   F.any_value(F.when(~F.col("lead"), F.col("v")), True),
+                   lambda p, q: p - q)
+    return (a.groupBy("pid").agg(h.alias("h"))
+            .select(F.floor(F.col("pid") / n_bits).cast("int").alias("t"),
+                    (F.col("pid") % n_bits).cast("int").alias("j"), "h"))
+
+
+def lsh_codes(vectors: DataFrame, planes: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v, nrm, t, code): the b-bit sign signature of every
+    vector in every table. The broadcast plane join expands the frame
+    ×(L·b), but the groupBy collapses it map-side — the exchange moves
+    |vectors| × L rows, never the expanded frame."""
+    du = _proj_u(F.col("x.v"), F.col("p.h"), dim)
+    bit = (du >= 0).cast("long")
+    term = bit * F.pow(F.lit(2.0), F.col("p.j")).cast("long")
+    expanded = (vectors.alias("x").join(F.broadcast(planes.alias("p")))
+                .select("vec_id", "v", "nrm", "t", term.alias("term")))
+    return (expanded.groupBy("vec_id", "t")
+            .agg(F.any_value(F.col("v")).alias("v"),
+                 F.any_value(F.col("nrm")).alias("nrm"),
+                 F.sum("term").alias("code")))
+
+
+def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+             n_tables: int = 6, n_bits: int = 4, anchor_mod: int = 10,
+             dim: int = 64) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate cosine top-k.
+
+    Output: (qid, vec_id, cos, rank) — rank over the union of the
+    query's L buckets only; queries may return fewer than k rows when
+    their buckets are sparse (the honest LSH contract)."""
+    corpus = _with_norm(_vectors(df))
+    planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
+    codes = lsh_codes(corpus, planes, dim)
+    q = _with_norm(queries)
+    qcodes = (lsh_codes(q.select(F.col("qid").alias("vec_id"), "v", "nrm"),
+                        planes, dim)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+                      "t", "code"))
+    # bucket equi-join on (t, code); groupBy dedups candidates found in
+    # several tables while keeping both vectors for the ranking stage
+    cand = (qcodes.join(codes, ["t", "code"])
+            .where(F.col("qid") != F.col("vec_id"))
+            .groupBy("qid", "vec_id")
+            .agg(F.any_value("qv").alias("qv"),
+                 F.any_value("qnrm").alias("qnrm"),
+                 F.any_value("v").alias("v"),
+                 F.any_value("nrm").alias("nrm")))
+    cos = F.round(dot(F.col("qv"), F.col("v"))
+                  / (F.col("qnrm") * F.col("nrm")), 4)
+    scored = cand.select("qid", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 # --- product quantization (PQ / ADC) ----------------------------------
 #
 # The 100 TB ANN memory story next to IVF (cells) and int8 (4× cut):

@@ -420,3 +420,17 @@ def test_x80_weighted_sample_is_take_ordered(spark):
     q = quality_score(d).select("doc_id", "quality_bp")
     plan = plan_of(sample.weighted_sample(q, "quality_bp", 100))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_x81_lsh_bucket_join_is_equi_on_table_and_code(spark):
+    """The LSH candidate join must be an EQUI join keyed on
+    (t, code) — per-query work O(L * bucket), never O(N). The only
+    nested-loop joins allowed are the broadcast plane expansions
+    (24-row build side, same shape as x08's centroid broadcast)."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x81_ann_lsh"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[2\]: \[t#\d+, code#\d+L\]", plan)
+    # exactly the two tiny plane broadcasts may be nested-loop
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4
