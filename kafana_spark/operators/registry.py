@@ -241,6 +241,20 @@ def x_ann_lsh(spark, sf_dir):
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
+def x_hard_negatives(spark, sf_dir):
+    """x82 — hard-negative mining for contrastive training: per query,
+    the k most-similar vectors with a DIFFERENT label (the near-misses
+    a contrastive loss learns from). IVF-composed — same quantizer /
+    probe shape as x08, label rides through cell assignment, mismatch
+    filter applies before ranking so all k slots are true negatives."""
+    e = _embs(spark, sf_dir)
+    return (similarity.hard_negative_topk(
+        e, ANN_K, query_mod=ANN_QUERY_MOD, centroid_mod=ANN_CENTROID_MOD,
+        n_probe=ANN_N_PROBE, n_assign=ANN_N_ASSIGN)
+        .select("qid", "qlabel", "vec_id", "label", "cos", "rank")
+        .orderBy("qid", "rank"))
+
+
 def x_token_count(spark, sf_dir):
     return text.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1237,6 +1251,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x79_snm_near_dup": x_snm_near_dup,
     "x80_weighted_sample": x_weighted_sample,
     "x81_ann_lsh": x_ann_lsh,
+    "x82_hard_negatives": x_hard_negatives,
 }
 
 
@@ -1762,6 +1777,38 @@ def _ann_lsh_sql() -> str:
         "FROM scored) "
         f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
         "ORDER BY qid, rank"
+    )
+
+
+def _hard_negatives_sql() -> str:
+    """x82 oracle — the x08 IVF replay with the label riding through
+    assignment and a mismatch filter before ranking."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="p.qv", b="m.v") + ", 4)"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "label FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        "q AS (SELECT vec_id AS qid, v, label AS qlabel FROM e "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "asg AS (SELECT vec_id, v, label, cid FROM ("
+        "SELECT x.vec_id, x.v, x.label, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY x.vec_id ORDER BY {acos} DESC, c.cid) AS r "
+        f"FROM e x, c) t WHERE r <= {ANN_N_ASSIGN}), "
+        "probes AS (SELECT qid, qv, qlabel, cid FROM ("
+        "SELECT q.qid, q.v AS qv, q.qlabel, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY q.qid ORDER BY {qcos} DESC, c.cid) AS r "
+        f"FROM q, c) t WHERE r <= {ANN_N_PROBE}), "
+        "scored AS (SELECT DISTINCT p.qid, p.qlabel, m.vec_id, m.label, "
+        f"{cos} AS cos FROM probes p JOIN asg m ON p.cid = m.cid "
+        "WHERE m.vec_id <> p.qid AND m.label <> p.qlabel), "
+        "ranked AS (SELECT qid, qlabel, vec_id, label, cos, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, "
+        "vec_id) AS INTEGER) AS rank FROM scored) "
+        "SELECT qid, qlabel, vec_id, label, cos, rank FROM ranked "
+        f"WHERE rank <= {ANN_K} ORDER BY qid, rank"
     )
 
 
@@ -2503,6 +2550,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x79_snm_near_dup": _snm_near_dup_sql(),
     "x80_weighted_sample": _weighted_sample_sql(),
     "x81_ann_lsh": _ann_lsh_sql(),
+    "x82_hard_negatives": _hard_negatives_sql(),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

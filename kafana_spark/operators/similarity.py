@@ -132,9 +132,10 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
 
 
 def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
-                n_assign: int) -> DataFrame:
-    """(vec_id, v, nrm, cid) cell assignment — one row per vector per
-    assigned cell."""
+                n_assign: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, v, nrm, *extra, cid) cell assignment — one row per
+    vector per assigned cell. ``extra`` columns of the corpus (e.g. a
+    training label) ride along through the any_value collapse."""
     # assignment: nearest centroid(s) per corpus vector. The broadcast
     # join expands the frame centroids×, but the groupBy collapses it
     # back to one row per vec_id in the map-side partial aggregation —
@@ -144,18 +145,19 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
     # argmax ordering is reproducible across engines (oracle parity).
     ac = F.round(dot(F.col("x.v"), F.col("ct.cv"))
                  / (F.col("x.nrm") * F.col("ct.cnrm")), 6)
+    keep = [F.any_value(F.col(c)).alias(c) for c in ("v", "nrm", *extra)]
     expanded = (corpus.alias("x")
                 .join(F.broadcast(centroids.alias("ct")))
-                .select("vec_id", "v", "nrm", "cid", ac.alias("acos")))
+                .select("vec_id", "v", "nrm", *extra, "cid",
+                        ac.alias("acos")))
     if n_assign <= 1:
         # argmax(acos desc, cid asc) == max of struct(acos, -cid):
         # struct comparison is lexicographic and map-side combinable.
         best = F.max(F.struct(F.col("acos"),
                               (-F.col("cid")).alias("ncid"))).alias("best")
         assigned = (expanded.groupBy("vec_id")
-                    .agg(F.any_value(F.col("v")).alias("v"),
-                         F.any_value(F.col("nrm")).alias("nrm"), best)
-                    .select("vec_id", "v", "nrm",
+                    .agg(*keep, best)
+                    .select("vec_id", "v", "nrm", *extra,
                             (-F.col("best.ncid")).alias("cid")))
     else:
         # top-n cells per vector: sorted-slice of the collected
@@ -167,10 +169,8 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
                 F.struct((-F.col("acos")).alias("nacos"), F.col("cid")))),
             1, n_assign)
         assigned = (expanded.groupBy("vec_id")
-                    .agg(F.any_value(F.col("v")).alias("v"),
-                         F.any_value(F.col("nrm")).alias("nrm"),
-                         cells.alias("cells"))
-                    .select("vec_id", "v", "nrm",
+                    .agg(*keep, cells.alias("cells"))
+                    .select("vec_id", "v", "nrm", *extra,
                             F.explode("cells.cid").alias("cid")))
 
     return assigned
@@ -205,6 +205,60 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
               .select(F.col("p.qid").alias("qid"),
                       F.col("m.vec_id").alias("vec_id"),
                       cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.dropDuplicates(["qid", "vec_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def hard_negative_topk(df: DataFrame, k: int = 10,
+                       query_mod: int = 100, centroid_mod: int = 40,
+                       n_probe: int = 3, n_assign: int = 1,
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors whose ``label`` DIFFERS
+    from the query's — the near-misses a contrastive loss learns most
+    from (easy negatives are plentiful and uninformative).
+
+    Composed on the IVF machinery (same modulo quantizer / probe shape
+    as ivf_topk, so the 100 TB story is identical: per-query work is
+    the probed cells, not the corpus); the label rides through cell
+    assignment and the mismatch filter applies before ranking, so the
+    k slots are all true negatives. Output:
+    (qid, qlabel, vec_id, label, cos, rank).
+    """
+    corpus = _with_norm(
+        df.select("vec_id", as_double_array(F.col("embedding")).alias("v"),
+                  F.col(label_col).alias("label")))
+    centroids = _ivf_centroids(df, corpus, "modulo", centroid_mod)
+    assigned = _ivf_assign(corpus, centroids, n_assign, extra=("label",))
+    queries = (corpus.where(F.col("vec_id") % query_mod == 0)
+               .select(F.col("vec_id").alias("qid"), "v", "nrm",
+                       F.col("label").alias("qlabel")))
+
+    # probe list: n_probe nearest centroids per query (queries are few)
+    qc = F.round(dot(F.col("q.v"), F.col("ct.cv"))
+                 / (F.col("q.nrm") * F.col("ct.cnrm")), 6)
+    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(),
+                                                F.col("cid"))
+    probes = (queries.alias("q")
+              .join(F.broadcast(centroids.alias("ct")))
+              .select("qid", F.col("q.v").alias("qv"),
+                      F.col("q.nrm").alias("qnrm"), "qlabel",
+                      "cid", qc.alias("qcos"))
+              .withColumn("r", F.row_number().over(probe_w))
+              .where(F.col("r") <= n_probe)
+              .select("qid", "qv", "qnrm", "qlabel", "cid"))
+
+    # rank within probed cells, negatives only (label mismatch)
+    cos = F.round(dot(F.col("p.qv"), F.col("m.v"))
+                  / (F.col("p.qnrm") * F.col("m.nrm")), 4)
+    scored = (probes.alias("p")
+              .join(assigned.alias("m"), F.col("p.cid") == F.col("m.cid"))
+              .where((F.col("p.qid") != F.col("m.vec_id"))
+                     & (F.col("p.qlabel") != F.col("m.label")))
+              .select("qid", "qlabel", F.col("m.vec_id").alias("vec_id"),
+                      F.col("m.label").alias("label"), cos.alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.dropDuplicates(["qid", "vec_id"])
             .withColumn("rank", F.row_number().over(w))

@@ -216,3 +216,27 @@ def test_lsh_planes_shape_and_bit_balance(spark):
         assert r.nb >= 8, f"table {r.t} uses only {r.nb}/16 buckets"
         assert 0 <= r.mn and r.mx <= 15
     assert codes.count() == n * 6
+
+
+def test_hard_negatives_are_label_mismatched_near_misses(spark):
+    """Every mined negative must carry a different label than its
+    query, rank must be contiguous from 1, and the top negative must
+    be at least as similar as the 10th unrestricted IVF neighbor —
+    'hard' means near-miss, not arbitrary."""
+    e = embs(spark)
+    out = similarity.hard_negative_topk(e, k=10, n_assign=2).collect()
+    assert out, "no negatives mined"
+    by_q = {}
+    for r in out:
+        assert r.label != r.qlabel
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    q = similarity.modulo_queries(e, 100)
+    ivf = similarity.ivf_topk(e, q, k=10, n_assign=2).collect()
+    floor = {}
+    for r in ivf:
+        floor[r.qid] = min(floor.get(r.qid, 1.0), r.cos)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].cos >= floor[qid] - 1e-9
