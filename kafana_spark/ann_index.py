@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafana_spark.operators.similarity import (
-    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _pq_adc_rank,
-    _pq_refine, _vectors, _with_norm, pq_codebooks, pq_encode,
+    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _lsh_qcodes, _lsh_rank,
+    _pq_adc_rank, _pq_refine, _vectors, _with_norm, lsh_codes, lsh_planes,
+    pq_codebooks, pq_encode,
 )
 
 CENT_DIR = "centroids"
@@ -41,6 +42,8 @@ ASSIGN_DIR = "assignments"
 PQ_CB_DIR = "pq_codebooks"
 PQ_CODE_DIR = "pq_codes"
 PQ_VEC_DIR = "pq_vectors"
+LSH_PLANE_DIR = "lsh_planes"
+LSH_CODE_DIR = "lsh_codes"
 
 
 def _clear_batched_dir(path: str) -> None:
@@ -201,6 +204,65 @@ def pq_topk_from_index(spark: SparkSession, path: str,
     cands = _pq_adc_rank(codes, cb, queries, pool, m_total, sub)
     vectors = spark.read.parquet(f"{path}/{PQ_VEC_DIR}").drop("batch")
     return _pq_refine(cands, vectors, queries, k, dim)
+
+
+def build_lsh_index(df: DataFrame, path: str, n_tables: int = 6,
+                    n_bits: int = 4, anchor_mod: int = 10, dim: int = 64,
+                    mode: str = "overwrite") -> None:
+    """Persist LSH planes + sign-signature codes — the third stored ANN
+    family (IVF cells, PQ codes, LSH buckets). Planes are a pure
+    function of the corpus's anchor pool (RNG-free), so the stored
+    index reproduces the inline ``lsh_topk`` exactly; the codes table
+    carries its vectors, making query time a (t, code) equi-join plus
+    the in-bucket rank with no second corpus read."""
+    planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
+    planes.write.mode(mode).parquet(f"{path}/{LSH_PLANE_DIR}")
+    if mode == "overwrite":
+        _clear_batched_dir(f"{path}/{LSH_CODE_DIR}")
+    codes = lsh_codes(_with_norm(_vectors(df)),
+                      df.sparkSession.read.parquet(f"{path}/{LSH_PLANE_DIR}"),
+                      dim)
+    codes.write.mode(mode).parquet(f"{path}/{LSH_CODE_DIR}/batch=base")
+
+
+def append_lsh_index(df: DataFrame, path: str, dim: int = 64,
+                     batch: str | None = None) -> None:
+    """Sign a NEW batch against the STORED planes and append —
+    append-only like the IVF assignments; planes never drift (they are
+    anchored to the original corpus sample), rebuild to re-anchor."""
+    import uuid
+
+    spark = df.sparkSession
+    planes = spark.read.parquet(f"{path}/{LSH_PLANE_DIR}")
+    lsh_codes(_with_norm(_vectors(df)), planes, dim) \
+        .write.mode("overwrite") \
+        .parquet(f"{path}/{LSH_CODE_DIR}/batch={batch or uuid.uuid4().hex}")
+
+
+def lsh_index_stream_sink(path: str, dim: int = 64):
+    """foreachBatch sink for the LSH index: sign each micro-batch
+    against the STORED planes into ``batch=<epoch_id>`` (overwrite ⇒
+    redelivery-safe, same discipline as ann_index_stream_sink)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        planes = spark.read.parquet(f"{path}/{LSH_PLANE_DIR}")
+        lsh_codes(_with_norm(_vectors(batch_df)), planes, dim) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/{LSH_CODE_DIR}/batch={epoch_id}")
+
+    return _sink
+
+
+def lsh_topk_from_index(spark: SparkSession, path: str,
+                        queries: DataFrame, k: int = 10,
+                        dim: int = 64) -> DataFrame:
+    """LSH top-k from the stored index: query signatures against the
+    stored planes (tiny, broadcast), candidates from the stored codes'
+    (t, code) buckets, exact cosine rank in-bucket."""
+    planes = spark.read.parquet(f"{path}/{LSH_PLANE_DIR}")
+    codes = spark.read.parquet(f"{path}/{LSH_CODE_DIR}").drop("batch")
+    return _lsh_rank(codes, _lsh_qcodes(queries, planes, dim), k)
 
 
 def semantic_pairs_from_index(spark: SparkSession, path: str,

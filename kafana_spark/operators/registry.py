@@ -241,6 +241,25 @@ def x_ann_lsh(spark, sf_dir):
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
+def x_stored_lsh(spark, sf_dir):
+    """x83 — x81's LSH top-k served from the PERSISTED codes index
+    (planes + signatures built once, cached per corpus): query time is
+    the query's own 24 projections + the (t, code) bucket join, no
+    corpus signing. Same oracle as x81 — a hash match proves the store
+    roundtrip is lossless."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "lshidx", sf_dir,
+        lambda r: ann_index.build_lsh_index(
+            e, r, n_tables=LSH_N_TABLES, n_bits=LSH_N_BITS,
+            anchor_mod=LSH_ANCHOR_MOD, dim=EMB_DIM))
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (ann_index.lsh_topk_from_index(spark, root, q, ANN_K, EMB_DIM)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
 def x_hard_negatives(spark, sf_dir):
     """x82 — hard-negative mining for contrastive training: per query,
     the k most-similar vectors with a DIFFERENT label (the near-misses
@@ -1252,6 +1271,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x80_weighted_sample": x_weighted_sample,
     "x81_ann_lsh": x_ann_lsh,
     "x82_hard_negatives": x_hard_negatives,
+    "x83_stored_lsh": x_stored_lsh,
 }
 
 
@@ -2551,6 +2571,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x80_weighted_sample": _weighted_sample_sql(),
     "x81_ann_lsh": _ann_lsh_sql(),
     "x82_hard_negatives": _hard_negatives_sql(),
+    # x83 serves x81 from the stored index — same oracle proves the
+    # roundtrip is lossless (the x58/x63/x74 stance)
+    "x83_stored_lsh": _ann_lsh_sql(),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

@@ -345,15 +345,24 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     Output: (qid, vec_id, cos, rank) — rank over the union of the
     query's L buckets only; queries may return fewer than k rows when
     their buckets are sparse (the honest LSH contract)."""
-    corpus = _with_norm(_vectors(df))
     planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
-    codes = lsh_codes(corpus, planes, dim)
+    codes = lsh_codes(_with_norm(_vectors(df)), planes, dim)
+    return _lsh_rank(codes, _lsh_qcodes(queries, planes, dim), k)
+
+
+def _lsh_qcodes(queries: DataFrame, planes: DataFrame,
+                dim: int) -> DataFrame:
+    """(qid, qv, qnrm, t, code) query signatures against given planes."""
     q = _with_norm(queries)
-    qcodes = (lsh_codes(q.select(F.col("qid").alias("vec_id"), "v", "nrm"),
-                        planes, dim)
-              .select(F.col("vec_id").alias("qid"),
-                      F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
-                      "t", "code"))
+    return (lsh_codes(q.select(F.col("qid").alias("vec_id"), "v", "nrm"),
+                      planes, dim)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+                    "t", "code"))
+
+
+def _lsh_rank(codes: DataFrame, qcodes: DataFrame, k: int) -> DataFrame:
+    """Bucket-join candidates and rank by exact cosine."""
     # bucket equi-join on (t, code); groupBy dedups candidates found in
     # several tables while keeping both vectors for the ranking stage
     cand = (qcodes.join(codes, ["t", "code"])

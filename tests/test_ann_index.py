@@ -243,3 +243,65 @@ def test_semantic_pairs_from_index_equal_inline(spark, tmp_path):
               dedup.embedding_near_dup_bucketed(
                   e, 0.45, centroid_mod=40, n_assign=4).collect()}
     assert got == expect and got
+
+
+def test_lsh_index_query_equals_inline(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "lshidx")
+    ann_index.build_lsh_index(e, root)
+    got = ann_index.lsh_topk_from_index(spark, root, q, k=10)
+    expect = similarity.lsh_topk(e, q, k=10)
+    assert result_set(got) == result_set(expect)
+
+
+def test_lsh_append_signs_against_stored_planes(spark, tmp_path):
+    """Anchor ids are ≡1 (mod 10), i.e. all odd — a build on the odd
+    slice carries the full anchor pool, so split-build + append must
+    serve identically to the one-shot build."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "lshidx")
+    ann_index.build_lsh_index(e, root)
+    root2 = str(tmp_path / "lshidx2")
+    ann_index.build_lsh_index(e.where(F.col("vec_id") % 2 == 1), root2)
+    ann_index.append_lsh_index(e.where(F.col("vec_id") % 2 == 0), root2)
+    a = ann_index.lsh_topk_from_index(spark, root, q, k=10)
+    b = ann_index.lsh_topk_from_index(spark, root2, q, k=10)
+    assert result_set(a) == result_set(b)
+
+
+def test_lsh_stream_sink_redelivery_safe(spark, tmp_path):
+    """LSH codes via the foreachBatch sink (with a redelivered epoch)
+    serve identically to the one-shot build."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "lshidx")
+    ann_index.build_lsh_index(e, root)
+    root2 = str(tmp_path / "lshidx2")
+    ann_index.build_lsh_index(e.where(F.col("vec_id") % 2 == 1), root2)
+    sink = ann_index.lsh_index_stream_sink(root2)
+    rest = e.where(F.col("vec_id") % 2 == 0)
+    sink(rest.where(F.col("vec_id") % 4 == 0), 0)
+    sink(rest.where(F.col("vec_id") % 4 == 2), 1)
+    sink(rest.where(F.col("vec_id") % 4 == 2), 1)   # redelivery
+    a = ann_index.lsh_topk_from_index(spark, root, q, k=10)
+    b = ann_index.lsh_topk_from_index(spark, root2, q, k=10)
+    assert result_set(a) == result_set(b)
+
+
+def test_lsh_rebuild_clears_stale_append_batches(spark, tmp_path):
+    """An overwrite rebuild must not leave stale batch=<id> code dirs
+    behind — they would double-count every appended vector in the
+    bucket join (the ADVICE r5 staleness class)."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "lshidx")
+    ann_index.build_lsh_index(e.where(F.col("vec_id") % 2 == 1), root)
+    ann_index.append_lsh_index(e.where(F.col("vec_id") % 2 == 0), root)
+    ann_index.build_lsh_index(e, root)           # rebuild-on-drift
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_lsh_index(e, fresh)
+    a = ann_index.lsh_topk_from_index(spark, root, q, k=10)
+    b = ann_index.lsh_topk_from_index(spark, fresh, q, k=10)
+    assert result_set(a) == result_set(b)
