@@ -260,6 +260,19 @@ def x_stored_lsh(spark, sf_dir):
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
 
 
+def x_ann_lsh_multiprobe(spark, sf_dir):
+    """x84 — query-directed multiprobe LSH: per table, probe the
+    query's bucket AND the weakest-bit-flipped bucket (the hyperplane
+    the query most nearly crossed). Recall lift over x81 without
+    touching the corpus index — the standard probe-vs-storage trade."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.lsh_multiprobe_topk(
+        e, q, ANN_K, n_tables=LSH_N_TABLES, n_bits=LSH_N_BITS,
+        anchor_mod=LSH_ANCHOR_MOD, dim=EMB_DIM)
+        .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
 def x_hard_negatives(spark, sf_dir):
     """x82 — hard-negative mining for contrastive training: per query,
     the k most-similar vectors with a DIFFERENT label (the near-misses
@@ -1272,6 +1285,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x81_ann_lsh": x_ann_lsh,
     "x82_hard_negatives": x_hard_negatives,
     "x83_stored_lsh": x_stored_lsh,
+    "x84_ann_lsh_multiprobe": x_ann_lsh_multiprobe,
 }
 
 
@@ -1789,6 +1803,56 @@ def _ann_lsh_sql() -> str:
         "FROM codes qc JOIN codes c ON qc.t = c.t AND qc.code = c.code "
         f"WHERE qc.vec_id % {ANN_QUERY_MOD} = 0 "
         "AND c.vec_id <> qc.vec_id), "
+        f"scored AS (SELECT cand.qid, cand.vec_id, ROUND({cos}, 4) AS cos "
+        "FROM cand JOIN e q ON q.vec_id = cand.qid "
+        "JOIN e m ON m.vec_id = cand.vec_id), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank "
+        "FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank"
+    )
+
+
+def _ann_lsh_multiprobe_sql() -> str:
+    """x84 oracle — x81's replay plus the probe expansion: per
+    (query, table), the own-bucket code UNION ALL the code with the
+    minimum-|margin| bit flipped (ROW_NUMBER over (abs(du), j) — the
+    exact tie-break Spark's min_by(j, struct(abs(du), j)) applies)."""
+    need = 2 * LSH_N_TABLES * LSH_N_BITS
+    cos = _COS.format(a="q.v", b="m.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "a AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn "
+        f"FROM e WHERE vec_id % {LSH_ANCHOR_MOD} = 1), "
+        "pr AS (SELECT (rn-1)//2 AS pid, "
+        "any_value(CASE WHEN rn % 2 = 1 THEN v END) AS v1, "
+        "any_value(CASE WHEN rn % 2 = 0 THEN v END) AS v2 "
+        f"FROM a WHERE rn <= {need} GROUP BY 1), "
+        f"p AS (SELECT pid // {LSH_N_BITS} AS t, "
+        f"pid % {LSH_N_BITS} AS j, v1, v2 FROM pr), "
+        "du AS (SELECT x.vec_id, p.t, p.j, "
+        "CAST(SUM(floor(x.v[i] * (p.v1[i] - p.v2[i]) * 1000000 + 0.5)) "
+        "AS BIGINT) AS du "
+        f"FROM e x, p, generate_series(1, {EMB_DIM}) g(i) "
+        "GROUP BY x.vec_id, p.t, p.j), "
+        "codes AS (SELECT vec_id, t, CAST(SUM(CASE WHEN du >= 0 THEN 1 "
+        "ELSE 0 END * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS code "
+        "FROM du GROUP BY vec_id, t), "
+        f"qdu AS (SELECT * FROM du WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "jst AS (SELECT vec_id, t, j AS jstar FROM ("
+        "SELECT vec_id, t, j, ROW_NUMBER() OVER (PARTITION BY vec_id, t "
+        "ORDER BY abs(du), j) AS r FROM qdu) s WHERE r = 1), "
+        "qc AS (SELECT c.vec_id AS qid, c.t, c.code, jst.jstar "
+        "FROM codes c JOIN jst ON jst.vec_id = c.vec_id "
+        "AND jst.t = c.t), "
+        "probes AS (SELECT qid, t, code FROM qc "
+        "UNION ALL SELECT qid, t, "
+        "xor(code, CAST(power(2, jstar) AS BIGINT)) AS code FROM qc), "
+        "cand AS (SELECT DISTINCT pb.qid, c.vec_id "
+        "FROM probes pb JOIN codes c ON pb.t = c.t AND pb.code = c.code "
+        "WHERE c.vec_id <> pb.qid), "
         f"scored AS (SELECT cand.qid, cand.vec_id, ROUND({cos}, 4) AS cos "
         "FROM cand JOIN e q ON q.vec_id = cand.qid "
         "JOIN e m ON m.vec_id = cand.vec_id), "
@@ -2574,6 +2638,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x83 serves x81 from the stored index — same oracle proves the
     # roundtrip is lossless (the x58/x63/x74 stance)
     "x83_stored_lsh": _ann_lsh_sql(),
+    "x84_ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

@@ -361,6 +361,51 @@ def _lsh_qcodes(queries: DataFrame, planes: DataFrame,
                     "t", "code"))
 
 
+def lsh_multiprobe_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                        n_tables: int = 6, n_bits: int = 4,
+                        anchor_mod: int = 10, dim: int = 64) -> DataFrame:
+    """Query-directed multiprobe LSH (Lv et al., VLDB'07 shape): per
+    table, probe the query's own bucket AND the bucket with the
+    WEAKEST bit flipped — the bit whose hyperplane margin |proj| is
+    smallest, i.e. the boundary the query most nearly crossed. Doubles
+    probed buckets (2L) for the recall that more tables would cost L×
+    storage to buy; the corpus index is unchanged, so one stored codes
+    table serves both probe depths. Margins are integer micro-units —
+    the weakest-bit argmin replays exactly in SQL."""
+    planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
+    codes = lsh_codes(_with_norm(_vectors(df)), planes, dim)
+    qc = _lsh_qcodes_with_margin(queries, planes, dim)
+    flip = F.struct(F.abs(F.col("du")).alias("a"), F.col("j")).alias("m")
+    probes = (qc.groupBy("qid", "t")
+              .agg(F.any_value("qv").alias("qv"),
+                   F.any_value("qnrm").alias("qnrm"),
+                   F.sum(F.col("bit")
+                         * F.pow(F.lit(2.0), F.col("j")).cast("long"))
+                   .alias("code"),
+                   F.min_by(F.col("j"), flip).alias("jstar"))
+              .select("qid", "qv", "qnrm", "t",
+                      F.explode(F.array(
+                          F.col("code"),
+                          F.col("code").bitwiseXOR(
+                              F.pow(F.lit(2.0), F.col("jstar"))
+                              .cast("long")))).alias("code")))
+    return _lsh_rank(codes, probes, k)
+
+
+def _lsh_qcodes_with_margin(queries: DataFrame, planes: DataFrame,
+                            dim: int) -> DataFrame:
+    """(qid, qv, qnrm, t, j, du, bit) per-bit query projections —
+    the margin |du| feeds multiprobe's weakest-bit choice."""
+    q = _with_norm(queries)
+    du = _proj_u(F.col("x.v"), F.col("p.h"), dim)
+    return (q.select(F.col("qid"), F.col("v"), F.col("nrm")).alias("x")
+            .join(F.broadcast(planes.alias("p")))
+            .select(F.col("x.qid").alias("qid"),
+                    F.col("x.v").alias("qv"), F.col("x.nrm").alias("qnrm"),
+                    "t", "j", du.alias("du"))
+            .withColumn("bit", (F.col("du") >= 0).cast("long")))
+
+
 def _lsh_rank(codes: DataFrame, qcodes: DataFrame, k: int) -> DataFrame:
     """Bucket-join candidates and rank by exact cosine."""
     # bucket equi-join on (t, code); groupBy dedups candidates found in

@@ -240,3 +240,21 @@ def test_hard_negatives_are_label_mismatched_near_misses(spark):
         rows.sort(key=lambda r: r.rank)
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert rows[0].cos >= floor[qid] - 1e-9
+
+
+def test_lsh_multiprobe_lifts_recall(spark):
+    """Weakest-bit multiprobe must dominate single-probe recall —
+    measured 0.64 -> 0.82 at sf0.001 (0.62 -> 0.80 at sf0.01) for the
+    cost of 2L probed buckets instead of L, corpus index unchanged."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(e, q, k=10).collect()}
+    single = {(r.qid, r.vec_id)
+              for r in similarity.lsh_topk(e, q, k=10).collect()}
+    multi = {(r.qid, r.vec_id)
+             for r in similarity.lsh_multiprobe_topk(e, q, k=10).collect()}
+    r1 = len(exact & single) / len(exact)
+    r2 = len(exact & multi) / len(exact)
+    assert r2 >= r1, f"multiprobe lost recall: {r2:.2f} < {r1:.2f}"
+    assert r2 >= 0.7, f"multiprobe recall too low: {r2:.2f}"
