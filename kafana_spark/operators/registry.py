@@ -680,6 +680,31 @@ def x_pipeline_aggs(spark, sf_dir):
         .orderBy("ds"))
 
 
+SDIFF_LAG = 7        # weekly serial_diff over daily buckets
+BUCKET_MIN_CNT = 320  # bucket_selector threshold (drops ~1/3 at sf0.01)
+BUCKET_TOP = 10       # bucket_sort size
+
+
+def x_bucket_pipeline(spark, sf_dir):
+    """x85 — the remaining ES pipeline aggs beside x40: weekly
+    serial_diff, bucket_script (sum/count), bucket_selector
+    (cnt >= threshold, applied after the windows per ES pipeline
+    order), bucket_sort (top-N buckets by exact integer count)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = query.bucket_pipeline(ev, "ts", "value", unit="day",
+                              lag=SDIFF_LAG, min_count=BUCKET_MIN_CNT,
+                              size=BUCKET_TOP)
+    return p.select(
+        F.to_date("bucket").alias("ds"),
+        "cnt",
+        F.round("sum_v", 2).alias("sum_val"),
+        F.round("serial_diff", 2).alias("serial_diff"),
+        F.round("per_doc", 4).alias("per_doc"))
+
+
 COMPOSITE_KEYS = ("lang", "source")
 COMPOSITE_AFTER = ("de", "src12")
 COMPOSITE_SIZE = 10
@@ -1286,6 +1311,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x82_hard_negatives": x_hard_negatives,
     "x83_stored_lsh": x_stored_lsh,
     "x84_ann_lsh_multiprobe": x_ann_lsh_multiprobe,
+    "x85_bucket_pipeline": x_bucket_pipeline,
 }
 
 
@@ -2639,6 +2665,19 @@ EXTENSION_ORACLE: dict[str, str] = {
     # roundtrip is lossless (the x58/x63/x74 stance)
     "x83_stored_lsh": _ann_lsh_sql(),
     "x84_ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
+    "x85_bucket_pipeline": (
+        "WITH b AS (SELECT date_trunc('day', ts) AS bucket, "
+        "COUNT(*) AS cnt, SUM(value) AS sum_v FROM events GROUP BY 1), "
+        "w AS (SELECT bucket, cnt, sum_v, "
+        f"sum_v - LAG(sum_v, {SDIFF_LAG}) OVER (ORDER BY bucket) "
+        "AS serial_diff, sum_v / cnt AS per_doc FROM b) "
+        "SELECT CAST(bucket AS DATE) AS ds, cnt, "
+        "ROUND(sum_v, 2) AS sum_val, "
+        "ROUND(serial_diff, 2) AS serial_diff, "
+        "ROUND(per_doc, 4) AS per_doc "
+        f"FROM w WHERE cnt >= {BUCKET_MIN_CNT} "
+        f"ORDER BY cnt DESC, bucket LIMIT {BUCKET_TOP}"
+    ),
     "x78_curation_v3": (
         "WITH RECURSIVE {}, {}, " + _OOV_CTES + ", {} , "
         "m AS (SELECT cl.doc_id, cl.cluster_id, q.quality_bp "

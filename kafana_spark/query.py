@@ -222,6 +222,41 @@ def pipeline_aggs(df: DataFrame, time_col: str, value_col: str,
     )
 
 
+def bucket_pipeline(df: DataFrame, time_col: str, value_col: str,
+                    unit: str = "day", lag: int = 7,
+                    min_count: int | None = None,
+                    size: int | None = None) -> DataFrame:
+    """The remaining ES 6.8 pipeline aggs beside ``pipeline_aggs``:
+    ``serial_diff`` (lag-n difference — the seasonality detrend Kibana
+    TSVB exposes), ``bucket_script`` (arithmetic across sibling
+    metrics, here sum/count), ``bucket_selector`` (drop buckets
+    failing a predicate — applied AFTER the window functions, matching
+    ES's pipeline ordering), and ``bucket_sort`` (order + truncate the
+    bucket list by a metric).
+
+    Scale: same stance as pipeline_aggs — the raw scan aggregates
+    first (map-side combinable), the windows run over the tiny bucket
+    frame, and bucket_sort's order+limit plans as TakeOrdered, never a
+    full sort.
+    """
+    b = (df.groupBy(F.date_trunc(unit, F.col(time_col)).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(value_col).alias("sum_v")))
+    w = Window.orderBy("bucket")
+    out = b.select(
+        "bucket", "cnt", "sum_v",
+        (F.col("sum_v") - F.lag("sum_v", lag).over(w)).alias("serial_diff"),
+        (F.col("sum_v") / F.col("cnt")).alias("per_doc"),
+    )
+    if min_count is not None:
+        out = out.where(F.col("cnt") >= min_count)
+    if size is not None:
+        # integer sort key: exact across engines (a float sum key could
+        # flip near-ties by accumulation-order ulps at the LIMIT edge)
+        out = out.orderBy(F.col("cnt").desc(), "bucket").limit(size)
+    return out
+
+
 def composite_agg(df: DataFrame, keys: Sequence[str],
                   after: Sequence | None = None, size: int = 10) -> DataFrame:
     """ES composite aggregation: multi-source buckets in natural key

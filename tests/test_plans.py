@@ -434,3 +434,15 @@ def test_x81_lsh_bucket_join_is_equi_on_table_and_code(spark):
     assert re.search(r"keys \[2\]: \[t#\d+, code#\d+L\]", plan)
     # exactly the two tiny plane broadcasts may be nested-loop
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4
+
+
+def test_x85_bucket_sort_is_take_ordered_after_partial_agg(spark):
+    """bucket_sort must plan as TakeOrdered over the aggregated bucket
+    frame (never a full sort), and the bucket aggregation itself must
+    have a map-side partial before its exchange."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x85_bucket_pipeline"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"HashAggregate .*partial_count|partial_sum", plan) \
+        or "partial" in plan

@@ -244,3 +244,33 @@ def test_sampler_agg_bounds_subagg_to_top_n(spark):
     out = {r["k"]: (r["cnt"], r["avg_score"]) for r in
            query.sampler_agg(df, "score", "id", 5, "k").collect()}
     assert out == {"hot": (5, 98.0)}
+
+
+def test_bucket_pipeline_closed_form(spark):
+    """serial_diff/bucket_script on the 1-2-3 fixture: sums are
+    10/20/30, lag-1 serial_diff None/+10/+10, per_doc constant 10."""
+    out = query.bucket_pipeline(_events(spark), "ts", "value",
+                                unit="day", lag=1)
+    rows = {r["bucket"].day: r for r in out.collect()}
+    assert rows[1]["serial_diff"] is None
+    assert rows[2]["serial_diff"] == 10.0 and rows[3]["serial_diff"] == 10.0
+    assert all(rows[d]["per_doc"] == 10.0 for d in (1, 2, 3))
+
+
+def test_bucket_selector_runs_after_windows(spark):
+    """ES pipeline ordering: a bucket dropped by bucket_selector must
+    STILL feed the serial_diff of later buckets (the selector filters
+    the output list, not the window input)."""
+    out = query.bucket_pipeline(_events(spark), "ts", "value",
+                                unit="day", lag=1, min_count=2)
+    rows = {r["bucket"].day: r for r in out.collect()}
+    assert set(rows) == {2, 3}          # day 1 (cnt=1) dropped
+    # day 2's serial_diff references day 1's sum even though day 1
+    # was selected out: 20 - 10 = 10, NOT None
+    assert rows[2]["serial_diff"] == 10.0
+
+
+def test_bucket_sort_truncates_by_exact_count(spark):
+    out = query.bucket_pipeline(_events(spark), "ts", "value",
+                                unit="day", lag=1, size=2).collect()
+    assert [r["cnt"] for r in out] == [3, 2]
