@@ -705,6 +705,20 @@ def x_bucket_pipeline(spark, sf_dir):
         F.round("per_doc", 4).alias("per_doc"))
 
 
+MATRIX_FIELDS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def x_matrix_stats(spark, sf_dir):
+    """x86 — ES matrix_stats over lineitem's numeric triple: one
+    moment pass, tidy one-row-per-pair correlation matrix."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (query.matrix_stats(li, MATRIX_FIELDS)
+            .orderBy("fa", "fb"))
+
+
 COMPOSITE_KEYS = ("lang", "source")
 COMPOSITE_AFTER = ("de", "src12")
 COMPOSITE_SIZE = 10
@@ -1226,6 +1240,24 @@ def x_sampler_agg(spark, sf_dir):
                              SAMPLER_SHARD_SIZE, "event_type")
 
 
+DIV_SAMPLER_SHARD = 500
+DIV_SAMPLER_MAX_PER_USER = 5
+
+
+def x_diversified_sampler(spark, sf_dir):
+    """x87 — ES diversified_sampler: at most 5 events per user_id
+    enter the top-500 sample (de-biasing heavy users), then the terms
+    sub-agg over the sample. Cap = rank-limit on the user shuffle;
+    sample = TakeOrdered; never a full sort."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.diversified_sampler_agg(
+        ev, "value", "event_id", DIV_SAMPLER_SHARD, "event_type",
+        "user_id", DIV_SAMPLER_MAX_PER_USER)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1312,6 +1344,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x83_stored_lsh": x_stored_lsh,
     "x84_ann_lsh_multiprobe": x_ann_lsh_multiprobe,
     "x85_bucket_pipeline": x_bucket_pipeline,
+    "x86_matrix_stats": x_matrix_stats,
+    "x87_diversified_sampler": x_diversified_sampler,
 }
 
 
@@ -2665,6 +2699,27 @@ EXTENSION_ORACLE: dict[str, str] = {
     # roundtrip is lossless (the x58/x63/x74 stance)
     "x83_stored_lsh": _ann_lsh_sql(),
     "x84_ann_lsh_multiprobe": _ann_lsh_multiprobe_sql(),
+    "x87_diversified_sampler": (
+        "WITH capped AS (SELECT event_id, event_type, value FROM ("
+        "SELECT event_id, event_type, value, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS r "
+        f"FROM events) s WHERE r <= {DIV_SAMPLER_MAX_PER_USER}), "
+        "top AS (SELECT event_type, value FROM ("
+        "SELECT event_type, value, ROW_NUMBER() OVER (ORDER BY value "
+        "DESC, event_id) AS r FROM capped) s "
+        f"WHERE r <= {DIV_SAMPLER_SHARD}) "
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "ROUND(AVG(value), 4) AS avg_score "
+        "FROM top GROUP BY event_type ORDER BY event_type"
+    ),
+    "x86_matrix_stats": " UNION ALL ".join(
+        "SELECT '{a}' AS fa, '{b}' AS fb, COUNT(*) AS cnt, "
+        "ROUND(AVG({a}), 4) AS mean_a, ROUND(AVG({b}), 4) AS mean_b, "
+        "ROUND(STDDEV_SAMP({a}), 4) AS std_a, "
+        "ROUND(STDDEV_SAMP({b}), 4) AS std_b, "
+        "ROUND(CORR({a}, {b}), 6) AS corr FROM lineitem".format(a=a, b=b)
+        for i, a in enumerate(MATRIX_FIELDS)
+        for b in MATRIX_FIELDS[i + 1:]) + " ORDER BY fa, fb",
     "x85_bucket_pipeline": (
         "WITH b AS (SELECT date_trunc('day', ts) AS bucket, "
         "COUNT(*) AS cnt, SUM(value) AS sum_v FROM events GROUP BY 1), "

@@ -222,6 +222,46 @@ def pipeline_aggs(df: DataFrame, time_col: str, value_col: str,
     )
 
 
+def matrix_stats(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """ES ``matrix_stats`` aggregation (the correlation-matrix slice):
+    ONE combinable pass computing row count, per-field mean/stddev and
+    Pearson correlation for every unordered field pair; output is one
+    row per pair (fa < fb) — the tidy form of ES's per-field matrix.
+
+    Covariance is deliberately NOT in the output contract: it equals
+    corr·std_a·std_b (derivable), and its raw magnitude scales with
+    the fields' units, so no fixed decimal rounding is simultaneously
+    tight for a 0.05-scale discount and a 1e9-scale price variance —
+    while corr is dimensionless (|rel err| ~1e-12 across engines, 6dp
+    rounding safe) and stddev's magnitude matches the field's own.
+
+    Scale: a single full-width scan with map-side partial moments
+    (Spark's CentralMomentAgg); no shuffle beyond the 1-row final
+    combine, no per-pair rescan.
+    """
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for f in fields:
+        aggs += [F.avg(f).alias(f"mean_{f}"),
+                 F.stddev_samp(f).alias(f"std_{f}")]
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            aggs.append(F.corr(a, b).alias(f"corr_{a}_{b}"))
+    g = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            pairs.append(F.struct(
+                F.lit(a).alias("fa"), F.lit(b).alias("fb"),
+                F.col("cnt").alias("cnt"),
+                F.round(F.col(f"mean_{a}"), 4).alias("mean_a"),
+                F.round(F.col(f"mean_{b}"), 4).alias("mean_b"),
+                F.round(F.col(f"std_{a}"), 4).alias("std_a"),
+                F.round(F.col(f"std_{b}"), 4).alias("std_b"),
+                F.round(F.col(f"corr_{a}_{b}"), 6).alias("corr")))
+    return (g.select(F.explode(F.array(*pairs)).alias("s"))
+            .select("s.*"))
+
+
 def bucket_pipeline(df: DataFrame, time_col: str, value_col: str,
                     unit: str = "day", lag: int = 7,
                     min_count: int | None = None,
@@ -363,6 +403,32 @@ def sampler_agg(df: DataFrame, order_col: str, tiebreak: str,
     never a full sort; the sub-agg then runs on N rows.
     """
     top = (df.orderBy(F.col(order_col).desc(), F.col(tiebreak))
+           .limit(shard_size))
+    return (top.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg(order_col), 4).alias("avg_score"))
+            .orderBy(field))
+
+
+def diversified_sampler_agg(df: DataFrame, order_col: str, tiebreak: str,
+                            shard_size: int, field: str,
+                            dedup_field: str,
+                            max_per_value: int = 1) -> DataFrame:
+    """ES ``diversified_sampler``: the sampler agg with a per-value cap
+    on ``dedup_field`` — at most ``max_per_value`` documents per
+    distinct value enter the sample, de-biasing sub-aggs from dominant
+    values (ES's max_docs_per_value contract).
+
+    Scale: the cap is a per-value window top-k — Spark plans a
+    rank-limit (per-partition heaps on the dedup_field shuffle), never
+    a global sort; the capped pool then feeds the same TakeOrdered
+    top-N as sampler_agg.
+    """
+    w = Window.partitionBy(dedup_field).orderBy(F.col(order_col).desc(),
+                                                F.col(tiebreak))
+    capped = (df.withColumn("_r", F.row_number().over(w))
+              .where(F.col("_r") <= max_per_value).drop("_r"))
+    top = (capped.orderBy(F.col(order_col).desc(), F.col(tiebreak))
            .limit(shard_size))
     return (top.groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"),

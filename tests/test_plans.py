@@ -446,3 +446,27 @@ def test_x85_bucket_sort_is_take_ordered_after_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"HashAggregate .*partial_count|partial_sum", plan) \
         or "partial" in plan
+
+
+def test_x86_matrix_stats_is_one_scan(spark):
+    """All pairwise moments must come from ONE lineitem scan (map-side
+    partial moments, 1-row combine) — a per-pair rescan is the O(k²)
+    mistake matrix_stats exists to avoid."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x86_matrix_stats"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_x87_diversified_sampler_has_no_global_sort_of_raw_rows(spark):
+    """Both stages must be bounded: the per-user cap plans as a
+    rank-limit window (never materializing per-user full sorts beyond
+    the window shuffle) and the sample is TakeOrdered — a global Sort
+    node over the raw events frame is the scale mistake."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x87_diversified_sampler"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan

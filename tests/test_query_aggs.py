@@ -274,3 +274,37 @@ def test_bucket_sort_truncates_by_exact_count(spark):
     out = query.bucket_pipeline(_events(spark), "ts", "value",
                                 unit="day", lag=1, size=2).collect()
     assert [r["cnt"] for r in out] == [3, 2]
+
+
+def test_matrix_stats_closed_form(spark):
+    """y = 2x gives corr exactly 1; z = -x gives corr -1; the pair list
+    is the upper triangle in field order."""
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x, -float(x)) for x in range(1, 6)],
+        "x double, y double, z double")
+    rows = {(r.fa, r.fb): r
+            for r in query.matrix_stats(df, ["x", "y", "z"]).collect()}
+    assert set(rows) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert rows[("x", "y")].corr == 1.0
+    assert rows[("x", "z")].corr == -1.0
+    assert rows[("y", "z")].corr == -1.0
+    r = rows[("x", "y")]
+    assert r.cnt == 5 and r.mean_a == 3.0 and r.mean_b == 6.0
+    # stddev_samp of 1..5 = sqrt(2.5)
+    assert abs(r.std_a - 2.5 ** 0.5) < 1e-4
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    """One dominant user with the 5 highest scores must contribute at
+    most max_per_value rows to the sample; the freed slots go to other
+    users (the de-biasing ES's max_docs_per_value exists for)."""
+    rows = [(i, "heavy", "a", 100.0 - i) for i in range(5)]       # top-5 raw
+    rows += [(10 + i, f"u{i}", "b", 50.0 - i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, value double")
+    out = {r.event_type: r for r in query.diversified_sampler_agg(
+        df, "value", "event_id", shard_size=6, field="event_type",
+        dedup_field="user_id", max_per_value=2).collect()}
+    # heavy user capped at 2 despite owning the 5 best scores
+    assert out["a"].cnt == 2
+    assert out["b"].cnt == 4
