@@ -36,6 +36,12 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     fresh signatures, then the new round-5 keys (x68+), then x29–x56
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
+
+    Round 5 grew the registry past one window (q22 + x18–x28 + 28 new
+    keys = 61 > 50): the new keys past the 50th slot (x85–x95) have no
+    driver row this round — they are verified locally by
+    ``tools/check_oracle.py`` (full-suite run recorded in NOTES_r5.md)
+    and rotate into the round-6 window.
     """
 
     def rank(k: str) -> tuple[int, str]:

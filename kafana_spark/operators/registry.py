@@ -1258,6 +1258,115 @@ def x_diversified_sampler(spark, sf_dir):
         "user_id", DIV_SAMPLER_MAX_PER_USER)
 
 
+# --- relevance / search family (x88-x92) ------------------------------
+
+#: x88 BM25 match query: 'dup' is the corpus's one rare term (df=25 of
+#: 500) so its idf dominates — the ranking exercises the full formula
+#: rather than degenerating to tf ordering.
+BM25_QUERY_TERMS = ("dup", "merge", "vector")
+BM25_K = 15
+#: x89 seed document for more_like_this.
+MLT_SEED_DOC = 0
+MLT_K = 10
+#: x90 highlight term (rare → small result, interesting snippets).
+HL_TERM = "dup"
+#: x91 stored percolator queries (conjunctive term lists); the last
+#: one can never match (term outside the corpus vocabulary) and pins
+#: the zero-hit-alert row.
+PERC_QUERIES = {
+    "p1_rare": ["dup"],
+    "p2_pipeline": ["merge", "vector", "stream"],
+    "p3_scan": ["customer", "scan", "filter", "window"],
+    "p4_never": ["dup", "quasar"],
+}
+#: x92 misspelled inputs for the term suggester (within edit distance
+#: 1-2 of vocabulary words; 'xyzzy' pins the no-suggestion case).
+SUGGEST_INPUTS = ("scann", "qurey", "tabel", "stremm", "vectr", "jion",
+                  "xyzzy")
+AUTO_HIST_TARGET = 40
+DSIR_K = 50
+TOKEN_BUDGET = 20_000
+
+
+def x_bm25_topk(spark, sf_dir):
+    """x88 — the ES ``match`` query: BM25-ranked top-k over documents
+    (Lucene k1/b defaults, per-(doc,term) fixed-point contributions)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.bm25_topk(_docs(spark, sf_dir),
+                               list(BM25_QUERY_TERMS), BM25_K)
+
+
+def x_more_like_this(spark, sf_dir):
+    """x89 — the ES ``more_like_this`` query: seed doc's top tf·idf
+    terms become a BM25 disjunction; seed excluded from results."""
+    from kafana_spark.operators import relevance
+
+    return relevance.more_like_this(_docs(spark, sf_dir), MLT_SEED_DOC,
+                                    MLT_K)
+
+
+def x_highlight(spark, sf_dir):
+    """x90 — the ES ``highlight`` block: first-match position + <em>
+    snippet for a whole-token term query."""
+    from kafana_spark.operators import relevance
+
+    return relevance.highlight(_docs(spark, sf_dir), HL_TERM)
+
+
+def x_percolate(spark, sf_dir):
+    """x91 — the ES percolator (reverse search): stored conjunctive
+    term queries matched against the corpus; per-query alert digest."""
+    from kafana_spark.operators import relevance
+
+    return relevance.percolate(_docs(spark, sf_dir), PERC_QUERIES)
+
+
+def x_term_suggest(spark, sf_dir):
+    """x92 — the ES term suggester: SymSpell deletion-neighborhood
+    join + exact Levenshtein verify, top suggestions per input."""
+    from kafana_spark.operators import relevance
+
+    return relevance.term_suggest(_docs(spark, sf_dir),
+                                  list(SUGGEST_INPUTS))
+
+
+def x_auto_date_histogram(spark, sf_dir):
+    """x93 — the ES auto_date_histogram agg: in-plan interval choice
+    from the rounding ladder, then the tumbling histogram."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.auto_date_histogram(ev, "ts", AUTO_HIST_TARGET)
+
+
+def x_dsir_weights(spark, sf_dir):
+    """x94 — DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram features, smoothed target/raw log-ratio weights,
+    top-K most target-like documents (target = lang='en')."""
+    from kafana_spark.operators import sample
+
+    d = _docs(spark, sf_dir)
+    return (sample.dsir_weights(d, F.col("lang") == "en")
+            .orderBy(F.col("weight_u").desc(), "doc_id")
+            .limit(DSIR_K))
+
+
+def x_token_budget(spark, sf_dir):
+    """x95 — greedy token-budget selection: best documents by quality
+    until the running token total hits the budget — two-phase (per-
+    score totals + per-score windows), never a global one-partition
+    sort."""
+    from kafana_spark.operators import sample
+
+    d = _docs(spark, sf_dir)
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    n = text.token_count(d).select("doc_id", "n_tokens")
+    return (sample.token_budget_select(q.join(n, "doc_id"), TOKEN_BUDGET)
+            .orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1346,6 +1455,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x85_bucket_pipeline": x_bucket_pipeline,
     "x86_matrix_stats": x_matrix_stats,
     "x87_diversified_sampler": x_diversified_sampler,
+    "x88_bm25_topk": x_bm25_topk,
+    "x89_more_like_this": x_more_like_this,
+    "x90_highlight": x_highlight,
+    "x91_percolate": x_percolate,
+    "x92_term_suggest": x_term_suggest,
+    "x93_auto_date_histogram": x_auto_date_histogram,
+    "x94_dsir_weights": x_dsir_weights,
+    "x95_token_budget": x_token_budget,
 }
 
 
@@ -2246,6 +2363,195 @@ def _rare_terms_sql() -> str:
     )
 
 
+# --- relevance-family oracles (x88-x95) -------------------------------
+
+#: (doc_id, dl, term) exploded tokens with per-doc length riding along
+#: — the shared head of the BM25/suggester oracles.
+_TK_CTE = (f"tk AS (SELECT doc_id, len({_TOKS}) AS dl, "
+           f"unnest({_TOKS}) AS term FROM documents)")
+
+
+def _bm25_contrib(fp: float, k1: float, b: float) -> str:
+    """The per-(doc, term) BM25 contribution in fixed-point units —
+    the EXACT expression shape of relevance.bm25_scores (same
+    association order, so the doubles agree bit-for-bit)."""
+    return ("CAST(ROUND("
+            "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+            f"(tf * {k1 + 1.0!r}) / "
+            f"(tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) * {fp!r}"
+            ") AS BIGINT) AS c_u")
+
+
+def _bm25_sql() -> str:
+    from kafana_spark.operators.relevance import BM25_B, BM25_FP, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        f"WITH {_TK_CTE}, "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        f"tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
+        f"FROM tk WHERE term IN ({terms}) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT doc_id, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st) "
+        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched, "
+        "CAST(SUM(c_u) AS BIGINT) AS score_u FROM c GROUP BY doc_id "
+        f"ORDER BY score_u DESC, doc_id LIMIT {BM25_K}"
+    )
+
+
+def _mlt_sql() -> str:
+    from kafana_spark.operators.relevance import (
+        BM25_B, BM25_FP, BM25_K1, MLT_MAX_TERMS)
+
+    return (
+        f"WITH {_TK_CTE}, "
+        f"stf AS (SELECT term, COUNT(*) AS stf FROM tk "
+        f"WHERE doc_id = {MLT_SEED_DOC} GROUP BY 1), "
+        "dfq0 AS (SELECT term, COUNT(DISTINCT doc_id) AS df "
+        "FROM tk GROUP BY 1), "
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "qt AS (SELECT term FROM (SELECT s.term, s.stf * "
+        f"CAST(ROUND(ln(n_docs / df) * {float(BM25_FP)!r}) AS BIGINT) "
+        "AS w_u FROM stf s JOIN dfq0 USING (term) CROSS JOIN nd) "
+        f"ORDER BY w_u DESC, term LIMIT {MLT_MAX_TERMS}), "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        "tf AS (SELECT doc_id, tk.term AS term, COUNT(*) AS tf, "
+        "MAX(dl) AS dl FROM tk JOIN qt USING (term) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT doc_id, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st) "
+        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched, "
+        "CAST(SUM(c_u) AS BIGINT) AS score_u FROM c "
+        f"WHERE doc_id <> {MLT_SEED_DOC} GROUP BY doc_id "
+        f"ORDER BY score_u DESC, doc_id LIMIT {MLT_K}"
+    )
+
+
+def _highlight_sql() -> str:
+    from kafana_spark.operators.relevance import HIGHLIGHT_CTX
+
+    t = HL_TERM
+    width = 2 * HIGHLIGHT_CTX + len(t) + 2
+    return (
+        "WITH h AS (SELECT doc_id, ' ' || text || ' ' AS p "
+        "FROM documents), "
+        f"m AS (SELECT doc_id, strpos(p, ' {t} ') AS pos, p FROM h) "
+        "SELECT doc_id, CAST(pos AS INT) AS pos, "
+        f"replace(substr(p, greatest(1, pos - {HIGHLIGHT_CTX}), {width}), "
+        f"' {t} ', ' <em>{t}</em> ') AS snippet "
+        "FROM m WHERE pos > 0 ORDER BY doc_id"
+    )
+
+
+def _percolate_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}', {len(ts)})"
+                     for qid, ts in sorted(PERC_QUERIES.items())
+                     for t in ts)
+    return (
+        f"WITH q(query_id, term, n_required) AS (VALUES {vals}), "
+        "dt AS (SELECT DISTINCT doc_id, term FROM "
+        f"(SELECT doc_id, unnest({_TOKS}) AS term FROM documents)), "
+        "hits AS (SELECT doc_id, query_id, n_required, COUNT(*) AS nm "
+        "FROM dt JOIN q USING (term) GROUP BY 1, 2, 3), "
+        "ok AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+        "MIN(doc_id) AS first_id FROM hits WHERE nm = n_required "
+        "GROUP BY 1), "
+        "qq AS (SELECT DISTINCT query_id FROM q) "
+        "SELECT qq.query_id, COALESCE(n_hits, 0) AS n_hits, first_id "
+        "FROM qq LEFT JOIN ok USING (query_id) ORDER BY query_id"
+    )
+
+
+def _suggest_sql() -> str:
+    """Brute-force twin of the SymSpell path: the deletion-neighborhood
+    join is a candidate SUPERSET of Levenshtein ≤ 2 (pinned in
+    tests/test_relevance.py), and the Spark side applies the exact
+    levenshtein filter, so exhaustive vocab × query search with the
+    same filter is row-identical."""
+    from kafana_spark.operators.relevance import (
+        SUGGEST_MAX_EDIT, SUGGEST_PER_TERM)
+
+    vals = ", ".join(f"('{m}')" for m in SUGGEST_INPUTS)
+    return (
+        f"WITH {_TK_CTE}, "
+        "v AS (SELECT term, COUNT(*) AS freq FROM tk GROUP BY 1), "
+        f"qs(q) AS (VALUES {vals}), "
+        "cand AS (SELECT qs.q, v.term, v.freq, "
+        "CAST(levenshtein(qs.q, v.term) AS INT) AS dist FROM qs, v "
+        f"WHERE levenshtein(qs.q, v.term) <= {SUGGEST_MAX_EDIT}), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q "
+        "ORDER BY dist, freq DESC, term) AS rn FROM cand) "
+        "SELECT q, term, dist, freq, CAST(rn AS INT) AS rn FROM r "
+        f"WHERE rn <= {SUGGEST_PER_TERM} ORDER BY q, rn"
+    )
+
+
+def _auto_hist_sql() -> str:
+    from kafana_spark.query import AUTO_HIST_LADDER
+
+    vals = ", ".join(f"({s})" for s in AUTO_HIST_LADDER)
+    return (
+        "WITH b AS (SELECT epoch_us(MIN(ts)) // 1000000 AS lo, "
+        "epoch_us(MAX(ts)) // 1000000 AS hi FROM events), "
+        f"l(interval_s) AS (VALUES {vals}), "
+        "ch AS (SELECT interval_s FROM b, l "
+        f"WHERE (hi - lo) // interval_s + 1 <= {AUTO_HIST_TARGET} "
+        "ORDER BY interval_s LIMIT 1) "
+        "SELECT make_timestamp(((epoch_us(ts) // 1000000) // interval_s "
+        "* interval_s) * 1000000) AS bucket_start, interval_s, "
+        "COUNT(*) AS cnt FROM events, ch GROUP BY 1, 2 ORDER BY 1"
+    )
+
+
+def _dsir_sql() -> str:
+    from kafana_spark.operators.sample import DSIR_BUCKETS, DSIR_FP
+
+    nb = DSIR_BUCKETS
+    return (
+        "WITH uni AS (SELECT doc_id, lang = 'en' AS is_t, "
+        f"unnest({_TOKS}) AS g FROM documents), "
+        f"big AS (SELECT doc_id, lang = 'en' AS is_t, "
+        "t[i] || ' ' || t[i+1] AS g FROM "
+        f"(SELECT doc_id, lang, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        "WHERE i + 1 <= len(t)), "
+        "ex AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+        "h AS (SELECT doc_id, is_t, "
+        f"CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % {nb} "
+        "AS b FROM ex), "
+        "bu AS (SELECT b, COUNT(*) AS c_raw, "
+        "SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t FROM h GROUP BY 1), "
+        "tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM bu), "
+        "lt AS (SELECT b, CAST(ROUND("
+        f"(ln(c_t + 1) - ln(n_t + {nb}) - ln(c_raw + 1) + "
+        f"ln(n_raw + {nb})) * {float(DSIR_FP)!r}) AS BIGINT) AS lr_u "
+        "FROM bu CROSS JOIN tot) "
+        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats, "
+        "CAST(SUM(lr_u) AS BIGINT) AS weight_u FROM h JOIN lt USING (b) "
+        f"GROUP BY 1 ORDER BY weight_u DESC, doc_id LIMIT {DSIR_K}"
+    )
+
+
+def _token_budget_sql() -> str:
+    return (
+        f"WITH {_quality_core()}, "
+        f"n AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents), "
+        "j AS (SELECT q.doc_id, quality_bp, n_tokens FROM q "
+        "JOIN n USING (doc_id)), "
+        "c AS (SELECT doc_id, quality_bp, n_tokens, "
+        "CAST(SUM(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_tokens FROM j) "
+        f"SELECT * FROM c WHERE cum_tokens <= {TOKEN_BUDGET} "
+        "ORDER BY doc_id"
+    )
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -2762,4 +3068,12 @@ EXTENSION_ORACLE: dict[str, str] = {
         "AS frame_len, md5(frame) AS frame_md5 FROM f "
         "ORDER BY media_id, frame_idx"
     ),
+    "x88_bm25_topk": _bm25_sql(),
+    "x89_more_like_this": _mlt_sql(),
+    "x90_highlight": _highlight_sql(),
+    "x91_percolate": _percolate_sql(),
+    "x92_term_suggest": _suggest_sql(),
+    "x93_auto_date_histogram": _auto_hist_sql(),
+    "x94_dsir_weights": _dsir_sql(),
+    "x95_token_budget": _token_budget_sql(),
 }

@@ -1,0 +1,318 @@
+"""Full-text relevance family — the ranked-search core of the ES/Kibana
+surface the reference delegates to (the reference ships documents into
+Elasticsearch — /root/reference/docker-compose.yml:45-69 — whose match
+scoring is BM25; kafana.http's Discover searches exercise it).
+Re-expressed Spark-first:
+
+- ``bm25_topk``       — the ES ``match`` query: BM25-ranked top-k.
+- ``more_like_this``  — the ES ``more_like_this`` query: seed doc →
+  top tf-idf terms → BM25 disjunction against the corpus.
+- ``highlight``       — the ES ``highlight`` block: first-match
+  snippet extraction with ``<em>`` tags.
+- ``percolate``       — the ES percolator: stored conjunctive term
+  queries matched in reverse against a document stream.
+- ``term_suggest``    — the ES term suggester: SymSpell-style
+  deletion-neighborhood candidate join + exact edit-distance verify.
+
+Engine portability: every score is rounded to integer fixed-point
+units per (doc, term) BEFORE summation (the x71/PQ discipline), so all
+aggregations are integer sums — order-independent across engines.
+
+Scale notes are on each function; the common shape is that the query
+side (terms, stored queries, misspellings, per-term stats) is tiny and
+broadcast, the corpus explode is filtered map-side down to query terms
+before any shuffle, and nothing ever materializes the full vocabulary
+against the full corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kafana_spark.functions import tokens
+
+#: Lucene/ES BM25 defaults (k1, b) — org.apache.lucene.search
+#: .similarities.BM25Similarity.
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed-point grain for per-(doc, term) BM25 contributions: 0.1
+#: milli-score units. Contributions are O(1..10); double noise is
+#: ~1e-15 relative, so a 1e-4 grain leaves ~11 orders of headroom.
+BM25_FP = 10_000
+
+#: ES more_like_this: max_query_terms (ES default 25; the synthetic
+#: corpus vocabulary is 31 words, so 5 keeps the derived query
+#: selective enough to rank).
+MLT_MAX_TERMS = 5
+
+#: highlight window: characters of context kept on each side of the
+#: first match (ES fragment_size≈100 with number_of_fragments=1).
+HIGHLIGHT_CTX = 40
+
+#: SymSpell deletion depth — the ≤2-deletion neighborhoods of two
+#: words intersect whenever their Damerau-Levenshtein distance is ≤ 2,
+#: which covers all plain-Levenshtein ≤ 2 pairs; the exact verify
+#: filter then makes the result set exactly lev ≤ 2. Pinned against
+#: brute force over the real vocabulary in tests/test_relevance.py.
+SUGGEST_MAX_EDIT = 2
+SUGGEST_PER_TERM = 3
+
+
+def _matched_tf(df: DataFrame, terms_df: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """(id, term, tf, dl) for query terms only — dl (doc token length)
+    rides through the aggregation so no corpus-sized doc-length join
+    is ever needed downstream.
+
+    The explode is filtered against the broadcast term set BEFORE the
+    aggregation shuffle, so the exchange carries matched (doc, term)
+    pairs only — at 100 TB the query's selectivity sizes the shuffle,
+    not the corpus.
+    """
+    tok = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.size(tok).alias("dl"),
+                   F.explode(tok).alias("term"))
+    return (ex.join(F.broadcast(terms_df), "term")
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
+
+
+def bm25_scores(df: DataFrame, terms_df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = BM25_K1,
+                b: float = BM25_B) -> DataFrame:
+    """Per-document BM25 score for the disjunctive term query in
+    ``terms_df`` (a small single-column (term) DataFrame — broadcast).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene BM25)
+
+    Each per-(doc, term) contribution is rounded to BM25_FP integer
+    units before the per-doc sum, so the sum is an integer sum —
+    order-independent across engines.
+
+    Output: (id, n_matched, score_u), one row per doc with ≥1 match.
+
+    Scale: corpus stats (N, avgdl) are a 1-row map-side-combinable
+    aggregate; per-term df is ≤|terms| rows, broadcast back; the only
+    corpus-sized shuffle is the matched-(doc, term) tf aggregation.
+    """
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+    tf = _matched_tf(df, terms_df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    contrib_u = F.round(contrib * F.lit(float(BM25_FP))).cast("long")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .select(F.col(id_col), contrib_u.alias("c_u")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_matched"),
+                 F.sum("c_u").alias("score_u")))
+
+
+def bm25_topk(df: DataFrame, terms: Sequence[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The ES ``match`` query: BM25-ranked top-k documents for a
+    literal disjunctive term query. orderBy+limit lowers to
+    TakeOrdered — no global sort materializes."""
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    return (bm25_scores(df, terms_df, id_col, text_col)
+            .orderBy(F.col("score_u").desc(), F.col(id_col))
+            .limit(k))
+
+
+def more_like_this(df: DataFrame, seed_id: str, k: int = 10,
+                   max_terms: int = MLT_MAX_TERMS, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The ES ``more_like_this`` query: take the seed document's
+    ``max_terms`` highest tf·idf terms as the query, BM25-score the
+    corpus with them, exclude the seed, return the top-k.
+
+    Term selection is deterministic: rank by (tf·idf_u desc, term asc)
+    with idf_u = ln(N/df) in BM25_FP units rounded BEFORE the tf
+    multiply, so the ranking key is an exact integer.
+
+    Scale: the seed's term profile is one document's rows; the
+    (term, df) vocabulary aggregate is map-side combinable and joined
+    to the seed profile broadcast-side. The BM25 pass then follows
+    bm25_scores' shape with the derived ≤max_terms query.
+    """
+    ex = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("term"))
+    seed_tf = (ex.filter(F.col(id_col) == seed_id)
+               .groupBy("term").agg(F.count(F.lit(1)).alias("stf")))
+    dfreq = ex.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_u = F.round(F.log(F.col("n_docs") / F.col("df"))
+                    * F.lit(float(BM25_FP))).cast("long")
+    ranked = (seed_tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_docs))
+              .select("term", (F.col("stf") * idf_u).alias("w_u"))
+              .orderBy(F.col("w_u").desc(), F.col("term"))
+              .limit(max_terms))
+    scored = bm25_scores(df, ranked.select("term"), id_col, text_col)
+    return (scored.filter(F.col(id_col) != seed_id)
+            .orderBy(F.col("score_u").desc(), F.col(id_col))
+            .limit(k))
+
+
+def highlight(df: DataFrame, term: str, ctx: int = HIGHLIGHT_CTX,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The ES ``highlight`` block: for documents containing ``term`` as
+    a whole token, emit the first-match position and a snippet of
+    ±ctx characters with in-snippet whole-token occurrences wrapped in
+    <em></em>.
+
+    Token-boundary matching on space-separated text: search
+    ``' '||text||' '`` for ``' term '`` — positions are 1-based in the
+    padded string, identical across engines. Replacement is standard
+    left-to-right non-overlapping (both engines): of two ADJACENT
+    occurrences only the first is tagged, since the shared separator
+    space is consumed — the documented ES-highlighter divergence.
+
+    Scale: pure map-side string expressions; the only shuffle is the
+    final presentation sort. The ingest-time token bloom
+    (operators/text.py) prunes non-matching row groups before this
+    plan runs.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    needle = F.lit(" " + term + " ")
+    pos = F.position(needle, padded)
+    start = F.greatest(F.lit(1), pos - ctx)
+    width = F.lit(2 * ctx + len(term) + 2)
+    snippet = F.replace(F.substring(padded, start, width), needle,
+                        F.lit(" <em>" + term + "</em> "))
+    return (df.filter(pos > 0)
+            .select(F.col(id_col), pos.alias("pos"),
+                    snippet.alias("snippet"))
+            .orderBy(id_col))
+
+
+def percolate(df: DataFrame, queries: Mapping[str, Sequence[str]],
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The ES percolator, reverse search: ``queries`` maps query_id →
+    conjunctive term list; a document matches a query when it contains
+    EVERY term of it. Returns the per-query alert digest
+    (query_id, n_hits, first_id) — first_id = lexicographically
+    smallest matching doc; zero-hit queries are kept (n_hits=0) so a
+    registered alert never silently vanishes.
+
+    Scale: the stored-query table is tiny and broadcast; document
+    tokens are de-duplicated per doc map-side (array_distinct before
+    the explode) and filtered to the union of query terms before the
+    (doc, query) match shuffle — the exchange is sized by alert
+    selectivity, not the corpus.
+    """
+    spark = df.sparkSession
+    qrows = [(qid, t, len(ts)) for qid, ts in sorted(queries.items())
+             for t in ts]
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, term string, n_required int")
+    doc_terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"))
+    hits = (doc_terms.join(F.broadcast(qdf), "term")
+            .groupBy(id_col, "query_id", "n_required")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .filter(F.col("n_matched") == F.col("n_required")))
+    digests = (hits.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                    F.min(id_col).alias("first_id")))
+    all_q = qdf.select("query_id").distinct()
+    return (all_q.join(digests, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    "first_id")
+            .orderBy("query_id"))
+
+
+def deletion_variants(word: F.Column) -> F.Column:
+    """Distinct strings reachable from ``word`` by deleting ≤ 2
+    characters (the word itself included) — the SymSpell delete
+    neighborhood, as a pure column expression (no UDF).
+
+    Empty-string variants (from words of length ≤ 2) are KEPT: they
+    are the shared bucket through which 1-char-vs-1-char distance-1
+    pairs meet, and the bucket's join fan-out is bounded by the number
+    of length-≤2 vocabulary words.
+
+    O(L²) variants per word; suggester inputs are analyzed tokens
+    (short), so the explode is |vocab|·L² rows — corpus-independent.
+    """
+    n = F.length(word)
+    idx = F.sequence(F.lit(1), n)
+    del1 = F.transform(
+        idx, lambda i: F.concat(word.substr(F.lit(1), i - 1),
+                                word.substr(i + 1, n)))
+    # Delete original positions {j, i} (j < i) and {i, j+1} (j ≥ i):
+    # together all unordered pairs. The inner sequence is guarded for
+    # 1-char words (Spark's sequence(1, 0) counts DOWN) — their only
+    # 2-deletion variant is the empty string, already in del1.
+    pairs = F.when(n >= 2, F.flatten(F.transform(
+        idx,
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda j: F.when(
+                j < i,
+                F.concat(word.substr(F.lit(1), j - 1),
+                         word.substr(j + 1, i - j - 1),
+                         word.substr(i + 1, n)))
+            .otherwise(
+                F.concat(word.substr(F.lit(1), i - 1),
+                         word.substr(i + 1, j - i),
+                         word.substr(j + 2, n))))))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.array_union(F.array_union(F.array(word), del1), pairs))
+
+
+def term_suggest(df: DataFrame, misspelled: Sequence[str],
+                 per_term: int = SUGGEST_PER_TERM,
+                 text_col: str = "text") -> DataFrame:
+    """The ES term suggester: for each input term, the ``per_term``
+    closest corpus-vocabulary words within Levenshtein distance
+    ≤ SUGGEST_MAX_EDIT, ranked by (distance asc, frequency desc,
+    candidate asc).
+
+    SymSpell candidate generation: both sides explode their
+    ≤2-deletion neighborhoods and equi-join on the variant string — a
+    superset of all Levenshtein-≤2 pairs — then the exact
+    ``levenshtein`` verify makes the set exact. The vocabulary never
+    cross-joins the query terms.
+
+    Scale: the vocabulary is the (term, freq) corpus aggregate —
+    map-side combinable, output ≪ corpus; its deletion explode is
+    |vocab|·L² short strings. The query side is a handful of rows,
+    broadcast after its own explode. The rank window partitions by
+    query term — no global single-partition window.
+    """
+    spark = df.sparkSession
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    vvar = vocab.select(
+        "term", "freq",
+        F.explode(deletion_variants(F.col("term"))).alias("v"))
+    qdf = spark.createDataFrame([(m,) for m in misspelled], "q string")
+    qvar = qdf.select(
+        "q", F.explode(deletion_variants(F.col("q"))).alias("v"))
+    cand = (vvar.join(F.broadcast(qvar), "v")
+            .select("q", "term", "freq").distinct()
+            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
+            .filter(F.col("dist") <= SUGGEST_MAX_EDIT))
+    w = (Window.partitionBy("q")
+         .orderBy(F.col("dist"), F.col("freq").desc(), F.col("term")))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= per_term)
+            .select("q", "term", "dist", "freq", "rn")
+            .orderBy("q", "rn"))

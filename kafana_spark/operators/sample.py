@@ -167,3 +167,108 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .select(F.col(id_col), F.col(weight_col), skey.alias("skey"))
             .orderBy(F.col("skey").desc(), F.col(id_col))
             .limit(k))
+
+
+# --------------------------------------------------------------- DSIR
+
+#: DSIR hashed-feature bucket count (Xie et al. 2023 use 10k buckets;
+#: the synthetic corpus vocabulary is ~31 words + bigrams, so 256
+#: keeps buckets populated enough that the smoothed ratios carry
+#: signal).
+DSIR_BUCKETS = 256
+#: fixed-point grain for per-feature log-ratios (0.1 milli-nats —
+#: same grain as the x71 unigram-LM costs).
+DSIR_FP = 10_000
+
+
+def dsir_weights(df: DataFrame, target_pred: Column,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every document by how target-like its hashed n-gram
+    feature distribution is.
+
+    Features are unigrams + bigrams hashed into ``n_buckets``; the
+    target (rows matching ``target_pred``) and raw (all rows) bucket
+    distributions are add-one smoothed, and a document's importance
+    weight is
+
+        Σ_f  ln p̂_target(bucket(f)) − ln p̂_raw(bucket(f))
+
+    summed over its feature OCCURRENCES (multiplicity kept). Each
+    per-bucket log-ratio is rounded to DSIR_FP integer units before
+    the per-doc sum — integer sums, order-independent across engines.
+
+    Output: (id, n_feats, weight_u), every document scored.
+
+    Scale: both bucket tables are ≤ n_buckets rows — broadcast; the
+    only corpus-sized work is the feature explode (map-side) and the
+    per-doc integer sum (map-side combinable). The target predicate is
+    a column expression, evaluated in the same scan as the explode —
+    one pass over the corpus, no self-join.
+    """
+    from kafana_spark.functions import grams, portable_hash64, tokens
+
+    feats = F.concat(tokens(F.col(text_col)), grams(F.col(text_col), 2))
+    ex = df.select(F.col(id_col), target_pred.alias("is_t"),
+                   F.explode(feats).alias("g"))
+    hashed = ex.select(id_col, "is_t",
+                       (portable_hash64(F.col("g")) % n_buckets).alias("b"))
+    buckets = (hashed.groupBy("b")
+               .agg(F.count(F.lit(1)).alias("c_raw"),
+                    F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+                    .alias("c_t")))
+    totals = (buckets.agg(F.sum("c_raw").alias("n_raw"),
+                          F.sum("c_t").alias("n_t")))
+    lr = (F.log(F.col("c_t") + 1) - F.log(F.col("n_t") + n_buckets)
+          - F.log(F.col("c_raw") + 1) + F.log(F.col("n_raw") + n_buckets))
+    lr_u = F.round(lr * F.lit(float(DSIR_FP))).cast("long")
+    ltab = (buckets.join(F.broadcast(totals))
+            .select("b", lr_u.alias("lr_u")))
+    return (hashed.join(F.broadcast(ltab), "b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_feats"),
+                 F.sum("lr_u").alias("weight_u")))
+
+
+def token_budget_select(df: DataFrame, budget: int,
+                        score_col: str = "quality_bp",
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Greedy token-budget selection: walk documents in
+    (score desc, id asc) order and keep every document whose running
+    token total stays ≤ budget — the standard "best N tokens" corpus
+    cut, WITHOUT a global single-partition window.
+
+    Two-phase shape: (1) per-score token totals (the score domain is
+    bounded — quality_bp ∈ [0, 10000] — so this aggregate is tiny) get
+    an exclusive running sum on the driver-sized side; (2) docs join
+    their score's cum_before (broadcast), scores that are entirely
+    past the budget are FILTERED BEFORE the per-score window, and the
+    within-score cumulative sum runs partitioned BY SCORE — work is
+    proportional to the selected prefix, never a one-partition sort of
+    the corpus.
+
+    Output: (id, score, n_tokens, cum_tokens) for the selected docs —
+    cum_tokens is the global running total, so the oracle's
+    single-window formulation must match row for row.
+    """
+    per_score = (df.groupBy(score_col)
+                 .agg(F.sum(tokens_col).alias("stok")))
+    w_scores = (Window.orderBy(F.col(score_col).desc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = (per_score
+                  .withColumn("cum_before",
+                              F.coalesce(F.sum("stok").over(w_scores),
+                                         F.lit(0)))
+                  .filter(F.col("cum_before") < budget)
+                  .select(score_col, "cum_before"))
+    w_docs = (Window.partitionBy(score_col)
+              .orderBy(F.col(id_col))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    joined = df.join(F.broadcast(cum_before), score_col)
+    cum = (F.col("cum_before")
+           + F.sum(tokens_col).over(w_docs)).alias("cum_tokens")
+    return (joined.select(F.col(id_col), F.col(score_col),
+                          F.col(tokens_col), cum)
+            .filter(F.col("cum_tokens") <= budget))

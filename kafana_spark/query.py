@@ -144,6 +144,50 @@ def date_histogram(df: DataFrame, interval: str = "1 hour",
             .orderBy("bucket_start"))
 
 
+#: ES auto_date_histogram rounding ladder, in seconds (fixed-interval
+#: semantics: the calendar units ES rounds to are taken at their fixed
+#: lengths — 1s 5s 10s 30s, 1m 5m 10m 30m, 1h 3h 12h, 1d 7d 30d 90d 1y).
+AUTO_HIST_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800,
+                    43200, 86400, 604800, 2592000, 7776000, 31536000)
+
+
+def auto_date_histogram(df: DataFrame, time_col: str = "ts",
+                        target_buckets: int = 40) -> DataFrame:
+    """The ES ``auto_date_histogram`` agg: pick the smallest ladder
+    interval that yields ≤ target_buckets buckets over the data's
+    [min, max] span, then histogram with it. The chosen interval rides
+    along in the output (ES reports it in the response).
+
+    The interval choice stays IN the plan: the 1-row min/max aggregate
+    cross-joins the 16-row ladder, filters to fitting rungs, and keeps
+    the smallest — no collect, no second driver round-trip; epoch
+    bucketing is floor(epoch/i)·i (UTC session, microseconds floored
+    by unix_timestamp on both engines).
+
+    Scale: one corpus aggregate (map-side combinable min/max) + one
+    histogram aggregation, both sharing the scan via the broadcast
+    1-row chosen-interval join.
+    """
+    ep = F.unix_timestamp(F.col(time_col))
+    bounds = df.agg(F.min(ep).alias("lo"), F.max(ep).alias("hi"))
+    ladder = bounds.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in AUTO_HIST_LADDER]))
+        .alias("interval_s"))
+    chosen = (bounds.join(F.broadcast(ladder))
+              .withColumn("nb", F.expr("(hi - lo) div interval_s") + 1)
+              .filter(F.col("nb") <= target_buckets)
+              .orderBy("interval_s").limit(1)
+              .select("interval_s"))
+    bucket = (F.floor(ep / F.col("interval_s"))
+              * F.col("interval_s")).alias("bucket_epoch")
+    return (df.join(F.broadcast(chosen))
+            .groupBy(F.col("interval_s"), bucket)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.timestamp_seconds(F.col("bucket_epoch"))
+                    .alias("bucket_start"), "interval_s", "cnt")
+            .orderBy("bucket_start"))
+
+
 def metrics(df: DataFrame, field: str, by: Sequence[str] = ()) -> DataFrame:
     """C13: the ES stats agg — count/min/max/avg/sum of a numeric field."""
     c = F.col(field)

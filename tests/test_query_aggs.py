@@ -308,3 +308,36 @@ def test_diversified_sampler_caps_per_value(spark):
     # heavy user capped at 2 despite owning the 5 best scores
     assert out["a"].cnt == 2
     assert out["b"].cnt == 4
+
+
+# ----------------------------------------------------- auto_date_histogram
+
+def test_auto_date_histogram_picks_smallest_fitting_interval(spark):
+    from datetime import datetime, timedelta
+
+    from kafana_spark.query import AUTO_HIST_LADDER, auto_date_histogram
+
+    t0 = datetime(2024, 3, 1)
+    rows = [(t0 + timedelta(minutes=7 * i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = auto_date_histogram(df, "ts", target_buckets=25).collect()
+    span = 7 * 99 * 60
+    exp_interval = min(s for s in AUTO_HIST_LADDER if span // s + 1 <= 25)
+    assert {r.interval_s for r in out} == {exp_interval}
+    assert sum(r.cnt for r in out) == 100
+    assert len(out) <= 25
+    # buckets are epoch-aligned multiples of the interval
+    for r in out:
+        ep = int(r.bucket_start.timestamp())
+        assert ep % exp_interval == 0
+
+
+def test_auto_date_histogram_single_row(spark):
+    from datetime import datetime
+
+    from kafana_spark.query import auto_date_histogram
+
+    df = spark.createDataFrame([(datetime(2024, 3, 1, 12, 34, 56),)],
+                               "ts timestamp")
+    out = auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert len(out) == 1 and out[0].cnt == 1 and out[0].interval_s == 1

@@ -192,3 +192,106 @@ def test_weighted_sample_prefers_heavy_rows(spark):
               weighted_sample(df, "quality_bp", 50).collect()]
     heavy = sum(1 for i in picked if i % 2 == 0)
     assert heavy >= 40          # ~96% expected; 40 is a loose floor
+
+
+# ------------------------------------------------------------------ DSIR
+
+def test_dsir_prefers_target_like_documents(spark):
+    from kafana_spark.operators.sample import dsir_weights
+
+    d = docs(spark)
+    out = dsir_weights(d, F.col("lang") == "en")
+    ranked = [r.doc_id for r in
+              out.orderBy(F.col("weight_u").desc(), "doc_id").collect()]
+    langs = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    n = len(ranked)
+    top_en = sum(langs[i] == "en" for i in ranked[: n // 4])
+    bot_en = sum(langs[i] == "en" for i in ranked[-(n // 4):])
+    assert top_en > bot_en  # target-like docs float to the top
+
+
+def test_dsir_closed_form_tiny(spark):
+    import math
+
+    from kafana_spark.operators.sample import (
+        DSIR_BUCKETS, DSIR_FP, dsir_weights)
+    from kafana_spark.functions import portable_hash64  # noqa: F401
+
+    rows = [(1, "a b", "en"), (2, "a c", "de"), (3, "b b", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.n_feats, r.weight_u)
+           for r in dsir_weights(df, F.col("lang") == "en").collect()}
+
+    # replay: features = unigrams + bigrams, hashed md5-60bit % B
+    import hashlib
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    feats = {i: [h(g) for g in t.split(" ")
+                 + [" ".join(p) for p in zip(t.split(" "), t.split(" ")[1:])]]
+             for i, t, _ in rows}
+    c_raw, c_t = {}, {}
+    for i, t, lang in rows:
+        for b in feats[i]:
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if lang == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+    n_raw, n_t = sum(c_raw.values()), sum(c_t.values())
+    lr = {b: int(round((math.log(c_t.get(b, 0) + 1)
+                        - math.log(n_t + DSIR_BUCKETS)
+                        - math.log(c + 1)
+                        + math.log(n_raw + DSIR_BUCKETS)) * DSIR_FP))
+          for b, c in c_raw.items()}
+    exp = {i: (len(feats[i]), sum(lr[b] for b in feats[i]))
+           for i, _, _ in rows}
+    assert out == exp
+
+
+# ---------------------------------------------------------- token budget
+
+def test_token_budget_matches_global_greedy(spark):
+    from kafana_spark.operators import text as TT
+    from kafana_spark.operators.sample import token_budget_select
+
+    d = docs(spark)
+    q = (TT.quality_score(d).select("doc_id", "quality_bp")
+         .join(TT.token_count(d).select("doc_id", "n_tokens"), "doc_id"))
+    rows = sorted(q.collect(), key=lambda r: (-r.quality_bp, r.doc_id))
+    budget = 2000
+    # prefix semantics: the running total covers every walked doc, so
+    # the first overflow ends the selection (no skip-and-continue)
+    exp, cum = [], 0
+    for r in rows:
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        exp.append((r.doc_id, cum))
+    got = [(r.doc_id, r.cum_tokens) for r in
+           token_budget_select(q, budget)
+           .orderBy("cum_tokens").collect()]
+    assert got == exp
+    assert 0 < len(got) < q.count()  # the budget actually binds
+
+
+def test_token_budget_no_single_partition_window(spark):
+    """The corpus-side window must partition by score — the global
+    running sum lives only on the tiny per-score aggregate."""
+    from kafana_spark.operators import text as TT
+    from kafana_spark.operators.sample import token_budget_select
+
+    d = docs(spark)
+    q = (TT.quality_score(d).select("doc_id", "quality_bp")
+         .join(TT.token_count(d).select("doc_id", "n_tokens"), "doc_id"))
+    import re
+
+    plan = (token_budget_select(q, 2000)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the corpus-side running sum (over n_tokens) partitions by score
+    assert re.search(r"Window \[sum\(n_tokens[^\n]*\], \[quality_bp#\d+L?\]",
+                     plan), plan
+    # exactly one single-partition exchange: the per-score aggregate
+    # (bounded by the score domain), never the corpus side
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*HashAggregate",
+                     plan), plan
