@@ -1367,6 +1367,84 @@ def x_token_budget(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# --- bigram LM / scored-search compositions (x96, x98, x99) -----------
+
+#: x96 train slice: 10% of documents — small enough that held-out
+#: docs contain unseen bigrams and the Stupid-Backoff path genuinely
+#: fires (50%-train left only ~7 backoff positions at sf0.001).
+BIGRAM_TRAIN_MOD = 10
+#: x98 function_score recency half-life shape: weight = ln(1 + quality)
+#: in BM25_FP units (field_value_factor with a log modifier — the ES
+#: default composition for popularity/quality boosting).
+FS_K = 15
+#: x99 collapse: best hit per lang (the ES `collapse` field).
+COLLAPSE_K = 3
+
+
+def x_mmr_rerank(spark, sf_dir):
+    """x97 — MMR diversified rerank over exact ANN candidates: the
+    RAG retrieval step balancing relevance vs redundancy; greedy
+    selection in integer units replayed by an unrolled-CTE oracle."""
+    e = _embs(spark, sf_dir)
+    return (similarity.mmr_rerank(
+        e, similarity.modulo_queries(e, ANN_QUERY_MOD))
+        .orderBy("qid", "rank"))
+
+
+def x_bigram_logprob(spark, sf_dir):
+    """x96 — bigram LM with Stupid Backoff (Brants et al. 2007):
+    counts from the 10% train slice, every document scored; unseen
+    bigrams pay the discounted add-one unigram cost."""
+    return (text.bigram_logprob(_docs(spark, sf_dir),
+                                F.col("doc_id") % BIGRAM_TRAIN_MOD == 0)
+            .orderBy("doc_id"))
+
+
+def x_function_score(spark, sf_dir):
+    """x98 — the ES function_score query: BM25 relevance multiplied by
+    a field_value_factor(log1p) on the quality score, integer
+    fixed-point end-to-end (score_u × wq_u is an exact BIGINT)."""
+    from kafana_spark.operators import relevance
+    from kafana_spark.operators.relevance import BM25_FP
+
+    d = _docs(spark, sf_dir)
+    scored = relevance.bm25_scores(
+        d, spark.range(1).select(
+            F.explode(F.array(*[F.lit(t) for t in BM25_QUERY_TERMS]))
+            .alias("term")))
+    wq = text.quality_score(d).select(
+        "doc_id",
+        F.round(F.log(F.lit(1.0) + F.col("quality_bp"))
+                * F.lit(float(BM25_FP))).cast("long").alias("wq_u"))
+    return (scored.join(wq, "doc_id")
+            .select("doc_id", "n_matched", "score_u",
+                    (F.col("score_u") * F.col("wq_u")).alias("fs_u"))
+            .orderBy(F.col("fs_u").desc(), "doc_id")
+            .limit(FS_K))
+
+
+def x_collapse(spark, sf_dir):
+    """x99 — the ES collapse block: BM25 hits collapsed to the top
+    COLLAPSE_K per lang (field collapsing via a per-group rank
+    window — never a global sort)."""
+    from pyspark.sql import Window
+
+    from kafana_spark.operators import relevance
+
+    d = _docs(spark, sf_dir)
+    scored = relevance.bm25_scores(
+        d, spark.range(1).select(
+            F.explode(F.array(*[F.lit(t) for t in BM25_QUERY_TERMS]))
+            .alias("term")))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("score_u").desc(), F.col("doc_id")))
+    return (scored.join(d.select("doc_id", "lang"), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= COLLAPSE_K)
+            .select("lang", "rn", "doc_id", "score_u")
+            .orderBy("lang", "rn"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1463,6 +1541,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x93_auto_date_histogram": x_auto_date_histogram,
     "x94_dsir_weights": x_dsir_weights,
     "x95_token_budget": x_token_budget,
+    "x96_bigram_logprob": x_bigram_logprob,
+    "x97_mmr_rerank": x_mmr_rerank,
+    "x98_function_score": x_function_score,
+    "x99_collapse": x_collapse,
 }
 
 
@@ -2382,12 +2464,15 @@ def _bm25_contrib(fp: float, k1: float, b: float) -> str:
             ") AS BIGINT) AS c_u")
 
 
-def _bm25_sql() -> str:
+def _bm25_scores_ctes() -> str:
+    """CTE chain ending in ``sc(doc_id, n_matched, score_u)`` — the
+    BM25 scores for the x88 literal query; shared by the x88 ranking,
+    the x98 function_score, and the x99 collapse oracles."""
     from kafana_spark.operators.relevance import BM25_B, BM25_FP, BM25_K1
 
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     return (
-        f"WITH {_TK_CTE}, "
+        f"{_TK_CTE}, "
         "st AS (SELECT COUNT(*) AS n_docs, "
         f"AVG(len({_TOKS})) AS avgdl FROM documents), "
         f"tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
@@ -2395,11 +2480,16 @@ def _bm25_sql() -> str:
         "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
         "c AS (SELECT doc_id, "
         f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
-        "FROM tf JOIN dfq USING (term) CROSS JOIN st) "
-        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched, "
-        "CAST(SUM(c_u) AS BIGINT) AS score_u FROM c GROUP BY doc_id "
-        f"ORDER BY score_u DESC, doc_id LIMIT {BM25_K}"
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st), "
+        "sc AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched, "
+        "CAST(SUM(c_u) AS BIGINT) AS score_u FROM c GROUP BY doc_id)"
     )
+
+
+def _bm25_sql() -> str:
+    return (f"WITH {_bm25_scores_ctes()} "
+            "SELECT doc_id, n_matched, score_u FROM sc "
+            f"ORDER BY score_u DESC, doc_id LIMIT {BM25_K}")
 
 
 def _mlt_sql() -> str:
@@ -2535,6 +2625,130 @@ def _dsir_sql() -> str:
         "CAST(SUM(lr_u) AS BIGINT) AS weight_u FROM h JOIN lt USING (b) "
         f"GROUP BY 1 ORDER BY weight_u DESC, doc_id LIMIT {DSIR_K}"
     )
+
+
+def _bigram_sql() -> str:
+    from kafana_spark.operators.text import BIGRAM_BACKOFF, UNIGRAM_FP
+
+    fp = float(UNIGRAM_FP)
+    gs = f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i)"
+    return (
+        f"WITH tr AS (SELECT * FROM documents "
+        f"WHERE doc_id % {BIGRAM_TRAIN_MOD} = 0), "
+        f"t1 AS (SELECT unnest({_TOKS}) AS t FROM tr), "
+        "c1 AS (SELECT t, COUNT(*) AS c1 FROM t1 GROUP BY 1), "
+        "tot AS (SELECT COUNT(*) AS n1, COUNT(DISTINCT t) AS nv FROM t1), "
+        "c2 AS (SELECT g, COUNT(*) AS c2 FROM "
+        f"(SELECT t[i] || ' ' || t[i+1] AS g FROM "
+        f"(SELECT {_TOKS} AS t FROM tr), {gs} WHERE i + 1 <= len(t)) "
+        "GROUP BY 1), "
+        f"f AS (SELECT doc_id, t[1] AS w FROM "
+        f"(SELECT doc_id, {_TOKS} AS t FROM documents) WHERE len(t) >= 1), "
+        "fc AS (SELECT doc_id, CAST(ROUND((ln(n1 + nv) - "
+        f"ln(COALESCE(c1.c1, 0) + 1)) * {fp!r}) AS BIGINT) AS cost_u, "
+        "0 AS bk FROM f LEFT JOIN c1 ON c1.t = f.w CROSS JOIN tot), "
+        f"bs AS (SELECT doc_id, t[i] AS prev, t[i+1] AS w, "
+        f"t[i] || ' ' || t[i+1] AS g FROM "
+        f"(SELECT doc_id, {_TOKS} AS t FROM documents), {gs} "
+        "WHERE i + 1 <= len(t)), "
+        "bc AS (SELECT doc_id, CASE WHEN c2.c2 IS NOT NULL THEN "
+        f"CAST(ROUND((ln(cp.c1) - ln(c2.c2)) * {fp!r}) AS BIGINT) "
+        f"ELSE CAST(ROUND((ln(n1 + nv) - ln(COALESCE(cw.c1, 0) + 1) "
+        f"- ln({BIGRAM_BACKOFF!r})) * {fp!r}) AS BIGINT) END AS cost_u, "
+        "CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bk "
+        "FROM bs LEFT JOIN c2 ON c2.g = bs.g "
+        "LEFT JOIN c1 cp ON cp.t = bs.prev "
+        "LEFT JOIN c1 cw ON cw.t = bs.w CROSS JOIN tot) "
+        "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored, "
+        "CAST(SUM(bk) AS INT) AS n_backoff, "
+        "CAST(SUM(cost_u) AS BIGINT) AS score_u, "
+        "CAST(SUM(cost_u) AS BIGINT) // COUNT(*) AS avg_u "
+        "FROM (SELECT * FROM fc UNION ALL SELECT * FROM bc) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _function_score_sql() -> str:
+    from kafana_spark.operators.relevance import BM25_FP
+
+    return (
+        f"WITH {_bm25_scores_ctes()}, {_quality_core()}, "
+        "wq AS (SELECT doc_id, CAST(ROUND(ln(1.0 + quality_bp) * "
+        f"{float(BM25_FP)!r}) AS BIGINT) AS wq_u FROM q) "
+        "SELECT sc.doc_id, n_matched, score_u, "
+        "CAST(score_u * wq_u AS BIGINT) AS fs_u "
+        "FROM sc JOIN wq USING (doc_id) "
+        f"ORDER BY fs_u DESC, sc.doc_id LIMIT {FS_K}"
+    )
+
+
+def _collapse_sql() -> str:
+    return (
+        f"WITH {_bm25_scores_ctes()} "
+        "SELECT lang, CAST(rn AS INT) AS rn, doc_id, score_u FROM "
+        "(SELECT d.lang, sc.doc_id, sc.score_u, ROW_NUMBER() OVER "
+        "(PARTITION BY d.lang ORDER BY sc.score_u DESC, sc.doc_id) AS rn "
+        "FROM sc JOIN documents d USING (doc_id)) "
+        f"WHERE rn <= {COLLAPSE_K} ORDER BY lang, rn"
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled MMR greedy (MMR_K steps) — each step is one per-query
+    argmax CTE over integer scores, so the sequential selection is
+    exact in set-based SQL."""
+    from kafana_spark.operators.similarity import (
+        MMR_CAND, MMR_K, MMR_LAMBDA_NUM)
+
+    lam, lam2 = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.v") + ", 4)"
+    pcos = "ROUND(" + _COS.format(a="x.v", b="y.v") + ", 4)"
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, v FROM e "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        f"scored AS (SELECT q.qid, c.vec_id, {qcos} AS cos "
+        "FROM q, e c WHERE c.vec_id <> q.qid), "
+        "cand AS MATERIALIZED (SELECT qid, vec_id, "
+        "CAST(ROUND(cos * 10000.0) AS BIGINT) AS rel_u FROM "
+        "(SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY cos DESC, vec_id) AS rn FROM scored) "
+        f"WHERE rn <= {MMR_CAND}), "
+        "ps AS MATERIALIZED (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, "
+        f"CAST(ROUND({pcos} * 10000.0) AS BIGINT) AS sim_u "
+        "FROM cand a JOIN cand b ON a.qid = b.qid "
+        "AND a.vec_id <> b.vec_id "
+        "JOIN e x ON x.vec_id = a.vec_id "
+        "JOIN e y ON y.vec_id = b.vec_id), "
+        f"sel1 AS (SELECT qid, vec_id, rel_u, {lam} * rel_u AS mmr_u, "
+        "1 AS rank FROM (SELECT qid, vec_id, rel_u, ROW_NUMBER() OVER "
+        f"(PARTITION BY qid ORDER BY {lam} * rel_u DESC, vec_id) AS rn "
+        "FROM cand) WHERE rn = 1), "
+        "selu1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for kk in range(2, MMR_K + 1):
+        parts.append(
+            f", mx{kk} AS (SELECT c.qid, c.vec_id, MAX(p.sim_u) AS mx "
+            f"FROM cand c JOIN selu{kk - 1} s ON s.qid = c.qid "
+            "JOIN ps p ON p.qid = c.qid AND p.va = c.vec_id "
+            "AND p.vb = s.vec_id GROUP BY 1, 2)"
+            f", sc{kk} AS (SELECT c.qid, c.vec_id, c.rel_u, "
+            f"{lam} * c.rel_u - {lam2} * m.mx AS mmr_u "
+            f"FROM cand c JOIN mx{kk} m ON m.qid = c.qid "
+            "AND m.vec_id = c.vec_id "
+            f"LEFT JOIN selu{kk - 1} s ON s.qid = c.qid "
+            "AND s.vec_id = c.vec_id WHERE s.vec_id IS NULL)"
+            f", sel{kk} AS (SELECT qid, vec_id, rel_u, mmr_u, "
+            f"{kk} AS rank FROM (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY mmr_u DESC, vec_id) AS rn "
+            f"FROM sc{kk}) WHERE rn = 1)"
+            f", selu{kk} AS MATERIALIZED (SELECT * FROM selu{kk - 1} "
+            f"UNION ALL SELECT * FROM sel{kk})")
+    parts.append(
+        f" SELECT qid, CAST(rank AS INT) AS rank, vec_id, rel_u, mmr_u "
+        f"FROM selu{MMR_K} ORDER BY qid, rank")
+    return "".join(parts)
 
 
 def _token_budget_sql() -> str:
@@ -3076,4 +3290,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x93_auto_date_histogram": _auto_hist_sql(),
     "x94_dsir_weights": _dsir_sql(),
     "x95_token_budget": _token_budget_sql(),
+    "x96_bigram_logprob": _bigram_sql(),
+    "x97_mmr_rerank": _mmr_sql(),
+    "x98_function_score": _function_score_sql(),
+    "x99_collapse": _collapse_sql(),
 }

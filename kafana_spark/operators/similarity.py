@@ -653,3 +653,91 @@ def dequantize(df: DataFrame, q_col: str = "q8",
     return df.withColumn(
         "v", F.transform(F.col(q_col),
                          lambda x: x.cast("double") * F.col(scale_col)))
+
+
+# ------------------------------------------------------------------ MMR
+
+#: λ = 0.7 in tenths — MMR score = 7·rel_u − 3·max_sim_u, kept integer
+#: so selection order is bit-identical across engines.
+MMR_LAMBDA_NUM = 7
+MMR_CAND = 25
+MMR_K = 10
+
+
+def mmr_rerank(df: DataFrame, queries: DataFrame, k: int = MMR_K,
+               n_cand: int = MMR_CAND,
+               lambda_tenths: int = MMR_LAMBDA_NUM) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR 1998) — the standard RAG retrieval step that
+    trades relevance against redundancy:
+
+        pick argmax  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    Stage 1 (distributed, column expressions): exact top-n_cand
+    candidates per query + the candidate-candidate cosine matrix, all
+    in integer 0.1-milli units (4dp-rounded cosines ×10⁴ — the proven
+    x07 grain). Stage 2 (inherently sequential greedy): an
+    applyInPandas kernel per query over ≤ n_cand + n_cand² tiny rows —
+    integer arithmetic only, ties broken by vec_id, so the selection
+    replays exactly in the unrolled-CTE oracle.
+
+    Scale: the corpus is touched only by the stage-1 candidate scan
+    (broadcast queries, no corpus shuffle); the pairwise matrix and
+    the Python kernel see candidate sets only. Output:
+    (qid, rank, vec_id, rel_u, mmr_u).
+    """
+    import pandas as pd
+
+    cands = brute_force_topk(df, queries, n_cand)
+    cv = cands.select(
+        "qid", "vec_id",
+        F.round(F.col("cos") * 10000).cast("long").alias("rel_u"))
+    vecs = _with_norm(_vectors(df))
+    cvv = cv.join(vecs, "vec_id").select("qid", "vec_id", "v", "nrm")
+    a, b = cvv.alias("a"), cvv.alias("b")
+    sim = F.round(dot(F.col("a.v"), F.col("b.v"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    pairs = (a.join(b, (F.col("a.qid") == F.col("b.qid"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.qid").alias("qid"),
+                     F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     F.round(sim * 10000).cast("long").alias("sim_u")))
+    rel_rows = cv.select(
+        "qid", F.col("vec_id").alias("va"),
+        F.lit(None).cast("long").alias("vb"),
+        F.col("rel_u").alias("sim_u"))
+    g = pairs.unionByName(rel_rows)
+    lam, lam2 = lambda_tenths, 10 - lambda_tenths
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rel: dict[int, int] = {}
+        sims: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples(index=False):
+            if pd.isna(r.vb):
+                rel[int(r.va)] = int(r.sim_u)
+            else:
+                sims[(int(r.va), int(r.vb))] = int(r.sim_u)
+        qid = int(pdf["qid"].iloc[0])
+
+        def s(x: int, y: int) -> int:
+            return sims.get((x, y), sims.get((y, x), 0))
+
+        sel: list[int] = []
+        out = []
+        remaining = set(rel)
+        while remaining and len(sel) < k:
+            best = None
+            for c in sorted(remaining):  # ascending ⇒ ties keep min id
+                mx = max((s(c, x) for x in sel), default=0)
+                sc = lam * rel[c] - lam2 * mx
+                if best is None or sc > best[0]:
+                    best = (sc, c)
+            sel.append(best[1])
+            remaining.discard(best[1])
+            out.append((qid, len(sel), best[1], rel[best[1]], best[0]))
+        return pd.DataFrame(
+            out, columns=["qid", "rank", "vec_id", "rel_u", "mmr_u"])
+
+    return (g.groupBy("qid").applyInPandas(
+        kernel, "qid long, rank int, vec_id long, rel_u long, mmr_u long"))

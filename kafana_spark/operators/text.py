@@ -851,3 +851,91 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  F.sum(F.col("c") * F.col("cost_u")).alias("score_u"))
             .select(F.col(id_col), "n_tokens", "score_u",
                     F.expr("score_u div n_tokens").alias("avg_u")))
+
+
+#: Stupid Backoff discount (Brants et al. 2007, "Large Language Models
+#: in Machine Translation") — the web-scale backoff that needs no
+#: discounting statistics, only raw counts.
+BIGRAM_BACKOFF = 0.4
+
+
+def bigram_logprob(df: DataFrame, train_pred: "F.Column",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff — the KenLM-shaped
+    upgrade over the x71 unigram filter: train counts on the rows
+    matching ``train_pred``, score ALL rows, so held-out documents
+    contain genuinely unseen bigrams and the backoff path is
+    exercised (training == scoring corpus would never back off).
+
+    Per-token cost in nats (all inputs integer counts, so the doubles
+    agree across engines inside the UNIGRAM_FP rounding grain):
+
+    - first token:     ln(N+V) − ln(c1(w)+1)            (add-one)
+    - seen bigram:     ln(c1(prev)) − ln(c2(prev,w))
+    - unseen bigram:   ln(N+V) − ln(c1(w)+1) − ln(0.4)  (backoff)
+
+    Each cost is rounded to UNIGRAM_FP integer units BEFORE the
+    per-doc sum (the x71/PQ discipline). Output:
+    (id, n_scored, n_backoff, score_u, avg_u).
+
+    Scale: the count tables are vocabulary-sized aggregates of the
+    TRAIN slice (map-side combinable, hashed 8-byte keys); the corpus
+    side explodes bigrams map-side and joins the count tables on
+    hashes — never on gram strings. The (N, V) totals are a 1-row
+    broadcast. Nothing is ever collected.
+    """
+    from kafana_spark.functions import grams, portable_hash64, tokens
+
+    tok = tokens(F.col(text_col))
+    train = df.filter(train_pred)
+    t1 = train.select(F.explode(tokens(F.col(text_col))).alias("t")) \
+        .select(portable_hash64(F.col("t")).alias("h1"))
+    c1 = t1.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    tot = t1.agg(F.count(F.lit(1)).alias("n1"),
+                 F.count_distinct(F.col("h1")).alias("nv"))
+    c2 = (train.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
+          .select(portable_hash64(F.col("g")).alias("h2"))
+          .groupBy("h2").agg(F.count(F.lit(1)).alias("c2")))
+
+    fp = F.lit(float(UNIGRAM_FP))
+    smoothed = F.log(F.col("n1") + F.col("nv")) \
+        - F.log(F.coalesce(F.col("c1w"), F.lit(0)) + 1)
+
+    first = (df.select(F.col(id_col), F.element_at(tok, 1).alias("w"))
+             .where(F.col("w").isNotNull())
+             .join(c1.withColumnRenamed("c1", "c1w"),
+                   portable_hash64(F.col("w")) == F.col("h1"), "left")
+             .join(F.broadcast(tot))
+             .select(F.col(id_col),
+                     F.round(smoothed * fp).cast("long").alias("cost_u"),
+                     F.lit(0).alias("bk")))
+
+    bg = (df.select(F.col(id_col),
+                    F.explode(grams(F.col(text_col), 2)).alias("g"))
+          .withColumn("prev", F.substring_index(F.col("g"), " ", 1))
+          .withColumn("w", F.substring_index(F.col("g"), " ", -1)))
+    joined = (bg
+              .join(c2, portable_hash64(F.col("g")) == F.col("h2"), "left")
+              .join(c1.withColumnRenamed("c1", "c1p")
+                    .withColumnRenamed("h1", "hp"),
+                    portable_hash64(F.col("prev")) == F.col("hp"), "left")
+              .join(c1.withColumnRenamed("c1", "c1w")
+                    .withColumnRenamed("h1", "hw"),
+                    portable_hash64(F.col("w")) == F.col("hw"), "left")
+              .join(F.broadcast(tot)))
+    cost = F.when(F.col("c2").isNotNull(),
+                  F.log(F.col("c1p")) - F.log(F.col("c2"))) \
+        .otherwise(smoothed - F.log(F.lit(BIGRAM_BACKOFF)))
+    bcosts = joined.select(
+        F.col(id_col),
+        F.round(cost * fp).cast("long").alias("cost_u"),
+        F.when(F.col("c2").isNull(), 1).otherwise(0).alias("bk"))
+
+    return (first.unionByName(bcosts)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_scored"),
+                 F.sum("bk").cast("int").alias("n_backoff"),
+                 F.sum("cost_u").alias("score_u"))
+            .select(F.col(id_col), "n_scored", "n_backoff", "score_u",
+                    F.expr("score_u div n_scored").alias("avg_u")))

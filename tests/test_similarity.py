@@ -258,3 +258,101 @@ def test_lsh_multiprobe_lifts_recall(spark):
     r2 = len(exact & multi) / len(exact)
     assert r2 >= r1, f"multiprobe lost recall: {r2:.2f} < {r1:.2f}"
     assert r2 >= 0.7, f"multiprobe recall too low: {r2:.2f}"
+
+
+# ------------------------------------------------------------------ MMR
+
+def test_mmr_first_pick_is_top_relevance_and_k_rows(spark):
+    from kafana_spark.operators import similarity as S
+
+    e = embs(spark)
+    q = S.modulo_queries(e, 100)
+    out = S.mmr_rerank(e, q).orderBy("qid", "rank").collect()
+    top1 = {r.qid: r.vec_id for r in
+            S.brute_force_topk(e, q, 1).collect()}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == S.MMR_K
+        assert [r.rank for r in rows] == list(range(1, S.MMR_K + 1))
+        assert rows[0].vec_id == top1[qid]  # rank 1 = pure relevance
+        # mmr scores can only degrade as the selected set grows…
+        # (not strictly monotone in general, but rank1 >= rank2 holds:
+        # rank2 had rank1 available under the same or stricter penalty)
+        assert rows[0].mmr_u >= rows[1].mmr_u
+
+
+def test_mmr_matches_python_greedy_replay(spark):
+    from pyspark.sql import functions as F
+
+    from kafana_spark.operators import similarity as S
+
+    e = embs(spark)
+    q = S.modulo_queries(e, 200)
+    cands = S.brute_force_topk(e, q, S.MMR_CAND)
+    rel = {(r.qid, r.vec_id): int(round(r.cos * 10000))
+           for r in cands.collect()}
+    vecs = {r.vec_id: r.v for r in
+            S._with_norm(S._vectors(e)).select("vec_id", "v").collect()}
+
+    def cos4(a, b):
+        import math
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return int(round(round(d / (na * nb), 4) * 10000))
+
+    exp = {}
+    for qid in {k[0] for k in rel}:
+        cs = sorted(v for (qq, v) in rel if qq == qid)
+        sel = []
+        while cs and len(sel) < S.MMR_K:
+            best = None
+            for c in sorted(cs):
+                mx = max((cos4(vecs[c], vecs[s]) for s in sel), default=0)
+                sc = 7 * rel[(qid, c)] - 3 * mx
+                if best is None or sc > best[0]:
+                    best = (sc, c)
+            sel.append(best[1])
+            cs.remove(best[1])
+            exp[(qid, len(sel))] = (best[1], best[0])
+    got = {(r.qid, r.rank): (r.vec_id, r.mmr_u)
+           for r in S.mmr_rerank(e, q).collect()}
+    assert got == exp
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """Greedy MMR doesn't minimize any global redundancy metric
+    per-query (single-query reversals are possible on near-random
+    vectors), but ACROSS queries the mean pairwise similarity of the
+    selected sets must drop vs plain top-k, and the penalty must
+    actually change selections."""
+    import math
+
+    from kafana_spark.operators import similarity as S
+
+    e = embs(spark)
+    q = S.modulo_queries(e, 100)
+    vecs = {r.vec_id: r.v for r in
+            S._vectors(e).select("vec_id", "v").collect()}
+
+    def avg_pair_sim(ids):
+        def cs(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a))
+                        * math.sqrt(sum(x * x for x in b)))
+        ps = [cs(vecs[x], vecs[y])
+              for i, x in enumerate(ids) for y in ids[i + 1:]]
+        return sum(ps) / len(ps)
+
+    plain = {}
+    for r in S.brute_force_topk(e, q, S.MMR_K).collect():
+        plain.setdefault(r.qid, []).append(r.vec_id)
+    mmr = {}
+    for r in S.mmr_rerank(e, q).collect():
+        mmr.setdefault(r.qid, []).append(r.vec_id)
+    mean_plain = sum(avg_pair_sim(plain[k]) for k in plain) / len(plain)
+    mean_mmr = sum(avg_pair_sim(mmr[k]) for k in plain) / len(plain)
+    assert mean_mmr < mean_plain
+    assert any(set(mmr[k]) != set(plain[k]) for k in plain)

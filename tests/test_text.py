@@ -305,3 +305,62 @@ def test_unigram_logprob_fixture_nonnegative_total(spark):
     assert len(rows) == d.count()
     assert all(r.score_u >= 0 and 0 <= r.avg_u <= r.score_u
                for r in rows)
+
+
+# ------------------------------------------------------------- bigram LM
+
+def test_bigram_logprob_closed_form_with_backoff(spark):
+    import math
+
+    from kafana_spark.operators.text import (
+        BIGRAM_BACKOFF, UNIGRAM_FP, bigram_logprob)
+
+    # train = doc 0 only; doc 1 contains the unseen bigram ('b','a')
+    rows = [(0, "a b a"), (1, "b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bigram_logprob(df, F.col("doc_id") == 0).collect()}
+    # train counts: c1 = {a:2, b:1}, N=3, V=2; c2 = {'a b':1, 'b a':1}
+    n1, nv = 3, 2
+    c1 = {"a": 2, "b": 1}
+    c2 = {("a", "b"): 1, ("b", "a"): 1}
+
+    def u(x):
+        return int(round(x * UNIGRAM_FP))
+
+    # doc 0: first 'a' + seen bigrams (a,b) and (b,a)
+    exp0 = (u(math.log(n1 + nv) - math.log(c1["a"] + 1))
+            + u(math.log(c1["a"]) - math.log(c2[("a", "b")]))
+            + u(math.log(c1["b"]) - math.log(c2[("b", "a")])))
+    assert (out[0].n_scored, out[0].n_backoff) == (3, 0)
+    assert out[0].score_u == exp0
+    # doc 1: first 'b' + seen bigram (b,a) — no backoff here; make an
+    # unseen one: doc 2
+    df2 = spark.createDataFrame(rows + [(2, "a c")],
+                                "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            bigram_logprob(df2, F.col("doc_id") == 0).collect()}
+    # 'a c' : first 'a' seen; bigram (a,c) unseen -> backoff; c unseen
+    exp2 = (u(math.log(n1 + nv) - math.log(c1["a"] + 1))
+            + u(math.log(n1 + nv) - math.log(0 + 1)
+                - math.log(BIGRAM_BACKOFF)))
+    assert (out2[2].n_scored, out2[2].n_backoff) == (2, 1)
+    assert out2[2].score_u == exp2
+    assert out2[2].avg_u == exp2 // 2
+
+
+def test_bigram_logprob_heldout_docs_back_off(spark):
+    from kafana_spark.operators.text import bigram_logprob
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = bigram_logprob(d, F.col("doc_id") % 10 == 0)
+    agg = out.agg(F.sum("n_backoff").alias("bk"),
+                  F.count(F.lit(1)).alias("n")).collect()[0]
+    assert agg.n == d.count()          # every doc scored
+    assert agg.bk > 0                  # held-out bigrams actually back off
+    # train docs never back off (their bigrams are all in the counts)
+    tr = out.filter(F.col("doc_id") % 10 == 0) \
+        .agg(F.sum("n_backoff")).collect()[0][0]
+    assert tr == 0
