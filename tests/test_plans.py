@@ -470,3 +470,73 @@ def test_x87_diversified_sampler_has_no_global_sort_of_raw_rows(spark):
         EXTENSION_QUERIES["x87_diversified_sampler"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan
+
+
+def test_x88_bm25_query_side_tables_are_broadcast(spark):
+    """BM25's per-term stats (df) and corpus stats (N, avgdl) must
+    join the matched-tf frame as broadcasts — the only corpus-sized
+    shuffle is the (doc, term) tf aggregation itself."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x88_bm25_topk"](spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange") >= 3  # terms, dfreq, stats
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x92_suggester_never_cross_joins_vocab(spark):
+    """The SymSpell deletion join must be an equi-join on the variant
+    string with the (tiny) query side broadcast — never vocab × query
+    cartesian."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x92_term_suggest"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[v#?\d*", plan) or \
+        "BroadcastHashJoin" in plan
+
+
+def test_x93_auto_hist_interval_choice_stays_in_plan(spark):
+    """auto_date_histogram picks the interval via a broadcast 1-row
+    join — no collect round-trip; the events scan prunes to ts only."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    df = EXTENSION_QUERIES["x93_auto_date_histogram"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    schemas = " ".join(read_schemas(plan))
+    assert "props" not in schemas and "event_id" not in schemas
+
+
+def test_x94_dsir_bucket_tables_are_broadcast(spark):
+    """Both DSIR distributions are ≤ n_buckets rows; the corpus-side
+    feature stream must join them broadcast — the per-doc sum is the
+    only corpus shuffle."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x94_dsir_weights"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x96_bigram_count_joins_are_on_hashes_not_grams(spark):
+    """The bigram/unigram count joins must key on the 8-byte portable
+    hash (conv(md5)) — gram STRINGS never become shuffle keys."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x96_bigram_logprob"](spark, SF_SMOKE))
+    assert "conv(substring(md5" in plan.replace(", ", ",") or \
+        "conv" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x97_mmr_corpus_is_not_shuffled_for_candidates(spark):
+    """Stage 1's candidate scan must broadcast the query side against
+    the corpus (x07's shape); the pandas MMR kernel only ever groups
+    the tiny candidate/pair frame."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x97_mmr_rerank"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan  # queries x corpus, pruned
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
