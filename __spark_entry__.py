@@ -44,20 +44,20 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     and rotate into the round-6 window.
     """
 
-    def rank(k: str) -> tuple[int, str]:
+    def rank(k: str) -> tuple[int, int, str]:
         if k.startswith("x"):
             try:
-                n = int(k[1:3])
+                n = int(k[1:].split("_", 1)[0])
             except ValueError:
-                n = 99
+                n = 999
             if 18 <= n <= 28:
-                return (0, k)  # signed only pre-regeneration (r2)
+                return (0, n, k)  # signed only pre-regeneration (r2)
             if n >= 68:
-                return (1, k)  # new round-5 keys next
+                return (1, n, k)  # round-5 keys, oldest (lowest) first
             if 29 <= n <= 56:
-                return (2, k)  # r3-signed: oldest current signatures
-            return (3, k)      # x01–x17, x57–x67: r4-signed (fresh)
-        return (4, k)
+                return (2, n, k)  # r3-signed: oldest current signatures
+            return (3, n, k)      # x01–x17, x57–x67: r4-signed (fresh)
+        return (4, 0, k)
 
     return sorted(extension_keys, key=rank)
 

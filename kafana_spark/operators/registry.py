@@ -1445,6 +1445,153 @@ def x_collapse(spark, sf_dir):
             .orderBy("lang", "rn"))
 
 
+# --- remaining ES agg surface + CCNet perplexity gate (x100-x110) -----
+
+#: x102 t_test groups (events.event_type values with ~2k rows each)
+TTEST_GROUPS = ("click", "view")
+#: x106 frequent_item_sets: pair support floor + result cap (10 keeps
+#: the agg non-degenerate at sf0.001's 15 baskets while still pruning)
+FIS_MIN_SUPPORT = 10
+FIS_SIZE = 20
+#: x107 categorize_text: leading-token category width + top-N
+CAT_PREFIX = 2
+CAT_SIZE = 15
+#: x109 random_sampler probability (ppm) — 25% deterministic sample
+RSAMPLER_PPM = 250_000
+#: x105 multi_terms top-N
+MT_SIZE = 10
+#: x110 CCNet head/middle/tail perplexity gate: avg_u (0.1-milli-nat)
+#: tercile-ish cuts measured at sf0.01 (quantiles 33997/34038) and the
+#: keep fractions per band (head all, middle half, tail a tenth).
+PPL_HEAD_MAX = 34_000
+PPL_MID_MAX = 34_040
+PPL_KEEP_MID_PPM = 500_000
+PPL_KEEP_TAIL_PPM = 100_000
+
+
+def x_string_stats(spark, sf_dir):
+    """x100 — ES string_stats agg (count/min/max/avg length + char
+    Shannon entropy in integer nano-bits) over events.event_type."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.string_stats(ev, "event_type")
+
+
+def x_boxplot(spark, sf_dir):
+    """x101 — ES boxplot agg: exact q1/q2/q3 + Tukey whiskers per
+    l_returnflag over lineitem.l_extendedprice."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return query.boxplot(li, "l_extendedprice", "l_returnflag")
+
+
+def x_t_test(spark, sf_dir):
+    """x102 — ES t_test agg (Welch): click vs view event values."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.t_test(ev, "value", "event_type", *TTEST_GROUPS)
+
+
+def x_rate(spark, sf_dir):
+    """x103 — ES rate agg: weekly buckets, per-day sum/doc rates
+    normalized by true calendar bucket length."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.rate_agg(ev, "ts", "value", unit="week")
+
+
+def x_top_metrics(spark, sf_dir):
+    """x104 — ES top_metrics agg: value/user_id at the latest ts per
+    event_type (total order via event_id tiebreak)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.top_metrics(ev, "event_type", "ts", "event_id",
+                             ["value", "user_id"])
+
+
+def x_multi_terms(spark, sf_dir):
+    """x105 — ES multi_terms agg: (lang, source) compound buckets
+    ranked by doc count with a sum sub-agg."""
+    from kafana_spark import query
+
+    return query.multi_terms(_docs(spark, sf_dir), ["lang", "source"],
+                             "n_chars", size=MT_SIZE)
+
+
+def x_frequent_item_sets(spark, sf_dir):
+    """x106 — ES frequent_item_sets agg (pair tier): co-occurring
+    event_type pairs across user baskets, support-ranked."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.frequent_item_sets(ev, "user_id", "event_type",
+                                    min_support=FIS_MIN_SUPPORT,
+                                    size=FIS_SIZE)
+
+
+def x_categorize_text(spark, sf_dir):
+    """x107 — ES categorize_text agg: leading-token-pattern categories
+    with counts and the earliest example doc."""
+    from kafana_spark import query
+
+    return query.categorize_text(_docs(spark, sf_dir), "doc_id", "text",
+                                 n_prefix=CAT_PREFIX, size=CAT_SIZE)
+
+
+def x_change_point(spark, sf_dir):
+    """x108 — ES change_point agg: the daily-bucket mean-shift argmax
+    (integer micro-unit series, IEEE-exact split statistic)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.change_point(ev, "ts", "value")
+
+
+def x_random_sampler(spark, sf_dir):
+    """x109 — ES random_sampler agg: deterministic 25% hash sample,
+    per-type count/avg plus the 1/p scaled count estimate."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.random_sampler_agg(ev, "event_id", RSAMPLER_PPM,
+                                    "event_type", "value")
+
+
+def x_ppl_gate(spark, sf_dir):
+    """x110 — the CCNet perplexity gate: documents banded head/middle/
+    tail by the x71 unigram-LM avg cost (fixed integer cuts), then
+    deterministically subsampled per band (head all, middle 50%, tail
+    10%) — the standard LM-quality mixture step of a training-data
+    pipeline. Scan + broadcast-join of the x71 scores; the keep
+    predicate is a pure column expression."""
+    from kafana_spark.operators.sample import sample_bucket
+
+    d = _docs(spark, sf_dir)
+    lm = text.unigram_logprob(d).select("doc_id", "avg_u")
+    band = (F.when(F.col("avg_u") < PPL_HEAD_MAX, F.lit("head"))
+            .when(F.col("avg_u") < PPL_MID_MAX, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    thr = (F.when(F.col("band") == "head", F.lit(1_000_000))
+           .when(F.col("band") == "middle", F.lit(PPL_KEEP_MID_PPM))
+           .otherwise(F.lit(PPL_KEEP_TAIL_PPM)))
+    return (lm.select("doc_id", "avg_u", band.alias("band"))
+            .where(sample_bucket(F.col("doc_id")) < thr)
+            .orderBy("doc_id"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1545,6 +1692,17 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x97_mmr_rerank": x_mmr_rerank,
     "x98_function_score": x_function_score,
     "x99_collapse": x_collapse,
+    "x100_string_stats": x_string_stats,
+    "x101_boxplot": x_boxplot,
+    "x102_t_test": x_t_test,
+    "x103_rate": x_rate,
+    "x104_top_metrics": x_top_metrics,
+    "x105_multi_terms": x_multi_terms,
+    "x106_frequent_item_sets": x_frequent_item_sets,
+    "x107_categorize_text": x_categorize_text,
+    "x108_change_point": x_change_point,
+    "x109_random_sampler": x_random_sampler,
+    "x110_ppl_gate": x_ppl_gate,
 }
 
 
@@ -2766,6 +2924,144 @@ def _token_budget_sql() -> str:
     )
 
 
+# --- x100-x110 oracles ------------------------------------------------
+
+#: the sample_bucket(key, seed=0) DuckDB twin (operators/sample.py)
+def _bucket_sql(key: str) -> str:
+    return ("CAST(concat('0x', substr(md5(concat_ws('#', "
+            f"CAST({key} AS VARCHAR), '0')), 1, 15)) AS BIGINT) "
+            "% 1000000")
+
+
+def _string_stats_sql() -> str:
+    """x100 oracle — lengths in one agg; char distribution unnested,
+    each entropy term rounded to integer nano-bits BEFORE the sum."""
+    return (
+        "WITH s AS (SELECT event_type AS s FROM events "
+        "WHERE event_type IS NOT NULL), "
+        "base AS (SELECT COUNT(*) AS cnt, MIN(length(s)) AS min_len, "
+        "MAX(length(s)) AS max_len, ROUND(AVG(length(s)), 4) AS avg_len "
+        "FROM s), "
+        "ch AS (SELECT unnest(string_split(s, '')) AS c FROM s), "
+        "cc AS (SELECT c, COUNT(*) AS n_c FROM ch WHERE c <> '' "
+        "GROUP BY c), "
+        "tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n FROM cc), "
+        "ent AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(n_c AS DOUBLE) / n) "
+        "* log2(CAST(n_c AS DOUBLE) / n) * 1e9) AS BIGINT)) AS BIGINT) "
+        "AS entropy_nano FROM cc, tot) "
+        "SELECT base.cnt, base.min_len, base.max_len, base.avg_len, "
+        "ent.entropy_nano FROM base, ent"
+    )
+
+
+def _boxplot_sql() -> str:
+    """x101 oracle — quantile_cont shares Spark percentile's (n−1)·q
+    linear interpolation; fences from the 4dp-rounded quantiles."""
+    return (
+        "WITH q AS (SELECT l_returnflag, COUNT(*) AS cnt, "
+        "MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v, "
+        "ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1, "
+        "ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q2, "
+        "ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3 "
+        "FROM lineitem GROUP BY l_returnflag), "
+        "f AS (SELECT l_returnflag, q1 - 1.5 * (q3 - q1) AS fl, "
+        "q3 + 1.5 * (q3 - q1) AS fu FROM q), "
+        "w AS (SELECT l.l_returnflag, MIN(l.l_extendedprice) AS "
+        "lo_whisker, MAX(l.l_extendedprice) AS hi_whisker FROM "
+        "lineitem l JOIN f ON l.l_returnflag = f.l_returnflag "
+        "WHERE l.l_extendedprice >= f.fl AND l.l_extendedprice <= f.fu "
+        "GROUP BY l.l_returnflag) "
+        "SELECT q.l_returnflag, q.cnt, q.min_v, q.max_v, q.q1, q.q2, "
+        "q.q3, w.lo_whisker, w.hi_whisker FROM q JOIN w "
+        "USING (l_returnflag) ORDER BY l_returnflag"
+    )
+
+
+def _t_test_sql() -> str:
+    """x102 oracle — Welch from per-group (n, mean, var_samp), the
+    same arithmetic tree as the Spark plan."""
+    ga, gb = TTEST_GROUPS
+    return (
+        "WITH s AS (SELECT event_type, COUNT(value) AS n, "
+        "AVG(value) AS m, VAR_SAMP(value) AS v FROM events "
+        f"WHERE event_type IN ('{ga}', '{gb}') GROUP BY event_type), "
+        f"a AS (SELECT n AS na, m AS ma, v AS va FROM s "
+        f"WHERE event_type = '{ga}'), "
+        f"b AS (SELECT n AS nb, m AS mb, v AS vb FROM s "
+        f"WHERE event_type = '{gb}') "
+        f"SELECT '{ga}' AS group_a, '{gb}' AS group_b, na, nb, "
+        "ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b, "
+        "ROUND((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat, "
+        "ROUND((va / na + vb / nb) * (va / na + vb / nb) / "
+        "((va / na) * (va / na) / (na - 1) + "
+        "(vb / nb) * (vb / nb) / (nb - 1)), 2) AS df "
+        "FROM a, b"
+    )
+
+
+def _rate_sql() -> str:
+    """x103 oracle — weekly buckets, per-day normalization by true
+    calendar length."""
+    return (
+        "WITH b AS (SELECT date_trunc('week', ts) AS bucket, "
+        "COUNT(*) AS cnt, SUM(value) AS sum_v FROM events GROUP BY 1) "
+        "SELECT CAST(bucket AS DATE) AS ds, cnt, "
+        "date_diff('day', CAST(bucket AS DATE), "
+        "CAST(bucket + INTERVAL 7 DAY AS DATE)) AS n_days, "
+        "ROUND(sum_v, 2) AS sum_v, "
+        "ROUND(sum_v / date_diff('day', CAST(bucket AS DATE), "
+        "CAST(bucket + INTERVAL 7 DAY AS DATE)), 4) AS sum_per_day, "
+        "ROUND(CAST(cnt AS DOUBLE) / date_diff('day', "
+        "CAST(bucket AS DATE), CAST(bucket + INTERVAL 7 DAY AS DATE)), "
+        "4) AS docs_per_day FROM b ORDER BY ds"
+    )
+
+
+def _change_point_sql() -> str:
+    """x108 oracle — micro-unit daily series, IEEE-exact split stats
+    from identical integers, argmax by (stat DESC, bucket)."""
+    return (
+        "WITH b0 AS (SELECT date_trunc('day', ts) AS bucket, "
+        "ROUND(SUM(value), 6) AS sum_v FROM events GROUP BY 1), "
+        "b AS (SELECT bucket, CAST(ROUND(sum_v * 1e6) AS BIGINT) "
+        "AS v_u FROM b0), "
+        "c AS (SELECT bucket, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS INTEGER) AS k, "
+        "CAST(SUM(v_u) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS s_k, "
+        "CAST(SUM(v_u) OVER () AS BIGINT) AS s_n, "
+        "COUNT(*) OVER () AS n FROM b), "
+        "s AS (SELECT bucket, k, n, CAST(s_k AS DOUBLE) / k AS ml, "
+        "CAST(s_n - s_k AS DOUBLE) / (n - k) AS mr FROM c "
+        "WHERE k < n), "
+        "r AS (SELECT *, ABS(ml - mr) AS stat FROM s), "
+        "p AS (SELECT *, ROW_NUMBER() OVER (ORDER BY stat DESC, bucket) "
+        "AS rn FROM r) "
+        "SELECT CAST(bucket AS DATE) AS ds, k, n, "
+        "ROUND(ml / 1e6, 4) AS mean_left, "
+        "ROUND(mr / 1e6, 4) AS mean_right, "
+        "ROUND(stat / 1e6, 4) AS diff FROM p WHERE rn = 1"
+    )
+
+
+def _ppl_gate_sql() -> str:
+    """x110 oracle — the shared x71 unigram chain banded by the fixed
+    integer cuts, keep-hash replayed per band."""
+    return (
+        f"WITH {_unigram_ctes()}, "
+        "g AS (SELECT doc_id, avg_u, CASE "
+        f"WHEN avg_u < {PPL_HEAD_MAX} THEN 'head' "
+        f"WHEN avg_u < {PPL_MID_MAX} THEN 'middle' "
+        "ELSE 'tail' END AS band FROM lm) "
+        "SELECT doc_id, avg_u, band FROM g WHERE "
+        f"{_bucket_sql('doc_id')} < CASE band "
+        "WHEN 'head' THEN 1000000 "
+        f"WHEN 'middle' THEN {PPL_KEEP_MID_PPM} "
+        f"ELSE {PPL_KEEP_TAIL_PPM} END "
+        "ORDER BY doc_id"
+    )
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -3294,4 +3590,48 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x97_mmr_rerank": _mmr_sql(),
     "x98_function_score": _function_score_sql(),
     "x99_collapse": _collapse_sql(),
+    "x100_string_stats": _string_stats_sql(),
+    "x101_boxplot": _boxplot_sql(),
+    "x102_t_test": _t_test_sql(),
+    "x103_rate": _rate_sql(),
+    "x104_top_metrics": (
+        "SELECT event_type, ts, value, user_id FROM ("
+        "SELECT event_type, ts, value, user_id, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY ts DESC, event_id) AS rn "
+        "FROM events) s WHERE rn = 1 ORDER BY event_type"
+    ),
+    "x105_multi_terms": (
+        "SELECT lang, source, COUNT(*) AS cnt, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_v FROM documents "
+        "GROUP BY lang, source "
+        f"ORDER BY cnt DESC, lang, source LIMIT {MT_SIZE}"
+    ),
+    "x106_frequent_item_sets": (
+        "WITH items AS (SELECT DISTINCT user_id, event_type "
+        "FROM events), "
+        "p AS (SELECT a.event_type AS ia, b.event_type AS ib "
+        "FROM items a JOIN items b USING (user_id) "
+        "WHERE a.event_type < b.event_type) "
+        "SELECT ia, ib, COUNT(*) AS support FROM p GROUP BY ia, ib "
+        f"HAVING COUNT(*) >= {FIS_MIN_SUPPORT} "
+        f"ORDER BY support DESC, ia, ib LIMIT {FIS_SIZE}"
+    ),
+    "x107_categorize_text": (
+        "SELECT array_to_string(list_slice(string_split(text, ' '), "
+        f"1, {CAT_PREFIX}), ' ') AS category, COUNT(*) AS cnt, "
+        "MIN(doc_id) AS example_id FROM documents "
+        f"WHERE length(string_split(text, ' ')) >= {CAT_PREFIX} "
+        "GROUP BY category "
+        f"ORDER BY cnt DESC, category LIMIT {CAT_SIZE}"
+    ),
+    "x108_change_point": _change_point_sql(),
+    "x109_random_sampler": (
+        f"WITH s AS (SELECT event_type, value FROM events WHERE "
+        f"{_bucket_sql('event_id')} < {RSAMPLER_PPM}) "
+        "SELECT event_type, COUNT(*) AS cnt, "
+        f"CAST(COUNT(*) * 1000000 // {RSAMPLER_PPM} AS BIGINT) "
+        "AS est_total, ROUND(AVG(value), 4) AS avg_v "
+        "FROM s GROUP BY event_type ORDER BY event_type"
+    ),
+    "x110_ppl_gate": _ppl_gate_sql(),
 }

@@ -582,3 +582,284 @@ def extended_stats(df: DataFrame, field: str,
             F.round(F.var_pop(c), 1).alias("var_v"),
             F.round(F.stddev_pop(c), 4).alias("std_v")]
     return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+# ------------------------------------------------- round-5 agg additions
+# The remaining ES aggregation surface (string_stats, boxplot, t_test,
+# rate, top_metrics, multi_terms, frequent_item_sets, categorize_text,
+# change_point, random_sampler) — each a one/two-pass declarative plan
+# with a DuckDB oracle twin in operators/registry.py.
+
+def string_stats(df: DataFrame, field: str) -> DataFrame:
+    """ES ``string_stats`` aggregation (with ``show_distribution``'s
+    entropy): value count, min/max/avg length, and the Shannon entropy
+    of the field's CHARACTER distribution.
+
+    Engine portability: each char's entropy term −p·log2(p) is rounded
+    to integer nano-bits BEFORE the final sum (the PQ/x71 fixed-point
+    discipline), so the cross-engine sum is an integer sum; log2/division
+    run on identical integer counts, agreeing far inside the 1e-9 grain.
+
+    Scale: lengths are one combinable agg pass; the char distribution
+    is explode→groupBy(char) (map-side combinable, alphabet-sized
+    result) and the total a 1-row broadcast — no sort, no window.
+    """
+    s = df.where(F.col(field).isNotNull()).select(F.col(field).alias("s"))
+    base = s.agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(F.length("s")).alias("min_len"),
+                 F.max(F.length("s")).alias("max_len"),
+                 F.round(F.avg(F.length("s")), 4).alias("avg_len"))
+    cc = (s.select(F.explode(F.split(F.col("s"), "")).alias("ch"))
+          .where(F.col("ch") != "")
+          .groupBy("ch").agg(F.count(F.lit(1)).alias("n_c")))
+    tot = cc.agg(F.sum("n_c").alias("n"))
+    p = F.col("n_c") / F.col("n")
+    term_u = F.round(-p * F.log2(p) * F.lit(1e9)).cast("long")
+    ent = (cc.join(F.broadcast(tot))
+           .agg(F.sum(term_u).alias("entropy_nano")))
+    return base.join(F.broadcast(ent))
+
+
+def boxplot(df: DataFrame, field: str, by: str) -> DataFrame:
+    """ES ``boxplot`` aggregation: per-bucket min/max/q1/q2/q3 plus the
+    Tukey whiskers (extreme values inside the 1.5·IQR fences).
+
+    Quantiles are EXACT (Spark's ``percentile`` / DuckDB's
+    ``quantile_cont`` share the (n−1)·q linear-interpolation
+    definition); fences are computed from the 4dp-ROUNDED quantiles so
+    both engines compare raw values against bit-identical thresholds.
+
+    Scale: pass 1 is a combinable groupBy (percentile is the one
+    memory-heavy agg — per-group sorted buffer, the exact-twin stance
+    of C15 where t-digest is the streaming path); pass 2 re-scans with
+    the tiny fence table broadcast. Group cardinality bounds state.
+    """
+    c = F.col(field)
+    g = (df.groupBy(by)
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.min(c).alias("min_v"), F.max(c).alias("max_v"),
+              F.expr(f"percentile({field}, array(0.25D, 0.5D, 0.75D))")
+              .alias("qs")))
+    q = g.select(by, "cnt", "min_v", "max_v",
+                 F.round(F.col("qs")[0], 4).alias("q1"),
+                 F.round(F.col("qs")[1], 4).alias("q2"),
+                 F.round(F.col("qs")[2], 4).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(by, (F.col("q1") - 1.5 * iqr).alias("fl"),
+                      (F.col("q3") + 1.5 * iqr).alias("fu"))
+    wh = (df.join(F.broadcast(fences), by)
+          .where((c >= F.col("fl")) & (c <= F.col("fu")))
+          .groupBy(by).agg(F.min(c).alias("lo_whisker"),
+                           F.max(c).alias("hi_whisker")))
+    return q.join(wh, by).orderBy(by)
+
+
+def t_test(df: DataFrame, field: str, group_col: str,
+           ga: str, gb: str) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch's): the
+    two-sample t statistic and Welch–Satterthwaite degrees of freedom
+    between groups ``ga`` and ``gb`` of ``group_col``.
+
+    One combinable pass computes (n, mean, var) per group; the t
+    arithmetic runs on the 2-row result. 4dp/2dp rounding absorbs the
+    ~1e-12 cross-engine accumulation-order noise in mean/var.
+    """
+    c = F.col(field)
+    s = (df.where(F.col(group_col).isin([ga, gb]))
+         .groupBy(group_col)
+         .agg(F.count(c).alias("n"), F.avg(c).alias("m"),
+              F.var_samp(c).alias("v")))
+    a = s.where(F.col(group_col) == ga).select(
+        F.col("n").alias("na"), F.col("m").alias("ma"),
+        F.col("v").alias("va"))
+    b = s.where(F.col(group_col) == gb).select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"))
+    j = a.join(F.broadcast(b))
+    sa2 = F.col("va") / F.col("na")
+    sb2 = F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa2 + sb2)
+    dfree = ((sa2 + sb2) * (sa2 + sb2)
+             / (sa2 * sa2 / (F.col("na") - 1)
+                + sb2 * sb2 / (F.col("nb") - 1)))
+    return j.select(
+        F.lit(ga).alias("group_a"), F.lit(gb).alias("group_b"),
+        F.col("na"), F.col("nb"),
+        F.round(F.col("ma"), 4).alias("mean_a"),
+        F.round(F.col("mb"), 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dfree, 2).alias("df"))
+
+
+def rate_agg(df: DataFrame, time_col: str, value_col: str,
+             unit: str = "week") -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: the per-DAY
+    rate of a sum and of the doc count, normalized by each bucket's
+    true calendar length (ES's rate/unit contract — a partial trailing
+    bucket still divides by the full calendar interval).
+
+    One combinable pass; bucket length is pure date arithmetic on the
+    bucket key.
+    """
+    b = (df.groupBy(F.date_trunc(unit, F.col(time_col)).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(value_col).alias("sum_v")))
+    nxt = (F.add_months(F.col("bucket"), 1) if unit == "month"
+           else F.date_add(F.col("bucket"), 7))
+    days = F.datediff(nxt, F.col("bucket"))
+    return (b.select(F.col("bucket").cast("date").alias("ds"),
+                     "cnt", days.alias("n_days"),
+                     F.round(F.col("sum_v"), 2).alias("sum_v"),
+                     F.round(F.col("sum_v") / days, 4).alias("sum_per_day"),
+                     F.round(F.col("cnt") / days.cast("double"), 4)
+                     .alias("docs_per_day"))
+            .orderBy("ds"))
+
+
+def top_metrics(df: DataFrame, by: str, sort_col: str, tiebreak: str,
+                metrics: Sequence[str]) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric values
+    from the single document with the greatest sort key (latest-event
+    metrics per group; the agg twin of C16's top_hits with size=1).
+
+    Scale: a per-group rank-limit window — per-partition top-1 heaps
+    on the group shuffle, never a global sort.
+    """
+    w = Window.partitionBy(by).orderBy(F.col(sort_col).desc(),
+                                       F.col(tiebreak))
+    return (df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(by, sort_col, *metrics)
+            .orderBy(by))
+
+
+def multi_terms(df: DataFrame, fields: Sequence[str], sum_col: str,
+                size: int = 10) -> DataFrame:
+    """ES ``multi_terms`` aggregation: compound-key terms buckets
+    ordered by doc count — the cross-field top-N that nested ``terms``
+    aggs cannot rank globally.
+
+    Integer sort keys (cnt, then the key fields) make the LIMIT edge
+    engine-exact; plans as TakeOrdered over a combinable groupBy.
+    """
+    return (df.groupBy(*fields)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(sum_col).alias("sum_v"))
+            .orderBy(F.col("cnt").desc(), *fields)
+            .limit(size))
+
+
+def frequent_item_sets(df: DataFrame, basket_col: str, item_col: str,
+                       min_support: int = 2, size: int = 20) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation, pair tier: co-occurring
+    item pairs across baskets with support ≥ ``min_support``, ranked by
+    support (the Apriori L2 layer — ES's own agg caps set size the
+    same way for tractability).
+
+    Scale: the self-join is per-BASKET (equi-join on basket_col) over
+    the DISTINCT item list, so each basket contributes at most
+    C(items,2) rows — bounded by item-vocabulary, not basket size; the
+    support count is map-side combinable.
+    """
+    items = df.select(basket_col, item_col).distinct()
+    a = items.select(F.col(basket_col).alias("bk"),
+                     F.col(item_col).alias("ia"))
+    b = items.select(F.col(basket_col).alias("bk"),
+                     F.col(item_col).alias("ib"))
+    pairs = a.join(b, "bk").where(F.col("ia") < F.col("ib"))
+    return (pairs.groupBy("ia", "ib")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+            .orderBy(F.col("support").desc(), "ia", "ib")
+            .limit(size))
+
+
+def categorize_text(df: DataFrame, id_col: str, text_col: str,
+                    n_prefix: int = 2, size: int = 10) -> DataFrame:
+    """ES ``categorize_text`` aggregation: group messages by a
+    token-pattern category and count them. The deterministic twin uses
+    the first ``n_prefix`` tokens as the category key (ES's ML
+    tokenizer drops numerics/punct then matches leading token runs;
+    the fixture corpus is already bare words, so the leading-token key
+    IS its pattern), reporting count + the earliest example doc.
+
+    Scale: pure column expressions into a combinable groupBy;
+    TakeOrdered for the top-N.
+    """
+    tok = F.split(F.col(text_col), " ")
+    key = F.concat_ws(" ", F.slice(tok, 1, n_prefix))
+    return (df.where(F.size(tok) >= n_prefix)
+            .groupBy(key.alias("category"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(id_col).alias("example_id"))
+            .orderBy(F.col("cnt").desc(), "category")
+            .limit(size))
+
+
+def change_point(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+    """ES ``change_point`` aggregation: detect the mean-shift point of
+    a daily-bucketed series — the split k maximizing
+    |mean(left) − mean(right)| (the CUSUM-family statistic ES's
+    change_point exposes as ``significant_change``).
+
+    Engine portability: daily sums are rounded to micro-units
+    (integers) first; each split's means/statistic are then IEEE ops
+    on identical integers — bit-equal across engines, so the argmax is
+    exact, not a rounding gamble.
+
+    Scale: the raw scan reduces map-side-combinably to ONE row per
+    day; the split search is a window over that bucket frame (bounded
+    by the time range, thousands of rows at worst), the same stance as
+    the pipeline aggs. Output is the single detected change point.
+    """
+    b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
+         .agg(F.round(F.sum(value_col), 6).alias("sum_v")))
+    b = b.select("bucket",
+                 F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
+    w = Window.orderBy("bucket")
+    wall = Window.orderBy("bucket").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = b.select(
+        "bucket",
+        F.row_number().over(w).alias("k"),
+        F.sum("v_u").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s_k"),
+        F.sum("v_u").over(wall).alias("s_n"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    ml = F.col("s_k") / F.col("k")
+    mr = (F.col("s_n") - F.col("s_k")) / (F.col("n") - F.col("k"))
+    stat = F.abs(ml - mr)
+    scored = (cum.where(F.col("k") < F.col("n"))
+              .select("bucket", "k", "n", ml.alias("ml"), mr.alias("mr"),
+                      stat.alias("stat")))
+    wpick = Window.orderBy(F.col("stat").desc(), "bucket")
+    return (scored.withColumn("_r", F.row_number().over(wpick))
+            .where(F.col("_r") == 1)
+            .select(F.col("bucket").cast("date").alias("ds"), "k", "n",
+                    F.round(F.col("ml") / 1e6, 4).alias("mean_left"),
+                    F.round(F.col("mr") / 1e6, 4).alias("mean_right"),
+                    F.round(F.col("stat") / 1e6, 4).alias("diff")))
+
+
+def random_sampler_agg(df: DataFrame, key_col: str, prob_ppm: int,
+                       field: str, value_col: str,
+                       seed: int = 0) -> DataFrame:
+    """ES ``random_sampler`` aggregation: run sub-aggs over a random
+    ``prob_ppm``/1e6 subset and scale counts back up by 1/p (ES's
+    probabilistic sampler contract — estimates, not exact counts).
+
+    The sample is the deterministic portable-hash bucket (operators/
+    sample.py), so it is reproducible across runs, partitionings AND
+    engines; the scale-back is integer arithmetic. One scan, predicate
+    pushed to the source.
+    """
+    from kafana_spark.operators.sample import SAMPLE_DENOM, sample_bucket
+
+    s = df.where(sample_bucket(F.col(key_col), seed) < F.lit(prob_ppm))
+    return (s.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg(value_col), 4).alias("avg_v"))
+            .select(field, "cnt",
+                    F.expr(f"cnt * {SAMPLE_DENOM} div {prob_ppm}")
+                    .alias("est_total"), "avg_v")
+            .orderBy(field))

@@ -1,0 +1,146 @@
+"""Round-5 ES-agg additions (x100-x110): closed-form semantics on tiny
+frames + the 100 TB plan-shape pins (column pruning, broadcast joins,
+no cartesians). The cross-engine value parity itself is the oracle
+gate's job (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafana_spark import query
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of, read_schemas
+
+
+def test_string_stats_closed_form(spark):
+    # chars: a×3, b×1 → H = 0.75·log2(4/3) + 0.25·2 = 0.81127812…
+    df = spark.createDataFrame([("aa",), ("ab",)], "s: string")
+    row = query.string_stats(df, "s").collect()[0]
+    assert (row.cnt, row.min_len, row.max_len) == (2, 2, 2)
+    assert row.avg_len == 2.0
+    assert row.entropy_nano == 311278124 + 500000000
+
+
+def test_boxplot_closed_form(spark):
+    # 1..8 + outlier 100: q1/q2/q3 land on exact ranks 2/4/6 → 3/5/7;
+    # fences [-3, 13] exclude only the outlier
+    rows = [(float(v),) for v in list(range(1, 9)) + [100]]
+    df = spark.createDataFrame(rows, "v: double").withColumn("g", F.lit("a"))
+    r = query.boxplot(df, "v", "g").collect()[0]
+    assert (r.q1, r.q2, r.q3) == (3.0, 5.0, 7.0)
+    assert (r.min_v, r.max_v) == (1.0, 100.0)
+    assert (r.lo_whisker, r.hi_whisker) == (1.0, 8.0)
+
+
+def test_t_test_welch_closed_form(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 2.0), ("b", 4.0), ("b", 6.0)], "g: string, v: double")
+    r = query.t_test(df, "v", "g", "a", "b").collect()[0]
+    assert (r.na, r.nb, r.mean_a, r.mean_b) == (3, 3, 2.0, 4.0)
+    assert r.t_stat == -1.5492  # -2 / sqrt(5/3)
+    assert r.df == 2.94         # Welch–Satterthwaite
+
+def test_change_point_finds_the_mean_shift(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), v)
+            for i, v in enumerate([10.0, 10.0, 10.0, 20.0, 20.0])]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    r = query.change_point(df, "ts", "v").collect()[0]
+    assert (r.k, r.n) == (3, 5)
+    assert (r.mean_left, r.mean_right, r.diff) == (10.0, 20.0, 10.0)
+
+
+def test_frequent_item_sets_pair_support(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup row: distinct-ed
+         (2, "a"), (2, "b"), (3, "a"), (3, "b")], "u: long, i: string")
+    got = {(r.ia, r.ib): r.support
+           for r in query.frequent_item_sets(df, "u", "i",
+                                             min_support=2).collect()}
+    assert got == {("a", "b"): 3}
+
+
+def test_random_sampler_scales_counts_back(spark):
+    df = spark.createDataFrame([(i, "t", 1.0) for i in range(1000)],
+                               "k: long, f: string, v: double")
+    r = query.random_sampler_agg(df, "k", 250_000, "f", "v").collect()[0]
+    assert r.est_total == r.cnt * 4
+    assert 150 < r.cnt < 350  # ~25% of 1000 under the portable hash
+
+
+def test_rate_agg_normalizes_by_calendar_days(spark):
+    rows = [(dt.datetime(2024, 1, 1), 7.0), (dt.datetime(2024, 1, 3), 7.0),
+            (dt.datetime(2024, 1, 9), 14.0)]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    out = {r.ds: r for r in query.rate_agg(df, "ts", "v").collect()}
+    wk1 = out[dt.date(2024, 1, 1)]
+    assert (wk1.n_days, wk1.sum_per_day, wk1.docs_per_day) == (7, 2.0, 0.2857)
+
+
+def test_ppl_gate_head_band_keeps_everything(spark):
+    from kafana_spark.operators.registry import (
+        EXTENSION_QUERIES, PPL_HEAD_MAX)
+    from kafana_spark.operators import text
+    from kafana_spark.sources.tables import load_table
+
+    kept = EXTENSION_QUERIES["x110_ppl_gate"](spark, SF_SMOKE).collect()
+    assert {r.band for r in kept} <= {"head", "middle", "tail"}
+    lm = text.unigram_logprob(load_table(spark, SF_SMOKE, "documents"))
+    n_head = lm.where(F.col("avg_u") < PPL_HEAD_MAX).count()
+    assert sum(1 for r in kept if r.band == "head") == n_head
+
+
+# ------------------------------------------------------------ plan shapes
+
+def test_x100_string_stats_prunes_to_the_field(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x100_string_stats"](spark, SF_SMOKE))
+    schemas = " ".join(read_schemas(plan))
+    assert "event_type" in schemas
+    assert "props" not in schemas and "value" not in schemas
+    assert "CartesianProduct" not in plan
+
+
+def test_x101_boxplot_fences_join_is_broadcast(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x101_boxplot"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan          # fence table → fact scan
+    assert "CartesianProduct" not in plan
+    schemas = " ".join(read_schemas(plan))
+    assert "l_comment" not in schemas and "l_orderkey" not in schemas
+
+
+def test_x106_pair_join_is_per_basket_equi(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x106_frequent_item_sets"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan       # join keyed on basket
+    schemas = " ".join(read_schemas(plan))
+    assert "props" not in schemas and "ts" not in schemas
+
+
+def test_x108_change_point_prunes_and_reduces_first(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x108_change_point"](spark, SF_SMOKE))
+    schemas = " ".join(read_schemas(plan))
+    assert "ts" in schemas and "value" in schemas
+    assert "props" not in schemas and "user_id" not in schemas
+    # the window runs over the daily-bucket frame, AFTER the hash agg
+    # (formatted explain prints root-first: the Window node is an
+    # ancestor of the aggregate feeding it)
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_x110_ppl_gate_joins_on_hashes_broadcasts_total(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x110_ppl_gate"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan          # 1-row corpus total
+    assert "CartesianProduct" not in plan
