@@ -1592,6 +1592,57 @@ def x_ppl_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: x111 has_child: children matching l_quantity >= HC_MIN_QTY, at
+#: least HC_MIN_CHILDREN of them (~27% of orders at sf0.001)
+HC_MIN_QTY = 30
+HC_MIN_CHILDREN = 2
+#: x112 has_parent predicate value
+HP_PRIORITY = "1-URGENT"
+
+
+def x_has_child(spark, sf_dir):
+    """x111 — ES has_child query (join-field parent side): orders with
+    ≥ HC_MIN_CHILDREN lineitems of quantity ≥ HC_MIN_QTY; child rows
+    reduce to (key, count) before ever meeting the parent table."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    child = li.select(F.col("l_orderkey").alias("o_orderkey"),
+                      "l_quantity")
+    return (query.has_child(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        child, "o_orderkey",
+        F.col("l_quantity") >= HC_MIN_QTY,
+        min_children=HC_MIN_CHILDREN)
+        .orderBy("o_orderkey"))
+
+
+def x_has_parent(spark, sf_dir):
+    """x112 — ES has_parent query: lineitems whose order is URGENT
+    (parent reduces to a distinct key set, then a semi-join)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parent = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                           "o_orderpriority")
+    return (query.has_parent(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        parent, "l_orderkey",
+        F.col("o_orderpriority") == HP_PRIORITY)
+        .orderBy("l_orderkey", "l_linenumber"))
+
+
+def x_novelty(spark, sf_dir):
+    """x113 — per-doc n-gram novelty: share of the doc's shingles
+    first seen (lowest doc id) in this doc — the corpus-diversity
+    price signal of the curation pipeline."""
+    return text.novelty(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1703,6 +1754,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x108_change_point": x_change_point,
     "x109_random_sampler": x_random_sampler,
     "x110_ppl_gate": x_ppl_gate,
+    "x111_has_child": x_has_child,
+    "x112_has_parent": x_has_parent,
+    "x113_novelty": x_novelty,
 }
 
 
@@ -3062,6 +3116,21 @@ def _ppl_gate_sql() -> str:
     )
 
 
+def _novelty_sql() -> str:
+    """x113 oracle — the shared shingle CTE hashed per (doc, gram),
+    first-occurrence MIN per hash, per-doc novel share in integer bp."""
+    return (
+        f"WITH {_SHINGLES}, "
+        f"g AS (SELECT doc_id, {_H60} AS h FROM sh), "
+        "f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h) "
+        "SELECT g.doc_id, COUNT(*) AS n_grams, "
+        "COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel, "
+        "CAST(10000 * COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 "
+        "END) // COUNT(*) AS BIGINT) AS novelty_bp "
+        "FROM g JOIN f USING (h) GROUP BY g.doc_id ORDER BY g.doc_id"
+    )
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -3634,4 +3703,19 @@ EXTENSION_ORACLE: dict[str, str] = {
         "FROM s GROUP BY event_type ORDER BY event_type"
     ),
     "x110_ppl_gate": _ppl_gate_sql(),
+    "x111_has_child": (
+        "WITH m AS (SELECT l_orderkey AS o_orderkey, COUNT(*) AS "
+        f"n_matched FROM lineitem WHERE l_quantity >= {HC_MIN_QTY} "
+        f"GROUP BY 1 HAVING COUNT(*) >= {HC_MIN_CHILDREN}) "
+        "SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, "
+        "m.n_matched FROM orders o JOIN m USING (o_orderkey) "
+        "ORDER BY o_orderkey"
+    ),
+    "x112_has_parent": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+        f"WHERE o_orderpriority = '{HP_PRIORITY}') "
+        "ORDER BY l_orderkey, l_linenumber"
+    ),
+    "x113_novelty": _novelty_sql(),
 }

@@ -939,3 +939,37 @@ def bigram_logprob(df: DataFrame, train_pred: "F.Column",
                  F.sum("cost_u").alias("score_u"))
             .select(F.col(id_col), "n_scored", "n_backoff", "score_u",
                     F.expr("score_u div n_scored").alias("avg_u")))
+
+
+def novelty(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the share of the doc's DISTINCT
+    n-gram shingles whose FIRST corpus occurrence (lowest doc id) is
+    this document — the "contribution to corpus diversity" signal a
+    curation pipeline uses to prefer documents that add new content
+    over documents that restate earlier ones (the scoring dual of the
+    dedup family: x02 finds restatements pairwise, this prices them
+    per doc in one pass).
+
+    Output: (doc_id, n_grams, n_novel, novelty_bp) — integer basis
+    points, engine-exact.
+
+    Scale: shingles are hashed to 8 bytes at explode time; the
+    first-occurrence table is a map-side-combinable MIN per hash; the
+    join back carries (hash, first_doc) pairs only. Same shuffle
+    profile as the x45 chunk-dedup pass.
+    """
+    from kafana_spark.functions import portable_hash64, shingles
+
+    g = (df.select(F.col(id_col),
+                   F.explode(shingles(F.col(text_col), n)).alias("s"))
+         .select(id_col, portable_hash64(F.col("s")).alias("h")))
+    first = g.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    j = g.join(first, "h")
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count(F.when(F.col("first_doc") == F.col(id_col),
+                                F.lit(1))).alias("n_novel"))
+            .select(F.col(id_col), "n_grams", "n_novel",
+                    F.expr("10000 * n_novel div n_grams")
+                    .alias("novelty_bp")))

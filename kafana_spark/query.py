@@ -863,3 +863,39 @@ def random_sampler_agg(df: DataFrame, key_col: str, prob_ppm: int,
                     F.expr(f"cnt * {SAMPLE_DENOM} div {prob_ppm}")
                     .alias("est_total"), "avg_v")
             .orderBy(field))
+
+
+def has_child(parent: DataFrame, child: DataFrame, on: str,
+              child_pred: Column, min_children: int = 1,
+              max_children: int | None = None) -> DataFrame:
+    """ES ``has_child`` query (join-field parent side): parents with at
+    least ``min_children`` (and at most ``max_children``) children
+    matching the child predicate; returns the parent key + match count
+    (ES's inner-hit count).
+
+    Scale: the child predicate filters BEFORE the aggregation (pushed
+    to the child scan), the per-parent count is map-side combinable,
+    and the parent join carries only (key, count) — never child rows.
+    The reference's ES 6.8 runs the same shape server-side per shard.
+    """
+    m = (child.where(child_pred)
+         .groupBy(on).agg(F.count(F.lit(1)).alias("n_matched"))
+         .where(F.col("n_matched") >= F.lit(min_children)))
+    if max_children is not None:
+        m = m.where(F.col("n_matched") <= F.lit(max_children))
+    return parent.join(m, on)
+
+
+def has_parent(child: DataFrame, parent: DataFrame, on: str,
+               parent_pred: Column) -> DataFrame:
+    """ES ``has_parent`` query: children whose parent matches the
+    predicate.
+
+    Scale: the parent side reduces to its KEY COLUMN after the pushed
+    predicate (distinct keys only), then a semi-join against the child
+    table — the child side never shuffles its payload for parents it
+    won't keep, and a selective parent predicate leaves a key set
+    small enough for AQE to broadcast.
+    """
+    keys = parent.where(parent_pred).select(on).distinct()
+    return child.join(keys, on, "left_semi")

@@ -144,3 +144,69 @@ def test_x110_ppl_gate_joins_on_hashes_broadcasts_total(spark):
     plan = plan_of(EXTENSION_QUERIES["x110_ppl_gate"](spark, SF_SMOKE))
     assert "BroadcastExchange" in plan          # 1-row corpus total
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------- parent/child + novelty
+
+def test_has_child_counts_and_bounds(spark):
+    parent = spark.createDataFrame([(1, "p1"), (2, "p2"), (3, "p3")],
+                                   "k: long, name: string")
+    child = spark.createDataFrame(
+        [(1, 5.0), (1, 6.0), (2, 5.0), (3, 1.0)], "k: long, v: double")
+    got = {r.k: r.n_matched for r in query.has_child(
+        parent, child, "k", F.col("v") >= 5.0, min_children=1).collect()}
+    assert got == {1: 2, 2: 1}
+    got2 = {r.k for r in query.has_child(
+        parent, child, "k", F.col("v") >= 5.0, min_children=1,
+        max_children=1).collect()}
+    assert got2 == {2}
+
+
+def test_has_parent_keeps_child_payload_only(spark):
+    parent = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k: long, tag: string")
+    child = spark.createDataFrame([(1, 10.0), (2, 20.0), (2, 30.0)],
+                                  "k: long, v: double")
+    out = query.has_parent(child, parent, "k", F.col("tag") == "b")
+    assert out.columns == ["k", "v"]
+    assert sorted(r.v for r in out.collect()) == [20.0, 30.0]
+
+
+def test_novelty_first_doc_owns_its_grams(spark):
+    from kafana_spark.operators import text as t
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b c e")],
+                               "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_bp)
+           for r in t.novelty(df).collect()}
+    assert got[0] == (2, 2, 10000)   # "a b c", "b c d" both first here
+    assert got[1] == (2, 1, 5000)    # shares "a b c" with doc 0
+
+
+def test_x111_child_rows_reduce_before_the_parent_join(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x111_has_child"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    schemas = " ".join(read_schemas(plan))
+    # lineitem contributes only its key + predicate column
+    assert "l_quantity" in schemas
+    assert "l_extendedprice" not in schemas and "l_shipdate" not in schemas
+    # the count aggregate is a descendant of the parent join
+    assert "HashAggregate" in plan
+
+
+def test_x112_has_parent_plans_a_semi_join(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x112_has_parent"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    schemas = " ".join(read_schemas(plan))
+    assert "o_totalprice" not in schemas   # parent payload never read
+
+
+def test_x113_novelty_joins_on_hashes(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x113_novelty"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "conv(substring(md5" in plan.replace(", ", ",") or "conv" in plan
