@@ -1643,6 +1643,25 @@ def x_novelty(spark, sf_dir):
     return text.novelty(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+#: x114 rank_eval: single-term query batch, binary judgment tf ≥ 4
+#: (~13% of docs per term at sf0.01 — sparse enough that the ranking
+#: is genuinely graded), cutoff k = 10.
+RANK_EVAL_TERMS = ("merge", "spark", "vector", "window")
+RANK_EVAL_K = 10
+REL_MIN_TF = 4
+
+
+def x_rank_eval(spark, sf_dir):
+    """x114 — the ES rank_eval API: P@k / MRR / NDCG@k per query over
+    BM25 rankings, judgments derived from the corpus (tf ≥ threshold),
+    every metric an integer (gains rounded per rank before sums)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.rank_eval(_docs(spark, sf_dir),
+                               list(RANK_EVAL_TERMS),
+                               k=RANK_EVAL_K, rel_min_tf=REL_MIN_TF)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1757,6 +1776,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x111_has_child": x_has_child,
     "x112_has_parent": x_has_parent,
     "x113_novelty": x_novelty,
+    "x114_rank_eval": x_rank_eval,
 }
 
 
@@ -3131,6 +3151,55 @@ def _novelty_sql() -> str:
     )
 
 
+def _rank_eval_sql() -> str:
+    """x114 oracle — per-term BM25 contributions (the x88 expression
+    shape), rank windows per query, integer gains/metrics."""
+    from kafana_spark.operators.relevance import (
+        BM25_B, BM25_FP, BM25_K1, RANK_EVAL_FP)
+
+    terms = ", ".join(f"'{t}'" for t in RANK_EVAL_TERMS)
+    k = RANK_EVAL_K
+    g = f"CAST(ROUND({float(RANK_EVAL_FP)!r} / log2(i + 1)) AS BIGINT)"
+    return (
+        f"WITH {_TK_CTE}, "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
+        f"FROM tk WHERE term IN ({terms}) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT term, doc_id, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)}, "
+        f"CASE WHEN tf >= {REL_MIN_TF} THEN 1 ELSE 0 END AS rel "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st), "
+        "nr AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_rel "
+        "FROM c GROUP BY term), "
+        "rk AS (SELECT term, doc_id, rel, ROW_NUMBER() OVER "
+        "(PARTITION BY term ORDER BY c_u DESC, doc_id) AS rank "
+        "FROM c), "
+        "top AS (SELECT term, rel, rank, "
+        f"CAST(ROUND({float(RANK_EVAL_FP)!r} / log2(rank + 1)) "
+        "AS BIGINT) AS gain_u "
+        f"FROM rk WHERE rank <= {k}), "
+        "pq AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k, "
+        "CAST(SUM(rel * gain_u) AS BIGINT) AS dcg_u, "
+        "MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel "
+        "FROM top GROUP BY term), "
+        f"ideal AS (SELECT nr.term, CAST(SUM({g}) AS BIGINT) AS idcg_u "
+        f"FROM nr, generate_series(1, {k}) gs(i) "
+        f"WHERE i <= LEAST(n_rel, {k}) GROUP BY nr.term) "
+        "SELECT pq.term, nr.n_rel, "
+        f"CAST(10000 * n_rel_at_k // {k} AS BIGINT) AS p_at_k_bp, "
+        "CAST(CASE WHEN first_rel IS NOT NULL THEN "
+        f"{RANK_EVAL_FP} // first_rel ELSE 0 END AS BIGINT) AS mrr_u, "
+        "pq.dcg_u, CAST(COALESCE(ideal.idcg_u, 0) AS BIGINT) AS idcg_u, "
+        "CAST(CASE WHEN COALESCE(ideal.idcg_u, 0) > 0 THEN "
+        "10000 * pq.dcg_u // ideal.idcg_u ELSE 0 END AS BIGINT) "
+        "AS ndcg_bp "
+        "FROM pq JOIN nr USING (term) LEFT JOIN ideal USING (term) "
+        "ORDER BY term"
+    )
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -3718,4 +3787,5 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ORDER BY l_orderkey, l_linenumber"
     ),
     "x113_novelty": _novelty_sql(),
+    "x114_rank_eval": _rank_eval_sql(),
 }

@@ -316,3 +316,88 @@ def term_suggest(df: DataFrame, misspelled: Sequence[str],
             .filter(F.col("rn") <= per_term)
             .select("q", "term", "dist", "freq", "rn")
             .orderBy("q", "rn"))
+
+
+#: rank_eval gain grain: micro-units of the 1/log2(rank+1) DCG gain
+RANK_EVAL_FP = 1_000_000
+
+
+def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
+              rel_min_tf: int = 4, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """The ES ``rank_eval`` API: per-query precision@k, MRR and NDCG@k
+    for a batch of single-term queries, with the relevance judgment
+    derived from the corpus itself (doc relevant for query t iff
+    tf(t, d) ≥ ``rel_min_tf`` — judgment depends on the document, not
+    on the ranking being evaluated).
+
+    All metrics are integers: the DCG gain 1/log2(rank+1) is rounded
+    to RANK_EVAL_FP micro-units per rank BEFORE summation (ranks are
+    small integers, so both engines' log2/division agree far inside
+    the grain); precision and NDCG are integer basis points, MRR is
+    1e6 div first_relevant_rank.
+
+    Output: (term, n_rel, p_at_k_bp, mrr_u, dcg_u, idcg_u, ndcg_bp).
+
+    Scale: the per-(doc, term) BM25 contribution reuses bm25_scores'
+    shape (matched pairs only ever shuffle); the top-k per query is a
+    rank-limit window on the |terms|-way partitioned score frame; the
+    judgment total per term is a broadcast-sized aggregate.
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+    tf = _matched_tf(df, terms_df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                 + F.lit(BM25_B) * F.col("dl")
+                                 / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .select("term", F.col(id_col),
+                      F.round(contrib * F.lit(float(BM25_FP)))
+                      .cast("long").alias("c_u"),
+                      (F.col("tf") >= rel_min_tf).cast("int")
+                      .alias("rel")))
+    n_rel = (scored.groupBy("term")
+             .agg(F.sum("rel").alias("n_rel")))
+    w = Window.partitionBy("term").orderBy(F.col("c_u").desc(),
+                                           F.col(id_col))
+    gain = F.round(F.lit(float(RANK_EVAL_FP))
+                   / F.log2(F.col("rank") + 1)).cast("long")
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .withColumn("gain_u", gain))
+    per_q = (top.groupBy("term")
+             .agg(F.sum("rel").alias("n_rel_at_k"),
+                  F.sum(F.col("rel") * F.col("gain_u")).alias("dcg_u"),
+                  F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                  .alias("first_rel")))
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(
+            F.lit(float(RANK_EVAL_FP)) / F.log2(i + 1)).cast("long"))
+    return (per_q.join(F.broadcast(n_rel), "term")
+            .select(
+                "term", "n_rel",
+                F.expr(f"10000 * n_rel_at_k div {k}").alias("p_at_k_bp"),
+                F.when(F.col("first_rel").isNotNull(),
+                       F.expr(f"{RANK_EVAL_FP} div first_rel"))
+                .otherwise(F.lit(0)).cast("long").alias("mrr_u"),
+                F.col("dcg_u"),
+                F.when(F.col("n_rel") > 0, ideal).otherwise(F.lit(0))
+                .alias("idcg_u"))
+            .withColumn(
+                "ndcg_bp",
+                F.when(F.col("idcg_u") > 0,
+                       F.expr("10000 * dcg_u div idcg_u"))
+                .otherwise(F.lit(0)).cast("long"))
+            .orderBy("term"))

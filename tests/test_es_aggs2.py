@@ -210,3 +210,26 @@ def test_x113_novelty_joins_on_hashes(spark):
     plan = plan_of(EXTENSION_QUERIES["x113_novelty"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "conv(substring(md5" in plan.replace(", ", ",") or "conv" in plan
+
+
+def test_rank_eval_closed_form(spark):
+    from kafana_spark.operators.relevance import rank_eval
+    df = spark.createDataFrame(
+        [(0, "q q q q"), (1, "q q x x"), (2, "x y z w")],
+        "doc_id: long, text: string")
+    r = {row.term: row for row in
+         rank_eval(df, ["q"], k=2, rel_min_tf=3).collect()}["q"]
+    # d0 (tf=4) outranks d1 (tf=2); only d0 is judged relevant
+    assert r.n_rel == 1
+    assert r.p_at_k_bp == 5000          # 1 of 2
+    assert r.mrr_u == 1_000_000         # first relevant at rank 1
+    assert r.dcg_u == r.idcg_u == 1_000_000
+    assert r.ndcg_bp == 10000
+
+
+def test_x114_rank_eval_matched_pairs_only_shuffle(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x114_rank_eval"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan   # terms + stats + df tables
