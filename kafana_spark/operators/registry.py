@@ -3096,7 +3096,7 @@ def _change_point_sql() -> str:
     from identical integers, argmax by (stat DESC, bucket)."""
     return (
         "WITH b0 AS (SELECT date_trunc('day', ts) AS bucket, "
-        "ROUND(SUM(value), 6) AS sum_v FROM events GROUP BY 1), "
+        "ROUND(SUM(value), 4) AS sum_v FROM events GROUP BY 1), "
         "b AS (SELECT bucket, CAST(ROUND(sum_v * 1e6) AS BIGINT) "
         "AS v_u FROM b0), "
         "c AS (SELECT bucket, "

@@ -802,8 +802,9 @@ def change_point(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
     |mean(left) − mean(right)| (the CUSUM-family statistic ES's
     change_point exposes as ``significant_change``).
 
-    Engine portability: daily sums are rounded to micro-units
-    (integers) first; each split's means/statistic are then IEEE ops
+    Engine portability: daily sums are rounded to 4dp first (≈5e-5
+    grain vs ~1e-9 cross-engine accumulation noise — 4 orders of
+    margin, the x85 discipline) and scaled to integers; each split's means/statistic are then IEEE ops
     on identical integers — bit-equal across engines, so the argmax is
     exact, not a rounding gamble.
 
@@ -813,7 +814,7 @@ def change_point(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
     the pipeline aggs. Output is the single detected change point.
     """
     b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
-         .agg(F.round(F.sum(value_col), 6).alias("sum_v")))
+         .agg(F.round(F.sum(value_col), 4).alias("sum_v")))
     b = b.select("bucket",
                  F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
     w = Window.orderBy("bucket")
