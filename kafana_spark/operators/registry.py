@@ -1662,6 +1662,43 @@ def x_rank_eval(spark, sf_dir):
                                k=RANK_EVAL_K, rel_min_tf=REL_MIN_TF)
 
 
+#: x115 zipf fit vocabulary width
+ZIPF_K = 100
+#: x116 moving percentile: median over a trailing week of daily buckets
+MOVP_Q = 0.5
+MOVP_WINDOW = 7
+#: x117 pinned ids (list order IS the promoted ranking)
+PINNED_IDS = (42, 7, 99)
+PINNED_K = 10
+
+
+def x_zipf_fit(spark, sf_dir):
+    """x115 — Zipf rank-frequency fit over the top-100 vocabulary:
+    integer-fixed-point log-log least squares (corpus-health slope)."""
+    return text.zipf_fit(_docs(spark, sf_dir), k=ZIPF_K)
+
+
+def x_moving_percentile(spark, sf_dir):
+    """x116 — ES moving_percentiles pipeline agg: trailing-week exact
+    median of the daily value sums (integer micro-unit series)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.moving_percentile(ev, "ts", "value",
+                                   q=MOVP_Q, window=MOVP_WINDOW)
+
+
+def x_pinned_query(spark, sf_dir):
+    """x117 — the ES pinned query: editorial ids first in list order
+    (score 0 if unmatched), organic BM25 ranking after, one top-k."""
+    from kafana_spark.operators import relevance
+
+    return relevance.pinned_query(_docs(spark, sf_dir),
+                                  list(BM25_QUERY_TERMS),
+                                  list(PINNED_IDS), k=PINNED_K)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -1777,6 +1814,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x112_has_parent": x_has_parent,
     "x113_novelty": x_novelty,
     "x114_rank_eval": x_rank_eval,
+    "x115_zipf_fit": x_zipf_fit,
+    "x116_moving_percentile": x_moving_percentile,
+    "x117_pinned_query": x_pinned_query,
 }
 
 
@@ -3151,6 +3191,55 @@ def _novelty_sql() -> str:
     )
 
 
+def _zipf_fit_sql() -> str:
+    """x115 oracle — the x26 vocab CTE, micro-unit ln coordinates,
+    exact integer moment sums, identical-integer divisions."""
+    from kafana_spark.operators.text import ZIPF_FP
+
+    fp = float(ZIPF_FP)
+    return (
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) "
+        "AS token FROM documents), "
+        "c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token "
+        f"ORDER BY cnt DESC, token LIMIT {ZIPF_K}), "
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, "
+        "token) AS rk FROM c), "
+        f"p AS (SELECT CAST(ROUND(ln(rk) * {fp!r}) AS BIGINT) AS xu, "
+        f"CAST(ROUND(ln(cnt) * {fp!r}) AS BIGINT) AS yu FROM r), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(xu) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy, "
+        "CAST(SUM(xu * yu) AS BIGINT) AS sxy, "
+        "CAST(SUM(xu * xu) AS BIGINT) AS sxx FROM p) "
+        "SELECT CAST(n AS INT) AS n_terms, "
+        f"CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * {fp!r}) "
+        "AS BIGINT) AS slope_u, "
+        "CAST(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+        "* sx) / n) AS BIGINT) AS intercept_u FROM s"
+    )
+
+
+def _pinned_query_sql() -> str:
+    """x117 oracle — the shared x88 BM25 chain; pinned VALUES ranked
+    by list order, organic remainder appended."""
+    n_pin = len(PINNED_IDS)
+    vals = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(PINNED_IDS))
+    not_in = ", ".join(str(d) for d in PINNED_IDS)
+    return (
+        f"WITH {_bm25_scores_ctes()}, "
+        f"ids AS (SELECT * FROM (VALUES {vals}) t(rank, doc_id)), "
+        "pin AS (SELECT ids.rank, ids.doc_id, "
+        "CAST(COALESCE(sc.score_u, 0) AS BIGINT) AS score_u, "
+        "1 AS pinned FROM ids LEFT JOIN sc USING (doc_id)), "
+        "org AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_u "
+        f"DESC, doc_id) + {n_pin} AS INT) AS rank, doc_id, score_u, "
+        f"0 AS pinned FROM sc WHERE doc_id NOT IN ({not_in}) "
+        f"ORDER BY score_u DESC, doc_id LIMIT {PINNED_K - n_pin}) "
+        "SELECT rank, doc_id, score_u, pinned FROM pin "
+        "UNION ALL SELECT rank, doc_id, score_u, pinned FROM org "
+        "ORDER BY rank"
+    )
+
+
 def _rank_eval_sql() -> str:
     """x114 oracle — per-term BM25 contributions (the x88 expression
     shape), rank windows per query, integer gains/metrics."""
@@ -3788,4 +3877,16 @@ EXTENSION_ORACLE: dict[str, str] = {
     ),
     "x113_novelty": _novelty_sql(),
     "x114_rank_eval": _rank_eval_sql(),
+    "x115_zipf_fit": _zipf_fit_sql(),
+    "x116_moving_percentile": (
+        "WITH b0 AS (SELECT date_trunc('day', ts) AS bucket, "
+        "ROUND(SUM(value), 4) AS sum_v FROM events GROUP BY 1), "
+        "b AS (SELECT bucket, CAST(ROUND(sum_v * 1e6) AS BIGINT) "
+        "AS v_u FROM b0) "
+        "SELECT CAST(bucket AS DATE) AS ds, v_u, "
+        f"quantile_cont(v_u, {MOVP_Q!r}) OVER (ORDER BY bucket "
+        f"ROWS BETWEEN {MOVP_WINDOW - 1} PRECEDING AND CURRENT ROW) "
+        "AS p_u FROM b ORDER BY ds"
+    ),
+    "x117_pinned_query": _pinned_query_sql(),
 }

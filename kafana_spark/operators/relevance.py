@@ -401,3 +401,45 @@ def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
                        F.expr("10000 * dcg_u div idcg_u"))
                 .otherwise(F.lit(0)).cast("long"))
             .orderBy("term"))
+
+
+def pinned_query(df: DataFrame, terms: Sequence[str],
+                 pinned_ids: Sequence[int], k: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The ES ``pinned`` query: the listed document ids rank first, in
+    list order (whether or not they match), followed by the organic
+    BM25 ranking with the pinned ids removed — ES's editorial-promotion
+    primitive.
+
+    Output: (rank, doc_id, score_u, pinned) — score_u is 0 for a
+    pinned doc with no term match (ES gives pinned hits a synthetic
+    score too).
+
+    Scale: the pinned frame is |ids| rows (broadcast both ways); the
+    organic side is bm25_scores' matched-pairs shuffle + a TakeOrdered
+    top-k — the pinned list never perturbs the corpus-side plan.
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    scored = bm25_scores(df, terms_df, id_col=id_col, text_col=text_col)
+    ids = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(int(i)) for i in pinned_ids]))
+        .alias("pos", id_col))
+    pinned = (ids.join(F.broadcast(scored), id_col, "left")
+              .select((F.col("pos") + 1).cast("int").alias("rank"),
+                      F.col(id_col),
+                      F.coalesce(F.col("score_u"), F.lit(0))
+                      .cast("long").alias("score_u"),
+                      F.lit(1).alias("pinned")))
+    n_pin = len(pinned_ids)
+    org = (scored.join(F.broadcast(ids.select(id_col)), id_col,
+                       "left_anti")
+           .orderBy(F.col("score_u").desc(), F.col(id_col))
+           .limit(max(0, k - n_pin)))
+    w = Window.orderBy(F.col("score_u").desc(), F.col(id_col))
+    org = org.select(
+        (F.row_number().over(w) + n_pin).cast("int").alias("rank"),
+        F.col(id_col), F.col("score_u"), F.lit(0).alias("pinned"))
+    return pinned.unionByName(org).orderBy("rank")

@@ -973,3 +973,44 @@ def novelty(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col), "n_grams", "n_novel",
                     F.expr("10000 * n_novel div n_grams")
                     .alias("novelty_bp")))
+
+
+#: zipf_fit fixed point: ln() coordinates in micro-units
+ZIPF_FP = 1_000_000
+
+
+def zipf_fit(df: DataFrame, k: int = 100,
+             text_col: str = "text") -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic of a
+    tokenizer/curation pipeline (natural corpora fit ln(freq) ≈
+    a·ln(rank) + c with a ≈ −1; a flat or broken slope flags synthetic
+    or boilerplate-dominated data).
+
+    Least squares over the top-``k`` vocabulary's log-log points, all
+    integer fixed-point: xu = round(ln rank · 1e6), yu = round(ln cnt
+    · 1e6) — the moment sums are exact integer sums, and the
+    slope/intercept divisions run on identical integers in both
+    engines (bit-equal doubles).
+
+    Output: (n_terms, slope_u, intercept_u) — slope in micro-units,
+    intercept in micro-nats of ln(freq).
+
+    Scale: the vocab pass is vocab_topk's combinable explode→agg→
+    TakeOrdered; the regression reduces k rows to one.
+    """
+    v = vocab_topk(df, k, text_col)
+    pts = v.select(
+        F.round(F.log("rk") * ZIPF_FP).cast("long").alias("xu"),
+        F.round(F.log("cnt") * ZIPF_FP).cast("long").alias("yu"))
+    s = pts.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+                F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+                F.sum(F.col("xu") * F.col("xu")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(slope * F.lit(float(ZIPF_FP))).cast("long")
+        .alias("slope_u"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .cast("long").alias("intercept_u"))

@@ -900,3 +900,29 @@ def has_parent(child: DataFrame, parent: DataFrame, on: str,
     """
     keys = parent.where(parent_pred).select(on).distinct()
     return child.join(keys, on, "left_semi")
+
+
+def moving_percentile(df: DataFrame, time_col: str, value_col: str,
+                      q: float = 0.5, window: int = 7) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: the exact percentile of
+    the daily-bucket metric over a trailing ``window`` of buckets (ES
+    merges the per-bucket t-digests; the exact twin re-ranks the tiny
+    trailing frame — C15's exact-twin stance).
+
+    Daily sums round at 4dp then scale to integer micro-units (the
+    x108 discipline), so the window percentile interpolates identical
+    integers on both engines.
+
+    Scale: the raw scan reduces map-side-combinably to one row per
+    day; the moving window runs over that bounded bucket frame only.
+    """
+    b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
+         .agg(F.round(F.sum(value_col), 4).alias("sum_v")))
+    b = b.select("bucket",
+                 F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(-(window - 1), Window.currentRow))
+    return (b.select(F.col("bucket").cast("date").alias("ds"), "v_u",
+                     F.expr(f"percentile(v_u, {q!r})").over(w)
+                     .alias("p_u"))
+            .orderBy("ds"))

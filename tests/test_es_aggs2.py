@@ -233,3 +233,66 @@ def test_x114_rank_eval_matched_pairs_only_shuffle(spark):
     plan = plan_of(EXTENSION_QUERIES["x114_rank_eval"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan   # terms + stats + df tables
+
+
+def test_zipf_fit_slope_sign_and_count(spark):
+    from kafana_spark.operators.text import zipf_fit
+    # 3 tokens with strictly decreasing frequency → negative slope
+    rows = [("a a a a a a b b b c",)] * 2
+    df = spark.createDataFrame(rows, "text: string")
+    r = zipf_fit(df, k=3).collect()[0]
+    assert r.n_terms == 3
+    assert r.slope_u < 0
+    assert r.intercept_u > 0          # ln of the head frequency
+
+
+def test_moving_percentile_trailing_window(spark):
+    rows = [(dt.datetime(2024, 1, d), float(v))
+            for d, v in [(1, 10), (2, 20), (3, 30)]]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    out = {r.ds: r.p_u for r in
+           query.moving_percentile(df, "ts", "v", q=0.5,
+                                   window=2).collect()}
+    assert out[dt.date(2024, 1, 1)] == 10_000_000.0
+    assert out[dt.date(2024, 1, 2)] == 15_000_000.0   # median(10, 20)
+    assert out[dt.date(2024, 1, 3)] == 25_000_000.0   # median(20, 30)
+
+
+def test_pinned_query_list_order_then_organic(spark):
+    from kafana_spark.operators.relevance import pinned_query
+    df = spark.createDataFrame(
+        [(0, "q q q"), (1, "q q x"), (2, "q x y"), (3, "x y z")],
+        "doc_id: long, text: string")
+    out = pinned_query(df, ["q"], [3, 2], k=4).collect()
+    assert [(r.rank, r.doc_id, r.pinned) for r in out] == [
+        (1, 3, 1),    # pinned first, list order — even with no match
+        (2, 2, 1),
+        (3, 0, 0),    # organic BM25: highest tf first
+        (4, 1, 0)]
+    assert out[0].score_u == 0        # doc 3 has no 'q'
+
+
+def test_x115_vocab_is_takeordered_not_global_sort(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x115_zipf_fit"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x116_window_runs_over_the_bucket_frame(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x116_moving_percentile"](spark, SF_SMOKE))
+    assert plan.index("Window") < plan.index("HashAggregate")
+    schemas = " ".join(read_schemas(plan))
+    assert "props" not in schemas and "user_id" not in schemas
+
+
+def test_x117_pinned_never_perturbs_the_corpus_plan(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x117_pinned_query"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
