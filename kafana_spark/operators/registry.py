@@ -1662,6 +1662,47 @@ def x_rank_eval(spark, sf_dir):
                                k=RANK_EVAL_K, rel_min_tf=REL_MIN_TF)
 
 
+#: x118 match_phrase literal (any word bigram occurs ~30× over the
+#: 31-word synthetic vocabulary — exact-phrase selectivity is real)
+PHRASE = ("data", "merge")
+#: x119 span_near clauses + slop (in_order)
+SPAN_TERMS = ("spark", "vector")
+SPAN_SLOP = 3
+#: x120 temperature mixture: mT5/XLM-R style alpha + document budget
+MIX_ALPHA = 0.7
+MIX_BUDGET = 200
+
+
+def x_match_phrase(spark, sf_dir):
+    """x118 — ES match_phrase (slop 0): exact consecutive-token
+    sequence containment as a pure gram-array column expression."""
+    from kafana_spark.operators import relevance
+
+    return (relevance.match_phrase(_docs(spark, sf_dir), list(PHRASE))
+            .orderBy("doc_id"))
+
+
+def x_span_near(spark, sf_dir):
+    """x119 — ES span_near (two clauses, in_order): second term within
+    SPAN_SLOP positions after the first; pair count per doc."""
+    from kafana_spark.operators import relevance
+
+    return (relevance.span_near(_docs(spark, sf_dir), SPAN_TERMS[0],
+                                SPAN_TERMS[1], SPAN_SLOP)
+            .orderBy("doc_id"))
+
+
+def x_temperature_mixture(spark, sf_dir):
+    """x120 — temperature mixture sampling (share ∝ n^alpha): the
+    multilingual LM data recipe as a deterministic integer-ppm gate."""
+    from kafana_spark.operators import sample
+
+    return (sample.temperature_mixture(_docs(spark, sf_dir),
+                                       alpha=MIX_ALPHA,
+                                       budget=MIX_BUDGET)
+            .orderBy("doc_id"))
+
+
 #: x115 zipf fit vocabulary width
 ZIPF_K = 100
 #: x116 moving percentile: median over a trailing week of daily buckets
@@ -1817,6 +1858,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x115_zipf_fit": x_zipf_fit,
     "x116_moving_percentile": x_moving_percentile,
     "x117_pinned_query": x_pinned_query,
+    "x118_match_phrase": x_match_phrase,
+    "x119_span_near": x_span_near,
+    "x120_temperature_mixture": x_temperature_mixture,
 }
 
 
@@ -3889,4 +3933,40 @@ EXTENSION_ORACLE: dict[str, str] = {
         "AS p_u FROM b ORDER BY ds"
     ),
     "x117_pinned_query": _pinned_query_sql(),
+    "x118_match_phrase": (
+        "WITH g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gm "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        "WHERE i + 1 <= len(t)) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+        f"FROM g WHERE gm = '{' '.join(PHRASE)}' "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "x119_span_near": (
+        "WITH p AS (SELECT doc_id, i - 1 AS p, t[i] AS w "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        f"WHERE i <= len(t) AND t[i] IN "
+        f"('{SPAN_TERMS[0]}', '{SPAN_TERMS[1]}')), "
+        f"a AS (SELECT doc_id, p AS pa FROM p "
+        f"WHERE w = '{SPAN_TERMS[0]}'), "
+        f"b AS (SELECT doc_id, p AS pb FROM p "
+        f"WHERE w = '{SPAN_TERMS[1]}'), "
+        "pr AS (SELECT a.doc_id FROM a JOIN b USING (doc_id) "
+        f"WHERE pb > pa AND pb - pa <= {SPAN_SLOP + 1}) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM pr GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "x120_temperature_mixture": (
+        "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents "
+        "GROUP BY lang), "
+        f"t AS (SELECT SUM(pow(n_l, {MIX_ALPHA!r})) AS sw FROM c), "
+        "r AS (SELECT lang, LEAST(1000000, CAST(ROUND("
+        f"{float(1_000_000 * MIX_BUDGET)!r} * pow(n_l, {MIX_ALPHA!r}) "
+        "/ sw / n_l) AS BIGINT)) AS keep_ppm FROM c, t) "
+        "SELECT doc_id, lang FROM documents JOIN r USING (lang) "
+        "WHERE CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) "
+        "% 1000000 < keep_ppm ORDER BY doc_id"
+    ),
 }

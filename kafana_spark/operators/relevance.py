@@ -443,3 +443,54 @@ def pinned_query(df: DataFrame, terms: Sequence[str],
         (F.row_number().over(w) + n_pin).cast("int").alias("rank"),
         F.col(id_col), F.col("score_u"), F.lit(0).alias("pinned"))
     return pinned.unionByName(org).orderBy("rank")
+
+
+def match_phrase(df: DataFrame, phrase: Sequence[str],
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The ES ``match_phrase`` query (slop 0): documents containing the
+    exact consecutive token sequence, with the occurrence count (the
+    phrase-frequency ES feeds its scoring).
+
+    A length-n phrase is containment of one word n-gram — a PURE column
+    expression over the gram array (no position join, no shuffle
+    beyond the scan): the n-gram array is built per row map-side and
+    filtered against the literal.
+
+    Scale: map-only until the final count; the phrase literal lives in
+    the codegen'd filter, so the scan prunes to (id, text).
+    """
+    from kafana_spark.functions import grams
+
+    lit = " ".join(phrase)
+    g = grams(F.col(text_col), len(phrase))
+    n = F.size(F.filter(g, lambda x: x == F.lit(lit)))
+    return (df.select(F.col(id_col), n.alias("n_occurrences"))
+            .where(F.col("n_occurrences") > 0))
+
+
+def span_near(df: DataFrame, first: str, second: str, slop: int,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """The ES ``span_near`` query (two clauses, in_order=true):
+    documents where ``second`` occurs after ``first`` within ``slop``
+    intervening positions, with the matching position-pair count.
+
+    Scale: the token posexplode filters to the two query terms BEFORE
+    any shuffle (term selectivity sizes the exchange, not the corpus —
+    the _matched_tf stance); the pair join is an equi-join on the doc
+    id with the distance predicate on top.
+    """
+    tok = tokens(F.col(text_col))
+    pos = (df.select(F.col(id_col),
+                     F.posexplode(tok).alias("p", "w"))
+           .where(F.col("w").isin([first, second])))
+    a = (pos.where(F.col("w") == first)
+         .select(F.col(id_col), F.col("p").alias("pa")))
+    b = (pos.where(F.col("w") == second)
+         .select(F.col(id_col), F.col("p").alias("pb")))
+    pairs = (a.join(b, id_col)
+             .where((F.col("pb") > F.col("pa"))
+                    & (F.col("pb") - F.col("pa") <= slop + 1)))
+    return (pairs.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -272,3 +272,39 @@ def token_budget_select(df: DataFrame, budget: int,
     return (joined.select(F.col(id_col), F.col(score_col),
                           F.col(tokens_col), cum)
             .filter(F.col("cum_tokens") <= budget))
+
+
+def temperature_mixture(df: DataFrame, alpha: float = 0.7,
+                        budget: int = 200, strata_col: str = "lang",
+                        key_col: str = "doc_id",
+                        seed: int = 0) -> DataFrame:
+    """Temperature-based mixture sampling — the standard multilingual
+    LM recipe (mT5/XLM-R): stratum ``l`` gets target share
+    n_l^alpha / Σ n_m^alpha (alpha < 1 upsamples the tail relative to
+    its natural share), realized as a deterministic per-stratum keep
+    rate against a total document ``budget``.
+
+    The keep rate is an INTEGER ppm threshold computed from the
+    per-stratum counts (pow/ln on integer counts — cross-engine libm
+    noise is ~1e-11 relative against a 0.5-unit rounding margin), so
+    the kept set is exactly reproducible across engines, runs and
+    partitionings (the property mixture_rebalance establishes; this is
+    its temperature-weighted sibling).
+
+    Scale: one combinable count pass; the rate table is |strata| rows
+    broadcast back; the keep predicate is a pure column expression.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_l"))
+    w = F.pow(F.col("n_l").cast("double"), F.lit(alpha))
+    tot = counts.agg(F.sum(w).alias("sw"))
+    rate = (counts.join(F.broadcast(tot))
+            .select(strata_col,
+                    F.least(
+                        F.lit(SAMPLE_DENOM),
+                        F.round(F.lit(float(SAMPLE_DENOM * budget))
+                                * w / F.col("sw") / F.col("n_l"))
+                        .cast("long")).alias("keep_ppm")))
+    return (df.join(F.broadcast(rate), strata_col)
+            .where(sample_bucket(F.col(key_col), seed)
+                   < F.col("keep_ppm"))
+            .select(key_col, strata_col))

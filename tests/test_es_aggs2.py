@@ -296,3 +296,64 @@ def test_x117_pinned_never_perturbs_the_corpus_plan(spark):
     plan = plan_of(EXTENSION_QUERIES["x117_pinned_query"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_match_phrase_counts_exact_adjacency(spark):
+    from kafana_spark.operators.relevance import match_phrase
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a x"), (2, "a x b")],
+        "doc_id: long, text: string")
+    got = {r.doc_id: r.n_occurrences
+           for r in match_phrase(df, ["a", "b"]).collect()}
+    assert got == {0: 2}            # "a b" twice; reversed/split don't count
+
+
+def test_span_near_in_order_within_slop(spark):
+    from kafana_spark.operators.relevance import span_near
+    df = spark.createDataFrame(
+        [(0, "x y z x"),     # y..x at distance 2 → within slop 2
+         (1, "x w w w y"),   # no x AFTER the y → no in-order pair
+         (2, "y x")],        # adjacent in order → matches
+        "doc_id: long, text: string")
+    got = {r.doc_id: r.n_pairs
+           for r in span_near(df, "y", "x", 2).collect()}
+    assert got == {0: 1, 2: 1}
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    from kafana_spark.operators.sample import temperature_mixture
+    rows = ([(i, "big") for i in range(900)]
+            + [(900 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    kept = temperature_mixture(df, alpha=0.5, budget=200).collect()
+    by = {}
+    for r in kept:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    # alpha=0.5 targets 3:1 (sqrt(900):sqrt(100)), not the natural 9:1
+    assert by["small"] > 100 * (200 / 1000)   # upsampled vs natural share
+    assert by["big"] / by["small"] < 5        # far below 9:1
+
+
+def test_x118_phrase_filter_is_map_only(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x118_match_phrase"](spark, SF_SMOKE))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    schemas = " ".join(read_schemas(plan))
+    assert "lang" not in schemas and "source" not in schemas
+
+
+def test_x119_span_pairs_filter_terms_before_joining(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x119_span_near"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_x120_rate_table_is_broadcast(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x120_temperature_mixture"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
