@@ -1703,6 +1703,32 @@ def x_temperature_mixture(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: x121 terms_set: minimum_should_match over this term list
+TERMS_SET = ("merge", "spark", "vector", "window")
+TERMS_SET_MIN = 3
+#: x122 dis_max result size
+DIS_MAX_K = 10
+
+
+def x_terms_set(spark, sf_dir):
+    """x121 — ES terms_set query: docs matching ≥ TERMS_SET_MIN of the
+    term list (minimum_should_match), matched-pairs shuffle only."""
+    from kafana_spark.operators import relevance
+
+    return (relevance.terms_set(_docs(spark, sf_dir), list(TERMS_SET),
+                                TERMS_SET_MIN)
+            .orderBy("doc_id"))
+
+
+def x_dis_max(spark, sf_dir):
+    """x122 — ES dis_max over per-term BM25 clauses: best clause +
+    tie_breaker · rest, exact integer combine, top-k."""
+    from kafana_spark.operators import relevance
+
+    return relevance.dis_max(_docs(spark, sf_dir),
+                             list(BM25_QUERY_TERMS), k=DIS_MAX_K)
+
+
 #: x115 zipf fit vocabulary width
 ZIPF_K = 100
 #: x116 moving percentile: median over a trailing week of daily buckets
@@ -1861,6 +1887,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x118_match_phrase": x_match_phrase,
     "x119_span_near": x_span_near,
     "x120_temperature_mixture": x_temperature_mixture,
+    "x121_terms_set": x_terms_set,
+    "x122_dis_max": x_dis_max,
 }
 
 
@@ -3284,6 +3312,36 @@ def _pinned_query_sql() -> str:
     )
 
 
+_TERMS_SET_IN = ", ".join(f"'{t}'" for t in TERMS_SET)
+
+
+def _dis_max_sql() -> str:
+    """x122 oracle — the x88 contribution chain, combined as
+    max + round(tie · (sum − max)) in exact integers."""
+    from kafana_spark.operators.relevance import (
+        BM25_B, BM25_FP, BM25_K1, DIS_MAX_TIE)
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        f"WITH {_TK_CTE}, "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
+        f"FROM tk WHERE term IN ({terms}) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT doc_id, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st), "
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched, "
+        "CAST(MAX(c_u) AS BIGINT) AS mx, CAST(SUM(c_u) AS BIGINT) "
+        "AS sm FROM c GROUP BY doc_id) "
+        "SELECT doc_id, n_matched, CAST(mx + CAST(ROUND("
+        f"{DIS_MAX_TIE!r} * (sm - mx)) AS BIGINT) AS BIGINT) "
+        "AS score_u FROM a "
+        f"ORDER BY score_u DESC, doc_id LIMIT {DIS_MAX_K}"
+    )
+
+
 def _rank_eval_sql() -> str:
     """x114 oracle — per-term BM25 contributions (the x88 expression
     shape), rank windows per query, integer gains/metrics."""
@@ -3957,6 +4015,14 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs "
         "FROM pr GROUP BY doc_id ORDER BY doc_id"
     ),
+    "x121_terms_set": (
+        f"WITH {_TK_CTE} "
+        "SELECT doc_id, CAST(COUNT(DISTINCT term) AS INT) AS n_matched "
+        f"FROM tk WHERE term IN ({_TERMS_SET_IN}) "
+        f"GROUP BY doc_id HAVING COUNT(DISTINCT term) >= {TERMS_SET_MIN} "
+        "ORDER BY doc_id"
+    ),
+    "x122_dis_max": _dis_max_sql(),
     "x120_temperature_mixture": (
         "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents "
         "GROUP BY lang), "

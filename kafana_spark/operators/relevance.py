@@ -494,3 +494,75 @@ def span_near(df: DataFrame, first: str, second: str, slop: int,
                     & (F.col("pb") - F.col("pa") <= slop + 1)))
     return (pairs.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def terms_set(df: DataFrame, terms: Sequence[str], min_match: int,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """The ES ``terms_set`` query: documents matching at least
+    ``min_match`` of the given terms (minimum_should_match as a
+    first-class query; ES evaluates it per doc against a script or
+    field).
+
+    Scale: the matched-pairs shape again — the explode filters to the
+    query terms before the distinct-count aggregation; nothing
+    corpus-sized shuffles.
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    tf = _matched_tf(df, terms_df, id_col, text_col)
+    return (tf.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+            .where(F.col("n_matched") >= min_match))
+
+
+#: dis_max tie_breaker (ES default family: 0 pure max; 0.3 common)
+DIS_MAX_TIE = 0.3
+
+
+def dis_max(df: DataFrame, terms: Sequence[str], k: int = 10,
+            tie_breaker: float = DIS_MAX_TIE, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """The ES ``dis_max`` query over per-term BM25 clauses: a doc
+    scores its BEST clause plus ``tie_breaker`` times the rest —
+    best-fields semantics, vs the bool/should SUM that x88 computes.
+
+    score_u = max(c_u) + round(tie_breaker · (Σc_u − max c_u)) — the
+    per-clause contributions are the x88 integer fixed-point units, so
+    the combine is exact integer arithmetic plus one rounded scalar
+    multiply of an integer (identical in both engines).
+
+    Scale: identical plan shape to bm25_scores (matched pairs only),
+    one extra MAX beside the SUM in the same combinable aggregate.
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+    tf = _matched_tf(df, terms_df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                 + F.lit(BM25_B) * F.col("dl")
+                                 / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    c = (tf.join(F.broadcast(dfreq), "term")
+         .join(F.broadcast(stats))
+         .select(F.col(id_col),
+                 F.round(contrib * F.lit(float(BM25_FP)))
+                 .cast("long").alias("c_u")))
+    agg = (c.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("int").alias("n_matched"),
+                F.max("c_u").alias("mx"), F.sum("c_u").alias("sm")))
+    score = (F.col("mx")
+             + F.round(F.lit(tie_breaker)
+                       * (F.col("sm") - F.col("mx"))).cast("long"))
+    return (agg.select(F.col(id_col), "n_matched",
+                       score.alias("score_u"))
+            .orderBy(F.col("score_u").desc(), F.col(id_col))
+            .limit(k))

@@ -357,3 +357,28 @@ def test_x120_rate_table_is_broadcast(spark):
         EXTENSION_QUERIES["x120_temperature_mixture"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_terms_set_minimum_should_match(spark):
+    from kafana_spark.operators.relevance import terms_set
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a a a b"), (2, "a x y")],
+        "doc_id: long, text: string")
+    got = {r.doc_id: r.n_matched
+           for r in terms_set(df, ["a", "b", "c"], 2).collect()}
+    assert got == {0: 3, 1: 2}       # tf repetition doesn't inflate n
+
+
+def test_dis_max_prefers_one_strong_clause(spark):
+    from kafana_spark.operators.relevance import dis_max
+    # equal idf (each term in 2 docs): doc 0's strong clause (tf=4)
+    # must beat doc 1's two weak clauses under pure-max combine
+    df = spark.createDataFrame(
+        [(0, "a a a a x"), (1, "a b x x x"), (2, "b x x x x"),
+         (3, "x y z w v")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           dis_max(df, ["a", "b"], k=10, tie_breaker=0.0).collect()}
+    assert 3 not in out
+    # pure max (tie=0): the single-strong-clause doc must win
+    assert out[0].score_u > out[1].score_u
