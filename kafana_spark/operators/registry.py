@@ -1703,6 +1703,20 @@ def x_temperature_mixture(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: x123 boosting query: negative term (soft exclusion)
+BOOST_NEG_TERM = "slow"
+
+
+def x_boosting(spark, sf_dir):
+    """x123 — ES boosting query: positive BM25 ranking with docs
+    containing the negative term demoted to half score (integer ppm
+    arithmetic; demotion flag is a broadcast id set)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.boosting(_docs(spark, sf_dir),
+                              list(BM25_QUERY_TERMS), BOOST_NEG_TERM)
+
+
 #: x121 terms_set: minimum_should_match over this term list
 TERMS_SET = ("merge", "spark", "vector", "window")
 TERMS_SET_MIN = 3
@@ -1889,6 +1903,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x120_temperature_mixture": x_temperature_mixture,
     "x121_terms_set": x_terms_set,
     "x122_dis_max": x_dis_max,
+    "x123_boosting": x_boosting,
 }
 
 
@@ -3315,6 +3330,25 @@ def _pinned_query_sql() -> str:
 _TERMS_SET_IN = ", ".join(f"'{t}'" for t in TERMS_SET)
 
 
+def _boosting_sql() -> str:
+    """x123 oracle — the x88 score chain; negative-containment docs
+    take score_u · ppm div 1e6."""
+    from kafana_spark.operators.relevance import NEG_BOOST_PPM
+
+    return (
+        f"WITH {_bm25_scores_ctes()}, "
+        "neg AS (SELECT doc_id, 1 AS _neg FROM documents "
+        f"WHERE list_contains({_TOKS}, '{BOOST_NEG_TERM}')) "
+        "SELECT sc.doc_id, sc.n_matched, "
+        "CAST(CASE WHEN neg._neg IS NOT NULL THEN "
+        f"sc.score_u * {NEG_BOOST_PPM} // 1000000 "
+        "ELSE sc.score_u END AS BIGINT) AS score_u, "
+        "COALESCE(neg._neg, 0) AS demoted "
+        "FROM sc LEFT JOIN neg USING (doc_id) "
+        "ORDER BY score_u DESC, doc_id LIMIT 10"
+    )
+
+
 def _dis_max_sql() -> str:
     """x122 oracle — the x88 contribution chain, combined as
     max + round(tie · (sum − max)) in exact integers."""
@@ -4023,6 +4057,7 @@ EXTENSION_ORACLE: dict[str, str] = {
         "ORDER BY doc_id"
     ),
     "x122_dis_max": _dis_max_sql(),
+    "x123_boosting": _boosting_sql(),
     "x120_temperature_mixture": (
         "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents "
         "GROUP BY lang), "

@@ -566,3 +566,42 @@ def dis_max(df: DataFrame, terms: Sequence[str], k: int = 10,
                        score.alias("score_u"))
             .orderBy(F.col("score_u").desc(), F.col(id_col))
             .limit(k))
+
+
+#: ES boosting query negative_boost in ppm (0.5 = the doc keeps half
+#: its score when it matches the negative query)
+NEG_BOOST_PPM = 500_000
+
+
+def boosting(df: DataFrame, positive: Sequence[str], negative: str,
+             k: int = 10, neg_boost_ppm: int = NEG_BOOST_PPM,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """The ES ``boosting`` query: rank by the positive BM25 query, but
+    demote (not exclude) documents matching the negative clause —
+    score × negative_boost, ES's soft-exclusion primitive.
+
+    The demotion is integer arithmetic (score_u · ppm div 1e6), so
+    ranking stays engine-exact; the negative flag is one token-
+    containment column expression (map-side, no extra shuffle).
+
+    Scale: bm25_scores' matched-pairs plan + a broadcast semi-flag
+    join of the (tiny) negative-match id set.
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in positive])).alias("term"))
+    scored = bm25_scores(df, terms_df, id_col=id_col, text_col=text_col)
+    neg = (df.where(F.array_contains(tokens(F.col(text_col)), negative))
+           .select(F.col(id_col)))
+    out = (scored.join(F.broadcast(neg.withColumn("_neg", F.lit(1))),
+                       id_col, "left")
+           .select(F.col(id_col), "n_matched",
+                   F.when(F.col("_neg").isNotNull(),
+                          F.expr(f"score_u * {neg_boost_ppm} "
+                                 "div 1000000"))
+                   .otherwise(F.col("score_u")).cast("long")
+                   .alias("score_u"),
+                   F.coalesce(F.col("_neg"), F.lit(0)).alias("demoted")))
+    return (out.orderBy(F.col("score_u").desc(), F.col(id_col))
+            .limit(k))

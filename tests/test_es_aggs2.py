@@ -382,3 +382,16 @@ def test_dis_max_prefers_one_strong_clause(spark):
     assert 3 not in out
     # pure max (tie=0): the single-strong-clause doc must win
     assert out[0].score_u > out[1].score_u
+
+
+def test_boosting_demotes_but_keeps_negative_matches(spark):
+    from kafana_spark.operators.relevance import boosting
+    df = spark.createDataFrame(
+        [(0, "a a a x"), (1, "a a a bad"), (2, "x y z w")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           boosting(df, ["a"], "bad", k=10).collect()}
+    assert 2 not in out                       # no positive match
+    assert out[1].demoted == 1 and out[0].demoted == 0
+    # identical positive score, halved by the demotion (dl equal)
+    assert out[1].score_u == out[0].score_u // 2
