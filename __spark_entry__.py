@@ -37,11 +37,13 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 5 grew the registry past one window (q22 + x18–x28 + 28 new
-    keys = 61 > 50): the new keys past the 50th slot (x85–x95) have no
-    driver row this round — they are verified locally by
-    ``tools/check_oracle.py`` (full-suite run recorded in NOTES_r5.md)
-    and rotate into the round-6 window.
+    Round 5 grew the registry past one window (22 q-keys + 11
+    re-sign keys + 56 new round-5 keys x68–x123): the window signs
+    q01–q22 + x18–x28 + x68–x84; x85–x123 have no driver row this
+    round — they are verified locally by ``tools/check_oracle.py``
+    (full-suite runs recorded in NOTES_r5.md) and rotate into the
+    round-6 window oldest-first (the rank groups order numerically,
+    so each future window picks up where the last stopped).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
