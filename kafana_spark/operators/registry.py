@@ -1707,6 +1707,63 @@ def x_temperature_mixture(spark, sf_dir):
 BOOST_NEG_TERM = "slow"
 
 
+def x_dedup_eval(spark, sf_dir):
+    """x124 — dedup method evaluation (the x114 rank_eval counterpart
+    for the dedup family): MinHash+LSH pairs (x02) scored against the
+    exact n-gram-Jaccard truth set (x03) at the same threshold —
+    TP/FP/FN + precision/recall in integer basis points. Documents the
+    LSH contract mechanically: the exact verify step makes FP ≡ 0, so
+    the only loss channel is banding misses (recall).
+
+    Scale: both pipelines are the banded/bucketed shapes already
+    proven; the comparison is a full-outer join of two pair lists
+    (each orders of magnitude smaller than the corpus) reduced to one
+    row."""
+    d = _docs(spark, sf_dir)
+    lsh = (dedup.minhash_near_dup(d, NEAR_DUP_THRESHOLD)
+           .select("da", "db").withColumn("in_lsh", F.lit(1)))
+    ex = (dedup.ngram_jaccard_dup(d, NEAR_DUP_THRESHOLD)
+          .select("da", "db").withColumn("in_ex", F.lit(1)))
+    j = lsh.join(ex, ["da", "db"], "full_outer")
+    agg = j.agg(
+        F.count(F.when(F.col("in_lsh").isNotNull()
+                       & F.col("in_ex").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("in_lsh").isNotNull()
+                       & F.col("in_ex").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("in_lsh").isNull()
+                       & F.col("in_ex").isNotNull(), 1)).alias("fn"))
+    return agg.select(
+        "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("10000 * tp div (tp + fp)"))
+        .otherwise(F.lit(0)).cast("long").alias("precision_bp"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("10000 * tp div (tp + fn)"))
+        .otherwise(F.lit(0)).cast("long").alias("recall_bp"))
+
+
+def x_ann_recall(spark, sf_dir):
+    """x125 — ANN recall report as a first-class query: per-query
+    overlap of the IVF top-k (x08) with the brute-force truth (x07),
+    in integer basis points. The pytest recall floors pin the
+    aggregate; this op makes the per-query curve oracle-checkable and
+    servable (the eval loop the ANN family was missing)."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    bf = (similarity.brute_force_topk(e, q, ANN_K)
+          .select("qid", "vec_id"))
+    iv = (similarity.ivf_topk(e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
+                              n_probe=ANN_N_PROBE, n_assign=ANN_N_ASSIGN)
+          .select("qid", "vec_id").withColumn("hit", F.lit(1)))
+    return (bf.join(iv, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.count("hit").cast("int").alias("n_overlap"))
+            .select("qid", "n_overlap",
+                    F.expr(f"10000 * n_overlap div {ANN_K}")
+                    .cast("long").alias("recall_bp"))
+            .orderBy("qid"))
+
+
 def x_boosting(spark, sf_dir):
     """x123 — ES boosting query: positive BM25 ranking with docs
     containing the negative term demoted to half score (integer ppm
@@ -1904,6 +1961,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x121_terms_set": x_terms_set,
     "x122_dis_max": x_dis_max,
     "x123_boosting": x_boosting,
+    "x124_dedup_eval": x_dedup_eval,
+    "x125_ann_recall": x_ann_recall,
 }
 
 
@@ -3330,6 +3389,45 @@ def _pinned_query_sql() -> str:
 _TERMS_SET_IN = ", ".join(f"'{t}'" for t in TERMS_SET)
 
 
+def _dedup_eval_sql() -> str:
+    """x124 oracle — the x02 (LSH) and x03 (exact) pair queries as
+    nested-CTE subqueries, full-outer compared."""
+    return (
+        f"WITH lsh AS ({_minhash_sql()}), ex AS ({_ngram_jaccard_sql()}), "
+        "j AS (SELECT COALESCE(l.da, e.da) AS da, "
+        "COALESCE(l.db, e.db) AS db, "
+        "l.da IS NOT NULL AS in_lsh, e.da IS NOT NULL AS in_ex "
+        "FROM lsh l FULL OUTER JOIN ex e "
+        "ON l.da = e.da AND l.db = e.db), "
+        "a AS (SELECT CAST(SUM(CASE WHEN in_lsh AND in_ex THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(SUM(CASE WHEN in_lsh AND NOT in_ex THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS fp, "
+        "CAST(SUM(CASE WHEN NOT in_lsh AND in_ex THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS fn FROM j) "
+        "SELECT tp, fp, fn, "
+        "CAST(CASE WHEN tp + fp > 0 THEN 10000 * tp // (tp + fp) "
+        "ELSE 0 END AS BIGINT) AS precision_bp, "
+        "CAST(CASE WHEN tp + fn > 0 THEN 10000 * tp // (tp + fn) "
+        "ELSE 0 END AS BIGINT) AS recall_bp FROM a"
+    )
+
+
+def _ann_recall_sql() -> str:
+    """x125 oracle — the x07 and x08 ranked queries as nested-CTE
+    subqueries, per-qid overlap in integer bp."""
+    return (
+        f"WITH bf AS ({_ann_brute_force_sql()}), "
+        f"iv AS ({_ann_ivf_sql()}) "
+        "SELECT bf.qid, CAST(COUNT(iv.vec_id) AS INT) AS n_overlap, "
+        f"CAST(10000 * COUNT(iv.vec_id) // {ANN_K} AS BIGINT) "
+        "AS recall_bp "
+        "FROM bf LEFT JOIN iv ON iv.qid = bf.qid "
+        "AND iv.vec_id = bf.vec_id "
+        "GROUP BY bf.qid ORDER BY bf.qid"
+    )
+
+
 def _boosting_sql() -> str:
     """x123 oracle — the x88 score chain; negative-containment docs
     take score_u · ppm div 1e6."""
@@ -4058,6 +4156,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     ),
     "x122_dis_max": _dis_max_sql(),
     "x123_boosting": _boosting_sql(),
+    "x124_dedup_eval": _dedup_eval_sql(),
+    "x125_ann_recall": _ann_recall_sql(),
     "x120_temperature_mixture": (
         "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents "
         "GROUP BY lang), "

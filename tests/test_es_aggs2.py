@@ -395,3 +395,25 @@ def test_boosting_demotes_but_keeps_negative_matches(spark):
     assert out[1].demoted == 1 and out[0].demoted == 0
     # identical positive score, halved by the demotion (dl equal)
     assert out[1].score_u == out[0].score_u // 2
+
+
+def test_dedup_eval_lsh_verify_means_no_false_positives(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    r = EXTENSION_QUERIES["x124_dedup_eval"](spark, SF_SMOKE).collect()[0]
+    # the exact-Jaccard verify step makes FP structurally impossible;
+    # the only loss channel is banding misses
+    assert r.fp == 0
+    if r.tp + r.fp > 0:
+        assert r.precision_bp == 10000
+    assert 0 <= r.recall_bp <= 10000
+
+
+def test_ann_recall_report_bounds_and_keys(spark):
+    from kafana_spark.operators.registry import (
+        ANN_QUERY_MOD, EXTENSION_QUERIES)
+
+    rows = EXTENSION_QUERIES["x125_ann_recall"](spark, SF_SMOKE).collect()
+    assert rows and all(r.qid % ANN_QUERY_MOD == 0 for r in rows)
+    assert all(0 <= r.recall_bp <= 10000 for r in rows)
+    assert all(r.recall_bp == r.n_overlap * 1000 for r in rows)  # k=10
