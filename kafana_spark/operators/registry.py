@@ -1707,6 +1707,47 @@ def x_temperature_mixture(spark, sf_dir):
 BOOST_NEG_TERM = "slow"
 
 
+def x_corpus_report(spark, sf_dir):
+    """x126 — the dataset-datasheet report (Gebru et al. "Datasheets
+    for Datasets" shape): ONE row summarizing the corpus — doc/token
+    totals, exact-duplicate rate (distinct sha2 of content), language
+    spread (count + head share), and the quality-score quartiles —
+    the composition a curation run records next to its outputs.
+
+    Scale: every input is an existing combinable aggregate (token
+    counts, integer quality scores, sha2 distinct-count, lang
+    group-count); the report joins five ≤1-row frames broadcast. The
+    only corpus-wide distinct is on the 32-byte content hash, never
+    the text.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.sha2(F.col("text"), 256)).alias("n_uniq"))
+    tok = (text.token_count(d).agg(
+        F.sum("n_tokens").alias("n_tokens_total")))
+    qq = (text.quality_score(d).agg(
+        F.expr("percentile(quality_bp, array(0.25D, 0.5D, 0.75D))")
+        .alias("qs")))
+    lt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    nl = lt.agg(F.count(F.lit(1)).cast("int").alias("n_langs"))
+    top = (lt.orderBy(F.col("c").desc(), "lang").limit(1)
+           .select(F.col("lang").alias("top_lang"),
+                   F.col("c").alias("top_cnt")))
+    j = (base.join(F.broadcast(tok)).join(F.broadcast(qq))
+         .join(F.broadcast(nl)).join(F.broadcast(top)))
+    return j.select(
+        "n_docs", "n_tokens_total",
+        F.expr("n_tokens_total div n_docs").alias("avg_tokens_per_doc"),
+        F.expr("10000 * (n_docs - n_uniq) div n_docs")
+        .alias("exact_dup_bp"),
+        "n_langs", "top_lang",
+        F.expr("10000 * top_cnt div n_docs").alias("top_lang_share_bp"),
+        F.col("qs")[0].alias("q25_quality_bp"),
+        F.col("qs")[1].alias("q50_quality_bp"),
+        F.col("qs")[2].alias("q75_quality_bp"))
+
+
 def x_dedup_eval(spark, sf_dir):
     """x124 — dedup method evaluation (the x114 rank_eval counterpart
     for the dedup family): MinHash+LSH pairs (x02) scored against the
@@ -1962,6 +2003,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x122_dis_max": x_dis_max,
     "x123_boosting": x_boosting,
     "x124_dedup_eval": x_dedup_eval,
+    "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
 }
 
@@ -3389,6 +3431,39 @@ def _pinned_query_sql() -> str:
 _TERMS_SET_IN = ", ".join(f"'{t}'" for t in TERMS_SET)
 
 
+def _corpus_report_sql() -> str:
+    """x126 oracle — the same five aggregates composed in one WITH;
+    quality comes from the shared _quality_core chain."""
+    return (
+        f"WITH {_quality_core()}, "
+        "tc AS (SELECT len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents), "
+        "base AS (SELECT COUNT(*) AS n_docs, "
+        "CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_uniq "
+        "FROM documents), "
+        "tok AS (SELECT CAST(SUM(n_tokens) AS BIGINT) "
+        "AS n_tokens_total FROM tc), "
+        "qq AS (SELECT quantile_cont(quality_bp, [0.25, 0.5, 0.75]) "
+        "AS qs FROM q), "
+        "lt AS (SELECT lang, COUNT(*) AS c FROM documents "
+        "GROUP BY lang), "
+        "nl AS (SELECT CAST(COUNT(*) AS INT) AS n_langs FROM lt), "
+        "top AS (SELECT lang AS top_lang, c AS top_cnt FROM lt "
+        "ORDER BY c DESC, lang LIMIT 1) "
+        "SELECT base.n_docs, tok.n_tokens_total, "
+        "CAST(tok.n_tokens_total // base.n_docs AS BIGINT) "
+        "AS avg_tokens_per_doc, "
+        "CAST(10000 * (base.n_docs - base.n_uniq) // base.n_docs "
+        "AS BIGINT) AS exact_dup_bp, "
+        "nl.n_langs, top.top_lang, "
+        "CAST(10000 * top.top_cnt // base.n_docs AS BIGINT) "
+        "AS top_lang_share_bp, "
+        "qs[1] AS q25_quality_bp, qs[2] AS q50_quality_bp, "
+        "qs[3] AS q75_quality_bp "
+        "FROM base, tok, qq, nl, top"
+    )
+
+
 def _dedup_eval_sql() -> str:
     """x124 oracle — the x02 (LSH) and x03 (exact) pair queries as
     nested-CTE subqueries, full-outer compared."""
@@ -4157,6 +4232,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x122_dis_max": _dis_max_sql(),
     "x123_boosting": _boosting_sql(),
     "x124_dedup_eval": _dedup_eval_sql(),
+    "x126_corpus_report": _corpus_report_sql(),
     "x125_ann_recall": _ann_recall_sql(),
     "x120_temperature_mixture": (
         "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents "

@@ -417,3 +417,24 @@ def test_ann_recall_report_bounds_and_keys(spark):
     assert rows and all(r.qid % ANN_QUERY_MOD == 0 for r in rows)
     assert all(0 <= r.recall_bp <= 10000 for r in rows)
     assert all(r.recall_bp == r.n_overlap * 1000 for r in rows)  # k=10
+
+
+def test_corpus_report_internally_consistent(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.sources.tables import load_table
+
+    r = EXTENSION_QUERIES["x126_corpus_report"](spark, SF_SMOKE).collect()[0]
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert r.n_docs == d.count()
+    assert r.avg_tokens_per_doc == r.n_tokens_total // r.n_docs
+    assert 0 <= r.exact_dup_bp <= 10000
+    assert r.q25_quality_bp <= r.q50_quality_bp <= r.q75_quality_bp
+    assert 10000 // r.n_langs <= r.top_lang_share_bp <= 10000
+
+
+def test_x126_report_joins_are_all_broadcast(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x126_corpus_report"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan        # nothing corpus-sized joins
