@@ -38,8 +38,8 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     with the r4-signed blocks last.
 
     Round 5 grew the registry past one window (22 q-keys + 11
-    re-sign keys + 56 new round-5 keys x68–x123): the window signs
-    q01–q22 + x18–x28 + x68–x84; x85–x123 have no driver row this
+    re-sign keys + 59 new round-5 keys x68–x126): the window signs
+    q01–q22 + x18–x28 + x68–x84; x85–x126 have no driver row this
     round — they are verified locally by ``tools/check_oracle.py``
     (full-suite runs recorded in NOTES_r5.md) and rotate into the
     round-6 window oldest-first (the rank groups order numerically,

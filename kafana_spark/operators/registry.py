@@ -4242,8 +4242,6 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"{float(1_000_000 * MIX_BUDGET)!r} * pow(n_l, {MIX_ALPHA!r}) "
         "/ sw / n_l) AS BIGINT)) AS keep_ppm FROM c, t) "
         "SELECT doc_id, lang FROM documents JOIN r USING (lang) "
-        "WHERE CAST(concat('0x', substr(md5(concat_ws('#', "
-        "CAST(doc_id AS VARCHAR), '0')), 1, 15)) AS BIGINT) "
-        "% 1000000 < keep_ppm ORDER BY doc_id"
+        f"WHERE {_bucket_sql('doc_id')} < keep_ppm ORDER BY doc_id"
     ),
 }

@@ -79,24 +79,26 @@ def _matched_tf(df: DataFrame, terms_df: DataFrame, id_col: str,
             .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
 
 
-def bm25_scores(df: DataFrame, terms_df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", k1: float = BM25_K1,
-                b: float = BM25_B) -> DataFrame:
-    """Per-document BM25 score for the disjunctive term query in
-    ``terms_df`` (a small single-column (term) DataFrame — broadcast).
+def _term_contribs(df: DataFrame, terms_df: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B,
+                   extra: Sequence[str] = ()) -> DataFrame:
+    """(id, term, c_u [, extra…]) — the per-(doc, term) BM25
+    contribution in BM25_FP integer units. The SINGLE home of the
+    idf/denominator/contribution expression tree (its DuckDB twin is
+    registry._bm25_contrib): bm25_scores, rank_eval and dis_max all
+    consume this, so an idf/saturation tweak cannot drift between
+    them.
 
-    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene BM25)
+    contrib(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)        = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene BM25)
 
-    Each per-(doc, term) contribution is rounded to BM25_FP integer
-    units before the per-doc sum, so the sum is an integer sum —
-    order-independent across engines.
+    ``extra`` names further tf-table columns to carry through (e.g.
+    "tf" for relevance judgments).
 
-    Output: (id, n_matched, score_u), one row per doc with ≥1 match.
-
-    Scale: corpus stats (N, avgdl) are a 1-row map-side-combinable
-    aggregate; per-term df is ≤|terms| rows, broadcast back; the only
-    corpus-sized shuffle is the matched-(doc, term) tf aggregation.
+    Scale: corpus stats (N, avgdl) are a 1-row combinable aggregate;
+    per-term df is ≤|terms| rows broadcast back; the only corpus-sized
+    shuffle is the matched-(doc, term) tf aggregation.
     """
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -110,9 +112,23 @@ def bm25_scores(df: DataFrame, terms_df: DataFrame, id_col: str = "doc_id",
                             + F.lit(b) * F.col("dl") / F.col("avgdl")))
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     contrib_u = F.round(contrib * F.lit(float(BM25_FP))).cast("long")
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(F.broadcast(stats))
-              .select(F.col(id_col), contrib_u.alias("c_u")))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .join(F.broadcast(stats))
+            .select(F.col(id_col), "term", contrib_u.alias("c_u"),
+                    *[F.col(c) for c in extra]))
+
+
+def bm25_scores(df: DataFrame, terms_df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = BM25_K1,
+                b: float = BM25_B) -> DataFrame:
+    """Per-document BM25 score for the disjunctive term query in
+    ``terms_df`` (a small single-column (term) DataFrame — broadcast):
+    the integer per-doc sum of ``_term_contribs`` (order-independent
+    across engines — each contribution is rounded BEFORE the sum).
+
+    Output: (id, n_matched, score_u), one row per doc with ≥1 match.
+    """
+    scored = _term_contribs(df, terms_df, id_col, text_col, k1, b)
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_matched"),
                  F.sum("c_u").alias("score_u")))
@@ -347,23 +363,9 @@ def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
     spark = df.sparkSession
     terms_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
-    tf = _matched_tf(df, terms_df, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    denom = (F.col("tf")
-             + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
-                                 + F.lit(BM25_B) * F.col("dl")
-                                 / F.col("avgdl")))
-    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(F.broadcast(stats))
-              .select("term", F.col(id_col),
-                      F.round(contrib * F.lit(float(BM25_FP)))
-                      .cast("long").alias("c_u"),
+    scored = (_term_contribs(df, terms_df, id_col, text_col,
+                             extra=("tf",))
+              .select("term", F.col(id_col), "c_u",
                       (F.col("tf") >= rel_min_tf).cast("int")
                       .alias("rel")))
     n_rel = (scored.groupBy("term")
@@ -414,12 +416,16 @@ def pinned_query(df: DataFrame, terms: Sequence[str],
 
     Output: (rank, doc_id, score_u, pinned) — score_u is 0 for a
     pinned doc with no term match (ES gives pinned hits a synthetic
-    score too).
+    score too). At most ``k`` rows total: a pinned list longer than
+    ``k`` is truncated to its first ``k`` entries (ES honors size).
 
-    Scale: the pinned frame is |ids| rows (broadcast both ways); the
-    organic side is bm25_scores' matched-pairs shuffle + a TakeOrdered
-    top-k — the pinned list never perturbs the corpus-side plan.
+    Scale: the pinned id set stays |ids| rows end-to-end — the score
+    table is FILTERED to the pinned ids before the left join (never
+    broadcast corpus-side); the organic side is bm25_scores'
+    matched-pairs shuffle + a TakeOrdered top-k — the pinned list
+    never perturbs the corpus-side plan.
     """
+    pinned_ids = list(pinned_ids)[:k]
     spark = df.sparkSession
     terms_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
@@ -427,7 +433,9 @@ def pinned_query(df: DataFrame, terms: Sequence[str],
     ids = spark.range(1).select(
         F.posexplode(F.array(*[F.lit(int(i)) for i in pinned_ids]))
         .alias("pos", id_col))
-    pinned = (ids.join(F.broadcast(scored), id_col, "left")
+    pin_scores = scored.where(
+        F.col(id_col).isin([int(i) for i in pinned_ids]))
+    pinned = (ids.join(F.broadcast(pin_scores), id_col, "left")
               .select((F.col("pos") + 1).cast("int").alias("rank"),
                       F.col(id_col),
                       F.coalesce(F.col("score_u"), F.lit(0))
@@ -539,23 +547,7 @@ def dis_max(df: DataFrame, terms: Sequence[str], k: int = 10,
     spark = df.sparkSession
     terms_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
-    tf = _matched_tf(df, terms_df, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    denom = (F.col("tf")
-             + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
-                                 + F.lit(BM25_B) * F.col("dl")
-                                 / F.col("avgdl")))
-    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
-    c = (tf.join(F.broadcast(dfreq), "term")
-         .join(F.broadcast(stats))
-         .select(F.col(id_col),
-                 F.round(contrib * F.lit(float(BM25_FP)))
-                 .cast("long").alias("c_u")))
+    c = _term_contribs(df, terms_df, id_col, text_col)
     agg = (c.groupBy(id_col)
            .agg(F.count(F.lit(1)).cast("int").alias("n_matched"),
                 F.max("c_u").alias("mx"), F.sum("c_u").alias("sm")))

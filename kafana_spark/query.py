@@ -701,6 +701,8 @@ def rate_agg(df: DataFrame, time_col: str, value_col: str,
     One combinable pass; bucket length is pure date arithmetic on the
     bucket key.
     """
+    if unit not in ("week", "month"):
+        raise ValueError(f"rate_agg supports week/month buckets, got {unit!r}")
     b = (df.groupBy(F.date_trunc(unit, F.col(time_col)).alias("bucket"))
          .agg(F.count(F.lit(1)).alias("cnt"),
               F.sum(value_col).alias("sum_v")))
@@ -796,6 +798,19 @@ def categorize_text(df: DataFrame, id_col: str, text_col: str,
             .limit(size))
 
 
+def _daily_micro_units(df: DataFrame, time_col: str,
+                       value_col: str) -> DataFrame:
+    """(bucket, v_u): daily sums rounded at 4dp then scaled to integer
+    micro-units — the shared engine-portable series prologue of
+    change_point and moving_percentile (4dp ≈ 5e-5 grain vs ~1e-9
+    cross-engine accumulation noise; its DuckDB twin is the b0/b CTE
+    pair in the x108/x116 oracles)."""
+    b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
+         .agg(F.round(F.sum(value_col), 4).alias("sum_v")))
+    return b.select(
+        "bucket", F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
+
+
 def change_point(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
     """ES ``change_point`` aggregation: detect the mean-shift point of
     a daily-bucketed series — the split k maximizing
@@ -813,10 +828,7 @@ def change_point(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
     by the time range, thousands of rows at worst), the same stance as
     the pipeline aggs. Output is the single detected change point.
     """
-    b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
-         .agg(F.round(F.sum(value_col), 4).alias("sum_v")))
-    b = b.select("bucket",
-                 F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
+    b = _daily_micro_units(df, time_col, value_col)
     w = Window.orderBy("bucket")
     wall = Window.orderBy("bucket").rangeBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
@@ -916,10 +928,7 @@ def moving_percentile(df: DataFrame, time_col: str, value_col: str,
     Scale: the raw scan reduces map-side-combinably to one row per
     day; the moving window runs over that bounded bucket frame only.
     """
-    b = (df.groupBy(F.date_trunc("day", F.col(time_col)).alias("bucket"))
-         .agg(F.round(F.sum(value_col), 4).alias("sum_v")))
-    b = b.select("bucket",
-                 F.round(F.col("sum_v") * 1e6).cast("long").alias("v_u"))
+    b = _daily_micro_units(df, time_col, value_col)
     w = (Window.orderBy("bucket")
          .rowsBetween(-(window - 1), Window.currentRow))
     return (b.select(F.col("bucket").cast("date").alias("ds"), "v_u",

@@ -438,3 +438,17 @@ def test_x126_report_joins_are_all_broadcast(spark):
     plan = plan_of(EXTENSION_QUERIES["x126_corpus_report"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan        # nothing corpus-sized joins
+
+
+def test_pinned_query_honors_k_and_filters_before_broadcast(spark):
+    from kafana_spark.operators.relevance import pinned_query
+    df = spark.createDataFrame(
+        [(i, "q x" if i % 2 else "x y") for i in range(8)],
+        "doc_id: long, text: string")
+    out = pinned_query(df, ["q"], [6, 4, 2, 0, 7], k=3).collect()
+    assert len(out) == 3                       # pinned list truncated to k
+    assert [r.doc_id for r in out] == [6, 4, 2]
+    plan = plan_of(pinned_query(df, ["q"], [6, 4], k=3))
+    # the broadcast side must be the pinned-filtered frame: the full
+    # score table never appears unfiltered under a BroadcastExchange
+    assert "CartesianProduct" not in plan
