@@ -1705,6 +1705,31 @@ def x_temperature_mixture(spark, sf_dir):
 
 #: x123 boosting query: negative term (soft exclusion)
 BOOST_NEG_TERM = "slow"
+#: x127 _explain target document
+EXPLAIN_DOC = 0
+#: x128 completion-suggester prefix + size
+COMPLETION_PREFIX = "s"
+COMPLETION_SIZE = 5
+
+
+def x_explain_score(spark, sf_dir):
+    """x127 — the ES _explain API: per-term BM25 contribution rows for
+    one document against the x88 query (their integer sum IS the x88
+    score, verifiable by construction)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.explain_score(_docs(spark, sf_dir),
+                                   list(BM25_QUERY_TERMS), EXPLAIN_DOC)
+
+
+def x_completion_suggest(spark, sf_dir):
+    """x128 — the ES completion suggester: prefix-matched vocabulary
+    ranked by corpus frequency (combinable count + TakeOrdered)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.completion_suggest(_docs(spark, sf_dir),
+                                        COMPLETION_PREFIX,
+                                        size=COMPLETION_SIZE)
 
 
 def x_corpus_report(spark, sf_dir):
@@ -2002,6 +2027,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x121_terms_set": x_terms_set,
     "x122_dis_max": x_dis_max,
     "x123_boosting": x_boosting,
+    "x127_explain_score": x_explain_score,
+    "x128_completion_suggest": x_completion_suggest,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3503,6 +3530,27 @@ def _ann_recall_sql() -> str:
     )
 
 
+def _explain_score_sql() -> str:
+    """x127 oracle — the x88 contribution chain with tf carried
+    through, filtered to the one explained document."""
+    from kafana_spark.operators.relevance import BM25_B, BM25_FP, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        f"WITH {_TK_CTE}, "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
+        f"FROM tk WHERE term IN ({terms}) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT doc_id, term, tf, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st) "
+        f"SELECT term, tf, c_u FROM c WHERE doc_id = {EXPLAIN_DOC} "
+        "ORDER BY term"
+    )
+
+
 def _boosting_sql() -> str:
     """x123 oracle — the x88 score chain; negative-containment docs
     take score_u · ppm div 1e6."""
@@ -4231,6 +4279,14 @@ EXTENSION_ORACLE: dict[str, str] = {
     ),
     "x122_dis_max": _dis_max_sql(),
     "x123_boosting": _boosting_sql(),
+    "x127_explain_score": _explain_score_sql(),
+    "x128_completion_suggest": (
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) "
+        "AS word FROM documents) "
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM t "
+        f"WHERE word LIKE '{COMPLETION_PREFIX}%' GROUP BY word "
+        f"ORDER BY cnt DESC, word LIMIT {COMPLETION_SIZE}"
+    ),
     "x124_dedup_eval": _dedup_eval_sql(),
     "x126_corpus_report": _corpus_report_sql(),
     "x125_ann_recall": _ann_recall_sql(),

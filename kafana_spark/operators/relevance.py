@@ -597,3 +597,47 @@ def boosting(df: DataFrame, positive: Sequence[str], negative: str,
                    F.coalesce(F.col("_neg"), F.lit(0)).alias("demoted")))
     return (out.orderBy(F.col("score_u").desc(), F.col(id_col))
             .limit(k))
+
+
+def explain_score(df: DataFrame, terms: Sequence[str], doc_id: int,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The ES ``_explain`` API: the per-term BM25 contribution
+    breakdown for ONE document against a query — exactly the rows
+    whose integer sum is the x88 score, so the explanation is
+    verifiable against the ranking by construction.
+
+    Output: (term, tf, c_u), one row per matched query term.
+
+    Scale: same matched-pairs plan as scoring, with the doc-id
+    predicate pushed into the scan — the corpus contributes only the
+    global stats (1-row) and per-term df (≤|terms| rows, computed on
+    the matched pairs, the same corpus-wide table scoring uses).
+    """
+    spark = df.sparkSession
+    terms_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    c = _term_contribs(df, terms_df, id_col, text_col, extra=("tf",))
+    return (c.where(F.col(id_col) == F.lit(int(doc_id)))
+            .select("term", "tf", "c_u")
+            .orderBy("term"))
+
+
+def completion_suggest(df: DataFrame, prefix: str, size: int = 5,
+                       text_col: str = "text") -> DataFrame:
+    """The ES completion suggester: vocabulary words with the given
+    prefix, ranked by corpus frequency (ES backs this with a dedicated
+    FST; the declarative twin is a prefix filter over the token
+    dictionary — the filter is sargable on a stored vocab table).
+
+    Output: (word, cnt), top-``size`` by (cnt DESC, word).
+
+    Scale: explode → combinable count → prefix filter → TakeOrdered.
+    On a persisted vocab/token index (index.py) the scan prunes to the
+    prefix's hash buckets and the explode is never re-paid.
+    """
+    w = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                   .alias("word"))
+         .where(F.col("word").startswith(prefix))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    return (w.orderBy(F.col("cnt").desc(), "word").limit(size))

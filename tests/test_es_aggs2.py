@@ -452,3 +452,25 @@ def test_pinned_query_honors_k_and_filters_before_broadcast(spark):
     # the broadcast side must be the pinned-filtered frame: the full
     # score table never appears unfiltered under a BroadcastExchange
     assert "CartesianProduct" not in plan
+
+
+def test_explain_sums_to_the_ranking_score(spark):
+    from kafana_spark.operators.relevance import bm25_scores, explain_score
+    df = spark.createDataFrame(
+        [(0, "a a b x"), (1, "a x y z"), (2, "x y z w")],
+        "doc_id: long, text: string")
+    terms_df = spark.createDataFrame([("a",), ("b",)], "term: string")
+    score = {r.doc_id: r.score_u
+             for r in bm25_scores(df, terms_df).collect()}
+    parts = explain_score(df, ["a", "b"], 0).collect()
+    assert {p.term for p in parts} == {"a", "b"}
+    assert sum(p.c_u for p in parts) == score[0]   # breakdown == score
+
+
+def test_completion_suggest_prefix_and_rank(spark):
+    from kafana_spark.operators.relevance import completion_suggest
+    df = spark.createDataFrame(
+        [("sort sort stream apple",), ("sort stream x",)], "text: string")
+    out = [(r.word, r.cnt) for r in
+           completion_suggest(df, "s", size=5).collect()]
+    assert out == [("sort", 3), ("stream", 2)]
