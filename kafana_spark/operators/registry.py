@@ -1707,6 +1707,19 @@ def x_temperature_mixture(spark, sf_dir):
 BOOST_NEG_TERM = "slow"
 #: x127 _explain target document
 EXPLAIN_DOC = 0
+#: x129 phrase-suggester input (middle word misspelled)
+PHRASE_INPUT = ("spark", "slwo", "merge")
+
+
+def x_phrase_suggest(spark, sf_dir):
+    """x129 — the ES phrase suggester: per-position SymSpell
+    candidates (x92 machinery) recombined and ranked by the
+    full-corpus bigram LM (x96 model) + per-edit penalty; whole-phrase
+    corrections, integer fixed-point end-to-end."""
+    from kafana_spark.operators import relevance
+
+    return relevance.phrase_suggest(_docs(spark, sf_dir),
+                                    list(PHRASE_INPUT))
 #: x128 completion-suggester prefix + size
 COMPLETION_PREFIX = "s"
 COMPLETION_SIZE = 5
@@ -2029,6 +2042,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x123_boosting": x_boosting,
     "x127_explain_score": x_explain_score,
     "x128_completion_suggest": x_completion_suggest,
+    "x129_phrase_suggest": x_phrase_suggest,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3530,6 +3544,69 @@ def _ann_recall_sql() -> str:
     )
 
 
+def _phrase_suggest_sql() -> str:
+    """x129 oracle — brute-force per-position candidates (the x92
+    twin stance), all combinations, bigram Stupid-Backoff costs from
+    string-keyed count tables (Spark keys on 60-bit hashes; a
+    collision would need ~2^30 vocabulary — accepted)."""
+    from kafana_spark.operators.relevance import (
+        PHRASE_EDIT_PENALTY_U, PHRASE_PER_TERM, PHRASE_TOPN,
+        SUGGEST_MAX_EDIT)
+
+    w_count = len(PHRASE_INPUT)
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(PHRASE_INPUT))
+    combo_from = ", ".join(f"cand c{i}" for i in range(w_count))
+    combo_where = " AND ".join(f"c{i}.pos = {i}" for i in range(w_count))
+    combo_cols = ", ".join(
+        f"c{i}.term AS w{i}, c{i}.dist AS d{i}" for i in range(w_count))
+    joins, costs = [], []
+    for i in range(w_count - 1):
+        joins.append(
+            f"LEFT JOIN c1 p{i} ON p{i}.term = w{i} "
+            f"LEFT JOIN c1 n{i} ON n{i}.term = w{i + 1} "
+            f"LEFT JOIN c2 g{i} ON g{i}.gm = w{i} || ' ' || w{i + 1}")
+        costs.append(
+            f"CASE WHEN g{i}.c IS NOT NULL THEN "
+            f"CAST(ROUND((ln(p{i}.c) - ln(g{i}.c)) * 10000.0) AS BIGINT) "
+            "ELSE CAST(ROUND((ln(tot.n1 + tot.nv) - "
+            f"ln(COALESCE(n{i}.c, 0) + 1) - ln(0.4)) * 10000.0) "
+            f"AS BIGINT) END AS k{i}")
+    tdist = " + ".join(f"d{i}" for i in range(w_count))
+    tcost = " + ".join(f"k{i}" for i in range(w_count - 1))
+    sugg = " || ' ' || ".join(f"w{i}" for i in range(w_count))
+    return (
+        f"WITH {_TK_CTE}, "
+        "v AS (SELECT term, COUNT(*) AS freq FROM tk GROUP BY 1), "
+        f"q(pos, q) AS (VALUES {vals}), "
+        "cand0 AS (SELECT q.pos, v.term, v.freq, "
+        "CAST(levenshtein(q.q, v.term) AS INT) AS dist FROM q, v "
+        f"WHERE levenshtein(q.q, v.term) <= {SUGGEST_MAX_EDIT}), "
+        "cand AS (SELECT pos, term, dist FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY pos ORDER BY dist, freq DESC, "
+        f"term) AS rn FROM cand0) s WHERE rn <= {PHRASE_PER_TERM}), "
+        "c1 AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1), "
+        "tot AS (SELECT COUNT(*) AS n1, COUNT(DISTINCT term) AS nv "
+        "FROM tk), "
+        "g0 AS (SELECT t[i] || ' ' || t[i+1] AS gm "
+        f"FROM (SELECT {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        "WHERE i + 1 <= len(t)), "
+        "c2 AS (SELECT gm, COUNT(*) AS c FROM g0 GROUP BY 1), "
+        f"combos AS (SELECT {combo_cols} FROM {combo_from} "
+        f"WHERE {combo_where}), "
+        f"sc AS (SELECT combos.*, {', '.join(costs)} "
+        f"FROM combos CROSS JOIN tot {' '.join(joins)}), "
+        f"p AS (SELECT {sugg} AS suggestion, "
+        f"CAST({tdist} AS INT) AS total_dist, "
+        f"CAST({tcost} + {PHRASE_EDIT_PENALTY_U} * ({tdist}) AS BIGINT) "
+        "AS cost_u FROM sc), "
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cost_u, "
+        "suggestion) AS INT) AS rank FROM p) "
+        f"SELECT suggestion, total_dist, cost_u, rank FROM r "
+        f"WHERE rank <= {PHRASE_TOPN} ORDER BY rank"
+    )
+
+
 def _explain_score_sql() -> str:
     """x127 oracle — the x88 contribution chain with tf carried
     through, filtered to the one explained document."""
@@ -4280,6 +4357,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x122_dis_max": _dis_max_sql(),
     "x123_boosting": _boosting_sql(),
     "x127_explain_score": _explain_score_sql(),
+    "x129_phrase_suggest": _phrase_suggest_sql(),
     "x128_completion_suggest": (
         "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) "
         "AS word FROM documents) "

@@ -641,3 +641,130 @@ def completion_suggest(df: DataFrame, prefix: str, size: int = 5,
          .where(F.col("word").startswith(prefix))
          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
     return (w.orderBy(F.col("cnt").desc(), "word").limit(size))
+
+
+#: phrase suggester: error-model penalty per edit, in UNIGRAM_FP
+#: (0.1-milli-nat) units — 2 nats/edit keeps a 2-edit correction from
+#: beating an in-vocabulary bigram, matching ES's error-model ×
+#: LM-likelihood composition.
+PHRASE_EDIT_PENALTY_U = 20_000
+PHRASE_PER_TERM = 3
+PHRASE_TOPN = 5
+
+
+def phrase_suggest(df: DataFrame, phrase: Sequence[str],
+                   per_term: int = PHRASE_PER_TERM,
+                   topn: int = PHRASE_TOPN,
+                   text_col: str = "text") -> DataFrame:
+    """The ES phrase suggester: whole-phrase corrections — per-position
+    SymSpell candidates (the x92 machinery) recombined and ranked by a
+    corpus bigram LM (the x96 Stupid-Backoff model, trained on the
+    full corpus) plus an error-model penalty per edit. ES composes
+    exactly these two signals (candidate generator × LM likelihood).
+
+    Output: (suggestion, total_dist, cost_u, rank) — lower cost is
+    better; all arithmetic integer fixed-point (per-pair costs rounded
+    BEFORE the sum).
+
+    Scale: vocabulary and bigram counts are map-side-combinable corpus
+    aggregates; both are immediately SEMI-JOINED down to the candidate
+    words/pairs (≤ W·per_term words, ≤ (W−1)·per_term² pairs) before
+    any scoring join, so the combination space — per_term^W rows,
+    bounded by construction — only ever joins tiny frames.
+    """
+    from kafana_spark.functions import grams, portable_hash64
+
+    spark = df.sparkSession
+    w_count = len(phrase)
+    tok = tokens(F.col(text_col))
+    vocab = (df.select(F.explode(tok).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    # per-position candidates via the SymSpell deletion join
+    vvar = vocab.select(
+        "term", "freq",
+        F.explode(deletion_variants(F.col("term"))).alias("v"))
+    qdf = spark.createDataFrame(list(enumerate(phrase)),
+                                "pos int, q string")
+    qvar = qdf.select(
+        "pos", "q", F.explode(deletion_variants(F.col("q"))).alias("v"))
+    cand = (vvar.join(F.broadcast(qvar), "v")
+            .select("pos", "q", "term", "freq").distinct()
+            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
+            .filter(F.col("dist") <= SUGGEST_MAX_EDIT))
+    wnd = (Window.partitionBy("pos")
+           .orderBy(F.col("dist"), F.col("freq").desc(), F.col("term")))
+    cand = (cand.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= per_term)
+            .select("pos", "term", "dist"))
+    # LM count tables, semi-joined down to candidate words/pairs
+    c1 = (df.select(F.explode(tok).alias("t"))
+          .select(portable_hash64(F.col("t")).alias("h"))
+          .groupBy("h").agg(F.count(F.lit(1)).alias("c1")))
+    tot = (df.select(F.explode(tok).alias("t"))
+           .select(portable_hash64(F.col("t")).alias("h"))
+           .agg(F.count(F.lit(1)).alias("n1"),
+                F.count_distinct(F.col("h")).alias("nv")))
+    c2 = (df.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
+          .select(portable_hash64(F.col("g")).alias("h2"))
+          .groupBy("h2").agg(F.count(F.lit(1)).alias("c2")))
+    need_w = cand.select(
+        portable_hash64(F.col("term")).alias("h")).distinct()
+    c1n = c1.join(F.broadcast(need_w), "h")
+    # build the combination frame by folding tiny broadcast joins
+    combos = (cand.where(F.col("pos") == 0)
+              .select(F.col("term").alias("w0"),
+                      F.col("dist").alias("d0")))
+    for i in range(1, w_count):
+        nxt = (cand.where(F.col("pos") == i)
+               .select(F.col("term").alias(f"w{i}"),
+                       F.col("dist").alias(f"d{i}")))
+        combos = combos.crossJoin(F.broadcast(nxt))
+    need_p = combos.select(*[
+        portable_hash64(F.concat_ws(" ", F.col(f"w{i}"),
+                                    F.col(f"w{i+1}"))).alias(f"hp{i}")
+        for i in range(w_count - 1)])
+    pair_hashes = None
+    for i in range(w_count - 1):
+        part = need_p.select(F.col(f"hp{i}").alias("h2"))
+        pair_hashes = part if pair_hashes is None \
+            else pair_hashes.unionByName(part)
+    c2n = c2.join(F.broadcast(pair_hashes.distinct()), "h2")
+    # per-adjacency cost: seen → ln c1(prev) − ln c2(pair);
+    # unseen → add-one unigram of the next word + the backoff discount
+    scored = combos.join(F.broadcast(tot))
+    cost_cols = []
+    for i in range(w_count - 1):
+        prev_h = portable_hash64(F.col(f"w{i}"))
+        next_h = portable_hash64(F.col(f"w{i+1}"))
+        pair_h = portable_hash64(
+            F.concat_ws(" ", F.col(f"w{i}"), F.col(f"w{i+1}")))
+        scored = (scored
+                  .join(F.broadcast(c1n.select(
+                      F.col("h"), F.col("c1").alias(f"cp{i}"))),
+                      prev_h == F.col("h"), "left").drop("h")
+                  .join(F.broadcast(c1n.select(
+                      F.col("h"), F.col("c1").alias(f"cn{i}"))),
+                      next_h == F.col("h"), "left").drop("h")
+                  .join(F.broadcast(c2n.select(
+                      F.col("h2"), F.col("c2").alias(f"c2_{i}"))),
+                      pair_h == F.col("h2"), "left").drop("h2"))
+        seen = (F.log(F.col(f"cp{i}")) - F.log(F.col(f"c2_{i}")))
+        unseen = (F.log(F.col("n1") + F.col("nv"))
+                  - F.log(F.coalesce(F.col(f"cn{i}"), F.lit(0)) + 1)
+                  - F.log(F.lit(0.4)))
+        cost = F.when(F.col(f"c2_{i}").isNotNull(), seen) \
+            .otherwise(unseen)
+        cost_cols.append(
+            F.round(cost * F.lit(10000.0)).cast("long"))
+    total_dist = sum(F.col(f"d{i}") for i in range(w_count))
+    cost_u = (sum(cost_cols)
+              + F.lit(PHRASE_EDIT_PENALTY_U) * total_dist)
+    out = scored.select(
+        F.concat_ws(" ", *[F.col(f"w{i}") for i in range(w_count)])
+        .alias("suggestion"),
+        total_dist.cast("int").alias("total_dist"),
+        cost_u.alias("cost_u"))
+    wout = Window.orderBy(F.col("cost_u"), F.col("suggestion"))
+    return (out.withColumn("rank", F.row_number().over(wout).cast("int"))
+            .filter(F.col("rank") <= topn)
+            .orderBy("rank"))

@@ -474,3 +474,27 @@ def test_completion_suggest_prefix_and_rank(spark):
     out = [(r.word, r.cnt) for r in
            completion_suggest(df, "s", size=5).collect()]
     assert out == [("sort", 3), ("stream", 2)]
+
+
+def test_phrase_suggest_corrects_the_misspelled_token(spark):
+    from kafana_spark.operators.relevance import phrase_suggest
+    # corpus where "b c d" is the dominant bigram path; query
+    # misspells the middle token
+    rows = [("b c d b c d b c",), ("b c d x",), ("c e b",)]
+    df = spark.createDataFrame(rows, "text: string")
+    out = phrase_suggest(df, ["b", "cc", "d"], per_term=3,
+                         topn=3).collect()
+    assert out[0].suggestion == "b c d"       # the LM-preferred fix
+    assert out[0].total_dist == 1             # one edit (cc → c)
+    assert out[0].rank == 1
+    assert all(out[i].cost_u <= out[i + 1].cost_u
+               for i in range(len(out) - 1))
+
+
+def test_x129_combination_space_is_bounded(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.operators.relevance import PHRASE_TOPN
+
+    rows = EXTENSION_QUERIES["x129_phrase_suggest"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= PHRASE_TOPN
+    assert rows[0].suggestion == "spark slow merge"
