@@ -1709,6 +1709,37 @@ BOOST_NEG_TERM = "slow"
 EXPLAIN_DOC = 0
 #: x129 phrase-suggester input (middle word misspelled)
 PHRASE_INPUT = ("spark", "slwo", "merge")
+#: x130 _termvectors target document
+TV_DOC = 1
+
+
+def x_term_vectors(spark, sf_dir):
+    """x130 — the ES _termvectors API: tf/df/ttf + positions per term
+    of one document; corpus stats semi-joined to the doc's term set."""
+    from kafana_spark.operators import relevance
+
+    return relevance.term_vectors(_docs(spark, sf_dir), TV_DOC)
+
+
+def x_normalize(spark, sf_dir):
+    """x131 — ES normalize pipeline agg: percent-of-sum + 0-100
+    rescale of the daily metric series (integer micro-unit inputs)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.normalize_agg(ev, "ts", "value")
+
+
+def x_cumulative_cardinality(spark, sf_dir):
+    """x132 — ES cumulative_cardinality pipeline agg: running distinct
+    users per day via first-seen-day reduction (one pass, one row per
+    key shuffled — never a per-bucket growing-window distinct)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.cumulative_cardinality(ev, "ts", "user_id")
 
 
 def x_phrase_suggest(spark, sf_dir):
@@ -2043,6 +2074,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x127_explain_score": x_explain_score,
     "x128_completion_suggest": x_completion_suggest,
     "x129_phrase_suggest": x_phrase_suggest,
+    "x130_term_vectors": x_term_vectors,
+    "x131_normalize": x_normalize,
+    "x132_cumulative_cardinality": x_cumulative_cardinality,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4358,6 +4392,41 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x123_boosting": _boosting_sql(),
     "x127_explain_score": _explain_score_sql(),
     "x129_phrase_suggest": _phrase_suggest_sql(),
+    "x130_term_vectors": (
+        "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        "WHERE i <= len(t)), "
+        "d AS (SELECT term, CAST(COUNT(*) AS INT) AS tf, "
+        f"list_sort(list(p)) AS positions FROM tk2 WHERE doc_id = {TV_DOC} "
+        "GROUP BY term), "
+        "c AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS INT) AS df, "
+        "CAST(COUNT(*) AS INT) AS ttf FROM tk2 "
+        "WHERE term IN (SELECT term FROM d) GROUP BY term) "
+        "SELECT d.term, d.tf, c.df, c.ttf, d.positions "
+        "FROM d JOIN c USING (term) ORDER BY term"
+    ),
+    "x131_normalize": (
+        "WITH b0 AS (SELECT date_trunc('day', ts) AS bucket, "
+        "ROUND(SUM(value), 4) AS sum_v FROM events GROUP BY 1), "
+        "b AS (SELECT bucket, CAST(ROUND(sum_v * 1e6) AS BIGINT) "
+        "AS v_u FROM b0) "
+        "SELECT CAST(bucket AS DATE) AS ds, v_u, "
+        "ROUND(100.0 * v_u / CAST(SUM(v_u) OVER () AS DOUBLE), 4) "
+        "AS pct_of_sum, "
+        "ROUND(100.0 * (v_u - MIN(v_u) OVER ()) / "
+        "CAST(MAX(v_u) OVER () - MIN(v_u) OVER () AS DOUBLE), 4) "
+        "AS rescaled FROM b ORDER BY ds"
+    ),
+    "x132_cumulative_cardinality": (
+        "WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) "
+        "AS bucket FROM events GROUP BY user_id), "
+        "p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new "
+        "FROM f GROUP BY bucket) "
+        "SELECT CAST(bucket AS DATE) AS ds, n_new, "
+        "CAST(SUM(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED "
+        "PRECEDING) AS BIGINT) AS cum_distinct FROM p ORDER BY ds"
+    ),
     "x128_completion_suggest": (
         "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) "
         "AS word FROM documents) "

@@ -768,3 +768,33 @@ def phrase_suggest(df: DataFrame, phrase: Sequence[str],
     return (out.withColumn("rank", F.row_number().over(wout).cast("int"))
             .filter(F.col("rank") <= topn)
             .orderBy("rank"))
+
+
+def term_vectors(df: DataFrame, doc_id: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The ES ``_termvectors`` API: per-term statistics for one
+    document — term frequency, corpus document frequency, total term
+    frequency, and the token positions (ES's positions/offsets block;
+    offsets omitted — the fixture tokens are space-joined, so
+    positions determine them).
+
+    Scale: the document's own rows come from a pushed id predicate;
+    df/ttf are corpus aggregates REDUCED to the doc's term set via a
+    broadcast semi-join before joining back (never a full vocabulary
+    materialization on the query path).
+    """
+    tok = tokens(F.col(text_col))
+    pos = (df.where(F.col(id_col) == F.lit(int(doc_id)))
+           .select(F.posexplode(tok).alias("p", "term")))
+    doc_stats = (pos.groupBy("term")
+                 .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+                      F.sort_array(F.collect_list("p")).alias("positions")))
+    corpus = df.select(F.col(id_col), F.explode(tok).alias("term"))
+    needed = doc_stats.select("term")
+    cstats = (corpus.join(F.broadcast(needed), "term")
+              .groupBy("term")
+              .agg(F.count_distinct(F.col(id_col)).cast("int").alias("df"),
+                   F.count(F.lit(1)).cast("int").alias("ttf")))
+    return (doc_stats.join(cstats, "term")
+            .select("term", "tf", "df", "ttf", "positions")
+            .orderBy("term"))

@@ -935,3 +935,54 @@ def moving_percentile(df: DataFrame, time_col: str, value_col: str,
                      F.expr(f"percentile(v_u, {q!r})").over(w)
                      .alias("p_u"))
             .orderBy("ds"))
+
+
+def normalize_agg(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+    """ES ``normalize`` pipeline agg: each daily bucket's metric as
+    percent-of-sum and 0–100 rescale across the bucket frame — the
+    TSVB normalization block.
+
+    Integer micro-unit series (the shared daily prologue) make the
+    ratios divisions of identical integers; 4dp rounding on output.
+    One combinable reduce; the window runs over the bucket frame.
+    """
+    b = _daily_micro_units(df, time_col, value_col)
+    wall = Window.orderBy("bucket").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = F.sum("v_u").over(wall)
+    mn = F.min("v_u").over(wall)
+    mx = F.max("v_u").over(wall)
+    return (b.select(
+        F.col("bucket").cast("date").alias("ds"), "v_u",
+        F.round(F.lit(100.0) * F.col("v_u") / tot, 4)
+        .alias("pct_of_sum"),
+        F.round(F.lit(100.0) * (F.col("v_u") - mn) / (mx - mn), 4)
+        .alias("rescaled"))
+        .orderBy("ds"))
+
+
+def cumulative_cardinality(df: DataFrame, time_col: str,
+                           key_col: str) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg: the running count
+    of DISTINCT keys ever seen up to each daily bucket (the
+    new-vs-returning users curve).
+
+    Scale-correct exact form: each key reduces to its FIRST-seen day
+    (map-side-combinable MIN — the corpus shuffles one row per key,
+    not per event), first-seen days aggregate to per-day new-key
+    counts, and the cumulative sum runs over the bounded bucket frame.
+    A naive per-bucket distinct-over-growing-window would rescan the
+    corpus per bucket; this is one pass. The incremental twin of C14's
+    mergeable HLL rollup, exact because first-seen is idempotent.
+    """
+    first = (df.select(F.col(key_col),
+                       F.date_trunc("day", F.col(time_col)).alias("d"))
+             .groupBy(key_col).agg(F.min("d").alias("bucket")))
+    per_day = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (per_day.select(
+        F.col("bucket").cast("date").alias("ds"), "n_new",
+        F.sum("n_new").over(w).alias("cum_distinct"))
+        .orderBy("ds"))

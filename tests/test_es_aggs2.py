@@ -498,3 +498,46 @@ def test_x129_combination_space_is_bounded(spark):
     rows = EXTENSION_QUERIES["x129_phrase_suggest"](spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= PHRASE_TOPN
     assert rows[0].suggestion == "spark slow merge"
+
+
+def test_term_vectors_stats_and_positions(spark):
+    from kafana_spark.operators.relevance import term_vectors
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c")], "doc_id: long, text: string")
+    got = {r.term: r for r in term_vectors(df, 0).collect()}
+    assert got["a"].tf == 2 and got["a"].positions == [0, 2]
+    assert got["a"].df == 2 and got["a"].ttf == 3
+    assert got["b"].tf == 1 and got["b"].df == 1
+    assert "c" not in got
+
+
+def test_cumulative_cardinality_counts_first_seen_only(spark):
+    rows = [(dt.datetime(2024, 1, 1), 1), (dt.datetime(2024, 1, 1), 2),
+            (dt.datetime(2024, 1, 2), 1),  # returning — not new
+            (dt.datetime(2024, 1, 2), 3)]
+    df = spark.createDataFrame(rows, "ts: timestamp, u: long")
+    out = {r.ds: (r.n_new, r.cum_distinct) for r in
+           query.cumulative_cardinality(df, "ts", "u").collect()}
+    assert out[dt.date(2024, 1, 1)] == (2, 2)
+    assert out[dt.date(2024, 1, 2)] == (1, 3)
+
+
+def test_normalize_agg_percent_and_rescale(spark):
+    rows = [(dt.datetime(2024, 1, 1), 10.0), (dt.datetime(2024, 1, 2), 30.0)]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    out = {r.ds: r for r in query.normalize_agg(df, "ts", "v").collect()}
+    assert out[dt.date(2024, 1, 1)].pct_of_sum == 25.0
+    assert out[dt.date(2024, 1, 1)].rescaled == 0.0
+    assert out[dt.date(2024, 1, 2)].rescaled == 100.0
+
+
+def test_x132_shuffles_one_row_per_key_not_per_event(spark):
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(
+        EXTENSION_QUERIES["x132_cumulative_cardinality"](spark, SF_SMOKE))
+    # first-seen reduction: the per-key MIN aggregate is the only
+    # corpus-shuffle; the cumulative window sits above the per-day agg
+    assert plan.index("Window") < plan.index("HashAggregate")
+    schemas = " ".join(read_schemas(plan))
+    assert "props" not in schemas and "value" not in schemas
