@@ -1713,6 +1713,20 @@ PHRASE_INPUT = ("spark", "slwo", "merge")
 TV_DOC = 1
 
 
+def x_stored_percolate(spark, sf_dir):
+    """x133 — x91's percolation served from the PERSISTED query store
+    (ES stores percolator queries as index documents; this is that
+    store under the shared batch layout). Same oracle as x91 — a hash
+    match proves the store roundtrip is lossless."""
+    from kafana_spark.operators import relevance
+
+    root = _cached_index_root(
+        "perc", "any",  # query set is corpus-independent
+        lambda r: relevance.build_percolator_index(spark, PERC_QUERIES,
+                                                   r))
+    return relevance.percolate_from_store(_docs(spark, sf_dir), root)
+
+
 def x_term_vectors(spark, sf_dir):
     """x130 — the ES _termvectors API: tf/df/ttf + positions per term
     of one document; corpus stats semi-joined to the doc's term set."""
@@ -2077,6 +2091,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x130_term_vectors": x_term_vectors,
     "x131_normalize": x_normalize,
     "x132_cumulative_cardinality": x_cumulative_cardinality,
+    "x133_stored_percolate": x_stored_percolate,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4392,6 +4407,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x123_boosting": _boosting_sql(),
     "x127_explain_score": _explain_score_sql(),
     "x129_phrase_suggest": _phrase_suggest_sql(),
+    # x133 serves x91 from the stored query table — same oracle proves
+    # the roundtrip (the x57/x63/x74/x76/x83 stance)
+    "x133_stored_percolate": _percolate_sql(),
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "
         f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "

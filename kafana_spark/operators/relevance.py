@@ -235,22 +235,7 @@ def percolate(df: DataFrame, queries: Mapping[str, Sequence[str]],
              for t in ts]
     qdf = spark.createDataFrame(
         qrows, "query_id string, term string, n_required int")
-    doc_terms = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"))
-    hits = (doc_terms.join(F.broadcast(qdf), "term")
-            .groupBy(id_col, "query_id", "n_required")
-            .agg(F.count(F.lit(1)).alias("n_matched"))
-            .filter(F.col("n_matched") == F.col("n_required")))
-    digests = (hits.groupBy("query_id")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
-                    F.min(id_col).alias("first_id")))
-    all_q = qdf.select("query_id").distinct()
-    return (all_q.join(digests, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                    "first_id")
-            .orderBy("query_id"))
+    return _percolate_qdf(df, qdf, id_col, text_col)
 
 
 def deletion_variants(word: F.Column) -> F.Column:
@@ -798,3 +783,93 @@ def term_vectors(df: DataFrame, doc_id: int, id_col: str = "doc_id",
     return (doc_stats.join(cstats, "term")
             .select("term", "tf", "df", "ttf", "positions")
             .orderBy("term"))
+
+
+#: percolator store subdirectory (batch=<id> layout shared with the
+#: other persisted indexes)
+PERC_DIR = "perc_queries"
+
+
+def _percolate_qdf(df: DataFrame, qdf: DataFrame, id_col: str,
+                   text_col: str) -> DataFrame:
+    """The percolation match core over an arbitrary registered-query
+    table (query_id, term, n_required) — shared by the inline
+    ``percolate`` and the stored-index path."""
+    doc_terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"))
+    hits = (doc_terms.join(F.broadcast(qdf), "term")
+            .groupBy(id_col, "query_id", "n_required")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .filter(F.col("n_matched") == F.col("n_required")))
+    digests = (hits.groupBy("query_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                    F.min(id_col).alias("first_id")))
+    all_q = qdf.select("query_id").distinct()
+    return (all_q.join(digests, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    "first_id")
+            .orderBy("query_id"))
+
+
+def build_percolator_index(spark, queries: Mapping[str, Sequence[str]],
+                           path: str, mode: str = "overwrite",
+                           batch: str = "base") -> None:
+    """Persist registered percolator queries — ES stores percolator
+    queries AS index documents, and this is that store: (query_id,
+    term, n_required) rows under the same ``batch=<id>`` layout /
+    rebuild discipline as the other persisted indexes (full rebuilds
+    clear stale batches; per-batch writes register alerts
+    incrementally)."""
+    if mode == "overwrite" and batch == "base":
+        from kafana_spark.ann_index import _clear_batched_dir
+
+        _clear_batched_dir(f"{path}/{PERC_DIR}")
+    qrows = [(qid, t, len(ts)) for qid, ts in sorted(queries.items())
+             for t in ts]
+    spark.createDataFrame(
+        qrows, "query_id string, term string, n_required int") \
+        .write.mode(mode).parquet(f"{path}/{PERC_DIR}/batch={batch}")
+
+
+def percolate_from_store(df: DataFrame, path: str,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Percolation served from the persisted query store: register
+    alerts once (or via ``register_percolator_queries`` appends),
+    match any document batch/stream against them with no query
+    re-compilation — the ES alerting serving path."""
+    spark = df.sparkSession
+    qdf = (spark.read.parquet(f"{path}/{PERC_DIR}")
+           .select("query_id", "term", "n_required"))
+    return _percolate_qdf(df, qdf, id_col, text_col)
+
+
+def register_percolator_queries(spark,
+                                queries: Mapping[str, Sequence[str]],
+                                path: str, batch: str) -> None:
+    """Incrementally register new alert queries under ``batch=<id>``
+    (idempotent per batch id — re-registration overwrites its own
+    batch only, the redelivery-safe discipline of the other index
+    sinks)."""
+    build_percolator_index(spark, queries, path, mode="overwrite",
+                           batch=batch)
+
+
+def percolator_alert_sink(queries_path: str, out_path: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """foreachBatch sink: percolate each document micro-batch against
+    the stored queries and append the per-epoch alert digests to
+    ``out_path`` under ``batch=<epoch>`` (redelivery-safe: an epoch
+    replay overwrites its own digests)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = percolate_from_store(batch_df, queries_path,
+                                   id_col=id_col, text_col=text_col)
+        (out.withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch={epoch_id}"))
+
+    return _sink

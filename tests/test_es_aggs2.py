@@ -541,3 +541,36 @@ def test_x132_shuffles_one_row_per_key_not_per_event(spark):
     assert plan.index("Window") < plan.index("HashAggregate")
     schemas = " ".join(read_schemas(plan))
     assert "props" not in schemas and "value" not in schemas
+
+
+def test_stored_percolator_roundtrip_append_and_stream(spark, tmp_path):
+    import glob
+    from kafana_spark.operators.relevance import (
+        build_percolator_index, percolate, percolate_from_store,
+        percolator_alert_sink, register_percolator_queries)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "x y")],
+        "doc_id: long, text: string")
+    qs = {"q1": ["a", "b"], "q2": ["x"]}
+    root = str(tmp_path / "perc")
+    build_percolator_index(spark, qs, root)
+    stored = {r.query_id: (r.n_hits, r.first_id)
+              for r in percolate_from_store(df, root).collect()}
+    inline = {r.query_id: (r.n_hits, r.first_id)
+              for r in percolate(df, qs).collect()}
+    assert stored == inline == {"q1": (2, 0), "q2": (1, 2)}
+    # incremental registration: the new alert appears, old ones stay
+    register_percolator_queries(spark, {"q3": ["c"]}, root, batch="b1")
+    got = {r.query_id: r.n_hits
+           for r in percolate_from_store(df, root).collect()}
+    assert got == {"q1": 2, "q2": 1, "q3": 1}
+    # alert sink: per-epoch digests, redelivery overwrites its epoch
+    out = str(tmp_path / "alerts")
+    sink = percolator_alert_sink(root, out)
+    sink(df, 0)
+    sink(df, 0)    # redelivery
+    files = glob.glob(f"{out}/batch=0/*.parquet")
+    assert files
+    digests = {r.query_id: r.n_hits
+               for r in spark.read.parquet(out).collect()}
+    assert digests == {"q1": 2, "q2": 1, "q3": 1}
