@@ -1711,6 +1711,31 @@ EXPLAIN_DOC = 0
 PHRASE_INPUT = ("spark", "slwo", "merge")
 #: x130 _termvectors target document
 TV_DOC = 1
+#: x134 graph explore seed + shape
+GRAPH_SEED = "spark"
+GRAPH_MIN_FG = 2
+GRAPH_K = 10
+
+
+def x_graph_explore(spark, sf_dir):
+    """x134 — the X-Pack Graph explore API (Kibana 6.8 Graph app):
+    one significance-weighted expansion hop from a seed term."""
+    from kafana_spark import query
+
+    return query.graph_explore(_docs(spark, sf_dir), GRAPH_SEED,
+                               min_fg=GRAPH_MIN_FG, k=GRAPH_K)
+
+
+def x_field_caps(spark, sf_dir):
+    """x135 — the ES _field_caps / field-stats API Kibana loads per
+    index pattern: per-field type, min/max (timestamps as epoch
+    micros — exact doubles), null counts; one combinable pass."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.field_caps(ev, ["event_id", "user_id", "value"],
+                            ["ts"])
 
 
 def x_stored_percolate(spark, sf_dir):
@@ -2092,6 +2117,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x131_normalize": x_normalize,
     "x132_cumulative_cardinality": x_cumulative_cardinality,
     "x133_stored_percolate": x_stored_percolate,
+    "x134_graph_explore": x_graph_explore,
+    "x135_field_caps": x_field_caps,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4410,6 +4437,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x133 serves x91 from the stored query table — same oracle proves
     # the roundtrip (the x57/x63/x74/x76/x83 stance)
     "x133_stored_percolate": _percolate_sql(),
+    "x134_graph_explore": "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_seed FROM d0), fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM (SELECT unnest(list_distinct(t)) AS term FROM d0 WHERE list_contains(t, 'spark')) s WHERE term <> 'spark' GROUP BY term HAVING COUNT(*) >= 2), bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM d0) s WHERE term IN (SELECT term FROM fg) GROUP BY term) SELECT 'spark' AS seed, fg.term, fg.fg, bg.bg, CAST(10000 * fg.fg * tot.n_docs // (tot.n_seed * bg.bg) AS BIGINT) AS lift_bp FROM fg JOIN bg USING (term) CROSS JOIN tot ORDER BY lift_bp DESC, term LIMIT 10",
+    "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "
         f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "

@@ -986,3 +986,85 @@ def cumulative_cardinality(df: DataFrame, time_col: str,
         F.col("bucket").cast("date").alias("ds"), "n_new",
         F.sum("n_new").over(w).alias("cum_distinct"))
         .orderBy("ds"))
+
+
+def graph_explore(df: DataFrame, seed_term: str, text_col: str = "text",
+                  id_col: str = "doc_id", min_fg: int = 2,
+                  k: int = 10) -> DataFrame:
+    """The X-Pack Graph explore API (the Kibana 6.8 Graph app): one
+    expansion hop from a seed term — co-occurring terms ranked by
+    significance lift (foreground rate vs corpus rate), returned as
+    weighted edges (seed, term, fg, lift_bp).
+
+    lift_bp = 10000 · (fg/n_seed) / (bg/n_docs), computed as one
+    integer expression (exact across engines).
+
+    Scale: the seed predicate prunes the corpus before the foreground
+    explode; background document frequencies are the corpus term-df
+    aggregate REDUCED to the foreground's term set by a broadcast
+    semi-join; counts are map-side combinable and the top-k is a
+    TakeOrdered.
+    """
+    from kafana_spark.functions import tokens
+
+    tok = tokens(F.col(text_col))
+    seed_docs = df.where(F.array_contains(tok, seed_term))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.array_contains(tok, seed_term), 1))
+        .alias("n_seed"))
+    fg = (seed_docs.select(
+        F.explode(F.array_distinct(tok)).alias("term"))
+        .where(F.col("term") != seed_term)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg"))
+        .where(F.col("fg") >= min_fg))
+    bg = (df.select(F.col(id_col),
+                    F.explode(F.array_distinct(tok)).alias("term"))
+          .join(F.broadcast(fg.select("term")), "term")
+          .groupBy("term").agg(F.count(F.lit(1)).alias("bg")))
+    lift = F.expr("10000 * fg * n_docs div (n_seed * bg)")
+    return (fg.join(bg, "term").join(F.broadcast(totals))
+            .select(F.lit(seed_term).alias("seed"), "term", "fg", "bg",
+                    lift.alias("lift_bp"))
+            .orderBy(F.col("lift_bp").desc(), "term")
+            .limit(k))
+
+
+def field_caps(df: DataFrame, numeric_fields: Sequence[str],
+               time_fields: Sequence[str] = ()) -> DataFrame:
+    """The ES ``_field_caps`` / field-stats API (Kibana loads it for
+    every index pattern): per field, the declared type plus min/max
+    and null count — the bounds Kibana uses for range pickers and
+    agg validation.
+
+    Values are unified as doubles: numeric min/max are exact data
+    values (identical parquet doubles in both engines); timestamps
+    surface as epoch microseconds (< 2^53 — exactly representable).
+    One combinable pass over all requested fields; at 100 TB the same
+    answer comes from parquet footer min/max without a scan (the
+    index_size_report stance) — this is the exact-scan twin.
+    """
+    aggs = []
+    for f in numeric_fields:
+        aggs += [F.min(f).cast("double").alias(f"min__{f}"),
+                 F.max(f).cast("double").alias(f"max__{f}"),
+                 F.count(F.when(F.col(f).isNull(), 1))
+                 .alias(f"nul__{f}")]
+    for f in time_fields:
+        ep = F.unix_micros(F.col(f))
+        aggs += [F.min(ep).cast("double").alias(f"min__{f}"),
+                 F.max(ep).cast("double").alias(f"max__{f}"),
+                 F.count(F.when(F.col(f).isNull(), 1))
+                 .alias(f"nul__{f}")]
+    g = df.agg(*aggs)
+    types = dict(df.dtypes)
+    rows = []
+    for f in list(numeric_fields) + list(time_fields):
+        rows.append(F.struct(
+            F.lit(f).alias("field"),
+            F.lit(types[f]).alias("dtype"),
+            F.col(f"min__{f}").alias("min_v"),
+            F.col(f"max__{f}").alias("max_v"),
+            F.col(f"nul__{f}").alias("n_nulls")))
+    return (g.select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.*").orderBy("field"))

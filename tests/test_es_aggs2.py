@@ -574,3 +574,28 @@ def test_stored_percolator_roundtrip_append_and_stream(spark, tmp_path):
     digests = {r.query_id: r.n_hits
                for r in spark.read.parquet(out).collect()}
     assert digests == {"q1": 2, "q2": 1, "q3": 1}
+
+
+def test_graph_explore_lift_prefers_cooccurrence(spark):
+    # 'b' always co-occurs with seed 'a'; 'c' appears everywhere
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "c d"), (3, "c d")],
+        "doc_id: long, text: string")
+    out = {r.term: r for r in
+           query.graph_explore(df, "a", min_fg=2, k=10).collect()}
+    assert out["b"].lift_bp == 20000      # fg 2/2 vs bg 2/4 → 2× lift
+    assert out["c"].lift_bp == 10000      # no lift (background rate)
+    assert all(r.seed == "a" for r in out.values())
+
+
+def test_field_caps_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, dt.datetime(2024, 1, 1)),
+         (5, None, dt.datetime(2024, 1, 2))],
+        "k: long, v: double, ts: timestamp")
+    got = {r.field: r for r in
+           query.field_caps(df, ["k", "v"], ["ts"]).collect()}
+    assert (got["k"].min_v, got["k"].max_v) == (1.0, 5.0)
+    assert got["v"].n_nulls == 1 and got["v"].min_v == 2.0
+    assert got["ts"].dtype == "timestamp"
+    assert got["ts"].max_v - got["ts"].min_v == 86_400_000_000.0  # 1 day µs
