@@ -4437,7 +4437,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x133 serves x91 from the stored query table — same oracle proves
     # the roundtrip (the x57/x63/x74/x76/x83 stance)
     "x133_stored_percolate": _percolate_sql(),
-    "x134_graph_explore": "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_seed FROM d0), fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM (SELECT unnest(list_distinct(t)) AS term FROM d0 WHERE list_contains(t, 'spark')) s WHERE term <> 'spark' GROUP BY term HAVING COUNT(*) >= 2), bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM d0) s WHERE term IN (SELECT term FROM fg) GROUP BY term) SELECT 'spark' AS seed, fg.term, fg.fg, bg.bg, CAST(10000 * fg.fg * tot.n_docs // (tot.n_seed * bg.bg) AS BIGINT) AS lift_bp FROM fg JOIN bg USING (term) CROSS JOIN tot ORDER BY lift_bp DESC, term LIMIT 10",
+    "x134_graph_explore": "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_seed FROM d0), fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM (SELECT unnest(list_distinct(t)) AS term FROM d0 WHERE list_contains(t, 'spark')) s WHERE term <> 'spark' GROUP BY term HAVING COUNT(*) >= 2), bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM d0) s WHERE term IN (SELECT term FROM fg) GROUP BY term) SELECT 'spark' AS seed, fg.term, fg.fg, bg.bg, CAST(FLOOR(10000.0 * fg.fg * tot.n_docs / (CAST(tot.n_seed AS DOUBLE) * bg.bg)) AS BIGINT) AS lift_bp FROM fg JOIN bg USING (term) CROSS JOIN tot ORDER BY lift_bp DESC, term LIMIT 10",
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

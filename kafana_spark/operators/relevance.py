@@ -278,6 +278,36 @@ def deletion_variants(word: F.Column) -> F.Column:
         F.array_union(F.array_union(F.array(word), del1), pairs))
 
 
+def _symspell_candidates(df: DataFrame, qdf: DataFrame,
+                         key_cols: Sequence[str], per_term: int,
+                         text_col: str = "text",
+                         vocab: DataFrame | None = None) -> DataFrame:
+    """Shared SymSpell candidate generator (term_suggest + the phrase
+    suggester): corpus vocabulary vs the query frame ``qdf`` (columns
+    ``key_cols`` + ``q``), deletion-neighborhood equi-join, exact
+    levenshtein verify, (dist, freq DESC, term) top-``per_term`` per
+    key. Returns key_cols + (term, freq, dist, rn). Pass ``vocab``
+    ((term, freq)) to reuse an already-built aggregate."""
+    if vocab is None:
+        vocab = (df.select(F.explode(tokens(F.col(text_col)))
+                           .alias("term"))
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    vvar = vocab.select(
+        "term", "freq",
+        F.explode(deletion_variants(F.col("term"))).alias("v"))
+    qvar = qdf.select(
+        *key_cols, "q",
+        F.explode(deletion_variants(F.col("q"))).alias("v"))
+    cand = (vvar.join(F.broadcast(qvar), "v")
+            .select(*key_cols, "q", "term", "freq").distinct()
+            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
+            .filter(F.col("dist") <= SUGGEST_MAX_EDIT))
+    wnd = (Window.partitionBy(*key_cols)
+           .orderBy(F.col("dist"), F.col("freq").desc(), F.col("term")))
+    return (cand.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= per_term))
+
+
 def term_suggest(df: DataFrame, misspelled: Sequence[str],
                  per_term: int = SUGGEST_PER_TERM,
                  text_col: str = "text") -> DataFrame:
@@ -299,22 +329,8 @@ def term_suggest(df: DataFrame, misspelled: Sequence[str],
     query term — no global single-partition window.
     """
     spark = df.sparkSession
-    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
-             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
-    vvar = vocab.select(
-        "term", "freq",
-        F.explode(deletion_variants(F.col("term"))).alias("v"))
     qdf = spark.createDataFrame([(m,) for m in misspelled], "q string")
-    qvar = qdf.select(
-        "q", F.explode(deletion_variants(F.col("q"))).alias("v"))
-    cand = (vvar.join(F.broadcast(qvar), "v")
-            .select("q", "term", "freq").distinct()
-            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
-            .filter(F.col("dist") <= SUGGEST_MAX_EDIT))
-    w = (Window.partitionBy("q")
-         .orderBy(F.col("dist"), F.col("freq").desc(), F.col("term")))
-    return (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= per_term)
+    return (_symspell_candidates(df, qdf, ["q"], per_term, text_col)
             .select("q", "term", "dist", "freq", "rn")
             .orderBy("q", "rn"))
 
@@ -659,36 +675,27 @@ def phrase_suggest(df: DataFrame, phrase: Sequence[str],
     """
     from kafana_spark.functions import grams, portable_hash64
 
+    if len(phrase) < 2:
+        raise ValueError(
+            "phrase_suggest needs >= 2 words (bigram LM has no context "
+            "for a single term — use term_suggest)")
     spark = df.sparkSession
     w_count = len(phrase)
-    tok = tokens(F.col(text_col))
-    vocab = (df.select(F.explode(tok).alias("term"))
+    # ONE vocab aggregate feeds both the SymSpell candidates and the
+    # LM count tables (the bigram table below is the only other
+    # corpus-scale pass on the query path)
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
              .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
-    # per-position candidates via the SymSpell deletion join
-    vvar = vocab.select(
-        "term", "freq",
-        F.explode(deletion_variants(F.col("term"))).alias("v"))
     qdf = spark.createDataFrame(list(enumerate(phrase)),
                                 "pos int, q string")
-    qvar = qdf.select(
-        "pos", "q", F.explode(deletion_variants(F.col("q"))).alias("v"))
-    cand = (vvar.join(F.broadcast(qvar), "v")
-            .select("pos", "q", "term", "freq").distinct()
-            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
-            .filter(F.col("dist") <= SUGGEST_MAX_EDIT))
-    wnd = (Window.partitionBy("pos")
-           .orderBy(F.col("dist"), F.col("freq").desc(), F.col("term")))
-    cand = (cand.withColumn("rn", F.row_number().over(wnd))
-            .filter(F.col("rn") <= per_term)
+    cand = (_symspell_candidates(df, qdf, ["pos"], per_term, text_col,
+                                 vocab=vocab)
             .select("pos", "term", "dist"))
-    # LM count tables, semi-joined down to candidate words/pairs
-    c1 = (df.select(F.explode(tok).alias("t"))
-          .select(portable_hash64(F.col("t")).alias("h"))
-          .groupBy("h").agg(F.count(F.lit(1)).alias("c1")))
-    tot = (df.select(F.explode(tok).alias("t"))
-           .select(portable_hash64(F.col("t")).alias("h"))
-           .agg(F.count(F.lit(1)).alias("n1"),
-                F.count_distinct(F.col("h")).alias("nv")))
+    c1 = (vocab.select(portable_hash64(F.col("term")).alias("h"),
+                       F.col("freq"))
+          .groupBy("h").agg(F.sum("freq").alias("c1")))
+    tot = vocab.agg(F.sum("freq").alias("n1"),
+                    F.count(F.lit(1)).alias("nv"))
     c2 = (df.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
           .select(portable_hash64(F.col("g")).alias("h2"))
           .groupBy("h2").agg(F.count(F.lit(1)).alias("c2")))
@@ -826,10 +833,14 @@ def build_percolator_index(spark, queries: Mapping[str, Sequence[str]],
         from kafana_spark.ann_index import _clear_batched_dir
 
         _clear_batched_dir(f"{path}/{PERC_DIR}")
-    qrows = [(qid, t, len(ts)) for qid, ts in sorted(queries.items())
-             for t in ts]
+    seq = 0 if batch == "base" else int(batch)  # registration order —
+    # a non-numeric batch id raises loudly rather than storing an
+    # unorderable version
+    qrows = [(qid, t, len(ts), seq)
+             for qid, ts in sorted(queries.items()) for t in ts]
     spark.createDataFrame(
-        qrows, "query_id string, term string, n_required int") \
+        qrows,
+        "query_id string, term string, n_required int, seq int") \
         .write.mode(mode).parquet(f"{path}/{PERC_DIR}/batch={batch}")
 
 
@@ -841,8 +852,14 @@ def percolate_from_store(df: DataFrame, path: str,
     match any document batch/stream against them with no query
     re-compilation — the ES alerting serving path."""
     spark = df.sparkSession
-    qdf = (spark.read.parquet(f"{path}/{PERC_DIR}")
-           .select("query_id", "term", "n_required"))
+    raw = spark.read.parquet(f"{path}/{PERC_DIR}")
+    # latest registration wins: a re-registered query_id REPLACES its
+    # earlier definition (without this, stale term rows inflate
+    # n_matched past n_required and the alert silently never fires)
+    wmax = Window.partitionBy("query_id")
+    qdf = (raw.withColumn("_mx", F.max("seq").over(wmax))
+           .where(F.col("seq") == F.col("_mx"))
+           .select("query_id", "term", "n_required").distinct())
     return _percolate_qdf(df, qdf, id_col, text_col)
 
 

@@ -956,8 +956,9 @@ def normalize_agg(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
         F.col("bucket").cast("date").alias("ds"), "v_u",
         F.round(F.lit(100.0) * F.col("v_u") / tot, 4)
         .alias("pct_of_sum"),
-        F.round(F.lit(100.0) * (F.col("v_u") - mn) / (mx - mn), 4)
-        .alias("rescaled"))
+        F.when(mx != mn,
+               F.round(F.lit(100.0) * (F.col("v_u") - mn) / (mx - mn), 4))
+        .otherwise(F.lit(0.0)).alias("rescaled"))
         .orderBy("ds"))
 
 
@@ -1022,7 +1023,12 @@ def graph_explore(df: DataFrame, seed_term: str, text_col: str = "text",
                     F.explode(F.array_distinct(tok)).alias("term"))
           .join(F.broadcast(fg.select("term")), "term")
           .groupBy("term").agg(F.count(F.lit(1)).alias("bg")))
-    lift = F.expr("10000 * fg * n_docs div (n_seed * bg)")
+    # double arithmetic avoids int64 overflow at web scale (1e4·fg·N
+    # can pass 2^63); identical IEEE ops on identical integers keep the
+    # engines bit-equal, and FLOOR matches integer division for the
+    # all-positive operands
+    lift = F.expr("CAST(floor(10000.0 * fg * n_docs / "
+                  "(CAST(n_seed AS DOUBLE) * bg)) AS BIGINT)")
     return (fg.join(bg, "term").join(F.broadcast(totals))
             .select(F.lit(seed_term).alias("seed"), "term", "fg", "bg",
                     lift.alias("lift_bp"))

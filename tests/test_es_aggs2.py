@@ -492,12 +492,25 @@ def test_phrase_suggest_corrects_the_misspelled_token(spark):
 
 
 def test_x129_combination_space_is_bounded(spark):
-    from kafana_spark.operators.registry import EXTENSION_QUERIES
-    from kafana_spark.operators.relevance import PHRASE_TOPN
+    from kafana_spark.operators.registry import (
+        EXTENSION_QUERIES, PHRASE_INPUT)
+    from kafana_spark.operators.relevance import (
+        _symspell_candidates, PHRASE_PER_TERM, PHRASE_TOPN)
+    from kafana_spark.sources.tables import load_table
 
     rows = EXTENSION_QUERIES["x129_phrase_suggest"](spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= PHRASE_TOPN
     assert rows[0].suggestion == "spark slow merge"
+    # the combination space is bounded BY CONSTRUCTION: the per-position
+    # candidate frame is capped at per_term rows per position (this is
+    # what keeps combos at per_term^W, not vocab^W)
+    d = load_table(spark, SF_SMOKE, "documents")
+    qdf = spark.createDataFrame(list(enumerate(PHRASE_INPUT)),
+                                "pos int, q string")
+    cand = _symspell_candidates(d, qdf, ["pos"], PHRASE_PER_TERM)
+    per_pos = {r.pos: r.n for r in
+               cand.groupBy("pos").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= PHRASE_PER_TERM for n in per_pos.values())
 
 
 def test_term_vectors_stats_and_positions(spark):
@@ -560,7 +573,7 @@ def test_stored_percolator_roundtrip_append_and_stream(spark, tmp_path):
               for r in percolate(df, qs).collect()}
     assert stored == inline == {"q1": (2, 0), "q2": (1, 2)}
     # incremental registration: the new alert appears, old ones stay
-    register_percolator_queries(spark, {"q3": ["c"]}, root, batch="b1")
+    register_percolator_queries(spark, {"q3": ["c"]}, root, batch="1")
     got = {r.query_id: r.n_hits
            for r in percolate_from_store(df, root).collect()}
     assert got == {"q1": 2, "q2": 1, "q3": 1}
@@ -599,3 +612,40 @@ def test_field_caps_bounds_and_nulls(spark):
     assert got["v"].n_nulls == 1 and got["v"].min_v == 2.0
     assert got["ts"].dtype == "timestamp"
     assert got["ts"].max_v - got["ts"].min_v == 86_400_000_000.0  # 1 day µs
+
+
+def test_percolator_reregistration_replaces_definition(spark, tmp_path):
+    from kafana_spark.operators.relevance import (
+        build_percolator_index, percolate_from_store,
+        register_percolator_queries)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "c d")],
+        "doc_id: long, text: string")
+    root = str(tmp_path / "perc2")
+    build_percolator_index(spark, {"q1": ["a", "b"]}, root)
+    # redefine q1 (latest registration must WIN, not accumulate terms)
+    register_percolator_queries(spark, {"q1": ["c"]}, root, batch="1")
+    got = {r.query_id: (r.n_hits, r.first_id)
+           for r in percolate_from_store(df, root).collect()}
+    assert got == {"q1": (2, 0)}     # docs 0 and 2 contain 'c'
+    # identical re-registration stays idempotent too
+    register_percolator_queries(spark, {"q1": ["c"]}, root, batch="2")
+    got2 = {r.query_id: r.n_hits
+            for r in percolate_from_store(df, root).collect()}
+    assert got2 == {"q1": 2}
+
+
+def test_phrase_suggest_rejects_single_word(spark):
+    import pytest as _pytest
+    from kafana_spark.operators.relevance import phrase_suggest
+    df = spark.createDataFrame([("a b",)], "text: string")
+    with _pytest.raises(ValueError):
+        phrase_suggest(df, ["slwo"])
+
+
+def test_normalize_constant_series_has_no_nan(spark):
+    rows = [(dt.datetime(2024, 1, 1), 5.0), (dt.datetime(2024, 1, 2), 5.0)]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    out = query.normalize_agg(df, "ts", "v").collect()
+    assert all(r.rescaled == 0.0 for r in out)
+    assert all(r.pct_of_sum == 50.0 for r in out)
