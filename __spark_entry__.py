@@ -37,13 +37,14 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 5 grew the registry past one window (22 q-keys + 11
-    re-sign keys + 59 new round-5 keys x68–x126): the window signs
-    q01–q22 + x18–x28 + x68–x84; x85–x126 have no driver row this
-    round — they are verified locally by ``tools/check_oracle.py``
-    (full-suite runs recorded in NOTES_r5.md) and rotate into the
-    round-6 window oldest-first (the rank groups order numerically,
-    so each future window picks up where the last stopped).
+    Round 6 (current): signature ages after r5 are — x85–x135: never
+    driver-signed (added after the r5 window filled; judge-verified
+    green via check_oracle but the driver record is the contract),
+    x29–x56: r3, x01–x17/x57–x67: r4, x18–x28/x68–x84: r5 (freshest).
+    So the window yields q01–q22 + x85–x112 (28 slots); x113+ and any
+    new round-6 keys (x136+) land in the same never-signed group and
+    roll into the round-7 window, then the r3-signed block, with the
+    freshest signatures last.
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -52,13 +53,13 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if 18 <= n <= 28:
-                return (0, n, k)  # signed only pre-regeneration (r2)
-            if n >= 68:
-                return (1, n, k)  # round-5 keys, oldest (lowest) first
+            if n >= 85:
+                return (0, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
-                return (2, n, k)  # r3-signed: oldest current signatures
-            return (3, n, k)      # x01–x17, x57–x67: r4-signed (fresh)
+                return (1, n, k)  # r3-signed: oldest current signatures
+            if (1 <= n <= 17) or (57 <= n <= 67):
+                return (2, n, k)  # r4-signed
+            return (3, n, k)      # x18–x28, x68–x84: r5-signed (fresh)
         return (4, 0, k)
 
     return sorted(extension_keys, key=rank)

@@ -3780,22 +3780,28 @@ def _rank_eval_sql() -> str:
         "AS BIGINT) AS gain_u "
         f"FROM rk WHERE rank <= {k}), "
         "pq AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ret, "
         "CAST(SUM(rel * gain_u) AS BIGINT) AS dcg_u, "
         "MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel "
         "FROM top GROUP BY term), "
         f"ideal AS (SELECT nr.term, CAST(SUM({g}) AS BIGINT) AS idcg_u "
         f"FROM nr, generate_series(1, {k}) gs(i) "
-        f"WHERE i <= LEAST(n_rel, {k}) GROUP BY nr.term) "
-        "SELECT pq.term, nr.n_rel, "
-        f"CAST(10000 * n_rel_at_k // {k} AS BIGINT) AS p_at_k_bp, "
+        f"WHERE i <= LEAST(n_rel, {k}) GROUP BY nr.term), "
+        f"ql AS (SELECT unnest([{terms}]) AS term) "
+        "SELECT ql.term, CAST(COALESCE(nr.n_rel, 0) AS BIGINT) "
+        "AS n_rel, "
+        "CAST(CASE WHEN COALESCE(pq.n_ret, 0) > 0 THEN "
+        "10000 * pq.n_rel_at_k // pq.n_ret ELSE 0 END AS BIGINT) "
+        "AS p_at_k_bp, "
         "CAST(CASE WHEN first_rel IS NOT NULL THEN "
         f"{RANK_EVAL_FP} // first_rel ELSE 0 END AS BIGINT) AS mrr_u, "
-        "pq.dcg_u, CAST(COALESCE(ideal.idcg_u, 0) AS BIGINT) AS idcg_u, "
+        "CAST(COALESCE(pq.dcg_u, 0) AS BIGINT) AS dcg_u, "
+        "CAST(COALESCE(ideal.idcg_u, 0) AS BIGINT) AS idcg_u, "
         "CAST(CASE WHEN COALESCE(ideal.idcg_u, 0) > 0 THEN "
         "10000 * pq.dcg_u // ideal.idcg_u ELSE 0 END AS BIGINT) "
         "AS ndcg_bp "
-        "FROM pq JOIN nr USING (term) LEFT JOIN ideal USING (term) "
-        "ORDER BY term"
+        "FROM ql LEFT JOIN pq USING (term) LEFT JOIN nr USING (term) "
+        "LEFT JOIN ideal USING (term) ORDER BY term"
     )
 
 
@@ -4437,7 +4443,28 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x133 serves x91 from the stored query table — same oracle proves
     # the roundtrip (the x57/x63/x74/x76/x83 stance)
     "x133_stored_percolate": _percolate_sql(),
-    "x134_graph_explore": "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_seed FROM d0), fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM (SELECT unnest(list_distinct(t)) AS term FROM d0 WHERE list_contains(t, 'spark')) s WHERE term <> 'spark' GROUP BY term HAVING COUNT(*) >= 2), bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM d0) s WHERE term IN (SELECT term FROM fg) GROUP BY term) SELECT 'spark' AS seed, fg.term, fg.fg, bg.bg, CAST(FLOOR(10000.0 * fg.fg * tot.n_docs / (CAST(tot.n_seed AS DOUBLE) * bg.bg)) AS BIGINT) AS lift_bp FROM fg JOIN bg USING (term) CROSS JOIN tot ORDER BY lift_bp DESC, term LIMIT 10",
+    # interpolated from the SAME constants the Spark side uses
+    # (GRAPH_SEED/GRAPH_MIN_FG/GRAPH_K) so changing them cannot
+    # silently desynchronize the twin
+    "x134_graph_explore": (
+        "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents), "
+        "tot AS (SELECT COUNT(*) AS n_docs, "
+        f"CAST(SUM(CASE WHEN list_contains(t, '{GRAPH_SEED}') THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_seed FROM d0), "
+        "fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM "
+        "(SELECT unnest(list_distinct(t)) AS term FROM d0 "
+        f"WHERE list_contains(t, '{GRAPH_SEED}')) s "
+        f"WHERE term <> '{GRAPH_SEED}' GROUP BY term "
+        f"HAVING COUNT(*) >= {GRAPH_MIN_FG}), "
+        "bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM "
+        "(SELECT doc_id, unnest(list_distinct(t)) AS term FROM d0) s "
+        "WHERE term IN (SELECT term FROM fg) GROUP BY term) "
+        f"SELECT '{GRAPH_SEED}' AS seed, fg.term, fg.fg, bg.bg, "
+        "CAST(FLOOR(10000.0 * fg.fg * tot.n_docs / "
+        "(CAST(tot.n_seed AS DOUBLE) * bg.bg)) AS BIGINT) AS lift_bp "
+        "FROM fg JOIN bg USING (term) CROSS JOIN tot "
+        f"ORDER BY lift_bp DESC, term LIMIT {GRAPH_K}"),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "
@@ -4461,8 +4488,10 @@ EXTENSION_ORACLE: dict[str, str] = {
         "SELECT CAST(bucket AS DATE) AS ds, v_u, "
         "ROUND(100.0 * v_u / CAST(SUM(v_u) OVER () AS DOUBLE), 4) "
         "AS pct_of_sum, "
+        "CASE WHEN MAX(v_u) OVER () <> MIN(v_u) OVER () THEN "
         "ROUND(100.0 * (v_u - MIN(v_u) OVER ()) / "
         "CAST(MAX(v_u) OVER () - MIN(v_u) OVER () AS DOUBLE), 4) "
+        "ELSE 0.0 END "
         "AS rescaled FROM b ORDER BY ds"
     ),
     "x132_cumulative_cardinality": (

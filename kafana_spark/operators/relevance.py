@@ -352,7 +352,9 @@ def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
     to RANK_EVAL_FP micro-units per rank BEFORE summation (ranks are
     small integers, so both engines' log2/division agree far inside
     the grain); precision and NDCG are integer basis points, MRR is
-    1e6 div first_relevant_rank.
+    1e6 div first_relevant_rank. Precision@k divides by the retrieved
+    count (ES's denominator), and queries with zero hits still emit a
+    row of zeroed metrics.
 
     Output: (term, n_rel, p_at_k_bp, mrr_u, dcg_u, idcg_u, ndcg_bp).
 
@@ -380,6 +382,7 @@ def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
            .withColumn("gain_u", gain))
     per_q = (top.groupBy("term")
              .agg(F.sum("rel").alias("n_rel_at_k"),
+                  F.count(F.lit(1)).alias("n_ret"),
                   F.sum(F.col("rel") * F.col("gain_u")).alias("dcg_u"),
                   F.min(F.when(F.col("rel") == 1, F.col("rank")))
                   .alias("first_rel")))
@@ -388,10 +391,29 @@ def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
         F.lit(0).cast("long"),
         lambda acc, i: acc + F.round(
             F.lit(float(RANK_EVAL_FP)) / F.log2(i + 1)).cast("long"))
-    return (per_q.join(F.broadcast(n_rel), "term")
+    # ES-parity details: precision@k divides by the RETRIEVED count
+    # (= least(k, hits) — a query retrieving fewer than k docs is not
+    # deflated by a fixed-k denominator), and the term list is the
+    # left side so a no-hit query surfaces with zeroed metrics instead
+    # of vanishing from the report.
+    base = (terms_df.join(per_q, "term", "left")
+            .join(F.broadcast(n_rel), "term", "left")
+            .select("term",
+                    F.coalesce("n_rel", F.lit(0)).cast("long")
+                    .alias("n_rel"),
+                    F.coalesce("n_rel_at_k", F.lit(0)).cast("long")
+                    .alias("n_rel_at_k"),
+                    F.coalesce("n_ret", F.lit(0)).cast("long")
+                    .alias("n_ret"),
+                    F.coalesce("dcg_u", F.lit(0)).cast("long")
+                    .alias("dcg_u"),
+                    "first_rel"))
+    return (base
             .select(
                 "term", "n_rel",
-                F.expr(f"10000 * n_rel_at_k div {k}").alias("p_at_k_bp"),
+                F.when(F.col("n_ret") > 0,
+                       F.expr("10000 * n_rel_at_k div n_ret"))
+                .otherwise(F.lit(0)).cast("long").alias("p_at_k_bp"),
                 F.when(F.col("first_rel").isNotNull(),
                        F.expr(f"{RANK_EVAL_FP} div first_rel"))
                 .otherwise(F.lit(0)).cast("long").alias("mrr_u"),
@@ -679,6 +701,11 @@ def phrase_suggest(df: DataFrame, phrase: Sequence[str],
         raise ValueError(
             "phrase_suggest needs >= 2 words (bigram LM has no context "
             "for a single term — use term_suggest)")
+    if len(phrase) > 6:
+        raise ValueError(
+            f"phrase_suggest supports at most 6 words (got "
+            f"{len(phrase)}): the combination frame is per_term^W rows "
+            "— split longer inputs into clauses")
     spark = df.sparkSession
     w_count = len(phrase)
     # ONE vocab aggregate feeds both the SymSpell candidates and the
@@ -833,9 +860,19 @@ def build_percolator_index(spark, queries: Mapping[str, Sequence[str]],
         from kafana_spark.ann_index import _clear_batched_dir
 
         _clear_batched_dir(f"{path}/{PERC_DIR}")
-    seq = 0 if batch == "base" else int(batch)  # registration order —
-    # a non-numeric batch id raises loudly rather than storing an
-    # unorderable version
+    # registration order: base is seq 0, incremental batch N is seq
+    # N+1 — the offset keeps batch="0" strictly AFTER base (a tie
+    # would make the latest-wins max-seq filter keep BOTH definitions
+    # of a re-registered query_id: inflated n_matched, never-firing
+    # alert). Non-numeric / negative batch ids raise loudly rather
+    # than storing an unorderable version.
+    if batch == "base":
+        seq = 0
+    else:
+        seq = int(batch) + 1
+        if seq <= 0:
+            raise ValueError(
+                f"percolator batch id must be >= 0 (got {batch!r})")
     qrows = [(qid, t, len(ts), seq)
              for qid, ts in sorted(queries.items()) for t in ts]
     spark.createDataFrame(

@@ -305,12 +305,15 @@ def lsh_planes(df: DataFrame, n_tables: int = 6, n_bits: int = 4,
     short pools simply yield fewer planes (callers pin table/bit
     counts in tests)."""
     need = 2 * n_tables * n_bits
-    # the anchor pool is tiny (~n/anchor_mod rows, capped at `need`),
-    # so the single-partition row_number window is driver-trivial
+    # TakeOrdered the anchor pool down to `need` rows BEFORE the
+    # row_number window (the pq_codebooks pattern): the pool is
+    # ~n/anchor_mod rows, so windowing it first would push a corpus
+    # tenth through one partition at scale just to pick ~need anchors
+    pool = (_vectors(df).where(F.col("vec_id") % anchor_mod == 1)
+            .orderBy("vec_id").limit(need))
+    # row_number over <= need rows — driver-trivial by construction
     rn_w = Window.orderBy("vec_id")
-    a = (_vectors(df).where(F.col("vec_id") % anchor_mod == 1)
-         .withColumn("rn", F.row_number().over(rn_w))
-         .where(F.col("rn") <= need)
+    a = (pool.withColumn("rn", F.row_number().over(rn_w))
          .select(F.floor((F.col("rn") - 1) / 2).cast("int").alias("pid"),
                  (F.col("rn") % 2 == 1).alias("lead"), "v"))
     h = F.zip_with(F.any_value(F.when(F.col("lead"), F.col("v")), True),

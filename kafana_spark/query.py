@@ -1000,36 +1000,43 @@ def graph_explore(df: DataFrame, seed_term: str, text_col: str = "text",
     lift_bp = 10000 · (fg/n_seed) / (bg/n_docs), computed as one
     integer expression (exact across engines).
 
-    Scale: the seed predicate prunes the corpus before the foreground
-    explode; background document frequencies are the corpus term-df
-    aggregate REDUCED to the foreground's term set by a broadcast
-    semi-join; counts are map-side combinable and the top-k is a
-    TakeOrdered.
+    Scale: ONE tokenize pass over the corpus produces per-term
+    (bg, fg) simultaneously — each exploded row carries an is_seed
+    flag, so foreground counts are a conditional sum inside the same
+    map-side-combinable term aggregate that yields background document
+    frequencies. The vocab-sized stats frame is persisted so its two
+    consumers (the candidate rows and the n_seed scalar) read one
+    materialization — Catalyst's per-branch rewrites (filter pushdown
+    below the agg, column pruning) otherwise defeat exchange reuse
+    and re-tokenize the corpus per branch. n_docs is a column-pruned
+    count-star (no tokenize). The top-k is a TakeOrdered.
     """
+    from pyspark import StorageLevel
+
     from kafana_spark.functions import tokens
 
-    tok = tokens(F.col(text_col))
-    seed_docs = df.where(F.array_contains(tok, seed_term))
-    totals = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(F.array_contains(tok, seed_term), 1))
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    stats = (df.select(F.array_contains(tok, seed_term).alias("is_seed"),
+                       F.explode(tok).alias("term"))
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).alias("bg"),
+                  F.sum(F.col("is_seed").cast("long")).alias("fg"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_seed = stats.agg(
+        F.max(F.when(F.col("term") == seed_term, F.col("fg")))
         .alias("n_seed"))
-    fg = (seed_docs.select(
-        F.explode(F.array_distinct(tok)).alias("term"))
-        .where(F.col("term") != seed_term)
-        .groupBy("term").agg(F.count(F.lit(1)).alias("fg"))
-        .where(F.col("fg") >= min_fg))
-    bg = (df.select(F.col(id_col),
-                    F.explode(F.array_distinct(tok)).alias("term"))
-          .join(F.broadcast(fg.select("term")), "term")
-          .groupBy("term").agg(F.count(F.lit(1)).alias("bg")))
+    totals = (df.agg(F.count(F.lit(1)).alias("n_docs"))
+              .crossJoin(F.broadcast(n_seed)))
+    fg = (stats.where((F.col("term") != seed_term)
+                      & (F.col("fg") >= min_fg)))
     # double arithmetic avoids int64 overflow at web scale (1e4·fg·N
-    # can pass 2^63); identical IEEE ops on identical integers keep the
-    # engines bit-equal, and FLOOR matches integer division for the
-    # all-positive operands
+    # can pass 2^63); both engines evaluate the identical IEEE double
+    # expression on identical integers, so the floored result is
+    # bit-equal cross-engine (for products beyond 2^53 the double is
+    # inexact, so this is parity, not exact integer division)
     lift = F.expr("CAST(floor(10000.0 * fg * n_docs / "
                   "(CAST(n_seed AS DOUBLE) * bg)) AS BIGINT)")
-    return (fg.join(bg, "term").join(F.broadcast(totals))
+    return (fg.join(F.broadcast(totals))
             .select(F.lit(seed_term).alias("seed"), "term", "fg", "bg",
                     lift.alias("lift_bp"))
             .orderBy(F.col("lift_bp").desc(), "term")

@@ -649,3 +649,87 @@ def test_normalize_constant_series_has_no_nan(spark):
     out = query.normalize_agg(df, "ts", "v").collect()
     assert all(r.rescaled == 0.0 for r in out)
     assert all(r.pct_of_sum == 50.0 for r in out)
+
+
+def test_rank_eval_divides_by_retrieved_and_keeps_no_hit_terms(spark):
+    # ES parity (r6): P@k denominator is the retrieved count, and a
+    # query with zero hits reports zeroed metrics instead of vanishing
+    from kafana_spark.operators.relevance import rank_eval
+    df = spark.createDataFrame(
+        [(0, "a a a"), (1, "a a b"), (2, "b c")],
+        "doc_id: long, text: string")
+    got = {r.term: r for r in
+           rank_eval(df, ["a", "zzz"], k=10, rel_min_tf=2).collect()}
+    assert set(got) == {"a", "zzz"}
+    # 'a' retrieves 2 docs, both relevant → 2/2, not 2/k
+    assert got["a"].p_at_k_bp == 10000
+    z = got["zzz"]
+    assert (z.n_rel, z.p_at_k_bp, z.mrr_u, z.dcg_u, z.idcg_u,
+            z.ndcg_bp) == (0, 0, 0, 0, 0, 0)
+
+
+def test_percolator_incremental_batch_zero_replaces_base(spark, tmp_path):
+    # r6: batch="0" maps to seq 1 (> base's 0) — without the offset the
+    # max-seq latest-wins filter would keep BOTH definitions
+    from kafana_spark.operators.relevance import (
+        build_percolator_index, percolate_from_store,
+        register_percolator_queries)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "c d")],
+        "doc_id: long, text: string")
+    root = str(tmp_path / "perc3")
+    build_percolator_index(spark, {"q1": ["a", "b"]}, root)
+    register_percolator_queries(spark, {"q1": ["c"]}, root, batch="0")
+    got = {r.query_id: (r.n_hits, r.first_id)
+           for r in percolate_from_store(df, root).collect()}
+    assert got == {"q1": (2, 0)}      # docs 0 and 2 contain 'c'
+
+
+def test_percolator_rejects_negative_batch(spark, tmp_path):
+    import pytest as _pytest
+    from kafana_spark.operators.relevance import (
+        build_percolator_index, register_percolator_queries)
+    root = str(tmp_path / "perc4")
+    build_percolator_index(spark, {"q1": ["a"]}, root)
+    with _pytest.raises(ValueError):
+        register_percolator_queries(spark, {"q1": ["b"]}, root,
+                                    batch="-2")
+
+
+def test_phrase_suggest_rejects_overlong_phrase(spark):
+    # the combination frame is per_term^W — W > 6 must fail loudly
+    import pytest as _pytest
+    from kafana_spark.operators.relevance import phrase_suggest
+    df = spark.createDataFrame([("a b",)], "text: string")
+    with _pytest.raises(ValueError):
+        phrase_suggest(df, ["w"] * 7)
+
+
+def test_lsh_planes_limits_anchor_pool_before_window(spark):
+    # r6 plan pin: the anchor pool is TakeOrdered down to
+    # 2·n_tables·n_bits rows BEFORE the row_number window — no corpus
+    # fraction ever flows through a single-partition window
+    from kafana_spark.operators import similarity
+    e = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    plan = plan_of(similarity.lsh_planes(e, 6, 4, 10))
+    assert "TakeOrderedAndProject" in plan
+    import re
+    assert re.search(r"TakeOrderedAndProject[\s\S]*?Arguments: 48,", plan)
+    # and the limit feeds the window, not the other way around
+    tree = plan.split("(1)")[0]
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject")
+
+
+def test_graph_explore_tokenizes_corpus_once(spark):
+    # r6 plan pin: both consumers of the per-term stats frame read one
+    # cached materialization — the corpus text column is tokenized once
+    import re
+    from kafana_spark.operators.registry import x_graph_explore
+    plan = plan_of(x_graph_explore(spark, SF_SMOKE))
+    # both stats consumers read the cache...
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) == 2
+    # ...and only ONE plan node scans the text column (the cached
+    # tokenize pass); the only other parquet read is the column-pruned
+    # count-star (ReadSchema: struct<>)
+    schemas = read_schemas(plan)
+    assert sum("text" in s for s in schemas) == 1
