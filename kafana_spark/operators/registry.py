@@ -1715,6 +1715,12 @@ TV_DOC = 1
 GRAPH_SEED = "spark"
 GRAPH_MIN_FG = 2
 GRAPH_K = 10
+#: x137 multi-hop graph explore: frontier + per-vertex sample sizes
+GRAPH2_K1 = 5
+GRAPH2_K2 = 5
+#: x136 BPE merge training: rounds + per-round candidate table size
+BPE_MERGE_ROUNDS = 3
+BPE_MERGE_TOPK = 5
 
 
 def x_graph_explore(spark, sf_dir):
@@ -1724,6 +1730,26 @@ def x_graph_explore(spark, sf_dir):
 
     return query.graph_explore(_docs(spark, sf_dir), GRAPH_SEED,
                                min_fg=GRAPH_MIN_FG, k=GRAPH_K)
+
+
+def x_graph_explore_hops(spark, sf_dir):
+    """x137 — the Graph API's iterative expansion: two unrolled hops
+    with per-vertex top-k diversification; hop 2 expands each of the
+    k1 frontier terms to its own k2 new vertices."""
+    from kafana_spark import query
+
+    return query.graph_explore_hops(_docs(spark, sf_dir), GRAPH_SEED,
+                                    min_fg=GRAPH_MIN_FG,
+                                    k1=GRAPH2_K1, k2=GRAPH2_K2)
+
+
+def x_bpe_merge_train(spark, sf_dir):
+    """x136 — iterative BPE merge training (the tokenizer-prep loop
+    x33 scores one round of): count pairs, apply the top merge,
+    re-count — unrolled for BPE_MERGE_ROUNDS rounds."""
+    return text.bpe_merge_train(_docs(spark, sf_dir),
+                                n_merges=BPE_MERGE_ROUNDS,
+                                topk=BPE_MERGE_TOPK)
 
 
 def x_field_caps(spark, sf_dir):
@@ -2119,6 +2145,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x133_stored_percolate": x_stored_percolate,
     "x134_graph_explore": x_graph_explore,
     "x135_field_caps": x_field_caps,
+    "x136_bpe_merge_train": x_bpe_merge_train,
+    "x137_graph_explore_hops": x_graph_explore_hops,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3805,6 +3833,93 @@ def _rank_eval_sql() -> str:
     )
 
 
+def _bpe_merge_sql() -> str:
+    """x136 oracle — the identical unrolled BPE merge loop: wrapped
+    symbol encoding (chr(1)+sym+chr(2)), plain replace-all merges
+    (same greedy left-to-right non-overlap semantics as Spark's
+    ``replace``), per-round pair counts + top-k candidate tables."""
+    n, k = BPE_MERGE_ROUNDS, BPE_MERGE_TOPK
+    soh, stx = "chr(1)", "chr(2)"
+    parts = [
+        f"WITH s1 AS (SELECT {soh} || replace(lower(text), ' ', "
+        f"{stx}||{soh}) || {stx} AS s FROM documents)"]
+    for r in range(1, n + 1):
+        parts.append(
+            f", p{r} AS (SELECT unnest(list_transform("
+            "generate_series(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1])) AS pair FROM "
+            f"(SELECT string_split(substr(s, 2, len(s) - 2), "
+            f"{stx}||{soh}) AS t FROM s{r}))"
+            f", c{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM p{r} GROUP BY pair)"
+            f", t{r} AS (SELECT pair, cnt, row_number() OVER "
+            f"(ORDER BY cnt DESC, pair) AS rk FROM c{r} "
+            f"QUALIFY rk <= {k})")
+        if r < n:
+            parts.append(
+                f", m{r} AS (SELECT {soh} || replace(pair, ' ', "
+                f"{stx}||{soh}) || {stx} AS srch, "
+                f"{soh} || replace(pair, ' ', '_') || {stx} AS rep "
+                f"FROM t{r} WHERE rk = 1)"
+                f", s{r + 1} AS (SELECT replace(s, "
+                f"(SELECT srch FROM m{r}), (SELECT rep FROM m{r})) "
+                f"AS s FROM s{r})")
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, CAST(rk AS INT) AS rk, pair, cnt "
+        f"FROM t{r}" for r in range(1, n + 1))
+    return "".join(parts) + " " + union + " ORDER BY rnd, rk"
+
+
+def _graph_hops_sql() -> str:
+    """x137 oracle — two unrolled Graph-explore hops from the same
+    GRAPH_SEED/GRAPH_MIN_FG constants; hop-2 foreground totals are the
+    source term's corpus df (its bg), per-source top-k via QUALIFY."""
+    s, mf = GRAPH_SEED, GRAPH_MIN_FG
+    k1, k2 = GRAPH2_K1, GRAPH2_K2
+    return (
+        "WITH d0 AS (SELECT doc_id, "
+        "list_distinct(string_split(text, ' ')) AS t FROM documents), "
+        "tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(CASE WHEN "
+        f"list_contains(t, '{s}') THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_seed FROM d0), "
+        "bgall AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg FROM "
+        "(SELECT doc_id, unnest(t) AS term FROM d0) u GROUP BY term), "
+        "fg1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg FROM "
+        f"(SELECT unnest(t) AS term FROM d0 "
+        f"WHERE list_contains(t, '{s}')) u "
+        f"WHERE term <> '{s}' GROUP BY term "
+        f"HAVING COUNT(*) >= {mf}), "
+        f"h1p AS (SELECT '{s}' AS src, fg1.term, fg1.fg, bgall.bg, "
+        "CAST(FLOOR(10000.0 * fg1.fg * tot.n_docs / "
+        "(CAST(tot.n_seed AS DOUBLE) * bgall.bg)) AS BIGINT) "
+        "AS lift_bp FROM fg1 JOIN bgall USING (term) CROSS JOIN tot), "
+        "h1 AS (SELECT src, term, fg, bg, lift_bp, "
+        "CAST(row_number() OVER (ORDER BY lift_bp DESC, term) AS INT) "
+        f"AS rk FROM h1p QUALIFY rk <= {k1}), "
+        "pr AS (SELECT src, term, CAST(COUNT(*) AS BIGINT) AS fg "
+        "FROM (SELECT f.term AS src, unnest(d0.t) AS term "
+        "FROM d0 JOIN h1 f ON list_contains(d0.t, f.term)) x "
+        "GROUP BY src, term), "
+        "cand AS (SELECT pr.src, pr.term, pr.fg, bgall.bg, "
+        "ns.bg AS n_src FROM pr JOIN bgall USING (term) "
+        "JOIN h1 ns ON ns.term = pr.src "
+        f"WHERE pr.term <> pr.src AND pr.term <> '{s}' "
+        f"AND pr.fg >= {mf} "
+        "AND pr.term NOT IN (SELECT term FROM h1)), "
+        "h2p AS (SELECT src, term, fg, bg, "
+        "CAST(FLOOR(10000.0 * fg * tot.n_docs / "
+        "(CAST(n_src AS DOUBLE) * bg)) AS BIGINT) AS lift_bp "
+        "FROM cand CROSS JOIN tot), "
+        "h2 AS (SELECT src, term, fg, bg, lift_bp, "
+        "CAST(row_number() OVER (PARTITION BY src "
+        "ORDER BY lift_bp DESC, term) AS INT) AS rk FROM h2p "
+        f"QUALIFY rk <= {k2}) "
+        "SELECT 1 AS hop, src, term, fg, bg, lift_bp, rk FROM h1 "
+        "UNION ALL "
+        "SELECT 2 AS hop, src, term, fg, bg, lift_bp, rk FROM h2 "
+        "ORDER BY hop, src, rk")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -4465,6 +4580,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         "(CAST(tot.n_seed AS DOUBLE) * bg.bg)) AS BIGINT) AS lift_bp "
         "FROM fg JOIN bg USING (term) CROSS JOIN tot "
         f"ORDER BY lift_bp DESC, term LIMIT {GRAPH_K}"),
+    "x136_bpe_merge_train": _bpe_merge_sql(),
+    "x137_graph_explore_hops": _graph_hops_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

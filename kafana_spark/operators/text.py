@@ -221,6 +221,78 @@ def pair_counts(df: DataFrame, k: int = 30,
     return counts.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
+#: wrappers for the mergeable symbol-sequence encoding used by
+#: bpe_merge_train: each symbol is stored as SOH+sym+STX, so a pair
+#: (a, b) occurs iff the substring SOH+a+STX+SOH+b+STX does — a plain
+#: (non-regex) replace-all then implements one BPE merge with the
+#: standard greedy left-to-right non-overlap semantics in BOTH engines.
+_BPE_SOH = "\x01"
+_BPE_STX = "\x02"
+
+
+def bpe_merge_train(df: DataFrame, n_merges: int = 3, topk: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Iterative BPE merge training (the tokenizer-prep loop): per
+    round, count every adjacent symbol pair corpus-wide, record the
+    top-``topk`` candidates, APPLY the top merge (joining the pair
+    into one symbol, '_'-separated), and re-count on the merged
+    sequences — ``pair_counts`` (x33) is one round of this loop.
+
+    Output: (rnd, rk, pair, cnt) — the candidate table of every round;
+    the rk=1 row of round r is the merge applied before round r+1.
+    Deterministic: ties break on pair ASC, and symbols never contain
+    ' ' or '_' at round 1 (corpus tokens are [a-z0-9]+), so a pair
+    string like 'a_b c' is unambiguous across rounds.
+
+    Scale: each round is ONE corpus-scale map (chained plain-string
+    replaces, no shuffle) feeding a map-side-combinable pair count and
+    a distributed top-k; the driver only ever materializes the
+    ``topk``-row candidate table per round to choose the merge — the
+    coordination step of any BPE trainer. At 100 TB you would
+    checkpoint the merged sequence frame every few rounds to keep the
+    replace chain shallow; with small fixed ``n_merges`` the chain is
+    the cheaper plan (no materialization).
+    """
+    spark = df.sparkSession
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wrapped = F.concat(
+        F.lit(_BPE_SOH),
+        F.regexp_replace(F.lower(F.col(text_col)), " ",
+                         _BPE_STX + _BPE_SOH),
+        F.lit(_BPE_STX))
+    seq = df.select(wrapped.alias("s"))
+    out_rows: list[tuple[int, int, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        toks = F.split(
+            F.regexp_replace(F.col("s"),
+                             f"^{_BPE_SOH}|{_BPE_STX}$", ""),
+            _BPE_STX + _BPE_SOH)
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        pl = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                       F.element_at(toks, i + 1)))
+        pairs = F.when(F.size(toks) >= 2, pl) \
+            .otherwise(F.array().cast("array<string>"))
+        top = (seq.select(F.explode(pairs).alias("pair"))
+               .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "pair").limit(topk)
+               .collect())
+        out_rows += [(rnd, i + 1, r.pair, r.cnt)
+                     for i, r in enumerate(top)]
+        if not top:
+            break
+        a, b = top[0].pair.split(" ", 1)
+        search = _BPE_SOH + a + _BPE_STX + _BPE_SOH + b + _BPE_STX
+        repl = _BPE_SOH + a + "_" + b + _BPE_STX
+        seq = seq.select(
+            F.replace(F.col("s"), F.lit(search), F.lit(repl))
+            .alias("s"))
+    return (spark.createDataFrame(
+        out_rows, "rnd int, rk int, pair string, cnt bigint")
+        .orderBy("rnd", "rk"))
+
+
 def significant_terms(df: DataFrame, foreground,
                       k: int = 20, text_col: str = "text",
                       min_fg: int = 3) -> DataFrame:

@@ -1043,6 +1043,95 @@ def graph_explore(df: DataFrame, seed_term: str, text_col: str = "text",
             .limit(k))
 
 
+def graph_explore_hops(df: DataFrame, seed_term: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       min_fg: int = 2, k1: int = 5,
+                       k2: int = 5) -> DataFrame:
+    """The X-Pack Graph explore API's defining feature: ITERATIVE
+    expansion (two unrolled hops) with per-vertex sample
+    diversification — hop 1 takes the top-``k1`` terms by significance
+    lift around the seed (exactly ``graph_explore``'s ranking); hop 2
+    expands EACH frontier term to its own top-``k2`` co-occurring
+    terms, keeping only new vertices (not the seed, not a frontier
+    term, not the source itself).
+
+    Output: (hop, src, term, fg, bg, lift_bp, rk) — rk ranks within
+    (hop, src); hop-2 lift uses the source's document count (its bg)
+    as the foreground total, mirroring the hop-1 formula.
+
+    Scale: hop 1 rides ``graph_explore``'s single-tokenize stats frame
+    (persisted vocab aggregate). Hop 2 broadcasts the k1-term frontier
+    as ONE array row, intersects it per document map-side (no doc-id
+    shuffle), and the only exchange carries (src, term) combinable
+    counts; background dfs come from the already-persisted stats
+    frame, frontier exclusion is a broadcast anti-join, and the
+    per-source rank window partitions by src over the post-aggregate
+    candidate frame.
+    """
+    from pyspark import StorageLevel
+
+    from kafana_spark.functions import tokens
+
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    stats = (df.select(F.array_contains(tok, seed_term).alias("is_seed"),
+                       F.explode(tok).alias("term"))
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).alias("bg"),
+                  F.sum(F.col("is_seed").cast("long")).alias("fg"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_seed = stats.agg(
+        F.max(F.when(F.col("term") == seed_term, F.col("fg")))
+        .alias("n_seed"))
+    nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = nd.crossJoin(F.broadcast(n_seed))
+    lift1 = F.expr("CAST(floor(10000.0 * fg * n_docs / "
+                   "(CAST(n_seed AS DOUBLE) * bg)) AS BIGINT)")
+    h1 = (stats.where((F.col("term") != seed_term)
+                      & (F.col("fg") >= min_fg))
+          .join(F.broadcast(totals))
+          .select(F.lit(seed_term).alias("src"), "term", "fg", "bg",
+                  lift1.alias("lift_bp"))
+          .orderBy(F.col("lift_bp").desc(), "term").limit(k1))
+    w1 = Window.orderBy(F.col("lift_bp").desc(), "term")
+    h1r = h1.withColumn("rk", F.row_number().over(w1).cast("int"))
+    # hop 2: one broadcast array row carries the frontier; the corpus
+    # pass is map-only (intersect + double explode), the (src, term)
+    # count is the only exchange
+    farr = h1.agg(F.collect_list("term").alias("farr"))
+    pairs = (df.select(tok.alias("toks"))
+             .crossJoin(F.broadcast(farr))
+             .select(F.array_intersect("toks", "farr").alias("srcs"),
+                     "toks")
+             .where(F.size("srcs") > 0)
+             .select(F.explode("srcs").alias("src"), "toks")
+             .select("src", F.explode("toks").alias("term")))
+    agg2 = (pairs.groupBy("src", "term")
+            .agg(F.count(F.lit(1)).alias("fg")))
+    lift2 = F.expr("CAST(floor(10000.0 * fg * n_docs / "
+                   "(CAST(n_src AS DOUBLE) * bg)) AS BIGINT)")
+    cand = (agg2.where((F.col("term") != F.col("src"))
+                       & (F.col("term") != seed_term)
+                       & (F.col("fg") >= min_fg))
+            .join(F.broadcast(h1.select(F.col("term").alias("src"),
+                                        F.col("bg").alias("n_src"))),
+                  "src")
+            .join(F.broadcast(h1.select("term")), "term", "left_anti")
+            .join(stats.select("term", "bg"), "term")
+            .crossJoin(F.broadcast(nd)))
+    w2 = Window.partitionBy("src").orderBy(F.col("lift_bp").desc(),
+                                           "term")
+    h2 = (cand.select("src", "term", "fg", "bg",
+                      lift2.alias("lift_bp"))
+          .withColumn("rk", F.row_number().over(w2).cast("int"))
+          .where(F.col("rk") <= k2))
+    return (h1r.select(F.lit(1).alias("hop"), "src", "term", "fg",
+                       "bg", "lift_bp", "rk")
+            .unionByName(
+                h2.select(F.lit(2).alias("hop"), "src", "term", "fg",
+                          "bg", "lift_bp", "rk"))
+            .orderBy("hop", "src", "rk"))
+
+
 def field_caps(df: DataFrame, numeric_fields: Sequence[str],
                time_fields: Sequence[str] = ()) -> DataFrame:
     """The ES ``_field_caps`` / field-stats API (Kibana loads it for

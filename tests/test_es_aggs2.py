@@ -733,3 +733,58 @@ def test_graph_explore_tokenizes_corpus_once(spark):
     # count-star (ReadSchema: struct<>)
     schemas = read_schemas(plan)
     assert sum("text" in s for s in schemas) == 1
+
+
+def test_bpe_merge_train_applies_top_merge_each_round(spark):
+    from kafana_spark.operators.text import bpe_merge_train
+    df = spark.createDataFrame([("a b a b c",), ("a b c",)],
+                               "text: string")
+    got = [(r.rnd, r.rk, r.pair, r.cnt)
+           for r in bpe_merge_train(df, n_merges=3, topk=2).collect()]
+    assert got == [
+        (1, 1, "a b", 3), (1, 2, "b c", 2),      # merge a+b
+        (2, 1, "a_b c", 2), (2, 2, "a_b a_b", 1),  # merge a_b+c
+        (3, 1, "a_b a_b_c", 1),
+    ]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # 'b b b' merges as (b_b) b, not b (b_b) — matching BPE convention
+    from kafana_spark.operators.text import bpe_merge_train
+    df = spark.createDataFrame([("b b b",)], "text: string")
+    got = [(r.rnd, r.pair, r.cnt)
+           for r in bpe_merge_train(df, n_merges=2, topk=1).collect()]
+    assert got == [(1, "b b", 2), (2, "b_b b", 1)]
+
+
+def test_bpe_merge_empty_when_no_pairs(spark):
+    from kafana_spark.operators.text import bpe_merge_train
+    df = spark.createDataFrame([("a",), ("b",)], "text: string")
+    out = bpe_merge_train(df, n_merges=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema] == ["rnd", "rk", "pair", "cnt"]
+
+
+def test_graph_hops_expands_frontier_and_excludes_seen(spark):
+    df = spark.createDataFrame(
+        [(0, "s x p"), (1, "s x q"), (2, "x p"), (3, "y")],
+        "doc_id: long, text: string")
+    got = [(r.hop, r.src, r.term, r.fg, r.bg, r.lift_bp, r.rk)
+           for r in query.graph_explore_hops(
+               df, "s", min_fg=1, k1=1, k2=10).collect()]
+    # hop 1: q has the top lift (1e4·(1/2)/(1/4) = 20000)
+    # hop 2 from q: only x survives (q itself and seed s excluded)
+    assert got == [
+        (1, "s", "q", 1, 1, 20000, 1),
+        (2, "q", "x", 1, 3, 13333, 1),
+    ]
+
+
+def test_graph_hops_frontier_joins_are_broadcast(spark):
+    # r6 plan pin: the corpus never shuffles on doc id — the frontier
+    # arrives as one broadcast array row, frontier exclusion is a
+    # broadcast anti-join, and no sort-merge join touches the corpus
+    from kafana_spark.operators.registry import x_graph_explore_hops
+    plan = plan_of(x_graph_explore_hops(spark, SF_SMOKE))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
