@@ -1721,6 +1721,10 @@ GRAPH2_K2 = 5
 #: x136 BPE merge training: rounds + per-round candidate table size
 BPE_MERGE_ROUNDS = 3
 BPE_MERGE_TOPK = 5
+#: x139 hybrid RRF: query vector id, per-list pool, fused top-k
+RRF_QVEC = 0
+RRF_POOL = 20
+RRF_K = 10
 
 
 def x_graph_explore(spark, sf_dir):
@@ -1750,6 +1754,25 @@ def x_bpe_merge_train(spark, sf_dir):
     return text.bpe_merge_train(_docs(spark, sf_dir),
                                 n_merges=BPE_MERGE_ROUNDS,
                                 topk=BPE_MERGE_TOPK)
+
+
+def x_bpe_encode(spark, sf_dir):
+    """x138 — the encode half of x136: apply ALL learned merges and
+    report per-doc token → symbol compression (map-only encode)."""
+    return text.bpe_encode(_docs(spark, sf_dir),
+                           n_merges=BPE_MERGE_ROUNDS)
+
+
+def x_hybrid_rrf(spark, sf_dir):
+    """x139 — Reciprocal Rank Fusion (the ES rrf retriever / hybrid
+    search primitive): fuse the x88 BM25 ranking with the x07-style
+    exact-cosine ranking for one query vector; integer RRF scores."""
+    from kafana_spark.operators import relevance
+
+    return relevance.hybrid_rrf(_docs(spark, sf_dir),
+                                _embs(spark, sf_dir),
+                                list(BM25_QUERY_TERMS), RRF_QVEC,
+                                k=RRF_K, pool=RRF_POOL)
 
 
 def x_field_caps(spark, sf_dir):
@@ -2147,6 +2170,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x135_field_caps": x_field_caps,
     "x136_bpe_merge_train": x_bpe_merge_train,
     "x137_graph_explore_hops": x_graph_explore_hops,
+    "x138_bpe_encode": x_bpe_encode,
+    "x139_hybrid_rrf": x_hybrid_rrf,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3833,16 +3858,21 @@ def _rank_eval_sql() -> str:
     )
 
 
-def _bpe_merge_sql() -> str:
-    """x136 oracle — the identical unrolled BPE merge loop: wrapped
-    symbol encoding (chr(1)+sym+chr(2)), plain replace-all merges
-    (same greedy left-to-right non-overlap semantics as Spark's
-    ``replace``), per-round pair counts + top-k candidate tables."""
-    n, k = BPE_MERGE_ROUNDS, BPE_MERGE_TOPK
+def _bpe_chain(n: int, k: int, carry: str = "",
+               apply_last: bool = False, prologue: str = "",
+               src: str = "documents") -> str:
+    """Shared x136/x138 oracle prologue: the unrolled BPE merge chain —
+    wrapped symbol encoding (chr(1)+sym+chr(2)), plain replace-all
+    merges (same greedy left-to-right non-overlap semantics as Spark's
+    ``replace``), per-round pair counts c{r} + top-k tables t{r}, and
+    merged sequences s{r+1}. ``carry`` rides extra columns through the
+    s-chain and ``prologue``/``src`` let the encode oracle source s1
+    from a CTE that computes them (doc_id + n_tokens)."""
     soh, stx = "chr(1)", "chr(2)"
     parts = [
-        f"WITH s1 AS (SELECT {soh} || replace(lower(text), ' ', "
-        f"{stx}||{soh}) || {stx} AS s FROM documents)"]
+        f"WITH {prologue}s1 AS (SELECT {carry}{soh} || "
+        f"replace(lower(text), ' ', {stx}||{soh}) || {stx} AS s "
+        f"FROM {src})"]
     for r in range(1, n + 1):
         parts.append(
             f", p{r} AS (SELECT unnest(list_transform("
@@ -3855,19 +3885,76 @@ def _bpe_merge_sql() -> str:
             f", t{r} AS (SELECT pair, cnt, row_number() OVER "
             f"(ORDER BY cnt DESC, pair) AS rk FROM c{r} "
             f"QUALIFY rk <= {k})")
-        if r < n:
+        if r < n or apply_last:
             parts.append(
                 f", m{r} AS (SELECT {soh} || replace(pair, ' ', "
                 f"{stx}||{soh}) || {stx} AS srch, "
                 f"{soh} || replace(pair, ' ', '_') || {stx} AS rep "
                 f"FROM t{r} WHERE rk = 1)"
-                f", s{r + 1} AS (SELECT replace(s, "
+                f", s{r + 1} AS (SELECT {carry}replace(s, "
                 f"(SELECT srch FROM m{r}), (SELECT rep FROM m{r})) "
                 f"AS s FROM s{r})")
+    return "".join(parts)
+
+
+def _bpe_merge_sql() -> str:
+    """x136 oracle — per-round candidate tables of the merge loop."""
+    n, k = BPE_MERGE_ROUNDS, BPE_MERGE_TOPK
     union = " UNION ALL ".join(
         f"SELECT {r} AS rnd, CAST(rk AS INT) AS rk, pair, cnt "
         f"FROM t{r}" for r in range(1, n + 1))
-    return "".join(parts) + " " + union + " ORDER BY rnd, rk"
+    return _bpe_chain(n, k) + " " + union + " ORDER BY rnd, rk"
+
+
+def _bpe_encode_sql() -> str:
+    """x138 oracle — apply ALL learned merges, count symbols per doc."""
+    n = BPE_MERGE_ROUNDS
+    chain = _bpe_chain(
+        n, 1, carry="doc_id, n_tokens, ", apply_last=True,
+        prologue=("s0 AS (SELECT doc_id, "
+                  "CAST(len(string_split(text, ' ')) AS INT) "
+                  "AS n_tokens, text FROM documents), "),
+        src="s0")
+    nsym = ("len(string_split(substr(s, 2, len(s) - 2), "
+            "chr(2)||chr(1)))")
+    return (chain
+            + f" SELECT doc_id, n_tokens, CAST({nsym} AS INT) "
+            f"AS n_symbols, CAST(10000 * {nsym} // n_tokens AS BIGINT) "
+            f"AS ratio_bp FROM s{n + 1} ORDER BY doc_id")
+
+
+def _hybrid_rrf_sql() -> str:
+    """x139 oracle — RRF fusion of the x88 BM25 ranking and the x07
+    brute-force cosine ranking for one query vector; contributions are
+    RRF_FP // (k0 + rank), 0 for a missing list (pure integers)."""
+    from kafana_spark.operators.relevance import RRF_FP, RRF_K0
+
+    cos = _COS.format(a="q.v", b="c.v")
+    return (
+        f"WITH {_bm25_scores_ctes()}, "
+        "lex AS (SELECT doc_id AS id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY score_u DESC, doc_id) AS INT) AS lex_rank FROM sc "
+        f"QUALIFY lex_rank <= {RRF_POOL}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"q AS (SELECT v FROM e WHERE vec_id = {RRF_QVEC}), "
+        f"vscored AS (SELECT c.vec_id AS id, ROUND({cos}, 4) AS cos "
+        f"FROM e c, q WHERE c.vec_id <> {RRF_QVEC}), "
+        "vec AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos "
+        "DESC, id) AS INT) AS vec_rank FROM vscored "
+        f"QUALIFY vec_rank <= {RRF_POOL}), "
+        "f AS (SELECT COALESCE(lex.id, vec.id) AS doc_id, "
+        "lex_rank, vec_rank FROM lex FULL OUTER JOIN vec "
+        "ON lex.id = vec.id), "
+        "s AS (SELECT doc_id, "
+        "CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank, "
+        "CAST(COALESCE(vec_rank, 0) AS INT) AS vec_rank, "
+        f"CAST(COALESCE({RRF_FP} // ({RRF_K0} + lex_rank), 0) + "
+        f"COALESCE({RRF_FP} // ({RRF_K0} + vec_rank), 0) AS BIGINT) "
+        "AS rrf_u FROM f) "
+        "SELECT doc_id, lex_rank, vec_rank, rrf_u, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS INT) "
+        f"AS rank FROM s QUALIFY rank <= {RRF_K} ORDER BY rank")
 
 
 def _graph_hops_sql() -> str:
@@ -4582,6 +4669,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"ORDER BY lift_bp DESC, term LIMIT {GRAPH_K}"),
     "x136_bpe_merge_train": _bpe_merge_sql(),
     "x137_graph_explore_hops": _graph_hops_sql(),
+    "x138_bpe_encode": _bpe_encode_sql(),
+    "x139_hybrid_rrf": _hybrid_rrf_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

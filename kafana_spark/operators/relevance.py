@@ -338,6 +338,65 @@ def term_suggest(df: DataFrame, misspelled: Sequence[str],
 #: rank_eval gain grain: micro-units of the 1/log2(rank+1) DCG gain
 RANK_EVAL_FP = 1_000_000
 
+#: Reciprocal Rank Fusion: the standard rank constant (Cormack et al.;
+#: ES's rrf retriever default) and the integer contribution grain
+RRF_K0 = 60
+RRF_FP = 1_000_000
+
+
+def hybrid_rrf(docs: DataFrame, embs: DataFrame, terms: Sequence[str],
+               qvec_id: int, k: int = 10, pool: int = 20,
+               k0: int = RRF_K0, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Reciprocal Rank Fusion — the hybrid-search primitive (ES's
+    ``rrf`` retriever shape, run on this repo's 6.8-era scoring
+    machinery): fuse the BM25 lexical ranking for ``terms`` with the
+    exact-cosine vector ranking for query vector ``qvec_id``, scoring
+    each document RRF_FP div (k0 + rank) per list it appears in
+    (pure integer — exact cross-engine), 0 for a list it misses.
+
+    Output: (id, lex_rank, vec_rank, rrf_u, rank) — absent-list ranks
+    surface as 0; doc ids and vec ids are unified (the fixtures share
+    the id space); the query vector's own corpus row is excluded from
+    the vector list (brute_force_topk's self-match rule).
+
+    Scale: both input rankings are existing TakeOrdered/top-k plans
+    (BM25 matched-pairs shuffle; broadcast-query brute-force — swap in
+    lsh/ivf/pq_topk for the indexed path, same fusion); the fusion
+    itself touches only 2·pool rows, so the full-outer join and the
+    final rank window are bounded by construction.
+    """
+    from kafana_spark.operators import similarity
+
+    lex = bm25_topk(docs, list(terms), k=pool, id_col=id_col,
+                    text_col=text_col)
+    wl = Window.orderBy(F.col("score_u").desc(), F.col(id_col))
+    lexr = (lex.withColumn("lex_rank",
+                           F.row_number().over(wl).cast("int"))
+            .select(F.col(id_col).alias("id"), "lex_rank"))
+    q = (similarity._vectors(embs)
+         .where(F.col("vec_id") == int(qvec_id))
+         .select(F.col("vec_id").alias("qid"), "v"))
+    vec = (similarity.brute_force_topk(embs, q, k=pool)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("rank").cast("int").alias("vec_rank")))
+    fused = lexr.join(vec, "id", "full_outer")
+    contrib_l = F.when(F.col("lex_rank").isNotNull(),
+                       F.expr(f"{RRF_FP} div ({k0} + lex_rank)")) \
+        .otherwise(F.lit(0)).cast("long")
+    contrib_v = F.when(F.col("vec_rank").isNotNull(),
+                       F.expr(f"{RRF_FP} div ({k0} + vec_rank)")) \
+        .otherwise(F.lit(0)).cast("long")
+    scored = fused.select(
+        F.col("id").alias(id_col),
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("int").alias("vec_rank"),
+        (contrib_l + contrib_v).alias("rrf_u"))
+    wout = Window.orderBy(F.col("rrf_u").desc(), F.col(id_col))
+    return (scored.withColumn("rank",
+                              F.row_number().over(wout).cast("int"))
+            .where(F.col("rank") <= k).orderBy("rank"))
+
 
 def rank_eval(df: DataFrame, terms: Sequence[str], k: int = 10,
               rel_min_tf: int = 4, id_col: str = "doc_id",

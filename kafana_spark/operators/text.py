@@ -254,14 +254,62 @@ def bpe_merge_train(df: DataFrame, n_merges: int = 3, topk: int = 5,
     the cheaper plan (no materialization).
     """
     spark = df.sparkSession
-    if n_merges < 1:
-        raise ValueError("n_merges must be >= 1")
+    seq = _bpe_seq(df, text_col)
+    out_rows, _ = _bpe_loop(seq, n_merges, topk)
+    return (spark.createDataFrame(
+        out_rows, "rnd int, rk int, pair string, cnt bigint")
+        .orderBy("rnd", "rk"))
+
+
+def bpe_encode(df: DataFrame, n_merges: int = 3,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply the ``n_merges`` merges ``bpe_merge_train`` learns (ALL of
+    them, including round n's) and report per-document symbol counts —
+    the encode half of the tokenizer-prep loop: how much shorter does
+    each document get under the learned merge list?
+
+    Output: (id, n_tokens, n_symbols, ratio_bp) — n_tokens is the
+    pre-merge whitespace token count, n_symbols the post-merge symbol
+    count, ratio_bp = 10000·n_symbols div n_tokens (integer).
+
+    Scale: the merge list is learned by the same per-round combinable
+    count + top-1 collect as training; the encode itself is a pure
+    map (chained plain-string replaces) — no shuffle at all on the
+    encode path.
+    """
+    seq = _bpe_seq(df, text_col,
+                   carry=[F.col(id_col),
+                          F.size(tokens(F.col(text_col))).cast("int")
+                          .alias("n_tokens")])
+    _, seq = _bpe_loop(seq, n_merges, topk=1, apply_last=True)
+    strip = F.regexp_replace(F.col("s"), f"^{_BPE_SOH}|{_BPE_STX}$", "")
+    n_sym = F.size(F.split(strip, _BPE_STX + _BPE_SOH)).cast("int")
+    return (seq.select(F.col(id_col), "n_tokens",
+                       n_sym.alias("n_symbols"))
+            .select(id_col, "n_tokens", "n_symbols",
+                    F.expr("10000 * n_symbols div n_tokens")
+                    .cast("long").alias("ratio_bp"))
+            .orderBy(id_col))
+
+
+def _bpe_seq(df: DataFrame, text_col: str, carry=()) -> DataFrame:
+    """(carry..., s): the wrapped symbol-sequence encoding."""
     wrapped = F.concat(
         F.lit(_BPE_SOH),
         F.regexp_replace(F.lower(F.col(text_col)), " ",
                          _BPE_STX + _BPE_SOH),
         F.lit(_BPE_STX))
-    seq = df.select(wrapped.alias("s"))
+    return df.select(*carry, wrapped.alias("s"))
+
+
+def _bpe_loop(seq: DataFrame, n_merges: int, topk: int,
+              apply_last: bool = False):
+    """Run the merge loop: per round collect the topk candidate pairs
+    and apply the top merge (rounds 1..n-1; also round n when
+    ``apply_last``). Returns (candidate rows, final seq frame)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
     out_rows: list[tuple[int, int, str, int]] = []
     for rnd in range(1, n_merges + 1):
         toks = F.split(
@@ -282,15 +330,13 @@ def bpe_merge_train(df: DataFrame, n_merges: int = 3, topk: int = 5,
                      for i, r in enumerate(top)]
         if not top:
             break
-        a, b = top[0].pair.split(" ", 1)
-        search = _BPE_SOH + a + _BPE_STX + _BPE_SOH + b + _BPE_STX
-        repl = _BPE_SOH + a + "_" + b + _BPE_STX
-        seq = seq.select(
-            F.replace(F.col("s"), F.lit(search), F.lit(repl))
-            .alias("s"))
-    return (spark.createDataFrame(
-        out_rows, "rnd int, rk int, pair string, cnt bigint")
-        .orderBy("rnd", "rk"))
+        if rnd < n_merges or apply_last:
+            a, b = top[0].pair.split(" ", 1)
+            search = _BPE_SOH + a + _BPE_STX + _BPE_SOH + b + _BPE_STX
+            repl = _BPE_SOH + a + "_" + b + _BPE_STX
+            seq = seq.withColumn(
+                "s", F.replace(F.col("s"), F.lit(search), F.lit(repl)))
+    return out_rows, seq
 
 
 def significant_terms(df: DataFrame, foreground,

@@ -788,3 +788,35 @@ def test_graph_hops_frontier_joins_are_broadcast(spark):
     plan = plan_of(x_graph_explore_hops(spark, SF_SMOKE))
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bpe_encode_compresses_with_learned_merges(spark):
+    # merges learned on this corpus: a+b, a_b+c, a_b+a_b_c (see the
+    # train test) — both docs collapse to ONE symbol after 3 merges
+    from kafana_spark.operators.text import bpe_encode
+    df = spark.createDataFrame([(0, "a b a b c"), (1, "a b c")],
+                               "doc_id: long, text: string")
+    got = [(r.doc_id, r.n_tokens, r.n_symbols, r.ratio_bp)
+           for r in bpe_encode(df, n_merges=3).collect()]
+    assert got == [(0, 5, 1, 2000), (1, 3, 1, 3333)]
+
+
+def test_hybrid_rrf_fuses_integer_contributions(spark):
+    from kafana_spark.operators.relevance import hybrid_rrf
+    docs = spark.createDataFrame(
+        [(1, "q a"), (2, "q q b"), (3, "c")],
+        "doc_id: long, text: string")
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+         (2, [0.0, 1.0], 1), (3, [6.0, 8.0], 1)],
+        "vec_id: long, embedding: array<float>, label: int")
+    got = [(r.doc_id, r.lex_rank, r.vec_rank, r.rrf_u, r.rank)
+           for r in hybrid_rrf(docs, embs, ["q"], qvec_id=0,
+                               k=10, pool=10).collect()]
+    # lex: doc2 (tf 2) > doc1 (tf 1); vec (self excluded): 1, 3, 2
+    # contributions: 1e6 div (60 + rank); absent list -> 0
+    assert got == [
+        (1, 2, 1, 1_000_000 // 62 + 1_000_000 // 61, 1),
+        (2, 1, 3, 1_000_000 // 61 + 1_000_000 // 63, 2),
+        (3, 0, 2, 1_000_000 // 62, 3),
+    ]

@@ -1,0 +1,175 @@
+"""Scale-factor ladder: one evidence point beyond plan shape for the
+100 TB design claims.
+
+Generates an sf1-SHAPED documents/embeddings pair (10x the sf0.1 row
+counts, same distributions — token frequencies, length mix, lang/source
+spread, duplicate rate, per-label embedding clusters are all fitted
+from the real sf0.1 fixtures; numpy seed 42, fully deterministic) under
+/tmp/sfscale/sf1, then times the heavy dedup / ANN / text families at
+sf0.1 and sf1 and prints per-query ratios.
+
+Reading the output: data grows 10x, so a banded/bucketed plan should
+scale ~linearly (ratio ~10x or less once fixed overheads amortize);
+anything super-linear names its shuffle. x06 is INCLUDED as the known
+quadratic — it is the documented exhaustive verify twin of x68, and its
+~100x ratio is the point of the comparison.
+
+Usage: python tools/scale_ladder.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+BIG = "/tmp/sfscale/sf1"
+SCALE = 10  # sf0.1 -> sf1 row-count multiplier
+
+#: (key, expected) — expected is the documented scaling class
+LADDER = [
+    ("x01_dedup_keep_first", "linear (hash-groupBy on sha2)"),
+    ("x02_minhash_near_dup", "~linear (banded candidates)"),
+    ("x03_ngram_jaccard_dup", "~linear (banded candidates)"),
+    ("x68_embedding_near_dup_bucketed", "~linear (per-cell squares)"),
+    ("x06_embedding_near_dup", "QUADRATIC by design (verify twin)"),
+    ("x07_ann_brute_force", "linear (corpus x fixed query set)"),
+    ("x08_ann_ivf", "linear (probed cells only)"),
+    ("x81_ann_lsh", "linear (bucketed candidates)"),
+    ("x88_bm25_topk", "linear (matched pairs only)"),
+    ("x69_exact_substr", "~linear (sharded gram join)"),
+    ("x33_pair_counts", "linear (combinable counts)"),
+    ("x136_bpe_merge_train", "linear x N rounds (combinable counts)"),
+]
+
+
+def generate(path: str) -> None:
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    os.makedirs(path, exist_ok=True)
+    con = duckdb.connect()
+
+    # ---- documents: fit vocab, lengths, lang/source from sf0.1
+    vocab = con.execute(
+        "SELECT tok, COUNT(*) c FROM (SELECT unnest(string_split(text,"
+        f"' ')) tok FROM read_parquet('{SF01}/documents.parquet')) "
+        "GROUP BY tok ORDER BY tok").fetchall()
+    words = np.array([v[0] for v in vocab])
+    wp = np.array([v[1] for v in vocab], dtype=float)
+    wp /= wp.sum()
+    lens = np.array([r[0] for r in con.execute(
+        "SELECT len(string_split(text, ' ')) FROM "
+        f"read_parquet('{SF01}/documents.parquet')").fetchall()])
+    langs, lp = zip(*con.execute(
+        "SELECT lang, COUNT(*) FROM "
+        f"read_parquet('{SF01}/documents.parquet') GROUP BY lang "
+        "ORDER BY lang").fetchall())
+    lp = np.array(lp, dtype=float) / sum(lp)
+    srcs, sp = zip(*con.execute(
+        "SELECT source, COUNT(*) FROM "
+        f"read_parquet('{SF01}/documents.parquet') GROUP BY source "
+        "ORDER BY source").fetchall())
+    sp = np.array(sp, dtype=float) / sum(sp)
+    n_dup = SCALE * con.execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT text) FROM "
+        f"read_parquet('{SF01}/documents.parquet')").fetchone()[0]
+
+    n_docs = SCALE * con.execute(
+        "SELECT COUNT(*) FROM "
+        f"read_parquet('{SF01}/documents.parquet')").fetchone()[0]
+    doc_lens = rng.choice(lens, size=n_docs)
+    texts = [" ".join(rng.choice(words, size=k, p=wp))
+             for k in doc_lens]
+    # duplicate injection at the fitted rate (copy earlier texts)
+    for i in rng.choice(np.arange(1, n_docs), size=n_dup, replace=False):
+        texts[i] = texts[int(i) // 2]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(rng.choice(langs, size=n_docs, p=lp)),
+        "source": pa.array(rng.choice(srcs, size=n_docs, p=sp)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{path}/documents.parquet")
+
+    # ---- embeddings: per-label gaussian clusters fitted from sf0.1
+    emb = con.execute(
+        "SELECT label, embedding FROM "
+        f"read_parquet('{SF01}/embeddings.parquet')").fetchall()
+    by_label: dict[int, list] = {}
+    for lab, vec in emb:
+        by_label.setdefault(lab, []).append(vec)
+    labels = sorted(by_label)
+    stats = {}
+    for lab in labels:
+        a = np.array(by_label[lab], dtype=np.float64)
+        stats[lab] = (a.mean(axis=0), a.std(axis=0) + 1e-6,
+                      len(a) / len(emb))
+    n_vec = SCALE * len(emb)
+    lab_draw = rng.choice(labels, size=n_vec,
+                          p=[stats[b][2] for b in labels])
+    dim = len(next(iter(stats.values()))[0])
+    vecs = np.empty((n_vec, dim), dtype=np.float32)
+    for i, lab in enumerate(lab_draw):
+        mu, sd, _ = stats[lab]
+        vecs[i] = (mu + rng.standard_normal(dim) * sd).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n_vec), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(lab_draw.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, f"{path}/embeddings.parquet")
+    print(f"# generated {n_docs} docs / {n_vec} vectors at {path}",
+          file=sys.stderr)
+
+
+def main() -> None:
+    if "--regen" in sys.argv or not os.path.exists(
+            f"{BIG}/documents.parquet"):
+        generate(BIG)
+
+    import __spark_entry__ as m
+    from kafana_spark.session import get_spark
+
+    # 10x data in a single local JVM needs a real heap (the default 1g
+    # driver heap is sized for sf0.1); a cluster would spread this
+    # across executors
+    spark = get_spark("scale-ladder",
+                      extra_conf={"spark.driver.memory": "64g"})
+    spark.range(1000).count()
+    (spark.range(64).repartition(32)
+     .mapInPandas(lambda it: it, "id long").count())
+    qs = m.queries()
+    out = {}
+    for key, expected in LADDER:
+        row = {"expected": expected}
+        try:
+            for tag, sfd in (("sf0.1", SF01), ("sf1", BIG)):
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    len(qs[key](spark, sfd).collect())
+                    el = time.time() - t0
+                    best = el if best is None or el < best else best
+                row[tag] = round(best, 2)
+            row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9),
+                                 1)
+            print(f"# {key}: {row['sf0.1']}s -> {row['sf1']}s "
+                  f"({row['ratio']}x; {expected})", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {key}: ERROR {row['error']}", file=sys.stderr)
+        out[key] = row
+    print(json.dumps({"scale": SCALE, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
