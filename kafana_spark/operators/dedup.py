@@ -918,6 +918,51 @@ def embedding_dup_clusters(df: DataFrame, threshold: float = 0.99,
         pairs.unpersist()
 
 
+def semantic_decontaminate(corpus_df: DataFrame, bench_df: DataFrame,
+                           threshold: float = 0.97,
+                           centroid_mod: int = 40,
+                           n_assign: int = 2) -> DataFrame:
+    """Semantic benchmark decontamination — the third member of the
+    decontamination family (x31 doc-level n-gram overlap, x77
+    span-level ExactSubstr): flag corpus items whose EMBEDDING is
+    >= ``threshold`` cosine to ANY benchmark item, catching the
+    paraphrased leakage lexical n-grams miss (the now-standard
+    embedding decontamination pass before training).
+
+    Output: (vec_id, n_bench_hits, max_cos) — corpus ids with >= 1
+    benchmark hit; cos is 4dp-rounded (the engine-parity convention).
+
+    Scale: the SemDeDup discipline (x68) across TWO sets — both sides
+    assign to the SAME corpus-derived modulo centroids (broadcast), so
+    candidates come from a per-cell equi-join: work is
+    Σ_cell |corpus_cell|·|bench_cell|, never corpus × benchmark.
+    Multi-assignment duplicates collapse in the per-corpus-id
+    aggregate (distinct bench ids, MAX cos) — map-side combinable.
+    """
+    from kafana_spark.functions import dot
+    from kafana_spark.operators.similarity import (
+        _ivf_assign, _ivf_centroids, _vectors, _with_norm,
+    )
+
+    corpus = _with_norm(_vectors(corpus_df))
+    bench = _with_norm(_vectors(bench_df))
+    cents = _ivf_centroids(corpus_df, corpus, "modulo", centroid_mod)
+    ca = _ivf_assign(corpus, cents, n_assign)
+    ba = _ivf_assign(bench, cents, n_assign)
+    cos = F.round(dot(F.col("a.v"), F.col("b.v"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    pairs = (ca.alias("a")
+             .join(ba.alias("b"), F.col("a.cid") == F.col("b.cid"))
+             .where(cos >= float(threshold))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("bid"), cos.alias("cos")))
+    return (pairs.groupBy("vec_id")
+            .agg(F.countDistinct("bid").cast("long")
+                 .alias("n_bench_hits"),
+                 F.max("cos").alias("max_cos"))
+            .orderBy("vec_id"))
+
+
 def benchmark_contamination_spans(df: DataFrame, benchmark: DataFrame,
                                   k: int = EXSUB_K,
                                   id_col: str = "doc_id",

@@ -1725,6 +1725,22 @@ BPE_MERGE_TOPK = 5
 RRF_QVEC = 0
 RRF_POOL = 20
 RRF_K = 10
+#: x140 semantic decontamination: benchmark split modulus (chosen
+#: coprime-ish to EMB_BUCKET_CELL_MOD so the corpus-derived centroid
+#: pool survives the split)
+SEM_DECON_MOD = 7
+
+
+def x_semantic_decon(spark, sf_dir):
+    """x140 — semantic benchmark decontamination (the embedding member
+    of the decontamination triad beside x31 doc-level n-grams and x77
+    ExactSubstr spans): vec_id % SEM_DECON_MOD == 0 plays the
+    benchmark; SemDeDup-bucketed cross-set candidates only."""
+    e = _embs(spark, sf_dir)
+    return dedup.semantic_decontaminate(
+        e.where(F.col("vec_id") % SEM_DECON_MOD != 0),
+        e.where(F.col("vec_id") % SEM_DECON_MOD == 0),
+        EMB_DUP_THRESHOLD, EMB_BUCKET_CELL_MOD, EMB_BUCKET_N_ASSIGN)
 
 
 def x_graph_explore(spark, sf_dir):
@@ -2172,6 +2188,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x137_graph_explore_hops": x_graph_explore_hops,
     "x138_bpe_encode": x_bpe_encode,
     "x139_hybrid_rrf": x_hybrid_rrf,
+    "x140_semantic_decon": x_semantic_decon,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3858,6 +3875,35 @@ def _rank_eval_sql() -> str:
     )
 
 
+def _semantic_decon_sql() -> str:
+    """x140 oracle — the x68 SemDeDup assignment chain applied to TWO
+    sets (corpus-derived centroids, both sides assigned identically),
+    cross-set per-cell pairs, per-corpus-id hit aggregate."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="a.v", b="b.v") + ", 4)"
+    asg = (
+        "(SELECT vec_id, v, cid FROM ("
+        "SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY x.vec_id ORDER BY {acos} DESC, c.cid) AS r "
+        "FROM {src} x, c) t WHERE r <= "
+        f"{EMB_BUCKET_N_ASSIGN})")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"bm AS (SELECT * FROM e WHERE vec_id % {SEM_DECON_MOD} = 0), "
+        f"cp AS (SELECT * FROM e WHERE vec_id % {SEM_DECON_MOD} <> 0), "
+        "c AS (SELECT vec_id AS cid, v AS cv FROM cp "
+        f"WHERE vec_id % {EMB_BUCKET_CELL_MOD} = 0), "
+        f"ca AS {asg.format(src='cp')}, "
+        f"ba AS {asg.format(src='bm')}, "
+        f"p AS (SELECT a.vec_id, b.vec_id AS bid, {cos} AS cos "
+        "FROM ca a JOIN ba b ON a.cid = b.cid "
+        f"WHERE {cos} >= {EMB_DUP_THRESHOLD}) "
+        "SELECT vec_id, CAST(COUNT(DISTINCT bid) AS BIGINT) "
+        "AS n_bench_hits, MAX(cos) AS max_cos FROM p "
+        "GROUP BY vec_id ORDER BY vec_id")
+
+
 def _bpe_chain(n: int, k: int, carry: str = "",
                apply_last: bool = False, prologue: str = "",
                src: str = "documents") -> str:
@@ -4671,6 +4717,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x137_graph_explore_hops": _graph_hops_sql(),
     "x138_bpe_encode": _bpe_encode_sql(),
     "x139_hybrid_rrf": _hybrid_rrf_sql(),
+    "x140_semantic_decon": _semantic_decon_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -820,3 +820,22 @@ def test_hybrid_rrf_fuses_integer_contributions(spark):
         (2, 1, 3, 1_000_000 // 61 + 1_000_000 // 63, 2),
         (3, 0, 2, 1_000_000 // 62, 3),
     ]
+
+
+def test_semantic_decontaminate_flags_cross_set_only(spark):
+    from kafana_spark.operators.dedup import semantic_decontaminate
+    # corpus vec 1 ~ bench vec 0 (same direction); corpus 2 and 40 are
+    # orthogonal to the benchmark; 40 doubles as the (only) centroid
+    mk = lambda *rows: spark.createDataFrame(  # noqa: E731
+        list(rows), "vec_id: long, embedding: array<float>, label: int")
+    corpus = mk((1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),
+                (40, [0.7, 0.7], 0))
+    bench = mk((0, [0.9, 0.1], 1))
+    got = [(r.vec_id, r.n_bench_hits, r.max_cos)
+           for r in semantic_decontaminate(
+               corpus, bench, threshold=0.9, centroid_mod=40,
+               n_assign=1).collect()]
+    # cos(1, 0) = 0.9/sqrt(0.82) = 0.9939; corpus 2 at 0.1104 and the
+    # centroid at 0.7809 stay below 0.9; corpus-corpus pairs never
+    # surface (cross-set join by construction)
+    assert got == [(1, 1, 0.9939)]
