@@ -1729,6 +1729,21 @@ RRF_K = 10
 #: coprime-ish to EMB_BUCKET_CELL_MOD so the corpus-derived centroid
 #: pool survives the split)
 SEM_DECON_MOD = 7
+#: x141 NB quality classifier: train split, vocab size, label cut
+#: (the corpus quality_bp median ≈ 4700 at every SF — balanced classes)
+NB_TRAIN_MOD = 3
+NB_VOCAB_K = 50
+NB_QUALITY_CUT = 4700
+
+
+def x_nb_quality(spark, sf_dir):
+    """x141 — count-based Naive-Bayes quality classifier (the
+    DCLM/FineWeb learned-filter pass, engine-exact): heuristic labels
+    on the id%3==0 split, add-one-smoothed token LLR weights, integer
+    scoring of the held-out corpus."""
+    return text.nb_quality_classifier(
+        _docs(spark, sf_dir), train_mod=NB_TRAIN_MOD,
+        vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT)
 
 
 def x_semantic_decon(spark, sf_dir):
@@ -2189,6 +2204,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x138_bpe_encode": x_bpe_encode,
     "x139_hybrid_rrf": x_hybrid_rrf,
     "x140_semantic_decon": x_semantic_decon,
+    "x141_nb_quality": x_nb_quality,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3875,6 +3891,41 @@ def _rank_eval_sql() -> str:
     )
 
 
+def _nb_quality_sql() -> str:
+    """x141 oracle — the identical NB pipeline: quality-core labels,
+    top-k training vocab, add-one LLR weights rounded to µunits
+    BEFORE the per-doc sum, broadcastable prior."""
+    m, k, cut = NB_TRAIN_MOD, NB_VOCAB_K, NB_QUALITY_CUT
+    return (
+        f"WITH {_quality_core()}, "
+        "tk0 AS (SELECT doc_id, "
+        f"unnest(list_distinct({_TOKS})) AS token FROM documents), "
+        f"lab AS (SELECT q.doc_id, CASE WHEN quality_bp >= {cut} "
+        f"THEN 1 ELSE 0 END AS y FROM q WHERE doc_id % {m} = 0), "
+        "trtok AS (SELECT t.doc_id, token, y FROM tk0 t "
+        "JOIN lab USING (doc_id)), "
+        "v AS (SELECT token FROM (SELECT token, COUNT(*) AS c "
+        "FROM trtok GROUP BY token "
+        f"ORDER BY c DESC, token LIMIT {k})), "
+        "cnt AS (SELECT token, SUM(y) AS n1t, SUM(1 - y) AS n0t "
+        "FROM trtok WHERE token IN (SELECT token FROM v) "
+        "GROUP BY token), "
+        "tot AS (SELECT SUM(y) AS n1, SUM(1 - y) AS n0 FROM lab), "
+        "w AS (SELECT token, CAST(ROUND(1000000 * ("
+        "ln((n1t + 1.0) / (n1 + 2.0)) - ln((n0t + 1.0) / (n0 + 2.0))"
+        ")) AS BIGINT) AS w_u FROM cnt CROSS JOIN tot), "
+        "pri AS (SELECT CAST(ROUND(1000000 * "
+        "ln((n1 + 1.0) / (n0 + 1.0))) AS BIGINT) AS prior_u FROM tot), "
+        "sc AS (SELECT doc_id, SUM(w_u) AS s FROM tk0 "
+        f"JOIN w USING (token) WHERE doc_id % {m} <> 0 "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(s, 0) + prior_u AS BIGINT) "
+        "AS nb_score_u, (COALESCE(s, 0) + prior_u) >= 0 AS pred "
+        f"FROM (SELECT doc_id FROM documents WHERE doc_id % {m} <> 0) "
+        "d LEFT JOIN sc USING (doc_id) CROSS JOIN pri "
+        "ORDER BY doc_id")
+
+
 def _semantic_decon_sql() -> str:
     """x140 oracle — the x68 SemDeDup assignment chain applied to TWO
     sets (corpus-derived centroids, both sides assigned identically),
@@ -4718,6 +4769,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x138_bpe_encode": _bpe_encode_sql(),
     "x139_hybrid_rrf": _hybrid_rrf_sql(),
     "x140_semantic_decon": _semantic_decon_sql(),
+    "x141_nb_quality": _nb_quality_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -293,6 +293,72 @@ def bpe_encode(df: DataFrame, n_merges: int = 3,
             .orderBy(id_col))
 
 
+def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
+                          vocab_k: int = 50, quality_cut: int = 4700,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Count-based Naive-Bayes quality classifier — the learned-filter
+    pass of modern curation pipelines (DCLM / FineWeb-Edu train a
+    fastText-style classifier on heuristically labeled splits; this is
+    the count-based, engine-exact equivalent): label the training
+    split (id % train_mod == 0) with the x11 quality heuristic
+    (quality_bp >= ``quality_cut``), learn per-token log-likelihood-
+    ratio weights with add-one smoothing over the training split's
+    top-``vocab_k`` tokens, then score the HELD-OUT corpus as an
+    integer fixed-point sum (each weight and the class prior rounded
+    to µunits BEFORE summation — order-independent across engines).
+
+    Output: (id, nb_score_u, pred) for the non-train split; pred is
+    nb_score_u >= 0.
+
+    Scale: training reduces to |V| combinable token-presence counts;
+    scoring is one distinct-token explode joined to the BROADCAST
+    |V|-row weight table and a per-doc combinable sum; the class
+    totals and prior ride a 1-row broadcast — no corpus-keyed shuffle
+    except the per-doc sum itself.
+    """
+    q = quality_score(df, id_col, text_col).select(id_col,
+                                                   "quality_bp")
+    base = (df.select(F.col(id_col),
+                      F.array_distinct(tokens(F.col(text_col)))
+                      .alias("toks"))
+            .join(q, id_col))
+    train = (base.where(F.col(id_col) % train_mod == 0)
+             .withColumn("y", (F.col("quality_bp") >= quality_cut)
+                         .cast("int")))
+    tr_tok = train.select("y", F.explode("toks").alias("token"))
+    vocab = (tr_tok.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "token").limit(vocab_k)
+             .select("token"))
+    cnt = (tr_tok.join(F.broadcast(vocab), "token")
+           .groupBy("token")
+           .agg(F.sum("y").alias("n1t"),
+                F.sum(1 - F.col("y")).alias("n0t")))
+    tot = train.agg(F.sum("y").alias("n1"),
+                    F.sum(1 - F.col("y")).alias("n0"))
+    w_u = F.round(F.lit(1_000_000.0) * (
+        F.log((F.col("n1t") + 1) / (F.col("n1") + 2))
+        - F.log((F.col("n0t") + 1) / (F.col("n0") + 2)))).cast("long")
+    w = (cnt.crossJoin(F.broadcast(tot))
+         .select("token", w_u.alias("w_u")))
+    prior = tot.select(
+        F.round(F.lit(1_000_000.0)
+                * F.log((F.col("n1") + 1) / (F.col("n0") + 1)))
+        .cast("long").alias("prior_u"))
+    held = base.where(F.col(id_col) % train_mod != 0)
+    sc = (held.select(F.col(id_col), F.explode("toks").alias("token"))
+          .join(F.broadcast(w), "token")
+          .groupBy(id_col).agg(F.sum("w_u").alias("s")))
+    return (held.select(id_col).join(sc, id_col, "left")
+            .crossJoin(F.broadcast(prior))
+            .select(F.col(id_col),
+                    (F.coalesce("s", F.lit(0)) + F.col("prior_u"))
+                    .cast("long").alias("nb_score_u"))
+            .withColumn("pred", F.col("nb_score_u") >= 0)
+            .orderBy(id_col))
+
+
 def _bpe_seq(df: DataFrame, text_col: str, carry=()) -> DataFrame:
     """(carry..., s): the wrapped symbol-sequence encoding."""
     wrapped = F.concat(

@@ -839,3 +839,22 @@ def test_semantic_decontaminate_flags_cross_set_only(spark):
     # centroid at 0.7809 stay below 0.9; corpus-corpus pairs never
     # surface (cross-set join by construction)
     assert got == [(1, 1, 0.9939)]
+
+
+def test_nb_quality_classifier_learns_class_tokens(spark):
+    from kafana_spark.operators.text import nb_quality_classifier
+    # train split (doc_id % 2 == 0): doc 0 is long/diverse (high
+    # quality), doc 2 is one repeated token (low). Held-out docs 1/3
+    # mirror them — the classifier must separate them by token LLR.
+    hi = " ".join(f"w{i}" for i in range(60)) + " the a of"
+    lo = "zz " * 30
+    df = spark.createDataFrame(
+        [(0, hi), (2, lo.strip()), (1, hi), (3, lo.strip())],
+        "doc_id: long, text: string")
+    got = {r.doc_id: (r.nb_score_u, r.pred)
+           for r in nb_quality_classifier(
+               df, train_mod=2, vocab_k=100,
+               quality_cut=4700).collect()}
+    assert set(got) == {1, 3}
+    assert got[1][0] > got[3][0]
+    assert got[1][1] and not got[3][1]
