@@ -1746,6 +1746,49 @@ def x_nb_quality(spark, sf_dir):
         vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT)
 
 
+def x_nb_eval(spark, sf_dir):
+    """x142 — classifier evaluation loop (the x124/x125 stance for
+    x141): confusion counts + accuracy/precision/recall in integer
+    basis points against the held-out heuristic labels — so the
+    learned filter's quality is itself an oracle-checked query.
+
+    On THIS synthetic word-soup fixture the report shows the token
+    distribution is nearly class-independent (the quality label is
+    length/diversity-driven, not token-driven), so the classifier
+    degenerates toward its prior — which is exactly what the eval
+    loop exists to surface; the closed-form test pins that real
+    token-class signal IS learned when present."""
+    d = _docs(spark, sf_dir)
+    preds = text.nb_quality_classifier(
+        d, train_mod=NB_TRAIN_MOD, vocab_k=NB_VOCAB_K,
+        quality_cut=NB_QUALITY_CUT)
+    truth = (text.quality_score(d)
+             .where(F.col("doc_id") % NB_TRAIN_MOD != 0)
+             .select("doc_id",
+                     (F.col("quality_bp") >= NB_QUALITY_CUT)
+                     .alias("yt")))
+    j = preds.join(truth, "doc_id")
+    cm = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") & F.col("yt"), 1).otherwise(0))
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("yt"), 1).otherwise(0))
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("yt"), 1).otherwise(0))
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("yt"), 1).otherwise(0))
+        .alias("tn"))
+    return cm.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.expr("10000 * (tp + tn) div n").cast("long").alias("acc_bp"),
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("10000 * tp div (tp + fp)"))
+        .otherwise(F.lit(0)).cast("long").alias("prec_bp"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("10000 * tp div (tp + fn)"))
+        .otherwise(F.lit(0)).cast("long").alias("rec_bp"))
+
+
 def x_semantic_decon(spark, sf_dir):
     """x140 — semantic benchmark decontamination (the embedding member
     of the decontamination triad beside x31 doc-level n-grams and x77
@@ -2205,6 +2248,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x139_hybrid_rrf": x_hybrid_rrf,
     "x140_semantic_decon": x_semantic_decon,
     "x141_nb_quality": x_nb_quality,
+    "x142_nb_eval": x_nb_eval,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -3891,13 +3935,14 @@ def _rank_eval_sql() -> str:
     )
 
 
-def _nb_quality_sql() -> str:
-    """x141 oracle — the identical NB pipeline: quality-core labels,
-    top-k training vocab, add-one LLR weights rounded to µunits
-    BEFORE the per-doc sum, broadcastable prior."""
+def _nb_quality_ctes() -> str:
+    """Shared x141/x142 oracle chain ending in ``scored(doc_id,
+    nb_score_u, pred)`` — quality-core labels, top-k training vocab,
+    add-one LLR weights rounded to µunits BEFORE the per-doc sum,
+    broadcastable prior."""
     m, k, cut = NB_TRAIN_MOD, NB_VOCAB_K, NB_QUALITY_CUT
     return (
-        f"WITH {_quality_core()}, "
+        f"{_quality_core()}, "
         "tk0 AS (SELECT doc_id, "
         f"unnest(list_distinct({_TOKS})) AS token FROM documents), "
         f"lab AS (SELECT q.doc_id, CASE WHEN quality_bp >= {cut} "
@@ -3918,12 +3963,45 @@ def _nb_quality_sql() -> str:
         "ln((n1 + 1.0) / (n0 + 1.0))) AS BIGINT) AS prior_u FROM tot), "
         "sc AS (SELECT doc_id, SUM(w_u) AS s FROM tk0 "
         f"JOIN w USING (token) WHERE doc_id % {m} <> 0 "
-        "GROUP BY doc_id) "
-        "SELECT d.doc_id, CAST(COALESCE(s, 0) + prior_u AS BIGINT) "
-        "AS nb_score_u, (COALESCE(s, 0) + prior_u) >= 0 AS pred "
+        "GROUP BY doc_id), "
+        "scored AS (SELECT d.doc_id, "
+        "CAST(COALESCE(s, 0) + prior_u AS BIGINT) AS nb_score_u, "
+        "(COALESCE(s, 0) + prior_u) >= 0 AS pred "
         f"FROM (SELECT doc_id FROM documents WHERE doc_id % {m} <> 0) "
-        "d LEFT JOIN sc USING (doc_id) CROSS JOIN pri "
-        "ORDER BY doc_id")
+        "d LEFT JOIN sc USING (doc_id) CROSS JOIN pri)")
+
+
+def _nb_quality_sql() -> str:
+    """x141 oracle — per-doc held-out scores from the shared chain."""
+    return (f"WITH {_nb_quality_ctes()} "
+            "SELECT doc_id, nb_score_u, pred FROM scored "
+            "ORDER BY doc_id")
+
+
+def _nb_eval_sql() -> str:
+    """x142 oracle — confusion counts + integer-bp metrics of the x141
+    classifier against the held-out heuristic labels."""
+    m, cut = NB_TRAIN_MOD, NB_QUALITY_CUT
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        f"truth AS (SELECT doc_id, quality_bp >= {cut} AS yt FROM q "
+        f"WHERE doc_id % {m} <> 0), "
+        "j AS (SELECT pred, yt FROM scored JOIN truth USING (doc_id)), "
+        "cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN pred AND yt THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tp, "
+        "CAST(SUM(CASE WHEN pred AND NOT yt THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS fp, "
+        "CAST(SUM(CASE WHEN NOT pred AND yt THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS fn, "
+        "CAST(SUM(CASE WHEN NOT pred AND NOT yt THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS tn FROM j) "
+        "SELECT n, tp, fp, fn, tn, "
+        "CAST(10000 * (tp + tn) // n AS BIGINT) AS acc_bp, "
+        "CAST(CASE WHEN tp + fp > 0 THEN 10000 * tp // (tp + fp) "
+        "ELSE 0 END AS BIGINT) AS prec_bp, "
+        "CAST(CASE WHEN tp + fn > 0 THEN 10000 * tp // (tp + fn) "
+        "ELSE 0 END AS BIGINT) AS rec_bp FROM cm")
 
 
 def _semantic_decon_sql() -> str:
@@ -4770,6 +4848,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x139_hybrid_rrf": _hybrid_rrf_sql(),
     "x140_semantic_decon": _semantic_decon_sql(),
     "x141_nb_quality": _nb_quality_sql(),
+    "x142_nb_eval": _nb_eval_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

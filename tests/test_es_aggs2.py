@@ -858,3 +858,25 @@ def test_nb_quality_classifier_learns_class_tokens(spark):
     assert set(got) == {1, 3}
     assert got[1][0] > got[3][0]
     assert got[1][1] and not got[3][1]
+
+
+def test_nb_eval_reports_perfect_split_when_tokens_separate(spark):
+    from kafana_spark.operators import text as t
+    # same frame as the classifier test: tokens fully determine class
+    hi = " ".join(f"w{i}" for i in range(60)) + " the a of"
+    lo = "zz " * 30
+    df = spark.createDataFrame(
+        [(0, hi), (2, lo.strip()), (1, hi), (3, lo.strip())],
+        "doc_id: long, text: string")
+    preds = t.nb_quality_classifier(df, train_mod=2, vocab_k=100,
+                                    quality_cut=4700)
+    truth = (t.quality_score(df)
+             .where(F.col("doc_id") % 2 != 0)
+             .select("doc_id",
+                     (F.col("quality_bp") >= 4700).alias("yt")))
+    j = preds.join(truth, "doc_id")
+    r = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("yt"), 1).otherwise(0))
+        .alias("correct")).collect()[0]
+    assert (r.n, r.correct) == (2, 2)
