@@ -1837,6 +1837,19 @@ def x_bpe_encode(spark, sf_dir):
                            n_merges=BPE_MERGE_ROUNDS)
 
 
+def x_stored_bpe_encode(spark, sf_dir):
+    """x143 — x138 served from the PERSISTED merge table (tokenizer
+    artifact): training's N count passes paid once at build, encode is
+    a pure map over stored merges. Same oracle as x138 — the hash
+    match proves the store roundtrip lossless."""
+    d = _docs(spark, sf_dir)
+    root = _cached_index_root(
+        "bpeidx", sf_dir,
+        lambda r: text.build_bpe_index(d, r,
+                                       n_merges=BPE_MERGE_ROUNDS))
+    return text.bpe_encode_from_store(d, root)
+
+
 def x_hybrid_rrf(spark, sf_dir):
     """x139 — Reciprocal Rank Fusion (the ES rrf retriever / hybrid
     search primitive): fuse the x88 BM25 ranking with the x07-style
@@ -2249,6 +2262,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x140_semantic_decon": x_semantic_decon,
     "x141_nb_quality": x_nb_quality,
     "x142_nb_eval": x_nb_eval,
+    "x143_stored_bpe_encode": x_stored_bpe_encode,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4849,6 +4863,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x140_semantic_decon": _semantic_decon_sql(),
     "x141_nb_quality": _nb_quality_sql(),
     "x142_nb_eval": _nb_eval_sql(),
+    # x143 serves x138 from the stored merge table — same oracle proves
+    # the roundtrip (the x57/x133 stance)
+    "x143_stored_bpe_encode": _bpe_encode_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

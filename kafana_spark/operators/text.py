@@ -283,6 +283,62 @@ def bpe_encode(df: DataFrame, n_merges: int = 3,
                           F.size(tokens(F.col(text_col))).cast("int")
                           .alias("n_tokens")])
     _, seq = _bpe_loop(seq, n_merges, topk=1, apply_last=True)
+    return _bpe_symbol_counts(seq, id_col)
+
+
+#: persisted tokenizer artifact directory (batch=<id> layout shared
+#: with the other stored indexes)
+BPE_DIR = "bpe_merges"
+
+
+def build_bpe_index(df: DataFrame, path: str, n_merges: int = 3,
+                    text_col: str = "text", mode: str = "overwrite",
+                    batch: str = "base") -> None:
+    """Train the BPE merge list once and PERSIST it — tokenizer prep
+    as an index-once artifact (the stored-twin stance of the minhash /
+    IVF / PQ / LSH / substring-gram / percolator stores): training
+    pays the N corpus count passes; every later encode is a pure map
+    over the stored merges. Stored rows: (rnd, pair, cnt) — literally
+    the tokenizer's ordered merge table."""
+    from kafana_spark.ann_index import _clear_batched_dir
+
+    if mode == "overwrite" and batch == "base":
+        _clear_batched_dir(f"{path}/{BPE_DIR}")
+    seq = _bpe_seq(df, text_col)
+    rows, _ = _bpe_loop(seq, n_merges, topk=1, apply_last=True)
+    df.sparkSession.createDataFrame(
+        [(r[0], r[2], r[3]) for r in rows],
+        "rnd int, pair string, cnt bigint") \
+        .write.mode(mode).parquet(f"{path}/{BPE_DIR}/batch={batch}")
+
+
+def bpe_encode_from_store(df: DataFrame, path: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Encode against the STORED merge list — zero training passes.
+    The merge table is N tiny rows (the tokenizer artifact every real
+    trainer ships); reading it to drive the replace chain is the
+    encode-serving path. Output schema identical to ``bpe_encode`` —
+    the shared oracle proves the store roundtrip lossless."""
+    spark = df.sparkSession
+    merges = sorted(
+        spark.read.parquet(f"{path}/{BPE_DIR}").collect(),
+        key=lambda r: r.rnd)
+    seq = _bpe_seq(df, text_col,
+                   carry=[F.col(id_col),
+                          F.size(tokens(F.col(text_col))).cast("int")
+                          .alias("n_tokens")])
+    for r in merges:
+        a, b = r.pair.split(" ", 1)
+        search = _BPE_SOH + a + _BPE_STX + _BPE_SOH + b + _BPE_STX
+        repl = _BPE_SOH + a + "_" + b + _BPE_STX
+        seq = seq.withColumn(
+            "s", F.replace(F.col("s"), F.lit(search), F.lit(repl)))
+    return _bpe_symbol_counts(seq, id_col)
+
+
+def _bpe_symbol_counts(seq: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_tokens, n_symbols, ratio_bp) from a merged seq frame."""
     strip = F.regexp_replace(F.col("s"), f"^{_BPE_SOH}|{_BPE_STX}$", "")
     n_sym = F.size(F.split(strip, _BPE_STX + _BPE_SOH)).cast("int")
     return (seq.select(F.col(id_col), "n_tokens",

@@ -880,3 +880,20 @@ def test_nb_eval_reports_perfect_split_when_tokens_separate(spark):
         F.sum(F.when(F.col("pred") == F.col("yt"), 1).otherwise(0))
         .alias("correct")).collect()[0]
     assert (r.n, r.correct) == (2, 2)
+
+
+def test_bpe_store_roundtrip_matches_direct_encode(spark, tmp_path):
+    from kafana_spark.operators.text import (
+        bpe_encode, bpe_encode_from_store, build_bpe_index)
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c"), (2, "x y")],
+        "doc_id: long, text: string")
+    root = str(tmp_path / "bpeidx")
+    build_bpe_index(df, root, n_merges=3)
+    direct = [tuple(r) for r in bpe_encode(df, n_merges=3).collect()]
+    stored = [tuple(r) for r in bpe_encode_from_store(df, root).collect()]
+    assert direct == stored
+    # the store holds the ordered merge table itself
+    m = spark.read.parquet(root + "/bpe_merges")
+    assert [r.pair for r in m.orderBy("rnd").collect()] \
+        == ["a b", "a_b c", "a_b a_b_c"]
