@@ -1862,6 +1862,19 @@ def x_hybrid_rrf(spark, sf_dir):
                                 k=RRF_K, pool=RRF_POOL)
 
 
+def x_hybrid_rrf_lsh(spark, sf_dir):
+    """x144 — x139's fusion with the INDEXED vector ranking: the
+    hyperplane-LSH bucketed top-k (x81's plan) replaces the exhaustive
+    scan; the fusion tail is shared code. The production hybrid-search
+    shape at 100 TB."""
+    from kafana_spark.operators import relevance
+
+    return relevance.hybrid_rrf_lsh(_docs(spark, sf_dir),
+                                    _embs(spark, sf_dir),
+                                    list(BM25_QUERY_TERMS), RRF_QVEC,
+                                    k=RRF_K, pool=RRF_POOL)
+
+
 def x_field_caps(spark, sf_dir):
     """x135 — the ES _field_caps / field-stats API Kibana loads per
     index pattern: per-field type, min/max (timestamps as epoch
@@ -2263,6 +2276,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x141_nb_quality": x_nb_quality,
     "x142_nb_eval": x_nb_eval,
     "x143_stored_bpe_encode": x_stored_bpe_encode,
+    "x144_hybrid_rrf_lsh": x_hybrid_rrf_lsh,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4112,27 +4126,20 @@ def _bpe_encode_sql() -> str:
             f"AS ratio_bp FROM s{n + 1} ORDER BY doc_id")
 
 
-def _hybrid_rrf_sql() -> str:
-    """x139 oracle — RRF fusion of the x88 BM25 ranking and the x07
-    brute-force cosine ranking for one query vector; contributions are
+def _rrf_fusion_sql(vec_ctes: str) -> str:
+    """Shared x139/x144 oracle — the BM25 lex ranking + a caller-
+    supplied vector-ranking CTE chain (must end in ``vec(id,
+    vec_rank)``) + the integer RRF fusion tail: contributions are
     RRF_FP // (k0 + rank), 0 for a missing list (pure integers)."""
     from kafana_spark.operators.relevance import RRF_FP, RRF_K0
 
-    cos = _COS.format(a="q.v", b="c.v")
     return (
         f"WITH {_bm25_scores_ctes()}, "
         "lex AS (SELECT doc_id AS id, CAST(ROW_NUMBER() OVER "
         "(ORDER BY score_u DESC, doc_id) AS INT) AS lex_rank FROM sc "
         f"QUALIFY lex_rank <= {RRF_POOL}), "
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
-        f"q AS (SELECT v FROM e WHERE vec_id = {RRF_QVEC}), "
-        f"vscored AS (SELECT c.vec_id AS id, ROUND({cos}, 4) AS cos "
-        f"FROM e c, q WHERE c.vec_id <> {RRF_QVEC}), "
-        "vec AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos "
-        "DESC, id) AS INT) AS vec_rank FROM vscored "
-        f"QUALIFY vec_rank <= {RRF_POOL}), "
-        "f AS (SELECT COALESCE(lex.id, vec.id) AS doc_id, "
+        + vec_ctes +
+        " f AS (SELECT COALESCE(lex.id, vec.id) AS doc_id, "
         "lex_rank, vec_rank FROM lex FULL OUTER JOIN vec "
         "ON lex.id = vec.id), "
         "s AS (SELECT doc_id, "
@@ -4144,6 +4151,58 @@ def _hybrid_rrf_sql() -> str:
         "SELECT doc_id, lex_rank, vec_rank, rrf_u, "
         "CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS INT) "
         f"AS rank FROM s QUALIFY rank <= {RRF_K} ORDER BY rank")
+
+
+def _hybrid_rrf_sql() -> str:
+    """x139 oracle — fusion with the x07 brute-force cosine ranking."""
+    cos = _COS.format(a="q.v", b="c.v")
+    return _rrf_fusion_sql(
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"q AS (SELECT v FROM e WHERE vec_id = {RRF_QVEC}), "
+        f"vscored AS (SELECT c.vec_id AS id, ROUND({cos}, 4) AS cos "
+        f"FROM e c, q WHERE c.vec_id <> {RRF_QVEC}), "
+        "vec AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos "
+        "DESC, id) AS INT) AS vec_rank FROM vscored "
+        f"QUALIFY vec_rank <= {RRF_POOL}),")
+
+
+def _hybrid_rrf_lsh_sql() -> str:
+    """x144 oracle — fusion with the x81 hyperplane-LSH bucketed
+    ranking for the single RRF query vector (same integer-µunit
+    projection chain as _ann_lsh_sql, query filter = RRF_QVEC)."""
+    need = 2 * LSH_N_TABLES * LSH_N_BITS
+    cos = _COS.format(a="q.v", b="m.v")
+    return _rrf_fusion_sql(
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "a AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn "
+        f"FROM e WHERE vec_id % {LSH_ANCHOR_MOD} = 1), "
+        "pr AS (SELECT (rn-1)//2 AS pid, "
+        "any_value(CASE WHEN rn % 2 = 1 THEN v END) AS v1, "
+        "any_value(CASE WHEN rn % 2 = 0 THEN v END) AS v2 "
+        f"FROM a WHERE rn <= {need} GROUP BY 1), "
+        f"p AS (SELECT pid // {LSH_N_BITS} AS t, "
+        f"pid % {LSH_N_BITS} AS j, v1, v2 FROM pr), "
+        "du AS (SELECT x.vec_id, p.t, p.j, "
+        "CAST(SUM(floor(x.v[i] * (p.v1[i] - p.v2[i]) * 1000000 + 0.5)) "
+        "AS BIGINT) AS du "
+        f"FROM e x, p, generate_series(1, {EMB_DIM}) g(i) "
+        "GROUP BY x.vec_id, p.t, p.j), "
+        "codes AS (SELECT vec_id, t, CAST(SUM(CASE WHEN du >= 0 THEN 1 "
+        "ELSE 0 END * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS code "
+        "FROM du GROUP BY vec_id, t), "
+        "cand AS (SELECT DISTINCT c2.vec_id "
+        "FROM codes qc JOIN codes c2 ON qc.t = c2.t "
+        "AND qc.code = c2.code "
+        f"WHERE qc.vec_id = {RRF_QVEC} AND c2.vec_id <> qc.vec_id), "
+        f"vscored AS (SELECT cand.vec_id AS id, ROUND({cos}, 4) "
+        "AS cos FROM cand "
+        f"JOIN e q ON q.vec_id = {RRF_QVEC} "
+        "JOIN e m ON m.vec_id = cand.vec_id), "
+        "vec AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos "
+        "DESC, id) AS INT) AS vec_rank FROM vscored "
+        f"QUALIFY vec_rank <= {RRF_POOL}),")
 
 
 def _graph_hops_sql() -> str:
@@ -4866,6 +4925,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x143 serves x138 from the stored merge table — same oracle proves
     # the roundtrip (the x57/x133 stance)
     "x143_stored_bpe_encode": _bpe_encode_sql(),
+    "x144_hybrid_rrf_lsh": _hybrid_rrf_lsh_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -368,18 +368,55 @@ def hybrid_rrf(docs: DataFrame, embs: DataFrame, terms: Sequence[str],
     """
     from kafana_spark.operators import similarity
 
-    lex = bm25_topk(docs, list(terms), k=pool, id_col=id_col,
-                    text_col=text_col)
-    wl = Window.orderBy(F.col("score_u").desc(), F.col(id_col))
-    lexr = (lex.withColumn("lex_rank",
-                           F.row_number().over(wl).cast("int"))
-            .select(F.col(id_col).alias("id"), "lex_rank"))
     q = (similarity._vectors(embs)
          .where(F.col("vec_id") == int(qvec_id))
          .select(F.col("vec_id").alias("qid"), "v"))
     vec = (similarity.brute_force_topk(embs, q, k=pool)
            .select(F.col("vec_id").alias("id"),
                    F.col("rank").cast("int").alias("vec_rank")))
+    return _rrf_fuse(_lex_ranking(docs, terms, pool, id_col, text_col),
+                     vec, k, k0, id_col)
+
+
+def hybrid_rrf_lsh(docs: DataFrame, embs: DataFrame,
+                   terms: Sequence[str], qvec_id: int, k: int = 10,
+                   pool: int = 20, k0: int = RRF_K0,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """``hybrid_rrf`` with the INDEXED vector ranking — the
+    hyperplane-LSH bucketed top-k (x81's plan) replaces the exhaustive
+    scan, nothing else changes: the production fusion shape at 100 TB
+    (candidates from a (table, code) equi-join, per-query cost
+    O(L·bucket)). Sparse buckets may return fewer than ``pool`` vector
+    rows; RRF's missing-list-contributes-0 rule absorbs that — the
+    honest LSH contract composes cleanly with fusion."""
+    from kafana_spark.operators import similarity
+
+    q = (similarity._vectors(embs)
+         .where(F.col("vec_id") == int(qvec_id))
+         .select(F.col("vec_id").alias("qid"), "v"))
+    vec = (similarity.lsh_topk(embs, q, k=pool)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("rank").cast("int").alias("vec_rank")))
+    return _rrf_fuse(_lex_ranking(docs, terms, pool, id_col, text_col),
+                     vec, k, k0, id_col)
+
+
+def _lex_ranking(docs: DataFrame, terms: Sequence[str], pool: int,
+                 id_col: str, text_col: str) -> DataFrame:
+    """(id, lex_rank): the BM25 top-``pool`` ranking; the rank window
+    runs over the already-limited pool rows."""
+    lex = bm25_topk(docs, list(terms), k=pool, id_col=id_col,
+                    text_col=text_col)
+    wl = Window.orderBy(F.col("score_u").desc(), F.col(id_col))
+    return (lex.withColumn("lex_rank",
+                           F.row_number().over(wl).cast("int"))
+            .select(F.col(id_col).alias("id"), "lex_rank"))
+
+
+def _rrf_fuse(lexr: DataFrame, vec: DataFrame, k: int, k0: int,
+              id_col: str) -> DataFrame:
+    """Integer RRF fusion of two bounded (id, rank) lists."""
     fused = lexr.join(vec, "id", "full_outer")
     contrib_l = F.when(F.col("lex_rank").isNotNull(),
                        F.expr(f"{RRF_FP} div ({k0} + lex_rank)")) \

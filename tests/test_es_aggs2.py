@@ -897,3 +897,30 @@ def test_bpe_store_roundtrip_matches_direct_encode(spark, tmp_path):
     m = spark.read.parquet(root + "/bpe_merges")
     assert [r.pair for r in m.orderBy("rnd").collect()] \
         == ["a b", "a_b c", "a_b a_b_c"]
+
+
+def test_hybrid_rrf_lsh_integer_contract_and_list_membership(spark):
+    """x144: the fused score must equal the integer RRF recomputed
+    from the row's own ranks, and every vec_rank must agree with the
+    standalone LSH ranking (the fusion tail may not re-rank)."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.operators.registry import (
+        EXTENSION_QUERIES, RRF_POOL, RRF_QVEC, _embs)
+    from kafana_spark.operators.relevance import RRF_FP, RRF_K0
+
+    rows = EXTENSION_QUERIES["x144_hybrid_rrf_lsh"](
+        spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= 10
+    for r in rows:
+        want = (RRF_FP // (RRF_K0 + r.lex_rank) if r.lex_rank else 0) \
+            + (RRF_FP // (RRF_K0 + r.vec_rank) if r.vec_rank else 0)
+        assert r.rrf_u == want
+    e = _embs(spark, SF_SMOKE)
+    q = (similarity._vectors(e)
+         .where(F.col("vec_id") == RRF_QVEC)
+         .select(F.col("vec_id").alias("qid"), "v"))
+    lsh = {r.vec_id: r.rank
+           for r in similarity.lsh_topk(e, q, k=RRF_POOL).collect()}
+    for r in rows:
+        if r.vec_rank:
+            assert lsh[r.doc_id] == r.vec_rank

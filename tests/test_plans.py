@@ -540,3 +540,15 @@ def test_x97_mmr_corpus_is_not_shuffled_for_candidates(spark):
     assert "BroadcastNestedLoopJoin" in plan  # queries x corpus, pruned
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x144_hybrid_lsh_candidates_are_equi_join(spark):
+    """x144's vector leg must keep x81's plan shape: candidates from
+    an equi-join keyed on (t, code), never a corpus cross join; the
+    fusion tail joins two bounded rank lists."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x144_hybrid_rrf_lsh"](
+        spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[2\]: \[t#\d+, code#\d+L\]", plan)
