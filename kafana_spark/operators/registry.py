@@ -54,6 +54,11 @@ LSH_N_BITS = 4
 LSH_ANCHOR_MOD = 10
 EMB_DIM = 64
 
+#: x145 Lloyd refinement: seed = vec_id % KM_MOD == 0, KM_ITERS
+#: unrolled rounds (both engines walk the identical centroid path).
+KM_MOD = 40
+KM_ITERS = 3
+
 
 def _docs(spark, sf_dir):
     tune_session(spark)
@@ -1875,6 +1880,18 @@ def x_hybrid_rrf_lsh(spark, sf_dir):
                                     k=RRF_K, pool=RRF_POOL)
 
 
+def x_kmeans_refine(spark, sf_dir):
+    """x145 — unrolled Lloyd k-means refinement over the embeddings:
+    KM_ITERS rounds from the deterministic modulo seed, one
+    convergence row per round (n_cells, max_cell, inertia_u). The
+    oracle-checkable iterative-algorithm loop — MLlib KMeans (the
+    kmeans_centroids path) can never cross-check its engine-private
+    init; this walk can, centroid-for-centroid."""
+    return similarity.kmeans_refine(_embs(spark, sf_dir),
+                                    centroid_mod=KM_MOD,
+                                    n_iters=KM_ITERS, dim=EMB_DIM)
+
+
 def x_field_caps(spark, sf_dir):
     """x135 — the ES _field_caps / field-stats API Kibana loads per
     index pattern: per-field type, min/max (timestamps as epoch
@@ -2277,6 +2294,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x142_nb_eval": x_nb_eval,
     "x143_stored_bpe_encode": x_stored_bpe_encode,
     "x144_hybrid_rrf_lsh": x_hybrid_rrf_lsh,
+    "x145_kmeans_refine": x_kmeans_refine,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4205,6 +4223,55 @@ def _hybrid_rrf_lsh_sql() -> str:
         f"QUALIFY vec_rank <= {RRF_POOL}),")
 
 
+def _kmeans_refine_sql() -> str:
+    """x145 oracle — the identical unrolled Lloyd walk in DuckDB:
+    µunit integer projection (list_transform), per-round argmin
+    assignment with ties to the lowest cid, and the rounded-mean
+    centroid update floor(sum/cnt + 0.5) on the exact double quotient
+    (sums < 2^53, so both engines divide identical doubles).
+    generate_series expands distance work to n×cells×dim rows —
+    bounded at oracle SFs."""
+    ctes = [
+        "eu AS (SELECT vec_id, list_transform(CAST(embedding AS "
+        "DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
+        "AS vu FROM embeddings)",
+        f"c1 AS (SELECT vec_id AS cid, vu AS cu FROM eu "
+        f"WHERE vec_id % {KM_MOD} = 0)",
+    ]
+    stats = []
+    for t in range(1, KM_ITERS + 1):
+        ctes.append(
+            f"a{t} AS (SELECT x.vec_id, c.cid, "
+            "CAST(SUM((x.vu[i] - c.cu[i]) * (x.vu[i] - c.cu[i])) "
+            "AS BIGINT) AS d2 "
+            f"FROM eu x, c{t} c, generate_series(1, {EMB_DIM}) g(i) "
+            "GROUP BY x.vec_id, c.cid)")
+        ctes.append(
+            f"b{t} AS (SELECT vec_id, d2, cid FROM (SELECT vec_id, "
+            "d2, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS r FROM a{t}) q WHERE r = 1)")
+        ctes.append(
+            f"g{t} AS (SELECT cid, COUNT(*) AS cnt, "
+            f"CAST(SUM(d2) AS BIGINT) AS in_u FROM b{t} GROUP BY cid)")
+        stats.append(
+            f"SELECT {t} AS it, COUNT(*) AS n_cells, "
+            "CAST(MAX(cnt) AS BIGINT) AS max_cell, "
+            f"CAST(SUM(in_u) AS BIGINT) AS inertia_u FROM g{t}")
+        if t < KM_ITERS:
+            ctes.append(
+                f"cs{t} AS (SELECT b.cid, g2.i, "
+                "CAST(SUM(x.vu[g2.i]) AS BIGINT) AS s, COUNT(*) AS cnt "
+                f"FROM b{t} b JOIN eu x USING (vec_id), "
+                f"generate_series(1, {EMB_DIM}) g2(i) "
+                "GROUP BY b.cid, g2.i)")
+            ctes.append(
+                f"c{t + 1} AS (SELECT cid, list(CAST(floor("
+                "CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT) "
+                f"ORDER BY i) AS cu FROM cs{t} GROUP BY cid)")
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(stats) + " ORDER BY it")
+
+
 def _graph_hops_sql() -> str:
     """x137 oracle — two unrolled Graph-explore hops from the same
     GRAPH_SEED/GRAPH_MIN_FG constants; hop-2 foreground totals are the
@@ -4926,6 +4993,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # the roundtrip (the x57/x133 stance)
     "x143_stored_bpe_encode": _bpe_encode_sql(),
     "x144_hybrid_rrf_lsh": _hybrid_rrf_lsh_sql(),
+    "x145_kmeans_refine": _kmeans_refine_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

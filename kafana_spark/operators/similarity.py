@@ -597,6 +597,99 @@ def pq_topk_refined(df: DataFrame, queries: DataFrame, k: int = 10,
     return _pq_refine(cands, _vectors(df), queries, k, dim)
 
 
+def _km_corpus(df: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, vu) corpus in integer µunits: vu[j] = floor(v[j]·1e6
+    + 0.5) — every distance downstream is pure bigint arithmetic,
+    order-independent and bit-identical across engines."""
+    vu = F.transform(F.col("v"),
+                     lambda x: F.floor(x * 1_000_000.0 + 0.5)
+                     .cast("bigint"))
+    d = _vectors(df)
+    if dim is not None:
+        d = d.where(F.size("v") == dim)
+    return d.select("vec_id", vu.alias("vu"))
+
+
+def _km_assign(corpus: DataFrame, cents: DataFrame,
+               dim: int) -> DataFrame:
+    """(vec_id, vu, d2, cid) nearest-centroid assignment — broadcast
+    the tiny centroid frame, UNROLLED bigint squared distance (no
+    per-term rounding needed: inputs are already integers), map-side
+    combinable argmin via min(struct(d2, cid)) so the exchange moves
+    one row per vector, never the corpus×centroids expansion
+    (_ivf_assign's discipline)."""
+    d2 = None
+    for j in range(dim):
+        t = F.col("vu")[j] - F.col("cu")[j]
+        t = t * t
+        d2 = t if d2 is None else d2 + t
+    exp = (corpus.join(F.broadcast(cents))
+           .select("vec_id", "vu", "cid", d2.alias("d2")))
+    best = F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b")
+    return (exp.groupBy("vec_id")
+            .agg(F.any_value("vu").alias("vu"), best)
+            .select("vec_id", "vu", F.col("b.d2").alias("d2"),
+                    F.col("b.cid").alias("cid")))
+
+
+def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
+                  n_iters: int = 3, dim: int = 64) -> DataFrame:
+    """Unrolled Lloyd k-means refinement of the deterministic modulo
+    seed centroids — the oracle-checkable counterpart of the MLlib
+    ``kmeans_centroids`` path (MLlib's init is engine-private, so its
+    exact centroids can never cross-check; this loop can).
+
+    Per iteration: assign every vector to its nearest centroid (exact
+    integer-µunit squared L2, ties to the lowest cid), report the
+    convergence row, then recompute each non-empty cell's centroid as
+    the per-dimension rounded mean (floor(sum/cnt + 0.5) on the exact
+    double quotient — identical IEEE ops in both engines). Empty
+    cells drop out and stay out.
+
+    Output: (it, n_cells, max_cell, inertia_u) — one row per
+    iteration; inertia_u is the summed µunit² assignment distance,
+    THE Lloyd monotone. Bigint headroom: unit vectors give d2 ≤
+    dim·(1.16e6)² ≈ 8.6e13, so ~1e5 corpus rows fit; beyond that
+    report per-vector mean inertia instead.
+
+    Scale: the iteration loop is driver-coordinated exactly like a
+    production distributed Lloyd (and like ``bpe_merge_train``): each
+    round is ONE corpus-scale job — broadcast-join assignment, two
+    nested map-side-combinable aggregations — and the driver only
+    ever materializes the |cells|×(dim+2) sufficient-statistics
+    table to derive the next centroids. The corpus is re-scanned per
+    round; at 100 TB you would cache/checkpoint the µunit projection
+    once and reuse it across rounds.
+    """
+    import math
+
+    spark = df.sparkSession
+    corpus = _km_corpus(df, dim)
+    cents = sorted(
+        (int(r.vec_id), [int(x) for x in r.vu])
+        for r in corpus.where(F.col("vec_id") % centroid_mod == 0)
+        .collect())
+    out = []
+    for it in range(1, n_iters + 1):
+        cdf = spark.createDataFrame(cents, "cid bigint, cu array<bigint>")
+        sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
+        cell = (_km_assign(corpus, cdf, dim)
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("d2").alias("in_u"), *sums)
+                .collect())
+        out.append((it, len(cell), max(r.cnt for r in cell),
+                    sum(r.in_u for r in cell)))
+        cents = sorted(
+            (int(r.cid),
+             [int(math.floor(r[f"s{j}"] / r.cnt + 0.5))
+              for j in range(dim)])
+            for r in cell)
+    return (spark.createDataFrame(
+        out, "it int, n_cells bigint, max_cell bigint, inertia_u bigint")
+        .orderBy("it"))
+
+
 def label_centroids(df: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-class embedding centroids — elementwise mean vector of every

@@ -924,3 +924,31 @@ def test_hybrid_rrf_lsh_integer_contract_and_list_membership(spark):
     for r in rows:
         if r.vec_rank:
             assert lsh[r.doc_id] == r.vec_rank
+
+
+def test_kmeans_refine_closed_form_two_cells(spark):
+    """Hand-computed 2-dim Lloyd walk: seeds 0/4, both cells keep
+    their 3 members, centroids move to the rounded means, inertia
+    drops 4.0e10 -> 26666666668 (exact integer-µunit arithmetic)."""
+    from kafana_spark.operators.similarity import kmeans_refine
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.9, 1.0]),
+         (3, [1.0, 0.9]), (4, [1.0, 1.0]), (5, [0.0, 0.1])],
+        "vec_id: long, embedding: array<float>")
+    got = [tuple(r) for r in kmeans_refine(
+        df, centroid_mod=4, n_iters=2, dim=2).collect()]
+    assert got == [(1, 2, 3, 40_000_000_000),
+                   (2, 2, 3, 26_666_666_668)]
+
+
+def test_kmeans_refine_inertia_monotone_on_corpus(spark):
+    """The Lloyd invariant on real data: inertia never increases
+    across the unrolled rounds (centroid rounding is <= 0.5 µunit per
+    dimension — noise orders below the assignment distances)."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    rows = EXTENSION_QUERIES["x145_kmeans_refine"](
+        spark, SF_SMOKE).orderBy("it").collect()
+    assert len(rows) == 3
+    assert all(a.inertia_u >= b.inertia_u
+               for a, b in zip(rows, rows[1:]))
+    assert all(r.n_cells >= 2 for r in rows)

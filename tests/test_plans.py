@@ -552,3 +552,25 @@ def test_x144_hybrid_lsh_candidates_are_equi_join(spark):
         spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert re.search(r"keys \[2\]: \[t#\d+, code#\d+L\]", plan)
+
+
+def test_x145_kmeans_assign_is_broadcast_and_partial_agg(spark):
+    """The Lloyd assignment must broadcast the centroid frame (never
+    shuffle the corpus against it) and argmin via a map-side partial
+    min(struct) so the exchange moves one row per vector."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.operators.registry import _embs, KM_MOD, EMB_DIM
+
+    e = _embs(spark, SF_SMOKE)
+    corpus = similarity._km_corpus(e, EMB_DIM)
+    cents = (corpus.where(F.col("vec_id") % KM_MOD == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("vu").alias("cu")))
+    plan = plan_of(similarity._km_assign(corpus, cents, EMB_DIM))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the array-typed any_value(vu) buffer forces SortAggregate, but
+    # the partial-before-exchange pair must still be there: the
+    # shuffle carries one pre-combined row per vector
+    assert re.search(r"Keys \[1\]: \[vec_id", plan)
+    assert len(re.findall(r"\) (?:Sort|Hash)Aggregate", plan)) >= 2
