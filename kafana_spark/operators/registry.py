@@ -1880,6 +1880,17 @@ def x_hybrid_rrf_lsh(spark, sf_dir):
                                     k=RRF_K, pool=RRF_POOL)
 
 
+def x_nb_roc(spark, sf_dir):
+    """x146 — threshold sweep + rank AUC for the x141 classifier:
+    PR operating points at retrieval-depth bins plus the
+    tie-averaged Mann–Whitney AUC in integer basis points. The
+    calibration loop that picks a learned filter's cut (x142 only
+    evaluates the default pred>=0 point)."""
+    return text.nb_roc(_docs(spark, sf_dir), train_mod=NB_TRAIN_MOD,
+                       vocab_k=NB_VOCAB_K,
+                       quality_cut=NB_QUALITY_CUT)
+
+
 def x_kmeans_refine(spark, sf_dir):
     """x145 — unrolled Lloyd k-means refinement over the embeddings:
     KM_ITERS rounds from the deterministic modulo seed, one
@@ -2295,6 +2306,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x143_stored_bpe_encode": x_stored_bpe_encode,
     "x144_hybrid_rrf_lsh": x_hybrid_rrf_lsh,
     "x145_kmeans_refine": x_kmeans_refine,
+    "x146_nb_roc": x_nb_roc,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4050,6 +4062,47 @@ def _nb_eval_sql() -> str:
         "ELSE 0 END AS BIGINT) AS rec_bp FROM cm")
 
 
+def _nb_roc_sql() -> str:
+    """x146 oracle — the PR sweep + tie-averaged rank AUC over the
+    shared scored chain: distinct-score groups, best-first cumsums
+    over the group frame, deepest point per retrieval-depth bin, and
+    U2 = Σ(2·n1g·cum_n0_below + n1g·n0g) kept integral."""
+    m, cut = NB_TRAIN_MOD, NB_QUALITY_CUT
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        f"truth AS (SELECT doc_id, CASE WHEN quality_bp >= {cut} "
+        f"THEN 1 ELSE 0 END AS yt FROM q WHERE doc_id % {m} <> 0), "
+        "jj AS (SELECT nb_score_u AS s, yt FROM scored "
+        "JOIN truth USING (doc_id)), "
+        "g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c, "
+        "CAST(SUM(yt) AS BIGINT) AS t1 FROM jj GROUP BY s), "
+        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
+        "CAST(SUM(t1) AS BIGINT) AS n1, "
+        "CAST(SUM(c - t1) AS BIGINT) AS n0 FROM g), "
+        "cum AS (SELECT s, c, t1, "
+        "CAST(SUM(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum_ret, "
+        "CAST(SUM(t1) OVER (ORDER BY s DESC) AS BIGINT) AS cum_tp, "
+        "CAST(COALESCE(SUM(c - t1) OVER (ORDER BY s ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cum0b FROM g), "
+        "auc AS (SELECT CASE WHEN n1 * n0 > 0 THEN CAST(10000 * "
+        "SUM(2 * t1 * cum0b + t1 * (c - t1)) // (2 * n1 * n0) "
+        "AS BIGINT) ELSE 5000 END AS auc_bp "
+        "FROM cum CROSS JOIN t GROUP BY n1, n0), "
+        "binned AS (SELECT (10 * cum_ret + n - 1) // n AS dec, "
+        "cum_ret, cum_tp, n1 FROM cum CROSS JOIN t), "
+        "deep AS (SELECT dec, cum_ret AS n_ret, cum_tp AS tp, n1 "
+        "FROM (SELECT dec, cum_ret, cum_tp, n1, ROW_NUMBER() OVER "
+        "(PARTITION BY dec ORDER BY cum_ret DESC) AS r FROM binned) "
+        "WHERE r = 1) "
+        "SELECT CAST(dec AS INT) AS dec, n_ret, tp, "
+        "CAST(10000 * tp // n_ret AS BIGINT) AS prec_bp, "
+        "CAST(CASE WHEN n1 > 0 THEN 10000 * tp // n1 ELSE 0 END "
+        "AS BIGINT) AS rec_bp, "
+        "CAST(20000 * tp // (n_ret + n1) AS BIGINT) AS f1_bp, "
+        "auc_bp FROM deep CROSS JOIN auc ORDER BY dec")
+
+
 def _semantic_decon_sql() -> str:
     """x140 oracle — the x68 SemDeDup assignment chain applied to TWO
     sets (corpus-derived centroids, both sides assigned identically),
@@ -4994,6 +5047,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x143_stored_bpe_encode": _bpe_encode_sql(),
     "x144_hybrid_rrf_lsh": _hybrid_rrf_lsh_sql(),
     "x145_kmeans_refine": _kmeans_refine_sql(),
+    "x146_nb_roc": _nb_roc_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafana_spark.functions import tokens
 
@@ -413,6 +414,86 @@ def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
                     .cast("long").alias("nb_score_u"))
             .withColumn("pred", F.col("nb_score_u") >= 0)
             .orderBy(id_col))
+
+
+def nb_roc(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
+           quality_cut: int = 4700, n_bins: int = 10,
+           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Threshold sweep + rank AUC for the x141 classifier — the
+    calibration loop that decides where to cut a learned quality
+    filter (every curation pipeline sweeps the classifier threshold
+    before committing to one; x142 only reports the pred>=0 point).
+
+    PR curve: held-out scores are grouped by DISTINCT score value
+    (sklearn's roc_curve convention), cumulated best-first, and the
+    deepest operating point inside each of ``n_bins`` retrieval-depth
+    bins is reported. AUC is the tie-averaged Mann–Whitney statistic
+    kept integral as U2 = Σ(2·n1g·cum_n0_below + n1g·n0g), so
+    auc_bp = 10000·U2 div (2·n1·n0) is exact in both engines
+    (10000·U2 ≤ 1e4·n² — bigint-safe to ~1e7 held-out docs; shard
+    the rank sum beyond that).
+
+    Output: (dec, n_ret, tp, prec_bp, rec_bp, f1_bp, auc_bp) — at
+    most ``n_bins`` rows, auc_bp constant across rows.
+
+    Scale: the only corpus-keyed work is x141 scoring itself; the
+    curve runs entirely over the score-GROUP frame (combinable
+    count/sum per distinct score, then ordered cumsums over that
+    bounded frame — never a rank window over the corpus), and the
+    per-bin collapse is a combinable max(struct).
+    """
+    preds = nb_quality_classifier(df, train_mod, vocab_k,
+                                  quality_cut, text_col, id_col)
+    truth = (quality_score(df, id_col, text_col)
+             .where(F.col(id_col) % train_mod != 0)
+             .select(F.col(id_col),
+                     (F.col("quality_bp") >= quality_cut)
+                     .cast("int").alias("yt")))
+    j = (preds.join(truth, id_col)
+         .select(F.col("nb_score_u").alias("s"), "yt"))
+    g = (j.groupBy("s")
+         .agg(F.count(F.lit(1)).alias("c"), F.sum("yt").alias("t1")))
+    tot = g.agg(F.sum("c").alias("n"), F.sum("t1").alias("n1"),
+                F.sum(F.col("c") - F.col("t1")).alias("n0"))
+    wd = Window.orderBy(F.col("s").desc())
+    wa = Window.orderBy(F.col("s").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = (g.select(
+        "s", "c", "t1",
+        F.sum("c").over(wd).alias("cum_ret"),
+        F.sum("t1").over(wd).alias("cum_tp"),
+        F.coalesce(F.sum(F.col("c") - F.col("t1")).over(wa),
+                   F.lit(0)).alias("cum0b")))
+    auc = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.sum(2 * F.col("t1") * F.col("cum0b")
+                      + F.col("t1") * (F.col("c") - F.col("t1")))
+                .alias("u2"),
+                F.any_value("n1").alias("n1"),
+                F.any_value("n0").alias("n0"))
+           .select(F.when(F.col("n1") * F.col("n0") > 0,
+                          F.expr("10000 * u2 div (2 * n1 * n0)"))
+                   .otherwise(F.lit(5000))
+                   .cast("long").alias("auc_bp")))
+    binned = (cum.crossJoin(F.broadcast(tot))
+              .select(
+                  F.expr(f"({n_bins} * cum_ret + n - 1) div n")
+                  .alias("dec"),
+                  "cum_ret", "cum_tp", "n1"))
+    deep = F.max(F.struct(F.col("cum_ret"), F.col("cum_tp"),
+                          F.col("n1"))).alias("b")
+    out = (binned.groupBy("dec").agg(deep)
+           .select(F.col("dec").cast("int"),
+                   F.col("b.cum_ret").alias("n_ret"),
+                   F.col("b.cum_tp").alias("tp"),
+                   F.expr("10000 * b.cum_tp div b.cum_ret")
+                   .alias("prec_bp"),
+                   F.when(F.col("b.n1") > 0,
+                          F.expr("10000 * b.cum_tp div b.n1"))
+                   .otherwise(F.lit(0)).alias("rec_bp"),
+                   F.expr("20000 * b.cum_tp div (b.cum_ret + b.n1)")
+                   .alias("f1_bp")))
+    return (out.crossJoin(F.broadcast(auc))
+            .orderBy("dec"))
 
 
 def _bpe_seq(df: DataFrame, text_col: str, carry=()) -> DataFrame:

@@ -952,3 +952,39 @@ def test_kmeans_refine_inertia_monotone_on_corpus(spark):
     assert all(a.inertia_u >= b.inertia_u
                for a, b in zip(rows, rows[1:]))
     assert all(r.n_cells >= 2 for r in rows)
+
+
+def test_nb_roc_perfect_separation_closed_form(spark):
+    """Two held-out docs the classifier separates perfectly: AUC is
+    10000 bp, the depth-5 bin holds the (1 ret, 1 rel) point and the
+    depth-10 bin the full-retrieval point (f1 = 20000*1 div 3)."""
+    from kafana_spark.operators.text import nb_roc
+    hi = " ".join(f"w{i}" for i in range(60)) + " the a of"
+    lo = "zz " * 30
+    df = spark.createDataFrame(
+        [(0, hi), (2, lo.strip()), (1, hi), (3, lo.strip())],
+        "doc_id: long, text: string")
+    got = [tuple(r) for r in nb_roc(
+        df, train_mod=2, vocab_k=100, quality_cut=4700).collect()]
+    assert got == [(5, 1, 1, 10000, 10000, 10000, 10000),
+                   (10, 2, 1, 5000, 10000, 6666, 10000)]
+
+
+def test_nb_roc_corpus_invariants(spark):
+    """On real data: bins cumulate monotonically, every metric stays
+    in [0, 10000] bp, the final bin retrieves the whole held-out
+    split, and AUC is constant across rows."""
+    from kafana_spark.operators.registry import (
+        EXTENSION_QUERIES, NB_TRAIN_MOD, _docs)
+    rows = EXTENSION_QUERIES["x146_nb_roc"](
+        spark, SF_SMOKE).orderBy("dec").collect()
+    assert rows and rows[-1].dec == 10
+    held = (_docs(spark, SF_SMOKE)
+            .where(F.col("doc_id") % NB_TRAIN_MOD != 0).count())
+    assert rows[-1].n_ret == held
+    assert all(a.n_ret < b.n_ret and a.tp <= b.tp
+               for a, b in zip(rows, rows[1:]))
+    assert len({r.auc_bp for r in rows}) == 1
+    for r in rows:
+        for v in (r.prec_bp, r.rec_bp, r.f1_bp, r.auc_bp):
+            assert 0 <= v <= 10000
