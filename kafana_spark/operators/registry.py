@@ -1880,6 +1880,21 @@ def x_hybrid_rrf_lsh(spark, sf_dir):
                                     k=RRF_K, pool=RRF_POOL)
 
 
+def x_ann_ivf_lloyd(spark, sf_dir):
+    """x147 — x08's IVF probe path served from the LLOYD-refined
+    centroids (x145's walk, same KM_MOD seeds as x08's modulo cells):
+    the quantizer upgrade in place — balanced cells follow the data,
+    probes hit true neighbors more often, and unlike the MLlib
+    ``method='kmeans'`` path the whole chain stays oracle-exact."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.ivf_topk(e, q, ANN_K, centroid_mod=KM_MOD,
+                                n_probe=ANN_N_PROBE, method="lloyd",
+                                n_assign=ANN_N_ASSIGN)
+            .select("qid", "vec_id", "cos", "rank")
+            .orderBy("qid", "rank"))
+
+
 def x_nb_roc(spark, sf_dir):
     """x146 — threshold sweep + rank AUC for the x141 classifier:
     PR operating points at retrieval-depth bins plus the
@@ -2307,6 +2322,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x144_hybrid_rrf_lsh": x_hybrid_rrf_lsh,
     "x145_kmeans_refine": x_kmeans_refine,
     "x146_nb_roc": x_nb_roc,
+    "x147_ann_ivf_lloyd": x_ann_ivf_lloyd,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4276,14 +4292,15 @@ def _hybrid_rrf_lsh_sql() -> str:
         f"QUALIFY vec_rank <= {RRF_POOL}),")
 
 
-def _kmeans_refine_sql() -> str:
-    """x145 oracle — the identical unrolled Lloyd walk in DuckDB:
-    µunit integer projection (list_transform), per-round argmin
-    assignment with ties to the lowest cid, and the rounded-mean
-    centroid update floor(sum/cnt + 0.5) on the exact double quotient
-    (sums < 2^53, so both engines divide identical doubles).
-    generate_series expands distance work to n×cells×dim rows —
-    bounded at oracle SFs."""
+def _km_walk_ctes(rounds: int, updates: int) -> list[str]:
+    """Shared x145/x147 oracle chain — the unrolled Lloyd walk in
+    DuckDB: µunit integer projection (list_transform), per-round
+    argmin assignment with ties to the lowest cid (b{t}), and the
+    rounded-mean centroid update floor(sum/cnt + 0.5) on the exact
+    double quotient (sums < 2^53, so both engines divide identical
+    doubles) producing c{t+1} for t <= ``updates``. generate_series
+    expands distance work to n×cells×dim rows — bounded at oracle
+    SFs."""
     ctes = [
         "eu AS (SELECT vec_id, list_transform(CAST(embedding AS "
         "DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
@@ -4291,8 +4308,7 @@ def _kmeans_refine_sql() -> str:
         f"c1 AS (SELECT vec_id AS cid, vu AS cu FROM eu "
         f"WHERE vec_id % {KM_MOD} = 0)",
     ]
-    stats = []
-    for t in range(1, KM_ITERS + 1):
+    for t in range(1, rounds + 1):
         ctes.append(
             f"a{t} AS (SELECT x.vec_id, c.cid, "
             "CAST(SUM((x.vu[i] - c.cu[i]) * (x.vu[i] - c.cu[i])) "
@@ -4303,14 +4319,7 @@ def _kmeans_refine_sql() -> str:
             f"b{t} AS (SELECT vec_id, d2, cid FROM (SELECT vec_id, "
             "d2, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
             f"ORDER BY d2, cid) AS r FROM a{t}) q WHERE r = 1)")
-        ctes.append(
-            f"g{t} AS (SELECT cid, COUNT(*) AS cnt, "
-            f"CAST(SUM(d2) AS BIGINT) AS in_u FROM b{t} GROUP BY cid)")
-        stats.append(
-            f"SELECT {t} AS it, COUNT(*) AS n_cells, "
-            "CAST(MAX(cnt) AS BIGINT) AS max_cell, "
-            f"CAST(SUM(in_u) AS BIGINT) AS inertia_u FROM g{t}")
-        if t < KM_ITERS:
+        if t <= updates:
             ctes.append(
                 f"cs{t} AS (SELECT b.cid, g2.i, "
                 "CAST(SUM(x.vu[g2.i]) AS BIGINT) AS s, COUNT(*) AS cnt "
@@ -4321,8 +4330,61 @@ def _kmeans_refine_sql() -> str:
                 f"c{t + 1} AS (SELECT cid, list(CAST(floor("
                 "CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT) "
                 f"ORDER BY i) AS cu FROM cs{t} GROUP BY cid)")
+    return ctes
+
+
+def _kmeans_refine_sql() -> str:
+    """x145 oracle — per-round convergence stats off the shared
+    Lloyd walk."""
+    ctes = _km_walk_ctes(KM_ITERS, KM_ITERS - 1)
+    stats = []
+    for t in range(1, KM_ITERS + 1):
+        ctes.append(
+            f"g{t} AS (SELECT cid, COUNT(*) AS cnt, "
+            f"CAST(SUM(d2) AS BIGINT) AS in_u FROM b{t} GROUP BY cid)")
+        stats.append(
+            f"SELECT {t} AS it, COUNT(*) AS n_cells, "
+            "CAST(MAX(cnt) AS BIGINT) AS max_cell, "
+            f"CAST(SUM(in_u) AS BIGINT) AS inertia_u FROM g{t}")
     return ("WITH " + ", ".join(ctes) + " "
             + " UNION ALL ".join(stats) + " ORDER BY it")
+
+
+def _ann_ivf_lloyd_sql() -> str:
+    """x147 oracle — the x08 probe/rank chain served from the
+    refined centroids: KM_ITERS full Lloyd rounds (the shared walk,
+    update after the last round included), cv = cu/1e6 exact doubles,
+    then the identical 6dp assignment / n_probe probes / 4dp in-cell
+    ranking."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="p.qv", b="m.v") + ", 4)"
+    ctes = _km_walk_ctes(KM_ITERS, KM_ITERS)
+    ctes += [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"c AS (SELECT cid, list_transform(cu, x -> x / 1000000.0) "
+        f"AS cv FROM c{KM_ITERS + 1})",
+        f"q AS (SELECT vec_id AS qid, v FROM e "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0)",
+        "asg AS (SELECT vec_id, v, cid FROM ("
+        "SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY x.vec_id ORDER BY {acos} DESC, c.cid) AS r "
+        f"FROM e x, c) t WHERE r <= {ANN_N_ASSIGN})",
+        "probes AS (SELECT qid, qv, cid FROM ("
+        "SELECT q.qid, q.v AS qv, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY q.qid ORDER BY {qcos} DESC, c.cid) AS r "
+        f"FROM q, c) t WHERE r <= {ANN_N_PROBE})",
+        f"scored AS (SELECT DISTINCT p.qid, m.vec_id, {cos} AS cos "
+        "FROM probes p JOIN asg m ON p.cid = m.cid "
+        "WHERE m.vec_id <> p.qid)",
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) "
+        "AS rank FROM scored)",
+    ]
+    return ("WITH " + ", ".join(ctes) + " "
+            f"SELECT qid, vec_id, cos, rank FROM ranked "
+            f"WHERE rank <= {ANN_K} ORDER BY qid, rank")
 
 
 def _graph_hops_sql() -> str:
@@ -5048,6 +5110,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x144_hybrid_rrf_lsh": _hybrid_rrf_lsh_sql(),
     "x145_kmeans_refine": _kmeans_refine_sql(),
     "x146_nb_roc": _nb_roc_sql(),
+    "x147_ann_ivf_lloyd": _ann_ivf_lloyd_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

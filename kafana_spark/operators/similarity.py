@@ -124,11 +124,13 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
         n = n_vectors if n_vectors is not None else corpus.count()
         raw = kmeans_centroids(df, k=max(2, n // centroid_mod))
         return raw.select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
+    if method == "lloyd":
+        return lloyd_centroids(df, centroid_mod)
     if method == "modulo":
         return corpus.where(F.col("vec_id") % centroid_mod == 0) \
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                     F.col("nrm").alias("cnrm"))
-    raise ValueError(f"method must be modulo|kmeans, got {method!r}")
+    raise ValueError(f"method must be modulo|kmeans|lloyd, got {method!r}")
 
 
 def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
@@ -661,6 +663,18 @@ def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
     round; at 100 TB you would cache/checkpoint the µunit projection
     once and reuse it across rounds.
     """
+    out, _ = _km_loop(df, centroid_mod, n_iters, dim)
+    return (df.sparkSession.createDataFrame(
+        out, "it int, n_cells bigint, max_cell bigint, inertia_u bigint")
+        .orderBy("it"))
+
+
+def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
+             dim: int):
+    """The shared driver-coordinated Lloyd walk: returns (per-round
+    stats rows, final µunit centroid list) — the update AFTER the last
+    round included, so the returned centroids are ``n_iters`` FULL
+    Lloyd rounds from the modulo seed."""
     import math
 
     spark = df.sparkSession
@@ -685,9 +699,23 @@ def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
              [int(math.floor(r[f"s{j}"] / r.cnt + 0.5))
               for j in range(dim)])
             for r in cell)
-    return (spark.createDataFrame(
-        out, "it int, n_cells bigint, max_cell bigint, inertia_u bigint")
-        .orderBy("it"))
+    return out, cents
+
+
+def lloyd_centroids(df: DataFrame, centroid_mod: int = 40,
+                    n_iters: int = 3, dim: int = 64) -> DataFrame:
+    """(cid, cv, cnrm) centroids after ``n_iters`` full Lloyd rounds
+    from the modulo seed — the oracle-checkable quantizer upgrade:
+    ``_ivf_centroids(method='kmeans')`` rides MLlib's engine-private
+    init, while this walk is bit-reproducible in any engine (cv is
+    the exact double µunit/1e6, so downstream cosine roundings match
+    too). Drop-in for every consumer of the (cid, cv, cnrm) contract:
+    inline IVF probes, the persisted ANN index, SemDeDup cells."""
+    _, cents = _km_loop(df, centroid_mod, n_iters, dim)
+    cdf = df.sparkSession.createDataFrame(
+        [(c, [x / 1_000_000.0 for x in v]) for c, v in cents],
+        "cid bigint, cv array<double>")
+    return cdf.select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",

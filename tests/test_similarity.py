@@ -356,3 +356,39 @@ def test_mmr_diversifies_vs_plain_topk(spark):
     mean_mmr = sum(avg_pair_sim(mmr[k]) for k in plain) / len(plain)
     assert mean_mmr < mean_plain
     assert any(set(mmr[k]) != set(plain[k]) for k in plain)
+
+
+def test_lloyd_ivf_recall_beats_modulo(spark):
+    """The refinement's payoff, pinned: at identical probe settings
+    the Lloyd-refined quantizer recalls at least as much of the true
+    top-10 as the raw modulo seed (measured 0.92 vs 0.88 at
+    sf0.001/sf0.01 with mod 40, 3 probes, 2 assigns)."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(e, q, k=10).collect()}
+    rec = {}
+    for meth in ("modulo", "lloyd"):
+        a = {(r.qid, r.vec_id)
+             for r in similarity.ivf_topk(
+                 e, q, 10, centroid_mod=40, n_probe=3, method=meth,
+                 n_assign=2).collect()}
+        rec[meth] = len(exact & a) / len(exact)
+    assert rec["lloyd"] >= rec["modulo"]
+    assert rec["lloyd"] >= 0.90, rec
+
+
+def test_lloyd_centroids_contract(spark):
+    """Cells never exceed the seed count, every centroid actually
+    moved off its seed vector, and cnrm is the centroid's own norm."""
+    e = embs(spark)
+    cents = {r.cid: (list(r.cv), r.cnrm)
+             for r in similarity.lloyd_centroids(e, 40, 3, 64).collect()}
+    seeds = {r.vec_id: list(r.v)
+             for r in similarity._vectors(e)
+             .where(F.col("vec_id") % 40 == 0).collect()}
+    assert 2 <= len(cents) <= len(seeds)
+    moved = sum(1 for c, (cv, _) in cents.items() if cv != seeds[c])
+    assert moved == len(cents)
+    for cv, nrm in cents.values():
+        assert abs(sum(x * x for x in cv) ** 0.5 - nrm) < 1e-9
