@@ -1895,6 +1895,29 @@ def x_ann_ivf_lloyd(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def x_stored_lloyd(spark, sf_dir):
+    """x148 — x147's Lloyd IVF through the PERSISTED index (the
+    x58/x63/x83 stance): the refinement walk runs once at build,
+    centroids + assignments land in the store, queries pay only the
+    probe. Same oracle as x147 — a hash match proves the store
+    roundtrip keeps the refined quantizer exact, and the standard
+    append/stream maintenance sinks work unchanged (assignments
+    against STORED centroids, no refit)."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    root = _cached_index_root(
+        "lloydidx", sf_dir,
+        lambda r: ann_index.build_ann_index(
+            e, r, centroid_mod=KM_MOD, method="lloyd",
+            n_assign=ANN_N_ASSIGN))
+    return (ann_index.ann_topk_from_index(spark, root, q, ANN_K,
+                                          n_probe=ANN_N_PROBE)
+            .select("qid", "vec_id", "cos", "rank")
+            .orderBy("qid", "rank"))
+
+
 def x_nb_roc(spark, sf_dir):
     """x146 — threshold sweep + rank AUC for the x141 classifier:
     PR operating points at retrieval-depth bins plus the
@@ -2323,6 +2346,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x145_kmeans_refine": x_kmeans_refine,
     "x146_nb_roc": x_nb_roc,
     "x147_ann_ivf_lloyd": x_ann_ivf_lloyd,
+    "x148_stored_lloyd": x_stored_lloyd,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -5111,6 +5135,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x145_kmeans_refine": _kmeans_refine_sql(),
     "x146_nb_roc": _nb_roc_sql(),
     "x147_ann_ivf_lloyd": _ann_ivf_lloyd_sql(),
+    # x148 serves x147 from the stored index — same oracle proves the
+    # roundtrip (the x57/x133 stance)
+    "x148_stored_lloyd": _ann_ivf_lloyd_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

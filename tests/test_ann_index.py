@@ -305,3 +305,18 @@ def test_lsh_rebuild_clears_stale_append_batches(spark, tmp_path):
     a = ann_index.lsh_topk_from_index(spark, root, q, k=10)
     b = ann_index.lsh_topk_from_index(spark, fresh, q, k=10)
     assert result_set(a) == result_set(b)
+
+
+def test_lloyd_index_query_equals_inline(spark, tmp_path):
+    """The stored Lloyd-refined index must answer exactly like the
+    inline x147 path — build persists the refined centroids, the
+    probe path is shared code."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "lloydidx")
+    ann_index.build_ann_index(e, root, centroid_mod=40,
+                              method="lloyd", n_assign=2)
+    got = ann_index.ann_topk_from_index(spark, root, q, k=10, n_probe=3)
+    expect = similarity.ivf_topk(e, q, 10, centroid_mod=40, n_probe=3,
+                                 method="lloyd", n_assign=2)
+    assert result_set(got) == result_set(expect)
