@@ -59,6 +59,11 @@ EMB_DIM = 64
 KM_MOD = 40
 KM_ITERS = 3
 
+#: x149/x150 k-NN graph: directed degree cap, probes per vector.
+KNN_K = 5
+KNN_N_PROBE = 2
+KNN_N_ASSIGN = 1
+
 
 def _docs(spark, sf_dir):
     tune_session(spark)
@@ -1895,6 +1900,27 @@ def x_ann_ivf_lloyd(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def x_knn_graph(spark, sf_dir):
+    """x149 — bucketed k-NN graph: every corpus vector queries its
+    own probed IVF cells; the n² all-pairs never materializes."""
+    return (similarity.knn_graph(_embs(spark, sf_dir), k=KNN_K,
+                                 centroid_mod=ANN_CENTROID_MOD,
+                                 n_probe=KNN_N_PROBE,
+                                 n_assign=KNN_N_ASSIGN)
+            .select("qid", "vec_id", "cos", "rank")
+            .orderBy("qid", "rank"))
+
+
+def x_mutual_knn(spark, sf_dir):
+    """x150 — mutual k-NN edges over x149's graph (the standard
+    local-density filter: hub-directed one-way edges drop out)."""
+    return (similarity.mutual_knn(_embs(spark, sf_dir), k=KNN_K,
+                                  centroid_mod=ANN_CENTROID_MOD,
+                                  n_probe=KNN_N_PROBE,
+                                  n_assign=KNN_N_ASSIGN)
+            .orderBy("a", "b"))
+
+
 def x_stored_lloyd(spark, sf_dir):
     """x148 — x147's Lloyd IVF through the PERSISTED index (the
     x58/x63/x83 stance): the refinement walk runs once at build,
@@ -2347,6 +2373,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x146_nb_roc": x_nb_roc,
     "x147_ann_ivf_lloyd": x_ann_ivf_lloyd,
     "x148_stored_lloyd": x_stored_lloyd,
+    "x149_knn_graph": x_knn_graph,
+    "x150_mutual_knn": x_mutual_knn,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4374,6 +4402,54 @@ def _kmeans_refine_sql() -> str:
             + " UNION ALL ".join(stats) + " ORDER BY it")
 
 
+def _knn_chain_ctes() -> str:
+    """Shared x149/x150 oracle chain ending in ``ranked(qid, vec_id,
+    cos, rank)`` — the x08 probe chain with EVERY vector as a query
+    and the x149 constants."""
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="p.qv", b="m.v") + ", 4)"
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        "q AS (SELECT vec_id AS qid, v FROM e), "
+        "asg AS (SELECT vec_id, v, cid FROM ("
+        "SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY x.vec_id ORDER BY {acos} DESC, c.cid) AS r "
+        f"FROM e x, c) t WHERE r <= {KNN_N_ASSIGN}), "
+        "probes AS (SELECT qid, qv, cid FROM ("
+        "SELECT q.qid, q.v AS qv, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY q.qid ORDER BY {qcos} DESC, c.cid) AS r "
+        f"FROM q, c) t WHERE r <= {KNN_N_PROBE}), "
+        f"scored AS (SELECT DISTINCT p.qid, m.vec_id, {cos} AS cos "
+        "FROM probes p JOIN asg m ON p.cid = m.cid "
+        "WHERE m.vec_id <> p.qid), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) "
+        f"AS rank FROM scored) ")
+
+
+def _knn_graph_sql() -> str:
+    """x149 oracle — the directed k-NN edge list."""
+    return (f"WITH {_knn_chain_ctes()}"
+            f"SELECT qid, vec_id, cos, rank FROM ranked "
+            f"WHERE rank <= {KNN_K} ORDER BY qid, rank")
+
+
+def _mutual_knn_sql() -> str:
+    """x150 oracle — both directions present, a < b canonical."""
+    return (f"WITH {_knn_chain_ctes()}, "
+            f"g AS (SELECT qid, vec_id, cos, rank FROM ranked "
+            f"WHERE rank <= {KNN_K}) "
+            "SELECT ab.qid AS a, ab.vec_id AS b, ab.cos, "
+            "ab.rank AS rank_ab, ba.rank AS rank_ba "
+            "FROM g ab JOIN g ba ON ba.qid = ab.vec_id "
+            "AND ba.vec_id = ab.qid "
+            "WHERE ab.qid < ab.vec_id ORDER BY a, b")
+
+
 def _ann_ivf_lloyd_sql() -> str:
     """x147 oracle — the x08 probe/rank chain served from the
     refined centroids: KM_ITERS full Lloyd rounds (the shared walk,
@@ -5138,6 +5214,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x148 serves x147 from the stored index — same oracle proves the
     # roundtrip (the x57/x133 stance)
     "x148_stored_lloyd": _ann_ivf_lloyd_sql(),
+    "x149_knn_graph": _knn_graph_sql(),
+    "x150_mutual_knn": _mutual_knn_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

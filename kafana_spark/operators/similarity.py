@@ -213,6 +213,52 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def knn_graph(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+              n_probe: int = 2, n_assign: int = 1,
+              method: str = "modulo") -> DataFrame:
+    """Bucketed k-NN graph over the WHOLE corpus — every vector is a
+    query against its own probed IVF cells (the SemDeDup/UMAP-style
+    neighborhood structure: local-density analysis, graph dedup,
+    semantic-domain discovery all start here).
+
+    Output: (qid, vec_id, cos, rank) — up to ``k`` directed edges per
+    vector; sparse cells may yield fewer (the honest bucketed
+    contract, same as LSH's).
+
+    Scale: identical plan shape to ``ivf_topk`` with n queries — the
+    all-pairs n² never materializes; candidate work is
+    Σ per-probed-cell members ≈ n·n_probe·(n/cells), an equi-join on
+    cell id. ``method='lloyd'`` drops in for balanced cells when the
+    corpus is skewed."""
+    corpus = _vectors(df)
+    queries = corpus.select(F.col("vec_id").alias("qid"), "v")
+    return ivf_topk(df, queries, k, centroid_mod, n_probe, method,
+                    n_assign)
+
+
+def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+               n_probe: int = 2, n_assign: int = 1,
+               method: str = "modulo") -> DataFrame:
+    """Mutual k-NN edges — keep (a, b) only when each is in the
+    other's top-``k`` (THE standard local-density filter: one-way
+    edges into dense hubs drop out, so downstream clustering does not
+    chain through hub vectors).
+
+    Output: (a, b, cos, rank_ab, rank_ba) with a < b canonical.
+
+    Scale: the directed graph is n·k rows; the mutuality check is a
+    self equi-join on the reversed key pair — never touches the
+    corpus again."""
+    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method)
+    ab = g.select(F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+                  "cos", F.col("rank").alias("rank_ab"))
+    ba = g.select(F.col("vec_id").alias("a"), F.col("qid").alias("b"),
+                  F.col("rank").alias("rank_ba"))
+    return (ab.join(ba, ["a", "b"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "cos", "rank_ab", "rank_ba"))
+
+
 def hard_negative_topk(df: DataFrame, k: int = 10,
                        query_mod: int = 100, centroid_mod: int = 40,
                        n_probe: int = 3, n_assign: int = 1,

@@ -574,3 +574,20 @@ def test_x145_kmeans_assign_is_broadcast_and_partial_agg(spark):
     # shuffle carries one pre-combined row per vector
     assert re.search(r"Keys \[1\]: \[vec_id", plan)
     assert len(re.findall(r"\) (?:Sort|Hash)Aggregate", plan)) >= 2
+
+
+def test_x149_knn_member_join_is_equi_on_cell(spark):
+    """x149's candidate join must stay an equi-join on cell id even
+    with the whole corpus as queries — the n² pair frame must never
+    appear; only the tiny centroid broadcasts may be nested-loop."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x149_knn_graph"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # probes side is corpus-sized here, so the member join is a
+    # shuffle equi-join keyed on cid (SortMergeJoin) — Left/Right
+    # keys must both be the cell id
+    assert re.search(r"keys \[1\]: \[cid#\d+", plan)
+    # only the two tiny centroid-frame expansions may be nested-loop
+    # (formatted mode prints each node twice: tree + details)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4

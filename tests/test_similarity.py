@@ -392,3 +392,25 @@ def test_lloyd_centroids_contract(spark):
     assert moved == len(cents)
     for cv, nrm in cents.values():
         assert abs(sum(x * x for x in cv) ** 0.5 - nrm) < 1e-9
+
+
+def test_knn_graph_contract_and_mutual_subset(spark):
+    """Directed graph: <= k edges per vector, no self loops, ranks
+    contiguous from 1. Mutual edges are exactly the symmetric subset,
+    recomputed independently here from the directed edge set."""
+    e = embs(spark)
+    g = similarity.knn_graph(e, k=5, centroid_mod=40, n_probe=2)
+    rows = g.collect()
+    by_q = {}
+    for r in rows:
+        assert r.qid != r.vec_id
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               and len(v) <= 5 for v in by_q.values())
+    directed = {(r.qid, r.vec_id) for r in rows}
+    expect = {(a, b) for a, b in directed
+              if a < b and (b, a) in directed}
+    got = {(r.a, r.b)
+           for r in similarity.mutual_knn(
+               e, k=5, centroid_mod=40, n_probe=2).collect()}
+    assert got == expect and got
