@@ -918,6 +918,48 @@ def embedding_dup_clusters(df: DataFrame, threshold: float = 0.99,
         pairs.unpersist()
 
 
+def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+                 n_probe: int = 2, n_assign: int = 1,
+                 min_cos: float = 0.0, max_iter: int = 25) -> DataFrame:
+    """Density clusters: connected components over the MUTUAL k-NN
+    graph (x150) — the semantic-domain-discovery step (cluster-then-
+    sample curation, domain mixture analysis). Differs from
+    ``embedding_dup_clusters`` in the edge rule: mutual top-k
+    membership (local density) instead of an absolute cosine
+    threshold, so clusters form even where no pair clears a high
+    global bar, and hub vectors cannot chain unrelated regions.
+
+    Output: (vec_id, cluster_id, csize) for EVERY vector —
+    cluster_id is the min reachable vec_id (itself if isolated),
+    csize the cluster's member count.
+
+    Scale: edge generation is the bucketed x149/x150 chain (never
+    n²); labels run over the pruned mutual edge list only (hybrid
+    union-find / distributed propagation, same driver-memory gate as
+    dup_clusters); csize is one per-cluster window over labels.
+    """
+    from kafana_spark.operators.similarity import mutual_knn
+
+    spark = df.sparkSession
+    pairs = (mutual_knn(df, k, centroid_mod, n_probe, n_assign)
+             .where(F.col("cos") >= min_cos)
+             .select(F.col("a").alias("da"), F.col("b").alias("db"))
+             .persist())
+    try:
+        labels = _cc_labels(spark, pairs, max_iter)
+        clustered = (df.select("vec_id")
+                     .join(labels.withColumnRenamed("node", "vec_id"),
+                           "vec_id", "left")
+                     .select("vec_id",
+                             F.coalesce("label", "vec_id")
+                             .alias("cluster_id")))
+        w = Window.partitionBy("cluster_id")
+        return clustered.withColumn("csize",
+                                    F.count(F.lit(1)).over(w))
+    finally:
+        pairs.unpersist()
+
+
 def semantic_decontaminate(corpus_df: DataFrame, bench_df: DataFrame,
                            threshold: float = 0.97,
                            centroid_mod: int = 40,

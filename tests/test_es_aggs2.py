@@ -988,3 +988,36 @@ def test_nb_roc_corpus_invariants(spark):
     for r in rows:
         for v in (r.prec_bp, r.rec_bp, r.f1_bp, r.auc_bp):
             assert 0 <= v <= 10000
+
+
+def test_knn_clusters_two_groups_closed_form(spark):
+    """Two well-separated 2-dim groups, one IVF cell each: mutual
+    k-NN keeps each group internal, CC labels each cluster by its min
+    vec_id, csize counts members."""
+    from kafana_spark.operators.dedup import knn_clusters
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.98, 0.15]),
+            (40, [0.0, 1.0]), (41, [0.1, 0.99]), (42, [0.15, 0.98])]
+    df = spark.createDataFrame(rows,
+                               "vec_id: long, embedding: array<float>")
+    got = {r.vec_id: (r.cluster_id, r.csize)
+           for r in knn_clusters(df, k=2, centroid_mod=40,
+                                 n_probe=1).collect()}
+    assert got == {0: (0, 3), 1: (0, 3), 2: (0, 3),
+                   40: (40, 3), 41: (40, 3), 42: (40, 3)}
+
+
+def test_knn_clusters_partition_the_corpus(spark):
+    """Cluster labels must partition every vector: csize sums to n
+    over distinct clusters, and each cluster_id is its own min
+    member."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    rows = EXTENSION_QUERIES["x151_knn_clusters"](
+        spark, SF_SMOKE).collect()
+    n = len(rows)
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_c.values()) == n
+    for cid, members in by_c.items():
+        assert min(m.vec_id for m in members) == cid
+        assert all(m.csize == len(members) for m in members)
