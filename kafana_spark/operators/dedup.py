@@ -960,6 +960,43 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
         pairs.unpersist()
 
 
+def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+                   n_probe: int = 2, n_assign: int = 1,
+                   min_cos: float = 0.0) -> DataFrame:
+    """Cluster-balanced sampling — the step after ``knn_clusters``
+    in cluster-then-sample curation: keep ceil(sqrt(csize)) members
+    per density cluster, so over-represented semantic regions are
+    down-weighted sub-linearly instead of dominating the mix (the
+    SemDeDup-style diversity pass, as a selection rather than a
+    deletion).
+
+    Members are chosen by portable hash of vec_id (engine-exact,
+    seed-stable): rank rk within the cluster, keep rk <= quota.
+    sqrt/ceil are identical correctly-rounded IEEE ops in both
+    engines, so the quota is cross-engine exact.
+
+    Output: (vec_id, cluster_id, csize, rk) — kept rows only.
+
+    Scale: one per-cluster rank window over the LABEL frame (id +
+    two longs, never text or vectors); a pathological giant cluster
+    makes one fat window partition — cap it upstream with
+    ``min_cos`` (edges below the floor are cut, splitting weakly
+    connected regions) before reaching for a two-phase rank.
+    """
+    from kafana_spark.functions import portable_hash64
+
+    cl = knn_clusters(df, k, centroid_mod, n_probe, n_assign, min_cos)
+    h = portable_hash64(F.concat_ws(
+        "#", F.col("vec_id").cast("string"), F.lit("csample")))
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(),
+                                                 F.col("vec_id"))
+    quota = F.ceil(F.sqrt(F.col("csize").cast("double"))).cast("long")
+    return (cl.withColumn("rk",
+                          F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= quota)
+            .select("vec_id", "cluster_id", "csize", "rk"))
+
+
 def semantic_decontaminate(corpus_df: DataFrame, bench_df: DataFrame,
                            threshold: float = 0.97,
                            centroid_mod: int = 40,

@@ -1937,6 +1937,19 @@ def x_knn_clusters(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def x_cluster_sample(spark, sf_dir):
+    """x152 — cluster-balanced sampling over x151's density
+    clusters: keep ceil(sqrt(csize)) per cluster by portable hash
+    (sub-linear down-weighting of over-represented semantic
+    regions — the cluster-then-sample curation step)."""
+    return (dedup.cluster_sample(_embs(spark, sf_dir), k=KNN_K,
+                                 centroid_mod=ANN_CENTROID_MOD,
+                                 n_probe=KNN_N_PROBE,
+                                 n_assign=KNN_N_ASSIGN,
+                                 min_cos=KNN_CLUSTER_MIN_COS)
+            .orderBy("vec_id"))
+
+
 def x_stored_lloyd(spark, sf_dir):
     """x148 — x147's Lloyd IVF through the PERSISTED index (the
     x58/x63/x83 stance): the refinement walk runs once at build,
@@ -2392,6 +2405,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x149_knn_graph": x_knn_graph,
     "x150_mutual_knn": x_mutual_knn,
     "x151_knn_clusters": x_knn_clusters,
+    "x152_cluster_sample": x_cluster_sample,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4491,6 +4505,37 @@ def _knn_clusters_sql() -> str:
     )
 
 
+def _cluster_sample_sql() -> str:
+    """x152 oracle — the x151 chain + portable-hash per-cluster rank
+    against the ceil(sqrt(csize)) quota."""
+    h = ("CAST(concat('0x', substr(md5(concat_ws('#', "
+         "CAST(vec_id AS VARCHAR), 'csample')), 1, 15)) AS BIGINT)")
+    return (
+        f"WITH RECURSIVE {_knn_chain_ctes()}, "
+        f"g AS (SELECT qid, vec_id, cos FROM ranked "
+        f"WHERE rank <= {KNN_K}), "
+        "mu AS (SELECT ab.qid AS a, ab.vec_id AS b FROM g ab "
+        "JOIN g ba ON ba.qid = ab.vec_id AND ba.vec_id = ab.qid "
+        f"WHERE ab.qid < ab.vec_id AND ab.cos >= {KNN_CLUSTER_MIN_COS}), "
+        "edges AS (SELECT a, b FROM mu UNION ALL SELECT b, a FROM mu), "
+        "reach(node, label) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT e2.a, r.label FROM edges e2 JOIN reach r "
+        "ON r.node = e2.b), "
+        "cl AS (SELECT node AS vec_id, MIN(label) AS cluster_id "
+        "FROM reach GROUP BY node), "
+        "sz AS (SELECT vec_id, cluster_id, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM cl), "
+        "rk AS (SELECT vec_id, cluster_id, csize, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        f"ORDER BY {h}, vec_id) AS BIGINT) AS rk FROM sz) "
+        "SELECT vec_id, cluster_id, csize, rk FROM rk "
+        "WHERE rk <= CAST(ceil(sqrt(CAST(csize AS DOUBLE))) AS BIGINT) "
+        "ORDER BY vec_id"
+    )
+
+
 def _ann_ivf_lloyd_sql() -> str:
     """x147 oracle — the x08 probe/rank chain served from the
     refined centroids: KM_ITERS full Lloyd rounds (the shared walk,
@@ -5258,6 +5303,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x149_knn_graph": _knn_graph_sql(),
     "x150_mutual_knn": _mutual_knn_sql(),
     "x151_knn_clusters": _knn_clusters_sql(),
+    "x152_cluster_sample": _cluster_sample_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -1021,3 +1021,31 @@ def test_knn_clusters_partition_the_corpus(spark):
     for cid, members in by_c.items():
         assert min(m.vec_id for m in members) == cid
         assert all(m.csize == len(members) for m in members)
+
+
+def test_cluster_sample_quota_is_ceil_sqrt(spark):
+    """Every cluster keeps exactly min(csize, ceil(sqrt(csize)))
+    members, ranks are 1..kept, and kept rows agree with x151's
+    cluster partition."""
+    import math
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    cl = {r.vec_id: r.cluster_id
+          for r in EXTENSION_QUERIES["x151_knn_clusters"](
+              spark, SF_SMOKE).collect()}
+    rows = EXTENSION_QUERIES["x152_cluster_sample"](
+        spark, SF_SMOKE).collect()
+    by_c = {}
+    for r in rows:
+        assert cl[r.vec_id] == r.cluster_id
+        by_c.setdefault(r.cluster_id, []).append(r)
+    sizes = {}
+    for v, c in cl.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for cid, kept in by_c.items():
+        want = math.ceil(math.sqrt(sizes[cid]))
+        assert len(kept) == min(sizes[cid], want)
+        assert sorted(r.rk for r in kept) == list(
+            range(1, len(kept) + 1))
+        assert all(r.csize == sizes[cid] for r in kept)
+    # every cluster is represented
+    assert set(by_c) == set(sizes)
