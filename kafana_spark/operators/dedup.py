@@ -997,6 +997,69 @@ def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
             .select("vec_id", "cluster_id", "csize", "rk"))
 
 
+def cluster_terms(emb_df: DataFrame, docs_df: DataFrame, k: int = 5,
+                  centroid_mod: int = 40, n_probe: int = 2,
+                  n_assign: int = 1, min_cos: float = 0.0,
+                  top_clusters: int = 5, terms_k: int = 5,
+                  min_df: int = 2) -> DataFrame:
+    """Cluster labeling — describe each of the ``top_clusters``
+    largest density clusters by its most DISTINCTIVE tokens (the
+    "what is this semantic region about" report every cluster-based
+    curation run needs before deciding sampling weights).
+
+    Distinctiveness is integer doc-frequency lift against the whole
+    corpus: lift_bp = 10000·df_c·n_docs div (csize·df_all), ranked
+    per cluster (lift desc, df_c desc, token asc), floored at
+    ``min_df`` in-cluster docs. Documents join embeddings 1:1 on
+    doc_id = vec_id.
+
+    Output: (cluster_id, token, df_c, lift_bp, rank) — at most
+    top_clusters × terms_k rows.
+
+    Scale: cluster selection is a TakeOrdered over the distinct
+    (cluster, size) frame; the corpus tokenizes TWICE (cluster-side
+    counts on the top-cluster slice only, corpus df on everything) —
+    both map-side-combinable; the rank window runs over the
+    per-cluster candidate token frame only.
+    """
+    from kafana_spark.functions import tokens
+
+    cl = knn_clusters(emb_df, k, centroid_mod, n_probe, n_assign,
+                      min_cos)
+    top = (cl.select("cluster_id", "csize").distinct()
+           .orderBy(F.col("csize").desc(), "cluster_id")
+           .limit(top_clusters))
+    labeled = (docs_df
+               .join(cl.withColumnRenamed("vec_id", "doc_id")
+                     .select("doc_id", "cluster_id"), "doc_id")
+               .join(F.broadcast(top), "cluster_id"))
+    tok = labeled.select(
+        "cluster_id", "csize",
+        F.explode(F.array_distinct(tokens(F.col("text"))))
+        .alias("token"))
+    dfc = (tok.groupBy("cluster_id", "token")
+           .agg(F.count(F.lit(1)).alias("df_c"),
+                F.any_value("csize").alias("csize"))
+           .where(F.col("df_c") >= min_df))
+    corp = (docs_df.select(
+        F.explode(F.array_distinct(tokens(F.col("text"))))
+        .alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df_all")))
+    n_docs = docs_df.select(
+        F.count(F.lit(1)).alias("n_docs"))
+    scored = (dfc.join(corp, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select("cluster_id", "token", "df_c",
+                      F.expr("10000 * df_c * n_docs div "
+                             "(csize * df_all)").alias("lift_bp")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("lift_bp").desc(), F.col("df_c").desc(), "token")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= terms_k)
+            .orderBy("cluster_id", "rank"))
+
+
 def semantic_decontaminate(corpus_df: DataFrame, bench_df: DataFrame,
                            threshold: float = 0.97,
                            centroid_mod: int = 40,

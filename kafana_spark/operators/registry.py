@@ -65,6 +65,11 @@ KNN_N_PROBE = 2
 KNN_N_ASSIGN = 1
 #: x151 cluster edge floor: mutual edges below this cosine are cut.
 KNN_CLUSTER_MIN_COS = 0.0
+#: x153 cluster labeling: clusters described, terms per cluster,
+#: in-cluster doc-frequency floor.
+CLTERM_TOP = 5
+CLTERM_K = 5
+CLTERM_MIN_DF = 2
 
 
 def _docs(spark, sf_dir):
@@ -1950,6 +1955,19 @@ def x_cluster_sample(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def x_cluster_terms(spark, sf_dir):
+    """x153 — cluster labeling: the CLTERM_TOP largest x151 density
+    clusters described by their CLTERM_K most distinctive tokens
+    (integer doc-frequency lift vs the whole corpus; documents join
+    embeddings 1:1 on doc_id = vec_id)."""
+    return dedup.cluster_terms(
+        _embs(spark, sf_dir), _docs(spark, sf_dir), k=KNN_K,
+        centroid_mod=ANN_CENTROID_MOD, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN, min_cos=KNN_CLUSTER_MIN_COS,
+        top_clusters=CLTERM_TOP, terms_k=CLTERM_K,
+        min_df=CLTERM_MIN_DF)
+
+
 def x_stored_lloyd(spark, sf_dir):
     """x148 — x147's Lloyd IVF through the PERSISTED index (the
     x58/x63/x83 stance): the refinement walk runs once at build,
@@ -2406,6 +2424,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x150_mutual_knn": x_mutual_knn,
     "x151_knn_clusters": x_knn_clusters,
     "x152_cluster_sample": x_cluster_sample,
+    "x153_cluster_terms": x_cluster_terms,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4536,6 +4555,51 @@ def _cluster_sample_sql() -> str:
     )
 
 
+def _cluster_terms_sql() -> str:
+    """x153 oracle — the x151 CC chain + per-cluster distinctive
+    token lift (integer): 10000·df_c·n_docs // (csize·df_all)."""
+    return (
+        f"WITH RECURSIVE {_knn_chain_ctes()}, "
+        f"g AS (SELECT qid, vec_id, cos FROM ranked "
+        f"WHERE rank <= {KNN_K}), "
+        "mu AS (SELECT ab.qid AS a, ab.vec_id AS b FROM g ab "
+        "JOIN g ba ON ba.qid = ab.vec_id AND ba.vec_id = ab.qid "
+        f"WHERE ab.qid < ab.vec_id AND ab.cos >= {KNN_CLUSTER_MIN_COS}), "
+        "edges AS (SELECT a, b FROM mu UNION ALL SELECT b, a FROM mu), "
+        "reach(node, label) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT e2.a, r.label FROM edges e2 JOIN reach r "
+        "ON r.node = e2.b), "
+        "cl AS (SELECT node AS vec_id, MIN(label) AS cluster_id "
+        "FROM reach GROUP BY node), "
+        "sz AS (SELECT cluster_id, COUNT(*) AS csize FROM cl "
+        "GROUP BY cluster_id), "
+        "top AS (SELECT cluster_id, csize FROM sz "
+        f"ORDER BY csize DESC, cluster_id LIMIT {CLTERM_TOP}), "
+        "tk AS (SELECT d.doc_id, "
+        f"unnest(list_distinct({_TOKS})) AS token FROM documents d), "
+        "ctok AS (SELECT c.cluster_id, t.csize, tk.token, "
+        "COUNT(*) AS df_c FROM tk JOIN cl c ON c.vec_id = tk.doc_id "
+        "JOIN top t USING (cluster_id) "
+        "GROUP BY c.cluster_id, t.csize, tk.token "
+        f"HAVING COUNT(*) >= {CLTERM_MIN_DF}), "
+        "corp AS (SELECT token, COUNT(*) AS df_all FROM tk "
+        "GROUP BY token), "
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "sc AS (SELECT cluster_id, ctok.token, df_c, "
+        "CAST(10000 * df_c * n_docs // (csize * df_all) AS BIGINT) "
+        "AS lift_bp FROM ctok JOIN corp ON corp.token = ctok.token "
+        "CROSS JOIN nd), "
+        "rk AS (SELECT cluster_id, token, df_c, lift_bp, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY lift_bp DESC, df_c DESC, token) AS INT) AS rank "
+        "FROM sc) "
+        f"SELECT cluster_id, token, df_c, lift_bp, rank FROM rk "
+        f"WHERE rank <= {CLTERM_K} ORDER BY cluster_id, rank"
+    )
+
+
 def _ann_ivf_lloyd_sql() -> str:
     """x147 oracle — the x08 probe/rank chain served from the
     refined centroids: KM_ITERS full Lloyd rounds (the shared walk,
@@ -5304,6 +5368,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x150_mutual_knn": _mutual_knn_sql(),
     "x151_knn_clusters": _knn_clusters_sql(),
     "x152_cluster_sample": _cluster_sample_sql(),
+    "x153_cluster_terms": _cluster_terms_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -1049,3 +1049,26 @@ def test_cluster_sample_quota_is_ceil_sqrt(spark):
         assert all(r.csize == sizes[cid] for r in kept)
     # every cluster is represented
     assert set(by_c) == set(sizes)
+
+
+def test_cluster_terms_distinctive_tokens_closed_form(spark):
+    """Two density clusters; each cluster's private token doubles the
+    lift of the shared one (10000*df_c*n_docs div (csize*df_all)),
+    singleton tokens fall under the min_df floor."""
+    from kafana_spark.operators.dedup import cluster_terms
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.98, 0.15]),
+         (40, [0.0, 1.0]), (41, [0.1, 0.99]), (42, [0.15, 0.98])],
+        "vec_id: long, embedding: array<float>")
+    docs = spark.createDataFrame(
+        [(i, f"alpha common x{i}") for i in (0, 1, 2)]
+        + [(i, f"beta common y{i}") for i in (40, 41, 42)],
+        "doc_id: long, text: string")
+    got = [(r.cluster_id, r.token, r.df_c, r.lift_bp, r.rank)
+           for r in cluster_terms(embs, docs, k=2, centroid_mod=40,
+                                  n_probe=1, top_clusters=2,
+                                  terms_k=2, min_df=2).collect()]
+    assert got == [(0, "alpha", 3, 20000, 1),
+                   (0, "common", 3, 10000, 2),
+                   (40, "beta", 3, 20000, 1),
+                   (40, "common", 3, 10000, 2)]
