@@ -70,6 +70,8 @@ KNN_CLUSTER_MIN_COS = 0.0
 CLTERM_TOP = 5
 CLTERM_K = 5
 CLTERM_MIN_DF = 2
+#: x155 sequence-length histogram bin width (tokens).
+LEN_BIN_W = 20
 
 
 def _docs(spark, sf_dir):
@@ -1968,6 +1970,22 @@ def x_cluster_terms(spark, sf_dir):
         min_df=CLTERM_MIN_DF)
 
 
+def x_bpe_fertility(spark, sf_dir):
+    """x154 — tokenizer fertility by language: per-lang
+    token→symbol compression under the x136 merge list (integer
+    token-mass-weighted, the tokenizer-fairness report)."""
+    return text.bpe_fertility(_docs(spark, sf_dir),
+                              n_merges=BPE_MERGE_ROUNDS)
+
+
+def x_length_histogram(spark, sf_dir):
+    """x155 — sequence-length distribution: doc count + token mass
+    per LEN_BIN_W-token bin with cumulative token share (the
+    context-length planning report behind packing/truncation)."""
+    return text.length_histogram(_docs(spark, sf_dir),
+                                 bin_w=LEN_BIN_W)
+
+
 def x_stored_lloyd(spark, sf_dir):
     """x148 — x147's Lloyd IVF through the PERSISTED index (the
     x58/x63/x83 stance): the refinement walk runs once at build,
@@ -2425,6 +2443,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x151_knn_clusters": x_knn_clusters,
     "x152_cluster_sample": x_cluster_sample,
     "x153_cluster_terms": x_cluster_terms,
+    "x154_bpe_fertility": x_bpe_fertility,
+    "x155_length_histogram": x_length_histogram,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4315,6 +4335,35 @@ def _bpe_encode_sql() -> str:
             f"AS ratio_bp FROM s{n + 1} ORDER BY doc_id")
 
 
+def _bpe_fertility_sql() -> str:
+    """x154 oracle — the x138 per-doc encode chain aggregated per
+    language with the integer token-mass-weighted fertility."""
+    return (
+        f"WITH enc AS ({_bpe_encode_sql()}) "
+        "SELECT d.lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS toks, "
+        "CAST(SUM(n_symbols) AS BIGINT) AS syms, "
+        "CAST(10000 * SUM(n_symbols) // SUM(n_tokens) AS BIGINT) "
+        "AS fert_bp "
+        "FROM enc JOIN documents d USING (doc_id) "
+        "GROUP BY d.lang ORDER BY d.lang")
+
+
+def _length_histogram_sql() -> str:
+    """x155 oracle — token-count bins with cumulative token share."""
+    w = LEN_BIN_W
+    return (
+        "WITH t AS (SELECT CAST(len(string_split(text, ' ')) "
+        "AS BIGINT) AS n_tok FROM documents), "
+        f"b AS (SELECT n_tok // {w} AS bin, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS toks FROM t GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM b) "
+        f"SELECT bin, bin * {w} AS lo, n_docs, toks, "
+        "CAST(10000 * SUM(toks) OVER (ORDER BY bin) // total "
+        "AS BIGINT) AS cum_share_bp "
+        "FROM b CROSS JOIN tot ORDER BY bin")
+
+
 def _rrf_fusion_sql(vec_ctes: str) -> str:
     """Shared x139/x144 oracle — the BM25 lex ranking + a caller-
     supplied vector-ranking CTE chain (must end in ``vec(id,
@@ -5369,6 +5418,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x151_knn_clusters": _knn_clusters_sql(),
     "x152_cluster_sample": _cluster_sample_sql(),
     "x153_cluster_terms": _cluster_terms_sql(),
+    "x154_bpe_fertility": _bpe_fertility_sql(),
+    "x155_length_histogram": _length_histogram_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -496,6 +496,65 @@ def nb_roc(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
             .orderBy("dec"))
 
 
+def bpe_fertility(df: DataFrame, n_merges: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """Tokenizer fertility by language — the tokenizer-fairness
+    report: a merge list trained on a mixed corpus compresses its
+    dominant languages best, and per-language fertility (symbols per
+    token after all merges) is the standard way to see who pays the
+    context-window tax.
+
+    Output: (lang, n_docs, toks, syms, fert_bp) with fert_bp =
+    10000·Σsymbols div Σtokens (integer, corpus-exact — NOT the mean
+    of per-doc ratios, so long documents weigh by their token mass).
+
+    Scale: the encode is x138's zero-shuffle map; this adds one
+    broadcast-joinable (id, lang) projection and a |langs|-row
+    combinable aggregate.
+    """
+    enc = bpe_encode(df, n_merges, text_col, id_col)
+    return (enc.join(df.select(id_col, lang_col), id_col)
+            .groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("toks"),
+                 F.sum("n_symbols").alias("syms"))
+            .select(lang_col, "n_docs", "toks", "syms",
+                    F.expr("10000 * syms div toks").alias("fert_bp"))
+            .orderBy(lang_col))
+
+
+def length_histogram(df: DataFrame, bin_w: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """Sequence-length distribution — the context-length planning
+    report behind every packing/truncation decision: how many
+    documents and how much token MASS sits in each length bin, and
+    what share of the corpus a given max-length cutoff keeps
+    (cum_share_bp at bin b = share of all tokens in docs shorter
+    than (b+1)·bin_w).
+
+    Output: (bin, lo, n_docs, toks, cum_share_bp) — one row per
+    occupied bin, lo = bin·bin_w.
+
+    Scale: one map-side-combinable aggregate to the bin frame; the
+    cumulative window runs over the bounded bin frame only.
+    """
+    t = df.select(F.size(tokens(F.col(text_col))).cast("long")
+                  .alias("n_tok"))
+    b = (t.groupBy(F.expr(f"n_tok div {bin_w}").alias("bin"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("toks")))
+    tot = b.agg(F.sum("toks").alias("total"))
+    w = Window.orderBy("bin")
+    return (b.crossJoin(F.broadcast(tot))
+            .withColumn("cum_toks", F.sum("toks").over(w))
+            .select("bin", (F.col("bin") * bin_w).alias("lo"),
+                    "n_docs", "toks",
+                    F.expr("10000 * cum_toks div total")
+                    .alias("cum_share_bp"))
+            .orderBy("bin"))
+
+
 def _bpe_seq(df: DataFrame, text_col: str, carry=()) -> DataFrame:
     """(carry..., s): the wrapped symbol-sequence encoding."""
     wrapped = F.concat(

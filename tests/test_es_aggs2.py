@@ -1072,3 +1072,32 @@ def test_cluster_terms_distinctive_tokens_closed_form(spark):
                    (0, "common", 3, 10000, 2),
                    (40, "beta", 3, 20000, 1),
                    (40, "common", 3, 10000, 2)]
+
+
+def test_bpe_fertility_weighs_by_token_mass(spark):
+    """fert_bp is the integer corpus ratio, not a mean of per-doc
+    ratios: lang 'a' (one long doc that fully merges + one tiny doc)
+    must aggregate 10000*(1+3) div (5+3)."""
+    from kafana_spark.operators.text import bpe_fertility
+    df = spark.createDataFrame(
+        [(0, "a b a b c", "a"), (1, "a b c", "b"), (2, "x y z", "a")],
+        "doc_id: long, text: string, lang: string")
+    got = [tuple(r) for r in bpe_fertility(df, n_merges=3).collect()]
+    # merges learned corpus-wide: a+b, a_b+c, a_b+a_b_c (train test)
+    # lang a: doc0 5 toks -> 1 symbol, doc2 3 toks -> 3 symbols
+    assert got == [("a", 2, 8, 4, 5000), ("b", 1, 3, 1, 3333)]
+
+
+def test_length_histogram_bins_and_cumulative_share(spark):
+    """Bins at div 20; cumulative token share reaches exactly 10000
+    at the last bin."""
+    from kafana_spark.operators.text import length_histogram
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(0, mk(5)), (1, mk(25)), (2, mk(30)), (3, mk(45))],
+        "doc_id: long, text: string")
+    got = [tuple(r) for r in length_histogram(df, bin_w=20).collect()]
+    # bins: 0 (5 toks), 1 (25+30), 2 (45); total 105
+    assert got == [(0, 0, 1, 5, 10000 * 5 // 105),
+                   (1, 20, 2, 55, 10000 * 60 // 105),
+                   (2, 40, 1, 45, 10000)]
