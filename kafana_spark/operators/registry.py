@@ -72,6 +72,9 @@ CLTERM_K = 5
 CLTERM_MIN_DF = 2
 #: x155 sequence-length histogram bin width (tokens).
 LEN_BIN_W = 20
+#: x156 mini-batch Lloyd: base slice = vec_id % mod == 0, rest is
+#: the arriving batch.
+LLOYD_BATCH_MOD = 2
 
 
 def _docs(spark, sf_dir):
@@ -1986,6 +1989,17 @@ def x_length_histogram(spark, sf_dir):
                                  bin_w=LEN_BIN_W)
 
 
+def x_lloyd_update(spark, sf_dir):
+    """x156 — mini-batch centroid maintenance: Lloyd walk on the
+    even-id base slice, ONE assignment pass folds the odd-id batch's
+    sufficient statistics into the cells, integer L1 drift per cell
+    (the rebuild trigger for the stored Lloyd index)."""
+    return similarity.lloyd_update(_embs(spark, sf_dir),
+                                   batch_mod=LLOYD_BATCH_MOD,
+                                   centroid_mod=KM_MOD,
+                                   n_iters=KM_ITERS, dim=EMB_DIM)
+
+
 def x_stored_lloyd(spark, sf_dir):
     """x148 — x147's Lloyd IVF through the PERSISTED index (the
     x58/x63/x83 stance): the refinement walk runs once at build,
@@ -2445,6 +2459,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x153_cluster_terms": x_cluster_terms,
     "x154_bpe_fertility": x_bpe_fertility,
     "x155_length_histogram": x_length_histogram,
+    "x156_lloyd_update": x_lloyd_update,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4443,7 +4458,8 @@ def _hybrid_rrf_lsh_sql() -> str:
         f"QUALIFY vec_rank <= {RRF_POOL}),")
 
 
-def _km_walk_ctes(rounds: int, updates: int) -> list[str]:
+def _km_walk_ctes(rounds: int, updates: int,
+                  where: str = "") -> list[str]:
     """Shared x145/x147 oracle chain — the unrolled Lloyd walk in
     DuckDB: µunit integer projection (list_transform), per-round
     argmin assignment with ties to the lowest cid (b{t}), and the
@@ -4455,7 +4471,7 @@ def _km_walk_ctes(rounds: int, updates: int) -> list[str]:
     ctes = [
         "eu AS (SELECT vec_id, list_transform(CAST(embedding AS "
         "DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
-        "AS vu FROM embeddings)",
+        f"AS vu FROM embeddings{where})",
         f"c1 AS (SELECT vec_id AS cid, vu AS cu FROM eu "
         f"WHERE vec_id % {KM_MOD} = 0)",
     ]
@@ -4647,6 +4663,47 @@ def _cluster_terms_sql() -> str:
         f"SELECT cluster_id, token, df_c, lift_bp, rank FROM rk "
         f"WHERE rank <= {CLTERM_K} ORDER BY cluster_id, rank"
     )
+
+
+def _lloyd_update_sql() -> str:
+    """x156 oracle — the Lloyd walk on the even-id BASE slice (shared
+    CTEs, c4 + the cs3 sufficient stats), then ONE batch assignment
+    of the odd-id slice against c4, the base+batch rounded-mean
+    merge, and the integer L1 drift per cell."""
+    t = KM_ITERS
+    return (
+        "WITH "
+        + ", ".join(_km_walk_ctes(
+            t, t, where=f" WHERE vec_id % {LLOYD_BATCH_MOD} = 0"))
+        + ", "
+        "eb AS (SELECT vec_id, list_transform(CAST(embedding AS "
+        "DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
+        f"AS vu FROM embeddings WHERE vec_id % {LLOYD_BATCH_MOD} <> 0), "
+        "abn AS (SELECT x.vec_id, c.cid, "
+        "CAST(SUM((x.vu[i] - c.cu[i]) * (x.vu[i] - c.cu[i])) "
+        "AS BIGINT) AS d2 "
+        f"FROM eb x, c{t + 1} c, generate_series(1, {EMB_DIM}) g(i) "
+        "GROUP BY x.vec_id, c.cid), "
+        "bbn AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) "
+        "AS r FROM abn) q WHERE r = 1), "
+        "bs AS (SELECT b.cid, g2.i, "
+        "CAST(SUM(x.vu[g2.i]) AS BIGINT) AS s, COUNT(*) AS cnt "
+        "FROM bbn b JOIN eb x USING (vec_id), "
+        f"generate_series(1, {EMB_DIM}) g2(i) GROUP BY b.cid, g2.i), "
+        f"cdim AS (SELECT cid, g3.i, cu[g3.i] AS cu_i FROM c{t + 1}, "
+        f"generate_series(1, {EMB_DIM}) g3(i)), "
+        f"m AS (SELECT cs.cid, cs.i, cs.cnt AS n_base, "
+        "COALESCE(bs.cnt, 0) AS n_new, "
+        "CAST(floor(CAST(cs.s + COALESCE(bs.s, 0) AS DOUBLE) "
+        "/ (cs.cnt + COALESCE(bs.cnt, 0)) + 0.5) AS BIGINT) AS mu "
+        f"FROM cs{t} cs LEFT JOIN bs ON bs.cid = cs.cid "
+        "AND bs.i = cs.i) "
+        "SELECT m.cid, CAST(ANY_VALUE(n_base) AS BIGINT) AS n_base, "
+        "CAST(ANY_VALUE(n_new) AS BIGINT) AS n_new, "
+        "CAST(SUM(ABS(mu - cu_i)) AS BIGINT) AS shift_u "
+        "FROM m JOIN cdim ON cdim.cid = m.cid AND cdim.i = m.i "
+        "GROUP BY m.cid ORDER BY m.cid")
 
 
 def _ann_ivf_lloyd_sql() -> str:
@@ -5420,6 +5477,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x153_cluster_terms": _cluster_terms_sql(),
     "x154_bpe_fertility": _bpe_fertility_sql(),
     "x155_length_histogram": _length_histogram_sql(),
+    "x156_lloyd_update": _lloyd_update_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -709,7 +709,7 @@ def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
     round; at 100 TB you would cache/checkpoint the µunit projection
     once and reuse it across rounds.
     """
-    out, _ = _km_loop(df, centroid_mod, n_iters, dim)
+    out, _, _ = _km_loop(df, centroid_mod, n_iters, dim)
     return (df.sparkSession.createDataFrame(
         out, "it int, n_cells bigint, max_cell bigint, inertia_u bigint")
         .orderBy("it"))
@@ -718,9 +718,11 @@ def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
 def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
              dim: int):
     """The shared driver-coordinated Lloyd walk: returns (per-round
-    stats rows, final µunit centroid list) — the update AFTER the last
-    round included, so the returned centroids are ``n_iters`` FULL
-    Lloyd rounds from the modulo seed."""
+    stats rows, final µunit centroid list, final-round sufficient
+    statistics {cid: (cnt, [per-dim µunit sums])}) — the update AFTER
+    the last round included, so the returned centroids are
+    ``n_iters`` FULL Lloyd rounds from the modulo seed and are
+    exactly the rounded means of the returned statistics."""
     import math
 
     spark = df.sparkSession
@@ -730,6 +732,7 @@ def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
         for r in corpus.where(F.col("vec_id") % centroid_mod == 0)
         .collect())
     out = []
+    stats = {}
     for it in range(1, n_iters + 1):
         cdf = spark.createDataFrame(cents, "cid bigint, cu array<bigint>")
         sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
@@ -740,12 +743,15 @@ def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
                 .collect())
         out.append((it, len(cell), max(r.cnt for r in cell),
                     sum(r.in_u for r in cell)))
+        stats = {int(r.cid): (int(r.cnt),
+                              [int(r[f"s{j}"]) for j in range(dim)])
+                 for r in cell}
         cents = sorted(
             (int(r.cid),
              [int(math.floor(r[f"s{j}"] / r.cnt + 0.5))
               for j in range(dim)])
             for r in cell)
-    return out, cents
+    return out, cents, stats
 
 
 def lloyd_centroids(df: DataFrame, centroid_mod: int = 40,
@@ -757,11 +763,61 @@ def lloyd_centroids(df: DataFrame, centroid_mod: int = 40,
     the exact double µunit/1e6, so downstream cosine roundings match
     too). Drop-in for every consumer of the (cid, cv, cnrm) contract:
     inline IVF probes, the persisted ANN index, SemDeDup cells."""
-    _, cents = _km_loop(df, centroid_mod, n_iters, dim)
+    _, cents, _ = _km_loop(df, centroid_mod, n_iters, dim)
     cdf = df.sparkSession.createDataFrame(
         [(c, [x / 1_000_000.0 for x in v]) for c, v in cents],
         "cid bigint, cv array<double>")
     return cdf.select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
+
+
+def lloyd_update(df: DataFrame, batch_mod: int = 2,
+                 centroid_mod: int = 40, n_iters: int = 3,
+                 dim: int = 64) -> DataFrame:
+    """Mini-batch centroid maintenance — the drift answer to
+    ``append_ann_index``'s "no refit, monitor drift" contract: run
+    the Lloyd walk on the BASE slice (vec_id % batch_mod == 0), then
+    fold the NEW slice's sufficient statistics into the cells
+    WITHOUT re-running the walk — one assignment pass over the batch
+    (new centroid = rounded mean of base+batch µunit sums, exact
+    integers both engines; empty-for-the-batch cells keep their
+    centroid, shift 0).
+
+    Output: (cid, n_base, n_new, shift_u) — one row per cell;
+    shift_u = Σ_j |merged_cu[j] − walk_cu[j]| (integer L1 drift in
+    µunits) is the rebuild trigger: alert when it approaches the
+    typical inter-centroid distance.
+
+    Scale: the batch pays ONE broadcast assignment + one combinable
+    stats aggregate (the streaming-sink shape); the driver merges
+    two |cells|×(dim+1) tables. Nothing about the base corpus is
+    re-read at update time when stats come from a store.
+    """
+    import math
+
+    spark = df.sparkSession
+    base = df.where(F.col("vec_id") % batch_mod == 0)
+    newb = df.where(F.col("vec_id") % batch_mod != 0)
+    _, cents, stats = _km_loop(base, centroid_mod, n_iters, dim)
+    cdf = spark.createDataFrame(cents, "cid bigint, cu array<bigint>")
+    sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
+    bstat = {int(r.cid): (int(r.cnt),
+                          [int(r[f"s{j}"]) for j in range(dim)])
+             for r in (_km_assign(_km_corpus(newb, dim), cdf, dim)
+                       .groupBy("cid")
+                       .agg(F.count(F.lit(1)).alias("cnt"), *sums)
+                       .collect())}
+    out = []
+    for cid, cu in cents:
+        n_base, s_base = stats[cid]
+        n_new, s_new = bstat.get(cid, (0, [0] * dim))
+        merged = [int(math.floor((s_base[j] + s_new[j])
+                                 / (n_base + n_new) + 0.5))
+                  for j in range(dim)]
+        out.append((cid, n_base, n_new,
+                    sum(abs(merged[j] - cu[j]) for j in range(dim))))
+    return (spark.createDataFrame(
+        out, "cid bigint, n_base bigint, n_new bigint, shift_u bigint")
+        .orderBy("cid"))
 
 
 def label_centroids(df: DataFrame, label_col: str = "label",

@@ -414,3 +414,32 @@ def test_knn_graph_contract_and_mutual_subset(spark):
            for r in similarity.mutual_knn(
                e, k=5, centroid_mod=40, n_probe=2).collect()}
     assert got == expect and got
+
+
+def test_lloyd_update_folds_batch_stats_closed_form(spark):
+    """Hand-computed 2-dim mini-batch fold: base {0,2,4} walks one
+    round (c0=(0,0), c4=(.95,1.0) in µunits), batch {1,3,5} assigns
+    1,5→c0 and 3→c4, merged rounded means drift by the exact
+    integer L1 amounts."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.9, 1.0]),
+         (3, [1.0, 0.9]), (4, [1.0, 1.0]), (5, [0.0, 0.1])],
+        "vec_id: long, embedding: array<float>")
+    got = [tuple(r) for r in similarity.lloyd_update(
+        df, batch_mod=2, centroid_mod=4, n_iters=1, dim=2).collect()]
+    assert got == [(0, 1, 2, 66666), (4, 2, 1, 50000)]
+
+
+def test_lloyd_update_zero_drift_without_batch_members(spark):
+    """Cells the batch never touches must report n_new=0, shift_u=0;
+    every base cell appears exactly once."""
+    e = embs(spark)
+    rows = similarity.lloyd_update(e, batch_mod=2, centroid_mod=40,
+                                   n_iters=2, dim=64).collect()
+    base_cells = {r.cid for r in similarity.lloyd_centroids(
+        e.where(F.col("vec_id") % 2 == 0), 40, 2, 64).collect()}
+    assert {r.cid for r in rows} == base_cells
+    for r in rows:
+        assert r.n_base >= 1 and r.shift_u >= 0
+        if r.n_new == 0:
+            assert r.shift_u == 0
