@@ -918,6 +918,35 @@ def embedding_dup_clusters(df: DataFrame, threshold: float = 0.99,
         pairs.unpersist()
 
 
+def source_dup_matrix(df: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Cross-source duplication matrix — WHERE duplicates come from:
+    x02's near-dup pairs rolled up by the (source, source) of their
+    endpoints (canonical src_a <= src_b). The diagnostic that decides
+    which feeds to dedup against each other vs drop outright (mirror
+    sites and re-crawls show up as heavy off-diagonal cells).
+
+    Output: (src_a, src_b, n_pairs) ordered by source pair.
+
+    Scale: the pair frame is already banded/verified (never n²); the
+    two source lookups join the SMALL pair side against an (id,
+    source) projection, and the rollup is |sources|² combinable.
+    """
+    pairs = minhash_near_dup(df, threshold, text_col).select("da", "db")
+    s = df.select("doc_id", source_col)
+    j = (pairs
+         .join(s.select(F.col("doc_id").alias("da"),
+                        F.col(source_col).alias("sa")), "da")
+         .join(s.select(F.col("doc_id").alias("db"),
+                        F.col(source_col).alias("sb")), "db"))
+    return (j.select(F.least("sa", "sb").alias("src_a"),
+                     F.greatest("sa", "sb").alias("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("src_a", "src_b"))
+
+
 def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                  n_probe: int = 2, n_assign: int = 1,
                  min_cos: float = 0.0, max_iter: int = 25) -> DataFrame:

@@ -1989,6 +1989,14 @@ def x_length_histogram(spark, sf_dir):
                                  bin_w=LEN_BIN_W)
 
 
+def x_source_dup_matrix(spark, sf_dir):
+    """x157 — cross-source duplication matrix: x02's near-dup pairs
+    rolled up by their endpoints' (source, source), canonical
+    src_a <= src_b (which feeds duplicate each other)."""
+    return dedup.source_dup_matrix(_docs(spark, sf_dir),
+                                   NEAR_DUP_THRESHOLD)
+
+
 def x_lloyd_update(spark, sf_dir):
     """x156 — mini-batch centroid maintenance: Lloyd walk on the
     even-id base slice, ONE assignment pass folds the odd-id batch's
@@ -2460,6 +2468,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x154_bpe_fertility": x_bpe_fertility,
     "x155_length_histogram": x_length_histogram,
     "x156_lloyd_update": x_lloyd_update,
+    "x157_source_dup_matrix": x_source_dup_matrix,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4665,6 +4674,19 @@ def _cluster_terms_sql() -> str:
     )
 
 
+def _source_dup_matrix_sql() -> str:
+    """x157 oracle — the x02 pair chain rolled up by canonical
+    endpoint sources."""
+    return (
+        f"WITH p AS ({_minhash_sql()}) "
+        "SELECT LEAST(a.source, b.source) AS src_a, "
+        "GREATEST(a.source, b.source) AS src_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM p JOIN documents a ON a.doc_id = p.da "
+        "JOIN documents b ON b.doc_id = p.db "
+        "GROUP BY 1, 2 ORDER BY src_a, src_b")
+
+
 def _lloyd_update_sql() -> str:
     """x156 oracle — the Lloyd walk on the even-id BASE slice (shared
     CTEs, c4 + the cs3 sufficient stats), then ONE batch assignment
@@ -5478,6 +5500,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x154_bpe_fertility": _bpe_fertility_sql(),
     "x155_length_histogram": _length_histogram_sql(),
     "x156_lloyd_update": _lloyd_update_sql(),
+    "x157_source_dup_matrix": _source_dup_matrix_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -1101,3 +1101,23 @@ def test_length_histogram_bins_and_cumulative_share(spark):
     assert got == [(0, 0, 1, 5, 10000 * 5 // 105),
                    (1, 20, 2, 55, 10000 * 60 // 105),
                    (2, 40, 1, 45, 10000)]
+
+
+def test_source_dup_matrix_counts_canonical_pairs(spark):
+    """Matrix cells equal the independently recomputed per-(source,
+    source) pair counts from x02's pair list, with canonical
+    src_a <= src_b ordering."""
+    from kafana_spark.operators.dedup import (
+        minhash_near_dup, source_dup_matrix)
+    from kafana_spark.operators.registry import (
+        NEAR_DUP_THRESHOLD, _docs)
+    d = _docs(spark, SF_SMOKE)
+    src = {r.doc_id: r.source for r in d.select("doc_id", "source")
+           .collect()}
+    want = {}
+    for r in minhash_near_dup(d, NEAR_DUP_THRESHOLD).collect():
+        key = tuple(sorted((src[r.da], src[r.db])))
+        want[key] = want.get(key, 0) + 1
+    got = {(r.src_a, r.src_b): r.n_pairs
+           for r in source_dup_matrix(d, NEAR_DUP_THRESHOLD).collect()}
+    assert got == want and got
