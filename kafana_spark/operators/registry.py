@@ -75,6 +75,9 @@ LEN_BIN_W = 20
 #: x156 mini-batch Lloyd: base slice = vec_id % mod == 0, rest is
 #: the arriving batch.
 LLOYD_BATCH_MOD = 2
+#: x158 language-fair gate: keep docs at or above this within-lang
+#: quality percentile (bp).
+LANG_FAIR_KEEP_BP = 5000
 
 
 def _docs(spark, sf_dir):
@@ -1989,6 +1992,14 @@ def x_length_histogram(spark, sf_dir):
                                  bin_w=LEN_BIN_W)
 
 
+def x_lang_fair_gate(spark, sf_dir):
+    """x158 — language-fair quality gate: per-language percentile
+    rank of quality_bp (integer), keep = top half of EACH language
+    (an absolute corpus-wide cut skews the language mix)."""
+    return text.lang_fair_gate(_docs(spark, sf_dir),
+                               keep_pct_bp=LANG_FAIR_KEEP_BP)
+
+
 def x_source_dup_matrix(spark, sf_dir):
     """x157 — cross-source duplication matrix: x02's near-dup pairs
     rolled up by their endpoints' (source, source), canonical
@@ -2469,6 +2480,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x155_length_histogram": x_length_histogram,
     "x156_lloyd_update": x_lloyd_update,
     "x157_source_dup_matrix": x_source_dup_matrix,
+    "x158_lang_fair_gate": x_lang_fair_gate,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4674,6 +4686,26 @@ def _cluster_terms_sql() -> str:
     )
 
 
+def _lang_fair_gate_sql() -> str:
+    """x158 oracle — within-language integer percentile of the x11
+    quality score over the shared quality chain."""
+    cut = LANG_FAIR_KEEP_BP
+    pct = ("CASE WHEN n_lang > 1 THEN 10000 * (rk - 1) // (n_lang - 1) "
+           "ELSE 0 END")
+    return (
+        f"WITH {_quality_core()}, "
+        "jq AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
+        "JOIN documents d USING (doc_id)), "
+        "r AS (SELECT doc_id, lang, quality_bp, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY quality_bp, doc_id) AS BIGINT) AS rk, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM jq) "
+        f"SELECT doc_id, lang, quality_bp, "
+        f"CAST({pct} AS BIGINT) AS pct_bp, "
+        f"({pct}) >= {cut} AS keep "
+        "FROM r ORDER BY doc_id")
+
+
 def _source_dup_matrix_sql() -> str:
     """x157 oracle — the x02 pair chain rolled up by canonical
     endpoint sources."""
@@ -5501,6 +5533,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x155_length_histogram": _length_histogram_sql(),
     "x156_lloyd_update": _lloyd_update_sql(),
     "x157_source_dup_matrix": _source_dup_matrix_sql(),
+    "x158_lang_fair_gate": _lang_fair_gate_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

@@ -416,6 +416,43 @@ def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
             .orderBy(id_col))
 
 
+def lang_fair_gate(df: DataFrame, keep_pct_bp: int = 5000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lang_col: str = "lang") -> DataFrame:
+    """Language-fair quality gating — one absolute quality cut
+    applied corpus-wide silently skews the language mix (length/
+    stopword heuristics are language-biased), so production filters
+    cut at a PERCENTILE within each language instead: every language
+    keeps its own top (1 − p) share.
+
+    pct_bp is the integer percentile of the doc's quality_bp inside
+    its language: 10000·(rank−1) div (n_lang−1) over a deterministic
+    (quality_bp, doc_id) order; single-doc languages sit at 0 and
+    are kept iff keep_pct_bp == 0 — the conservative reading.
+
+    Output: (doc_id, lang, quality_bp, pct_bp, keep) for every doc.
+
+    Scale: one rank window PARTITIONED by language (the exact-
+    percentile price; a two-phase histogram approximation drops in
+    when a single language dominates the corpus) over the (id, lang,
+    score) projection — never the text.
+    """
+    q = (quality_score(df, id_col, text_col)
+         .join(df.select(id_col, lang_col), id_col))
+    w = Window.partitionBy(lang_col).orderBy("quality_bp", id_col)
+    n = Window.partitionBy(lang_col)
+    pct = F.when(F.count(F.lit(1)).over(n) > 1,
+                 F.expr("10000 * (rk - 1) div (n_lang - 1)")) \
+        .otherwise(F.lit(0))
+    return (q.withColumn("rk", F.row_number().over(w).cast("long"))
+            .withColumn("n_lang", F.count(F.lit(1)).over(n))
+            .withColumn("pct_bp", pct)
+            .withColumn("keep", F.col("pct_bp") >= keep_pct_bp)
+            .select(id_col, lang_col, "quality_bp", "pct_bp", "keep")
+            .orderBy(id_col))
+
+
 def nb_roc(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
            quality_cut: int = 4700, n_bins: int = 10,
            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1121,3 +1121,25 @@ def test_source_dup_matrix_counts_canonical_pairs(spark):
     got = {(r.src_a, r.src_b): r.n_pairs
            for r in source_dup_matrix(d, NEAR_DUP_THRESHOLD).collect()}
     assert got == want and got
+
+
+def test_lang_fair_gate_keeps_top_half_per_language(spark):
+    """Each language independently keeps its upper percentile half;
+    a singleton language sits at pct 0 (conservatively dropped at
+    the 5000 cut); ties rank deterministically by doc_id."""
+    from kafana_spark.operators.text import lang_fair_gate
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(0, mk(10), "a"), (1, mk(40), "a"), (2, mk(80), "a"),
+         (3, mk(120), "a"), (4, mk(10), "b"), (5, mk(120), "b"),
+         (6, mk(50), "c")],
+        "doc_id: long, text: string, lang: string")
+    got = {r.doc_id: (r.pct_bp, r.keep)
+           for r in lang_fair_gate(df, keep_pct_bp=5000).collect()}
+    # lang a: quality order 0<1<2<3 -> pct 0,3333,6666,10000
+    assert [got[i][0] for i in range(4)] == [0, 3333, 6666, 10000]
+    assert [got[i][1] for i in range(4)] == [False, False, True, True]
+    # lang b: two docs -> 0 and 10000
+    assert (got[4], got[5]) == ((0, False), (10000, True))
+    # singleton lang c: pct 0, dropped at the 5000 cut
+    assert got[6] == (0, False)
