@@ -31,13 +31,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafana_spark.functions import l2_norm
 from kafana_spark.operators.similarity import (
-    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _lsh_qcodes, _lsh_rank,
-    _pq_adc_rank, _pq_refine, _vectors, _with_norm, lsh_codes, lsh_planes,
-    pq_codebooks, pq_encode,
+    _ivf_assign, _ivf_centroids, _ivf_probe_rank, _km_assign, _km_corpus,
+    _km_loop, _lsh_qcodes, _lsh_rank, _pq_adc_rank, _pq_refine, _vectors,
+    _with_norm, lsh_codes, lsh_planes, pq_codebooks, pq_encode,
 )
 
 CENT_DIR = "centroids"
+LLOYD_STATS_DIR = "lloyd_stats"
 ASSIGN_DIR = "assignments"
 PQ_CB_DIR = "pq_codebooks"
 PQ_CODE_DIR = "pq_codes"
@@ -132,6 +134,136 @@ def ann_topk_from_index(spark: SparkSession, path: str,
     centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
     assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
+
+
+def build_lloyd_index(df: DataFrame, path: str, centroid_mod: int = 40,
+                      n_iters: int = 3, dim: int = 64,
+                      n_assign: int = 1,
+                      mode: str = "overwrite") -> None:
+    """Lloyd-refined IVF index WITH the walk's exact sufficient
+    statistics persisted — the maintainable variant of
+    ``build_ann_index(method='lloyd')`` (which runs the same walk but
+    keeps only the centroids, so a later refresh would have to
+    re-read the base corpus). Layout adds
+    ``<path>/lloyd_stats/batch=base``: (cid, cnt, s) with s the
+    per-dimension µunit sums — the sufficient statistics of every
+    cell, so refreshed centroids are EXACT over base+appends without
+    touching base data again."""
+    spark = df.sparkSession
+    _, cents, stats = _km_loop(df, centroid_mod, n_iters, dim)
+    cdf = spark.createDataFrame(
+        [(c, [x / 1_000_000.0 for x in v]) for c, v in cents],
+        "cid bigint, cv array<double>")
+    centroids = cdf.select("cid", "cv",
+                           l2_norm(F.col("cv")).alias("cnrm"))
+    centroids.write.mode(mode).parquet(f"{path}/{CENT_DIR}")
+    if mode == "overwrite":
+        _clear_batched_dir(f"{path}/{LLOYD_STATS_DIR}")
+        _clear_batched_dir(f"{path}/{ASSIGN_DIR}")
+    spark.createDataFrame(
+        [(c, cnt, s) for c, (cnt, s) in sorted(stats.items())],
+        "cid bigint, cnt bigint, s array<bigint>") \
+        .write.mode(mode) \
+        .parquet(f"{path}/{LLOYD_STATS_DIR}/batch=base")
+    _ivf_assign(_with_norm(_vectors(df)), centroids, n_assign) \
+        .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}/batch=base")
+
+
+def _lloyd_batch_stats(batch_df: DataFrame, centroids: DataFrame,
+                       dim: int) -> DataFrame:
+    """(cid, cnt, s) exact µunit sufficient statistics of a batch
+    assigned against the given centroids. cv is exactly cu/1e6, so
+    the µunit projection floor(cv·1e6 + 0.5) recovers the integer
+    centroids bit-exactly."""
+    cu = F.transform(F.col("cv"),
+                     lambda x: F.floor(x * 1_000_000.0 + 0.5)
+                     .cast("bigint"))
+    cdf = centroids.select("cid", cu.alias("cu"))
+    sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
+    return (_km_assign(_km_corpus(batch_df, dim), cdf, dim)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *sums)
+            .select("cid", "cnt",
+                    F.array(*[F.col(f"s{j}")
+                              for j in range(dim)]).alias("s")))
+
+
+def lloyd_stats_stream_sink(path: str, n_assign: int = 1,
+                            dim: int = 64):
+    """foreachBatch sink maintaining the Lloyd index under streaming
+    ingest: each micro-batch is (a) assigned against the STORED
+    centroids and appended probe-servable, and (b) reduced to its
+    exact sufficient statistics in its own ``batch=<epoch_id>`` dir
+    with mode=overwrite — an at-least-once redelivery REPLACES its
+    partition, so the later centroid refresh counts every vector
+    once (the ann/dedup/token sink idempotency discipline)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
+        _ivf_assign(_with_norm(_vectors(batch_df)), centroids,
+                    n_assign) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/{ASSIGN_DIR}/batch={epoch_id}")
+        _lloyd_batch_stats(batch_df, centroids, dim) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/{LLOYD_STATS_DIR}/batch={epoch_id}")
+
+    return _sink
+
+
+def refresh_lloyd_centroids(spark: SparkSession, path: str,
+                            dim: int = 64) -> DataFrame:
+    """Refresh the stored centroids from ALL accumulated sufficient
+    statistics (base + every appended/streamed batch) — the store
+    twin of ``operators.similarity.lloyd_update``, and the answer to
+    append-only drift: cnt = Σcnt, s = Σs elementwise, refreshed
+    cu[j] = floor(s[j]/cnt + 0.5) — EXACT over everything ever
+    ingested, no base re-read, no walk re-run.
+
+    Overwrites ``<path>/centroids`` (stored assignments keep their
+    cells — the online-IVF contract: probes route by the refreshed
+    centroid, members move only on full rebuild) and returns the
+    drift report (cid, n_total, shift_u) vs the replaced centroids.
+
+    Scale: the fold is |cells|·dim combinable rows; the merged table
+    is driver-materialized (it is centroid-sized) before the
+    overwrite so the read and the write never race on the same path.
+    """
+    import math
+
+    old = {int(r.cid): [int(x) for x in r.cu] for r in
+           spark.read.parquet(f"{path}/{CENT_DIR}")
+           .select("cid", F.transform(
+               "cv", lambda x: F.floor(x * 1_000_000.0 + 0.5)
+               .cast("bigint")).alias("cu")).collect()}
+    stats = (spark.read.parquet(f"{path}/{LLOYD_STATS_DIR}")
+             .drop("batch")
+             .select("cid", "cnt", F.posexplode("s").alias("i", "si"))
+             .groupBy("cid", "i")
+             .agg(F.sum("si").alias("s"), F.sum("cnt").alias("cnt"))
+             .groupBy("cid")
+             .agg(F.max("cnt").alias("cnt"),
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("i", "s"))),
+                      lambda t: t["s"]).alias("s"))
+             .collect())
+    rows = []
+    for r in sorted(stats, key=lambda r: r.cid):
+        cu = [int(math.floor(s / r.cnt + 0.5)) for s in r.s]
+        shift = sum(abs(cu[j] - old[int(r.cid)][j])
+                    for j in range(dim))
+        rows.append((int(r.cid), int(r.cnt),
+                     [x / 1_000_000.0 for x in cu], shift))
+    cents = spark.createDataFrame(
+        [(c, cv) for c, _, cv, _ in rows],
+        "cid bigint, cv array<double>") \
+        .select("cid", "cv", l2_norm(F.col("cv")).alias("cnrm"))
+    cents.write.mode("overwrite").parquet(f"{path}/{CENT_DIR}")
+    return spark.createDataFrame(
+        [(c, n, s) for c, n, _, s in rows],
+        "cid bigint, n_total bigint, shift_u bigint").orderBy("cid")
 
 
 def build_pq_index(df: DataFrame, path: str, dim: int = 64,

@@ -320,3 +320,34 @@ def test_lloyd_index_query_equals_inline(spark, tmp_path):
     expect = similarity.ivf_topk(e, q, 10, centroid_mod=40, n_probe=3,
                                  method="lloyd", n_assign=2)
     assert result_set(got) == result_set(expect)
+
+
+def test_lloyd_store_refresh_matches_inline_update(spark, tmp_path):
+    """The stored maintenance loop (build base with stats → stream
+    two stat batches, one redelivered → refresh from sufficient
+    statistics) must land on exactly the inline x156 fold: same
+    cells, same totals, same integer drift — without ever re-reading
+    the base corpus."""
+    e = embs(spark)
+    base = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "lloydm")
+    ann_index.build_lloyd_index(base, root, centroid_mod=40,
+                                n_iters=2, dim=64)
+    sink = ann_index.lloyd_stats_stream_sink(root)
+    sink(rest.where(F.col("vec_id") % 4 == 1), 0)
+    sink(rest.where(F.col("vec_id") % 4 == 3), 1)
+    sink(rest.where(F.col("vec_id") % 4 == 3), 1)   # redelivery
+    drift = {r.cid: (r.n_total, r.shift_u)
+             for r in ann_index.refresh_lloyd_centroids(
+                 spark, root).collect()}
+    inline = {r.cid: (r.n_base + r.n_new, r.shift_u)
+              for r in similarity.lloyd_update(
+                  e, batch_mod=2, centroid_mod=40, n_iters=2,
+                  dim=64).collect()}
+    assert drift == inline
+    # the refreshed index still serves probes (online-IVF contract)
+    q = similarity.modulo_queries(e, 100)
+    out = ann_index.ann_topk_from_index(spark, root, q, k=5,
+                                        n_probe=2)
+    assert out.count() > 0
