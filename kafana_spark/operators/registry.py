@@ -78,6 +78,9 @@ LLOYD_BATCH_MOD = 2
 #: x158 language-fair gate: keep docs at or above this within-lang
 #: quality percentile (bp).
 LANG_FAIR_KEEP_BP = 5000
+#: x160 skew advisor: assumed shuffle width and keys reported.
+SKEW_PARTS = 32
+SKEW_K = 10
 
 
 def _docs(spark, sf_dir):
@@ -1992,6 +1995,25 @@ def x_length_histogram(spark, sf_dir):
                                  bin_w=LEN_BIN_W)
 
 
+def x_lang_card(spark, sf_dir):
+    """x159 — per-language corpus datasheet: token mass + share,
+    distinct tokens, mean quality, exact-dup rate (the stratified
+    companion of x126; every mixture decision starts here)."""
+    return text.lang_corpus_card(_docs(spark, sf_dir))
+
+
+def x_skew_report(spark, sf_dir):
+    """x160 — shuffle-skew advisor on the events fact table's
+    event_type key: per hot key the row count, corpus share, and the
+    integer salt recommendation ceil(n·parts div total) feeding
+    salted_join/salted_agg."""
+    from kafana_spark.operators.skew import skew_report
+
+    tune_session(spark)
+    return skew_report(load_table(spark, sf_dir, "events"),
+                       "event_type", parts=SKEW_PARTS, top_k=SKEW_K)
+
+
 def x_lang_fair_gate(spark, sf_dir):
     """x158 — language-fair quality gate: per-language percentile
     rank of quality_bp (integer), keep = top half of EACH language
@@ -2481,6 +2503,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x156_lloyd_update": x_lloyd_update,
     "x157_source_dup_matrix": x_source_dup_matrix,
     "x158_lang_fair_gate": x_lang_fair_gate,
+    "x159_lang_card": x_lang_card,
+    "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
@@ -4686,6 +4710,47 @@ def _cluster_terms_sql() -> str:
     )
 
 
+def _lang_card_sql() -> str:
+    """x159 oracle — the three per-lang aggregates + integer
+    shares/means (COUNT(DISTINCT text) stands in for the sha2
+    distinct: same cardinality, collision-free)."""
+    return (
+        f"WITH {_quality_core()}, "
+        "tk AS (SELECT lang, unnest(string_split(text, ' ')) "
+        "AS token FROM documents), "
+        "t1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS toks, "
+        "CAST(COUNT(DISTINCT token) AS BIGINT) AS uniq_tokens "
+        "FROM tk GROUP BY lang), "
+        "t2 AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(quality_bp) AS BIGINT) AS qsum "
+        "FROM q JOIN documents d USING (doc_id) GROUP BY d.lang), "
+        "t3 AS (SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) "
+        "AS n_uniq_texts FROM documents GROUP BY lang), "
+        "tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks "
+        "FROM t1) "
+        "SELECT t1.lang, n_docs, toks, uniq_tokens, "
+        "CAST(10000 * toks // total_toks AS BIGINT) AS share_bp, "
+        "CAST(qsum // n_docs AS BIGINT) AS mean_quality_bp, "
+        "CAST(10000 * (n_docs - n_uniq_texts) // n_docs AS BIGINT) "
+        "AS dup_bp "
+        "FROM t1 JOIN t2 USING (lang) JOIN t3 USING (lang) "
+        "CROSS JOIN tot ORDER BY lang")
+
+
+def _skew_report_sql() -> str:
+    """x160 oracle — per-key counts, shares, and the ceil salt
+    recommendation over events.event_type."""
+    return (
+        "WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c) "
+        "SELECT key, n, "
+        "CAST(10000 * n // n_total AS BIGINT) AS share_bp, "
+        f"CAST((n * {SKEW_PARTS} + n_total - 1) // n_total AS BIGINT) "
+        "AS salts "
+        f"FROM c CROSS JOIN tot ORDER BY n DESC, key LIMIT {SKEW_K}")
+
+
 def _lang_fair_gate_sql() -> str:
     """x158 oracle — within-language integer percentile of the x11
     quality score over the shared quality chain."""
@@ -5534,6 +5599,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x156_lloyd_update": _lloyd_update_sql(),
     "x157_source_dup_matrix": _source_dup_matrix_sql(),
     "x158_lang_fair_gate": _lang_fair_gate_sql(),
+    "x159_lang_card": _lang_card_sql(),
+    "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
         "WITH tk2 AS (SELECT doc_id, i - 1 AS p, t[i] AS term "

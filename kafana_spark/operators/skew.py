@@ -17,6 +17,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def skew_report(df: DataFrame, key_col: str, parts: int = 32,
+                top_k: int = 10) -> DataFrame:
+    """Shuffle-skew advisor for a prospective join/groupBy key — the
+    report that decides BEFORE a 100 TB shuffle whether ``key_col``
+    needs ``salted_join``/``salted_agg``: per hot key, its row count,
+    corpus share, and the integer salt recommendation
+    salts = ceil(n_key·parts div n_total) — how many partitions'
+    worth of rows the key holds under a ``parts``-way hash shuffle
+    (1 = no salting needed; k > 1 = salt into k buckets).
+
+    Output: (key, n, share_bp, salts) — the ``top_k`` heaviest keys
+    (count desc, key asc).
+
+    Scale: one combinable count per key, a 1-row total broadcast,
+    and a TakeOrdered head — the report never shuffles the data it
+    is protecting.
+    """
+    c = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = c.agg(F.sum("n").alias("n_total"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("key", "n",
+                    F.expr("10000 * n div n_total").alias("share_bp"),
+                    F.expr(f"(n * {parts} + n_total - 1) div n_total")
+                    .alias("salts"))
+            .orderBy(F.col("n").desc(), "key").limit(top_k))
+
+
 def with_salt(df: DataFrame, unique_col: str, buckets: int,
               salt_col: str = "__salt") -> DataFrame:
     """Add a deterministic salt in [0, buckets) derived from a

@@ -416,6 +416,53 @@ def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
             .orderBy(id_col))
 
 
+def lang_corpus_card(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     lang_col: str = "lang") -> DataFrame:
+    """Per-language corpus datasheet — the stratified companion of
+    the global x126 corpus report, and the table every mixture
+    decision starts from: how big is each language really (token
+    mass, not doc count), how clean (mean quality, exact-dup rate),
+    how diverse (distinct tokens).
+
+    Output per lang: (lang, n_docs, toks, uniq_tokens, share_bp,
+    mean_quality_bp, dup_bp) — share_bp = 10000·toks div Σtoks,
+    dup_bp = 10000·(n_docs − distinct texts) div n_docs, all
+    integer.
+
+    Scale: three combinable aggregates joined on the tiny lang key —
+    token counts (one explode), quality sums, and distinct-content
+    counts over the 32-byte sha2 (never the text); the only
+    corpus-wide distincts are (lang, token) and (lang, hash) pairs.
+    """
+    tok = df.select(F.col(lang_col).alias("lang"),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+    t1 = (tok.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("toks"),
+               F.countDistinct("token").alias("uniq_tokens")))
+    t2 = (quality_score(df, id_col, text_col)
+          .join(df.select(id_col, F.col(lang_col).alias("lang")),
+                id_col)
+          .groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("quality_bp").alias("qsum")))
+    t3 = (df.select(F.col(lang_col).alias("lang"),
+                    F.sha2(F.col(text_col), 256).alias("h"))
+          .groupBy("lang")
+          .agg(F.countDistinct("h").alias("n_uniq_texts")))
+    tot = t1.agg(F.sum("toks").alias("total_toks"))
+    return (t1.join(t2, "lang").join(t3, "lang")
+            .crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "toks", "uniq_tokens",
+                    F.expr("10000 * toks div total_toks")
+                    .alias("share_bp"),
+                    F.expr("qsum div n_docs")
+                    .alias("mean_quality_bp"),
+                    F.expr("10000 * (n_docs - n_uniq_texts) "
+                           "div n_docs").alias("dup_bp"))
+            .orderBy("lang"))
+
+
 def lang_fair_gate(df: DataFrame, keep_pct_bp: int = 5000,
                    text_col: str = "text",
                    id_col: str = "doc_id",

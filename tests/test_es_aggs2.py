@@ -1143,3 +1143,31 @@ def test_lang_fair_gate_keeps_top_half_per_language(spark):
     assert (got[4], got[5]) == ((0, False), (10000, True))
     # singleton lang c: pct 0, dropped at the 5000 cut
     assert got[6] == (0, False)
+
+
+def test_lang_card_integer_datasheet_closed_form(spark):
+    """Two languages with one exact duplicate in 'a': shares split
+    the token mass, dup_bp catches the repeated text, uniq counts
+    distinct tokens per lang."""
+    from kafana_spark.operators.text import lang_corpus_card
+    df = spark.createDataFrame(
+        [(0, "x y z", "a"), (1, "x y z", "a"), (2, "p q", "b")],
+        "doc_id: long, text: string, lang: string")
+    got = {r.lang: (r.n_docs, r.toks, r.uniq_tokens, r.share_bp,
+                    r.dup_bp)
+           for r in lang_corpus_card(df).collect()}
+    assert got["a"] == (2, 6, 3, 10000 * 6 // 8, 5000)
+    assert got["b"] == (1, 2, 2, 10000 * 2 // 8, 0)
+
+
+def test_skew_report_salt_recommendation(spark):
+    """A key holding 3 partitions' worth of rows gets salts=3; a
+    tiny key gets 1; shares are exact integer bp."""
+    from kafana_spark.operators.skew import skew_report
+    rows = [(i, "hot") for i in range(96)] + [(96, "cold")]
+    df = spark.createDataFrame(rows, "id: long, k: string")
+    got = {r.key: (r.n, r.share_bp, r.salts)
+           for r in skew_report(df, "k", parts=32, top_k=10).collect()}
+    assert got["hot"] == (96, 10000 * 96 // 97, (96 * 32 + 96) // 97)
+    assert got["cold"] == (1, 10000 // 97, 1)
+    assert got["hot"][2] == 32 * 96 // 97 + 1  # ~32 partitions' worth
