@@ -2014,6 +2014,54 @@ def x_skew_report(spark, sf_dir):
                        "event_type", parts=SKEW_PARTS, top_k=SKEW_K)
 
 
+def x_curation_v4(spark, sf_dir):
+    """x161 — curation composition v4, the r6-session funnel: v3
+    gates on absolute thresholds; v4 swaps in the LEARNED and FAIR
+    variants built this round — (1) language-fair quality percentile
+    (x158), (2) the NB classifier verdict (x141; training-split docs
+    pass by their own heuristic label — the label the classifier was
+    fit to reproduce), (3) exact dedup keep-first among survivors,
+    (4) the cluster-balanced diversity quota (x152, computed on the
+    full embedding corpus: the diversity budget is a property of the
+    semantic space, not of upstream filters). Output is the funnel —
+    (stage, n_kept) — so the whole composition sits under one
+    oracle hash."""
+    d = _docs(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    s1 = (text.lang_fair_gate(d, keep_pct_bp=LANG_FAIR_KEEP_BP)
+          .where(F.col("keep")).select("doc_id"))
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    nb = text.nb_quality_classifier(
+        d, train_mod=NB_TRAIN_MOD, vocab_k=NB_VOCAB_K,
+        quality_cut=NB_QUALITY_CUT).select("doc_id", "pred")
+    s2 = (s1.join(q, "doc_id").join(nb, "doc_id", "left")
+          .where(F.when(F.col("doc_id") % NB_TRAIN_MOD == 0,
+                        F.col("quality_bp") >= NB_QUALITY_CUT)
+                 .otherwise(F.coalesce(F.col("pred"), F.lit(False))))
+          .select("doc_id"))
+    s3 = (s2.join(d.select("doc_id", "text"), "doc_id")
+          .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+          .select("doc_id"))
+    cs = (dedup.cluster_sample(e, k=KNN_K,
+                               centroid_mod=ANN_CENTROID_MOD,
+                               n_probe=KNN_N_PROBE,
+                               n_assign=KNN_N_ASSIGN,
+                               min_cos=KNN_CLUSTER_MIN_COS)
+          .select(F.col("vec_id").alias("doc_id")))
+    s4 = s3.join(cs, "doc_id")
+
+    def cnt(df, label):
+        return (df.agg(F.count(F.lit(1)).alias("n_kept"))
+                .select(F.lit(label).alias("stage"), "n_kept"))
+
+    return (cnt(d, "s0_all")
+            .unionAll(cnt(s1, "s1_lang_fair"))
+            .unionAll(cnt(s2, "s2_nb_filter"))
+            .unionAll(cnt(s3, "s3_exact_dedup"))
+            .unionAll(cnt(s4, "s4_cluster_quota"))
+            .orderBy("stage"))
+
+
 def x_lang_fair_gate(spark, sf_dir):
     """x158 — language-fair quality gate: per-language percentile
     rank of quality_bp (integer), keep = top half of EACH language
@@ -2504,6 +2552,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x157_source_dup_matrix": x_source_dup_matrix,
     "x158_lang_fair_gate": x_lang_fair_gate,
     "x159_lang_card": x_lang_card,
+    "x161_curation_v4": x_curation_v4,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -4710,6 +4759,43 @@ def _cluster_terms_sql() -> str:
     )
 
 
+def _curation_v4_sql() -> str:
+    """x161 oracle — the funnel composed from the shared chains:
+    NB scored (q + scored), within-lang percentile, exact dedup
+    keep-first, and the x152 cluster-sample keep set embedded as a
+    self-contained recursive subquery (its CTE names stay scoped)."""
+    m, cut, p = NB_TRAIN_MOD, NB_QUALITY_CUT, LANG_FAIR_KEEP_BP
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        "jq4 AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
+        "JOIN documents d USING (doc_id)), "
+        "lr4 AS (SELECT doc_id, CASE WHEN COUNT(*) OVER "
+        "(PARTITION BY lang) > 1 THEN 10000 * (ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY quality_bp, doc_id) - 1) // "
+        "(COUNT(*) OVER (PARTITION BY lang) - 1) ELSE 0 END "
+        "AS pct FROM jq4), "
+        f"k1 AS (SELECT doc_id FROM lr4 WHERE pct >= {p}), "
+        "k2 AS (SELECT k1.doc_id FROM k1 "
+        "JOIN q USING (doc_id) LEFT JOIN scored USING (doc_id) "
+        f"WHERE CASE WHEN k1.doc_id % {m} = 0 "
+        f"THEN quality_bp >= {cut} "
+        "ELSE COALESCE(pred, FALSE) END), "
+        "k3 AS (SELECT MIN(d.doc_id) AS doc_id FROM k2 "
+        "JOIN documents d USING (doc_id) GROUP BY d.text), "
+        f"k4 AS (SELECT k3.doc_id FROM k3 JOIN "
+        f"({_cluster_sample_sql()}) cs ON cs.vec_id = k3.doc_id) "
+        "SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) "
+        "AS n_kept FROM documents "
+        "UNION ALL SELECT 's1_lang_fair', CAST(COUNT(*) AS BIGINT) "
+        "FROM k1 "
+        "UNION ALL SELECT 's2_nb_filter', CAST(COUNT(*) AS BIGINT) "
+        "FROM k2 "
+        "UNION ALL SELECT 's3_exact_dedup', CAST(COUNT(*) AS BIGINT) "
+        "FROM k3 "
+        "UNION ALL SELECT 's4_cluster_quota', CAST(COUNT(*) AS BIGINT) "
+        "FROM k4 ORDER BY stage")
+
+
 def _lang_card_sql() -> str:
     """x159 oracle — the three per-lang aggregates + integer
     shares/means (COUNT(DISTINCT text) stands in for the sha2
@@ -5600,6 +5686,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x157_source_dup_matrix": _source_dup_matrix_sql(),
     "x158_lang_fair_gate": _lang_fair_gate_sql(),
     "x159_lang_card": _lang_card_sql(),
+    "x161_curation_v4": _curation_v4_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

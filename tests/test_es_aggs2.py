@@ -1171,3 +1171,17 @@ def test_skew_report_salt_recommendation(spark):
     assert got["hot"] == (96, 10000 * 96 // 97, (96 * 32 + 96) // 97)
     assert got["cold"] == (1, 10000 // 97, 1)
     assert got["hot"][2] == 32 * 96 // 97 + 1  # ~32 partitions' worth
+
+
+def test_curation_v4_funnel_is_monotone(spark):
+    """Each v4 stage can only shrink the kept set; the funnel ends
+    non-empty and stage labels are the documented five."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    rows = EXTENSION_QUERIES["x161_curation_v4"](
+        spark, SF_SMOKE).collect()
+    got = {r.stage: r.n_kept for r in rows}
+    assert list(got) == ["s0_all", "s1_lang_fair", "s2_nb_filter",
+                         "s3_exact_dedup", "s4_cluster_quota"]
+    vals = list(got.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[-1] >= 1
