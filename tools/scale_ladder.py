@@ -44,6 +44,14 @@ LADDER = [
     ("x69_exact_substr", "~linear (sharded gram join)"),
     ("x33_pair_counts", "linear (combinable counts)"),
     ("x136_bpe_merge_train", "linear x N rounds (combinable counts)"),
+    ("x145_kmeans_refine", "linear x N rounds (broadcast assignment; "
+     "cells grow with n so per-pair work rises ~n/40 per round)"),
+    ("x149_knn_graph", "linear (all-queries x bounded probed cells: "
+     "cells scale with n, cell size stays ~centroid_mod)"),
+    ("x151_knn_clusters", "~linear (n*k mutual edges + CC on the "
+     "pruned edge list)"),
+    ("x158_lang_fair_gate", "n log n within lang partitions (exact "
+     "percentile rank)"),
 ]
 
 
@@ -148,8 +156,11 @@ def main() -> None:
     (spark.range(64).repartition(32)
      .mapInPandas(lambda it: it, "id long").count())
     qs = m.queries()
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = {}
     for key, expected in LADDER:
+        if only and key not in only:
+            continue
         row = {"expected": expected}
         try:
             for tag, sfd in (("sf0.1", SF01), ("sf1", BIG)):
