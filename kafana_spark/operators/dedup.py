@@ -949,7 +949,9 @@ def source_dup_matrix(df: DataFrame, threshold: float = 0.5,
 
 def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                  n_probe: int = 2, n_assign: int = 1,
-                 min_cos: float = 0.0, max_iter: int = 25) -> DataFrame:
+                 min_cos: float = 0.0, max_iter: int = 25,
+                 method: str = "modulo",
+                 centroid_k: int | None = None) -> DataFrame:
     """Density clusters: connected components over the MUTUAL k-NN
     graph (x150) — the semantic-domain-discovery step (cluster-then-
     sample curation, domain mixture analysis). Differs from
@@ -970,7 +972,8 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     from kafana_spark.operators.similarity import mutual_knn
 
     spark = df.sparkSession
-    pairs = (mutual_knn(df, k, centroid_mod, n_probe, n_assign)
+    pairs = (mutual_knn(df, k, centroid_mod, n_probe, n_assign,
+                        method, centroid_k)
              .where(F.col("cos") >= min_cos)
              .select(F.col("a").alias("da"), F.col("b").alias("db"))
              .persist())
@@ -991,7 +994,8 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
 
 def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                    n_probe: int = 2, n_assign: int = 1,
-                   min_cos: float = 0.0) -> DataFrame:
+                   min_cos: float = 0.0, method: str = "modulo",
+                   centroid_k: int | None = None) -> DataFrame:
     """Cluster-balanced sampling — the step after ``knn_clusters``
     in cluster-then-sample curation: keep ceil(sqrt(csize)) members
     per density cluster, so over-represented semantic regions are
@@ -1014,7 +1018,8 @@ def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     """
     from kafana_spark.functions import portable_hash64
 
-    cl = knn_clusters(df, k, centroid_mod, n_probe, n_assign, min_cos)
+    cl = knn_clusters(df, k, centroid_mod, n_probe, n_assign, min_cos,
+                      method=method, centroid_k=centroid_k)
     h = portable_hash64(F.concat_ws(
         "#", F.col("vec_id").cast("string"), F.lit("csample")))
     w = Window.partitionBy("cluster_id").orderBy(h.asc(),
@@ -1030,7 +1035,8 @@ def cluster_terms(emb_df: DataFrame, docs_df: DataFrame, k: int = 5,
                   centroid_mod: int = 40, n_probe: int = 2,
                   n_assign: int = 1, min_cos: float = 0.0,
                   top_clusters: int = 5, terms_k: int = 5,
-                  min_df: int = 2) -> DataFrame:
+                  min_df: int = 2, method: str = "modulo",
+                  centroid_k: int | None = None) -> DataFrame:
     """Cluster labeling — describe each of the ``top_clusters``
     largest density clusters by its most DISTINCTIVE tokens (the
     "what is this semantic region about" report every cluster-based
@@ -1054,7 +1060,7 @@ def cluster_terms(emb_df: DataFrame, docs_df: DataFrame, k: int = 5,
     from kafana_spark.functions import tokens
 
     cl = knn_clusters(emb_df, k, centroid_mod, n_probe, n_assign,
-                      min_cos)
+                      min_cos, method=method, centroid_k=centroid_k)
     top = (cl.select("cluster_id", "csize").distinct()
            .orderBy(F.col("csize").desc(), "cluster_id")
            .limit(top_clusters))

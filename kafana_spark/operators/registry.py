@@ -63,6 +63,12 @@ KM_ITERS = 3
 KNN_K = 5
 KNN_N_PROBE = 2
 KNN_N_ASSIGN = 1
+#: x149–x153/x161 coarse-quantizer cell count — FIXED (method='fixed',
+#: hash-sampled seeds), not n/mod: at 100× corpus growth the cell
+#: count stays a caller-chosen knob (raise it like k ≈ √n) instead of
+#: silently scaling the assignment pass to n²/mod. 20 ≈ √500 at the
+#: sf0.01 gate corpus.
+KNN_CELLS = 20
 #: x151 cluster edge floor: mutual edges below this cosine are cut.
 KNN_CLUSTER_MIN_COS = 0.0
 #: x153 cluster labeling: clusters described, terms per cluster,
@@ -78,6 +84,15 @@ LLOYD_BATCH_MOD = 2
 #: x158 language-fair gate: keep docs at or above this within-lang
 #: quality percentile (bp).
 LANG_FAIR_KEEP_BP = 5000
+#: x162 Gopher-rule gate thresholds — calibrated so EVERY rule has
+#: real failures on the synthetic corpus (sf0.01 ranges: n_words
+#: 10–99, mwl_x10 37–53, n_stop 0–2, dup2_bp 0–2666).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MWL = 40
+GOPHER_MAX_MWL = 100
+GOPHER_MIN_STOP = 2
+GOPHER_MAX_DUP2_BP = 1500
 #: x160 skew advisor: assumed shuffle width and keys reported.
 SKEW_PARTS = 32
 SKEW_K = 10
@@ -1922,7 +1937,7 @@ def x_knn_graph(spark, sf_dir):
     """x149 — bucketed k-NN graph: every corpus vector queries its
     own probed IVF cells; the n² all-pairs never materializes."""
     return (similarity.knn_graph(_embs(spark, sf_dir), k=KNN_K,
-                                 centroid_mod=ANN_CENTROID_MOD,
+                                 method="fixed", centroid_k=KNN_CELLS,
                                  n_probe=KNN_N_PROBE,
                                  n_assign=KNN_N_ASSIGN)
             .select("qid", "vec_id", "cos", "rank")
@@ -1933,7 +1948,7 @@ def x_mutual_knn(spark, sf_dir):
     """x150 — mutual k-NN edges over x149's graph (the standard
     local-density filter: hub-directed one-way edges drop out)."""
     return (similarity.mutual_knn(_embs(spark, sf_dir), k=KNN_K,
-                                  centroid_mod=ANN_CENTROID_MOD,
+                                  method="fixed", centroid_k=KNN_CELLS,
                                   n_probe=KNN_N_PROBE,
                                   n_assign=KNN_N_ASSIGN)
             .orderBy("a", "b"))
@@ -1946,7 +1961,7 @@ def x_knn_clusters(spark, sf_dir):
     pattern as x24/x73; the returned plan is JVM-only (labels
     materialize during the call), so the orderBy is safe."""
     return (dedup.knn_clusters(_embs(spark, sf_dir), k=KNN_K,
-                               centroid_mod=ANN_CENTROID_MOD,
+                               method="fixed", centroid_k=KNN_CELLS,
                                n_probe=KNN_N_PROBE,
                                n_assign=KNN_N_ASSIGN,
                                min_cos=KNN_CLUSTER_MIN_COS)
@@ -1959,7 +1974,7 @@ def x_cluster_sample(spark, sf_dir):
     (sub-linear down-weighting of over-represented semantic
     regions — the cluster-then-sample curation step)."""
     return (dedup.cluster_sample(_embs(spark, sf_dir), k=KNN_K,
-                                 centroid_mod=ANN_CENTROID_MOD,
+                                 method="fixed", centroid_k=KNN_CELLS,
                                  n_probe=KNN_N_PROBE,
                                  n_assign=KNN_N_ASSIGN,
                                  min_cos=KNN_CLUSTER_MIN_COS)
@@ -1973,7 +1988,7 @@ def x_cluster_terms(spark, sf_dir):
     embeddings 1:1 on doc_id = vec_id)."""
     return dedup.cluster_terms(
         _embs(spark, sf_dir), _docs(spark, sf_dir), k=KNN_K,
-        centroid_mod=ANN_CENTROID_MOD, n_probe=KNN_N_PROBE,
+        method="fixed", centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
         n_assign=KNN_N_ASSIGN, min_cos=KNN_CLUSTER_MIN_COS,
         top_clusters=CLTERM_TOP, terms_k=CLTERM_K,
         min_df=CLTERM_MIN_DF)
@@ -2043,7 +2058,7 @@ def x_curation_v4(spark, sf_dir):
           .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id"))
     cs = (dedup.cluster_sample(e, k=KNN_K,
-                               centroid_mod=ANN_CENTROID_MOD,
+                               method="fixed", centroid_k=KNN_CELLS,
                                n_probe=KNN_N_PROBE,
                                n_assign=KNN_N_ASSIGN,
                                min_cos=KNN_CLUSTER_MIN_COS)
@@ -2068,6 +2083,20 @@ def x_lang_fair_gate(spark, sf_dir):
     (an absolute corpus-wide cut skews the language mix)."""
     return text.lang_fair_gate(_docs(spark, sf_dir),
                                keep_pct_bp=LANG_FAIR_KEEP_BP)
+
+
+def x_gopher_rules(spark, sf_dir):
+    """x162 — Gopher-style per-rule quality gate (Rae et al. 2021
+    appendix A re-expressed on the word-soup corpus): word-count
+    bounds, mean-word-length bounds, distinct-stop-word floor, and
+    the duplicate-bigram token fraction, each reported as its own
+    boolean plus the conjunction."""
+    return (text.gopher_rules(
+        _docs(spark, sf_dir),
+        min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS,
+        min_mwl_x10=GOPHER_MIN_MWL, max_mwl_x10=GOPHER_MAX_MWL,
+        min_stop=GOPHER_MIN_STOP, max_dup2_bp=GOPHER_MAX_DUP2_BP)
+        .orderBy("doc_id"))
 
 
 def x_source_dup_matrix(spark, sf_dir):
@@ -2553,6 +2582,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x158_lang_fair_gate": x_lang_fair_gate,
     "x159_lang_card": x_lang_card,
     "x161_curation_v4": x_curation_v4,
+    "x162_gopher_rules": x_gopher_rules,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -3145,7 +3175,9 @@ def _hard_negatives_sql() -> str:
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
         "label FROM embeddings), "
         "c AS (SELECT vec_id AS cid, v AS cv FROM e "
-        f"WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        "ORDER BY CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(vec_id AS VARCHAR), 'ivfseed')), 1, 15)) AS BIGINT), "
+        f"vec_id LIMIT {KNN_CELLS}), "
         "q AS (SELECT vec_id AS qid, v, label AS qlabel FROM e "
         f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
         "asg AS (SELECT vec_id, v, label, cid FROM ("
@@ -4622,7 +4654,9 @@ def _knn_chain_ctes() -> str:
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
         "c AS (SELECT vec_id AS cid, v AS cv FROM e "
-        f"WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        "ORDER BY CAST(concat('0x', substr(md5(concat_ws('#', "
+        "CAST(vec_id AS VARCHAR), 'ivfseed')), 1, 15)) AS BIGINT), "
+        f"vec_id LIMIT {KNN_CELLS}), "
         "q AS (SELECT vec_id AS qid, v FROM e), "
         "asg AS (SELECT vec_id, v, cid FROM ("
         "SELECT x.vec_id, x.v, c.cid, ROW_NUMBER() OVER "
@@ -4835,6 +4869,40 @@ def _skew_report_sql() -> str:
         f"CAST((n * {SKEW_PARTS} + n_total - 1) // n_total AS BIGINT) "
         "AS salts "
         f"FROM c CROSS JOIN tot ORDER BY n DESC, key LIMIT {SKEW_K}")
+
+
+def _gopher_rules_sql() -> str:
+    """x162 oracle — the four Gopher rules in integer arithmetic over
+    the shared token split (same constants as the Spark side)."""
+    stops = "['" + "', '".join(
+        ("the", "a", "of", "and", "to", "is", "in", "it")) + "']"
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_words, "
+        "CAST(10 * list_sum(list_transform(tok, x -> length(x))) "
+        "// len(tok) AS BIGINT) AS mwl_x10, "
+        "CAST(len(list_intersect(list_distinct(tok), "
+        f"{stops})) AS BIGINT) AS n_stop FROM t), "
+        "bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS b "
+        "FROM t, unnest(range(1, len(tok))) AS u(i)), "
+        "bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+        "d AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) "
+        "AS dup_pos, SUM(c) AS npos FROM bc GROUP BY doc_id), "
+        "j AS (SELECT m.doc_id, n_words, mwl_x10, n_stop, "
+        "CAST(COALESCE(10000 * dup_pos // npos, 0) AS BIGINT) "
+        "AS dup2_bp FROM m LEFT JOIN d USING (doc_id)) "
+        "SELECT doc_id, n_words, mwl_x10, n_stop, dup2_bp, "
+        f"n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+        "AS r_wc, "
+        f"mwl_x10 BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL} "
+        "AS r_mwl, "
+        f"n_stop >= {GOPHER_MIN_STOP} AS r_stop, "
+        f"dup2_bp <= {GOPHER_MAX_DUP2_BP} AS r_dup, "
+        f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) "
+        f"AND (mwl_x10 BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}) "
+        f"AND n_stop >= {GOPHER_MIN_STOP} "
+        f"AND dup2_bp <= {GOPHER_MAX_DUP2_BP} AS keep "
+        "FROM j ORDER BY doc_id")
 
 
 def _lang_fair_gate_sql() -> str:
@@ -5687,6 +5755,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x158_lang_fair_gate": _lang_fair_gate_sql(),
     "x159_lang_card": _lang_card_sql(),
     "x161_curation_v4": _curation_v4_sql(),
+    "x162_gopher_rules": _gopher_rules_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -88,16 +88,29 @@ def kmeans_centroids(df: DataFrame, k: int, seed: int = 42,
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              centroid_mod: int = 40, n_probe: int = 3,
              method: str = "modulo", n_assign: int = 1,
-             n_vectors: int | None = None) -> DataFrame:
+             n_vectors: int | None = None,
+             centroid_k: int | None = None) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Coarse quantizer: ``method='modulo'`` uses vectors with
     vec_id % centroid_mod == 0 as centroids (deterministic, zero
     training cost); ``method='kmeans'`` fits MLlib KMeans with
-    n/centroid_mod cells (balanced cells, better recall). Every corpus
-    vector is assigned to its nearest centroid (broadcast join —
-    centroids are tiny). Each query probes its n_probe nearest cells
-    and ranks only those cells' members.
+    n/centroid_mod cells (balanced cells, better recall);
+    ``method='fixed'`` takes EXACTLY ``centroid_k`` portable-hash-
+    sampled vectors as centroids. Every corpus vector is assigned to
+    its nearest centroid (broadcast join — centroids are tiny). Each
+    query probes its n_probe nearest cells and ranks only those
+    cells' members.
+
+    Choosing the cell count at scale: 'modulo' ties cells to
+    n/centroid_mod, so the assignment pass (n × cells comparisons)
+    grows as n²/mod — fine when the corpus is small or mod is raised
+    with n, pathological if mod stays fixed while n grows 100×.
+    'fixed' pins cells = centroid_k regardless of n: assignment is
+    n·k (linear) and the probe side scans n_probe·(n/k) candidates
+    per query. The balanced operating point is k ≈ √n, chosen
+    EXPLICITLY by the caller (both legs n^1.5) — the knob is
+    surfaced rather than silently coupled to the corpus size.
 
     ``n_assign > 1`` stores each corpus vector in its n nearest cells
     (multi-assignment IVF): storage grows n×, but boundary vectors
@@ -105,14 +118,16 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     when n_probe alone plateaus.
     """
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod, n_vectors)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
+                               n_vectors, centroid_k)
     assigned = _ivf_assign(corpus, centroids, n_assign)
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
 
 
 def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
                    centroid_mod: int,
-                   n_vectors: int | None = None) -> DataFrame:
+                   n_vectors: int | None = None,
+                   centroid_k: int | None = None) -> DataFrame:
     """(cid, cv, cnrm) coarse-quantizer centroids.
 
     ``n_vectors`` sizes the kmeans cell count (k = n/centroid_mod)
@@ -130,7 +145,27 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
         return corpus.where(F.col("vec_id") % centroid_mod == 0) \
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                     F.col("nrm").alias("cnrm"))
-    raise ValueError(f"method must be modulo|kmeans|lloyd, got {method!r}")
+    if method == "fixed":
+        # EXACTLY centroid_k cells regardless of corpus size — the
+        # scale knob stays in the caller's hand (k ≈ √n at scale).
+        # Seeds are the centroid_k lowest portable-hash vec_ids: a
+        # deterministic engine-exact pseudo-random spread (first-k by
+        # vec_id would bias the seeds to whatever ingestion order
+        # correlates with). orderBy+limit is a TakeOrdered — no full
+        # sort, no single-partition window.
+        from kafana_spark.functions import portable_hash64
+
+        if not centroid_k or centroid_k < 1:
+            raise ValueError("method='fixed' requires centroid_k >= 1")
+        h = portable_hash64(F.concat_ws(
+            "#", F.col("vec_id").cast("string"), F.lit("ivfseed")))
+        return (corpus.orderBy(h.asc(), F.col("vec_id"))
+                .limit(centroid_k)
+                .select(F.col("vec_id").alias("cid"),
+                        F.col("v").alias("cv"),
+                        F.col("nrm").alias("cnrm")))
+    raise ValueError(
+        f"method must be modulo|kmeans|lloyd|fixed, got {method!r}")
 
 
 def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
@@ -215,7 +250,8 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
 
 def knn_graph(df: DataFrame, k: int = 5, centroid_mod: int = 40,
               n_probe: int = 2, n_assign: int = 1,
-              method: str = "modulo") -> DataFrame:
+              method: str = "modulo",
+              centroid_k: int | None = None) -> DataFrame:
     """Bucketed k-NN graph over the WHOLE corpus — every vector is a
     query against its own probed IVF cells (the SemDeDup/UMAP-style
     neighborhood structure: local-density analysis, graph dedup,
@@ -229,16 +265,19 @@ def knn_graph(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     all-pairs n² never materializes; candidate work is
     Σ per-probed-cell members ≈ n·n_probe·(n/cells), an equi-join on
     cell id. ``method='lloyd'`` drops in for balanced cells when the
-    corpus is skewed."""
+    corpus is skewed; ``method='fixed'`` (centroid_k cells, k ≈ √n)
+    keeps the cell count an explicit caller knob instead of n/mod —
+    see ``ivf_topk``'s scale note."""
     corpus = _vectors(df)
     queries = corpus.select(F.col("vec_id").alias("qid"), "v")
     return ivf_topk(df, queries, k, centroid_mod, n_probe, method,
-                    n_assign)
+                    n_assign, centroid_k=centroid_k)
 
 
 def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                n_probe: int = 2, n_assign: int = 1,
-               method: str = "modulo") -> DataFrame:
+               method: str = "modulo",
+               centroid_k: int | None = None) -> DataFrame:
     """Mutual k-NN edges — keep (a, b) only when each is in the
     other's top-``k`` (THE standard local-density filter: one-way
     edges into dense hubs drop out, so downstream clustering does not
@@ -249,7 +288,8 @@ def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     Scale: the directed graph is n·k rows; the mutuality check is a
     self equi-join on the reversed key pair — never touches the
     corpus again."""
-    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method)
+    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
+                  centroid_k)
     ab = g.select(F.col("qid").alias("a"), F.col("vec_id").alias("b"),
                   "cos", F.col("rank").alias("rank_ab"))
     ba = g.select(F.col("vec_id").alias("a"), F.col("qid").alias("b"),

@@ -1484,3 +1484,75 @@ def zipf_fit(df: DataFrame, k: int = 100,
         .alias("slope_u"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"))
         .cast("long").alias("intercept_u"))
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 20, max_words: int = 1000,
+                 min_mwl_x10: int = 40, max_mwl_x10: int = 100,
+                 min_stop: int = 2,
+                 max_dup2_bp: int = 1500) -> DataFrame:
+    """Gopher-style per-RULE quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A: word-count bounds, mean
+    word length bounds, stop-word presence, repeated-n-gram fraction)
+    — unlike ``quality_score``'s single blended number, every rule
+    reports its own boolean so a curation run can see WHICH rule
+    rejected a document and tune thresholds per-rule.
+
+    Rules (all integer arithmetic, cross-engine exact):
+      r_wc   — min_words <= n_words <= max_words
+      r_mwl  — mean word length, decitokens: min <= 10·chars//n <= max
+      r_stop — at least ``min_stop`` DISTINCT stop words present
+      r_dup  — duplicate-bigram token fraction (positions belonging
+               to a bigram that occurs >= 2× in the doc) at most
+               ``max_dup2_bp`` basis points — the word-soup analogue
+               of Gopher's repeated-10-gram character fraction
+      keep   — all four
+
+    Output: (doc_id, n_words, mwl_x10, n_stop, dup2_bp,
+             r_wc, r_mwl, r_stop, r_dup, keep), one row per doc.
+
+    Scale: three map-side-combinable passes — per-doc array stats are
+    map-only; the bigram multiplicity count groups on (doc, bigram)
+    then reduces to one row per doc (both partial-aggregated). No
+    window, no join wider than doc_id."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tok"))
+    n = F.size(F.col("tok"))
+    charsum = F.aggregate(
+        F.col("tok"), F.lit(0), lambda a, x: a + F.length(x))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = toked.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.floor(F.lit(10) * charsum / n).cast("long").alias("mwl_x10"),
+        F.size(F.array_intersect(F.array_distinct(F.col("tok")), stops))
+        .cast("long").alias("n_stop"))
+    # bigram positions: explode → multiplicity → duplicated share.
+    # element_at is 1-based; sequence(1, n-1) is guarded for 1-token
+    # docs (Spark's sequence(1, 0) counts DOWN).
+    bg = (toked.where(n >= 2)
+          .select(F.col(id_col), F.explode(F.expr(
+              "transform(sequence(1, size(tok) - 1), "
+              "i -> concat(element_at(tok, i), ' ', "
+              "element_at(tok, i + 1)))")).alias("b")))
+    dup = (bg.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                      .otherwise(F.lit(0))).alias("dup_pos"),
+                F.sum("c").alias("npos")))
+    out = (base.join(dup, id_col, "left")
+           .select(
+               F.col(id_col), "n_words", "mwl_x10", "n_stop",
+               F.coalesce(F.floor(F.lit(10000) * F.col("dup_pos")
+                                  / F.col("npos")), F.lit(0))
+               .cast("long").alias("dup2_bp")))
+    r_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mwl = ((F.col("mwl_x10") >= min_mwl_x10)
+             & (F.col("mwl_x10") <= max_mwl_x10))
+    r_stop = F.col("n_stop") >= min_stop
+    r_dup = F.col("dup2_bp") <= max_dup2_bp
+    return out.select(
+        F.col(id_col), "n_words", "mwl_x10", "n_stop", "dup2_bp",
+        r_wc.alias("r_wc"), r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"), r_dup.alias("r_dup"),
+        (r_wc & r_mwl & r_stop & r_dup).alias("keep"))

@@ -443,3 +443,42 @@ def test_lloyd_update_zero_drift_without_batch_members(spark):
         assert r.n_base >= 1 and r.shift_u >= 0
         if r.n_new == 0:
             assert r.shift_u == 0
+
+
+def test_fixed_k_centroids_constant_cell_count(spark):
+    """method='fixed' pins the coarse-quantizer cell count to
+    centroid_k REGARDLESS of corpus size (the 100×-scale contract:
+    modulo seeding grows cells as n/mod, turning the assignment pass
+    into n²/mod work). Two corpus sizes, same k → same cell count;
+    the seed set of the smaller corpus is NOT simply a prefix — it is
+    the k lowest portable-hash ids, an unbiased spread."""
+    from kafana_spark.operators.similarity import _ivf_centroids, \
+        _vectors, _with_norm
+
+    e = embs(spark)
+    small = e.where(F.col("vec_id") < 100)
+    for corpus_df in (e, small):
+        corpus = _with_norm(_vectors(corpus_df))
+        cents = _ivf_centroids(corpus_df, corpus, "fixed", 0,
+                               centroid_k=7).collect()
+        assert len(cents) == 7
+    # deterministic across invocations
+    a = sorted(r.cid for r in _ivf_centroids(
+        e, _with_norm(_vectors(e)), "fixed", 0, centroid_k=7).collect())
+    b = sorted(r.cid for r in _ivf_centroids(
+        e, _with_norm(_vectors(e)), "fixed", 0, centroid_k=7).collect())
+    assert a == b
+    # hash spread, not a vec_id prefix
+    assert a != list(range(7))
+
+
+def test_fixed_k_requires_centroid_k(spark):
+    from kafana_spark.operators.similarity import ivf_topk
+
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    try:
+        ivf_topk(e, q, 5, method="fixed")
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "centroid_k" in str(ex)

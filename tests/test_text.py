@@ -364,3 +364,43 @@ def test_bigram_logprob_heldout_docs_back_off(spark):
     tr = out.filter(F.col("doc_id") % 10 == 0) \
         .agg(F.sum("n_backoff")).collect()[0][0]
     assert tr == 0
+
+
+def test_gopher_rules_closed_form(spark):
+    """Hand-computed per-rule flags: doc 1 passes everything; doc 2
+    fails mwl + stopwords + dup-bigrams (alternating two-token soup);
+    doc 3 fails only the word-count floor."""
+    from kafana_spark.operators.text import gopher_rules
+
+    a = "the a " + " ".join(f"word{i}" for i in range(28))
+    b = "x y " * 12
+    c = "the a of and to"
+    df = spark.createDataFrame(
+        [(1, a), (2, b.strip()), (3, c)], "doc_id: long, text: string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_stop, r1.dup2_bp) == (30, 2, 0)
+    # chars = 3 + 1 + 10*5 + 18*6 = 162 -> 1620 // 30 = 54
+    assert r1.mwl_x10 == 54
+    assert (r1.r_wc, r1.r_mwl, r1.r_stop, r1.r_dup, r1.keep) \
+        == (True, True, True, True, True)
+    r2 = rows[2]
+    # 24 one-char tokens: mwl_x10 = 10, no stopwords, every bigram
+    # ("x y" x12, "y x" x11) occurs >= 2 times -> 10000 bp
+    assert (r2.n_words, r2.mwl_x10, r2.n_stop, r2.dup2_bp) \
+        == (24, 10, 0, 10000)
+    assert (r2.r_wc, r2.r_mwl, r2.r_stop, r2.r_dup, r2.keep) \
+        == (True, False, False, False, False)
+    r3 = rows[3]
+    assert r3.n_words == 5 and not r3.r_wc and not r3.keep
+    assert r3.r_stop and r3.r_dup
+
+
+def test_gopher_rules_single_token_doc_guard(spark):
+    """A 1-token doc must not trip the sequence(1, 0) count-down trap:
+    dup2_bp = 0, word count fails the floor."""
+    from kafana_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id: long, text: string")
+    r = gopher_rules(df).collect()[0]
+    assert (r.n_words, r.dup2_bp, r.keep) == (1, 0, False)
