@@ -93,6 +93,13 @@ GOPHER_MIN_MWL = 40
 GOPHER_MAX_MWL = 100
 GOPHER_MIN_STOP = 2
 GOPHER_MAX_DUP2_BP = 1500
+#: x164 NB calibration bin width (µunits; sf0.01 scores span ~0.9M–6.4M).
+NB_CAL_BIN_W_U = 500_000
+#: x165 gate-agreement NB operating point (µunits; pred>=0 passes
+#: everything at the gate SFs, so kappa needs a real cut).
+NB_KAPPA_CUT_U = 5_000_000
+#: x166 outlier report size.
+OUTLIER_K = 25
 #: x160 skew advisor: assumed shuffle width and keys reported.
 SKEW_PARTS = 32
 SKEW_K = 10
@@ -2099,6 +2106,49 @@ def x_gopher_rules(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def x_knn_label_prop(spark, sf_dir):
+    """x163 — k-NN majority-vote label propagation with leave-one-out
+    accuracy per true label: the annotation-transfer / label-quality
+    check over the embedding space, served from the same fixed-k
+    bucketed graph as x149 (the n² all-pairs never materializes)."""
+    return similarity.knn_label_prop(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
+def x_nb_calibration(spark, sf_dir):
+    """x164 — reliability table for the x141 NB classifier:
+    fixed-width score bins vs empirical positive rate under the
+    heuristic truth (monotone pos_bp = well-ordered scores)."""
+    return text.nb_calibration(
+        _docs(spark, sf_dir), train_mod=NB_TRAIN_MOD,
+        vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT,
+        bin_w_u=NB_CAL_BIN_W_U)
+
+
+def x_gate_kappa(spark, sf_dir):
+    """x165 — Cohen's kappa between the heuristic quality gate and
+    the NB gate at the NB_KAPPA_CUT_U operating point: chance-
+    corrected agreement on the held-out split (raw agreement
+    over-reads when both gates pass almost everything)."""
+    return text.gate_agreement(
+        _docs(spark, sf_dir), train_mod=NB_TRAIN_MOD,
+        vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT,
+        nb_cut_u=NB_KAPPA_CUT_U)
+
+
+def x_emb_outliers(spark, sf_dir):
+    """x166 — embedding outlier triage: the OUTLIER_K vectors with
+    the lowest mean top-k neighbor cosine over the x149 graph
+    (isolated points = noise / novel content), -10000 sentinel for
+    graph singletons."""
+    return similarity.knn_outliers(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN, bottom=OUTLIER_K)
+
+
 def x_source_dup_matrix(spark, sf_dir):
     """x157 — cross-source duplication matrix: x02's near-dup pairs
     rolled up by their endpoints' (source, source), canonical
@@ -2583,6 +2633,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x159_lang_card": x_lang_card,
     "x161_curation_v4": x_curation_v4,
     "x162_gopher_rules": x_gopher_rules,
+    "x163_knn_label_prop": x_knn_label_prop,
+    "x164_nb_calibration": x_nb_calibration,
+    "x165_gate_kappa": x_gate_kappa,
+    "x166_emb_outliers": x_emb_outliers,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -4905,6 +4959,95 @@ def _gopher_rules_sql() -> str:
         "FROM j ORDER BY doc_id")
 
 
+def _knn_label_prop_sql() -> str:
+    """x163 oracle — majority vote over the shared kNN chain's
+    top-KNN_K edges, leave-one-out accuracy per true label."""
+    return (
+        f"WITH {_knn_chain_ctes()}, "
+        f"g AS (SELECT qid, vec_id FROM ranked WHERE rank <= {KNN_K}), "
+        "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl "
+        "FROM embeddings), "
+        "v AS (SELECT qid, lbl, COUNT(*) AS c FROM g "
+        "JOIN lb USING (vec_id) GROUP BY qid, lbl), "
+        "p AS (SELECT qid, lbl AS pred FROM ("
+        "SELECT qid, lbl, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY c DESC, lbl) AS r FROM v) t WHERE r = 1), "
+        "j AS (SELECT own.lbl AS label, "
+        "CASE WHEN p.pred = own.lbl THEN 1 ELSE 0 END AS ok "
+        "FROM p JOIN lb own ON own.vec_id = p.qid) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(ok) AS BIGINT) AS n_correct, "
+        "CAST(10000 * SUM(ok) // COUNT(*) AS BIGINT) AS acc_bp "
+        "FROM j GROUP BY label ORDER BY label")
+
+
+def _nb_calibration_sql() -> str:
+    """x164 oracle — fixed-width bins over the shared NB score chain
+    (floor-on-double bin and mean, negative-safe)."""
+    w = NB_CAL_BIN_W_U
+    m, cut = NB_TRAIN_MOD, NB_QUALITY_CUT
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        "tr AS (SELECT q.doc_id, CASE WHEN quality_bp >= "
+        f"{cut} THEN 1 ELSE 0 END AS yt FROM q "
+        f"WHERE doc_id % {m} <> 0), "
+        "jj AS (SELECT CAST(FLOOR(CAST(nb_score_u AS DOUBLE) "
+        f"/ {float(w)}) AS BIGINT) AS bin, nb_score_u AS s, yt "
+        "FROM scored JOIN tr USING (doc_id)) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(yt) AS BIGINT) AS n_pos, "
+        "CAST(10000 * SUM(yt) // COUNT(*) AS BIGINT) AS pos_bp, "
+        "CAST(FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+        "AS mean_s_u "
+        "FROM jj GROUP BY bin ORDER BY bin")
+
+
+def _gate_kappa_sql() -> str:
+    """x165 oracle — the 2×2 agreement table + integer po/pe and the
+    floor-on-double (negative-safe) kappa."""
+    m, cut, nbcut = NB_TRAIN_MOD, NB_QUALITY_CUT, NB_KAPPA_CUT_U
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        "tr AS (SELECT q.doc_id, CASE WHEN quality_bp >= "
+        f"{cut} THEN 1 ELSE 0 END AS g1 FROM q "
+        f"WHERE doc_id % {m} <> 0), "
+        "jj AS (SELECT g1, CASE WHEN nb_score_u >= "
+        f"{nbcut} THEN 1 ELSE 0 END AS g2 "
+        "FROM scored JOIN tr USING (doc_id)), "
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(g1 * g2) AS BIGINT) AS n11, "
+        "CAST(SUM(g1 * (1 - g2)) AS BIGINT) AS n10, "
+        "CAST(SUM((1 - g1) * g2) AS BIGINT) AS n01, "
+        "CAST(SUM((1 - g1) * (1 - g2)) AS BIGINT) AS n00 FROM jj), "
+        "pp AS (SELECT n, n11, n10, n01, n00, "
+        "CAST(10000 * (n11 + n00) // n AS BIGINT) AS po_bp, "
+        "CAST(10000 * ((n11 + n10) * (n11 + n01) "
+        "+ (n01 + n00) * (n10 + n00)) // (n * n) AS BIGINT) "
+        "AS pe_bp FROM c) "
+        "SELECT n, n11, n10, n01, n00, po_bp, pe_bp, "
+        "CASE WHEN pe_bp >= 10000 THEN CAST(10000 AS BIGINT) ELSE "
+        "CAST(FLOOR(10000.0 * CAST(po_bp - pe_bp AS DOUBLE) "
+        "/ CAST(10000 - pe_bp AS DOUBLE)) AS BIGINT) END "
+        "AS kappa_bp FROM pp")
+
+
+def _emb_outliers_sql() -> str:
+    """x166 oracle — integer-bp mean neighbor cosine over the kNN
+    chain, -10000 sentinel for singletons, bottom-OUTLIER_K."""
+    return (
+        f"WITH {_knn_chain_ctes()}, "
+        "g AS (SELECT qid, CAST(ROUND(cos * 10000) AS BIGINT) AS cb "
+        f"FROM ranked WHERE rank <= {KNN_K}), "
+        "per AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nn, "
+        "SUM(cb) AS sc FROM g GROUP BY qid), "
+        "al AS (SELECT e.vec_id, COALESCE(nn, 0) AS n_nbrs, "
+        "CASE WHEN nn IS NULL THEN CAST(-10000 AS BIGINT) "
+        "ELSE CAST(FLOOR(CAST(sc AS DOUBLE) / nn) AS BIGINT) END "
+        "AS mean_cos_bp FROM e LEFT JOIN per ON per.qid = e.vec_id) "
+        "SELECT vec_id, n_nbrs, mean_cos_bp FROM al "
+        f"ORDER BY mean_cos_bp, vec_id LIMIT {OUTLIER_K}")
+
+
 def _lang_fair_gate_sql() -> str:
     """x158 oracle — within-language integer percentile of the x11
     quality score over the shared quality chain."""
@@ -5756,6 +5899,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x159_lang_card": _lang_card_sql(),
     "x161_curation_v4": _curation_v4_sql(),
     "x162_gopher_rules": _gopher_rules_sql(),
+    "x163_knn_label_prop": _knn_label_prop_sql(),
+    "x164_nb_calibration": _nb_calibration_sql(),
+    "x165_gate_kappa": _gate_kappa_sql(),
+    "x166_emb_outliers": _emb_outliers_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

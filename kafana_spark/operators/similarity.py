@@ -1007,3 +1007,94 @@ def mmr_rerank(df: DataFrame, queries: DataFrame, k: int = MMR_K,
 
     return (g.groupBy("qid").applyInPandas(
         kernel, "qid long, rank int, vec_id long, rel_u long, mmr_u long"))
+
+
+def knn_label_prop(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+                   n_probe: int = 2, n_assign: int = 1,
+                   method: str = "modulo",
+                   centroid_k: int | None = None,
+                   label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote label propagation with leave-one-out
+    evaluation — the label-quality / annotation-transfer check over
+    an embedding space (propagate labels from neighbors, score
+    against each vector's own label; knn_graph already excludes
+    self, so the evaluation is leave-one-out by construction).
+
+    Winner per vector: most neighbor votes, ties to the smallest
+    label (deterministic both engines). Vectors with no graph
+    neighbors (singleton cells) do not participate — the honest
+    bucketed contract.
+
+    Output: (label, n, n_correct, acc_bp) per true label, ordered.
+
+    Scale: the vote frame is <= n·k rows; the winner window runs
+    over <= k rows per vector (bounded frame, reduce-before-window);
+    the summary is one combinable aggregate on label."""
+    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
+                  centroid_k)
+    lbl = df.select("vec_id",
+                    F.col(label_col).cast("long").alias("lbl"))
+    votes = (g.join(lbl, "vec_id")
+             .groupBy("qid", "lbl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("lbl").asc())
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("qid", F.col("lbl").alias("pred")))
+    own = lbl.select(F.col("vec_id").alias("qid"),
+                     F.col("lbl").alias("own"))
+    per = pred.join(own, "qid")
+    return (per.groupBy(F.col("own").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("pred") == F.col("own")).cast("long"))
+                 .alias("n_correct"))
+            .select("label", "n", "n_correct",
+                    F.expr("10000 * n_correct div n").cast("long")
+                    .alias("acc_bp"))
+            .orderBy("label"))
+
+
+def knn_outliers(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+                 n_probe: int = 2, n_assign: int = 1,
+                 method: str = "modulo",
+                 centroid_k: int | None = None,
+                 bottom: int = 25) -> DataFrame:
+    """Embedding-space outlier report — the ``bottom`` vectors whose
+    mean top-k neighbor cosine is LOWEST (isolated points: noise,
+    mislabeled data, or genuinely novel content — the triage list a
+    curation run reviews before sampling). Vectors with no graph
+    neighbors rank first with the -10000 sentinel.
+
+    cos is the 4dp-rounded double; it is re-quantized to integer
+    basis points BEFORE summation so the per-vector sum is
+    order-independent (a double sum's value depends on reduction
+    order). The mean is floor-on-double (negative-safe, identical
+    IEEE quotient both engines).
+
+    Output: (vec_id, n_nbrs, mean_cos_bp), ``bottom`` rows ascending.
+
+    Scale: one combinable aggregate over the n·k edge frame, a
+    broadcast-size left join back to ids, and a TakeOrdered —
+    no window, no full sort."""
+    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
+                  centroid_k)
+    cb = g.select("qid",
+                  F.round(F.col("cos") * 10000).cast("long")
+                  .alias("cb"))
+    per = (cb.groupBy("qid")
+           .agg(F.count(F.lit(1)).alias("n_nbrs"),
+                F.sum("cb").alias("sc")))
+    base = _vectors(df).select("vec_id")
+    out = (base.join(per.withColumnRenamed("qid", "vec_id"),
+                     "vec_id", "left")
+           .select(
+               "vec_id",
+               F.coalesce("n_nbrs", F.lit(0)).cast("long")
+               .alias("n_nbrs"),
+               F.coalesce(
+                   F.floor(F.col("sc").cast("double")
+                           / F.col("n_nbrs")),
+                   F.lit(-10000)).cast("long").alias("mean_cos_bp")))
+    return (out.orderBy(F.col("mean_cos_bp").asc(), F.col("vec_id"))
+            .limit(bottom))

@@ -1556,3 +1556,99 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         r_wc.alias("r_wc"), r_mwl.alias("r_mwl"),
         r_stop.alias("r_stop"), r_dup.alias("r_dup"),
         (r_wc & r_mwl & r_stop & r_dup).alias("keep"))
+
+
+def nb_calibration(df: DataFrame, train_mod: int = 3,
+                   vocab_k: int = 50, quality_cut: int = 4700,
+                   bin_w_u: int = 500_000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Reliability table for the x141 classifier — fixed-width score
+    bins vs the empirical positive rate (the calibration check run
+    before trusting a learned filter's scores as rankings: a
+    well-ordered classifier shows pos_bp monotone in the bin).
+
+    Bins are floor(score / bin_w_u) on the IEEE double quotient —
+    identical in both engines, valid for negative scores too (floor,
+    not truncate). Per bin: n docs, positives under the heuristic
+    truth, pos_bp, and the floored mean score.
+
+    Output: (bin, n, n_pos, pos_bp, mean_s_u) ordered by bin.
+
+    Scale: scoring is the x141 chain; the table itself is one
+    combinable aggregate over (bin) — no window, no join."""
+    preds = nb_quality_classifier(df, train_mod, vocab_k,
+                                  quality_cut, text_col, id_col)
+    truth = (quality_score(df, id_col, text_col)
+             .where(F.col(id_col) % train_mod != 0)
+             .select(F.col(id_col),
+                     (F.col("quality_bp") >= quality_cut)
+                     .cast("int").alias("yt")))
+    j = (preds.join(truth, id_col)
+         .select(F.col("nb_score_u").alias("s"), "yt"))
+    b = F.floor(F.col("s").cast("double") / F.lit(float(bin_w_u))) \
+        .cast("long")
+    g = (j.select(b.alias("bin"), "s", "yt")
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("yt").cast("long").alias("n_pos"),
+              F.sum("s").alias("ssum")))
+    return (g.select(
+        "bin", "n", "n_pos",
+        F.expr("10000 * n_pos div n").cast("long").alias("pos_bp"),
+        F.floor(F.col("ssum").cast("double") / F.col("n"))
+        .cast("long").alias("mean_s_u"))
+        .orderBy("bin"))
+
+
+def gate_agreement(df: DataFrame, train_mod: int = 3,
+                   vocab_k: int = 50, quality_cut: int = 4700,
+                   nb_cut_u: int = 5_000_000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cohen's kappa between two quality gates on the held-out split:
+    the x11 heuristic cut (g1) and the x141 NB score at an explicit
+    operating point ``nb_cut_u`` (g2) — the inter-rater check a
+    curation run does before swapping one filter for another (raw
+    agreement over-reads when both gates pass almost everything;
+    kappa subtracts the chance-agreement floor).
+
+    All integer except the two guarded floor-on-double divisions
+    (identical IEEE quotients both engines; kappa may be negative,
+    so floor — not integer-div truncation — is the portable choice).
+
+    Output: one row (n, n11, n10, n01, n00, po_bp, pe_bp, kappa_bp).
+
+    Scale: the per-doc frame reduces to four combinable counts; the
+    kappa arithmetic runs on a 1-row frame."""
+    preds = nb_quality_classifier(df, train_mod, vocab_k,
+                                  quality_cut, text_col, id_col)
+    truth = (quality_score(df, id_col, text_col)
+             .where(F.col(id_col) % train_mod != 0)
+             .select(F.col(id_col),
+                     (F.col("quality_bp") >= quality_cut)
+                     .cast("int").alias("g1")))
+    j = (preds.select(F.col(id_col),
+                      (F.col("nb_score_u") >= nb_cut_u)
+                      .cast("int").alias("g2"))
+         .join(truth, id_col))
+    c = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("g1") * F.col("g2")).alias("n11"),
+        F.sum(F.col("g1") * (1 - F.col("g2"))).alias("n10"),
+        F.sum((1 - F.col("g1")) * F.col("g2")).alias("n01"),
+        F.sum((1 - F.col("g1")) * (1 - F.col("g2"))).alias("n00"))
+    po = F.expr("10000 * (n11 + n00) div n")
+    pe = F.expr("10000 * ((n11 + n10) * (n11 + n01) "
+                "+ (n01 + n00) * (n10 + n00)) div (n * n)")
+    with_p = c.select("n", "n11", "n10", "n01", "n00",
+                      po.cast("long").alias("po_bp"),
+                      pe.cast("long").alias("pe_bp"))
+    kappa = F.when(
+        F.col("pe_bp") >= 10000, F.lit(10000)).otherwise(
+        F.floor(F.lit(10000.0)
+                * (F.col("po_bp") - F.col("pe_bp")).cast("double")
+                / (F.lit(10000) - F.col("pe_bp")).cast("double")))
+    return with_p.select("n", "n11", "n10", "n01", "n00",
+                         "po_bp", "pe_bp",
+                         kappa.cast("long").alias("kappa_bp"))

@@ -482,3 +482,48 @@ def test_fixed_k_requires_centroid_k(spark):
         raise AssertionError("expected ValueError")
     except ValueError as ex:
         assert "centroid_k" in str(ex)
+
+
+def test_knn_label_prop_recovers_two_clean_clusters(spark):
+    """Two tight clusters with distinct labels, all cells probed:
+    every vector's neighbors are its cluster mates, so leave-one-out
+    accuracy is 100% for both labels."""
+    rows = [(i, [1.0, 0.0, 0.01 * i], 1) for i in range(3)] + \
+           [(10 + i, [0.0, 1.0, 0.01 * i], 2) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int")
+    got = [tuple(r) for r in similarity.knn_label_prop(
+        df, k=2, method="fixed", centroid_k=2, n_probe=2).collect()]
+    assert got == [(1, 3, 3, 10000), (2, 3, 3, 10000)]
+
+
+def test_knn_label_prop_tie_goes_to_smallest_label(spark):
+    """A query with one vote each for labels 1 and 2 predicts 1."""
+    rows = [(0, [1.0, 0.0], 2), (1, [0.9, 0.1], 1),
+            (2, [0.8, 0.2], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int")
+    # k=2: vec 0's two neighbors carry labels {1, 2} -> pred 1 != 2
+    got = {r.label: (r.n, r.n_correct) for r in
+           similarity.knn_label_prop(
+               df, k=2, method="fixed", centroid_k=1,
+               n_probe=1).collect()}
+    assert got[2][0] >= 1  # vec 0 participates
+    # vec 0 predicted 1 (tie -> min), own label 2 -> not all correct
+    assert got[2][1] < got[2][0]
+
+
+def test_knn_outliers_isolated_vector_ranks_first(spark):
+    """An orthogonal vector has the lowest mean neighbor cosine and
+    leads the outlier list; the report is bp-integer and ascending."""
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(4)] + \
+           [(99, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>")
+    out = similarity.knn_outliers(
+        df, k=3, method="fixed", centroid_k=1, n_probe=1,
+        bottom=5).collect()
+    assert out[0].vec_id == 99
+    means = [r.mean_cos_bp for r in out]
+    assert means == sorted(means)
+    assert all(-10000 <= m <= 10000 for m in means)

@@ -404,3 +404,46 @@ def test_gopher_rules_single_token_doc_guard(spark):
     df = spark.createDataFrame([(1, "solo")], "doc_id: long, text: string")
     r = gopher_rules(df).collect()[0]
     assert (r.n_words, r.dup2_bp, r.keep) == (1, 0, False)
+
+
+def test_nb_calibration_partitions_heldout(spark):
+    """Bins partition the held-out split; rates are valid bp; the
+    floored mean score sits inside its bin's bounds."""
+    from kafana_spark.operators.text import nb_calibration
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    W = 500_000
+    rows = nb_calibration(d, bin_w_u=W).collect()
+    n_held = d.where(F.col("doc_id") % 3 != 0).count()
+    assert sum(r.n for r in rows) == n_held
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n
+        assert r.pos_bp == 10000 * r.n_pos // r.n
+        assert r.bin * W <= r.mean_s_u < (r.bin + 1) * W
+
+
+def test_gate_agreement_counts_and_kappa_consistent(spark):
+    """The 2x2 table partitions the held-out split and the reported
+    kappa matches a Python recompute from the table itself."""
+    import math
+
+    from kafana_spark.operators.text import gate_agreement
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    r = gate_agreement(d, nb_cut_u=5_000_000).collect()[0]
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+    assert r.po_bp == 10000 * (r.n11 + r.n00) // r.n
+    pe = 10000 * ((r.n11 + r.n10) * (r.n11 + r.n01)
+                  + (r.n01 + r.n00) * (r.n10 + r.n00)) // (r.n * r.n)
+    assert r.pe_bp == pe
+    if pe < 10000:
+        assert r.kappa_bp == math.floor(
+            10000.0 * float(r.po_bp - pe) / float(10000 - pe))
+    assert -10000 <= r.kappa_bp <= 10000
+    # the cut must make BOTH gates non-constant on the smoke corpus
+    assert (r.n11 + r.n10) not in (0, r.n)
+    assert (r.n11 + r.n01) not in (0, r.n)
