@@ -100,6 +100,9 @@ NB_CAL_BIN_W_U = 500_000
 NB_KAPPA_CUT_U = 5_000_000
 #: x166 outlier report size.
 OUTLIER_K = 25
+#: x167 PCA power iteration: unrolled rounds, projection bin width.
+PCA_ITERS = 4
+PCA_BIN_W = 200_000_000_000
 #: x160 skew advisor: assumed shuffle width and keys reported.
 SKEW_PARTS = 32
 SKEW_K = 10
@@ -2138,6 +2141,18 @@ def x_gate_kappa(spark, sf_dir):
         nb_cut_u=NB_KAPPA_CUT_U)
 
 
+def x_pca_power(spark, sf_dir):
+    """x167 — top principal component by PCA_ITERS unrolled power-
+    iteration rounds on the exact integer scaled covariance
+    n·S − s·sᵀ (the Lloyd-walk discipline applied to the eigen
+    problem), reported as the corpus's centered projection
+    histogram — the variance-structure probe before whitening /
+    1-d stratified sampling."""
+    return similarity.pca_power(_embs(spark, sf_dir),
+                                n_iters=PCA_ITERS, dim=EMB_DIM,
+                                bin_w=PCA_BIN_W)
+
+
 def x_emb_outliers(spark, sf_dir):
     """x166 — embedding outlier triage: the OUTLIER_K vectors with
     the lowest mean top-k neighbor cosine over the x149 graph
@@ -2637,6 +2652,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x164_nb_calibration": x_nb_calibration,
     "x165_gate_kappa": x_gate_kappa,
     "x166_emb_outliers": x_emb_outliers,
+    "x167_pca_power": x_pca_power,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5048,6 +5064,54 @@ def _emb_outliers_sql() -> str:
         f"ORDER BY mean_cos_bp, vec_id LIMIT {OUTLIER_K}")
 
 
+def _pca_power_sql() -> str:
+    """x167 oracle — the identical integer walk in SQL: µunit
+    quantization, HUGEINT Gram/covariance, PCA_ITERS unrolled
+    matrix-vector rounds with sign-safe truncating renormalization
+    (DuckDB ``//`` truncates toward zero on negatives, matching the
+    Spark side's sign·(abs//norm)), then the centered projection
+    histogram. The iteration CTEs are generated from PCA_ITERS so
+    the twin cannot desynchronize from the constant."""
+    w = PCA_BIN_W
+    iters = "".join(
+        f"mv{t} AS (SELECT cp.j, SUM(c * v{t-1}.vv) AS m "
+        f"FROM cp JOIN v{t-1} ON v{t-1}.j = cp.k GROUP BY cp.j), "
+        f"nm{t} AS (SELECT MAX(ABS(m)) AS nm FROM mv{t}), "
+        f"v{t} AS (SELECT j, CASE WHEN m >= 0 "
+        f"THEN (ABS(m) * 1000000) // nm "
+        f"ELSE -((ABS(m) * 1000000) // nm) END AS vv "
+        f"FROM mv{t} CROSS JOIN nm{t}), "
+        for t in range(1, PCA_ITERS + 1))
+    vf = f"v{PCA_ITERS}"
+    return (
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "xu AS (SELECT vec_id, j, "
+        "CAST(FLOOR(v[j + 1] * 1000000 + 0.5) AS BIGINT) AS x "
+        f"FROM e0, unnest(range(0, {EMB_DIM})) AS u(j)), "
+        "ncnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e0), "
+        "sj AS (SELECT j, CAST(SUM(x) AS HUGEINT) AS s FROM xu "
+        "GROUP BY j), "
+        "smat AS (SELECT a.j AS j, b.j AS k, "
+        "CAST(SUM(a.x * b.x) AS HUGEINT) AS g "
+        "FROM xu a JOIN xu b USING (vec_id) GROUP BY a.j, b.j), "
+        "cp AS (SELECT smat.j, smat.k, n * g - sa.s * sb.s AS c "
+        "FROM smat JOIN sj sa ON sa.j = smat.j "
+        "JOIN sj sb ON sb.j = smat.k CROSS JOIN ncnt), "
+        "v0 AS (SELECT j, CAST(1000000 + j AS HUGEINT) AS vv "
+        "FROM sj), "
+        + iters +
+        f"svv AS (SELECT SUM(sj.s * {vf}.vv) AS sv FROM sj "
+        f"JOIN {vf} USING (j)), "
+        f"raw AS (SELECT vec_id, SUM(x * {vf}.vv) AS r FROM xu "
+        f"JOIN {vf} USING (j) GROUP BY vec_id), "
+        "bb AS (SELECT CAST(FLOOR(CAST(n * r - sv AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * {float(w)})) AS BIGINT) AS bin "
+        "FROM raw CROSS JOIN svv CROSS JOIN ncnt) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM bb "
+        "GROUP BY bin ORDER BY bin")
+
+
 def _lang_fair_gate_sql() -> str:
     """x158 oracle — within-language integer percentile of the x11
     quality score over the shared quality chain."""
@@ -5903,6 +5967,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x164_nb_calibration": _nb_calibration_sql(),
     "x165_gate_kappa": _gate_kappa_sql(),
     "x166_emb_outliers": _emb_outliers_sql(),
+    "x167_pca_power": _pca_power_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1098,3 +1098,73 @@ def knn_outliers(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                    F.lit(-10000)).cast("long").alias("mean_cos_bp")))
     return (out.orderBy(F.col("mean_cos_bp").asc(), F.col("vec_id"))
             .limit(bottom))
+
+
+def pca_power(df: DataFrame, n_iters: int = 4, dim: int = 64,
+              bin_w: int = 200_000_000_000) -> DataFrame:
+    """Top principal component by unrolled power iteration + the
+    corpus's projection histogram onto it — the variance-structure
+    probe run before whitening / dimensionality reduction (a corpus
+    whose first component explains most variance embeds redundantly;
+    the histogram also feeds 1-d stratified sampling along the
+    dominant semantic axis).
+
+    Engine-exact like the Lloyd walk (``_km_loop``): vectors are
+    µunit integers; the scaled covariance C = n·S − s·sᵀ (S = Gram
+    matrix, s = column sums) is EXACT integer arithmetic; each of
+    the ``n_iters`` unrolled rounds multiplies C·v in arbitrary-
+    precision integers (Python here, HUGEINT in the DuckDB oracle)
+    and renormalizes to max-norm 1e6 with sign-safe truncating
+    division (DuckDB ``//`` truncates toward zero on negatives while
+    Python floors — sign·(abs//norm) is identical in both). The
+    projection n·(xu·v) − s·v stays in int64 (≤ ~4e16 at the gate
+    corpus; double-exact below 2^53 for the final floor-binning;
+    int64 overflow at n ≳ 9e6 rows — scale units down or shard the
+    Gram pass beyond that).
+
+    Output: (bin, n) histogram of floor(centered_proj / bin_w),
+    ordered by bin.
+
+    Scale: the Gram pass is the one corpus-scale job — a self
+    equi-join on vec_id expanding to n·d² rows that partial-
+    aggregates to d² cells (the standard distributed moment
+    computation; d² = 4096 cells combine map-side). The iteration
+    itself is driver-side O(d²·iters) on a d×d integer table —
+    exactly the sufficient-statistics shape the Lloyd walk
+    materializes. The projection is one broadcast-literal zip_with
+    pass; the histogram is a combinable count."""
+    corpus = _km_corpus(df, dim)
+    ex = corpus.select("vec_id", F.posexplode("vu").alias("j", "x"))
+    sj = {int(r.j): int(r.s)
+          for r in ex.groupBy("j").agg(F.sum("x").alias("s"))
+          .collect()}
+    gram = (ex.alias("a")
+            .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+            .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
+            .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s")))
+    S = {(int(r.j), int(r.k)): int(r.s) for r in gram.collect()}
+    n = corpus.count()
+    # index-perturbed start (1e6 + j) so a top component exactly
+    # orthogonal to the all-ones vector still gets a nonzero seed
+    # projection; the oracle uses the same 0-based perturbation.
+    v = [1_000_000 + j for j in range(dim)]
+    for _ in range(n_iters):
+        mv = [sum((n * S[(j, k)] - sj[j] * sj[k]) * v[k]
+                  for k in range(dim)) for j in range(dim)]
+        norm = max(abs(x) for x in mv)
+        if norm == 0:
+            break
+        v = [(1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // norm)
+             for x in mv]
+    sv = sum(sj[j] * v[j] for j in range(dim))
+    vcol = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+    raw = (corpus.withColumn("vv", vcol)
+           .select("vec_id", F.expr(
+               "aggregate(zip_with(vu, vv, (a, b) -> a * b), "
+               "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("r")))
+    cen = F.col("r") * n - F.lit(sv)
+    b = F.floor(cen.cast("double")
+                / F.lit(float(n) * float(bin_w))).cast("long")
+    return (raw.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bin"))
