@@ -2141,6 +2141,67 @@ def x_gate_kappa(spark, sf_dir):
         nb_cut_u=NB_KAPPA_CUT_U)
 
 
+def x_curation_v5(spark, sf_dir):
+    """x168 — curation composition v5, the r6-session-3 funnel: v4's
+    learned/fair gates preceded by the Gopher per-rule gate (x162)
+    and followed by embedding-outlier removal (x166) before the
+    diversity quota — (1) Gopher rules, (2) language-fair quality
+    percentile WITHIN the surviving pool (stage semantics: each gate
+    filters the previous pool), (3) NB classifier verdict (training
+    docs pass by their own heuristic label), (4) exact dedup
+    keep-first, (5) drop the OUTLIER_K most isolated embeddings,
+    (6) cluster-balanced diversity quota on the full semantic space.
+    Output is the (stage, n_kept) funnel under one oracle hash."""
+    d = _docs(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    s1 = (text.gopher_rules(
+        d, min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS,
+        min_mwl_x10=GOPHER_MIN_MWL, max_mwl_x10=GOPHER_MAX_MWL,
+        min_stop=GOPHER_MIN_STOP, max_dup2_bp=GOPHER_MAX_DUP2_BP)
+        .where(F.col("keep")).select("doc_id"))
+    s2 = (text.lang_fair_gate(d.join(s1, "doc_id"),
+                              keep_pct_bp=LANG_FAIR_KEEP_BP)
+          .where(F.col("keep")).select("doc_id"))
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    nb = text.nb_quality_classifier(
+        d, train_mod=NB_TRAIN_MOD, vocab_k=NB_VOCAB_K,
+        quality_cut=NB_QUALITY_CUT).select("doc_id", "pred")
+    s3 = (s2.join(q, "doc_id").join(nb, "doc_id", "left")
+          .where(F.when(F.col("doc_id") % NB_TRAIN_MOD == 0,
+                        F.col("quality_bp") >= NB_QUALITY_CUT)
+                 .otherwise(F.coalesce(F.col("pred"), F.lit(False))))
+          .select("doc_id"))
+    s4 = (s3.join(d.select("doc_id", "text"), "doc_id")
+          .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+          .select("doc_id"))
+    ol = (similarity.knn_outliers(
+        e, k=KNN_K, method="fixed", centroid_k=KNN_CELLS,
+        n_probe=KNN_N_PROBE, n_assign=KNN_N_ASSIGN,
+        bottom=OUTLIER_K)
+        .select(F.col("vec_id").alias("doc_id")))
+    s5 = s4.join(ol, "doc_id", "left_anti")
+    cs = (dedup.cluster_sample(e, k=KNN_K,
+                               method="fixed", centroid_k=KNN_CELLS,
+                               n_probe=KNN_N_PROBE,
+                               n_assign=KNN_N_ASSIGN,
+                               min_cos=KNN_CLUSTER_MIN_COS)
+          .select(F.col("vec_id").alias("doc_id")))
+    s6 = s5.join(cs, "doc_id")
+
+    def cnt(df, label):
+        return (df.agg(F.count(F.lit(1)).alias("n_kept"))
+                .select(F.lit(label).alias("stage"), "n_kept"))
+
+    return (cnt(d, "s0_all")
+            .unionAll(cnt(s1, "s1_gopher"))
+            .unionAll(cnt(s2, "s2_lang_fair"))
+            .unionAll(cnt(s3, "s3_nb_filter"))
+            .unionAll(cnt(s4, "s4_exact_dedup"))
+            .unionAll(cnt(s5, "s5_outlier_drop"))
+            .unionAll(cnt(s6, "s6_cluster_quota"))
+            .orderBy("stage"))
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2653,6 +2714,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x165_gate_kappa": x_gate_kappa,
     "x166_emb_outliers": x_emb_outliers,
     "x167_pca_power": x_pca_power,
+    "x168_curation_v5": x_curation_v5,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5064,6 +5126,53 @@ def _emb_outliers_sql() -> str:
         f"ORDER BY mean_cos_bp, vec_id LIMIT {OUTLIER_K}")
 
 
+def _curation_v5_sql() -> str:
+    """x168 oracle — the v5 funnel: the x162 Gopher gate and x166
+    outlier list embedded as self-contained derived tables (their
+    inner WITHs stay scoped), language-fair percentile computed
+    WITHIN the Gopher-surviving pool, then the v4 NB/dedup/quota
+    chain."""
+    m, cut, p = NB_TRAIN_MOD, NB_QUALITY_CUT, LANG_FAIR_KEEP_BP
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        f"gp AS (SELECT doc_id FROM ({_gopher_rules_sql()}) "
+        "WHERE keep), "
+        "jq5 AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
+        "JOIN documents d USING (doc_id) JOIN gp USING (doc_id)), "
+        "lr5 AS (SELECT doc_id, CASE WHEN COUNT(*) OVER "
+        "(PARTITION BY lang) > 1 THEN 10000 * (ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY quality_bp, doc_id) - 1) // "
+        "(COUNT(*) OVER (PARTITION BY lang) - 1) ELSE 0 END "
+        "AS pct FROM jq5), "
+        f"k1 AS (SELECT doc_id FROM lr5 WHERE pct >= {p}), "
+        "k2 AS (SELECT k1.doc_id FROM k1 "
+        "JOIN q USING (doc_id) LEFT JOIN scored USING (doc_id) "
+        f"WHERE CASE WHEN k1.doc_id % {m} = 0 "
+        f"THEN quality_bp >= {cut} "
+        "ELSE COALESCE(pred, FALSE) END), "
+        "k3 AS (SELECT MIN(d.doc_id) AS doc_id FROM k2 "
+        "JOIN documents d USING (doc_id) GROUP BY d.text), "
+        f"ol AS (SELECT vec_id FROM ({_emb_outliers_sql()})), "
+        "k4 AS (SELECT doc_id FROM k3 WHERE doc_id NOT IN "
+        "(SELECT vec_id FROM ol)), "
+        f"k5 AS (SELECT k4.doc_id FROM k4 JOIN "
+        f"({_cluster_sample_sql()}) cs ON cs.vec_id = k4.doc_id) "
+        "SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) "
+        "AS n_kept FROM documents "
+        "UNION ALL SELECT 's1_gopher', CAST(COUNT(*) AS BIGINT) "
+        "FROM gp "
+        "UNION ALL SELECT 's2_lang_fair', CAST(COUNT(*) AS BIGINT) "
+        "FROM k1 "
+        "UNION ALL SELECT 's3_nb_filter', CAST(COUNT(*) AS BIGINT) "
+        "FROM k2 "
+        "UNION ALL SELECT 's4_exact_dedup', CAST(COUNT(*) AS BIGINT) "
+        "FROM k3 "
+        "UNION ALL SELECT 's5_outlier_drop', CAST(COUNT(*) AS BIGINT) "
+        "FROM k4 "
+        "UNION ALL SELECT 's6_cluster_quota', CAST(COUNT(*) AS BIGINT) "
+        "FROM k5 ORDER BY stage")
+
+
 def _pca_power_sql() -> str:
     """x167 oracle — the identical integer walk in SQL: µunit
     quantization, HUGEINT Gram/covariance, PCA_ITERS unrolled
@@ -5968,6 +6077,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x165_gate_kappa": _gate_kappa_sql(),
     "x166_emb_outliers": _emb_outliers_sql(),
     "x167_pca_power": _pca_power_sql(),
+    "x168_curation_v5": _curation_v5_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

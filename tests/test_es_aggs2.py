@@ -1185,3 +1185,21 @@ def test_curation_v4_funnel_is_monotone(spark):
     vals = list(got.values())
     assert all(a >= b for a, b in zip(vals, vals[1:]))
     assert vals[-1] >= 1
+
+
+def test_curation_v5_funnel_is_monotone(spark):
+    """Each v5 stage can only shrink the kept set; the Gopher and
+    outlier stages actually bite on the smoke corpus; the funnel
+    ends non-empty with the documented seven labels."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    rows = EXTENSION_QUERIES["x168_curation_v5"](
+        spark, SF_SMOKE).collect()
+    got = {r.stage: r.n_kept for r in rows}
+    assert list(got) == ["s0_all", "s1_gopher", "s2_lang_fair",
+                         "s3_nb_filter", "s4_exact_dedup",
+                         "s5_outlier_drop", "s6_cluster_quota"]
+    vals = list(got.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert got["s1_gopher"] < got["s0_all"]
+    assert got["s5_outlier_drop"] < got["s4_exact_dedup"]
+    assert vals[-1] >= 1
