@@ -2202,6 +2202,45 @@ def x_curation_v5(spark, sf_dir):
             .orderBy("stage"))
 
 
+def x_rejection_report(spark, sf_dir):
+    """x169 — gate-rejection report: the three independent quality
+    gates (Gopher rules x162, language-fair percentile x158, NB
+    verdict x141 with the training-split heuristic rule) evaluated
+    on the FULL corpus and cross-tabulated — the "which gate binds"
+    diagnostic read before tuning funnel thresholds (a doc rejected
+    by all three is cheap to drop; a large only-one-gate cell says
+    that gate disagrees with the other signals and deserves review).
+    Output: (g_gopher, g_fair, g_nb, n, share_bp), <= 8 rows."""
+    d = _docs(spark, sf_dir)
+    gg = (text.gopher_rules(
+        d, min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS,
+        min_mwl_x10=GOPHER_MIN_MWL, max_mwl_x10=GOPHER_MAX_MWL,
+        min_stop=GOPHER_MIN_STOP, max_dup2_bp=GOPHER_MAX_DUP2_BP)
+        .select("doc_id", F.col("keep").alias("g_gopher")))
+    gf = (text.lang_fair_gate(d, keep_pct_bp=LANG_FAIR_KEEP_BP)
+          .select("doc_id", F.col("keep").alias("g_fair")))
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    nb = text.nb_quality_classifier(
+        d, train_mod=NB_TRAIN_MOD, vocab_k=NB_VOCAB_K,
+        quality_cut=NB_QUALITY_CUT).select("doc_id", "pred")
+    gn = (d.select("doc_id").join(q, "doc_id")
+          .join(nb, "doc_id", "left")
+          .select("doc_id",
+                  F.when(F.col("doc_id") % NB_TRAIN_MOD == 0,
+                         F.col("quality_bp") >= NB_QUALITY_CUT)
+                  .otherwise(F.coalesce(F.col("pred"), F.lit(False)))
+                  .alias("g_nb")))
+    j = gg.join(gf, "doc_id").join(gn, "doc_id")
+    tot = j.agg(F.count(F.lit(1)).alias("n_total"))
+    return (j.groupBy("g_gopher", "g_fair", "g_nb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("g_gopher", "g_fair", "g_nb", "n",
+                    F.expr("10000 * n div n_total").cast("long")
+                    .alias("share_bp"))
+            .orderBy("g_gopher", "g_fair", "g_nb"))
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2715,6 +2754,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x166_emb_outliers": x_emb_outliers,
     "x167_pca_power": x_pca_power,
     "x168_curation_v5": x_curation_v5,
+    "x169_rejection_report": x_rejection_report,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5173,6 +5213,38 @@ def _curation_v5_sql() -> str:
         "FROM k5 ORDER BY stage")
 
 
+def _rejection_report_sql() -> str:
+    """x169 oracle — the three gates cross-tabulated: Gopher keep as
+    a derived table, the x158 percentile chain over the full corpus,
+    and the NB train-split rule from the shared scored chain."""
+    m, cut, p = NB_TRAIN_MOD, NB_QUALITY_CUT, LANG_FAIR_KEEP_BP
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        f"gg AS (SELECT doc_id, keep AS g_gopher FROM "
+        f"({_gopher_rules_sql()})), "
+        "jq9 AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
+        "JOIN documents d USING (doc_id)), "
+        "lr9 AS (SELECT doc_id, CASE WHEN COUNT(*) OVER "
+        "(PARTITION BY lang) > 1 THEN 10000 * (ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY quality_bp, doc_id) - 1) // "
+        "(COUNT(*) OVER (PARTITION BY lang) - 1) ELSE 0 END "
+        "AS pct FROM jq9), "
+        f"gf AS (SELECT doc_id, pct >= {p} AS g_fair FROM lr9), "
+        "gn AS (SELECT q.doc_id, "
+        f"CASE WHEN q.doc_id % {m} = 0 THEN quality_bp >= {cut} "
+        "ELSE COALESCE(pred, FALSE) END AS g_nb "
+        "FROM q LEFT JOIN scored USING (doc_id)), "
+        "j AS (SELECT gg.doc_id, g_gopher, g_fair, g_nb FROM gg "
+        "JOIN gf USING (doc_id) JOIN gn USING (doc_id)), "
+        "tot9 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j) "
+        "SELECT g_gopher, g_fair, g_nb, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(10000 * COUNT(*) // n_total AS BIGINT) AS share_bp "
+        "FROM j CROSS JOIN tot9 "
+        "GROUP BY g_gopher, g_fair, g_nb, n_total "
+        "ORDER BY g_gopher, g_fair, g_nb")
+
+
 def _pca_power_sql() -> str:
     """x167 oracle — the identical integer walk in SQL: µunit
     quantization, HUGEINT Gram/covariance, PCA_ITERS unrolled
@@ -6078,6 +6150,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x166_emb_outliers": _emb_outliers_sql(),
     "x167_pca_power": _pca_power_sql(),
     "x168_curation_v5": _curation_v5_sql(),
+    "x169_rejection_report": _rejection_report_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1203,3 +1203,21 @@ def test_curation_v5_funnel_is_monotone(spark):
     assert got["s1_gopher"] < got["s0_all"]
     assert got["s5_outlier_drop"] < got["s4_exact_dedup"]
     assert vals[-1] >= 1
+
+
+def test_rejection_report_partitions_corpus(spark):
+    """The 2x2x2 cross-tab partitions the corpus; shares are valid
+    bp; every gate is non-constant on the smoke corpus (both True
+    and False appear in its margin)."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.sources.tables import load_table
+
+    rows = EXTENSION_QUERIES["x169_rejection_report"](
+        spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for g in ("g_gopher", "g_fair", "g_nb"):
+        vals = {getattr(r, g) for r in rows}
+        assert vals == {True, False}
+    for r in rows:
+        assert r.share_bp == 10000 * r.n // n_docs
