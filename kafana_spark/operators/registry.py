@@ -2241,6 +2241,74 @@ def x_rejection_report(spark, sf_dir):
             .orderBy("g_gopher", "g_fair", "g_nb"))
 
 
+def x_source_gate_matrix(spark, sf_dir):
+    """x170 — per-source gate keep-rate matrix: the x169 gates
+    sliced by the source key (which ingest feeds lose the most to
+    which gate — the report that decides per-source thresholds or
+    source deprecation). Output: (source, n_docs, gopher_bp,
+    fair_bp, nb_bp) ordered by source."""
+    d = _docs(spark, sf_dir)
+    gg = (text.gopher_rules(
+        d, min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS,
+        min_mwl_x10=GOPHER_MIN_MWL, max_mwl_x10=GOPHER_MAX_MWL,
+        min_stop=GOPHER_MIN_STOP, max_dup2_bp=GOPHER_MAX_DUP2_BP)
+        .select("doc_id", F.col("keep").cast("int").alias("gg")))
+    gf = (text.lang_fair_gate(d, keep_pct_bp=LANG_FAIR_KEEP_BP)
+          .select("doc_id", F.col("keep").cast("int").alias("gf")))
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    nb = text.nb_quality_classifier(
+        d, train_mod=NB_TRAIN_MOD, vocab_k=NB_VOCAB_K,
+        quality_cut=NB_QUALITY_CUT).select("doc_id", "pred")
+    gn = (d.select("doc_id").join(q, "doc_id")
+          .join(nb, "doc_id", "left")
+          .select("doc_id",
+                  F.when(F.col("doc_id") % NB_TRAIN_MOD == 0,
+                         F.col("quality_bp") >= NB_QUALITY_CUT)
+                  .otherwise(F.coalesce(F.col("pred"), F.lit(False)))
+                  .cast("int").alias("gn")))
+    j = (d.select("doc_id", "source")
+         .join(gg, "doc_id").join(gf, "doc_id").join(gn, "doc_id"))
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("gg").alias("sg"), F.sum("gf").alias("sf"),
+                 F.sum("gn").alias("sn"))
+            .select("source", "n_docs",
+                    F.expr("10000 * sg div n_docs").cast("long")
+                    .alias("gopher_bp"),
+                    F.expr("10000 * sf div n_docs").cast("long")
+                    .alias("fair_bp"),
+                    F.expr("10000 * sn div n_docs").cast("long")
+                    .alias("nb_bp"))
+            .orderBy("source"))
+
+
+def x_dup_quality(spark, sf_dir):
+    """x171 — duplication × quality interaction: docs banded by the
+    size of their PREFIX-duplicate group (x12's head fingerprint —
+    md5 of the first 8 tokens; whole-text duplicates are too rare in
+    the fixtures to band) with the distinct-group count and the
+    integer mean quality per band — the check for whether
+    near-duplicated content is systematically lower-quality (if so,
+    dedup doubles as a quality gate; if not, dedup and quality
+    filtering are independent budget decisions)."""
+    d = _docs(spark, sf_dir)
+    q = text.quality_score(d).select("doc_id", "quality_bp")
+    fp = text.fingerprint(d).select("doc_id", "fp_head")
+    sz = fp.groupBy("fp_head").agg(F.count(F.lit(1)).alias("csize"))
+    band = (F.when(F.col("csize") >= 3, F.lit("3+"))
+            .otherwise(F.col("csize").cast("string")))
+    j = (fp.join(sz, "fp_head").join(q, "doc_id")
+         .select(band.alias("csize_band"), "fp_head", "quality_bp"))
+    return (j.groupBy("csize_band")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp_head").alias("n_groups"),
+                 F.sum("quality_bp").alias("qs"))
+            .select("csize_band", "n_docs", "n_groups",
+                    F.expr("qs div n_docs").cast("long")
+                    .alias("mean_quality_bp"))
+            .orderBy("csize_band"))
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2755,6 +2823,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x167_pca_power": x_pca_power,
     "x168_curation_v5": x_curation_v5,
     "x169_rejection_report": x_rejection_report,
+    "x170_source_gate_matrix": x_source_gate_matrix,
+    "x171_dup_quality": x_dup_quality,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5245,6 +5315,58 @@ def _rejection_report_sql() -> str:
         "ORDER BY g_gopher, g_fair, g_nb")
 
 
+def _source_gate_matrix_sql() -> str:
+    """x170 oracle — the x169 gate chains grouped by source."""
+    m, cut, p = NB_TRAIN_MOD, NB_QUALITY_CUT, LANG_FAIR_KEEP_BP
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        f"gg AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END "
+        f"AS gg FROM ({_gopher_rules_sql()})), "
+        "jq9 AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
+        "JOIN documents d USING (doc_id)), "
+        "lr9 AS (SELECT doc_id, CASE WHEN COUNT(*) OVER "
+        "(PARTITION BY lang) > 1 THEN 10000 * (ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY quality_bp, doc_id) - 1) // "
+        "(COUNT(*) OVER (PARTITION BY lang) - 1) ELSE 0 END "
+        "AS pct FROM jq9), "
+        f"gf AS (SELECT doc_id, CASE WHEN pct >= {p} THEN 1 ELSE 0 "
+        "END AS gf FROM lr9), "
+        "gn AS (SELECT q.doc_id, "
+        f"CASE WHEN q.doc_id % {m} = 0 THEN "
+        f"(CASE WHEN quality_bp >= {cut} THEN 1 ELSE 0 END) "
+        "ELSE (CASE WHEN COALESCE(pred, FALSE) THEN 1 ELSE 0 END) "
+        "END AS gn FROM q LEFT JOIN scored USING (doc_id)), "
+        "j AS (SELECT d.source, gg, gf, gn FROM documents d "
+        "JOIN gg USING (doc_id) JOIN gf USING (doc_id) "
+        "JOIN gn USING (doc_id)) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(10000 * SUM(gg) // COUNT(*) AS BIGINT) AS gopher_bp, "
+        "CAST(10000 * SUM(gf) // COUNT(*) AS BIGINT) AS fair_bp, "
+        "CAST(10000 * SUM(gn) // COUNT(*) AS BIGINT) AS nb_bp "
+        "FROM j GROUP BY source ORDER BY source")
+
+
+def _dup_quality_sql() -> str:
+    """x171 oracle — prefix-duplicate (head-fingerprint) group-size
+    bands × integer mean quality over the shared quality chain."""
+    return (
+        f"WITH {_quality_core()}, "
+        "f AS (SELECT doc_id, md5(array_to_string("
+        "string_split(text, ' ')[1:8], ' ')) AS fp "
+        "FROM documents), "
+        "sz AS (SELECT fp, COUNT(*) AS csize FROM f GROUP BY fp), "
+        "j AS (SELECT CASE WHEN csize >= 3 THEN '3+' "
+        "ELSE CAST(csize AS VARCHAR) END AS csize_band, "
+        "f.fp, quality_bp "
+        "FROM f JOIN sz USING (fp) "
+        "JOIN q ON q.doc_id = f.doc_id) "
+        "SELECT csize_band, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups, "
+        "CAST(SUM(quality_bp) // COUNT(*) AS BIGINT) "
+        "AS mean_quality_bp "
+        "FROM j GROUP BY csize_band ORDER BY csize_band")
+
+
 def _pca_power_sql() -> str:
     """x167 oracle — the identical integer walk in SQL: µunit
     quantization, HUGEINT Gram/covariance, PCA_ITERS unrolled
@@ -6151,6 +6273,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x167_pca_power": _pca_power_sql(),
     "x168_curation_v5": _curation_v5_sql(),
     "x169_rejection_report": _rejection_report_sql(),
+    "x170_source_gate_matrix": _source_gate_matrix_sql(),
+    "x171_dup_quality": _dup_quality_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

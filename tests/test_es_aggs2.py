@@ -1221,3 +1221,38 @@ def test_rejection_report_partitions_corpus(spark):
         assert vals == {True, False}
     for r in rows:
         assert r.share_bp == 10000 * r.n // n_docs
+
+
+def test_source_gate_matrix_rates_are_weighted_means(spark):
+    """Per-source rates reconcile with the x169 cross-tab totals:
+    sum over sources of n_docs equals the corpus, and each rate is a
+    valid bp with at least one source below 10000 for each gate."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.sources.tables import load_table
+
+    rows = EXTENSION_QUERIES["x170_source_gate_matrix"](
+        spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for g in ("gopher_bp", "fair_bp", "nb_bp"):
+        vals = [getattr(r, g) for r in rows]
+        assert all(0 <= v <= 10000 for v in vals)
+        assert min(vals) < 10000  # the gate bites somewhere
+
+
+def test_dup_quality_bands_partition_and_reconcile(spark):
+    """Bands partition the corpus; group counts reconcile with the
+    docs count (band '1' has n_docs == n_groups, band '2' has
+    n_docs == 2·n_groups); the banding is non-degenerate."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.sources.tables import load_table
+
+    rows = {r.csize_band: r for r in EXTENSION_QUERIES[
+        "x171_dup_quality"](spark, SF_SMOKE).collect()}
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert len(rows) >= 2
+    if "1" in rows:
+        assert rows["1"].n_docs == rows["1"].n_groups
+    if "2" in rows:
+        assert rows["2"].n_docs == 2 * rows["2"].n_groups

@@ -591,3 +591,58 @@ def test_x149_knn_member_join_is_equi_on_cell(spark):
     # only the two tiny centroid-frame expansions may be nested-loop
     # (formatted mode prints each node twice: tree + details)
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4
+
+
+# ------------------------------------------------- r6 s3 additions
+
+
+def test_gopher_rules_plan_no_window_no_cartesian(spark):
+    """x162 is two combinable aggregate passes joined on doc_id —
+    no window function and no cartesian product may appear."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x162_gopher_rules"](
+        spark, SF_SMOKE))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "Window" not in body
+
+
+def test_pca_power_gram_is_equi_join(spark):
+    """x167's Gram pass must join the exploded frame on vec_id (an
+    equi-join that partial-aggregates to d² cells) — never a
+    cartesian pair frame; the projection pass joins nothing wider
+    than the broadcast literal vector."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x167_pca_power"](
+        spark, SF_SMOKE))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+
+
+def test_knn_outliers_plan_is_take_ordered(spark):
+    """x166's bottom-k must be a TakeOrdered (no global sort, no
+    rank window over the corpus)."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    plan = plan_of(EXTENSION_QUERIES["x166_emb_outliers"](
+        spark, SF_SMOKE))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body
+
+
+def test_fixed_k_centroids_no_global_sort(spark):
+    """The fixed-k seed pick must compile to TakeOrdered over the
+    corpus, not a full Sort + Limit."""
+    from kafana_spark.operators.similarity import _ivf_centroids, \
+        _vectors, _with_norm
+    from kafana_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = _with_norm(_vectors(e))
+    plan = plan_of(_ivf_centroids(e, corpus, "fixed", 0,
+                                  centroid_k=20))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body
