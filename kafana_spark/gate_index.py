@@ -1,0 +1,170 @@
+"""Persisted quality-gate index — train once, gate many.
+
+The gate chain (x162 Gopher rules, x158 language-fair percentile,
+x141 NB classifier) mixes per-doc functions with CORPUS-GLOBAL state:
+the percentile thresholds and the learned NB weights depend on the
+whole corpus. A production curation pipeline freezes that global
+state at build time and serves it to every later batch — retraining
+per batch would make yesterday's keep/drop decisions unreproducible.
+This index persists both halves:
+
+- ``<path>/model/nb_weights``  — (token, w_u) LLR weight table.
+- ``<path>/model/nb_prior``    — 1-row (prior_u).
+- ``<path>/model/lang_cuts``   — (lang, cut_bp): the FROZEN absolute
+  quality cut per language = min quality_bp among the docs the
+  percentile gate kept at build time (new batches are gated by the
+  frozen cut; percentiles are not re-ranked per batch).
+- ``<path>/gates/batch=<id>``  — one row per doc:
+  (doc_id, source, lang, g_gopher, g_fair, g_nb).
+
+The base build stores the EXACT x169 gate booleans (so reports served
+from the store hash-match the recompute); appended batches are scored
+with per-doc functions only — Gopher rules, quality vs the frozen
+lang cut, NB score under the frozen weights (every appended doc is
+held-out by definition, so pred = score >= 0 is the x141 semantics).
+Unknown languages in an append gate to False (conservative).
+
+Batch layout discipline matches dedup_index/ann_index: every load
+lands under ``batch=<id>``; a full rebuild clears the whole gates
+subtree first so stale append partitions computed against an OLD
+model cannot survive a model refresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafana_spark.operators.text import (
+    gopher_rules, lang_fair_gate, nb_score, nb_train, quality_score,
+)
+
+GATES_DIR = "gates"
+MODEL_DIR = "model"
+
+
+def build_gate_index(df: DataFrame, path: str, *,
+                     min_words: int = 20, max_words: int = 1000,
+                     min_mwl_x10: int = 40, max_mwl_x10: int = 100,
+                     min_stop: int = 2, max_dup2_bp: int = 1500,
+                     keep_pct_bp: int = 5000, train_mod: int = 3,
+                     vocab_k: int = 50, quality_cut: int = 4700,
+                     mode: str = "overwrite",
+                     batch: str = "base") -> None:
+    """Train the global state, gate the corpus, persist both.
+
+    One pass per gate family (all combinable aggregates / bounded
+    windows — the x162/x158/x141 plans unchanged); the model tables
+    are broadcast-sized. A rebuild clears stale append partitions
+    (they were scored under the OLD model)."""
+    if mode == "overwrite" and batch == "base":
+        from kafana_spark.ann_index import _clear_batched_dir
+
+        _clear_batched_dir(f"{path}/{GATES_DIR}")
+    gg = (gopher_rules(df, min_words=min_words, max_words=max_words,
+                       min_mwl_x10=min_mwl_x10,
+                       max_mwl_x10=max_mwl_x10, min_stop=min_stop,
+                       max_dup2_bp=max_dup2_bp)
+          .select("doc_id", F.col("keep").alias("g_gopher")))
+    lf = lang_fair_gate(df, keep_pct_bp=keep_pct_bp)
+    cuts = (lf.where(F.col("keep"))
+            .groupBy("lang")
+            .agg(F.min("quality_bp").alias("cut_bp")))
+    w, prior = nb_train(df, train_mod, vocab_k, quality_cut)
+    q = quality_score(df).select("doc_id", "quality_bp")
+    nb = nb_score(df.where(F.col("doc_id") % train_mod != 0),
+                  w, prior).select("doc_id", "pred")
+    gn = (df.select("doc_id").join(q, "doc_id")
+          .join(nb, "doc_id", "left")
+          .select("doc_id",
+                  F.when(F.col("doc_id") % train_mod == 0,
+                         F.col("quality_bp") >= quality_cut)
+                  .otherwise(F.coalesce(F.col("pred"), F.lit(False)))
+                  .alias("g_nb")))
+    rows = (df.select("doc_id", "source", "lang")
+            .join(gg, "doc_id")
+            .join(lf.select("doc_id", F.col("keep").alias("g_fair")),
+                  "doc_id")
+            .join(gn, "doc_id"))
+    rows.write.mode(mode).parquet(f"{path}/{GATES_DIR}/batch={batch}")
+    w.write.mode("overwrite").parquet(f"{path}/{MODEL_DIR}/nb_weights")
+    prior.write.mode("overwrite") \
+        .parquet(f"{path}/{MODEL_DIR}/nb_prior")
+    cuts.write.mode("overwrite") \
+        .parquet(f"{path}/{MODEL_DIR}/lang_cuts")
+
+
+def append_gate_index(df_new: DataFrame, path: str, batch: str, *,
+                      min_words: int = 20, max_words: int = 1000,
+                      min_mwl_x10: int = 40, max_mwl_x10: int = 100,
+                      min_stop: int = 2,
+                      max_dup2_bp: int = 1500) -> None:
+    """Gate a NEW batch under the FROZEN model — per-doc functions
+    only: Gopher rules, quality vs the stored per-lang cut, NB score
+    under the stored weights (appended docs are all held-out, so
+    pred = score >= 0). No global state is recomputed; redelivering
+    the same batch id overwrites its own partition (idempotent)."""
+    spark = df_new.sparkSession
+    w = spark.read.parquet(f"{path}/{MODEL_DIR}/nb_weights")
+    prior = spark.read.parquet(f"{path}/{MODEL_DIR}/nb_prior")
+    cuts = spark.read.parquet(f"{path}/{MODEL_DIR}/lang_cuts")
+    gg = (gopher_rules(df_new, min_words=min_words,
+                       max_words=max_words, min_mwl_x10=min_mwl_x10,
+                       max_mwl_x10=max_mwl_x10, min_stop=min_stop,
+                       max_dup2_bp=max_dup2_bp)
+          .select("doc_id", F.col("keep").alias("g_gopher")))
+    q = quality_score(df_new).select("doc_id", "quality_bp")
+    gf = (df_new.select("doc_id", "lang")
+          .join(q, "doc_id")
+          .join(F.broadcast(cuts), "lang", "left")
+          .select("doc_id",
+                  F.coalesce(F.col("quality_bp") >= F.col("cut_bp"),
+                             F.lit(False)).alias("g_fair")))
+    gn = (nb_score(df_new, w, prior)
+          .select("doc_id", F.col("pred").alias("g_nb")))
+    rows = (df_new.select("doc_id", "source", "lang")
+            .join(gg, "doc_id").join(gf, "doc_id").join(gn, "doc_id"))
+    rows.write.mode("overwrite") \
+        .parquet(f"{path}/{GATES_DIR}/batch={batch}")
+
+
+def gates_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, source, lang, g_gopher, g_fair, g_nb) across all
+    stored batches (the partition column is dropped)."""
+    return (spark.read.parquet(f"{path}/{GATES_DIR}")
+            .select("doc_id", "source", "lang",
+                    "g_gopher", "g_fair", "g_nb"))
+
+
+def rejection_report_from_store(spark: SparkSession,
+                                path: str) -> DataFrame:
+    """The x169 cross-tab served from the store — no text is read,
+    no model is re-run; one combinable aggregate over the gate rows."""
+    j = gates_from_store(spark, path)
+    tot = j.agg(F.count(F.lit(1)).alias("n_total"))
+    return (j.groupBy("g_gopher", "g_fair", "g_nb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("g_gopher", "g_fair", "g_nb", "n",
+                    F.expr("10000 * n div n_total").cast("long")
+                    .alias("share_bp"))
+            .orderBy("g_gopher", "g_fair", "g_nb"))
+
+
+def source_gate_matrix_from_store(spark: SparkSession,
+                                  path: str) -> DataFrame:
+    """The x170 per-source keep-rate matrix served from the store."""
+    j = gates_from_store(spark, path)
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("g_gopher").cast("int")).alias("sg"),
+                 F.sum(F.col("g_fair").cast("int")).alias("sf"),
+                 F.sum(F.col("g_nb").cast("int")).alias("sn"))
+            .select("source", "n_docs",
+                    F.expr("10000 * sg div n_docs").cast("long")
+                    .alias("gopher_bp"),
+                    F.expr("10000 * sf div n_docs").cast("long")
+                    .alias("fair_bp"),
+                    F.expr("10000 * sn div n_docs").cast("long")
+                    .alias("nb_bp"))
+            .orderBy("source"))

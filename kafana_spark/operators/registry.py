@@ -2309,6 +2309,27 @@ def x_dup_quality(spark, sf_dir):
             .orderBy("csize_band"))
 
 
+def x_stored_gates(spark, sf_dir):
+    """x172 — the x169 rejection cross-tab served from the PERSISTED
+    gate index (build = train the NB weights + freeze the per-lang
+    percentile cuts + gate the corpus once; serve = one combinable
+    aggregate over stored booleans, no text read, no model re-run).
+    Same oracle as x169 — a hash match proves the store roundtrip is
+    lossless. The x57/x74-style price-list twin for the gate chain."""
+    from kafana_spark import gate_index
+
+    d = _docs(spark, sf_dir)
+    root = _cached_index_root(
+        "gateidx", sf_dir, lambda r: gate_index.build_gate_index(
+            d, r,
+            min_words=GOPHER_MIN_WORDS, max_words=GOPHER_MAX_WORDS,
+            min_mwl_x10=GOPHER_MIN_MWL, max_mwl_x10=GOPHER_MAX_MWL,
+            min_stop=GOPHER_MIN_STOP, max_dup2_bp=GOPHER_MAX_DUP2_BP,
+            keep_pct_bp=LANG_FAIR_KEEP_BP, train_mod=NB_TRAIN_MOD,
+            vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT))
+    return gate_index.rejection_report_from_store(spark, root)
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2825,6 +2846,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x169_rejection_report": x_rejection_report,
     "x170_source_gate_matrix": x_source_gate_matrix,
     "x171_dup_quality": x_dup_quality,
+    "x172_stored_gates": x_stored_gates,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6275,6 +6297,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x169_rejection_report": _rejection_report_sql(),
     "x170_source_gate_matrix": _source_gate_matrix_sql(),
     "x171_dup_quality": _dup_quality_sql(),
+    # x172 serves the x169 report from the persisted gate index — the
+    # oracle is the same full-recompute SQL (store roundtrip must be
+    # lossless), the established stored-twin discipline (x57/x58).
+    "x172_stored_gates": _rejection_report_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -374,6 +374,19 @@ def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
     totals and prior ride a 1-row broadcast — no corpus-keyed shuffle
     except the per-doc sum itself.
     """
+    w, prior = nb_train(df, train_mod, vocab_k, quality_cut,
+                        text_col, id_col)
+    held = df.where(F.col(id_col) % train_mod != 0)
+    return nb_score(held, w, prior, text_col, id_col).orderBy(id_col)
+
+
+def nb_train(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
+             quality_cut: int = 4700, text_col: str = "text",
+             id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """The x141 training half as a reusable FROZEN MODEL: returns
+    the (token, w_u) log-likelihood-ratio weight table and the 1-row
+    (prior_u) prior — the artifacts a gate index persists so new
+    batches are scored without retraining (train once, serve many)."""
     q = quality_score(df, id_col, text_col).select(id_col,
                                                    "quality_bp")
     base = (df.select(F.col(id_col),
@@ -403,17 +416,28 @@ def nb_quality_classifier(df: DataFrame, train_mod: int = 3,
         F.round(F.lit(1_000_000.0)
                 * F.log((F.col("n1") + 1) / (F.col("n0") + 1)))
         .cast("long").alias("prior_u"))
-    held = base.where(F.col(id_col) % train_mod != 0)
-    sc = (held.select(F.col(id_col), F.explode("toks").alias("token"))
+    return w, prior
+
+
+def nb_score(df: DataFrame, w: DataFrame, prior: DataFrame,
+             text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Score documents against a (possibly stored) NB model: one
+    distinct-token explode joined to the BROADCAST weight table, a
+    per-doc combinable sum, the 1-row prior broadcast. Output:
+    (id, nb_score_u, pred)."""
+    toked = df.select(F.col(id_col),
+                      F.array_distinct(tokens(F.col(text_col)))
+                      .alias("toks"))
+    sc = (toked.select(F.col(id_col), F.explode("toks").alias("token"))
           .join(F.broadcast(w), "token")
           .groupBy(id_col).agg(F.sum("w_u").alias("s")))
-    return (held.select(id_col).join(sc, id_col, "left")
+    return (toked.select(id_col).join(sc, id_col, "left")
             .crossJoin(F.broadcast(prior))
             .select(F.col(id_col),
                     (F.coalesce("s", F.lit(0)) + F.col("prior_u"))
                     .cast("long").alias("nb_score_u"))
-            .withColumn("pred", F.col("nb_score_u") >= 0)
-            .orderBy(id_col))
+            .withColumn("pred", F.col("nb_score_u") >= 0))
 
 
 def lang_corpus_card(df: DataFrame, text_col: str = "text",
