@@ -103,3 +103,27 @@ def test_append_redelivery_is_idempotent(spark, tmp_path):
     gate_index.append_gate_index(newb, root, batch="b1")
     assert gate_index.gates_from_store(spark, root).count() \
         == d.count()
+
+
+def test_gate_stream_sink_maintains_store(spark, tmp_path):
+    """Streamed micro-batches (one redelivered) gate under the
+    frozen model and land idempotently; the served report covers
+    every doc exactly once and the streamed docs' Gopher booleans
+    match the direct recompute."""
+    d = docs(spark)
+    base = d.where(F.col("doc_id") % 2 == 0)
+    rest = d.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "gidx")
+    gate_index.build_gate_index(base, root)
+    sink = gate_index.gate_stream_sink(root)
+    sink(rest.where(F.col("doc_id") % 4 == 1), 0)
+    sink(rest.where(F.col("doc_id") % 4 == 3), 1)
+    sink(rest.where(F.col("doc_id") % 4 == 3), 1)   # redelivery
+    stored = gate_index.gates_from_store(spark, root)
+    assert stored.count() == d.count()
+    rows = gate_index.rejection_report_from_store(spark, root)
+    assert sum(r.n for r in rows.collect()) == d.count()
+    got = {r.doc_id: r.g_gopher for r in stored.join(
+        rest.select("doc_id"), "doc_id").collect()}
+    for r in gopher_rules(rest).collect():
+        assert got[r.doc_id] == r.keep
