@@ -2330,6 +2330,15 @@ def x_stored_gates(spark, sf_dir):
     return gate_index.rejection_report_from_store(spark, root)
 
 
+def x_pca_convergence(spark, sf_dir):
+    """x173 — the Rayleigh-quotient ladder of the x167 power walk
+    (one λ row per unrolled round; flat = converged, rising = spend
+    more rounds) — the eigen-walk convergence diagnostic, exactly as
+    x145's inertia rows are the Lloyd walk's."""
+    return similarity.pca_convergence(_embs(spark, sf_dir),
+                                      n_iters=PCA_ITERS, dim=EMB_DIM)
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2847,6 +2856,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x170_source_gate_matrix": x_source_gate_matrix,
     "x171_dup_quality": x_dup_quality,
     "x172_stored_gates": x_stored_gates,
+    "x173_pca_convergence": x_pca_convergence,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5389,27 +5399,12 @@ def _dup_quality_sql() -> str:
         "FROM j GROUP BY csize_band ORDER BY csize_band")
 
 
-def _pca_power_sql() -> str:
-    """x167 oracle — the identical integer walk in SQL: µunit
-    quantization, HUGEINT Gram/covariance, PCA_ITERS unrolled
-    matrix-vector rounds with sign-safe truncating renormalization
-    (DuckDB ``//`` truncates toward zero on negatives, matching the
-    Spark side's sign·(abs//norm)), then the centered projection
-    histogram. The iteration CTEs are generated from PCA_ITERS so
-    the twin cannot desynchronize from the constant."""
-    w = PCA_BIN_W
-    iters = "".join(
-        f"mv{t} AS (SELECT cp.j, SUM(c * v{t-1}.vv) AS m "
-        f"FROM cp JOIN v{t-1} ON v{t-1}.j = cp.k GROUP BY cp.j), "
-        f"nm{t} AS (SELECT MAX(ABS(m)) AS nm FROM mv{t}), "
-        f"v{t} AS (SELECT j, CASE WHEN m >= 0 "
-        f"THEN (ABS(m) * 1000000) // nm "
-        f"ELSE -((ABS(m) * 1000000) // nm) END AS vv "
-        f"FROM mv{t} CROSS JOIN nm{t}), "
-        for t in range(1, PCA_ITERS + 1))
-    vf = f"v{PCA_ITERS}"
+def _pca_base_ctes() -> str:
+    """Shared x167/x173 oracle prefix: µunit quantization, HUGEINT
+    moments, the exact scaled covariance, and the index-perturbed
+    seed (all generated from the same constants as the Spark side)."""
     return (
-        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
         "xu AS (SELECT vec_id, j, "
         "CAST(FLOOR(v[j + 1] * 1000000 + 0.5) AS BIGINT) AS x "
@@ -5424,8 +5419,34 @@ def _pca_power_sql() -> str:
         "FROM smat JOIN sj sa ON sa.j = smat.j "
         "JOIN sj sb ON sb.j = smat.k CROSS JOIN ncnt), "
         "v0 AS (SELECT j, CAST(1000000 + j AS HUGEINT) AS vv "
-        "FROM sj), "
-        + iters +
+        "FROM sj), ")
+
+
+def _pca_iter_ctes(n_iters: int) -> str:
+    """The unrolled power-iteration CTE chain (mv/norm/renormalized v
+    per round) — generated from the iteration count so the twins
+    cannot desynchronize from PCA_ITERS."""
+    return "".join(
+        f"mv{t} AS (SELECT cp.j, SUM(c * v{t-1}.vv) AS m "
+        f"FROM cp JOIN v{t-1} ON v{t-1}.j = cp.k GROUP BY cp.j), "
+        f"nm{t} AS (SELECT MAX(ABS(m)) AS nm FROM mv{t}), "
+        f"v{t} AS (SELECT j, CASE WHEN m >= 0 "
+        f"THEN (ABS(m) * 1000000) // nm "
+        f"ELSE -((ABS(m) * 1000000) // nm) END AS vv "
+        f"FROM mv{t} CROSS JOIN nm{t}), "
+        for t in range(1, n_iters + 1))
+
+
+def _pca_power_sql() -> str:
+    """x167 oracle — the identical integer walk in SQL, then the
+    centered projection histogram. Sign-safe truncating
+    renormalization (DuckDB ``//`` truncates toward zero on
+    negatives, matching the Spark side's sign·(abs//norm))."""
+    w = PCA_BIN_W
+    vf = f"v{PCA_ITERS}"
+    return (
+        f"WITH {_pca_base_ctes()}"
+        + _pca_iter_ctes(PCA_ITERS) +
         f"svv AS (SELECT SUM(sj.s * {vf}.vv) AS sv FROM sj "
         f"JOIN {vf} USING (j)), "
         f"raw AS (SELECT vec_id, SUM(x * {vf}.vv) AS r FROM xu "
@@ -5435,6 +5456,21 @@ def _pca_power_sql() -> str:
         "FROM raw CROSS JOIN svv CROSS JOIN ncnt) "
         "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM bb "
         "GROUP BY bin ORDER BY bin")
+
+
+def _pca_convergence_sql() -> str:
+    """x173 oracle — the per-round Rayleigh quotients of the same
+    walk: λ_t = v_{t-1}ᵀ·mv_t // v_{t-1}ᵀ·v_{t-1} (nonneg exact
+    integers — C is PSD, so plain floor division is safe)."""
+    lam = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS it, "
+        f"CAST(SUM(vp.vv * m.m) // SUM(vp.vv * vp.vv) AS BIGINT) "
+        f"AS lam_u FROM mv{t} m JOIN v{t-1} vp USING (j)"
+        for t in range(1, PCA_ITERS + 1))
+    return (
+        f"WITH {_pca_base_ctes()}"
+        + _pca_iter_ctes(PCA_ITERS)
+        + f"lams AS ({lam}) SELECT it, lam_u FROM lams ORDER BY it")
 
 
 def _lang_fair_gate_sql() -> str:
@@ -6301,6 +6337,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # oracle is the same full-recompute SQL (store roundtrip must be
     # lossless), the established stored-twin discipline (x57/x58).
     "x172_stored_gates": _rejection_report_sql(),
+    "x173_pca_convergence": _pca_convergence_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

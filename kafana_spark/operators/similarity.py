@@ -1134,28 +1134,8 @@ def pca_power(df: DataFrame, n_iters: int = 4, dim: int = 64,
     materializes. The projection is one broadcast-literal zip_with
     pass; the histogram is a combinable count."""
     corpus = _km_corpus(df, dim)
-    ex = corpus.select("vec_id", F.posexplode("vu").alias("j", "x"))
-    sj = {int(r.j): int(r.s)
-          for r in ex.groupBy("j").agg(F.sum("x").alias("s"))
-          .collect()}
-    gram = (ex.alias("a")
-            .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
-            .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
-            .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s")))
-    S = {(int(r.j), int(r.k)): int(r.s) for r in gram.collect()}
-    n = corpus.count()
-    # index-perturbed start (1e6 + j) so a top component exactly
-    # orthogonal to the all-ones vector still gets a nonzero seed
-    # projection; the oracle uses the same 0-based perturbation.
-    v = [1_000_000 + j for j in range(dim)]
-    for _ in range(n_iters):
-        mv = [sum((n * S[(j, k)] - sj[j] * sj[k]) * v[k]
-                  for k in range(dim)) for j in range(dim)]
-        norm = max(abs(x) for x in mv)
-        if norm == 0:
-            break
-        v = [(1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // norm)
-             for x in mv]
+    sj, S, n = _pca_moments(corpus, dim)
+    v, _ = _pca_walk(sj, S, n, dim, n_iters)
     sv = sum(sj[j] * v[j] for j in range(dim))
     vcol = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
     raw = (corpus.withColumn("vv", vcol)
@@ -1168,3 +1148,65 @@ def pca_power(df: DataFrame, n_iters: int = 4, dim: int = 64,
     return (raw.select(b.alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("bin"))
+
+
+def _pca_moments(corpus: DataFrame, dim: int):
+    """Collect the exact integer first/second moments (s_j, S_jk, n)
+    — the d + d² sufficient statistics of the covariance; the ONE
+    corpus-scale job behind the PCA family (see ``pca_power``)."""
+    ex = corpus.select("vec_id", F.posexplode("vu").alias("j", "x"))
+    sj = {int(r.j): int(r.s)
+          for r in ex.groupBy("j").agg(F.sum("x").alias("s"))
+          .collect()}
+    gram = (ex.alias("a")
+            .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+            .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
+            .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s")))
+    S = {(int(r.j), int(r.k)): int(r.s) for r in gram.collect()}
+    return sj, S, corpus.count()
+
+
+def _pca_walk(sj, S, n: int, dim: int, n_iters: int):
+    """The exact-integer power-iteration rounds shared by pca_power
+    and pca_convergence: returns (final max-norm-1e6 vector, per-
+    round Rayleigh quotients λ_t = vᵀCv // vᵀv). Index-perturbed
+    start (1e6 + j) so a top component exactly orthogonal to the
+    all-ones vector still gets a nonzero seed projection; the oracle
+    uses the same 0-based perturbation."""
+    v = [1_000_000 + j for j in range(dim)]
+    lams = []
+    for _ in range(n_iters):
+        mv = [sum((n * S[(j, k)] - sj[j] * sj[k]) * v[k]
+                  for k in range(dim)) for j in range(dim)]
+        num = sum(v[j] * mv[j] for j in range(dim))
+        den = sum(v[j] * v[j] for j in range(dim))
+        lams.append(num // den)
+        norm = max(abs(x) for x in mv)
+        if norm == 0:
+            break
+        v = [(1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // norm)
+             for x in mv]
+    return v, lams
+
+
+def pca_convergence(df: DataFrame, n_iters: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """Per-round Rayleigh quotient ladder of the ``pca_power`` walk —
+    the eigen-walk's convergence diagnostic, exactly as x145's
+    inertia rows are the Lloyd walk's: λ_t = v_{t-1}ᵀ C v_{t-1} //
+    v_{t-1}ᵀ v_{t-1} (exact nonneg integer division — C is PSD so
+    the quotient is the nonneg variance estimate, monotone
+    non-decreasing up to renormalization rounding). A flat ladder
+    says the walk has converged; rising says spend more rounds.
+
+    Output: (it, lam_u) — λ in n·µ² units (divide by n·1e12 for the
+    variance along the component).
+
+    Scale: the same d + d² sufficient statistics as ``pca_power``
+    (one corpus job); the ladder itself is driver-side O(d²·iters)."""
+    corpus = _km_corpus(df, dim)
+    sj, S, n = _pca_moments(corpus, dim)
+    _, lams = _pca_walk(sj, S, n, dim, n_iters)
+    return (df.sparkSession.createDataFrame(
+        [(t + 1, int(l)) for t, l in enumerate(lams)],
+        "it int, lam_u bigint").orderBy("it"))

@@ -560,3 +560,25 @@ def test_pca_power_anticorrelated_needs_perturbed_seed(spark):
     assert bins in ([-4, -2, 1, 3], [-4, -2, 2, 4],
                     [-3, -1, 1, 3], [-4, -3, 1, 2]) or \
         (bins[0] < 0 < bins[-1])
+
+
+def test_pca_convergence_ladder_properties(spark):
+    """One λ row per round, all non-negative; the ladder is
+    non-decreasing up to the renormalization rounding (allow a
+    1-in-1e6 slack) and the final λ agrees with the axis-aligned
+    closed form: for a in {±1, ±0.5} on e1, λ = n·Σa²·1e12 / n = ...
+    exactly vᵀCv/vᵀv with v → e1·1e6: C_11 = n·Σ(a·1e6)² = 4·2.5e12
+    → λ = 1e13."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.0, 0.0, 0.0]), (3, [-0.5, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>")
+    got = [(r.it, r.lam_u) for r in similarity.pca_convergence(
+        df, n_iters=3, dim=4).collect()]
+    assert [it for it, _ in got] == [1, 2, 3]
+    lams = [l for _, l in got]
+    assert all(l >= 0 for l in lams)
+    for a, b in zip(lams, lams[1:]):
+        assert b >= a - max(1, a // 1_000_000)
+    # converged rounds sit exactly on the closed-form eigenvalue
+    assert lams[-1] == 10_000_000_000_000
