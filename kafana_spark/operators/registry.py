@@ -2339,6 +2339,17 @@ def x_pca_convergence(spark, sf_dir):
                                       n_iters=PCA_ITERS, dim=EMB_DIM)
 
 
+def x_corpus_map(spark, sf_dir):
+    """x174 — 2-D semantic corpus map: the (bin1, bin2, n) density
+    grid of centered projections onto the top two principal
+    components (component 2 from the exactly-shared scaled-integer
+    deflation) — the heatmap a curation UI renders to see cluster
+    structure and outlier shelves at a glance."""
+    return similarity.pca_corpus_map(_embs(spark, sf_dir),
+                                     n_iters=PCA_ITERS, dim=EMB_DIM,
+                                     bin_w=PCA_BIN_W)
+
+
 def x_pca_power(spark, sf_dir):
     """x167 — top principal component by PCA_ITERS unrolled power-
     iteration rounds on the exact integer scaled covariance
@@ -2857,6 +2868,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x171_dup_quality": x_dup_quality,
     "x172_stored_gates": x_stored_gates,
     "x173_pca_convergence": x_pca_convergence,
+    "x174_corpus_map": x_corpus_map,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -3449,9 +3461,7 @@ def _hard_negatives_sql() -> str:
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
         "label FROM embeddings), "
         "c AS (SELECT vec_id AS cid, v AS cv FROM e "
-        "ORDER BY CAST(concat('0x', substr(md5(concat_ws('#', "
-        "CAST(vec_id AS VARCHAR), 'ivfseed')), 1, 15)) AS BIGINT), "
-        f"vec_id LIMIT {KNN_CELLS}), "
+        f"WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
         "q AS (SELECT vec_id AS qid, v, label AS qlabel FROM e "
         f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
         "asg AS (SELECT vec_id, v, label, cid FROM ("
@@ -5406,7 +5416,7 @@ def _pca_base_ctes() -> str:
     return (
         "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
-        "xu AS (SELECT vec_id, j, "
+        "xu AS MATERIALIZED (SELECT vec_id, j, "
         "CAST(FLOOR(v[j + 1] * 1000000 + 0.5) AS BIGINT) AS x "
         f"FROM e0, unnest(range(0, {EMB_DIM})) AS u(j)), "
         "ncnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e0), "
@@ -5415,25 +5425,29 @@ def _pca_base_ctes() -> str:
         "smat AS (SELECT a.j AS j, b.j AS k, "
         "CAST(SUM(a.x * b.x) AS HUGEINT) AS g "
         "FROM xu a JOIN xu b USING (vec_id) GROUP BY a.j, b.j), "
-        "cp AS (SELECT smat.j, smat.k, n * g - sa.s * sb.s AS c "
+        "cp AS MATERIALIZED (SELECT smat.j, smat.k, "
+        "n * g - sa.s * sb.s AS c "
         "FROM smat JOIN sj sa ON sa.j = smat.j "
         "JOIN sj sb ON sb.j = smat.k CROSS JOIN ncnt), "
         "v0 AS (SELECT j, CAST(1000000 + j AS HUGEINT) AS vv "
         "FROM sj), ")
 
 
-def _pca_iter_ctes(n_iters: int) -> str:
+def _pca_iter_ctes(n_iters: int, mat: str = "cp",
+                   pfx: str = "") -> str:
     """The unrolled power-iteration CTE chain (mv/norm/renormalized v
-    per round) — generated from the iteration count so the twins
-    cannot desynchronize from PCA_ITERS."""
+    per round) over matrix CTE ``mat`` with CTE-name prefix ``pfx``
+    — generated from the iteration count so the twins cannot
+    desynchronize from PCA_ITERS."""
     return "".join(
-        f"mv{t} AS (SELECT cp.j, SUM(c * v{t-1}.vv) AS m "
-        f"FROM cp JOIN v{t-1} ON v{t-1}.j = cp.k GROUP BY cp.j), "
-        f"nm{t} AS (SELECT MAX(ABS(m)) AS nm FROM mv{t}), "
-        f"v{t} AS (SELECT j, CASE WHEN m >= 0 "
+        f"mv{pfx}{t} AS (SELECT m0.j, SUM(m0.c * v{pfx}{t-1}.vv) AS m "
+        f"FROM {mat} m0 JOIN v{pfx}{t-1} ON v{pfx}{t-1}.j = m0.k "
+        f"GROUP BY m0.j), "
+        f"nm{pfx}{t} AS (SELECT MAX(ABS(m)) AS nm FROM mv{pfx}{t}), "
+        f"v{pfx}{t} AS (SELECT j, CASE WHEN m >= 0 "
         f"THEN (ABS(m) * 1000000) // nm "
         f"ELSE -((ABS(m) * 1000000) // nm) END AS vv "
-        f"FROM mv{t} CROSS JOIN nm{t}), "
+        f"FROM mv{pfx}{t} CROSS JOIN nm{pfx}{t}), "
         for t in range(1, n_iters + 1))
 
 
@@ -5471,6 +5485,51 @@ def _pca_convergence_sql() -> str:
         f"WITH {_pca_base_ctes()}"
         + _pca_iter_ctes(PCA_ITERS)
         + f"lams AS ({lam}) SELECT it, lam_u FROM lams ORDER BY it")
+
+
+def _corpus_map_sql() -> str:
+    """x174 oracle — the 2-D grid: chain 1 is x167's walk; the
+    deflated matrix cp2 = c − (mv_s·mv_sᵀ // num_s) is built with
+    the identical scaled truncate-toward-zero arithmetic (DuckDB
+    ``//`` truncates on HUGEINT, matching the Spark driver's
+    _trunc_div); chain 2 re-runs the generated iteration CTEs over
+    cp2 with its own perturbed seed."""
+    w = PCA_BIN_W
+    vf, vb = f"v{PCA_ITERS}", f"vb{PCA_ITERS}"
+    return (
+        f"WITH {_pca_base_ctes()}"
+        + _pca_iter_ctes(PCA_ITERS) +
+        f"mvf AS (SELECT cp.j, SUM(c * {vf}.vv) AS m "
+        f"FROM cp JOIN {vf} ON {vf}.j = cp.k GROUP BY cp.j), "
+        f"numf AS (SELECT SUM(v.vv * m.m) AS num FROM mvf m "
+        f"JOIN {vf} v USING (j)), "
+        "mvs AS (SELECT j, m // 10000000000 AS ms FROM mvf), "
+        "nums AS (SELECT num // CAST(100000000000000000000 "
+        "AS HUGEINT) AS ns FROM numf), "
+        "cp2 AS MATERIALIZED (SELECT a.j AS j, b.j AS k, "
+        "cp.c - ((a.ms * b.ms) // ns) AS c "
+        "FROM mvs a CROSS JOIN mvs b "
+        "JOIN cp ON cp.j = a.j AND cp.k = b.j CROSS JOIN nums), "
+        "vb0 AS (SELECT j, CAST(1000000 + j AS HUGEINT) AS vv "
+        "FROM sj), "
+        + _pca_iter_ctes(PCA_ITERS, mat="cp2", pfx="b") +
+        f"sv1 AS (SELECT SUM(sj.s * {vf}.vv) AS sv FROM sj "
+        f"JOIN {vf} USING (j)), "
+        f"sv2 AS (SELECT SUM(sj.s * {vb}.vv) AS sv FROM sj "
+        f"JOIN {vb} USING (j)), "
+        f"raw1 AS (SELECT vec_id, SUM(x * {vf}.vv) AS r FROM xu "
+        f"JOIN {vf} USING (j) GROUP BY vec_id), "
+        f"raw2 AS (SELECT vec_id, SUM(x * {vb}.vv) AS r FROM xu "
+        f"JOIN {vb} USING (j) GROUP BY vec_id), "
+        "bb AS (SELECT CAST(FLOOR(CAST(n * raw1.r - sv1.sv "
+        f"AS DOUBLE) / (CAST(n AS DOUBLE) * {float(w)})) AS BIGINT) "
+        "AS bin1, "
+        "CAST(FLOOR(CAST(n * raw2.r - sv2.sv AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * {float(w)})) AS BIGINT) AS bin2 "
+        "FROM raw1 JOIN raw2 USING (vec_id) "
+        "CROSS JOIN sv1 CROSS JOIN sv2 CROSS JOIN ncnt) "
+        "SELECT bin1, bin2, CAST(COUNT(*) AS BIGINT) AS n FROM bb "
+        "GROUP BY bin1, bin2 ORDER BY bin1, bin2")
 
 
 def _lang_fair_gate_sql() -> str:
@@ -6338,6 +6397,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # lossless), the established stored-twin discipline (x57/x58).
     "x172_stored_gates": _rejection_report_sql(),
     "x173_pca_convergence": _pca_convergence_sql(),
+    "x174_corpus_map": _corpus_map_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1166,18 +1166,30 @@ def _pca_moments(corpus: DataFrame, dim: int):
     return sj, S, corpus.count()
 
 
-def _pca_walk(sj, S, n: int, dim: int, n_iters: int):
-    """The exact-integer power-iteration rounds shared by pca_power
-    and pca_convergence: returns (final max-norm-1e6 vector, per-
-    round Rayleigh quotients λ_t = vᵀCv // vᵀv). Index-perturbed
-    start (1e6 + j) so a top component exactly orthogonal to the
-    all-ones vector still gets a nonzero seed projection; the oracle
-    uses the same 0-based perturbation."""
+def _pca_cov(sj, S, n: int, dim: int):
+    """The exact scaled covariance C = n·S − s·sᵀ as a dense dict."""
+    return {(j, k): n * S[(j, k)] - sj[j] * sj[k]
+            for j in range(dim) for k in range(dim)}
+
+
+def _trunc_div(p: int, d: int) -> int:
+    """Truncate-toward-zero integer division — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which differs on negatives)."""
+    return -((-p) // d) if p < 0 else p // d
+
+
+def _power_walk(C, dim: int, n_iters: int):
+    """The exact-integer power-iteration rounds shared by the PCA
+    family: returns (final max-norm-1e6 vector, per-round Rayleigh
+    quotients λ_t = vᵀCv // vᵀv). Index-perturbed start (1e6 + j)
+    so a top component exactly orthogonal to the all-ones vector
+    still gets a nonzero seed projection; the oracle uses the same
+    0-based perturbation."""
     v = [1_000_000 + j for j in range(dim)]
     lams = []
     for _ in range(n_iters):
-        mv = [sum((n * S[(j, k)] - sj[j] * sj[k]) * v[k]
-                  for k in range(dim)) for j in range(dim)]
+        mv = [sum(C[(j, k)] * v[k] for k in range(dim))
+              for j in range(dim)]
         num = sum(v[j] * mv[j] for j in range(dim))
         den = sum(v[j] * v[j] for j in range(dim))
         lams.append(num // den)
@@ -1187,6 +1199,10 @@ def _pca_walk(sj, S, n: int, dim: int, n_iters: int):
         v = [(1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // norm)
              for x in mv]
     return v, lams
+
+
+def _pca_walk(sj, S, n: int, dim: int, n_iters: int):
+    return _power_walk(_pca_cov(sj, S, n, dim), dim, n_iters)
 
 
 def pca_convergence(df: DataFrame, n_iters: int = 4,
@@ -1210,3 +1226,63 @@ def pca_convergence(df: DataFrame, n_iters: int = 4,
     return (df.sparkSession.createDataFrame(
         [(t + 1, int(l)) for t, l in enumerate(lams)],
         "it int, lam_u bigint").orderBy("it"))
+
+
+def pca_corpus_map(df: DataFrame, n_iters: int = 4, dim: int = 64,
+                   bin_w: int = 200_000_000_000) -> DataFrame:
+    """2-D semantic corpus map: the projection GRID onto the top two
+    principal components — the at-a-glance density picture of the
+    embedding space (cluster structure, outlier shelves, mixture
+    imbalance) that an interactive curation UI renders as a heatmap.
+
+    Component 1 is ``pca_power``'s walk. Component 2 is the same walk
+    on the DEFLATED covariance C₂ = C − (Cv₁)(Cv₁)ᵀ/(v₁ᵀCv₁),
+    carried exactly: the rank-1 term is computed in scaled integers
+    (mv // 1e10 products over num // 1e20, truncate-toward-zero like
+    DuckDB ``//``) so both engines subtract the identical matrix —
+    the deflation is approximate ONLY in that shared deterministic
+    rounding, never engine-divergent.
+
+    Output: (bin1, bin2, n) — floor-binned centered projections,
+    ordered. Same headroom notes as ``pca_power``.
+
+    Scale: the corpus-scale work is unchanged (ONE moment job + ONE
+    projection pass computing both coordinates); the deflation and
+    second walk are driver-side O(d²)."""
+    corpus = _km_corpus(df, dim)
+    sj, S, n = _pca_moments(corpus, dim)
+    C = _pca_cov(sj, S, n, dim)
+    v1, _ = _power_walk(C, dim, n_iters)
+    mvf = [sum(C[(j, k)] * v1[k] for k in range(dim))
+           for j in range(dim)]
+    num = sum(v1[j] * mvf[j] for j in range(dim))
+    if num <= 0:
+        raise ValueError("degenerate corpus: zero variance along v1")
+    mvs = [_trunc_div(x, 10**10) for x in mvf]
+    nums = num // 10**20
+    if nums <= 0:
+        raise ValueError("variance too small for the deflation scale")
+    C2 = {(j, k): C[(j, k)] - _trunc_div(mvs[j] * mvs[k], nums)
+          for j in range(dim) for k in range(dim)}
+    v2, _ = _power_walk(C2, dim, n_iters)
+    sv1 = sum(sj[j] * v1[j] for j in range(dim))
+    sv2 = sum(sj[j] * v2[j] for j in range(dim))
+    a1 = F.array(*[F.lit(int(x)).cast("bigint") for x in v1])
+    a2 = F.array(*[F.lit(int(x)).cast("bigint") for x in v2])
+    raw = (corpus.withColumn("w1", a1).withColumn("w2", a2)
+           .select(
+               "vec_id",
+               F.expr("aggregate(zip_with(vu, w1, (a, b) -> a * b), "
+                      "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+               .alias("r1"),
+               F.expr("aggregate(zip_with(vu, w2, (a, b) -> a * b), "
+                      "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+               .alias("r2")))
+    den = F.lit(float(n) * float(bin_w))
+    b1 = F.floor((F.col("r1") * n - F.lit(sv1)).cast("double") / den)
+    b2 = F.floor((F.col("r2") * n - F.lit(sv2)).cast("double") / den)
+    return (raw.select(b1.cast("long").alias("bin1"),
+                       b2.cast("long").alias("bin2"))
+            .groupBy("bin1", "bin2")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bin1", "bin2"))

@@ -582,3 +582,26 @@ def test_pca_convergence_ladder_properties(spark):
         assert b >= a - max(1, a // 1_000_000)
     # converged rounds sit exactly on the closed-form eigenvalue
     assert lams[-1] == 10_000_000_000_000
+
+
+def test_pca_corpus_map_two_axes_closed_form(spark):
+    """Variance on two orthogonal axes (e1 strong, e2 weaker): the
+    map recovers both — marginal bin1 counts match the 1-d x167
+    histogram shape, and bin2 separates the e2 spread."""
+    rows = [(0, [1.0, 0.2, 0.0]), (1, [-1.0, 0.2, 0.0]),
+            (2, [1.0, -0.2, 0.0]), (3, [-1.0, -0.2, 0.0]),
+            (4, [0.5, 0.1, 0.0]), (5, [-0.5, -0.1, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>")
+    got = [(r.bin1, r.bin2, r.n) for r in similarity.pca_corpus_map(
+        df, n_iters=4, dim=3, bin_w=100_000_000_000).collect()]
+    assert sum(n for _, _, n in got) == 6
+    # both axes must spread (not a 1-d collapse)
+    assert len({b1 for b1, _, _ in got}) >= 3
+    assert len({b2 for _, b2, _ in got}) >= 2
+
+
+def test_pca_corpus_map_grid_partitions_corpus(spark):
+    e = embs(spark)
+    rows = similarity.pca_corpus_map(e).collect()
+    assert sum(r.n for r in rows) == e.count()
