@@ -63,17 +63,20 @@ def _clear_batched_dir(path: str) -> None:
 def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
                     method: str = "modulo", n_assign: int = 1,
                     mode: str = "overwrite",
-                    n_vectors: int | None = None) -> None:
+                    n_vectors: int | None = None,
+                    centroid_k: int | None = None) -> None:
     """Fit the quantizer and persist centroids + cell assignments.
 
     Work: one (broadcast) pass of the corpus against the centroids,
     collapsed map-side to n_assign rows per vector — the same plan as
     the inline operator, paid once instead of per query. Pass
     ``n_vectors`` (store metadata) so the kmeans path sizes k without
-    a counting job.
+    a counting job; ``method='fixed'`` + ``centroid_k`` pins the cell
+    count (see ivf_topk's scale note).
     """
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod, n_vectors)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
+                               n_vectors, centroid_k)
     centroids.write.mode(mode).parquet(f"{path}/{CENT_DIR}")
     # loads land under batch=<id> so batch builds, appends and the
     # streaming sink share ONE layout (bare files next to batch= dirs
@@ -412,3 +415,20 @@ def semantic_pairs_from_index(spark: SparkSession, path: str,
     assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
     e = assigned.select(F.col("cid").alias("cell"), "vec_id", "v")
     return _blocked_cosine_pairs(e, float(threshold), block_size)
+
+
+def knn_graph_from_index(spark: SparkSession, path: str, k: int = 5,
+                         n_probe: int = 2) -> DataFrame:
+    """The x149 corpus k-NN graph served from the stored index: every
+    INDEXED vector queries the stored cells — the assignment pass
+    (the expensive half of the inline graph) is never re-run, so the
+    repeated consumers (mutual edges, density clusters, label
+    propagation, outlier triage) all amortize one build. Queries are
+    reconstructed from the stored assignment rows themselves
+    (vec_id, v), so no corpus re-read either."""
+    centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
+    assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
+    queries = (assigned.groupBy("vec_id")
+               .agg(F.any_value("v").alias("v"))
+               .select(F.col("vec_id").alias("qid"), "v"))
+    return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)

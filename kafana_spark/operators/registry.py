@@ -2339,6 +2339,26 @@ def x_pca_convergence(spark, sf_dir):
                                       n_iters=PCA_ITERS, dim=EMB_DIM)
 
 
+def x_stored_knn_graph(spark, sf_dir):
+    """x175 — the x149 corpus k-NN graph served from the PERSISTED
+    IVF index (fixed-k quantizer, same constants): build pays the
+    assignment pass once; the graph's repeated consumers (mutual
+    edges, clusters, label propagation, outlier triage) re-derive
+    nothing. Same oracle as x149 — a hash match proves the store
+    roundtrip is lossless."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "knnidx", sf_dir, lambda r: ann_index.build_ann_index(
+            e, r, method="fixed", centroid_k=KNN_CELLS,
+            n_assign=KNN_N_ASSIGN))
+    return (ann_index.knn_graph_from_index(spark, root, k=KNN_K,
+                                           n_probe=KNN_N_PROBE)
+            .select("qid", "vec_id", "cos", "rank")
+            .orderBy("qid", "rank"))
+
+
 def x_corpus_map(spark, sf_dir):
     """x174 — 2-D semantic corpus map: the (bin1, bin2, n) density
     grid of centered projections onto the top two principal
@@ -2869,6 +2889,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x172_stored_gates": x_stored_gates,
     "x173_pca_convergence": x_pca_convergence,
     "x174_corpus_map": x_corpus_map,
+    "x175_stored_knn_graph": x_stored_knn_graph,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6398,6 +6419,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x172_stored_gates": _rejection_report_sql(),
     "x173_pca_convergence": _pca_convergence_sql(),
     "x174_corpus_map": _corpus_map_sql(),
+    # x175 serves x149's graph from the persisted IVF index — same
+    # oracle (lossless roundtrip), the stored-twin discipline.
+    "x175_stored_knn_graph": _knn_graph_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

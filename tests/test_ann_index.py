@@ -351,3 +351,20 @@ def test_lloyd_store_refresh_matches_inline_update(spark, tmp_path):
     out = ann_index.ann_topk_from_index(spark, root, q, k=5,
                                         n_probe=2)
     assert out.count() > 0
+
+
+def test_knn_graph_from_index_equals_inline(spark, tmp_path):
+    """The store-served corpus graph must equal the inline fixed-k
+    x149 chain edge-for-edge (lossless roundtrip; queries come from
+    the stored assignment rows, no corpus re-read)."""
+    e = embs(spark)
+    root = str(tmp_path / "knnidx")
+    ann_index.build_ann_index(e, root, method="fixed", centroid_k=20,
+                              n_assign=1)
+    got = {tuple(r) for r in ann_index.knn_graph_from_index(
+        spark, root, k=5, n_probe=2)
+        .select("qid", "vec_id", "cos", "rank").collect()}
+    want = {tuple(r) for r in similarity.knn_graph(
+        e, k=5, method="fixed", centroid_k=20, n_probe=2)
+        .select("qid", "vec_id", "cos", "rank").collect()}
+    assert got == want and got
