@@ -2141,17 +2141,9 @@ def x_gate_kappa(spark, sf_dir):
         nb_cut_u=NB_KAPPA_CUT_U)
 
 
-def x_curation_v5(spark, sf_dir):
-    """x168 — curation composition v5, the r6-session-3 funnel: v4's
-    learned/fair gates preceded by the Gopher per-rule gate (x162)
-    and followed by embedding-outlier removal (x166) before the
-    diversity quota — (1) Gopher rules, (2) language-fair quality
-    percentile WITHIN the surviving pool (stage semantics: each gate
-    filters the previous pool), (3) NB classifier verdict (training
-    docs pass by their own heuristic label), (4) exact dedup
-    keep-first, (5) drop the OUTLIER_K most isolated embeddings,
-    (6) cluster-balanced diversity quota on the full semantic space.
-    Output is the (stage, n_kept) funnel under one oracle hash."""
+def _v5_stages(spark, sf_dir):
+    """The x168 funnel stages as DataFrames (shared with x176's
+    before/after impact report): returns (d, [s1..s6])."""
     d = _docs(spark, sf_dir)
     e = _embs(spark, sf_dir)
     s1 = (text.gopher_rules(
@@ -2187,19 +2179,33 @@ def x_curation_v5(spark, sf_dir):
                                min_cos=KNN_CLUSTER_MIN_COS)
           .select(F.col("vec_id").alias("doc_id")))
     s6 = s5.join(cs, "doc_id")
+    return d, [s1, s2, s3, s4, s5, s6]
+
+
+def x_curation_v5(spark, sf_dir):
+    """x168 — curation composition v5, the r6-session-3 funnel: v4's
+    learned/fair gates preceded by the Gopher per-rule gate (x162)
+    and followed by embedding-outlier removal (x166) before the
+    diversity quota — (1) Gopher rules, (2) language-fair quality
+    percentile WITHIN the surviving pool (stage semantics: each gate
+    filters the previous pool), (3) NB classifier verdict (training
+    docs pass by their own heuristic label), (4) exact dedup
+    keep-first, (5) drop the OUTLIER_K most isolated embeddings,
+    (6) cluster-balanced diversity quota on the full semantic space.
+    Output is the (stage, n_kept) funnel under one oracle hash."""
+    d, stages = _v5_stages(spark, sf_dir)
 
     def cnt(df, label):
         return (df.agg(F.count(F.lit(1)).alias("n_kept"))
                 .select(F.lit(label).alias("stage"), "n_kept"))
 
-    return (cnt(d, "s0_all")
-            .unionAll(cnt(s1, "s1_gopher"))
-            .unionAll(cnt(s2, "s2_lang_fair"))
-            .unionAll(cnt(s3, "s3_nb_filter"))
-            .unionAll(cnt(s4, "s4_exact_dedup"))
-            .unionAll(cnt(s5, "s5_outlier_drop"))
-            .unionAll(cnt(s6, "s6_cluster_quota"))
-            .orderBy("stage"))
+    labels = ["s1_gopher", "s2_lang_fair", "s3_nb_filter",
+              "s4_exact_dedup", "s5_outlier_drop",
+              "s6_cluster_quota"]
+    out = cnt(d, "s0_all")
+    for lbl, st in zip(labels, stages):
+        out = out.unionAll(cnt(st, lbl))
+    return out.orderBy("stage")
 
 
 def x_rejection_report(spark, sf_dir):
@@ -2357,6 +2363,35 @@ def x_stored_knn_graph(spark, sf_dir):
                                            n_probe=KNN_N_PROBE)
             .select("qid", "vec_id", "cos", "rank")
             .orderBy("qid", "rank"))
+
+
+def x_curation_impact(spark, sf_dir):
+    """x176 — curation impact on the language mix: per-lang corpus
+    shares BEFORE vs AFTER the full v5 funnel (integer bp, negative
+    deltas allowed) — the fairness audit that catches a pipeline
+    silently skewing the language distribution even when each gate
+    looked reasonable alone."""
+    d, stages = _v5_stages(spark, sf_dir)
+    keep = stages[-1]
+    before = (d.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_before")))
+    after = (d.join(keep, "doc_id").groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_after")))
+    tb = before.agg(F.sum("n_before").alias("tot_b"))
+    ta = after.agg(F.coalesce(F.sum("n_after"), F.lit(0))
+                   .alias("tot_a"))
+    sb = F.expr("10000 * n_before div tot_b")
+    sa = F.when(F.col("tot_a") > 0,
+                F.expr("10000 * n_after div tot_a")).otherwise(F.lit(0))
+    return (before.join(after, "lang", "left")
+            .na.fill({"n_after": 0})
+            .crossJoin(F.broadcast(tb)).crossJoin(F.broadcast(ta))
+            .select("lang", "n_before",
+                    F.col("n_after").cast("long").alias("n_after"),
+                    sb.cast("long").alias("share_before_bp"),
+                    sa.cast("long").alias("share_after_bp"),
+                    (sa - sb).cast("long").alias("delta_bp"))
+            .orderBy("lang"))
 
 
 def x_corpus_map(spark, sf_dir):
@@ -2890,6 +2925,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x173_pca_convergence": x_pca_convergence,
     "x174_corpus_map": x_corpus_map,
     "x175_stored_knn_graph": x_stored_knn_graph,
+    "x176_curation_impact": x_curation_impact,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5299,15 +5335,15 @@ def _emb_outliers_sql() -> str:
         f"ORDER BY mean_cos_bp, vec_id LIMIT {OUTLIER_K}")
 
 
-def _curation_v5_sql() -> str:
-    """x168 oracle — the v5 funnel: the x162 Gopher gate and x166
-    outlier list embedded as self-contained derived tables (their
-    inner WITHs stay scoped), language-fair percentile computed
-    WITHIN the Gopher-surviving pool, then the v4 NB/dedup/quota
-    chain."""
+def _v5_chain_ctes() -> str:
+    """Shared x168/x176 oracle chain ending in ``k5(doc_id)`` — the
+    funnel's final keep set (Gopher gate and x166 outlier list
+    embedded as self-contained derived tables; language-fair
+    percentile WITHIN the Gopher-surviving pool; then the v4
+    NB/dedup chain, the outlier anti-join, and the cluster quota)."""
     m, cut, p = NB_TRAIN_MOD, NB_QUALITY_CUT, LANG_FAIR_KEEP_BP
     return (
-        f"WITH {_nb_quality_ctes()}, "
+        f"{_nb_quality_ctes()}, "
         f"gp AS (SELECT doc_id FROM ({_gopher_rules_sql()}) "
         "WHERE keep), "
         "jq5 AS (SELECT q.doc_id, d.lang, quality_bp FROM q "
@@ -5329,7 +5365,13 @@ def _curation_v5_sql() -> str:
         "k4 AS (SELECT doc_id FROM k3 WHERE doc_id NOT IN "
         "(SELECT vec_id FROM ol)), "
         f"k5 AS (SELECT k4.doc_id FROM k4 JOIN "
-        f"({_cluster_sample_sql()}) cs ON cs.vec_id = k4.doc_id) "
+        f"({_cluster_sample_sql()}) cs ON cs.vec_id = k4.doc_id)")
+
+
+def _curation_v5_sql() -> str:
+    """x168 oracle — the funnel counts over the shared v5 chain."""
+    return (
+        f"WITH {_v5_chain_ctes()} "
         "SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) "
         "AS n_kept FROM documents "
         "UNION ALL SELECT 's1_gopher', CAST(COUNT(*) AS BIGINT) "
@@ -5344,6 +5386,32 @@ def _curation_v5_sql() -> str:
         "FROM k4 "
         "UNION ALL SELECT 's6_cluster_quota', CAST(COUNT(*) AS BIGINT) "
         "FROM k5 ORDER BY stage")
+
+
+def _curation_impact_sql() -> str:
+    """x176 oracle — per-language corpus mix before vs after the v5
+    funnel (deltas may be negative: plain integer subtraction of two
+    nonneg integer-division shares)."""
+    return (
+        f"WITH {_v5_chain_ctes()}, "
+        "b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before "
+        "FROM documents GROUP BY lang), "
+        "a AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_after "
+        "FROM k5 JOIN documents d USING (doc_id) GROUP BY d.lang), "
+        "tb AS (SELECT CAST(SUM(n_before) AS BIGINT) AS tot_b FROM b), "
+        "ta AS (SELECT CAST(COALESCE(SUM(n_after), 0) AS BIGINT) "
+        "AS tot_a FROM a), "
+        "j AS (SELECT b.lang, n_before, COALESCE(n_after, 0) "
+        "AS n_after, tot_b, tot_a FROM b LEFT JOIN a USING (lang) "
+        "CROSS JOIN tb CROSS JOIN ta) "
+        "SELECT lang, n_before, n_after, "
+        "CAST(10000 * n_before // tot_b AS BIGINT) AS share_before_bp, "
+        "CAST(CASE WHEN tot_a > 0 THEN 10000 * n_after // tot_a "
+        "ELSE 0 END AS BIGINT) AS share_after_bp, "
+        "CAST((CASE WHEN tot_a > 0 THEN 10000 * n_after // tot_a "
+        "ELSE 0 END) - (10000 * n_before // tot_b) AS BIGINT) "
+        "AS delta_bp "
+        "FROM j ORDER BY lang")
 
 
 def _rejection_report_sql() -> str:
@@ -6422,6 +6490,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x175 serves x149's graph from the persisted IVF index — same
     # oracle (lossless roundtrip), the stored-twin discipline.
     "x175_stored_knn_graph": _knn_graph_sql(),
+    "x176_curation_impact": _curation_impact_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1256,3 +1256,22 @@ def test_dup_quality_bands_partition_and_reconcile(spark):
         assert rows["1"].n_docs == rows["1"].n_groups
     if "2" in rows:
         assert rows["2"].n_docs == 2 * rows["2"].n_groups
+
+
+def test_curation_impact_shares_reconcile(spark):
+    """Before-counts cover the corpus; after-counts equal the v5
+    funnel's final stage; deltas are exactly share_after −
+    share_before and sum to ~0 (integer-division slack < n_langs)."""
+    from kafana_spark.operators.registry import EXTENSION_QUERIES
+    from kafana_spark.sources.tables import load_table
+
+    rows = EXTENSION_QUERIES["x176_curation_impact"](
+        spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_before for r in rows) == n_docs
+    funnel = {r.stage: r.n_kept for r in EXTENSION_QUERIES[
+        "x168_curation_v5"](spark, SF_SMOKE).collect()}
+    assert sum(r.n_after for r in rows) == funnel["s6_cluster_quota"]
+    for r in rows:
+        assert r.delta_bp == r.share_after_bp - r.share_before_bp
+    assert abs(sum(r.delta_bp for r in rows)) < len(rows)
