@@ -432,3 +432,35 @@ def knn_graph_from_index(spark: SparkSession, path: str, k: int = 5,
                .agg(F.any_value("v").alias("v"))
                .select(F.col("vec_id").alias("qid"), "v"))
     return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
+
+
+def mutual_knn_from_index(spark: SparkSession, path: str, k: int = 5,
+                          n_probe: int = 2) -> DataFrame:
+    """x150's mutual edges over the store-served graph — the
+    self-join tail of ``similarity.mutual_knn`` applied to
+    ``knn_graph_from_index`` (no assignment pass, no corpus read)."""
+    g = knn_graph_from_index(spark, path, k, n_probe)
+    ab = g.select(F.col("qid").alias("a"),
+                  F.col("vec_id").alias("b"),
+                  "cos", F.col("rank").alias("rank_ab"))
+    ba = g.select(F.col("vec_id").alias("a"),
+                  F.col("qid").alias("b"),
+                  F.col("rank").alias("rank_ba"))
+    return (ab.join(ba, ["a", "b"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "cos", "rank_ab", "rank_ba"))
+
+
+def knn_clusters_from_index(spark: SparkSession, path: str,
+                            k: int = 5, n_probe: int = 2,
+                            min_cos: float = 0.0,
+                            max_iter: int = 25) -> DataFrame:
+    """x151's density clusters served from the stored graph: mutual
+    edges from the persisted assignments, then the shared CC/label
+    machinery. The vec_id universe is the stored index itself."""
+    from kafana_spark.operators.dedup import clusters_from_mutual
+
+    assigned = spark.read.parquet(f"{path}/{ASSIGN_DIR}").drop("batch")
+    ids = assigned.select("vec_id").distinct()
+    mu = mutual_knn_from_index(spark, path, k, n_probe)
+    return clusters_from_mutual(ids, mu, min_cos, max_iter)

@@ -971,15 +971,27 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     """
     from kafana_spark.operators.similarity import mutual_knn
 
-    spark = df.sparkSession
-    pairs = (mutual_knn(df, k, centroid_mod, n_probe, n_assign,
-                        method, centroid_k)
-             .where(F.col("cos") >= min_cos)
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign,
+                    method, centroid_k)
+    return clusters_from_mutual(df.select("vec_id"), mu, min_cos,
+                                max_iter)
+
+
+def clusters_from_mutual(ids_df: DataFrame, mu: DataFrame,
+                         min_cos: float = 0.0,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components + cluster sizes over a precomputed
+    mutual-edge frame (a, b, cos) — shared by the inline
+    ``knn_clusters`` and the stored-graph serving path (the edge
+    frame may come from ``ann_index.knn_graph_from_index`` without
+    re-running the assignment pass)."""
+    spark = ids_df.sparkSession
+    pairs = (mu.where(F.col("cos") >= min_cos)
              .select(F.col("a").alias("da"), F.col("b").alias("db"))
              .persist())
     try:
         labels = _cc_labels(spark, pairs, max_iter)
-        clustered = (df.select("vec_id")
+        clustered = (ids_df.select("vec_id")
                      .join(labels.withColumnRenamed("node", "vec_id"),
                            "vec_id", "left")
                      .select("vec_id",

@@ -2365,6 +2365,24 @@ def x_stored_knn_graph(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def x_stored_knn_clusters(spark, sf_dir):
+    """x177 — x151's density clusters served from the PERSISTED IVF
+    index (stored graph → mutual edges → shared CC machinery): the
+    whole cluster-then-sample family now amortizes one assignment
+    build. Same oracle as x151 — lossless roundtrip proof."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "knnidx", sf_dir, lambda r: ann_index.build_ann_index(
+            e, r, method="fixed", centroid_k=KNN_CELLS,
+            n_assign=KNN_N_ASSIGN))
+    return (ann_index.knn_clusters_from_index(
+        spark, root, k=KNN_K, n_probe=KNN_N_PROBE,
+        min_cos=KNN_CLUSTER_MIN_COS)
+        .orderBy("vec_id"))
+
+
 def x_curation_impact(spark, sf_dir):
     """x176 — curation impact on the language mix: per-lang corpus
     shares BEFORE vs AFTER the full v5 funnel (integer bp, negative
@@ -2926,6 +2944,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x174_corpus_map": x_corpus_map,
     "x175_stored_knn_graph": x_stored_knn_graph,
     "x176_curation_impact": x_curation_impact,
+    "x177_stored_knn_clusters": x_stored_knn_clusters,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6491,6 +6510,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # oracle (lossless roundtrip), the stored-twin discipline.
     "x175_stored_knn_graph": _knn_graph_sql(),
     "x176_curation_impact": _curation_impact_sql(),
+    # x177 serves x151's clusters from the stored graph — same oracle.
+    "x177_stored_knn_clusters": _knn_clusters_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -368,3 +368,19 @@ def test_knn_graph_from_index_equals_inline(spark, tmp_path):
         e, k=5, method="fixed", centroid_k=20, n_probe=2)
         .select("qid", "vec_id", "cos", "rank").collect()}
     assert got == want and got
+
+
+def test_knn_clusters_from_index_equals_inline(spark, tmp_path):
+    """Store-served density clusters equal the inline fixed-k x151
+    chain row-for-row."""
+    from kafana_spark.operators import dedup
+
+    e = embs(spark)
+    root = str(tmp_path / "knnidx")
+    ann_index.build_ann_index(e, root, method="fixed", centroid_k=20,
+                              n_assign=1)
+    got = {tuple(r) for r in ann_index.knn_clusters_from_index(
+        spark, root, k=5, n_probe=2).collect()}
+    want = {tuple(r) for r in dedup.knn_clusters(
+        e, k=5, method="fixed", centroid_k=20, n_probe=2).collect()}
+    assert got == want and got
