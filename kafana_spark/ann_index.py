@@ -464,3 +464,19 @@ def knn_clusters_from_index(spark: SparkSession, path: str,
     ids = assigned.select("vec_id").distinct()
     mu = mutual_knn_from_index(spark, path, k, n_probe)
     return clusters_from_mutual(ids, mu, min_cos, max_iter)
+
+
+def cluster_sample_from_index(spark: SparkSession, path: str,
+                              k: int = 5, n_probe: int = 2,
+                              min_cos: float = 0.0,
+                              max_iter: int = 25) -> DataFrame:
+    """x152's cluster-balanced sample served from the stored graph —
+    the quota tail over ``knn_clusters_from_index``. With x175/x177
+    this completes the served cluster-then-sample chain: one
+    assignment build feeds graph, clusters, and the diversity
+    sample."""
+    from kafana_spark.operators.dedup import quota_sample_from_clusters
+
+    cl = knn_clusters_from_index(spark, path, k, n_probe, min_cos,
+                                 max_iter)
+    return quota_sample_from_clusters(cl)

@@ -1028,10 +1028,17 @@ def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     ``min_cos`` (edges below the floor are cut, splitting weakly
     connected regions) before reaching for a two-phase rank.
     """
-    from kafana_spark.functions import portable_hash64
-
     cl = knn_clusters(df, k, centroid_mod, n_probe, n_assign, min_cos,
                       method=method, centroid_k=centroid_k)
+    return quota_sample_from_clusters(cl)
+
+
+def quota_sample_from_clusters(cl: DataFrame) -> DataFrame:
+    """The ceil(sqrt(csize)) portable-hash quota tail over a
+    (vec_id, cluster_id, csize) cluster frame — shared by the inline
+    ``cluster_sample`` and the stored-graph serving path."""
+    from kafana_spark.functions import portable_hash64
+
     h = portable_hash64(F.concat_ws(
         "#", F.col("vec_id").cast("string"), F.lit("csample")))
     w = Window.partitionBy("cluster_id").orderBy(h.asc(),

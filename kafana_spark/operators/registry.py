@@ -2383,6 +2383,24 @@ def x_stored_knn_clusters(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+def x_stored_cluster_sample(spark, sf_dir):
+    """x178 — x152's diversity quota served from the PERSISTED graph
+    (x177's clusters + the shared quota tail): the full
+    cluster-then-sample chain now runs off one stored assignment
+    build. Same oracle as x152."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "knnidx", sf_dir, lambda r: ann_index.build_ann_index(
+            e, r, method="fixed", centroid_k=KNN_CELLS,
+            n_assign=KNN_N_ASSIGN))
+    return (ann_index.cluster_sample_from_index(
+        spark, root, k=KNN_K, n_probe=KNN_N_PROBE,
+        min_cos=KNN_CLUSTER_MIN_COS)
+        .orderBy("vec_id"))
+
+
 def x_curation_impact(spark, sf_dir):
     """x176 — curation impact on the language mix: per-lang corpus
     shares BEFORE vs AFTER the full v5 funnel (integer bp, negative
@@ -2945,6 +2963,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x175_stored_knn_graph": x_stored_knn_graph,
     "x176_curation_impact": x_curation_impact,
     "x177_stored_knn_clusters": x_stored_knn_clusters,
+    "x178_stored_cluster_sample": x_stored_cluster_sample,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6512,6 +6531,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x176_curation_impact": _curation_impact_sql(),
     # x177 serves x151's clusters from the stored graph — same oracle.
     "x177_stored_knn_clusters": _knn_clusters_sql(),
+    # x178 serves x152's quota sample from the stored graph — same oracle.
+    "x178_stored_cluster_sample": _cluster_sample_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

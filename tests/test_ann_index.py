@@ -384,3 +384,19 @@ def test_knn_clusters_from_index_equals_inline(spark, tmp_path):
     want = {tuple(r) for r in dedup.knn_clusters(
         e, k=5, method="fixed", centroid_k=20, n_probe=2).collect()}
     assert got == want and got
+
+
+def test_cluster_sample_from_index_equals_inline(spark, tmp_path):
+    """Store-served quota sample equals the inline fixed-k x152
+    chain row-for-row."""
+    from kafana_spark.operators import dedup
+
+    e = embs(spark)
+    root = str(tmp_path / "knnidx")
+    ann_index.build_ann_index(e, root, method="fixed", centroid_k=20,
+                              n_assign=1)
+    got = {tuple(r) for r in ann_index.cluster_sample_from_index(
+        spark, root, k=5, n_probe=2).collect()}
+    want = {tuple(r) for r in dedup.cluster_sample(
+        e, k=5, method="fixed", centroid_k=20, n_probe=2).collect()}
+    assert got == want and got
