@@ -46,12 +46,21 @@ LADDER = [
     ("x136_bpe_merge_train", "linear x N rounds (combinable counts)"),
     ("x145_kmeans_refine", "linear x N rounds (broadcast assignment; "
      "cells grow with n so per-pair work rises ~n/40 per round)"),
-    ("x149_knn_graph", "linear (all-queries x bounded probed cells: "
-     "cells scale with n, cell size stays ~centroid_mod)"),
+    ("x149_knn_graph", "fixed-k cells (r6 s3): assignment linear "
+     "(n x k), probe side n x n_probe x (n/k) — k pinned at the gate "
+     "corpus, so expect SUPER-linear here unless k is raised ~sqrt(n) "
+     "as the operator docs prescribe; the ladder shows the knob "
+     "matters, which is the point of surfacing it"),
     ("x151_knn_clusters", "~linear (n*k mutual edges + CC on the "
      "pruned edge list)"),
     ("x158_lang_fair_gate", "n log n within lang partitions (exact "
      "percentile rank)"),
+    ("x162_gopher_rules", "linear (map-side rules + one (doc,bigram) "
+     "combinable count)"),
+    ("x167_pca_power", "linear (Gram pass n*d^2 -> d^2 combinable "
+     "cells; iteration is driver-side on the d x d table)"),
+    ("x172_stored_gates", "build linear, serve ~constant (combinable "
+     "aggregate over stored booleans)"),
 ]
 
 
