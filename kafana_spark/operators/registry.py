@@ -2120,6 +2120,28 @@ def x_knn_label_prop(spark, sf_dir):
         n_assign=KNN_N_ASSIGN)
 
 
+def x_label_confusion(spark, sf_dir):
+    """x180 — leave-one-out confusion matrix of the kNN majority
+    vote (x163's chain): off-diagonal mass marks systematically
+    confused label pairs — merge/relabel candidates in label-
+    taxonomy cleanup."""
+    return similarity.knn_label_confusion(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
+def x_nb_reliability(spark, sf_dir):
+    """x179 — one-row reliability summary of the x164 table: bin-
+    mass-weighted |per-bin positive rate − base rate| in bp (0 =
+    scores carry no label information; higher = better-separated
+    reliability bins)."""
+    return text.nb_reliability_summary(
+        _docs(spark, sf_dir), train_mod=NB_TRAIN_MOD,
+        vocab_k=NB_VOCAB_K, quality_cut=NB_QUALITY_CUT,
+        bin_w_u=NB_CAL_BIN_W_U)
+
+
 def x_nb_calibration(spark, sf_dir):
     """x164 — reliability table for the x141 NB classifier:
     fixed-width score bins vs empirical positive rate under the
@@ -2964,6 +2986,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x176_curation_impact": x_curation_impact,
     "x177_stored_knn_clusters": x_stored_knn_clusters,
     "x178_stored_cluster_sample": x_stored_cluster_sample,
+    "x179_nb_reliability": x_nb_reliability,
+    "x180_label_confusion": x_label_confusion,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5327,6 +5351,50 @@ def _nb_calibration_sql() -> str:
         "FROM jj GROUP BY bin ORDER BY bin")
 
 
+def _nb_reliability_sql() -> str:
+    """x179 oracle — the x164 bin chain reduced to the one-row
+    weighted-deviation summary (all integer)."""
+    w = NB_CAL_BIN_W_U
+    m, cut = NB_TRAIN_MOD, NB_QUALITY_CUT
+    return (
+        f"WITH {_nb_quality_ctes()}, "
+        "tr AS (SELECT q.doc_id, CASE WHEN quality_bp >= "
+        f"{cut} THEN 1 ELSE 0 END AS yt FROM q "
+        f"WHERE doc_id % {m} <> 0), "
+        "jj AS (SELECT CAST(FLOOR(CAST(nb_score_u AS DOUBLE) "
+        f"/ {float(w)}) AS BIGINT) AS bin, yt "
+        "FROM scored JOIN tr USING (doc_id)), "
+        "g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb, "
+        "CAST(SUM(yt) AS BIGINT) AS pb FROM jj GROUP BY bin), "
+        "t AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, "
+        "CAST(SUM(pb) AS BIGINT) AS p, "
+        "CAST(COUNT(*) AS BIGINT) AS n_bins FROM g) "
+        "SELECT n, n_bins, "
+        "CAST(10000 * p // n AS BIGINT) AS base_bp, "
+        "CAST(SUM(nb * ABS(10000 * pb // nb - 10000 * p // n)) "
+        "// n AS BIGINT) AS dev_bp "
+        "FROM g CROSS JOIN t GROUP BY n, n_bins, p")
+
+
+def _label_confusion_sql() -> str:
+    """x180 oracle — the x163 vote chain grouped to the full
+    (label, pred) matrix."""
+    return (
+        f"WITH {_knn_chain_ctes()}, "
+        f"g AS (SELECT qid, vec_id FROM ranked WHERE rank <= {KNN_K}), "
+        "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl "
+        "FROM embeddings), "
+        "v AS (SELECT qid, lbl, COUNT(*) AS c FROM g "
+        "JOIN lb USING (vec_id) GROUP BY qid, lbl), "
+        "p AS (SELECT qid, lbl AS pred FROM ("
+        "SELECT qid, lbl, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY c DESC, lbl) AS r FROM v) t WHERE r = 1), "
+        "j AS (SELECT own.lbl AS label, p.pred FROM p "
+        "JOIN lb own ON own.vec_id = p.qid) "
+        "SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM j GROUP BY label, pred ORDER BY label, pred")
+
+
 def _gate_kappa_sql() -> str:
     """x165 oracle — the 2×2 agreement table + integer po/pe and the
     floor-on-double (negative-safe) kappa."""
@@ -6533,6 +6601,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x177_stored_knn_clusters": _knn_clusters_sql(),
     # x178 serves x152's quota sample from the stored graph — same oracle.
     "x178_stored_cluster_sample": _cluster_sample_sql(),
+    "x179_nb_reliability": _nb_reliability_sql(),
+    "x180_label_confusion": _label_confusion_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

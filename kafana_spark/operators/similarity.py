@@ -1030,21 +1030,8 @@ def knn_label_prop(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     Scale: the vote frame is <= n·k rows; the winner window runs
     over <= k rows per vector (bounded frame, reduce-before-window);
     the summary is one combinable aggregate on label."""
-    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
-                  centroid_k)
-    lbl = df.select("vec_id",
-                    F.col(label_col).cast("long").alias("lbl"))
-    votes = (g.join(lbl, "vec_id")
-             .groupBy("qid", "lbl")
-             .agg(F.count(F.lit(1)).alias("votes")))
-    w = Window.partitionBy("qid").orderBy(
-        F.col("votes").desc(), F.col("lbl").asc())
-    pred = (votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("qid", F.col("lbl").alias("pred")))
-    own = lbl.select(F.col("vec_id").alias("qid"),
-                     F.col("lbl").alias("own"))
-    per = pred.join(own, "qid")
+    per = _knn_label_pred(df, k, centroid_mod, n_probe, n_assign,
+                          method, centroid_k, label_col)
     return (per.groupBy(F.col("own").alias("label"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum((F.col("pred") == F.col("own")).cast("long"))
@@ -1286,3 +1273,52 @@ def pca_corpus_map(df: DataFrame, n_iters: int = 4, dim: int = 64,
             .groupBy("bin1", "bin2")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("bin1", "bin2"))
+
+
+def _knn_label_pred(df: DataFrame, k: int = 5, centroid_mod: int = 40,
+                    n_probe: int = 2, n_assign: int = 1,
+                    method: str = "modulo",
+                    centroid_k: int | None = None,
+                    label_col: str = "label") -> DataFrame:
+    """(qid, pred, own) per participating vector — the shared
+    majority-vote core of ``knn_label_prop`` (accuracy summary) and
+    ``knn_label_confusion`` (full confusion matrix)."""
+    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
+                  centroid_k)
+    lbl = df.select("vec_id",
+                    F.col(label_col).cast("long").alias("lbl"))
+    votes = (g.join(lbl, "vec_id")
+             .groupBy("qid", "lbl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("lbl").asc())
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("qid", F.col("lbl").alias("pred")))
+    own = lbl.select(F.col("vec_id").alias("qid"),
+                     F.col("lbl").alias("own"))
+    return pred.join(own, "qid")
+
+
+def knn_label_confusion(df: DataFrame, k: int = 5,
+                        centroid_mod: int = 40, n_probe: int = 2,
+                        n_assign: int = 1, method: str = "modulo",
+                        centroid_k: int | None = None,
+                        label_col: str = "label") -> DataFrame:
+    """Leave-one-out CONFUSION MATRIX of the kNN majority vote —
+    which classes bleed into which semantic neighborhoods (x163
+    reports only the diagonal's per-class accuracy; label-taxonomy
+    cleanup wants the off-diagonal mass: systematically confused
+    pairs are merge/relabel candidates).
+
+    Output: (label, pred, n) for every observed (true, predicted)
+    pair, ordered.
+
+    Scale: the x163 chain unchanged plus one combinable (own, pred)
+    count."""
+    per = _knn_label_pred(df, k, centroid_mod, n_probe, n_assign,
+                          method, centroid_k, label_col)
+    return (per.groupBy(F.col("own").alias("label"),
+                        F.col("pred"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("label", "pred"))

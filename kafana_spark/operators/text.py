@@ -1676,3 +1676,49 @@ def gate_agreement(df: DataFrame, train_mod: int = 3,
     return with_p.select("n", "n11", "n10", "n01", "n00",
                          "po_bp", "pe_bp",
                          kappa.cast("long").alias("kappa_bp"))
+
+
+def nb_reliability_summary(df: DataFrame, train_mod: int = 3,
+                           vocab_k: int = 50,
+                           quality_cut: int = 4700,
+                           bin_w_u: int = 500_000,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """One-row reliability summary of the x164 table: the bin-mass-
+    weighted mean absolute deviation of per-bin positive rates from
+    the global base rate, in basis points — an ECE-shaped score
+    (honest caveat: NB scores are log-odds, not probabilities, so
+    this measures how UNEVENLY the positives spread across score
+    bins — a discrimination/reliability index, 0 = scores carry no
+    information about the label). All integer arithmetic.
+
+    Output: (n, n_bins, base_bp, dev_bp).
+
+    Scale: the x141 scoring chain plus two combinable aggregates."""
+    preds = nb_quality_classifier(df, train_mod, vocab_k,
+                                  quality_cut, text_col, id_col)
+    truth = (quality_score(df, id_col, text_col)
+             .where(F.col(id_col) % train_mod != 0)
+             .select(F.col(id_col),
+                     (F.col("quality_bp") >= quality_cut)
+                     .cast("int").alias("yt")))
+    j = (preds.join(truth, id_col)
+         .select(F.col("nb_score_u").alias("s"), "yt"))
+    b = F.floor(F.col("s").cast("double") / F.lit(float(bin_w_u)))         .cast("long")
+    g = (j.select(b.alias("bin"), "yt")
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("nb"),
+              F.sum("yt").cast("long").alias("pb")))
+    tot = g.agg(F.sum("nb").alias("n"), F.sum("pb").alias("p"),
+                F.count(F.lit(1)).alias("n_bins"))
+    dev = F.abs(F.expr("10000 * pb div nb")
+                - F.expr("10000 * p div n"))
+    return (g.crossJoin(F.broadcast(tot))
+            .agg(F.any_value("n").alias("n0"),
+                 F.any_value("n_bins").alias("nbins"),
+                 F.any_value(F.expr("10000 * p div n")).alias("base"),
+                 F.sum(F.col("nb") * dev).alias("wd"))
+            .select(F.col("n0").cast("long").alias("n"),
+                    F.col("nbins").cast("long").alias("n_bins"),
+                    F.col("base").cast("long").alias("base_bp"),
+                    F.expr("wd div n0").cast("long").alias("dev_bp")))

@@ -605,3 +605,22 @@ def test_pca_corpus_map_grid_partitions_corpus(spark):
     e = embs(spark)
     rows = similarity.pca_corpus_map(e).collect()
     assert sum(r.n for r in rows) == e.count()
+
+
+def test_label_confusion_reconciles_with_label_prop(spark):
+    """The confusion matrix's diagonal equals x163's n_correct and
+    its row sums equal x163's per-label n."""
+    e = embs(spark)
+    kw = dict(k=5, method="fixed", centroid_k=20, n_probe=2)
+    acc = {r.label: (r.n, r.n_correct)
+           for r in similarity.knn_label_prop(e, **kw).collect()}
+    cm = similarity.knn_label_confusion(e, **kw).collect()
+    rows = {}
+    diag = {}
+    for r in cm:
+        rows[r.label] = rows.get(r.label, 0) + r.n
+        if r.label == r.pred:
+            diag[r.label] = r.n
+    for lbl, (n, nc) in acc.items():
+        assert rows[lbl] == n
+        assert diag.get(lbl, 0) == nc

@@ -447,3 +447,23 @@ def test_gate_agreement_counts_and_kappa_consistent(spark):
     # the cut must make BOTH gates non-constant on the smoke corpus
     assert (r.n11 + r.n10) not in (0, r.n)
     assert (r.n11 + r.n01) not in (0, r.n)
+
+
+def test_nb_reliability_summary_reconciles_with_bins(spark):
+    """The one-row summary recomputes from the x164 table exactly."""
+    from kafana_spark.operators.text import (
+        nb_calibration, nb_reliability_summary,
+    )
+    from kafana_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    bins = nb_calibration(d).collect()
+    r = nb_reliability_summary(d).collect()[0]
+    n = sum(b.n for b in bins)
+    p = sum(b.n_pos for b in bins)
+    base = 10000 * p // n
+    dev = sum(b.n * abs(10000 * b.n_pos // b.n - base)
+              for b in bins) // n
+    assert (r.n, r.n_bins, r.base_bp, r.dev_bp) \
+        == (n, len(bins), base, dev)
