@@ -19,7 +19,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafana_spark.operators import asof, dedup, multimodal, similarity, text
+from kafana_spark.operators import (
+    asof, dedup, events as ev_ops, multimodal, similarity, text,
+)
 from kafana_spark.operators.dedup import (
     MINHASH_BANDS, MINHASH_COEFFS, MINHASH_P, MINHASH_ROWS, SIMHASH_BITS,
     SIMHASH_CHUNKS, SIMHASH_MAX_HAMMING,
@@ -2811,6 +2813,81 @@ def x_pinned_query(spark, sf_dir):
                                   list(PINNED_IDS), k=PINNED_K)
 
 
+# --------------------------------------------- event product analytics
+
+#: x181 ordered funnel — the three shop-shaped steps in the fixture's
+#: event_type vocabulary (view → click → purchase; signup/error are
+#: off-funnel noise, exactly what first-touch matching must ignore).
+FUNNEL_STEPS = ("view", "click", "purchase")
+RETENTION_WEEK_DAYS = 7
+ROLL_WINDOW_DAYS = 7
+SPIKE_TRAIL_HOURS = 24
+SPIKE_TOP_K = 20
+SESSION_PCT_QS = (0.5, 0.95)
+#: x188 held-out split — same id-modulus discipline as the NB
+#: classifier (x141): train = vec_id % 3 != 0.
+ROCCHIO_TRAIN_MOD = 3
+
+
+def _events(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def x_funnel(spark, sf_dir):
+    """x181 — ordered-step funnel (view → click → purchase): per-step
+    user counts + step-over-step and vs-entry conversion in bp."""
+    return ev_ops.funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def x_retention(spark, sf_dir):
+    """x182 — weekly cohort retention matrix (cohort = epoch-week of
+    first event; retained_bp vs the offset-0 cohort size)."""
+    return ev_ops.retention_cohorts(_events(spark, sf_dir),
+                                    RETENTION_WEEK_DAYS)
+
+
+def x_session_stats(spark, sf_dir):
+    """x183 — one-row summary of the x15 sessionization: counts,
+    events/session bp, exact duration percentiles, max duration."""
+    return ev_ops.session_stats(_events(spark, sf_dir), SESSION_GAP,
+                                SESSION_PCT_QS)
+
+
+def x_event_transitions(spark, sf_dir):
+    """x184 — first-order Markov transition matrix over per-user event
+    sequences, row-normalized in bp ((ts, event_id) total order)."""
+    return ev_ops.event_transitions(_events(spark, sf_dir))
+
+
+def x_rolling_active(spark, sf_dir):
+    """x185 — DAU / rolling-7-day WAU / stickiness bp per observed
+    day (constant-length explode, never a range join on the corpus)."""
+    return ev_ops.rolling_active(_events(spark, sf_dir),
+                                 ROLL_WINDOW_DAYS)
+
+
+def x_rfm_segments(spark, sf_dir):
+    """x186 — RFM quartile segmentation (integer-cent monetary,
+    x158-style integer percentile cuts), rolled up per segment."""
+    return ev_ops.rfm_segments(_events(spark, sf_dir))
+
+
+def x_error_spike(spark, sf_dir):
+    """x187 — hourly error bursts vs the trailing-24h baseline over a
+    RANGE window on the hour index; top-20 spikes, total order."""
+    return ev_ops.error_spike(_events(spark, sf_dir),
+                              SPIKE_TRAIL_HOURS, SPIKE_TOP_K)
+
+
+def x_rocchio_confusion(spark, sf_dir):
+    """x188 — Rocchio nearest-class-centroid classifier: µunit-exact
+    integer centroids + bigint dot scores, held-out confusion matrix
+    (the third embedding classifier next to x163 kNN and x141 NB)."""
+    return similarity.rocchio_confusion(_embs(spark, sf_dir),
+                                        ROCCHIO_TRAIN_MOD)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -2988,6 +3065,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x178_stored_cluster_sample": x_stored_cluster_sample,
     "x179_nb_reliability": x_nb_reliability,
     "x180_label_confusion": x_label_confusion,
+    "x181_funnel": x_funnel,
+    "x182_retention": x_retention,
+    "x183_session_stats": x_session_stats,
+    "x184_event_transitions": x_event_transitions,
+    "x185_rolling_active": x_rolling_active,
+    "x186_rfm_segments": x_rfm_segments,
+    "x187_error_spike": x_error_spike,
+    "x188_rocchio_confusion": x_rocchio_confusion,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5888,6 +5973,214 @@ def _graph_hops_sql() -> str:
         "ORDER BY hop, src, rk")
 
 
+# ------------------------------------------ event analytics oracles
+
+_US_DAY = 86_400_000_000
+_US_HOUR = 3_600_000_000
+
+
+def _funnel_sql() -> str:
+    """x181 oracle — the identical first-touch stage chain, generated
+    from FUNNEL_STEPS so the twins cannot desynchronize."""
+    ctes = ["ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+            "event_type AS t FROM events)",
+            f"s0 AS (SELECT k, MIN(us) AS t0 FROM ev "
+            f"WHERE t = '{FUNNEL_STEPS[0]}' GROUP BY k)"]
+    for i, s in enumerate(FUNNEL_STEPS[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.k, MIN(e.us) AS t0 FROM ev e "
+            f"JOIN s{i - 1} p ON p.k = e.k AND e.t = '{s}' "
+            f"AND e.us > p.t0 GROUP BY e.k)")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, COUNT(*) AS n_users "
+        f"FROM s{i}" for i, s in enumerate(FUNNEL_STEPS))
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"f AS ({union}), "
+        "w AS (SELECT step_idx, step, n_users, "
+        "LAG(n_users) OVER (ORDER BY step_idx) AS prev_n, "
+        "FIRST_VALUE(n_users) OVER (ORDER BY step_idx) AS first_n "
+        "FROM f) "
+        "SELECT step_idx, step, n_users, "
+        "CAST(CASE WHEN prev_n IS NULL THEN 10000 WHEN prev_n > 0 "
+        "THEN n_users * 10000 // prev_n ELSE 0 END AS BIGINT) "
+        "AS conv_prev_bp, "
+        "CAST(CASE WHEN step_idx = 0 THEN 10000 WHEN first_n > 0 "
+        "THEN n_users * 10000 // first_n ELSE 0 END AS BIGINT) "
+        "AS conv_first_bp FROM w ORDER BY step_idx")
+
+
+def _retention_sql() -> str:
+    """x182 oracle — integer epoch-day/week cohort matrix."""
+    wd = RETENTION_WEEK_DAYS
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id AS k, "
+        f"epoch_us(ts) // {_US_DAY} AS day FROM events), "
+        "fr AS (SELECT k, MIN(day) AS d0 FROM ud GROUP BY k), "
+        "act AS (SELECT DISTINCT ud.k, "
+        f"fr.d0 // {wd} AS cohort_week, "
+        f"(ud.day - fr.d0) // {wd} AS week_offset "
+        "FROM ud JOIN fr ON fr.k = ud.k), "
+        "c AS (SELECT cohort_week, week_offset, COUNT(*) AS n_users "
+        "FROM act GROUP BY 1, 2), "
+        "b AS (SELECT cohort_week, n_users AS base_n FROM c "
+        "WHERE week_offset = 0) "
+        "SELECT c.cohort_week, c.week_offset, c.n_users, "
+        "CAST(c.n_users * 10000 // b.base_n AS BIGINT) AS retained_bp "
+        "FROM c JOIN b USING (cohort_week) "
+        "ORDER BY cohort_week, week_offset")
+
+
+def _session_ctes() -> str:
+    """The x15 gap-sessionization chain (shared verbatim by x183)."""
+    return (
+        "e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "d AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) > "
+        f"{SESSION_GAP_US} THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS sid FROM d), "
+        "ses AS (SELECT user_id, MIN(us) AS start_us, "
+        "MAX(us) - MIN(us) AS dur_us, COUNT(*) AS events FROM s "
+        "GROUP BY user_id, sid)")
+
+
+def _session_stats_sql() -> str:
+    """x183 oracle — one-row rollup of the shared session chain."""
+    pcts = ", ".join(
+        f"ROUND(quantile_cont(dur_us, {q}), 4) AS p{int(q * 100)}_dur_us"
+        for q in SESSION_PCT_QS)
+    return (
+        f"WITH {_session_ctes()} "
+        "SELECT COUNT(*) AS n_sessions, "
+        "CAST(SUM(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_single, "
+        "CAST(SUM(events) * 10000 // COUNT(*) AS BIGINT) "
+        f"AS events_per_session_bp, {pcts}, "
+        "MAX(dur_us) AS max_dur_us FROM ses")
+
+
+def _event_transitions_sql() -> str:
+    """x184 oracle — LEAD over the identical (ts, event_id) total
+    order, row-normalized in integer bp."""
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS src FROM events), "
+        "p AS (SELECT src, LEAD(src) OVER (PARTITION BY k "
+        "ORDER BY us, eid) AS dst FROM ev), "
+        "c AS (SELECT src, dst, COUNT(*) AS n FROM p "
+        "WHERE dst IS NOT NULL GROUP BY 1, 2) "
+        "SELECT src, dst, n, CAST(n * 10000 // "
+        "SUM(n) OVER (PARTITION BY src) AS BIGINT) AS prob_bp "
+        "FROM c ORDER BY src, dst")
+
+
+def _rolling_active_sql() -> str:
+    """x185 oracle — the range-join formulation of the same rolling
+    distinct count (the Spark side uses the constant-length explode;
+    both report exactly the observed-day grid)."""
+    w = ROLL_WINDOW_DAYS - 1
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id AS k, "
+        f"epoch_us(ts) // {_US_DAY} AS day FROM events), "
+        "g AS (SELECT DISTINCT day AS tday FROM ud) "
+        "SELECT g.tday AS day, "
+        "COUNT(DISTINCT CASE WHEN u.day = g.tday THEN u.k END) AS dau, "
+        "COUNT(DISTINCT u.k) AS wau, "
+        "CAST(COUNT(DISTINCT CASE WHEN u.day = g.tday THEN u.k END) "
+        "* 10000 // COUNT(DISTINCT u.k) AS BIGINT) AS stickiness_bp "
+        f"FROM g JOIN ud u ON u.day BETWEEN g.tday - {w} AND g.tday "
+        "GROUP BY g.tday ORDER BY day")
+
+
+def _rfm_sql() -> str:
+    """x186 oracle — integer-cent metrics, x158-style integer
+    percentile quartiles over (metric, user) total orders."""
+    def pct(rk: str) -> str:
+        return (f"CASE WHEN nn > 1 THEN (10000 * ({rk} - 1)) // (nn - 1) "
+                "ELSE 0 END")
+
+    def quart(rk: str) -> str:
+        p = pct(rk)
+        return ("1 + CASE WHEN " + p + " >= 2500 THEN 1 ELSE 0 END"
+                " + CASE WHEN " + p + " >= 5000 THEN 1 ELSE 0 END"
+                " + CASE WHEN " + p + " >= 7500 THEN 1 ELSE 0 END")
+
+    return (
+        "WITH e AS (SELECT user_id AS k, "
+        f"epoch_us(ts) // {_US_DAY} AS day, "
+        "CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM events), "
+        "m AS (SELECT k, MAX(day) AS umax, COUNT(*) AS freq, "
+        "CAST(SUM(cents) AS BIGINT) AS mon FROM e GROUP BY k), "
+        "gm AS (SELECT MAX(umax) AS gmax FROM m), "
+        "u AS (SELECT k, gm.gmax - umax AS rec, freq, mon "
+        "FROM m CROSS JOIN gm), "
+        "r AS (SELECT k, mon, "
+        "ROW_NUMBER() OVER (ORDER BY rec, k) AS rk_r, "
+        "ROW_NUMBER() OVER (ORDER BY freq, k) AS rk_f, "
+        "ROW_NUMBER() OVER (ORDER BY mon, k) AS rk_m, "
+        "COUNT(*) OVER () AS nn FROM u), "
+        f"q AS (SELECT k, mon, CAST({quart('rk_r')} AS INT) AS r_q, "
+        f"CAST({quart('rk_f')} AS INT) AS f_q, "
+        f"CAST({quart('rk_m')} AS INT) AS m_q FROM r) "
+        "SELECT r_q, f_q, m_q, COUNT(*) AS n_users, "
+        "CAST(SUM(mon) AS BIGINT) AS monetary_cents FROM q "
+        "GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q")
+
+
+def _error_spike_sql() -> str:
+    """x187 oracle — the identical RANGE window on the hour index."""
+    th, k = SPIKE_TRAIL_HOURS, SPIKE_TOP_K
+    return (
+        "WITH h AS (SELECT "
+        f"epoch_us(ts) // {_US_HOUR} AS hour, "
+        "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err "
+        "FROM events), "
+        "g AS (SELECT hour, CAST(SUM(is_err) AS BIGINT) AS n_err "
+        "FROM h GROUP BY hour), "
+        "w AS (SELECT hour, n_err, "
+        "CAST(SUM(n_err) OVER (ORDER BY hour RANGE BETWEEN "
+        f"{th} PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail, "
+        "COUNT(*) OVER (ORDER BY hour RANGE BETWEEN "
+        f"{th} PRECEDING AND 1 PRECEDING) AS hrs FROM g) "
+        "SELECT hour, n_err, trail, "
+        f"CAST(n_err * {th} * 10000 // trail AS BIGINT) AS spike_bp "
+        f"FROM w WHERE hrs = {th} AND trail > 0 "
+        f"ORDER BY spike_bp DESC, hour LIMIT {k}")
+
+
+def _rocchio_sql() -> str:
+    """x188 oracle — µunit centroids via sign-safe truncating
+    division (DuckDB // truncates toward zero; the Spark side mirrors
+    with sign·(abs div n)), bigint dot scores, argmax with (score
+    DESC, label ASC) ties."""
+    return (
+        "WITH xu AS (SELECT vec_id, label, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS u "
+        "FROM embeddings), "
+        f"tr AS (SELECT * FROM xu WHERE vec_id % {ROCCHIO_TRAIN_MOD} "
+        "!= 0), "
+        f"te AS (SELECT * FROM xu WHERE vec_id % {ROCCHIO_TRAIN_MOD} "
+        "= 0), "
+        "ex AS (SELECT label, i AS pos, u[i] AS v FROM tr, "
+        f"generate_series(1, {EMB_DIM}) gs(i)), "
+        "ct AS (SELECT label AS cand, pos, "
+        "CASE WHEN SUM(v) >= 0 THEN CAST(SUM(v) // COUNT(*) AS BIGINT) "
+        "ELSE CAST(-((-SUM(v)) // COUNT(*)) AS BIGINT) END AS c "
+        "FROM ex GROUP BY 1, 2), "
+        "sc AS (SELECT t.vec_id, t.label AS true_label, ct.cand, "
+        "SUM(t.u[ct.pos] * ct.c) AS score FROM te t JOIN ct ON TRUE "
+        "GROUP BY 1, 2, 3), "
+        "p AS (SELECT vec_id, true_label, cand, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY score DESC, cand ASC) AS rn "
+        "FROM sc) "
+        "SELECT true_label, cand AS pred_label, COUNT(*) AS n FROM p "
+        "WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -6603,6 +6896,14 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x178_stored_cluster_sample": _cluster_sample_sql(),
     "x179_nb_reliability": _nb_reliability_sql(),
     "x180_label_confusion": _label_confusion_sql(),
+    "x181_funnel": _funnel_sql(),
+    "x182_retention": _retention_sql(),
+    "x183_session_stats": _session_stats_sql(),
+    "x184_event_transitions": _event_transitions_sql(),
+    "x185_rolling_active": _rolling_active_sql(),
+    "x186_rfm_segments": _rfm_sql(),
+    "x187_error_spike": _error_spike_sql(),
+    "x188_rocchio_confusion": _rocchio_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1322,3 +1322,65 @@ def knn_label_confusion(df: DataFrame, k: int = 5,
                         F.col("pred"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("label", "pred"))
+
+
+# --- Rocchio nearest-class-centroid classifier -------------------------
+
+def rocchio_confusion(df: DataFrame, train_mod: int = 3,
+                      label_col: str = "label") -> DataFrame:
+    """Rocchio / nearest-class-mean classifier with a held-out
+    confusion matrix — the third embedding classifier next to kNN
+    voting (knn_label_prop) and NB-over-tokens: train = vec_id %
+    train_mod != 0, test = the rest; each test vector is assigned
+    the class whose TRAINING centroid maximizes the inner product.
+
+    Exact cross-engine arithmetic: components are integer µunits
+    (floor(x·1e6 + 0.5)), the per-class centroid is the sign-safe
+    truncating division of the per-dimension µunit SUM by the class
+    count (DuckDB ``//`` truncates toward zero on negatives — the
+    Spark side mirrors with sign·(abs div n)), and the score is the
+    pure bigint dot product (|score| <= dim·1e12 — bigint-safe).
+    Ties break to the smallest class label.
+
+    Output: (true_label, pred_label, n) — the held-out confusion
+    matrix, ordered; diagonal mass / total = accuracy.
+
+    Scale: centroid fitting is a map-side-combinable (label, pos)
+    sum — the shuffle carries |labels|·dim partials, never vectors;
+    the |labels|-row centroid table broadcasts to the test side, so
+    scoring is a map-only cross of each test vector with L arrays.
+    No window over the corpus; the argmax is a combinable
+    max(struct) per test vector."""
+    vu = F.transform(as_double_array(F.col("embedding")),
+                     lambda x: F.floor(x * 1_000_000.0 + 0.5)
+                     .cast("bigint"))
+    xu = df.select("vec_id", F.col(label_col).alias("label"),
+                   vu.alias("u"))
+    tr = xu.where(F.col("vec_id") % train_mod != 0)
+    te = xu.where(F.col("vec_id") % train_mod == 0)
+    sums = (tr.select("label", F.posexplode("u").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+    cv = F.when(F.col("s") >= 0, F.expr("s div n")) \
+        .otherwise(-F.expr("(-s) div n"))
+    cent = (sums.select("label", "pos", cv.cast("bigint").alias("c"))
+            .groupBy(F.col("label").alias("cand"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"]).alias("cu")))
+    scored = (te.crossJoin(F.broadcast(cent))
+              .select("vec_id", F.col("label").alias("true_label"),
+                      "cand",
+                      F.aggregate(
+                          F.zip_with(F.col("u"), F.col("cu"),
+                                     lambda a, b: a * b),
+                          F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + x).alias("score")))
+    best = (scored.groupBy("vec_id", "true_label")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("cand"))
+                                .alias("neg"), F.col("cand")))
+                 .alias("b"))
+            .select("true_label", F.col("b.cand").alias("pred_label")))
+    return (best.groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("true_label", "pred_label"))

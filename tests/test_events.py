@@ -1,0 +1,196 @@
+"""Event-analytics family (x181–x187) + Rocchio classifier (x188)
+closed-form semantics.
+
+Pinned behaviors:
+- funnel: steps must occur STRICTLY after the previous step's
+  first-touch timestamp (an earlier click never converts a later
+  view); off-funnel event types are ignored; conversions are bp.
+- retention: cohort = epoch-week of first event; a user is retained
+  in every week-offset with activity; offset 0 holds the cohort.
+- session_stats: aggregates the x15 sessionization (gap > 30 min
+  splits).
+- transitions: (ts, event_id) total order; row-normalized bp.
+- rolling_active: WAU counts a user once per trailing window; days
+  not observed as event days are not emitted.
+- rfm: integer-cent monetary; quartile via the integer-percentile
+  rule with (metric, user) tie order.
+- error_spike: only hours with a fully-observed trailing-24h grid
+  are scored; spike_bp = 10000 ⇔ exactly the trailing mean.
+- rocchio: sign-safe truncating centroid division; argmax ties break
+  to the smallest label.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from kafana_spark.operators import events as ev
+from kafana_spark.operators.similarity import rocchio_confusion
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def make(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, u, e, v) for i, (t, u, e, v) in enumerate(rows)], COLS)
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "click", 1.0),
+        (ts(2), 1, "purchase", 1.0),          # u1: full funnel
+        (ts(0), 2, "click", 1.0), (ts(1), 2, "view", 1.0),
+        # u2: click BEFORE view → stops at view
+        (ts(0), 3, "view", 1.0), (ts(1), 3, "click", 1.0),
+        # u3: view+click, no purchase
+        (ts(0), 4, "purchase", 1.0),          # u4: never viewed
+        (ts(0), 5, "error", 1.0),             # off-funnel only
+    ]
+    out = {r.step: r for r in ev.funnel(
+        make(spark, rows), ("view", "click", "purchase")).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 2
+    assert out["purchase"].n_users == 1
+    assert out["view"].conv_prev_bp == 10000
+    assert out["click"].conv_prev_bp == 2 * 10000 // 3
+    assert out["purchase"].conv_prev_bp == 5000
+    assert out["purchase"].conv_first_bp == 10000 // 3
+
+
+def test_funnel_same_timestamp_does_not_convert(spark):
+    rows = [(ts(0), 1, "view", 1.0), (ts(0), 1, "click", 1.0)]
+    out = {r.step: r.n_users for r in ev.funnel(
+        make(spark, rows), ("view", "click")).collect()}
+    assert out == {"view": 1, "click": 0}
+
+
+def test_retention_offsets_and_base(spark):
+    day = 24 * 60
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(8 * day), 1, "view", 1.0),
+        (ts(0), 2, "view", 1.0),
+        (ts(1 * day), 3, "view", 1.0), (ts(2 * day), 3, "view", 1.0),
+    ]
+    out = {(r.cohort_week, r.week_offset): (r.n_users, r.retained_bp)
+           for r in ev.retention_cohorts(make(spark, rows)).collect()}
+    # all three users' first events land in the same epoch week
+    cw = next(iter(out))[0]
+    assert out[(cw, 0)] == (3, 10000)
+    assert out[(cw, 1)] == (1, 3333)   # only u1 returns in week 1
+    assert len(out) == 2
+
+
+def test_session_stats_shape(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(10), 1, "view", 1.0),
+        (ts(120), 1, "view", 1.0),       # 2 sessions for u1
+        (ts(0), 2, "view", 1.0),         # 1 single-event session
+    ]
+    r = ev.session_stats(make(spark, rows)).collect()[0]
+    assert r.n_sessions == 3
+    assert r.n_single == 2
+    assert r.events_per_session_bp == 4 * 10000 // 3
+    assert r.max_dur_us == 10 * 60 * 1_000_000
+
+
+def test_transitions_row_normalized(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "click", 1.0),
+        (ts(2), 1, "view", 1.0), (ts(3), 1, "view", 1.0),
+        (ts(0), 2, "view", 1.0), (ts(1), 2, "click", 1.0),
+    ]
+    out = {(r.src, r.dst): (r.n, r.prob_bp)
+           for r in ev.event_transitions(make(spark, rows)).collect()}
+    # view → click twice, view → view once; click → view once
+    assert out[("view", "click")] == (2, 6666)
+    assert out[("view", "view")] == (1, 3333)
+    assert out[("click", "view")] == (1, 10000)
+
+
+def test_rolling_active_window_and_grid(spark):
+    day = 24 * 60
+    rows = [
+        (ts(0), 1, "view", 1.0),
+        (ts(2 * day), 2, "view", 1.0),
+        (ts(9 * day), 1, "view", 1.0),
+    ]
+    out = {r.day: (r.dau, r.wau, r.stickiness_bp)
+           for r in ev.rolling_active(make(spark, rows), 7).collect()}
+    d0 = min(out)
+    # only observed days are emitted
+    assert set(out) == {d0, d0 + 2, d0 + 9}
+    assert out[d0] == (1, 1, 10000)
+    assert out[d0 + 2] == (1, 2, 5000)     # u1 still in the window
+    assert out[d0 + 9] == (1, 1, 10000)    # d0+2 aged out
+
+
+def test_rfm_quartiles_deterministic(spark):
+    # 4 users, strictly increasing frequency/monetary, same recency
+    rows = []
+    for u in range(1, 5):
+        for i in range(u):
+            rows.append((ts(i), u, "purchase", 10.0 * u))
+    out = {(r.r_q, r.f_q, r.m_q): (r.n_users, r.monetary_cents)
+           for r in ev.rfm_segments(make(spark, rows)).collect()}
+    # freq/monetary quartiles are 1..4 in user order; recency all ties
+    # → rank by user id → quartiles 1..4 as well
+    assert out[(1, 1, 1)] == (1, 1000)
+    assert out[(4, 4, 4)] == (1, 4 * 4 * 1000)
+    assert sum(n for n, _ in out.values()) == 4
+
+
+def test_error_spike_full_window_only(spark):
+    rows = []
+    eid = 0
+    # 30 consecutive hours with 1 error each, then 1 hour with 10
+    for h in range(30):
+        rows.append((ts(h * 60), 1, "error", 1.0))
+    rows.append((ts(30 * 60), 1, "error", 1.0))
+    for _ in range(9):
+        rows.append((ts(30 * 60 + 1), 1, "error", 1.0))
+    out = {r.hour: r for r in ev.error_spike(
+        make(spark, rows), trail_hours=24, top_k=50).collect()}
+    hours = sorted(out)
+    # first 24 hours can never have a full trailing day
+    assert len(hours) == 31 - 24
+    spike = out[max(hours)]
+    assert spike.n_err == 10
+    assert spike.trail == 24
+    assert spike.spike_bp == 10 * 10000
+    flat = out[min(hours)]
+    assert flat.spike_bp == 10000     # exactly the trailing mean
+
+
+def test_rocchio_ties_break_to_smallest_label(spark):
+    # train: two classes with opposite-sign 2-dim-ish centroids in a
+    # 4-dim space; test vector equidistant → tie → label 0 wins
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.0, 0.0], 1), (5, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [1.0, 1.0, 0.0, 0.0], 1),   # held out (3 % 3 == 0)
+        (6, [1.0, 0.0, 0.0, 0.0], 0),   # held out, clearly class 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {(r.true_label, r.pred_label): r.n
+           for r in rocchio_confusion(df, train_mod=3).collect()}
+    assert out[(1, 0)] == 1     # the tie goes to label 0
+    assert out[(0, 0)] == 1
+
+
+def test_rocchio_centroid_truncates_toward_zero(spark):
+    # class 0 sum = -1 over n=2 → centroid -0 (trunc), not -1 (floor)
+    rows = [
+        (1, [-1.0, 0.0], 0), (2, [0.0, 0.0], 0),
+        (4, [-1.0, 0.0], 1), (5, [-1.0, 0.0], 1),
+        (3, [-1.0, 0.0], 0),   # held out
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {(r.true_label, r.pred_label): r.n
+           for r in rocchio_confusion(df, train_mod=3).collect()}
+    # class-0 centroid dim0 = trunc(-1e6/2) = -500000; class 1 = -1e6.
+    # test vec [-1,0] scores 5e11 vs 1e12 → class 1 wins on magnitude
+    assert out == {(0, 1): 1}
