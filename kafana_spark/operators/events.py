@@ -30,6 +30,23 @@ def _base(df: DataFrame, time_col: str, key_col: str,
                      F.col(type_col).alias("t"))
 
 
+def _funnel_stages(ev: DataFrame,
+                   steps: tuple[str, ...]) -> list[DataFrame]:
+    """The shared first-touch stage chain: stage i is one row per user
+    who reached step i, carrying ``t0`` = the earliest qualifying
+    timestamp (strictly after the previous stage's t0)."""
+    stage = (ev.where(F.col("t") == steps[0])
+             .groupBy("k").agg(F.min("us").alias("t0")))
+    stages = [stage]
+    for s in steps[1:]:
+        stage = (ev.where(F.col("t") == s)
+                 .join(stage.select("k", "t0"), "k")
+                 .where(F.col("us") > F.col("t0"))
+                 .groupBy("k").agg(F.min("us").alias("t0")))
+        stages.append(stage)
+    return stages
+
+
 def funnel(df: DataFrame, steps: tuple[str, ...],
            time_col: str = "ts", key_col: str = "user_id",
            type_col: str = "event_type") -> DataFrame:
@@ -49,15 +66,8 @@ def funnel(df: DataFrame, steps: tuple[str, ...],
     bounded by the step count, not the data.
     """
     ev = _base(df, time_col, key_col, type_col)
-    stage = (ev.where(F.col("t") == steps[0])
-             .groupBy("k").agg(F.min("us").alias("t0")))
     rows = []
-    for i, s in enumerate(steps):
-        if i > 0:
-            stage = (ev.where(F.col("t") == s)
-                     .join(stage.select("k", "t0"), "k")
-                     .where(F.col("us") > F.col("t0"))
-                     .groupBy("k").agg(F.min("us").alias("t0")))
+    for i, (s, stage) in enumerate(zip(steps, _funnel_stages(ev, steps))):
         rows.append(stage.agg(F.count(F.lit(1)).alias("n_users"))
                     .select(F.lit(i).cast("int").alias("step_idx"),
                             F.lit(s).alias("step"), "n_users"))
@@ -299,3 +309,155 @@ def error_spike(df: DataFrame, trail_hours: int = 24, top_k: int = 20,
                     .alias("spike_bp"))
             .orderBy(F.desc("spike_bp"), "hour")
             .limit(top_k))
+
+
+def funnel_latency(df: DataFrame, steps: tuple[str, ...],
+                   pct_qs: tuple[float, ...] = (0.5, 0.95),
+                   time_col: str = "ts", key_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Time-to-convert for users completing the whole funnel: the gap
+    between the entry step's first touch and the final step's
+    first-touch timestamp (the same stage chain as ``funnel``, so the
+    two reports can never disagree about who converted).
+
+    Output: one row — (n_converted, mean_us, p50_us, p95_us, max_us);
+    mean is integer-floored, percentiles exact at 4dp.
+
+    Scale: the stage chain is funnel()'s; the latency frame is one
+    row per CONVERTED user and the summary one aggregate over it.
+    """
+    ev = _base(df, time_col, key_col, type_col)
+    stages = _funnel_stages(ev, steps)
+    lat = (stages[0].select("k", F.col("t0").alias("t_entry"))
+           .join(stages[-1].select("k", F.col("t0").alias("t_done")),
+                 "k")
+           .select((F.col("t_done") - F.col("t_entry")).alias("lat_us")))
+    aggs = [F.count(F.lit(1)).alias("n_converted"),
+            F.sum("lat_us").alias("tot"),
+            F.max("lat_us").alias("max_us")]
+    aggs += [F.round(F.percentile("lat_us", F.lit(q)), 4)
+             .alias(f"p{int(q * 100)}_us") for q in pct_qs]
+    return (lat.agg(*aggs)
+            .select("n_converted",
+                    F.when(F.col("n_converted") > 0,
+                           F.expr("tot div n_converted"))
+                    .otherwise(F.lit(0)).cast("long").alias("mean_us"),
+                    *[f"p{int(q * 100)}_us" for q in pct_qs],
+                    "max_us"))
+
+
+def _daily_counts(df: DataFrame, time_col: str) -> DataFrame:
+    return (df.select(F.expr(f"unix_micros({time_col}) div {US_PER_DAY}")
+                      .alias("day"))
+            .groupBy("day").agg(F.count(F.lit(1)).alias("c")))
+
+
+def acf(df: DataFrame, max_lag: int = 7,
+        time_col: str = "ts") -> DataFrame:
+    """Autocorrelation of the daily event-count series for lags
+    1..max_lag — the weekly-rhythm detector a monitoring stack runs
+    before picking a seasonal window.
+
+    Pearson r per lag from EXACT integer moments over the overlapping
+    day pairs (n, Σx, Σy, Σx², Σy², Σxy): r_bp = floor(10000·(n·Σxy −
+    Σx·Σy) / sqrt((n·Σx² − Σx²ᵗᵒᵗ)·(n·Σy² − Σy²ᵗᵒᵗ))). The only
+    doubles are the final sqrt/divide over exact integers — IEEE sqrt
+    is correctly rounded, so both engines emit the identical quotient
+    (the x166 floor-on-double discipline; FLOOR is toward −inf in
+    both, negative-safe). Degenerate (constant) sides → r_bp = 0.
+
+    Output: (lag, n_pairs, r_bp), one row per lag with >= 2 pairs.
+
+    Scale: the corpus collapses to the daily series first (one
+    combinable count); the lag fan-out and self-join run over series
+    × max_lag rows. Moment products reach n²·c² — bigint-safe to
+    ~3e9 events/day on a 10-year series; shard the day index beyond.
+    """
+    d = _daily_counts(df, time_col)
+    lagged = d.select(
+        "day", "c",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"))
+    pairs = (lagged.alias("a")
+             .join(d.alias("b"),
+                   F.col("b.day") == F.col("a.day") + F.col("a.lag"))
+             .select("a.lag", F.col("a.c").alias("x"),
+                     F.col("b.c").alias("y")))
+    m = (pairs.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("s1"), F.sum("y").alias("s2"),
+              F.sum(F.col("x") * F.col("x")).alias("s11"),
+              F.sum(F.col("y") * F.col("y")).alias("s22"),
+              F.sum(F.col("x") * F.col("y")).alias("s12")))
+    num = F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")
+    d1 = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
+    d2 = F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")
+    r = F.when((d1 > 0) & (d2 > 0),
+               F.floor(F.lit(10000.0) * num.cast("double")
+                       / F.sqrt(d1.cast("double") * d2.cast("double"))))\
+        .otherwise(F.lit(0))
+    return (m.where(F.col("n") >= 2)
+            .select("lag", F.col("n").alias("n_pairs"),
+                    r.cast("long").alias("r_bp"))
+            .orderBy("lag"))
+
+
+def dow_profile(df: DataFrame, time_col: str = "ts") -> DataFrame:
+    """Day-of-week seasonality profile of daily event volume: per
+    epoch-day-of-week (day % 7 — bucket identity, not calendar
+    naming), the day count, total events, and the seasonal index in
+    bp vs the all-days mean (10000 = flat; integer cross-multiplied:
+    idx = total·N_days·10000 div (n_days·T_total)).
+
+    Scale: daily series first; the profile is 7 rows; the global
+    totals are a 1-row broadcast cross join.
+    """
+    d = _daily_counts(df, time_col)
+    g = d.agg(F.count(F.lit(1)).alias("nd"), F.sum("c").alias("tc"))
+    return (d.select((F.col("day") % 7).alias("dow"), "c")
+            .groupBy("dow")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("c").alias("total"))
+            .crossJoin(F.broadcast(g))
+            .select("dow", "n_days", "total",
+                    F.expr("total * nd * 10000 div (n_days * tc)")
+                    .alias("idx_bp"))
+            .orderBy("dow"))
+
+
+def forecast_backtest(df: DataFrame, season: int = 7,
+                      time_col: str = "ts") -> DataFrame:
+    """Forecast-model backtest over the daily series: naive-1
+    (predict today = yesterday) vs seasonal-naive (today = same day
+    last week), scored by WAPE in bp (10000·Σ|actual − pred| div
+    Σactual — the weighted absolute percentage error; one integer
+    division, no per-day ratio floors). A weekly rhythm shows up as
+    seasonal-naive beating naive-1 — the go/no-go check before
+    wiring any fancier forecaster.
+
+    Output: (model, horizon_days, n_days, sum_abs_err, wape_bp), one
+    row per model; only days with an observed lagged day are scored,
+    so the two models may cover slightly different day sets (each
+    reports its own n_days).
+
+    Scale: both joins are day-series × 1 equi-joins on the day index.
+    """
+    d = _daily_counts(df, time_col)
+    out = []
+    for name, lag in (("naive1", 1), (f"seasonal{season}", season)):
+        j = (d.alias("a")
+             .join(d.alias("b"),
+                   F.col("a.day") == F.col("b.day") + F.lit(lag))
+             .select(F.col("a.c").alias("actual"),
+                     F.col("b.c").alias("pred")))
+        out.append(
+            j.agg(F.count(F.lit(1)).alias("n_days"),
+                  F.sum(F.abs(F.col("actual") - F.col("pred")))
+                  .alias("sum_abs_err"),
+                  F.sum("actual").alias("tot"))
+            .select(F.lit(name).alias("model"),
+                    F.lit(lag).cast("int").alias("horizon_days"),
+                    "n_days", "sum_abs_err",
+                    F.when(F.col("tot") > 0,
+                           F.expr("sum_abs_err * 10000 div tot"))
+                    .otherwise(F.lit(0)).cast("long").alias("wape_bp")))
+    return reduce(DataFrame.unionByName, out).orderBy("horizon_days")

@@ -2888,6 +2888,38 @@ def x_rocchio_confusion(spark, sf_dir):
                                         ROCCHIO_TRAIN_MOD)
 
 
+#: x190 weekly-rhythm scan depth; x192 seasonal-naive horizon.
+ACF_MAX_LAG = 7
+FORECAST_SEASON = 7
+
+
+def x_funnel_latency(spark, sf_dir):
+    """x189 — time-to-convert (entry first-touch → final-step first
+    touch) for funnel completers; shares x181's stage chain."""
+    return ev_ops.funnel_latency(_events(spark, sf_dir), FUNNEL_STEPS,
+                                 SESSION_PCT_QS)
+
+
+def x_acf(spark, sf_dir):
+    """x190 — autocorrelation of the daily event-count series, lags
+    1..7, from exact integer moments (floor-on-double only at the
+    final sqrt/divide)."""
+    return ev_ops.acf(_events(spark, sf_dir), ACF_MAX_LAG)
+
+
+def x_dow_profile(spark, sf_dir):
+    """x191 — day-of-week seasonal index of daily volume in bp vs
+    the all-days mean (integer cross-multiplied)."""
+    return ev_ops.dow_profile(_events(spark, sf_dir))
+
+
+def x_forecast_backtest(spark, sf_dir):
+    """x192 — naive-1 vs seasonal-naive daily-volume backtest scored
+    by integer WAPE bp — the forecast-model go/no-go loop."""
+    return ev_ops.forecast_backtest(_events(spark, sf_dir),
+                                    FORECAST_SEASON)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3073,6 +3105,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x186_rfm_segments": x_rfm_segments,
     "x187_error_spike": x_error_spike,
     "x188_rocchio_confusion": x_rocchio_confusion,
+    "x189_funnel_latency": x_funnel_latency,
+    "x190_acf": x_acf,
+    "x191_dow_profile": x_dow_profile,
+    "x192_forecast_backtest": x_forecast_backtest,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5979,9 +6015,9 @@ _US_DAY = 86_400_000_000
 _US_HOUR = 3_600_000_000
 
 
-def _funnel_sql() -> str:
-    """x181 oracle — the identical first-touch stage chain, generated
-    from FUNNEL_STEPS so the twins cannot desynchronize."""
+def _funnel_stage_ctes() -> list[str]:
+    """The shared x181/x189 first-touch stage chain, generated from
+    FUNNEL_STEPS so the twins cannot desynchronize."""
     ctes = ["ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
             "event_type AS t FROM events)",
             f"s0 AS (SELECT k, MIN(us) AS t0 FROM ev "
@@ -5991,6 +6027,13 @@ def _funnel_sql() -> str:
             f"s{i} AS (SELECT e.k, MIN(e.us) AS t0 FROM ev e "
             f"JOIN s{i - 1} p ON p.k = e.k AND e.t = '{s}' "
             f"AND e.us > p.t0 GROUP BY e.k)")
+    return ctes
+
+
+def _funnel_sql() -> str:
+    """x181 oracle — per-step user counts + bp conversions over the
+    shared stage chain."""
+    ctes = _funnel_stage_ctes()
     union = " UNION ALL ".join(
         f"SELECT {i} AS step_idx, '{s}' AS step, COUNT(*) AS n_users "
         f"FROM s{i}" for i, s in enumerate(FUNNEL_STEPS))
@@ -6149,6 +6192,84 @@ def _error_spike_sql() -> str:
         f"CAST(n_err * {th} * 10000 // trail AS BIGINT) AS spike_bp "
         f"FROM w WHERE hrs = {th} AND trail > 0 "
         f"ORDER BY spike_bp DESC, hour LIMIT {k}")
+
+
+def _funnel_latency_sql() -> str:
+    """x189 oracle — latency summary over the shared stage chain."""
+    last = len(FUNNEL_STEPS) - 1
+    pcts = ", ".join(
+        f"ROUND(quantile_cont(lat_us, {q}), 4) AS p{int(q * 100)}_us"
+        for q in SESSION_PCT_QS)
+    return (
+        "WITH " + ", ".join(_funnel_stage_ctes()) + ", "
+        f"lat AS (SELECT s{last}.t0 - s0.t0 AS lat_us "
+        f"FROM s0 JOIN s{last} USING (k)) "
+        "SELECT COUNT(*) AS n_converted, "
+        "CAST(CASE WHEN COUNT(*) > 0 THEN SUM(lat_us) // COUNT(*) "
+        "ELSE 0 END AS BIGINT) AS mean_us, "
+        f"{pcts}, MAX(lat_us) AS max_us FROM lat")
+
+
+_DAILY_CTE = ("d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+              "COUNT(*) AS c FROM events GROUP BY 1)")
+
+
+def _acf_sql() -> str:
+    """x190 oracle — identical integer moments per lag; the only
+    doubles are the final sqrt/divide (correctly-rounded IEEE — the
+    same value both engines), FLOOR toward −inf (negative-safe)."""
+    return (
+        f"WITH {_DAILY_CTE}, "
+        f"lg AS (SELECT CAST(i AS INT) AS lag "
+        f"FROM generate_series(1, {ACF_MAX_LAG}) g(i)), "
+        "p AS (SELECT lg.lag, a.c AS x, b.c AS y "
+        "FROM d a JOIN lg ON TRUE "
+        "JOIN d b ON b.day = a.day + lg.lag), "
+        "m AS (SELECT lag, COUNT(*) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(y) AS BIGINT) AS s2, "
+        "CAST(SUM(x * x) AS BIGINT) AS s11, "
+        "CAST(SUM(y * y) AS BIGINT) AS s22, "
+        "CAST(SUM(x * y) AS BIGINT) AS s12 FROM p GROUP BY lag) "
+        "SELECT lag, n AS n_pairs, "
+        "CAST(CASE WHEN (n * s11 - s1 * s1) > 0 "
+        "AND (n * s22 - s2 * s2) > 0 THEN "
+        "FLOOR(10000.0 * CAST(n * s12 - s1 * s2 AS DOUBLE) / "
+        "sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE) * "
+        "CAST(n * s22 - s2 * s2 AS DOUBLE))) "
+        "ELSE 0 END AS BIGINT) AS r_bp "
+        "FROM m WHERE n >= 2 ORDER BY lag")
+
+
+def _dow_profile_sql() -> str:
+    """x191 oracle — integer cross-multiplied seasonal index."""
+    return (
+        f"WITH {_DAILY_CTE}, "
+        "g AS (SELECT COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS tc "
+        "FROM d) "
+        "SELECT day % 7 AS dow, COUNT(*) AS n_days, "
+        "CAST(SUM(c) AS BIGINT) AS total, "
+        "CAST(SUM(c) * nd * 10000 // (COUNT(*) * tc) AS BIGINT) "
+        "AS idx_bp "
+        "FROM d CROSS JOIN g GROUP BY day % 7, nd, tc ORDER BY dow")
+
+
+def _forecast_backtest_sql() -> str:
+    """x192 oracle — the two lag joins scored by integer WAPE."""
+    def one(name: str, lag: int) -> str:
+        return (
+            f"SELECT '{name}' AS model, "
+            f"CAST({lag} AS INT) AS horizon_days, "
+            "COUNT(*) AS n_days, "
+            "CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS sum_abs_err, "
+            "CAST(CASE WHEN SUM(a.c) > 0 THEN "
+            "SUM(ABS(a.c - b.c)) * 10000 // SUM(a.c) ELSE 0 END "
+            "AS BIGINT) AS wape_bp "
+            f"FROM d a JOIN d b ON a.day = b.day + {lag}")
+
+    return (f"WITH {_DAILY_CTE} "
+            + one("naive1", 1) + " UNION ALL "
+            + one(f"seasonal{FORECAST_SEASON}", FORECAST_SEASON)
+            + " ORDER BY horizon_days")
 
 
 def _rocchio_sql() -> str:
@@ -6904,6 +7025,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x186_rfm_segments": _rfm_sql(),
     "x187_error_spike": _error_spike_sql(),
     "x188_rocchio_confusion": _rocchio_sql(),
+    "x189_funnel_latency": _funnel_latency_sql(),
+    "x190_acf": _acf_sql(),
+    "x191_dow_profile": _dow_profile_sql(),
+    "x192_forecast_backtest": _forecast_backtest_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -194,3 +194,77 @@ def test_rocchio_centroid_truncates_toward_zero(spark):
     # class-0 centroid dim0 = trunc(-1e6/2) = -500000; class 1 = -1e6.
     # test vec [-1,0] scores 5e11 vs 1e12 → class 1 wins on magnitude
     assert out == {(0, 1): 1}
+
+
+def test_funnel_latency_matches_stage_chain(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(5), 1, "click", 1.0),
+        (ts(10), 1, "purchase", 1.0),
+        (ts(0), 2, "view", 1.0), (ts(1), 2, "click", 1.0),
+        (ts(31), 2, "purchase", 1.0),
+        (ts(0), 3, "view", 1.0),   # never converts
+    ]
+    r = ev.funnel_latency(make(spark, rows),
+                          ("view", "click", "purchase")).collect()[0]
+    assert r.n_converted == 2
+    assert r.max_us == 31 * 60 * 1_000_000
+    # mean of 10 and 31 minutes, integer-floored
+    assert r.mean_us == (10 + 31) * 60 * 1_000_000 // 2
+
+
+def test_acf_perfect_alternation(spark):
+    # daily counts 2,1,2,1,... → r(1) = -10000, r(2) = +10000
+    day = 24 * 60
+    rows = []
+    for d in range(10):
+        rows.append((ts(d * day), 1, "view", 1.0))
+        if d % 2 == 0:
+            rows.append((ts(d * day + 1), 2, "view", 1.0))
+    out = {r.lag: r.r_bp for r in ev.acf(make(spark, rows), 3).collect()}
+    assert out[1] == -10000
+    assert out[2] == 10000
+    assert out[3] == -10000
+
+
+def test_acf_constant_series_is_zero(spark):
+    day = 24 * 60
+    rows = [(ts(d * day), 1, "view", 1.0) for d in range(6)]
+    out = {r.lag: r.r_bp for r in ev.acf(make(spark, rows), 2).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_dow_profile_flat_and_skewed(spark):
+    day = 24 * 60
+    # 14 days, one event per day except dow of day 0 gets doubled
+    rows = []
+    eid = 0
+    for d in range(14):
+        rows.append((ts(d * day), 1, "view", 1.0))
+    rows.append((ts(1), 2, "view", 1.0))          # extra on day 0
+    rows.append((ts(7 * day + 1), 2, "view", 1.0))  # extra on day 7
+    out = {r.dow: r for r in ev.dow_profile(make(spark, rows)).collect()}
+    assert len(out) == 7
+    d0 = min(r.dow for r in out.values()
+             if r.total == 4)
+    assert out[d0].n_days == 2 and out[d0].total == 4
+    # idx = 4·14·10000 // (2·16) = 17500
+    assert out[d0].idx_bp == 17500
+    flat = [r for r in out.values() if r.total == 2]
+    assert all(r.idx_bp == 2 * 14 * 10000 // (2 * 16) for r in flat)
+
+
+def test_forecast_backtest_weekly_series(spark):
+    day = 24 * 60
+    # strict weekly pattern over 3 weeks: seasonal-naive is perfect
+    rows = []
+    for d in range(21):
+        n = 1 + (d % 7 == 0)     # 2 events on week starts
+        for i in range(n):
+            rows.append((ts(d * day + i), 1, "view", 1.0))
+    out = {r.model: r for r in
+           ev.forecast_backtest(make(spark, rows), 7).collect()}
+    assert out["seasonal7"].sum_abs_err == 0
+    assert out["seasonal7"].wape_bp == 0
+    assert out["seasonal7"].n_days == 14
+    assert out["naive1"].sum_abs_err > 0
+    assert out["naive1"].n_days == 20
