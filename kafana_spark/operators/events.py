@@ -207,6 +207,14 @@ def rolling_active(df: DataFrame, window_days: int = 7,
                     F.expr(f"unix_micros({time_col}) div {US_PER_DAY}")
                     .alias("day"))
           .distinct())
+    return rolling_active_from_user_days(ud, window_days)
+
+
+def rolling_active_from_user_days(ud: DataFrame,
+                                  window_days: int = 7) -> DataFrame:
+    """The rolling_active tail over a DISTINCT (k, day) frame — shared
+    with the persisted event-rollup index (event_index.py), whose
+    stored user-day rows serve this exact plan."""
     days = ud.select(F.col("day").alias("tday")).distinct()
     tgt = ud.select(
         "k", "day",
@@ -299,6 +307,13 @@ def error_spike(df: DataFrame, trail_hours: int = 24, top_k: int = 20,
         F.expr(f"unix_micros({time_col}) div {US_PER_HOUR}").alias("hour"),
         (F.col(type_col) == err_type).cast("long").alias("is_err"))
     g = hr.groupBy("hour").agg(F.sum("is_err").alias("n_err"))
+    return error_spike_from_hourly(g, trail_hours, top_k)
+
+
+def error_spike_from_hourly(g: DataFrame, trail_hours: int = 24,
+                            top_k: int = 20) -> DataFrame:
+    """The spike-detection tail over an (hour, n_err) grid frame
+    (one row per hour with ANY observed event)."""
     w = (Window.orderBy("hour")
          .rangeBetween(-trail_hours, -1))
     return (g.withColumn("trail", F.sum("n_err").over(w))
@@ -373,7 +388,12 @@ def acf(df: DataFrame, max_lag: int = 7,
     × max_lag rows. Moment products reach n²·c² — bigint-safe to
     ~3e9 events/day on a 10-year series; shard the day index beyond.
     """
-    d = _daily_counts(df, time_col)
+    return acf_from_daily(_daily_counts(df, time_col), max_lag)
+
+
+def acf_from_daily(d: DataFrame, max_lag: int = 7) -> DataFrame:
+    """The ACF tail over a (day, c) daily-count frame — shared with
+    the persisted event-rollup index."""
     lagged = d.select(
         "day", "c",
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"))
@@ -411,7 +431,11 @@ def dow_profile(df: DataFrame, time_col: str = "ts") -> DataFrame:
     Scale: daily series first; the profile is 7 rows; the global
     totals are a 1-row broadcast cross join.
     """
-    d = _daily_counts(df, time_col)
+    return dow_profile_from_daily(_daily_counts(df, time_col))
+
+
+def dow_profile_from_daily(d: DataFrame) -> DataFrame:
+    """The day-of-week profile tail over a (day, c) frame."""
     g = d.agg(F.count(F.lit(1)).alias("nd"), F.sum("c").alias("tc"))
     return (d.select((F.col("day") % 7).alias("dow"), "c")
             .groupBy("dow")
@@ -441,7 +465,13 @@ def forecast_backtest(df: DataFrame, season: int = 7,
 
     Scale: both joins are day-series × 1 equi-joins on the day index.
     """
-    d = _daily_counts(df, time_col)
+    return forecast_backtest_from_daily(
+        _daily_counts(df, time_col), season)
+
+
+def forecast_backtest_from_daily(d: DataFrame,
+                                 season: int = 7) -> DataFrame:
+    """The backtest tail over a (day, c) frame."""
     out = []
     for name, lag in (("naive1", 1), (f"seasonal{season}", season)):
         j = (d.alias("a")

@@ -2920,6 +2920,52 @@ def x_forecast_backtest(spark, sf_dir):
                                     FORECAST_SEASON)
 
 
+def _event_index_root(spark, sf_dir) -> str:
+    from kafana_spark import event_index
+
+    d = _events(spark, sf_dir)
+    return _cached_index_root(
+        "evidx", sf_dir,
+        lambda r: event_index.build_event_index(d, r))
+
+
+def x_stored_rolling_active(spark, sf_dir):
+    """x193 — x185 served from the PERSISTED event-rollup index (the
+    distinct user-day frame, merged across batches): no event is
+    re-read. Same oracle as x185 — the hash match proves the rollup
+    store roundtrip is lossless."""
+    from kafana_spark import event_index
+
+    return event_index.rolling_active_from_store(
+        spark, _event_index_root(spark, sf_dir), ROLL_WINDOW_DAYS)
+
+
+def x_stored_acf(spark, sf_dir):
+    """x194 — x190 served from the stored daily series (per-batch
+    partial counts summed at serve time — distributive, exact)."""
+    from kafana_spark import event_index
+
+    return event_index.acf_from_store(
+        spark, _event_index_root(spark, sf_dir), ACF_MAX_LAG)
+
+
+def x_stored_error_spike(spark, sf_dir):
+    """x195 — x187 served from the stored hourly grid."""
+    from kafana_spark import event_index
+
+    return event_index.error_spike_from_store(
+        spark, _event_index_root(spark, sf_dir),
+        SPIKE_TRAIL_HOURS, SPIKE_TOP_K)
+
+
+def x_stored_forecast(spark, sf_dir):
+    """x196 — x192 served from the stored daily series."""
+    from kafana_spark import event_index
+
+    return event_index.forecast_backtest_from_store(
+        spark, _event_index_root(spark, sf_dir), FORECAST_SEASON)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3109,6 +3155,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x190_acf": x_acf,
     "x191_dow_profile": x_dow_profile,
     "x192_forecast_backtest": x_forecast_backtest,
+    "x193_stored_rolling_active": x_stored_rolling_active,
+    "x194_stored_acf": x_stored_acf,
+    "x195_stored_error_spike": x_stored_error_spike,
+    "x196_stored_forecast": x_stored_forecast,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7029,6 +7079,13 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x190_acf": _acf_sql(),
     "x191_dow_profile": _dow_profile_sql(),
     "x192_forecast_backtest": _forecast_backtest_sql(),
+    # x193-x196 serve x185/x190/x187/x192 from the persisted rollup
+    # index — same oracles (lossless roundtrip), the stored-twin
+    # discipline.
+    "x193_stored_rolling_active": _rolling_active_sql(),
+    "x194_stored_acf": _acf_sql(),
+    "x195_stored_error_spike": _error_spike_sql(),
+    "x196_stored_forecast": _forecast_backtest_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
