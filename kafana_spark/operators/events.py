@@ -491,3 +491,51 @@ def forecast_backtest_from_daily(d: DataFrame,
                            F.expr("sum_abs_err * 10000 div tot"))
                     .otherwise(F.lit(0)).cast("long").alias("wape_bp")))
     return reduce(DataFrame.unionByName, out).orderBy("horizon_days")
+
+
+def bot_flags(df: DataFrame, bot_median_s: int = 60,
+              min_gaps: int = 20, max_disp_bp: int = 500,
+              time_col: str = "ts", key_col: str = "user_id",
+              id_col: str = "event_id") -> DataFrame:
+    """Automation/bot heuristics from per-user inter-event timing —
+    the abuse-filtering pass a clickstream pipeline runs before any
+    behavioral metric: per user, the count of gaps, the median gap in
+    seconds (exact percentile, 4dp), and the squared coefficient of
+    variation of the gap series in bp (disp_bp = 10000·(n·Σg² −
+    (Σg)²) div (Σg)² — exact integer moments; a human's gaps are
+    bursty, disp ≫ 0; a timer's gaps are near-constant, disp ≈ 0).
+    is_bot flags inhumanly fast (median < bot_median_s) or
+    too-regular (n ≥ min_gaps and disp < max_disp_bp) users.
+
+    Output: (k, n_gaps, median_gap_s, disp_bp, is_bot) for every
+    user with ≥ 1 gap, ordered — the flag thresholds are the
+    reviewable policy, the stats are the evidence.
+
+    Scale: one lag window partitioned by user (natural clickstream
+    partitioning), then a combinable per-user aggregate. Gaps are
+    bucketed to SECONDS before squaring: n·Σg² stays bigint-safe to
+    ~10⁵ events per user per month; widen to decimal past that.
+    """
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    gp = (ev.withColumn("prev", F.lag("us").over(w))
+          .where(F.col("prev").isNotNull())
+          .select("k", F.expr("(us - prev) div 1000000").alias("g")))
+    s = (gp.groupBy("k")
+         .agg(F.count(F.lit(1)).alias("n_gaps"),
+              F.sum("g").alias("sg"),
+              F.sum(F.col("g") * F.col("g")).alias("sg2"),
+              F.round(F.percentile("g", F.lit(0.5)), 4)
+              .alias("median_gap_s")))
+    disp = F.when(F.col("sg") > 0,
+                  F.expr("10000 * (n_gaps * sg2 - sg * sg) "
+                         "div (sg * sg)")).otherwise(F.lit(0))
+    return (s.withColumn("disp_bp", disp.cast("long"))
+            .select("k", "n_gaps", "median_gap_s", "disp_bp",
+                    ((F.col("median_gap_s") < bot_median_s)
+                     | ((F.col("n_gaps") >= min_gaps)
+                        & (F.col("disp_bp") < max_disp_bp)))
+                    .alias("is_bot"))
+            .orderBy("k"))

@@ -2920,6 +2920,20 @@ def x_forecast_backtest(spark, sf_dir):
                                     FORECAST_SEASON)
 
 
+#: x197 bot-flag policy: inhumanly-fast median or too-regular gaps.
+BOT_MEDIAN_S = 60
+BOT_MIN_GAPS = 20
+BOT_MAX_DISP_BP = 500
+
+
+def x_bot_flags(spark, sf_dir):
+    """x197 — per-user inter-event timing stats + bot heuristics
+    (median gap, integer CV-squared dispersion): the abuse filter in
+    front of every behavioral metric."""
+    return ev_ops.bot_flags(_events(spark, sf_dir), BOT_MEDIAN_S,
+                            BOT_MIN_GAPS, BOT_MAX_DISP_BP)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3159,6 +3173,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x194_stored_acf": x_stored_acf,
     "x195_stored_error_spike": x_stored_error_spike,
     "x196_stored_forecast": x_stored_forecast,
+    "x197_bot_flags": x_bot_flags,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6322,6 +6337,29 @@ def _forecast_backtest_sql() -> str:
             + " ORDER BY horizon_days")
 
 
+def _bot_flags_sql() -> str:
+    """x197 oracle — the identical lag/moment chain; disp kept as one
+    integer expression on both sides."""
+    disp = ("CASE WHEN sg > 0 THEN 10000 * (n_gaps * sg2 - sg * sg) "
+            "// (sg * sg) ELSE 0 END")
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid FROM events), "
+        "gp AS (SELECT k, (us - LAG(us) OVER (PARTITION BY k "
+        "ORDER BY us, eid)) // 1000000 AS g FROM ev), "
+        "s AS (SELECT k, COUNT(*) AS n_gaps, "
+        "CAST(SUM(g) AS BIGINT) AS sg, "
+        "CAST(SUM(g * g) AS BIGINT) AS sg2, "
+        "ROUND(quantile_cont(g, 0.5), 4) AS median_gap_s "
+        "FROM gp WHERE g IS NOT NULL GROUP BY k), "
+        f"d AS (SELECT k, n_gaps, median_gap_s, "
+        f"CAST({disp} AS BIGINT) AS disp_bp FROM s) "
+        "SELECT k, n_gaps, median_gap_s, disp_bp, "
+        f"(median_gap_s < {BOT_MEDIAN_S} OR (n_gaps >= {BOT_MIN_GAPS} "
+        f"AND disp_bp < {BOT_MAX_DISP_BP})) AS is_bot "
+        "FROM d ORDER BY k")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7086,6 +7124,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x194_stored_acf": _acf_sql(),
     "x195_stored_error_spike": _error_spike_sql(),
     "x196_stored_forecast": _forecast_backtest_sql(),
+    "x197_bot_flags": _bot_flags_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -268,3 +268,37 @@ def test_forecast_backtest_weekly_series(spark):
     assert out["seasonal7"].n_days == 14
     assert out["naive1"].sum_abs_err > 0
     assert out["naive1"].n_days == 20
+
+
+def test_bot_flags_regular_vs_bursty(spark):
+    rows = []
+    # u1: perfectly regular 30s gaps × 25 → disp 0, median 30 → bot
+    for i in range(26):
+        rows.append((ts(i * 0.5), 1, "view", 1.0))
+    # u2: bursty human — alternating 1 min / 120 min gaps
+    t = 0.0
+    for i in range(21):
+        rows.append((ts(t), 2, "view", 1.0))
+        t += 1 if i % 2 == 0 else 120
+    out = {r.k: r for r in ev.bot_flags(
+        make(spark, rows), bot_median_s=20, min_gaps=20,
+        max_disp_bp=500).collect()}
+    assert out[1].n_gaps == 25
+    assert out[1].disp_bp == 0
+    assert out[1].is_bot            # too regular
+    assert out[2].disp_bp > 500
+    assert not out[2].is_bot
+
+
+def test_bot_flags_fast_median(spark):
+    # median gap 2 s < 60 → bot regardless of dispersion
+    import random
+    rnd = random.Random(7)
+    rows = []
+    t = 0.0
+    for _ in range(30):
+        rows.append((ts(t), 3, "click", 1.0))
+        t += rnd.choice([1, 2, 3]) / 60       # 1-3 s gaps
+    out = {r.k: r for r in ev.bot_flags(make(spark, rows)).collect()}
+    assert out[3].median_gap_s < 60
+    assert out[3].is_bot
