@@ -539,3 +539,35 @@ def bot_flags(df: DataFrame, bot_median_s: int = 60,
                         & (F.col("disp_bp") < max_disp_bp)))
                     .alias("is_bot"))
             .orderBy("k"))
+
+
+def funnel_trend(df: DataFrame, steps: tuple[str, ...],
+                 week_days: int = 7,
+                 time_col: str = "ts", key_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Funnel conversion over time: users are grouped by the epoch-
+    week of their ENTRY first-touch (stage 0's t0), and each week
+    reports how many entered vs how many eventually completed the
+    whole funnel — the week-over-week conversion health check
+    (attribution to entry week, the standard cohorted funnel).
+
+    Output: (week, n_entered, n_converted, conv_bp), ordered.
+
+    Scale: the stage chain is funnel()'s; the trend is one combinable
+    aggregate over the per-user entry frame left-joined (on the user
+    key) to the final stage.
+    """
+    ev = _base(df, time_col, key_col, type_col)
+    stages = _funnel_stages(ev, steps)
+    entered = stages[0].select(
+        "k", F.expr(f"t0 div {week_days * US_PER_DAY}").alias("week"))
+    done = stages[-1].select("k", F.lit(1).cast("long").alias("conv"))
+    return (entered.join(done, "k", "left")
+            .groupBy("week")
+            .agg(F.count(F.lit(1)).alias("n_entered"),
+                 F.sum(F.coalesce(F.col("conv"), F.lit(0)))
+                 .alias("n_converted"))
+            .select("week", "n_entered", "n_converted",
+                    F.expr("n_converted * 10000 div n_entered")
+                    .alias("conv_bp"))
+            .orderBy("week"))

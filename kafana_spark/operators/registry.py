@@ -2934,6 +2934,32 @@ def x_bot_flags(spark, sf_dir):
                             BOT_MIN_GAPS, BOT_MAX_DISP_BP)
 
 
+#: x198 water-filling shape: budget = 1.5× corpus tokens, cap = 1.7
+#: epochs per source, 3 unrolled rounds (binding caps at every SF).
+MIX_BUDGET_NUM = 3
+MIX_BUDGET_DEN = 2
+MIX_CAP_BP = 17000
+MIX_ROUNDS = 3
+
+
+def x_mixture_waterfill(spark, sf_dir):
+    """x198 — token-budget allocation across sources with epoch caps
+    (integer water-filling, unrolled): the mixing plan computed
+    before sampling a training corpus."""
+    from kafana_spark.operators import sample
+
+    return sample.mixture_waterfill(
+        _docs(spark, sf_dir), MIX_BUDGET_NUM, MIX_BUDGET_DEN,
+        MIX_CAP_BP, MIX_ROUNDS)
+
+
+def x_funnel_trend(spark, sf_dir):
+    """x199 — weekly cohorted funnel conversion (entry-week
+    attribution over x181's stage chain)."""
+    return ev_ops.funnel_trend(_events(spark, sf_dir), FUNNEL_STEPS,
+                               RETENTION_WEEK_DAYS)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3174,6 +3200,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x195_stored_error_spike": x_stored_error_spike,
     "x196_stored_forecast": x_stored_forecast,
     "x197_bot_flags": x_bot_flags,
+    "x198_mixture_waterfill": x_mixture_waterfill,
+    "x199_funnel_trend": x_funnel_trend,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6360,6 +6388,54 @@ def _bot_flags_sql() -> str:
         "FROM d ORDER BY k")
 
 
+def _mixture_waterfill_sql() -> str:
+    """x198 oracle — the identical unrolled allocation walk, CTE per
+    round, generated from the same constants."""
+    b = f"tot * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN}"
+    ctes = [
+        "tc AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) "
+        "AS BIGINT) AS t FROM documents GROUP BY source)",
+        "g0 AS (SELECT CAST(SUM(t) AS BIGINT) AS tot, COUNT(*) AS ns "
+        "FROM tc)",
+        f"a0 AS (SELECT source, t, t * {MIX_CAP_BP} // 10000 AS cap, "
+        f"{b} AS b, LEAST(({b}) // ns, t * {MIX_CAP_BP} // 10000) "
+        "AS alloc FROM tc CROSS JOIN g0)",
+    ]
+    for r in range(1, MIX_ROUNDS):
+        ctes.append(
+            f"g{r} AS (SELECT MIN(b) AS b0, "
+            "CAST(SUM(alloc) AS BIGINT) AS spent, "
+            "CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS nu FROM a{r - 1})")
+        ctes.append(
+            f"a{r} AS (SELECT source, t, cap, b, "
+            "CASE WHEN alloc < cap AND nu > 0 THEN "
+            "LEAST(alloc + (b0 - spent) // nu, cap) ELSE alloc END "
+            f"AS alloc FROM a{r - 1} CROSS JOIN g{r})")
+    last = f"a{MIX_ROUNDS - 1}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT source, t AS tokens, cap AS cap_tokens, "
+        "CAST(alloc AS BIGINT) AS alloc_tokens, "
+        "CAST(alloc * 10000 // t AS BIGINT) AS epochs_bp "
+        f"FROM {last} ORDER BY source")
+
+
+def _funnel_trend_sql() -> str:
+    """x199 oracle — entry-week cohorts over the shared stage chain."""
+    last = len(FUNNEL_STEPS) - 1
+    wk = RETENTION_WEEK_DAYS * 86_400_000_000
+    return (
+        "WITH " + ", ".join(_funnel_stage_ctes()) + " "
+        f"SELECT s0.t0 // {wk} AS week, COUNT(*) AS n_entered, "
+        f"CAST(SUM(CASE WHEN s{last}.k IS NULL THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_converted, "
+        f"CAST(SUM(CASE WHEN s{last}.k IS NULL THEN 0 ELSE 1 END) "
+        "* 10000 // COUNT(*) AS BIGINT) AS conv_bp "
+        f"FROM s0 LEFT JOIN s{last} ON s{last}.k = s0.k "
+        "GROUP BY 1 ORDER BY week")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7125,6 +7201,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x195_stored_error_spike": _error_spike_sql(),
     "x196_stored_forecast": _forecast_backtest_sql(),
     "x197_bot_flags": _bot_flags_sql(),
+    "x198_mixture_waterfill": _mixture_waterfill_sql(),
+    "x199_funnel_trend": _funnel_trend_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

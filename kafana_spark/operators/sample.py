@@ -308,3 +308,70 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.7,
             .where(sample_bucket(F.col(key_col), seed)
                    < F.col("keep_ppm"))
             .select(key_col, strata_col))
+
+
+def mixture_waterfill(df: DataFrame, budget_num: int = 3,
+                      budget_den: int = 2, cap_bp: int = 17000,
+                      n_rounds: int = 3,
+                      source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Token-budget allocation across sources with repetition caps —
+    the mixing plan a training run computes before sampling: split a
+    corpus-level token budget (budget_num/budget_den × the corpus
+    total) EQUALLY across sources, but never give a source more than
+    cap_bp/10000 epochs of its own tokens; the capped sources'
+    unused share is redistributed equally among the uncapped ones
+    (water-filling, ``n_rounds`` unrolled rounds — any residue after
+    the last round stays unallocated, the conservative reading).
+
+    Equal shares = temperature-0 mixing toward a uniform source mix
+    (the ∝ tokens^τ family is temperature_sample's job); the cap is
+    the "don't repeat data past ~2 epochs" rule of thumb.
+
+    All arithmetic is integer (token counts, integer division), so
+    both engines walk the identical allocation path.
+
+    Output: (source, tokens, cap_tokens, alloc_tokens, epochs_bp),
+    one row per source, ordered.
+
+    Scale: the corpus collapses to one combinable (source, Σtokens)
+    aggregate; every later round is a 1-row aggregate cross-joined
+    back onto the |sources| frame — driver-free iteration over a
+    broadcast-sized table, the bpe_merge_train shape without the
+    driver.
+    """
+    from kafana_spark.functions import tokens
+
+    tc = (df.select(F.col(source_col).alias("source"),
+                    F.size(tokens(F.col(text_col))).cast("long")
+                    .alias("nt"))
+          .groupBy("source").agg(F.sum("nt").alias("t")))
+    g0 = tc.agg(F.sum("t").alias("tot"),
+                F.count(F.lit(1)).alias("ns"))
+    a = (tc.crossJoin(F.broadcast(g0))
+         .select("source", "t",
+                 F.expr(f"t * {cap_bp} div 10000").alias("cap"),
+                 F.expr(f"tot * {budget_num} div {budget_den}")
+                 .alias("b"),
+                 F.least(
+                     F.expr(f"(tot * {budget_num} div {budget_den}) "
+                            "div ns"),
+                     F.expr(f"t * {cap_bp} div 10000")).alias("alloc")))
+    for _ in range(1, n_rounds):
+        g = a.agg(F.first("b").alias("b0"),
+                  F.sum("alloc").alias("spent"),
+                  F.sum((F.col("alloc") < F.col("cap")).cast("long"))
+                  .alias("nu"))
+        a = (a.crossJoin(F.broadcast(g))
+             .select("source", "t", "cap", "b",
+                     F.when((F.col("alloc") < F.col("cap"))
+                            & (F.col("nu") > 0),
+                            F.least(
+                                F.expr("alloc + (b0 - spent) div nu"),
+                                F.col("cap")))
+                     .otherwise(F.col("alloc")).alias("alloc")))
+    return (a.select("source", F.col("t").alias("tokens"),
+                     F.col("cap").alias("cap_tokens"),
+                     F.col("alloc").alias("alloc_tokens"),
+                     F.expr("alloc * 10000 div t").alias("epochs_bp"))
+            .orderBy("source"))

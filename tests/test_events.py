@@ -302,3 +302,23 @@ def test_bot_flags_fast_median(spark):
     out = {r.k: r for r in ev.bot_flags(make(spark, rows)).collect()}
     assert out[3].median_gap_s < 60
     assert out[3].is_bot
+
+
+def test_funnel_trend_attributes_to_entry_week(spark):
+    day = 24 * 60
+    rows = [
+        # u1 enters week 0, converts in week 2
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "click", 1.0),
+        (ts(15 * day), 1, "purchase", 1.0),
+        # u2 enters week 0, never converts
+        (ts(1 * day), 2, "view", 1.0),
+        # u3 enters week 1, converts same week
+        (ts(8 * day), 3, "view", 1.0), (ts(8 * day + 1), 3, "click", 1.0),
+        (ts(8 * day + 2), 3, "purchase", 1.0),
+    ]
+    out = {r.week: (r.n_entered, r.n_converted, r.conv_bp)
+           for r in ev.funnel_trend(
+               make(spark, rows), ("view", "click", "purchase")).collect()}
+    w0 = min(out)
+    assert out[w0] == (2, 1, 5000)      # u1 counted in ENTRY week
+    assert out[w0 + 1] == (1, 1, 10000)

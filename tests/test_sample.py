@@ -295,3 +295,40 @@ def test_token_budget_no_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*HashAggregate",
                      plan), plan
+
+
+def test_mixture_waterfill_redistributes_capped_excess(spark):
+    from kafana_spark.operators.sample import mixture_waterfill
+
+    def doc(i, n, src):
+        return (i, " ".join(["w"] * n), src)
+
+    df = spark.createDataFrame(
+        [doc(0, 100, "a"), doc(1, 100, "b"), doc(2, 10, "c")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in mixture_waterfill(
+        df, budget_num=2, budget_den=1, cap_bp=20000,
+        n_rounds=3).collect()}
+    # budget 420, equal share 140; c caps at 20 in round 1; the 120
+    # excess goes 60/60 to a and b, capping both at 200 in round 2
+    assert out["c"].alloc_tokens == 20
+    assert out["a"].alloc_tokens == 200
+    assert out["b"].alloc_tokens == 200
+    assert out["a"].epochs_bp == 20000
+    assert sum(r.alloc_tokens for r in out.values()) == 420
+
+
+def test_mixture_waterfill_uncapped_leaves_residue(spark):
+    from kafana_spark.operators.sample import mixture_waterfill
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 100), "a"),
+         (1, " ".join(["w"] * 100), "b")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in mixture_waterfill(
+        df, budget_num=1, budget_den=1, cap_bp=20000,
+        n_rounds=3).collect()}
+    # budget 200, share 100 each, caps 200 never bind
+    assert out["a"].alloc_tokens == 100
+    assert out["b"].alloc_tokens == 100
+    assert out["a"].epochs_bp == 10000
