@@ -2960,6 +2960,18 @@ def x_funnel_trend(spark, sf_dir):
                                RETENTION_WEEK_DAYS)
 
 
+#: x200 divergence vocabulary (corpus-wide top-K, nb_train tiebreak).
+DIVERGENCE_VOCAB_K = 100
+
+
+def x_source_divergence(spark, sf_dir):
+    """x200 — pairwise symmetric KL between per-source token
+    distributions over the top-K vocabulary: the corpus-redundancy
+    map feeding a mixing plan (near-zero = duplicate-ish sources)."""
+    return text.source_divergence(_docs(spark, sf_dir),
+                                  DIVERGENCE_VOCAB_K)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3202,6 +3214,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x197_bot_flags": x_bot_flags,
     "x198_mixture_waterfill": x_mixture_waterfill,
     "x199_funnel_trend": x_funnel_trend,
+    "x200_source_divergence": x_source_divergence,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6436,6 +6449,40 @@ def _funnel_trend_sql() -> str:
         "GROUP BY 1 ORDER BY week")
 
 
+def _source_divergence_sql() -> str:
+    """x200 oracle — identical grid: top-K vocab (count desc, token
+    asc), add-one µunit probabilities, µunit-rounded ln, exact
+    integer per-cell products."""
+    k = DIVERGENCE_VOCAB_K
+    return (
+        "WITH tk AS (SELECT d.source AS src, t[i] AS token "
+        f"FROM (SELECT source, {_TOKS} AS t FROM documents) d, "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) "
+        "WHERE i <= len(t)), "
+        "vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c "
+        "FROM tk GROUP BY token ORDER BY c DESC, token "
+        f"LIMIT {k})), "
+        "cnt AS (SELECT src, token, COUNT(*) AS c FROM tk "
+        "JOIN vocab USING (token) GROUP BY 1, 2), "
+        "srcs AS (SELECT DISTINCT source AS src FROM documents), "
+        "grid AS (SELECT srcs.src, vocab.token, "
+        "COALESCE(cnt.c, 0) AS c FROM srcs CROSS JOIN vocab "
+        "LEFT JOIN cnt ON cnt.src = srcs.src "
+        "AND cnt.token = vocab.token), "
+        "tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM grid "
+        "GROUP BY src), "
+        "cell AS (SELECT grid.src, grid.token, "
+        f"CAST((c + 1) * 1000000 // (tot + {k}) AS BIGINT) AS p_u, "
+        "CAST(ROUND(1000000.0 * ln((c + 1) * 1.0 / "
+        f"(tot + {k}))) AS BIGINT) AS lp_u "
+        "FROM grid JOIN tot USING (src)) "
+        "SELECT a.src AS src_a, b.src AS src_b, "
+        "CAST(SUM((a.p_u - b.p_u) * (a.lp_u - b.lp_u)) AS BIGINT) "
+        "AS skl_e12 "
+        "FROM cell a JOIN cell b ON a.token = b.token "
+        "AND a.src < b.src GROUP BY 1, 2 ORDER BY src_a, src_b")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7203,6 +7250,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x197_bot_flags": _bot_flags_sql(),
     "x198_mixture_waterfill": _mixture_waterfill_sql(),
     "x199_funnel_trend": _funnel_trend_sql(),
+    "x200_source_divergence": _source_divergence_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1722,3 +1722,60 @@ def nb_reliability_summary(df: DataFrame, train_mod: int = 3,
                     F.col("nbins").cast("long").alias("n_bins"),
                     F.col("base").cast("long").alias("base_bp"),
                     F.expr("wd div n0").cast("long").alias("dev_bp")))
+
+
+def source_divergence(df: DataFrame, vocab_k: int = 100,
+                      source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Pairwise symmetric KL divergence between per-source token
+    distributions — the corpus-redundancy map: near-zero pairs are
+    near-duplicate sources (merge/deprioritize candidates in a
+    mixing plan), large pairs are genuinely complementary data.
+
+    Distributions are add-one-smoothed over the corpus-wide top-K
+    token vocabulary (count desc, token asc tiebreak — the nb_train
+    rule), so every (source, token) cell exists. sym-KL = Σ_t
+    (p₁−p₂)(ln p₁ − ln p₂) ≥ 0 is reported in raw 1e-12 units —
+    probabilities are integer µunits ((c+1)·1e6 div (tot+K)) and
+    log-probs are µunit-ROUNDED doubles (the NB discipline), so the
+    per-cell product is an exact integer in both engines and the
+    pair sum is order-independent. No final division — sign
+    subtleties never arise.
+
+    Output: (src_a, src_b, skl_e12) for src_a < src_b, ordered.
+
+    Scale: one token pass filtered to the broadcast vocabulary (the
+    only corpus-sized work), then everything runs on the |sources|·K
+    grid; the pair join is grid×grid on the token key — |sources|²·K
+    rows, fine for catalog-sized source counts (hundreds).
+    """
+    tok = (df.select(F.col(source_col).alias("src"),
+                     F.explode(tokens(F.col(text_col))).alias("token")))
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "token").limit(vocab_k)
+             .select("token"))
+    cnt = (tok.join(F.broadcast(vocab), "token")
+           .groupBy("src", "token").agg(F.count(F.lit(1)).alias("c")))
+    srcs = df.select(F.col(source_col).alias("src")).distinct()
+    grid = (srcs.crossJoin(F.broadcast(vocab))
+            .join(cnt, ["src", "token"], "left")
+            .select("src", "token",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    tot = grid.groupBy("src").agg(F.sum("c").alias("tot"))
+    cell = (grid.join(F.broadcast(tot), "src")
+            .select("src", "token",
+                    F.expr(f"(c + 1) * 1000000 div (tot + {vocab_k})")
+                    .alias("p_u"),
+                    F.round(F.lit(1_000_000.0) * F.log(
+                        (F.col("c") + 1)
+                        / (F.col("tot") + F.lit(vocab_k))))
+                    .cast("long").alias("lp_u")))
+    a, b = cell.alias("a"), cell.alias("b")
+    return (a.join(b, (F.col("a.token") == F.col("b.token"))
+                   & (F.col("a.src") < F.col("b.src")))
+            .groupBy(F.col("a.src").alias("src_a"),
+                     F.col("b.src").alias("src_b"))
+            .agg(F.sum((F.col("a.p_u") - F.col("b.p_u"))
+                       * (F.col("a.lp_u") - F.col("b.lp_u")))
+                 .alias("skl_e12"))
+            .orderBy("src_a", "src_b"))

@@ -467,3 +467,19 @@ def test_nb_reliability_summary_reconciles_with_bins(spark):
               for b in bins) // n
     assert (r.n, r.n_bins, r.base_bp, r.dev_bp) \
         == (n, len(bins), base, dev)
+
+
+def test_source_divergence_zero_for_identical_and_positive_for_disjoint(spark):
+    from kafana_spark.operators.text import source_divergence
+
+    rows = [
+        (0, "aa bb cc aa", "s1"), (1, "aa bb cc aa", "s2"),
+        (2, "xx yy zz xx", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r.skl_e12
+           for r in source_divergence(df, vocab_k=6).collect()}
+    assert out[("s1", "s2")] == 0          # identical distributions
+    assert out[("s1", "s3")] > 0
+    assert out[("s1", "s3")] == out[("s2", "s3")]   # same text
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
