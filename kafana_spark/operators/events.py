@@ -571,3 +571,52 @@ def funnel_trend(df: DataFrame, steps: tuple[str, ...],
                     F.expr("n_converted * 10000 div n_entered")
                     .alias("conv_bp"))
             .orderBy("week"))
+
+
+def session_paths(df: DataFrame, gap: str = "30 minutes",
+                  path_len: int = 3, top_k: int = 20,
+                  time_col: str = "ts", key_col: str = "user_id",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Top-k most common within-session event-type paths of length
+    ``path_len`` — the "what do users actually do" view transitions
+    (x184) can't give: paths never cross a session boundary, so a
+    lunch break doesn't fabricate a view→purchase flow.
+
+    Sessions are the x15 gaps-and-islands (split strictly above the
+    gap); paths are consecutive event triples in (ts, event_id)
+    order, rendered ``a>b>c``; share_bp is vs all complete paths.
+    Ties in the top-k break on the path string — total order.
+
+    Output: (path, n, share_bp), top_k rows.
+
+    Scale: two windows partitioned by user (and session) — the
+    natural clickstream partitioning; the count is combinable and
+    the top-k a TakeOrdered. No global window anywhere.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s+minutes?", gap)
+    gap_us = int(m.group(1)) * 60 * 1_000_000
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"),
+                   F.col(type_col).alias("t"))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    brk = F.when(F.col("us") - F.lag("us").over(w) > gap_us,
+                 F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("sid", F.sum(brk).over(w))
+    w2 = Window.partitionBy("k", "sid").orderBy("us", "eid")
+    path = F.concat_ws(">", *[F.lead("t", i).over(w2)
+                              for i in range(path_len)])
+    paths = (sess.withColumn("path", path)
+             .withColumn("lastt", F.lead("t", path_len - 1).over(w2))
+             .where(F.col("lastt").isNotNull())
+             .select("path"))
+    tot = paths.agg(F.count(F.lit(1)).alias("n_paths"))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("path", "n",
+                    F.expr("n * 10000 div n_paths").alias("share_bp"))
+            .orderBy(F.desc("n"), "path")
+            .limit(top_k))

@@ -2972,6 +2972,23 @@ def x_source_divergence(spark, sf_dir):
                                   DIVERGENCE_VOCAB_K)
 
 
+PATHS_LEN = 3
+PATHS_TOP_K = 20
+
+
+def x_session_paths(spark, sf_dir):
+    """x201 — top-k within-session event-type paths (length 3,
+    session-bounded — a gap never fabricates a flow)."""
+    return ev_ops.session_paths(_events(spark, sf_dir), SESSION_GAP,
+                                PATHS_LEN, PATHS_TOP_K)
+
+
+def x_pii_scan(spark, sf_dir):
+    """x202 — per-doc PII indicator counts (email/IPv4/phone/card)
+    in the Java∩RE2 regex subset; the redaction pre-pass."""
+    return text.pii_scan(_docs(spark, sf_dir))
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3215,6 +3232,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x198_mixture_waterfill": x_mixture_waterfill,
     "x199_funnel_trend": x_funnel_trend,
     "x200_source_divergence": x_source_divergence,
+    "x201_session_paths": x_session_paths,
+    "x202_pii_scan": x_pii_scan,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6483,6 +6502,49 @@ def _source_divergence_sql() -> str:
         "AND a.src < b.src GROUP BY 1, 2 ORDER BY src_a, src_b")
 
 
+def _session_paths_sql() -> str:
+    """x201 oracle — the x15 islands + LEAD path render."""
+    k, plen = PATHS_TOP_K, PATHS_LEN
+    leads = " || '>' || ".join(
+        "t" if i == 0 else
+        f"LEAD(t, {i}) OVER (PARTITION BY k, sid ORDER BY us, eid)"
+        for i in range(plen))
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS t FROM events), "
+        "d AS (SELECT k, us, eid, t, CASE WHEN us - LAG(us) OVER "
+        f"(PARTITION BY k ORDER BY us, eid) > {SESSION_GAP_US} "
+        "THEN 1 ELSE 0 END AS brk FROM ev), "
+        "se AS (SELECT k, us, eid, t, SUM(brk) OVER (PARTITION BY k "
+        "ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS sid FROM d), "
+        f"pa AS (SELECT {leads} AS path, "
+        f"LEAD(t, {plen - 1}) OVER (PARTITION BY k, sid "
+        "ORDER BY us, eid) AS lastt FROM se), "
+        "pc AS (SELECT path FROM pa WHERE lastt IS NOT NULL), "
+        "tot AS (SELECT COUNT(*) AS n_paths FROM pc) "
+        "SELECT path, COUNT(*) AS n, "
+        "CAST(COUNT(*) * 10000 // MIN(n_paths) AS BIGINT) AS share_bp "
+        "FROM pc CROSS JOIN tot GROUP BY path "
+        f"ORDER BY n DESC, path LIMIT {k}")
+
+
+def _pii_scan_sql() -> str:
+    """x202 oracle — RE2 counts of the same lookaround-free
+    patterns via regexp_extract_all lengths."""
+    from kafana_spark.operators.text import PII_PATTERNS
+
+    cols = ", ".join(
+        "CAST(len(regexp_extract_all(text, '"
+        + p.replace("'", "''") + f"')) AS BIGINT) AS n_{name}"
+        for name, p in PII_PATTERNS)
+    anyc = " OR ".join(
+        "len(regexp_extract_all(text, '" + p.replace("'", "''")
+        + "')) > 0" for _, p in PII_PATTERNS)
+    return (f"SELECT doc_id, {cols}, ({anyc}) AS has_pii "
+            "FROM documents ORDER BY doc_id")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7251,6 +7313,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x198_mixture_waterfill": _mixture_waterfill_sql(),
     "x199_funnel_trend": _funnel_trend_sql(),
     "x200_source_divergence": _source_divergence_sql(),
+    "x201_session_paths": _session_paths_sql(),
+    "x202_pii_scan": _pii_scan_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1779,3 +1779,53 @@ def source_divergence(df: DataFrame, vocab_k: int = 100,
                        * (F.col("a.lp_u") - F.col("b.lp_u")))
                  .alias("skl_e12"))
             .orderBy("src_a", "src_b"))
+
+
+#: PII patterns — deliberately lookaround-free so Java regex (Spark)
+#: and RE2 (DuckDB) agree: simple classes, bounded quantifiers, \b.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+PII_CARD = r"\b\d{13,16}\b"
+#: card precedes phone: a 13-16-digit run is a card, and redacting it
+#: first stops the looser phone pattern from half-eating it.
+PII_PATTERNS = (("email", PII_EMAIL), ("ipv4", PII_IPV4),
+                ("card", PII_CARD), ("phone", PII_PHONE))
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-doc PII indicator counts — the redaction pre-pass every
+    public-corpus pipeline runs: emails, IPv4s, phone-shaped digit
+    runs, card-shaped digit runs, plus the any-hit flag that routes a
+    doc to redaction (``pii_redact``).
+
+    Patterns stay in the Java∩RE2 common subset (no lookaround, no
+    backrefs) so the DuckDB twin counts identically; counts are
+    non-overlapping leftmost matches in both engines.
+
+    Scale: map-only regexp_count per row — no shuffle, no UDF; the
+    scan composes into any gate chain as one more boolean column.
+    """
+    cols = [F.regexp_count(F.col(text_col), F.lit(p))
+            .cast("long").alias(f"n_{name}")
+            for name, p in PII_PATTERNS]
+    out = df.select(F.col(id_col), *cols)
+    flag = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return (out.withColumn("has_pii", flag)
+            .orderBy(id_col))
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``
+    etc.), chained in PII_PATTERNS order — emails first so their
+    digit runs can't be half-eaten by the phone/card patterns.
+    Map-only; the redacted text keeps the original column name."""
+    out = F.col(text_col)
+    for name, p in PII_PATTERNS:
+        out = F.regexp_replace(out, p, f"<{name.upper()}>")
+    return df.withColumn(text_col, out).orderBy(id_col)

@@ -322,3 +322,20 @@ def test_funnel_trend_attributes_to_entry_week(spark):
     w0 = min(out)
     assert out[w0] == (2, 1, 5000)      # u1 counted in ENTRY week
     assert out[w0 + 1] == (1, 1, 10000)
+
+
+def test_session_paths_respect_session_boundaries(spark):
+    rows = [
+        # one session: view>click>purchase and click>purchase>view
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "click", 1.0),
+        (ts(2), 1, "purchase", 1.0), (ts(3), 1, "view", 1.0),
+        # a >30min gap: the next triple is its OWN session
+        (ts(60), 1, "view", 1.0), (ts(61), 1, "click", 1.0),
+        (ts(62), 1, "purchase", 1.0),
+    ]
+    out = {r.path: r.n for r in ev.session_paths(
+        make(spark, rows), "30 minutes", 3, 10).collect()}
+    assert out["view>click>purchase"] == 2
+    # no path spans the gap (e.g. purchase>view>view is absent)
+    assert "purchase>view>view" not in out
+    assert sum(out.values()) == 3

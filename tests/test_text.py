@@ -483,3 +483,23 @@ def test_source_divergence_zero_for_identical_and_positive_for_disjoint(spark):
     assert out[("s1", "s3")] > 0
     assert out[("s1", "s3")] == out[("s2", "s3")]   # same text
     assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+
+
+def test_pii_scan_and_redact(spark):
+    from kafana_spark.operators.text import pii_redact, pii_scan
+
+    rows = [
+        (0, "contact me at alice@example.com or +1 555 123 4567 ok"),
+        (1, "server 10.0.0.1 billed card 4111111111111111 now"),
+        (2, "clean text with nothing sensitive"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert out[0].has_pii
+    assert out[1].n_ipv4 == 1 and out[1].n_card == 1
+    assert not out[2].has_pii
+    red = {r.doc_id: r.text for r in pii_redact(df).collect()}
+    assert "<EMAIL>" in red[0] and "alice@" not in red[0]
+    assert "<IPV4>" in red[1] and "<CARD>" in red[1]
+    assert red[2] == rows[2][1]
