@@ -620,3 +620,142 @@ def session_paths(df: DataFrame, gap: str = "30 minutes",
                     F.expr("n * 10000 div n_paths").alias("share_bp"))
             .orderBy(F.desc("n"), "path")
             .limit(top_k))
+
+
+def revenue_cohorts(df: DataFrame, week_days: int = 7,
+                    time_col: str = "ts", key_col: str = "user_id",
+                    value_col: str = "value") -> DataFrame:
+    """Revenue retention matrix — x182's cohort grid with money
+    instead of headcount: cohort = epoch-week of the user's first
+    event, and each (cohort, week_offset) cell sums the cohort's
+    integer-cent event value landing in that offset week. rev_bp is
+    vs the cohort's offset-0 revenue (the payback-curve view).
+
+    Scale: one combinable agg per (user-first-week, offset) after
+    the per-user first-day frame (the only event-keyed shuffles);
+    the offset-0 base is one row per cohort, broadcast back.
+    """
+    cents = F.floor(F.coalesce(F.col(value_col), F.lit(0.0))
+                    * F.lit(100.0) + F.lit(0.5)).cast("long")
+    e = df.select(F.col(key_col).alias("k"),
+                  F.expr(f"unix_micros({time_col}) div {US_PER_DAY}")
+                  .alias("day"), cents.alias("cents"))
+    first = e.groupBy("k").agg(F.min("day").alias("d0"))
+    cell = (e.join(first, "k")
+            .select(F.expr(f"d0 div {week_days}").alias("cohort_week"),
+                    F.expr(f"(day - d0) div {week_days}")
+                    .alias("week_offset"), "cents"))
+    rev = (cell.groupBy("cohort_week", "week_offset")
+           .agg(F.sum("cents").alias("revenue_cents")))
+    base = (rev.where(F.col("week_offset") == 0)
+            .select("cohort_week",
+                    F.col("revenue_cents").alias("base_cents")))
+    return (rev.join(F.broadcast(base), "cohort_week")
+            .select("cohort_week", "week_offset", "revenue_cents",
+                    F.when(F.col("base_cents") > 0,
+                           F.expr("revenue_cents * 10000 "
+                                  "div base_cents"))
+                    .otherwise(F.lit(0)).cast("long").alias("rev_bp"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+def session_cooccurrence(df: DataFrame, gap: str = "30 minutes",
+                         time_col: str = "ts",
+                         key_col: str = "user_id",
+                         type_col: str = "event_type",
+                         id_col: str = "event_id") -> DataFrame:
+    """Order-free association between event types within a session —
+    the market-basket view next to x184's ordered transitions: for
+    each unordered type pair, the number of sessions containing
+    both and the lift in bp (10000·n_both·n_sessions div (n_a·n_b);
+    10000 = independent, higher = the types travel together).
+
+    Sessions are the x15 gaps-and-islands; per-session presence is a
+    DISTINCT, so event volume inside a session doesn't inflate lift.
+
+    Output: (type_a, type_b, n_both, lift_bp), type_a < type_b,
+    ordered.
+
+    Scale: one islands window per user, one DISTINCT to (session,
+    type), then the pair join runs on the per-session TYPE sets
+    (≤ |types| rows per session); the totals are broadcast.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s+minutes?", gap)
+    gap_us = int(m.group(1)) * 60 * 1_000_000
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"),
+                   F.col(type_col).alias("t"))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    brk = F.when(F.col("us") - F.lag("us").over(w) > gap_us,
+                 F.lit(1)).otherwise(F.lit(0))
+    st = (ev.withColumn("sid", F.sum(brk).over(w))
+          .select("k", "sid", "t").distinct())
+    tot = st.select("k", "sid").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    per = st.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    a, b = st.alias("a"), st.alias("b")
+    both = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                   & (F.col("a.sid") == F.col("b.sid"))
+                   & (F.col("a.t") < F.col("b.t")))
+            .groupBy(F.col("a.t").alias("type_a"),
+                     F.col("b.t").alias("type_b"))
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    return (both
+            .join(F.broadcast(per.select(F.col("t").alias("type_a"),
+                                         F.col("nt").alias("na"))),
+                  "type_a")
+            .join(F.broadcast(per.select(F.col("t").alias("type_b"),
+                                         F.col("nt").alias("nb"))),
+                  "type_b")
+            .crossJoin(F.broadcast(tot))
+            .select("type_a", "type_b", "n_both",
+                    F.expr("n_both * n_sessions * 10000 div (na * nb)")
+                    .alias("lift_bp"))
+            .orderBy("type_a", "type_b"))
+
+
+def metric_alerts(df: DataFrame,
+                  rules: tuple[tuple[str, str, int], ...],
+                  time_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Metric-threshold alerting over the hourly grid — the Kibana
+    threshold-watcher shape for metrics (the percolator family covers
+    document-match alerts). Rules are RELATIVE: (rule_id, event_type,
+    mult_bp) fires for every observed hour where the type's count is
+    >= mult_bp/10000 x its own corpus-wide mean hourly rate — the
+    self-normalizing form that stays meaningful across a 100x volume
+    change (an absolute count can't). The check is cross-multiplied
+    integer: observed * n_hours * 10000 >= total_t * mult_bp.
+
+    Output: (rule_id, hour, event_type, observed, mean_x100,
+    mult_bp) per firing, ordered — the alert log a notifier drains.
+
+    Scale: events collapse to (hour, type) counts (combinable); the
+    per-type totals and the hour-grid size are broadcast 1-row/row-
+    per-type frames; the rule table is a broadcast literal. Streaming
+    ingest gets the same semantics served from the event-rollup
+    index's hourly grid.
+    """
+    spark = df.sparkSession
+    ht = (df.select(F.expr(f"unix_micros({time_col}) div {US_PER_HOUR}")
+                    .alias("hour"), F.col(type_col).alias("t"))
+          .groupBy("hour", "t")
+          .agg(F.count(F.lit(1)).alias("observed")))
+    nh = (ht.select("hour").distinct()
+          .agg(F.count(F.lit(1)).alias("n_hours")))
+    tot = ht.groupBy("t").agg(F.sum("observed").alias("tot_t"))
+    rf = spark.createDataFrame(list(rules),
+                               ["rule_id", "t", "mult_bp"])
+    return (ht.join(F.broadcast(rf), "t")
+            .join(F.broadcast(tot), "t")
+            .crossJoin(F.broadcast(nh))
+            .where(F.col("observed") * F.col("n_hours") * F.lit(10000)
+                   >= F.col("tot_t") * F.col("mult_bp"))
+            .select("rule_id", "hour", F.col("t").alias("event_type"),
+                    "observed",
+                    F.expr("tot_t * 100 div n_hours").alias("mean_x100"),
+                    F.col("mult_bp").cast("long").alias("mult_bp"))
+            .orderBy("rule_id", "hour"))

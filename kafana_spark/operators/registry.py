@@ -2989,6 +2989,36 @@ def x_pii_scan(spark, sf_dir):
     return text.pii_scan(_docs(spark, sf_dir))
 
 
+#: x205 relative alert rules: (rule_id, event_type, mult_bp) — fire
+#: when an hour reaches mult_bp/10000 × the type's own mean hourly
+#: rate (self-normalizing: meaningful at every SF, unlike an
+#: absolute count across a 100× volume change).
+ALERT_RULES = (("r_err_surge", "error", 15000),
+               ("r_buy_burst", "purchase", 16000),
+               ("r_click_flood", "click", 17000))
+
+
+def x_revenue_cohorts(spark, sf_dir):
+    """x203 — revenue retention matrix (x182's grid with integer-cent
+    value): the payback-curve view per signup cohort."""
+    return ev_ops.revenue_cohorts(_events(spark, sf_dir),
+                                  RETENTION_WEEK_DAYS)
+
+
+def x_session_cooccurrence(spark, sf_dir):
+    """x204 — order-free event-type association within sessions
+    (market-basket lift in bp next to x184's ordered transitions)."""
+    return ev_ops.session_cooccurrence(_events(spark, sf_dir),
+                                       SESSION_GAP)
+
+
+def x_metric_alerts(spark, sf_dir):
+    """x205 — relative metric-threshold alerting over the hourly
+    grid (the Kibana threshold-watcher shape for metrics; the
+    percolator family covers document-match alerts)."""
+    return ev_ops.metric_alerts(_events(spark, sf_dir), ALERT_RULES)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3234,6 +3264,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x200_source_divergence": x_source_divergence,
     "x201_session_paths": x_session_paths,
     "x202_pii_scan": x_pii_scan,
+    "x203_revenue_cohorts": x_revenue_cohorts,
+    "x204_session_cooccurrence": x_session_cooccurrence,
+    "x205_metric_alerts": x_metric_alerts,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6545,6 +6578,82 @@ def _pii_scan_sql() -> str:
             "FROM documents ORDER BY doc_id")
 
 
+def _revenue_cohorts_sql() -> str:
+    """x203 oracle — x182's grid over integer-cent value."""
+    wd = RETENTION_WEEK_DAYS
+    return (
+        "WITH e AS (SELECT user_id AS k, "
+        f"epoch_us(ts) // {_US_DAY} AS day, "
+        "CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) "
+        "AS cents FROM events), "
+        "f AS (SELECT k, MIN(day) AS d0 FROM e GROUP BY k), "
+        f"cell AS (SELECT f.d0 // {wd} AS cohort_week, "
+        f"(e.day - f.d0) // {wd} AS week_offset, e.cents "
+        "FROM e JOIN f ON f.k = e.k), "
+        "rev AS (SELECT cohort_week, week_offset, "
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM cell "
+        "GROUP BY 1, 2), "
+        "b AS (SELECT cohort_week, revenue_cents AS base_cents "
+        "FROM rev WHERE week_offset = 0) "
+        "SELECT rev.cohort_week, week_offset, revenue_cents, "
+        "CAST(CASE WHEN base_cents > 0 THEN "
+        "revenue_cents * 10000 // base_cents ELSE 0 END AS BIGINT) "
+        "AS rev_bp FROM rev JOIN b USING (cohort_week) "
+        "ORDER BY cohort_week, week_offset")
+
+
+def _session_cooccurrence_sql() -> str:
+    """x204 oracle — the x15 islands, per-session type sets, pair
+    join, integer lift."""
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS t FROM events), "
+        "d AS (SELECT k, us, eid, t, CASE WHEN us - LAG(us) OVER "
+        f"(PARTITION BY k ORDER BY us, eid) > {SESSION_GAP_US} "
+        "THEN 1 ELSE 0 END AS brk FROM ev), "
+        "se AS (SELECT k, t, SUM(brk) OVER (PARTITION BY k "
+        "ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS sid FROM d), "
+        "st AS (SELECT DISTINCT k, sid, t FROM se), "
+        "tot AS (SELECT COUNT(*) AS n_sessions FROM "
+        "(SELECT DISTINCT k, sid FROM st)), "
+        "per AS (SELECT t, COUNT(*) AS nt FROM st GROUP BY t), "
+        "boths AS (SELECT a.t AS type_a, b.t AS type_b, "
+        "COUNT(*) AS n_both FROM st a JOIN st b "
+        "ON a.k = b.k AND a.sid = b.sid AND a.t < b.t GROUP BY 1, 2) "
+        "SELECT type_a, type_b, n_both, "
+        "CAST(n_both * n_sessions * 10000 // (na.nt * nb.nt) "
+        "AS BIGINT) AS lift_bp "
+        "FROM boths JOIN per na ON na.t = type_a "
+        "JOIN per nb ON nb.t = type_b CROSS JOIN tot "
+        "ORDER BY type_a, type_b")
+
+
+def _metric_alerts_sql() -> str:
+    """x205 oracle — identical cross-multiplied integer threshold
+    over the hourly grid, rule table inlined from ALERT_RULES."""
+    rules = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule_id, '{t}' AS t, {m} AS mult_bp"
+        for r, t, m in ALERT_RULES)
+    return (
+        "WITH ht AS (SELECT "
+        f"epoch_us(ts) // {_US_HOUR} AS hour, event_type AS t, "
+        "COUNT(*) AS observed FROM events GROUP BY 1, 2), "
+        "nh AS (SELECT COUNT(DISTINCT hour) AS n_hours FROM ht), "
+        "tot AS (SELECT t, CAST(SUM(observed) AS BIGINT) AS tot_t "
+        "FROM ht GROUP BY t), "
+        f"rf AS ({rules}) "
+        "SELECT rf.rule_id, ht.hour, ht.t AS event_type, "
+        "ht.observed, "
+        "CAST(tot.tot_t * 100 // nh.n_hours AS BIGINT) AS mean_x100, "
+        "CAST(rf.mult_bp AS BIGINT) AS mult_bp "
+        "FROM ht JOIN rf ON rf.t = ht.t JOIN tot ON tot.t = ht.t "
+        "CROSS JOIN nh "
+        "WHERE ht.observed * nh.n_hours * 10000 >= "
+        "tot.tot_t * rf.mult_bp "
+        "ORDER BY rule_id, hour")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7315,6 +7424,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x200_source_divergence": _source_divergence_sql(),
     "x201_session_paths": _session_paths_sql(),
     "x202_pii_scan": _pii_scan_sql(),
+    "x203_revenue_cohorts": _revenue_cohorts_sql(),
+    "x204_session_cooccurrence": _session_cooccurrence_sql(),
+    "x205_metric_alerts": _metric_alerts_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

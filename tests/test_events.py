@@ -339,3 +339,52 @@ def test_session_paths_respect_session_boundaries(spark):
     # no path spans the gap (e.g. purchase>view>view is absent)
     assert "purchase>view>view" not in out
     assert sum(out.values()) == 3
+
+
+def test_revenue_cohorts_payback_curve(spark):
+    day = 24 * 60
+    rows = [
+        (ts(0), 1, "purchase", 10.00),
+        (ts(8 * day), 1, "purchase", 5.00),     # week 1 revenue
+        (ts(1 * day), 2, "purchase", 20.00),    # same cohort, week 0
+    ]
+    out = {(r.cohort_week, r.week_offset): (r.revenue_cents, r.rev_bp)
+           for r in ev.revenue_cohorts(make(spark, rows)).collect()}
+    cw = min(k[0] for k in out)
+    assert out[(cw, 0)] == (3000, 10000)
+    assert out[(cw, 1)] == (500, 500 * 10000 // 3000)
+
+
+def test_session_cooccurrence_lift(spark):
+    rows = [
+        # session 1 (u1): view+click together
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "click", 1.0),
+        # session 2 (u1, after gap): view alone
+        (ts(60), 1, "view", 1.0),
+        # session 3 (u2): click alone
+        (ts(0), 2, "click", 1.0),
+        # session 4 (u3): view+click again
+        (ts(0), 3, "view", 1.0), (ts(1), 3, "click", 1.0),
+    ]
+    out = {(r.type_a, r.type_b): (r.n_both, r.lift_bp)
+           for r in ev.session_cooccurrence(
+               make(spark, rows), "30 minutes").collect()}
+    # 4 sessions; view in 3, click in 3, both in 2
+    # lift = 2*4*10000 // (3*3) = 8888
+    assert out[("click", "view")] == (2, 8888)
+    assert len(out) == 1
+
+
+def test_metric_alerts_relative_threshold(spark):
+    rows = []
+    # 10 hours of 'error': nine quiet hours (1/hr), one burst (11)
+    for h in range(9):
+        rows.append((ts(h * 60), 1, "error", 1.0))
+    for i in range(11):
+        rows.append((ts(9 * 60 + i), 1, "error", 1.0))
+    out = [r for r in ev.metric_alerts(
+        make(spark, rows), (("r1", "error", 15000),)).collect()]
+    # mean = 2/hr; only the 11-count hour reaches 1.5x mean
+    assert len(out) == 1
+    assert out[0].observed == 11
+    assert out[0].mean_x100 == 200
