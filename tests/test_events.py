@@ -388,3 +388,59 @@ def test_metric_alerts_relative_threshold(spark):
     assert len(out) == 1
     assert out[0].observed == 11
     assert out[0].mean_x100 == 200
+
+
+# ------------------------------------------------------------ plans
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_retention_base_join_is_broadcast(spark):
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.session import tune_session
+    from tests.conftest import SF_SMOKE
+
+    tune_session(spark)
+    d = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(ev.retention_cohorts(d))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_grid_semi_join_is_broadcast(spark):
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.session import tune_session
+    from tests.conftest import SF_SMOKE
+
+    tune_session(spark)
+    d = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(ev.rolling_active(d))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_error_spike_window_is_range_frame_over_hour_series(spark):
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.session import tune_session
+    from tests.conftest import SF_SMOKE
+
+    tune_session(spark)
+    d = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(ev.error_spike(d))
+    # RANGE frame (clock-window semantics), computed AFTER the
+    # hour-grid aggregate — the window input is the aggregated series
+    assert "RangeFrame" in plan or "RANGE BETWEEN" in plan
+    assert "HashAggregate" in plan
+
+
+def test_funnel_pushes_step_filter_to_scan(spark):
+    from kafana_spark.sources.tables import load_table
+    from kafana_spark.session import tune_session
+    from tests.conftest import SF_SMOKE
+
+    tune_session(spark)
+    d = load_table(spark, SF_SMOKE, "events")
+    plan = _plan(ev.funnel(d, ("view", "click", "purchase")))
+    # each stage's event_type equality reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "view" in plan

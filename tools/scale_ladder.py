@@ -57,6 +57,24 @@ LADDER = [
      "percentile rank)"),
     ("x162_gopher_rules", "linear (map-side rules + one (doc,bigram) "
      "combinable count)"),
+    ("x181_funnel", "linear (per-step filtered MIN per user, "
+     "broadcast-free equi chain)"),
+    ("x182_retention", "linear (distinct user-day collapse first)"),
+    ("x184_event_transitions", "linear (one per-user window, "
+     "|types|^2 aggregate)"),
+    ("x185_rolling_active", "linear x window_days (bounded explode "
+     "on the collapsed user-day frame)"),
+    ("x186_rfm_segments", "n log n on the USER frame (exact "
+     "percentile ranks; events collapse first)"),
+    ("x187_error_spike", "linear + hour-series window (series "
+     "length is clock time, not event count)"),
+    ("x190_acf", "linear collapse + lag-join on the day series"),
+    ("x197_bot_flags", "linear (per-user window + combinable "
+     "moments)"),
+    ("x201_session_paths", "linear (two per-user windows, "
+     "combinable path counts)"),
+    ("x204_session_cooccurrence", "linear (per-session type sets "
+     "<= |types| rows each)"),
     ("x167_pca_power", "linear (Gram pass n*d^2 -> d^2 combinable "
      "cells; iteration is driver-side on the d x d table)"),
     ("x172_stored_gates", "build linear, serve ~constant (combinable "
@@ -144,8 +162,40 @@ def generate(path: str) -> None:
         "label": pa.array(lab_draw.astype(np.int32), pa.int32()),
     })
     pq.write_table(tbl, f"{path}/embeddings.parquet")
-    print(f"# generated {n_docs} docs / {n_vec} vectors at {path}",
-          file=sys.stderr)
+
+    # ---- events: fitted type/value distributions, same 30-day span,
+    # 10x rows over 10x users (per-user event rate held constant — the
+    # realistic growth axis; the event family's windows partition by
+    # user, so this is the honest test of that claim)
+    types, tp = zip(*con.execute(
+        "SELECT event_type, COUNT(*) FROM "
+        f"read_parquet('{SF01}/events.parquet') GROUP BY event_type "
+        "ORDER BY event_type").fetchall())
+    tp = np.array(tp, dtype=float) / sum(tp)
+    vals = np.array([r[0] for r in con.execute(
+        "SELECT value FROM "
+        f"read_parquet('{SF01}/events.parquet')").fetchall()])
+    t0_us, t1_us = con.execute(
+        "SELECT epoch_us(MIN(ts)), epoch_us(MAX(ts)) FROM "
+        f"read_parquet('{SF01}/events.parquet')").fetchone()
+    n_ev, n_users = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM "
+        f"read_parquet('{SF01}/events.parquet')").fetchone()
+    n_big = SCALE * n_ev
+    ts_us = np.sort(rng.integers(t0_us, t1_us, size=n_big))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_big), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(
+            rng.integers(0, SCALE * n_users, size=n_big), pa.int64()),
+        "event_type": pa.array(rng.choice(types, size=n_big, p=tp)),
+        "value": pa.array(rng.choice(vals, size=n_big), pa.float64()),
+        "props": pa.array(
+            ['{"k": %d}' % v for v in rng.integers(0, 100, n_big)]),
+    })
+    pq.write_table(tbl, f"{path}/events.parquet")
+    print(f"# generated {n_docs} docs / {n_vec} vectors / "
+          f"{n_big} events at {path}", file=sys.stderr)
 
 
 def main() -> None:
