@@ -759,3 +759,269 @@ def metric_alerts(df: DataFrame,
                     F.expr("tot_t * 100 div n_hours").alias("mean_x100"),
                     F.col("mult_bp").cast("long").alias("mult_bp"))
             .orderBy("rule_id", "hour"))
+
+
+def growth_accounting(df: DataFrame, week_days: int = 7,
+                      time_col: str = "ts",
+                      key_col: str = "user_id") -> DataFrame:
+    """Weekly growth accounting — every active user classified as
+    new (first-ever active week), retained (also active the previous
+    week) or resurrected (returning after >= 1 skipped week), plus
+    churned = last week's actives who went silent; quick ratio =
+    (new + resurrected) / churned in bp (the standard inflow/outflow
+    health metric; 10000 = treading water).
+
+    Output: (week, n_active, n_new, n_retained, n_resurrected,
+    n_churned, quick_bp), one row per observed epoch-week; churn and
+    quick_bp are 0 for a week with no observed predecessor week.
+
+    Scale: the corpus collapses to DISTINCT (user, week) immediately;
+    the classifying lag window is partitioned by user over that
+    frame (<= weeks-per-user rows each); the churn lookup is a
+    self-join of the |weeks|-row aggregate on week-1.
+    """
+    wd_us = week_days * US_PER_DAY
+    uw = (df.select(F.col(key_col).alias("k"),
+                    F.expr(f"unix_micros({time_col}) div {wd_us}")
+                    .alias("week"))
+          .distinct())
+    w = Window.partitionBy("k").orderBy("week")
+    cl = (uw.withColumn("prev", F.lag("week").over(w))
+          .select("week",
+                  F.col("prev").isNull().cast("long").alias("is_new"),
+                  (F.col("prev") == F.col("week") - 1).cast("long")
+                  .alias("is_ret"),
+                  (F.col("prev") < F.col("week") - 1).cast("long")
+                  .alias("is_res")))
+    g = (cl.groupBy("week")
+         .agg(F.count(F.lit(1)).alias("n_active"),
+              F.sum("is_new").alias("n_new"),
+              F.sum(F.coalesce(F.col("is_ret"), F.lit(0)))
+              .alias("n_retained"),
+              F.sum(F.coalesce(F.col("is_res"), F.lit(0)))
+              .alias("n_resurrected")))
+    prev = g.select((F.col("week") + 1).alias("week"),
+                    F.col("n_active").alias("prev_active"))
+    churn = F.coalesce(F.col("prev_active"), F.lit(0)) \
+        - F.col("n_retained")
+    return (g.join(F.broadcast(prev), "week", "left")
+            .withColumn("n_churned", churn)
+            .select("week", "n_active", "n_new", "n_retained",
+                    "n_resurrected", "n_churned",
+                    F.when(F.col("n_churned") > 0,
+                           F.expr("(n_new + n_resurrected) * 10000 "
+                                  "div n_churned"))
+                    .otherwise(F.lit(0)).cast("long").alias("quick_bp"))
+            .orderBy("week"))
+
+
+def power_user_curve(df: DataFrame, time_col: str = "ts",
+                     key_col: str = "user_id") -> DataFrame:
+    """Engagement-depth histogram (the L30 / power-user curve): how
+    many users were active on exactly d distinct days, with the user
+    share per bucket and the cumulative share of users at least that
+    active (summed from the most-active side — "top x% of users").
+
+    Output: (active_days, n_users, share_bp, cum_share_bp), ordered
+    by active_days DESCENDING (the cumulative reads top-down).
+
+    Scale: DISTINCT (user, day) -> per-user day count -> histogram;
+    the windows run over the <= |span-days| histogram rows.
+    """
+    ud = (df.select(F.col(key_col).alias("k"),
+                    F.expr(f"unix_micros({time_col}) div {US_PER_DAY}")
+                    .alias("day"))
+          .distinct())
+    per = ud.groupBy("k").agg(F.count(F.lit(1)).alias("active_days"))
+    hist = (per.groupBy("active_days")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+    wt = Window.partitionBy()
+    wc = (Window.orderBy(F.desc("active_days"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hist.withColumn("tot", F.sum("n_users").over(wt))
+            .withColumn("cum", F.sum("n_users").over(wc))
+            .select("active_days", "n_users",
+                    F.expr("n_users * 10000 div tot").alias("share_bp"),
+                    F.expr("cum * 10000 div tot").alias("cum_share_bp"))
+            .orderBy(F.desc("active_days")))
+
+
+def last_touch_attribution(df: DataFrame,
+                           touch_types: tuple[str, ...] = ("view",
+                                                           "click"),
+                           conv_type: str = "purchase",
+                           lookback_days: int = 3,
+                           time_col: str = "ts",
+                           key_col: str = "user_id",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch revenue attribution: each conversion's value (in
+    integer cents, the x186 discipline) is credited to the user's
+    most recent STRICTLY-PRECEDING touch event within the lookback
+    window; conversions with no qualifying touch are 'direct'. The
+    precede order is (ts, event_id) — total, so ties can't flip the
+    credited channel.
+
+    Output: (channel, n_conv, revenue_cents, revenue_share_bp),
+    one row per credited channel, ordered.
+
+    Scale: ONE window partitioned by user (the natural clickstream
+    partitioning) computes the running last-touch via conditional
+    last-ignore-nulls over the strictly-preceding frame; everything
+    after is a combinable per-channel aggregate plus a window over
+    the <= |types|+1 channel rows.
+    """
+    lb_us = lookback_days * US_PER_DAY
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"),
+                   F.col(type_col).alias("t"),
+                   F.floor(F.coalesce(F.col(value_col), F.lit(0.0))
+                           * 100 + F.lit(0.5)).alias("cents"))
+    w = (Window.partitionBy("k").orderBy("us", "eid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("t").isin(*touch_types)
+    conv = (ev.withColumn(
+        "touch_t",
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True).over(w))
+        .withColumn(
+        "touch_us",
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True).over(w))
+        .where(F.col("t") == conv_type))
+    channel = F.when(F.col("touch_us").isNotNull()
+                     & (F.col("us") - F.col("touch_us") <= lb_us),
+                     F.col("touch_t")).otherwise(F.lit("direct"))
+    g = (conv.select(channel.alias("channel"), "cents")
+         .groupBy("channel")
+         .agg(F.count(F.lit(1)).alias("n_conv"),
+              F.sum("cents").alias("revenue_cents")))
+    wt = Window.partitionBy()
+    return (g.withColumn("tot", F.sum("revenue_cents").over(wt))
+            .select("channel", "n_conv", "revenue_cents",
+                    F.when(F.col("tot") > 0,
+                           F.expr("revenue_cents * 10000 div tot"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("revenue_share_bp"))
+            .orderBy("channel"))
+
+
+def mad_anomalies(df: DataFrame, z_bp_threshold: int = 35000,
+                  time_col: str = "ts") -> DataFrame:
+    """Robust daily-volume anomaly detection via median absolute
+    deviation — the outlier-immune complement to x187's trailing-mean
+    spikes (one bad day inflates a mean baseline; it cannot move the
+    median). All quantities stay integer by carrying DOUBLED medians:
+    med2 = 2*median(count) (exact — the interpolated median of
+    integers is a half-integer, so twice it is an integer in both
+    engines, the x17 percentile/quantile_cont parity), dev2 =
+    |2*c - med2|, mad2 = 2*median(dev2), z_bp = dev2*10000 div mad2.
+
+    Output: (day, c, dev2, z_bp, is_anomaly) per observed day where
+    is_anomaly = z_bp > threshold (0 when mad2 = 0 — a perfectly
+    constant series has no outliers).
+
+    Scale: the corpus collapses to the daily series first; the two
+    medians are 1-row aggregates of that series, broadcast back.
+    """
+    return mad_anomalies_from_daily(_daily_counts(df, time_col),
+                                    z_bp_threshold)
+
+
+def mad_anomalies_from_daily(d: DataFrame,
+                             z_bp_threshold: int = 35000) -> DataFrame:
+    """The MAD tail over a (day, c) daily-count frame."""
+    med = d.agg((F.percentile("c", F.lit(0.5)) * 2)
+                .cast("long").alias("med2"))
+    dev = (d.crossJoin(F.broadcast(med))
+           .select("day", "c", "med2",
+                   F.abs(F.col("c") * 2 - F.col("med2")).alias("dev2")))
+    mad = dev.agg((F.percentile("dev2", F.lit(0.5)) * 2)
+                  .cast("long").alias("mad2"))
+    z = F.when(F.col("mad2") > 0,
+               F.expr("dev2 * 10000 div mad2")).otherwise(F.lit(0))
+    return (dev.crossJoin(F.broadcast(mad))
+            .withColumn("z_bp", z.cast("long"))
+            .select("day", "c", "dev2", "z_bp",
+                    (F.col("z_bp") > z_bp_threshold).alias("is_anomaly"))
+            .orderBy("day"))
+
+
+def cusum_changepoint(df: DataFrame,
+                      time_col: str = "ts") -> DataFrame:
+    """CUSUM level-shift scan over the daily series: the cumulative
+    sum of deviations from the whole-series mean, kept exact-integer
+    by cross-multiplication — cusum_d = D*prefix_d - idx_d*T (D days,
+    T total events; the true cusum times D). The |cusum| peak marks
+    the most likely changepoint (the classic offline CUSUM argmax);
+    shift_bp locates the peak's magnitude vs D*T.
+
+    Output: (day, c, cusum, is_peak) per observed day; is_peak is
+    TRUE exactly once (ties break to the earliest day).
+
+    Scale: daily collapse first; every window here runs over the
+    |days| series frame, never the corpus.
+    """
+    return cusum_from_daily(_daily_counts(df, time_col))
+
+
+def cusum_from_daily(d: DataFrame) -> DataFrame:
+    """The CUSUM tail over a (day, c) daily-count frame."""
+    wo = Window.orderBy("day")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    s = (d.withColumn("prefix", F.sum("c").over(wc))
+         .withColumn("idx", F.row_number().over(wo))
+         .withColumn("tot", F.sum("c").over(wt))
+         .withColumn("nd", F.count(F.lit(1)).over(wt))
+         .withColumn("cusum", F.col("nd") * F.col("prefix")
+                     - F.col("idx") * F.col("tot")))
+    wp = Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.col("day"))
+    return (s.withColumn("pk", F.row_number().over(wp))
+            .select("day", "c", "cusum", (F.col("pk") == 1)
+                    .alias("is_peak"))
+            .orderBy("day"))
+
+
+def purchase_intervals(df: DataFrame, conv_type: str = "purchase",
+                       time_col: str = "ts",
+                       key_col: str = "user_id",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """Repeat-purchase summary — the LTV primer: buyer counts, the
+    repeat rate in bp, and the inter-purchase gap distribution
+    (count, exact doubled-median in us — the x209 med2 discipline —
+    and the integer mean).
+
+    Output: ONE row (n_buyers, n_repeat, repeat_bp, n_gaps,
+    med2_gap_us, mean_gap_us); gap stats are 0 when no user bought
+    twice.
+
+    Scale: the type filter is pushed to the scan; one lag window
+    partitioned by user over the purchase frame; two 1-row
+    aggregates broadcast-crossed.
+    """
+    p = (df.where(F.col(type_col) == conv_type)
+         .select(F.col(key_col).alias("k"),
+                 F.unix_micros(F.col(time_col)).alias("us"),
+                 F.col(id_col).alias("eid")))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    gaps = (p.withColumn("prev", F.lag("us").over(w))
+            .where(F.col("prev").isNotNull())
+            .select((F.col("us") - F.col("prev")).alias("g")))
+    buyers = (p.groupBy("k").agg(F.count(F.lit(1)).alias("n_p"))
+              .agg(F.count(F.lit(1)).alias("n_buyers"),
+                   F.sum((F.col("n_p") >= 2).cast("long"))
+                   .alias("n_repeat")))
+    gs = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce((F.percentile("g", F.lit(0.5)) * 2).cast("long"),
+                   F.lit(0)).alias("med2_gap_us"),
+        F.coalesce(F.expr("sum(g) div count(1)"), F.lit(0))
+        .alias("mean_gap_us"))
+    return (buyers.crossJoin(F.broadcast(gs))
+            .select("n_buyers", "n_repeat",
+                    F.when(F.col("n_buyers") > 0,
+                           F.expr("n_repeat * 10000 div n_buyers"))
+                    .otherwise(F.lit(0)).cast("long").alias("repeat_bp"),
+                    "n_gaps", "med2_gap_us", "mean_gap_us"))

@@ -3019,6 +3019,58 @@ def x_metric_alerts(spark, sf_dir):
     return ev_ops.metric_alerts(_events(spark, sf_dir), ALERT_RULES)
 
 
+#: x208 last-touch attribution policy: credited touch channels, the
+#: conversion type, and the lookback window.
+ATTR_TOUCH_TYPES = ("view", "click")
+ATTR_CONV_TYPE = "purchase"
+ATTR_LOOKBACK_DAYS = 3
+#: x209 robust-z flag threshold (dev/MAD in bp; 2.5 MADs).
+MAD_Z_BP = 25000
+
+
+def x_growth_accounting(spark, sf_dir):
+    """x206 — weekly new/retained/resurrected/churned accounting +
+    quick ratio in bp (the inflow/outflow health decomposition next
+    to x182's retention matrix)."""
+    return ev_ops.growth_accounting(_events(spark, sf_dir),
+                                    RETENTION_WEEK_DAYS)
+
+
+def x_power_user_curve(spark, sf_dir):
+    """x207 — active-days engagement histogram with top-down
+    cumulative user share (the power-user / L30 curve)."""
+    return ev_ops.power_user_curve(_events(spark, sf_dir))
+
+
+def x_last_touch_attribution(spark, sf_dir):
+    """x208 — last-touch revenue attribution: purchase cents credited
+    to the most recent preceding view/click within the lookback,
+    else 'direct'; per-channel revenue share in bp."""
+    return ev_ops.last_touch_attribution(
+        _events(spark, sf_dir), ATTR_TOUCH_TYPES, ATTR_CONV_TYPE,
+        ATTR_LOOKBACK_DAYS)
+
+
+def x_mad_anomalies(spark, sf_dir):
+    """x209 — MAD robust daily-volume anomalies (doubled-median
+    integer discipline; the outlier-immune twin of x187's
+    trailing-mean spikes)."""
+    return ev_ops.mad_anomalies(_events(spark, sf_dir), MAD_Z_BP)
+
+
+def x_cusum_changepoint(spark, sf_dir):
+    """x210 — exact-integer CUSUM level-shift scan over the daily
+    series; the |cusum| argmax marks the changepoint."""
+    return ev_ops.cusum_changepoint(_events(spark, sf_dir))
+
+
+def x_purchase_intervals(spark, sf_dir):
+    """x211 — repeat-purchase summary: buyer counts, repeat rate bp,
+    inter-purchase gap count/doubled-median/mean (the LTV primer)."""
+    return ev_ops.purchase_intervals(_events(spark, sf_dir),
+                                     ATTR_CONV_TYPE)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3267,6 +3319,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x203_revenue_cohorts": x_revenue_cohorts,
     "x204_session_cooccurrence": x_session_cooccurrence,
     "x205_metric_alerts": x_metric_alerts,
+    "x206_growth_accounting": x_growth_accounting,
+    "x207_power_user_curve": x_power_user_curve,
+    "x208_last_touch_attribution": x_last_touch_attribution,
+    "x209_mad_anomalies": x_mad_anomalies,
+    "x210_cusum_changepoint": x_cusum_changepoint,
+    "x211_purchase_intervals": x_purchase_intervals,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6654,6 +6712,154 @@ def _metric_alerts_sql() -> str:
         "ORDER BY rule_id, hour")
 
 
+def _growth_accounting_sql() -> str:
+    """x206 oracle — identical per-user lag classification over the
+    DISTINCT (user, week) frame + week-1 self-join for churn."""
+    wd_us = RETENTION_WEEK_DAYS * _US_DAY
+    return (
+        "WITH uw AS (SELECT DISTINCT user_id AS k, "
+        f"epoch_us(ts) // {wd_us} AS week FROM events), "
+        "cl AS (SELECT week, "
+        "CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new, "
+        "CASE WHEN prev = week - 1 THEN 1 ELSE 0 END AS is_ret, "
+        "CASE WHEN prev < week - 1 THEN 1 ELSE 0 END AS is_res "
+        "FROM (SELECT week, LAG(week) OVER (PARTITION BY k "
+        "ORDER BY week) AS prev FROM uw) q), "
+        "g AS (SELECT week, COUNT(*) AS n_active, "
+        "CAST(SUM(is_new) AS BIGINT) AS n_new, "
+        "CAST(SUM(is_ret) AS BIGINT) AS n_retained, "
+        "CAST(SUM(is_res) AS BIGINT) AS n_resurrected FROM cl "
+        "GROUP BY week), "
+        "p AS (SELECT week + 1 AS week, n_active AS prev_active "
+        "FROM g) "
+        "SELECT g.week, n_active, n_new, n_retained, n_resurrected, "
+        "CAST(COALESCE(prev_active, 0) - n_retained AS BIGINT) "
+        "AS n_churned, "
+        "CAST(CASE WHEN COALESCE(prev_active, 0) - n_retained > 0 "
+        "THEN (n_new + n_resurrected) * 10000 "
+        "// (COALESCE(prev_active, 0) - n_retained) ELSE 0 END "
+        "AS BIGINT) AS quick_bp "
+        "FROM g LEFT JOIN p ON p.week = g.week ORDER BY g.week")
+
+
+def _power_user_curve_sql() -> str:
+    """x207 oracle — the same histogram + top-down cumulative."""
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id AS k, "
+        f"epoch_us(ts) // {_US_DAY} AS day FROM events), "
+        "per AS (SELECT k, COUNT(*) AS active_days FROM ud "
+        "GROUP BY k), "
+        "h AS (SELECT active_days, COUNT(*) AS n_users FROM per "
+        "GROUP BY active_days) "
+        "SELECT active_days, n_users, "
+        "CAST(n_users * 10000 // SUM(n_users) OVER () AS BIGINT) "
+        "AS share_bp, "
+        "CAST(SUM(n_users) OVER (ORDER BY active_days DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 "
+        "// SUM(n_users) OVER () AS BIGINT) AS cum_share_bp "
+        "FROM h ORDER BY active_days DESC")
+
+
+def _last_touch_sql() -> str:
+    """x208 oracle — LAST_VALUE IGNORE NULLS over the strictly-
+    preceding frame in the identical (ts, event_id) total order."""
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    lb_us = ATTR_LOOKBACK_DAYS * _US_DAY
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS t, "
+        "CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) "
+        "AS cents FROM events), "
+        "t2 AS (SELECT us, t, cents, "
+        f"LAST_VALUE(CASE WHEN t IN ({touches}) THEN t END "
+        "IGNORE NULLS) OVER win AS touch_t, "
+        f"LAST_VALUE(CASE WHEN t IN ({touches}) THEN us END "
+        "IGNORE NULLS) OVER win AS touch_us "
+        "FROM ev WINDOW win AS (PARTITION BY k ORDER BY us, eid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "conv AS (SELECT CASE WHEN touch_us IS NOT NULL "
+        f"AND us - touch_us <= {lb_us} THEN touch_t "
+        "ELSE 'direct' END AS channel, cents FROM t2 "
+        f"WHERE t = '{ATTR_CONV_TYPE}'), "
+        "g AS (SELECT channel, COUNT(*) AS n_conv, "
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM conv "
+        "GROUP BY channel) "
+        "SELECT channel, n_conv, revenue_cents, "
+        "CAST(CASE WHEN SUM(revenue_cents) OVER () > 0 THEN "
+        "revenue_cents * 10000 // SUM(revenue_cents) OVER () "
+        "ELSE 0 END AS BIGINT) AS revenue_share_bp "
+        "FROM g ORDER BY channel")
+
+
+def _daily_sql() -> str:
+    """The shared (day, c) daily-count collapse (x209/x210)."""
+    return ("d AS (SELECT "
+            f"epoch_us(ts) // {_US_DAY} AS day, COUNT(*) AS c "
+            "FROM events GROUP BY 1)")
+
+
+def _mad_anomalies_sql() -> str:
+    """x209 oracle — doubled medians via quantile_cont (exactly
+    integral doubles, so the BIGINT cast is exact in both engines)."""
+    return (
+        f"WITH {_daily_sql()}, "
+        "m AS (SELECT CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) "
+        "AS med2 FROM d), "
+        "dev AS (SELECT day, c, CAST(ABS(c * 2 - med2) AS BIGINT) "
+        "AS dev2 FROM d, m), "
+        "m2 AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) "
+        "AS mad2 FROM dev) "
+        "SELECT day, c, dev2, "
+        "CAST(CASE WHEN mad2 > 0 THEN dev2 * 10000 // mad2 "
+        "ELSE 0 END AS BIGINT) AS z_bp, "
+        "(CASE WHEN mad2 > 0 THEN dev2 * 10000 // mad2 ELSE 0 END) "
+        f"> {MAD_Z_BP} AS is_anomaly "
+        "FROM dev, m2 ORDER BY day")
+
+
+def _cusum_sql() -> str:
+    """x210 oracle — cross-multiplied integer CUSUM, peak ties to
+    the earliest day."""
+    return (
+        f"WITH {_daily_sql()}, "
+        "s AS (SELECT day, c, "
+        "SUM(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS prefix, "
+        "ROW_NUMBER() OVER (ORDER BY day) AS idx, "
+        "SUM(c) OVER () AS tot, COUNT(*) OVER () AS nd FROM d), "
+        "cs AS (SELECT day, c, "
+        "CAST(nd * prefix - idx * tot AS BIGINT) AS cusum FROM s) "
+        "SELECT day, c, cusum, "
+        "ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) = 1 "
+        "AS is_peak FROM cs ORDER BY day")
+
+
+def _purchase_intervals_sql() -> str:
+    """x211 oracle — same lag gaps + doubled-median; the mean is
+    guarded so an empty gap frame yields 0, not a div-by-zero."""
+    return (
+        "WITH p AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid FROM events "
+        f"WHERE event_type = '{ATTR_CONV_TYPE}'), "
+        "gp AS (SELECT us - LAG(us) OVER (PARTITION BY k "
+        "ORDER BY us, eid) AS g FROM p), "
+        "gaps AS (SELECT g FROM gp WHERE g IS NOT NULL), "
+        "b AS (SELECT COUNT(*) AS n_buyers, "
+        "CAST(SUM(CASE WHEN n_p >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_repeat FROM (SELECT k, COUNT(*) AS n_p FROM p "
+        "GROUP BY k) q), "
+        "gs AS (SELECT COUNT(*) AS n_gaps, "
+        "COALESCE(CAST(quantile_cont(g, 0.5) * 2 AS BIGINT), 0) "
+        "AS med2_gap_us, "
+        "CASE WHEN COUNT(*) > 0 THEN "
+        "CAST(SUM(g) // COUNT(*) AS BIGINT) ELSE 0 END "
+        "AS mean_gap_us FROM gaps) "
+        "SELECT n_buyers, n_repeat, "
+        "CAST(CASE WHEN n_buyers > 0 THEN n_repeat * 10000 "
+        "// n_buyers ELSE 0 END AS BIGINT) AS repeat_bp, "
+        "n_gaps, med2_gap_us, mean_gap_us FROM b, gs")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7427,6 +7633,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x203_revenue_cohorts": _revenue_cohorts_sql(),
     "x204_session_cooccurrence": _session_cooccurrence_sql(),
     "x205_metric_alerts": _metric_alerts_sql(),
+    "x206_growth_accounting": _growth_accounting_sql(),
+    "x207_power_user_curve": _power_user_curve_sql(),
+    "x208_last_touch_attribution": _last_touch_sql(),
+    "x209_mad_anomalies": _mad_anomalies_sql(),
+    "x210_cusum_changepoint": _cusum_sql(),
+    "x211_purchase_intervals": _purchase_intervals_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -444,3 +444,135 @@ def test_funnel_pushes_step_filter_to_scan(spark):
     # each stage's event_type equality reaches the parquet scan
     assert "PushedFilters" in plan
     assert "view" in plan
+
+
+# ------------------------------------------------- x206-x211 family
+
+def test_growth_accounting_classifies_and_churns(spark):
+    day = 24 * 60
+    rows = [
+        # u1: active weeks 0,1,2 (retained twice)
+        (ts(0), 1, "view", 1.0), (ts(7 * day), 1, "view", 1.0),
+        (ts(14 * day), 1, "view", 1.0),
+        # u2: active week 0 only -> churns into week 1
+        (ts(1 * day), 2, "view", 1.0),
+        # u3: active weeks 0 and 2 -> resurrected in week 2
+        (ts(2 * day), 3, "view", 1.0), (ts(15 * day), 3, "view", 1.0),
+    ]
+    out = {r.week: r for r in ev.growth_accounting(
+        make(spark, rows)).collect()}
+    w0 = min(out)
+    assert (out[w0].n_new, out[w0].n_churned) == (3, 0)
+    w1, w2 = w0 + 1, w0 + 2
+    assert (out[w1].n_active, out[w1].n_retained) == (1, 1)
+    assert out[w1].n_churned == 2          # u2 and u3 went silent
+    assert out[w1].quick_bp == 0           # no inflow, churn 2
+    assert (out[w2].n_retained, out[w2].n_resurrected) == (1, 1)
+    assert out[w2].n_churned == 0
+    assert out[w2].quick_bp == 0           # churn 0 -> guarded
+
+
+def test_power_user_curve_cumulative_from_top(spark):
+    day = 24 * 60
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(day), 1, "view", 1.0),
+        (ts(2 * day), 1, "view", 1.0),     # u1: 3 days
+        (ts(0), 2, "view", 1.0),           # u2: 1 day
+        (ts(0), 3, "view", 1.0),           # u3: 1 day
+    ]
+    out = ev.power_user_curve(make(spark, rows)).collect()
+    assert [(r.active_days, r.n_users) for r in out] == [(3, 1), (1, 2)]
+    assert out[0].share_bp == 3333
+    assert out[0].cum_share_bp == 3333
+    assert out[1].cum_share_bp == 10000
+
+
+def test_last_touch_credits_recent_touch_within_lookback(spark):
+    day = 24 * 60
+    rows = [
+        (ts(0), 1, "view", 0.0), (ts(1), 1, "click", 0.0),
+        (ts(2), 1, "purchase", 10.0),     # credited to click (latest)
+        (ts(0), 2, "view", 0.0),
+        (ts(5 * day), 2, "purchase", 20.0),  # view too old -> direct
+        (ts(0), 3, "purchase", 30.0),        # no touch -> direct
+    ]
+    out = {r.channel: r for r in ev.last_touch_attribution(
+        make(spark, rows)).collect()}
+    assert out["click"].revenue_cents == 1000
+    assert out["direct"].revenue_cents == 5000
+    assert out["direct"].n_conv == 2
+    assert "view" not in out
+    assert out["click"].revenue_share_bp == 1000 * 10000 // 6000
+
+
+def test_last_touch_same_ts_not_credited(spark):
+    # the touch must STRICTLY precede in (ts, event_id) order; a touch
+    # row AFTER the purchase at the same ts gets a higher event_id and
+    # must not be credited
+    rows = [(ts(0), 1, "purchase", 10.0), (ts(0), 1, "click", 0.0)]
+    out = {r.channel: r.n_conv for r in ev.last_touch_attribution(
+        make(spark, rows)).collect()}
+    assert out == {"direct": 1}
+
+
+def test_mad_anomalies_flags_outlier_not_mean_shift(spark):
+    day = 24 * 60
+    # counts 3,4,5,3,4,5 then a 40-spike: med2 = 8, the spike's
+    # dev2 = 72, mad2 = 4 -> z = 180000 bp; normal days z <= 5000
+    rows = []
+    for d, c in enumerate((3, 4, 5, 3, 4, 5, 40)):
+        rows += [(ts(d * day + i), 1 + i, "view", 1.0)
+                 for i in range(c)]
+    out = {r.day: r for r in ev.mad_anomalies(
+        make(spark, rows)).collect()}
+    flags = sorted(d for d, r in out.items() if r.is_anomaly)
+    assert len(flags) == 1
+    spike = out[flags[0]]
+    assert (spike.c, spike.dev2, spike.z_bp) == (40, 72, 180000)
+    assert max(r.z_bp for d, r in out.items() if d != flags[0]) == 5000
+
+
+def test_mad_constant_series_has_no_anomalies(spark):
+    day = 24 * 60
+    rows = [(ts(d * day), 1, "view", 1.0) for d in range(5)]
+    out = ev.mad_anomalies(make(spark, rows)).collect()
+    assert all(not r.is_anomaly and r.z_bp == 0 for r in out)
+
+
+def test_cusum_peaks_at_level_shift(spark):
+    day = 24 * 60
+    # 3 days at 2/day then 3 days at 10/day -> shift after day 2
+    rows = []
+    for d in range(3):
+        rows += [(ts(d * day + i), 1, "view", 1.0) for i in range(2)]
+    for d in range(3, 6):
+        rows += [(ts(d * day + i), 1, "view", 1.0) for i in range(10)]
+    out = ev.cusum_changepoint(make(spark, rows)).collect()
+    peaks = [r for r in out if r.is_peak]
+    assert len(peaks) == 1
+    days = sorted(r.day for r in out)
+    assert peaks[0].day == days[2]        # last low day = the shift
+    # cusum = D*prefix - idx*T; day2: 6*6 - 3*36 = -72
+    assert peaks[0].cusum == -72
+
+
+def test_purchase_intervals_summary(spark):
+    rows = [
+        (ts(0), 1, "purchase", 1.0), (ts(10), 1, "purchase", 1.0),
+        (ts(30), 1, "purchase", 1.0),     # u1: gaps 10min, 20min
+        (ts(0), 2, "purchase", 1.0),      # u2: single buyer
+        (ts(0), 3, "view", 1.0),          # not a buyer
+    ]
+    r = ev.purchase_intervals(make(spark, rows)).collect()[0]
+    assert (r.n_buyers, r.n_repeat) == (2, 1)
+    assert r.repeat_bp == 5000
+    assert r.n_gaps == 2
+    assert r.med2_gap_us == 2 * 15 * 60 * 1_000_000  # median 15 min
+    assert r.mean_gap_us == 15 * 60 * 1_000_000
+
+
+def test_purchase_intervals_no_repeats_guarded(spark):
+    rows = [(ts(0), 1, "purchase", 1.0)]
+    r = ev.purchase_intervals(make(spark, rows)).collect()[0]
+    assert (r.n_buyers, r.n_repeat, r.repeat_bp) == (1, 0, 0)
+    assert (r.n_gaps, r.med2_gap_us, r.mean_gap_us) == (0, 0, 0)
