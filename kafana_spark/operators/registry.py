@@ -3071,6 +3071,40 @@ def x_purchase_intervals(spark, sf_dir):
                                      ATTR_CONV_TYPE)
 
 
+#: x212 PageRank walk: damping in bp, unrolled rounds, served top-k.
+PR_DAMP_BP = 8500
+PR_ITERS = 3
+PR_TOP_K = 50
+
+
+def x_pagerank(spark, sf_dir):
+    """x212 — integer µunit PageRank over the x149/x150 mutual k-NN
+    graph (unrolled walk, the x145 Lloyd discipline): the semantic-
+    hub centrality pass."""
+    return similarity.pagerank_mutual(
+        _embs(spark, sf_dir), PR_ITERS, PR_DAMP_BP, PR_TOP_K,
+        k=KNN_K, method="fixed", centroid_k=KNN_CELLS,
+        n_probe=KNN_N_PROBE, n_assign=KNN_N_ASSIGN)
+
+
+def x_graph_triangles(spark, sf_dir):
+    """x213 — global triangle census + clustering coefficient of the
+    mutual k-NN graph (the clumpiness check before cluster dedup)."""
+    return similarity.graph_triangles(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
+def x_degree_histogram(spark, sf_dir):
+    """x214 — mutual k-NN degree distribution with vertex shares
+    (the hub/orphan profile)."""
+    return similarity.degree_histogram(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3325,6 +3359,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x209_mad_anomalies": x_mad_anomalies,
     "x210_cusum_changepoint": x_cusum_changepoint,
     "x211_purchase_intervals": x_purchase_intervals,
+    "x212_pagerank": x_pagerank,
+    "x213_graph_triangles": x_graph_triangles,
+    "x214_degree_histogram": x_degree_histogram,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6860,6 +6897,74 @@ def _purchase_intervals_sql() -> str:
         "n_gaps, med2_gap_us, mean_gap_us FROM b, gs")
 
 
+def _mutual_deg_ctes() -> str:
+    """Shared x212/x213/x214 oracle tail over the x149 chain: mutual
+    a<b edges, both-direction edges, per-vertex degree."""
+    return (
+        f"g AS (SELECT qid, vec_id FROM ranked WHERE rank <= {KNN_K}), "
+        "mu AS (SELECT ab.qid AS a, ab.vec_id AS b FROM g ab "
+        "JOIN g ba ON ba.qid = ab.vec_id AND ba.vec_id = ab.qid "
+        "WHERE ab.qid < ab.vec_id), "
+        "ed AS (SELECT a, b FROM mu "
+        "UNION ALL SELECT b AS a, a AS b FROM mu), "
+        "deg AS (SELECT a, COUNT(*) AS deg FROM ed GROUP BY a)")
+
+
+def _pagerank_sql() -> str:
+    """x212 oracle — the identical unrolled integer µunit walk
+    (truncating // on nonnegative operands matches Spark's div)."""
+    tele = (10000 - PR_DAMP_BP) * 1_000_000 // 10000
+    ctes = ["p0 AS (SELECT a AS vec_id, deg, "
+            "CAST(1000000 AS BIGINT) AS pr FROM deg)"]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT e.b AS vec_id, SUM(p.pr // p.deg) AS s "
+            f"FROM ed e JOIN p{t - 1} p ON p.vec_id = e.a "
+            "GROUP BY e.b)")
+        ctes.append(
+            f"p{t} AS (SELECT d.a AS vec_id, d.deg, "
+            f"CAST({tele} + {PR_DAMP_BP} * COALESCE(s.s, 0) // 10000 "
+            f"AS BIGINT) AS pr FROM deg d LEFT JOIN s{t} s "
+            "ON s.vec_id = d.a)")
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        + ", ".join(ctes)
+        + " SELECT vec_id, deg, pr, rank FROM "
+        "(SELECT vec_id, CAST(deg AS BIGINT) AS deg, pr, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id) "
+        f"AS INTEGER) AS rank FROM p{PR_ITERS}) q "
+        f"WHERE rank <= {PR_TOP_K} ORDER BY rank")
+
+
+def _graph_triangles_sql() -> str:
+    """x213 oracle — canonical-edge wedge join + closing-edge check
+    (a<b<c once each)."""
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        "nb AS (SELECT COUNT(*) AS n_edges FROM mu), "
+        "nv AS (SELECT COUNT(*) AS n_vertices, "
+        "CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges "
+        "FROM deg), "
+        "tr AS (SELECT COUNT(*) AS n_triangles FROM mu e1 "
+        "JOIN mu e2 ON e2.a = e1.b "
+        "JOIN mu e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT n_vertices, n_edges, n_wedges, n_triangles, "
+        "CAST(CASE WHEN n_wedges > 0 THEN "
+        "3 * n_triangles * 10000 // n_wedges ELSE 0 END AS BIGINT) "
+        "AS global_cc_bp FROM nv, nb, tr")
+
+
+def _degree_histogram_sql() -> str:
+    """x214 oracle — degree histogram with vertex shares."""
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        "h AS (SELECT deg, COUNT(*) AS n_vertices FROM deg "
+        "GROUP BY deg) "
+        "SELECT CAST(deg AS BIGINT) AS deg, n_vertices, "
+        "CAST(n_vertices * 10000 // SUM(n_vertices) OVER () "
+        "AS BIGINT) AS share_bp FROM h ORDER BY deg")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7639,6 +7744,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x209_mad_anomalies": _mad_anomalies_sql(),
     "x210_cusum_changepoint": _cusum_sql(),
     "x211_purchase_intervals": _purchase_intervals_sql(),
+    "x212_pagerank": _pagerank_sql(),
+    "x213_graph_triangles": _graph_triangles_sql(),
+    "x214_degree_histogram": _degree_histogram_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1384,3 +1384,161 @@ def rocchio_confusion(df: DataFrame, train_mod: int = 3,
     return (best.groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("true_label", "pred_label"))
+
+
+# --------------------------------------------------------------- graph
+# Whole-graph analytics over the mutual k-NN structure (x150): the
+# "which vectors matter / how clumpy is the space" views a semantic
+# graph supports once it exists — PageRank centrality, triangle
+# closure, and the degree profile. All arithmetic is exact-integer so
+# the DuckDB twins hash-match (the x145/x167 unrolled-walk
+# discipline); graphs without coordinates exist in the reference only
+# as ES Graph explore (query.py graph_explore covers that API).
+
+
+def pagerank_mutual(df: DataFrame, iters: int = 3,
+                    damp_bp: int = 8500, top_k: int = 50,
+                    k: int = 5, centroid_mod: int = 40,
+                    n_probe: int = 2, n_assign: int = 1,
+                    method: str = "modulo",
+                    centroid_k: int | None = None) -> DataFrame:
+    """PageRank over the mutual k-NN graph — the centrality pass that
+    surfaces the corpus's semantic hubs (e.g. pick the most-connected
+    exemplar per topic, or weight curation toward central documents).
+
+    Integer µunit walk, unrolled ``iters`` rounds: every mutual-edge
+    vertex starts at pr = 1e6; each round pushes ``pr div deg`` along
+    every directed edge and sets pr' = teleport + damp·Σin div 10000
+    with teleport = (10000−damp_bp)·1e6 div 10000. All divisions are
+    nonnegative truncating div — identical in both engines, so the
+    walk is hash-checkable (the x145 Lloyd discipline). Isolated
+    vertices (no mutual edge) have no rank — documented, matches the
+    oracle.
+
+    Output: (vec_id, deg, pr, rank) — top_k by (pr DESC, vec_id).
+
+    Scale: the edge frame (≤ n·k rows) is persisted once and reused
+    by all rounds; each round is one equi-join on the sender id plus
+    a combinable sum per receiver — no corpus access after the graph
+    build, no window anywhere until the final rank over ≤ top_k rows.
+    """
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                    centroid_k).select("a", "b")
+    return pagerank_from_edges(mu, iters, damp_bp, top_k)
+
+
+def pagerank_from_edges(mu: DataFrame, iters: int = 3,
+                        damp_bp: int = 8500,
+                        top_k: int = 50) -> DataFrame:
+    """The PageRank walk over a canonical a<b mutual-edge frame —
+    shared tail, also directly usable on any undirected edge list."""
+    edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))))
+    edges = edges.persist()
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    verts = deg.select(F.col("a").alias("vec_id"), "deg").persist()
+    teleport = (10000 - damp_bp) * 1_000_000 // 10000
+    pr = verts.withColumn("pr", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (edges.join(pr.select(F.col("vec_id").alias("a"),
+                                        "deg", "pr"), "a")
+                   .select(F.col("b").alias("vec_id"),
+                           F.expr("pr div deg").alias("c")))
+        sums = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
+        pr = (verts.join(sums, "vec_id", "left")
+              .select("vec_id", "deg",
+                      (F.lit(teleport)
+                       + F.expr(f"{damp_bp} * coalesce(s, 0) "
+                                "div 10000"))
+                      .cast("long").alias("pr")))
+    top = pr.orderBy(F.desc("pr"), "vec_id").limit(top_k)
+    w = Window.orderBy(F.desc("pr"), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("vec_id", "deg", "pr", "rank"))
+
+
+def graph_triangles(df: DataFrame, k: int = 5,
+                    centroid_mod: int = 40, n_probe: int = 2,
+                    n_assign: int = 1, method: str = "modulo",
+                    centroid_k: int | None = None) -> DataFrame:
+    """Global triangle census of the mutual k-NN graph — the
+    clumpiness check (high closure = tight topical clusters, low =
+    hub-and-spoke sprawl) run before trusting cluster-based dedup or
+    diversity sampling.
+
+    Output: ONE row (n_vertices, n_edges, n_wedges, n_triangles,
+    global_cc_bp) where n_wedges = Σ deg·(deg−1)/2 and global_cc_bp =
+    3·triangles·10000 div wedges (0 when wedge-free).
+
+    Scale: the canonical a<b edge list is ≤ n·k/2 rows with degree
+    bounded by k, so the wedge self-join fans out ≤ deg per edge and
+    the closing-edge check is an equi-join back on the (lo, hi) pair
+    — never corpus², never a window.
+    """
+    mu = (mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                     centroid_k)
+          .select("a", "b"))
+    return triangles_from_edges(mu)
+
+
+def triangles_from_edges(mu: DataFrame) -> DataFrame:
+    """The triangle census over a canonical a<b edge frame."""
+    mu = mu.persist()
+    edges = mu.unionByName(mu.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    base = (mu.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(F.broadcast(
+                deg.agg(F.count(F.lit(1)).alias("n_vertices"),
+                        F.sum(F.expr("deg * (deg - 1) div 2"))
+                        .alias("n_wedges")))))
+    # wedges a<b<c via two canonical edges sharing the middle vertex
+    wedges = (mu.alias("e1")
+              .join(mu.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+              .select(F.col("e1.a").alias("wa"),
+                      F.col("e2.b").alias("wc")))
+    tri = (wedges
+           .join(mu.alias("e3"), (F.col("wa") == F.col("e3.a"))
+                 & (F.col("wc") == F.col("e3.b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (base.crossJoin(F.broadcast(tri))
+            .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           F.expr("3 * n_triangles * 10000 "
+                                  "div n_wedges"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("global_cc_bp")))
+
+
+def degree_histogram(df: DataFrame, k: int = 5,
+                     centroid_mod: int = 40, n_probe: int = 2,
+                     n_assign: int = 1, method: str = "modulo",
+                     centroid_k: int | None = None) -> DataFrame:
+    """Degree distribution of the mutual k-NN graph (degree ≤ k by
+    construction): how many vertices kept d mutual neighbours, with
+    the vertex share per bucket — the hub/orphan profile that decides
+    whether the graph is usable for clustering at all.
+
+    Output: (deg, n_vertices, share_bp) ordered by deg; vertices with
+    zero mutual edges are not graph members (the x150 contract).
+
+    Scale: a combinable count over the ≤ n·k edge frame, then a
+    window over the ≤ k histogram rows.
+    """
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                    centroid_k).select("a", "b")
+    return degree_histogram_from_edges(mu)
+
+
+def degree_histogram_from_edges(mu: DataFrame) -> DataFrame:
+    """The degree histogram over a canonical a<b edge frame."""
+    edges = mu.unionByName(mu.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+    wt = Window.partitionBy()
+    return (hist.withColumn("tot", F.sum("n_vertices").over(wt))
+            .select("deg", "n_vertices",
+                    F.expr("n_vertices * 10000 div tot")
+                    .alias("share_bp"))
+            .orderBy("deg"))
