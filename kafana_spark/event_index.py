@@ -13,6 +13,8 @@ three, batch-partitioned:
 - ``<path>/user_days/batch=<id>`` — (k, day): per-batch distinct
   user-day activity.
 - ``<path>/hourly/batch=<id>``    — (hour, n_events, n_err).
+- ``<path>/type_hourly/batch=<id>`` — (hour, t, observed): per-type
+  hourly counts (the x205 metric-alert grid).
 
 Mergeability is exact, not approximate: counts are distributive (sum
 of per-batch sums = global sum) and user-day rows are collapsed with
@@ -39,6 +41,7 @@ from kafana_spark.operators.events import US_PER_DAY, US_PER_HOUR
 DAILY_DIR = "daily"
 USER_DAYS_DIR = "user_days"
 HOURLY_DIR = "hourly"
+TYPE_HOURLY_DIR = "type_hourly"
 
 
 def _rollups(df: DataFrame, time_col: str, key_col: str,
@@ -48,13 +51,25 @@ def _rollups(df: DataFrame, time_col: str, key_col: str,
         F.expr(f"unix_micros({time_col}) div {US_PER_DAY}").alias("day"),
         F.expr(f"unix_micros({time_col}) div {US_PER_HOUR}")
         .alias("hour"),
+        F.col(type_col).alias("t"),
         (F.col(type_col) == err_type).cast("long").alias("is_err"))
     daily = base.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
     user_days = base.select("k", "day").distinct()
     hourly = (base.groupBy("hour")
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum("is_err").alias("n_err")))
-    return daily, user_days, hourly
+    type_hourly = (base.groupBy("hour", "t")
+                   .agg(F.count(F.lit(1)).alias("observed")))
+    return daily, user_days, hourly, type_hourly
+
+
+def _write_rollups(rollups, path: str, batch: str) -> None:
+    daily, user_days, hourly, type_hourly = rollups
+    for frame, sub in ((daily, DAILY_DIR), (user_days, USER_DAYS_DIR),
+                       (hourly, HOURLY_DIR),
+                       (type_hourly, TYPE_HOURLY_DIR)):
+        frame.write.mode("overwrite") \
+            .parquet(f"{path}/{sub}/batch={batch}")
 
 
 def build_event_index(df: DataFrame, path: str, *,
@@ -68,16 +83,11 @@ def build_event_index(df: DataFrame, path: str, *,
     from kafana_spark.ann_index import _clear_batched_dir
 
     if batch == "base":
-        for sub in (DAILY_DIR, USER_DAYS_DIR, HOURLY_DIR):
+        for sub in (DAILY_DIR, USER_DAYS_DIR, HOURLY_DIR,
+                    TYPE_HOURLY_DIR):
             _clear_batched_dir(f"{path}/{sub}")
-    daily, user_days, hourly = _rollups(df, time_col, key_col,
-                                        type_col, err_type)
-    daily.write.mode("overwrite") \
-        .parquet(f"{path}/{DAILY_DIR}/batch={batch}")
-    user_days.write.mode("overwrite") \
-        .parquet(f"{path}/{USER_DAYS_DIR}/batch={batch}")
-    hourly.write.mode("overwrite") \
-        .parquet(f"{path}/{HOURLY_DIR}/batch={batch}")
+    _write_rollups(_rollups(df, time_col, key_col, type_col,
+                            err_type), path, batch)
 
 
 def append_event_index(df_new: DataFrame, path: str, batch: str, *,
@@ -88,14 +98,8 @@ def append_event_index(df_new: DataFrame, path: str, batch: str, *,
     aggregates over ONLY the new rows; merging happens at serve time
     by summing per-batch partials (exact, no base re-read). A
     redelivered batch id replaces its own partition."""
-    daily, user_days, hourly = _rollups(df_new, time_col, key_col,
-                                        type_col, err_type)
-    daily.write.mode("overwrite") \
-        .parquet(f"{path}/{DAILY_DIR}/batch={batch}")
-    user_days.write.mode("overwrite") \
-        .parquet(f"{path}/{USER_DAYS_DIR}/batch={batch}")
-    hourly.write.mode("overwrite") \
-        .parquet(f"{path}/{HOURLY_DIR}/batch={batch}")
+    _write_rollups(_rollups(df_new, time_col, key_col, type_col,
+                            err_type), path, batch)
 
 
 def daily_from_store(spark: SparkSession, path: str) -> DataFrame:
@@ -117,6 +121,25 @@ def hourly_from_store(spark: SparkSession, path: str) -> DataFrame:
     any event, exactly the inline operator's grid)."""
     return (spark.read.parquet(f"{path}/{HOURLY_DIR}")
             .groupBy("hour").agg(F.sum("n_err").alias("n_err")))
+
+
+def type_hourly_from_store(spark: SparkSession,
+                           path: str) -> DataFrame:
+    """(hour, t, observed) grid merged across batches — per-batch
+    counts are distributive partial sums."""
+    return (spark.read.parquet(f"{path}/{TYPE_HOURLY_DIR}")
+            .groupBy("hour", "t")
+            .agg(F.sum("observed").alias("observed")))
+
+
+def metric_alerts_from_store(spark: SparkSession, path: str,
+                             rules) -> DataFrame:
+    """x205 served from the stored per-type hourly grid — the alert
+    tail over the merged counts; no event is re-read. The grid (hours
+    with any event) and every per-type total merge exactly, so the
+    stored twin hash-matches the full-recompute oracle."""
+    return ev_ops.metric_alerts_from_type_hourly(
+        spark, type_hourly_from_store(spark, path), rules)
 
 
 def rolling_active_from_store(spark: SparkSession, path: str,

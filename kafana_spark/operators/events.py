@@ -744,6 +744,13 @@ def metric_alerts(df: DataFrame,
                     .alias("hour"), F.col(type_col).alias("t"))
           .groupBy("hour", "t")
           .agg(F.count(F.lit(1)).alias("observed")))
+    return metric_alerts_from_type_hourly(spark, ht, rules)
+
+
+def metric_alerts_from_type_hourly(spark, ht: DataFrame,
+                                   rules) -> DataFrame:
+    """The x205 alert tail over a (hour, t, observed) per-type hourly
+    grid — shared with the persisted event-rollup index."""
     nh = (ht.select("hour").distinct()
           .agg(F.count(F.lit(1)).alias("n_hours")))
     tot = ht.groupBy("t").agg(F.sum("observed").alias("tot_t"))

@@ -3105,6 +3105,17 @@ def x_degree_histogram(spark, sf_dir):
         n_assign=KNN_N_ASSIGN)
 
 
+def x_stored_metric_alerts(spark, sf_dir):
+    """x215 — x205's metric alerts served from the PERSISTED event-
+    rollup index's per-type hourly grid (merged across batches): no
+    event is re-read. Same oracle as x205 — the hash match proves
+    the rollup-store roundtrip is lossless."""
+    from kafana_spark import event_index
+
+    return event_index.metric_alerts_from_store(
+        spark, _event_index_root(spark, sf_dir), ALERT_RULES)
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3362,6 +3373,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x212_pagerank": x_pagerank,
     "x213_graph_triangles": x_graph_triangles,
     "x214_degree_histogram": x_degree_histogram,
+    "x215_stored_metric_alerts": x_stored_metric_alerts,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7747,6 +7759,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x212_pagerank": _pagerank_sql(),
     "x213_graph_triangles": _graph_triangles_sql(),
     "x214_degree_histogram": _degree_histogram_sql(),
+    # x215 serves x205's alerts from the persisted event-rollup
+    # index — same oracle (lossless roundtrip), the stored-twin
+    # discipline.
+    "x215_stored_metric_alerts": _metric_alerts_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

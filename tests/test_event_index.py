@@ -14,6 +14,8 @@ from kafana_spark.session import tune_session
 from kafana_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
 
+RULES = (("r_err", "error", 12000), ("r_click", "click", 11000))
+
 
 def events(spark):
     tune_session(spark)
@@ -27,6 +29,8 @@ def _frames(spark, root):
         "dow": event_index.dow_profile_from_store(spark, root),
         "fc": event_index.forecast_backtest_from_store(spark, root),
         "spike": event_index.error_spike_from_store(spark, root),
+        "alerts": event_index.metric_alerts_from_store(spark, root,
+                                                       RULES),
     }
 
 
@@ -37,6 +41,7 @@ def _inline(d):
         "dow": ev_ops.dow_profile(d),
         "fc": ev_ops.forecast_backtest(d),
         "spike": ev_ops.error_spike(d),
+        "alerts": ev_ops.metric_alerts(d, RULES),
     }
 
 
