@@ -3105,6 +3105,36 @@ def x_degree_histogram(spark, sf_dir):
         n_assign=KNN_N_ASSIGN)
 
 
+#: x218 personalized-PageRank seed rule (seeds = graph vertices with
+#: vec_id % PPR_SEED_MOD == 0).
+PPR_SEED_MOD = 50
+
+
+def x_lexical_diversity(spark, sf_dir):
+    """x216 — per-source type/token ratio + hapax share (the
+    vocabulary-richness screen beside x200's divergence matrix)."""
+    return text.lexical_diversity(_docs(spark, sf_dir))
+
+
+def x_cell_modularity(spark, sf_dir):
+    """x217 — Newman modularity of the fixed-k IVF cell partition vs
+    the mutual k-NN graph: the quantizer-quality diagnostic (high Q
+    = cells respect neighborhoods = high recall per probe)."""
+    return similarity.cell_modularity(
+        _embs(spark, sf_dir), k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
+def x_personalized_pagerank(spark, sf_dir):
+    """x218 — personalized PageRank (restart at vec_id % 50 seeds)
+    over the mutual k-NN graph: the more-like-these expansion."""
+    return similarity.personalized_pagerank(
+        _embs(spark, sf_dir), PPR_SEED_MOD, PR_ITERS, PR_DAMP_BP,
+        PR_TOP_K, k=KNN_K, method="fixed", centroid_k=KNN_CELLS,
+        n_probe=KNN_N_PROBE, n_assign=KNN_N_ASSIGN)
+
+
 def x_stored_metric_alerts(spark, sf_dir):
     """x215 — x205's metric alerts served from the PERSISTED event-
     rollup index's per-type hourly grid (merged across batches): no
@@ -3374,6 +3404,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x213_graph_triangles": x_graph_triangles,
     "x214_degree_histogram": x_degree_histogram,
     "x215_stored_metric_alerts": x_stored_metric_alerts,
+    "x216_lexical_diversity": x_lexical_diversity,
+    "x217_cell_modularity": x_cell_modularity,
+    "x218_personalized_pagerank": x_personalized_pagerank,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6977,6 +7010,81 @@ def _degree_histogram_sql() -> str:
         "AS BIGINT) AS share_bp FROM h ORDER BY deg")
 
 
+def _lexical_diversity_sql() -> str:
+    """x216 oracle — identical (source, token) collapse + rollup."""
+    return (
+        "WITH tk AS (SELECT src, unnest(t) AS token FROM "
+        f"(SELECT source AS src, {_TOKS} AS t FROM documents) q), "
+        "d AS (SELECT source AS src, COUNT(*) AS n_docs "
+        "FROM documents GROUP BY 1), "
+        "tc AS (SELECT src, token, COUNT(*) AS c FROM tk "
+        "GROUP BY 1, 2), "
+        "per AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "COUNT(*) AS n_distinct, "
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_hapax FROM tc GROUP BY src) "
+        "SELECT d.src AS source, d.n_docs, per.n_tokens, "
+        "per.n_distinct, "
+        "CAST(n_distinct * 10000 // n_tokens AS BIGINT) AS ttr_bp, "
+        "CAST(n_hapax * 10000 // n_distinct AS BIGINT) AS hapax_bp "
+        "FROM d JOIN per ON per.src = d.src ORDER BY source")
+
+
+def _cell_modularity_sql() -> str:
+    """x217 oracle — same edge labeling over the chain's primary
+    assignment; the final Q is floor-on-the-identical-double."""
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        "lab AS (SELECT la.cid AS ca, lb.cid AS cb FROM mu "
+        "JOIN asg la ON la.vec_id = mu.a "
+        "JOIN asg lb ON lb.vec_id = mu.b), "
+        "ec AS (SELECT ca AS cid, COUNT(*) AS e_c FROM lab "
+        "WHERE ca = cb GROUP BY ca), "
+        "dc AS (SELECT a2.cid, COUNT(*) AS d_c FROM ed "
+        "JOIN asg a2 ON a2.vec_id = ed.a GROUP BY a2.cid), "
+        "st AS (SELECT dc.cid, COALESCE(ec.e_c, 0) AS e_c, dc.d_c "
+        "FROM dc LEFT JOIN ec ON ec.cid = dc.cid), "
+        "ag AS (SELECT COUNT(*) AS n_cells, "
+        "CAST(SUM(e_c) AS BIGINT) AS sum_ec, "
+        "CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2 FROM st), "
+        "mm AS (SELECT COUNT(*) AS m_edges FROM mu) "
+        "SELECT n_cells, m_edges, "
+        "CAST(sum_ec * 10000 // m_edges AS BIGINT) AS intra_bp, "
+        "CAST(FLOOR(10000.0 * (4 * m_edges * sum_ec - sum_dc2) "
+        "/ (4.0 * m_edges * m_edges)) AS BIGINT) AS q_bp "
+        "FROM ag, mm")
+
+
+def _ppr_sql() -> str:
+    """x218 oracle — the x212 walk with seed-only teleport/init."""
+    tele = (10000 - PR_DAMP_BP) * 1_000_000 // 10000
+    ctes = [
+        "p0 AS (SELECT a AS vec_id, deg, "
+        f"a % {PPR_SEED_MOD} = 0 AS is_seed, "
+        f"CAST(CASE WHEN a % {PPR_SEED_MOD} = 0 THEN 1000000 "
+        "ELSE 0 END AS BIGINT) AS pr FROM deg)"]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT e.b AS vec_id, SUM(p.pr // p.deg) AS s "
+            f"FROM ed e JOIN p{t - 1} p ON p.vec_id = e.a "
+            "GROUP BY e.b)")
+        ctes.append(
+            f"p{t} AS (SELECT d.a AS vec_id, d.deg, "
+            f"d.a % {PPR_SEED_MOD} = 0 AS is_seed, "
+            f"CAST(CASE WHEN d.a % {PPR_SEED_MOD} = 0 THEN {tele} "
+            f"ELSE 0 END + {PR_DAMP_BP} * COALESCE(s.s, 0) // 10000 "
+            f"AS BIGINT) AS pr FROM deg d LEFT JOIN s{t} s "
+            "ON s.vec_id = d.a)")
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        + ", ".join(ctes)
+        + " SELECT vec_id, deg, is_seed, pr, rank FROM "
+        "(SELECT vec_id, CAST(deg AS BIGINT) AS deg, is_seed, pr, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id) "
+        f"AS INTEGER) AS rank FROM p{PR_ITERS}) q "
+        f"WHERE rank <= {PR_TOP_K} ORDER BY rank")
+
+
 def _rocchio_sql() -> str:
     """x188 oracle — µunit centroids via sign-safe truncating
     division (DuckDB // truncates toward zero; the Spark side mirrors
@@ -7763,6 +7871,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     # index — same oracle (lossless roundtrip), the stored-twin
     # discipline.
     "x215_stored_metric_alerts": _metric_alerts_sql(),
+    "x216_lexical_diversity": _lexical_diversity_sql(),
+    "x217_cell_modularity": _cell_modularity_sql(),
+    "x218_personalized_pagerank": _ppr_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

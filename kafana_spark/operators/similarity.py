@@ -1542,3 +1542,125 @@ def degree_histogram_from_edges(mu: DataFrame) -> DataFrame:
                     F.expr("n_vertices * 10000 div tot")
                     .alias("share_bp"))
             .orderBy("deg"))
+
+
+def cell_modularity(df: DataFrame, k: int = 5,
+                    centroid_mod: int = 40, n_probe: int = 2,
+                    n_assign: int = 1, method: str = "modulo",
+                    centroid_k: int | None = None) -> DataFrame:
+    """Newman modularity of the IVF cell partition measured against
+    the mutual k-NN graph — the quantizer-quality diagnostic: cells
+    that respect neighborhood structure (high Q) give high IVF
+    recall per probe; cells that cut through neighborhoods (low Q)
+    force multi-probe. Q = Σ_c [e_c/m − (d_c/2m)²] over cells, with
+    e_c = intra-cell edges, d_c = summed member degrees, m = total
+    edges. Exact-integer numerators: q_bp = floor(10000·(4m·Σe_c −
+    Σd_c²)/(4m²)) on the identical double in both engines (x166
+    floor-on-double discipline; can be negative).
+
+    Output: ONE row (n_cells, m_edges, intra_bp, q_bp) where
+    intra_bp = Σe_c·10000 div m and n_cells counts cells holding at
+    least one edge endpoint.
+
+    Scale: assignment is the broadcast argmax pass (corpus-linear);
+    edge labeling is two equi-joins of the ≤ n·k/2 edge list to the
+    assignment; everything else is a 1-row aggregate.
+    """
+    corpus = _with_norm(_vectors(df))
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
+                               centroid_k=centroid_k)
+    asg = (_ivf_assign(corpus, centroids, 1)
+           .select("vec_id", "cid"))
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                    centroid_k).select("a", "b")
+    return modularity_from_assignment(mu, asg)
+
+
+def modularity_from_assignment(mu: DataFrame,
+                               asg: DataFrame) -> DataFrame:
+    """The modularity rollup over a canonical a<b edge frame and a
+    (vec_id, cid) partition assignment — shared testable tail."""
+    mu = mu.persist()
+    lab = (mu.join(asg.select(F.col("vec_id").alias("a"),
+                              F.col("cid").alias("ca")), "a")
+           .join(asg.select(F.col("vec_id").alias("b"),
+                            F.col("cid").alias("cb")), "b"))
+    ec = (lab.where(F.col("ca") == F.col("cb"))
+          .groupBy(F.col("ca").alias("cid"))
+          .agg(F.count(F.lit(1)).alias("e_c")))
+    edges = mu.unionByName(mu.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    dc = (edges.join(asg.select(F.col("vec_id").alias("a"), "cid"),
+                     "a")
+          .groupBy("cid").agg(F.count(F.lit(1)).alias("d_c")))
+    stats = (dc.join(ec, "cid", "left")
+             .select("cid", F.coalesce("e_c", F.lit(0)).alias("e_c"),
+                     "d_c"))
+    agg = stats.agg(F.count(F.lit(1)).alias("n_cells"),
+                    F.sum("e_c").alias("sum_ec"),
+                    F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"))
+    m = mu.agg(F.count(F.lit(1)).alias("m_edges"))
+    q = F.floor(F.lit(10000.0)
+                * (4 * F.col("m_edges") * F.col("sum_ec")
+                   - F.col("sum_dc2")).cast("double")
+                / (4.0 * F.col("m_edges") * F.col("m_edges")))
+    return (agg.crossJoin(F.broadcast(m))
+            .select("n_cells", "m_edges",
+                    F.expr("sum_ec * 10000 div m_edges")
+                    .alias("intra_bp"),
+                    q.cast("long").alias("q_bp")))
+
+
+def personalized_pagerank(df: DataFrame, seed_mod: int = 50,
+                          iters: int = 3, damp_bp: int = 8500,
+                          top_k: int = 50, k: int = 5,
+                          centroid_mod: int = 40, n_probe: int = 2,
+                          n_assign: int = 1, method: str = "modulo",
+                          centroid_k: int | None = None) -> DataFrame:
+    """Personalized PageRank: random walk with restart toward a SEED
+    set (vec_id % seed_mod == 0 among graph vertices) — the
+    similarity-expansion primitive ("more like these") that rides
+    the same mutual k-NN graph as x212. Seeds start at 1e6 µunits and
+    keep the whole teleport mass; non-seeds accumulate only walked-in
+    relevance, so the ranking is proximity-to-the-seed-set.
+
+    Output: (vec_id, deg, is_seed, pr, rank) — top_k by (pr DESC,
+    vec_id). Same integer discipline as pagerank_mutual.
+    """
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                    centroid_k).select("a", "b")
+    return ppr_from_edges(mu, seed_mod, iters, damp_bp, top_k)
+
+
+def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
+                   iters: int = 3, damp_bp: int = 8500,
+                   top_k: int = 50) -> DataFrame:
+    """The personalized-PageRank walk over a canonical a<b edge
+    frame; seeds = graph vertices with vec_id % seed_mod == 0."""
+    edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))))
+    edges = edges.persist()
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    verts = (deg.select(F.col("a").alias("vec_id"), "deg",
+                        (F.col("a") % seed_mod == 0).alias("is_seed"))
+             .persist())
+    teleport = (10000 - damp_bp) * 1_000_000 // 10000
+    tele = F.when(F.col("is_seed"), F.lit(teleport)).otherwise(F.lit(0))
+    pr = verts.withColumn(
+        "pr", F.when(F.col("is_seed"), F.lit(1_000_000))
+        .otherwise(F.lit(0)).cast("long"))
+    for _ in range(iters):
+        contrib = (edges.join(pr.select(F.col("vec_id").alias("a"),
+                                        "deg", "pr"), "a")
+                   .select(F.col("b").alias("vec_id"),
+                           F.expr("pr div deg").alias("c")))
+        sums = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
+        pr = (verts.join(sums, "vec_id", "left")
+              .select("vec_id", "deg", "is_seed",
+                      (tele + F.expr(f"{damp_bp} * coalesce(s, 0) "
+                                     "div 10000"))
+                      .cast("long").alias("pr")))
+    top = pr.orderBy(F.desc("pr"), "vec_id").limit(top_k)
+    w = Window.orderBy(F.desc("pr"), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("vec_id", "deg", "is_seed", "pr", "rank"))

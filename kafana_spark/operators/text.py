@@ -1829,3 +1829,39 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     for name, p in PII_PATTERNS:
         out = F.regexp_replace(out, p, f"<{name.upper()}>")
     return df.withColumn(text_col, out).orderBy(id_col)
+
+
+def lexical_diversity(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-source lexical-diversity report — type/token ratio and
+    hapax share: the vocabulary-richness screen run next to the x200
+    divergence matrix when deciding which sources add genuinely new
+    language (a boilerplate-heavy source has low TTR; a noisy OCR
+    source has a huge hapax share).
+
+    Output: (source, n_docs, n_tokens, n_distinct, ttr_bp, hapax_bp)
+    per source, ordered — ttr_bp = distinct·10000 div tokens,
+    hapax_bp = once-seen-types·10000 div distinct.
+
+    Scale: one token explode into a combinable (source, token) count
+    (the only corpus-sized shuffle), then a per-source rollup of that
+    frame; no windows, no distinct on raw tokens.
+    """
+    tok = df.select(F.col(source_col).alias("src"),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+    docs = (df.groupBy(F.col(source_col).alias("src"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    tc = (tok.groupBy("src", "token")
+          .agg(F.count(F.lit(1)).alias("c")))
+    per = (tc.groupBy("src")
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum((F.col("c") == 1).cast("long")).alias("n_hapax")))
+    return (docs.join(per, "src")
+            .select(F.col("src").alias("source"), "n_docs", "n_tokens",
+                    "n_distinct",
+                    F.expr("n_distinct * 10000 div n_tokens")
+                    .alias("ttr_bp"),
+                    F.expr("n_hapax * 10000 div n_distinct")
+                    .alias("hapax_bp"))
+            .orderBy("source"))

@@ -74,3 +74,54 @@ def test_degree_histogram_shares(spark):
     out = {r.deg: r for r in degree_histogram_from_edges(mu).collect()}
     assert out[1].n_vertices == 2 and out[2].n_vertices == 1
     assert out[1].share_bp == 6666 and out[2].share_bp == 3333
+
+
+def test_ppr_seeds_hold_teleport_mass(spark):
+    # path 0-1, 1-2: seed_mod huge -> only vertex 0 is a seed
+    from kafana_spark.operators.similarity import ppr_from_edges
+
+    mu = edges(spark, [(0, 1), (1, 2)])
+    out = {r.vec_id: r for r in ppr_from_edges(
+        mu, seed_mod=10 ** 9, iters=1).collect()}
+    assert out[0].is_seed and not out[1].is_seed
+    # round 1: v0 = tele + damp*(pr1 div deg1) = 150000 + 0 = 150000
+    # v1 receives from v0: 1000000 div 1 -> 150000? no tele (not seed)
+    # v1 = 0 + 8500 * 1000000 div 10000 = 850000
+    assert out[0].pr == 150000
+    assert out[1].pr == 850000
+    assert out[2].pr == 0
+    assert out[1].rank == 1     # the walked-in neighbour leads
+
+
+def test_modularity_perfect_split_vs_merged(spark):
+    from pyspark.sql import functions as F
+    from kafana_spark.operators.similarity import (
+        modularity_from_assignment,
+    )
+
+    # two disjoint triangles; assignment = the true components
+    mu = edges(spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)])
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        ["vec_id", "cid"])
+    r = modularity_from_assignment(mu, asg).collect()[0]
+    assert (r.n_cells, r.m_edges) == (2, 6)
+    assert r.intra_bp == 10000
+    # Q = 1 - 2*(6/12)^2 = 0.5 -> 5000 bp
+    assert r.q_bp == 5000
+    # everything in ONE cell: Q = 1 - 1 = 0
+    one = asg.select("vec_id", F.lit(1).alias("cid"))
+    assert modularity_from_assignment(mu, one).collect()[0].q_bp == 0
+
+
+def test_modularity_anti_community_is_negative(spark):
+    from kafana_spark.operators.similarity import (
+        modularity_from_assignment,
+    )
+
+    # single edge, endpoints in DIFFERENT cells: e_c = 0,
+    # Q = -( (1/2)^2 + (1/2)^2 ) = -0.5 -> -5000 bp
+    mu = edges(spark, [(1, 2)])
+    asg = spark.createDataFrame([(1, 10), (2, 20)], ["vec_id", "cid"])
+    r = modularity_from_assignment(mu, asg).collect()[0]
+    assert (r.intra_bp, r.q_bp) == (0, -5000)

@@ -503,3 +503,19 @@ def test_pii_scan_and_redact(spark):
     assert "<EMAIL>" in red[0] and "alice@" not in red[0]
     assert "<IPV4>" in red[1] and "<CARD>" in red[1]
     assert red[2] == rows[2][1]
+
+
+def test_lexical_diversity_ttr_and_hapax(spark):
+    from kafana_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a c", "s1"), (3, "x y", "s2")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in lexical_diversity(df).collect()}
+    # s1: tokens a,a,b,a,c -> 5 tokens, 3 distinct (a=3,b=1,c=1),
+    # hapax b,c -> ttr 3*10000//5, hapax 2*10000//3
+    assert (out["s1"].n_docs, out["s1"].n_tokens) == (2, 5)
+    assert (out["s1"].n_distinct, out["s1"].ttr_bp) == (3, 6000)
+    assert out["s1"].hapax_bp == 6666
+    assert (out["s2"].n_tokens, out["s2"].ttr_bp,
+            out["s2"].hapax_bp) == (2, 10000, 10000)
