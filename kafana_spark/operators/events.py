@@ -1032,3 +1032,97 @@ def purchase_intervals(df: DataFrame, conv_type: str = "purchase",
                            F.expr("n_repeat * 10000 div n_buyers"))
                     .otherwise(F.lit(0)).cast("long").alias("repeat_bp"),
                     "n_gaps", "med2_gap_us", "mean_gap_us"))
+
+
+def landing_bounce(df: DataFrame, gap: str = "30 minutes",
+                   time_col: str = "ts", key_col: str = "user_id",
+                   type_col: str = "event_type",
+                   id_col: str = "event_id") -> DataFrame:
+    """Landing-type report over x15 sessions: for each session's
+    FIRST event type ((ts, event_id) total order), the session count,
+    the bounce count (single-event sessions), bounce rate and the
+    landing's share of all sessions — the entry-point health view
+    next to x201's path mining.
+
+    Output: (landing, n_sessions, n_bounces, bounce_bp, share_bp),
+    ordered by landing.
+
+    Scale: the two windows are partitioned by user (and session) —
+    the natural clickstream partitioning; the report is a combinable
+    aggregate over one row per session plus a window over ≤ |types|
+    rows.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s+minutes?", gap)
+    gap_us = int(m.group(1)) * 60 * 1_000_000
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"),
+                   F.col(type_col).alias("t"))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    brk = F.when(F.col("us") - F.lag("us").over(w) > gap_us,
+                 F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("sid", F.sum(brk).over(w))
+    w2 = Window.partitionBy("k", "sid").orderBy("us", "eid")
+    w2a = Window.partitionBy("k", "sid")
+    fl = (sess.withColumn("rn", F.row_number().over(w2))
+          .withColumn("n_ev", F.count(F.lit(1)).over(w2a))
+          .where(F.col("rn") == 1)
+          .select(F.col("t").alias("landing"), "n_ev"))
+    g = (fl.groupBy("landing")
+         .agg(F.count(F.lit(1)).alias("n_sessions"),
+              F.sum((F.col("n_ev") == 1).cast("long"))
+              .alias("n_bounces")))
+    wt = Window.partitionBy()
+    return (g.withColumn("tot", F.sum("n_sessions").over(wt))
+            .select("landing", "n_sessions", "n_bounces",
+                    F.expr("n_bounces * 10000 div n_sessions")
+                    .alias("bounce_bp"),
+                    F.expr("n_sessions * 10000 div tot")
+                    .alias("share_bp"))
+            .orderBy("landing"))
+
+
+def conversion_latency(df: DataFrame, from_type: str = "signup",
+                       to_type: str = "purchase",
+                       time_col: str = "ts",
+                       key_col: str = "user_id") -> DataFrame:
+    """Time-to-convert from a user's FIRST ``from_type`` event to
+    their first STRICTLY-LATER ``to_type`` event (the funnel
+    strictness rule) — the activation-latency summary: how many
+    signups ever buy, and how long that takes.
+
+    Output: ONE row (n_from, n_converted, conv_bp, med2_lat_us,
+    mean_lat_us) — gap stats use the x209 doubled-median discipline
+    and are 0 when nobody converts.
+
+    Scale: two type-filtered scans (predicate pushed), each a
+    combinable MIN per user, one equi-join on the user key, two
+    broadcast 1-row aggregates.
+    """
+    first_from = (df.where(F.col("event_type") == from_type)
+                  .select(F.col(key_col).alias("k"),
+                          F.unix_micros(F.col(time_col)).alias("us"))
+                  .groupBy("k").agg(F.min("us").alias("t0")))
+    conv = (df.where(F.col("event_type") == to_type)
+            .select(F.col(key_col).alias("k"),
+                    F.unix_micros(F.col(time_col)).alias("us"))
+            .join(first_from, "k")
+            .where(F.col("us") > F.col("t0"))
+            .groupBy("k").agg(F.min("us").alias("t1"),
+                              F.any_value("t0").alias("t0"))
+            .select((F.col("t1") - F.col("t0")).alias("lat")))
+    nf = first_from.agg(F.count(F.lit(1)).alias("n_from"))
+    cs = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.coalesce((F.percentile("lat", F.lit(0.5)) * 2).cast("long"),
+                   F.lit(0)).alias("med2_lat_us"),
+        F.coalesce(F.expr("sum(lat) div count(1)"), F.lit(0))
+        .alias("mean_lat_us"))
+    return (nf.crossJoin(F.broadcast(cs))
+            .select("n_from", "n_converted",
+                    F.when(F.col("n_from") > 0,
+                           F.expr("n_converted * 10000 div n_from"))
+                    .otherwise(F.lit(0)).cast("long").alias("conv_bp"),
+                    "med2_lat_us", "mean_lat_us"))

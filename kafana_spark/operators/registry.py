@@ -3135,6 +3135,32 @@ def x_personalized_pagerank(spark, sf_dir):
         n_probe=KNN_N_PROBE, n_assign=KNN_N_ASSIGN)
 
 
+#: x220 activation pair: first signup -> first strictly-later
+#: purchase.
+CONV_FROM_TYPE = "signup"
+CONV_TO_TYPE = "purchase"
+
+
+def x_landing_bounce(spark, sf_dir):
+    """x219 — per-landing-type session counts, bounce rate and
+    session share over the x15 sessions (the entry-point health
+    view)."""
+    return ev_ops.landing_bounce(_events(spark, sf_dir), SESSION_GAP)
+
+
+def x_conversion_latency(spark, sf_dir):
+    """x220 — signup→purchase activation: conversion rate and
+    first-to-first latency stats (strictly-after, funnel rule)."""
+    return ev_ops.conversion_latency(_events(spark, sf_dir),
+                                     CONV_FROM_TYPE, CONV_TO_TYPE)
+
+
+def x_char_entropy(spark, sf_dir):
+    """x221 — per-source character-level Shannon entropy in µ-nats
+    (the tokenizer-free garbage detector)."""
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
 def x_stored_metric_alerts(spark, sf_dir):
     """x215 — x205's metric alerts served from the PERSISTED event-
     rollup index's per-type hourly grid (merged across batches): no
@@ -3407,6 +3433,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x216_lexical_diversity": x_lexical_diversity,
     "x217_cell_modularity": x_cell_modularity,
     "x218_personalized_pagerank": x_personalized_pagerank,
+    "x219_landing_bounce": x_landing_bounce,
+    "x220_conversion_latency": x_conversion_latency,
+    "x221_char_entropy": x_char_entropy,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -6942,6 +6971,76 @@ def _purchase_intervals_sql() -> str:
         "n_gaps, med2_gap_us, mean_gap_us FROM b, gs")
 
 
+def _landing_bounce_sql() -> str:
+    """x219 oracle — the x15 islands with the event type carried,
+    landing = ROW_NUMBER 1 in the (ts, event_id) total order."""
+    return (
+        "WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS t FROM events), "
+        "d AS (SELECT k, us, eid, t, CASE WHEN us - LAG(us) OVER "
+        "(PARTITION BY k ORDER BY us, eid) > "
+        f"{SESSION_GAP_US} THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT k, us, eid, t, SUM(brk) OVER (PARTITION BY k "
+        "ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS sid FROM d), "
+        "fl AS (SELECT t AS landing, n_ev FROM (SELECT t, "
+        "ROW_NUMBER() OVER (PARTITION BY k, sid ORDER BY us, eid) "
+        "AS rn, COUNT(*) OVER (PARTITION BY k, sid) AS n_ev FROM s) "
+        "q WHERE rn = 1), "
+        "g AS (SELECT landing, COUNT(*) AS n_sessions, "
+        "CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bounces FROM fl GROUP BY landing) "
+        "SELECT landing, n_sessions, n_bounces, "
+        "CAST(n_bounces * 10000 // n_sessions AS BIGINT) "
+        "AS bounce_bp, "
+        "CAST(n_sessions * 10000 // SUM(n_sessions) OVER () "
+        "AS BIGINT) AS share_bp FROM g ORDER BY landing")
+
+
+def _conversion_latency_sql() -> str:
+    """x220 oracle — strictly-after first-to-first latency with the
+    x211 guard discipline."""
+    return (
+        "WITH f AS (SELECT user_id AS k, MIN(epoch_us(ts)) AS t0 "
+        f"FROM events WHERE event_type = '{CONV_FROM_TYPE}' "
+        "GROUP BY 1), "
+        "c AS (SELECT e.user_id AS k, MIN(epoch_us(e.ts)) AS t1, "
+        "ANY_VALUE(f.t0) AS t0 FROM events e JOIN f "
+        "ON f.k = e.user_id "
+        f"WHERE e.event_type = '{CONV_TO_TYPE}' "
+        "AND epoch_us(e.ts) > f.t0 GROUP BY 1), "
+        "l AS (SELECT t1 - t0 AS lat FROM c), "
+        "nf AS (SELECT COUNT(*) AS n_from FROM f), "
+        "cs AS (SELECT COUNT(*) AS n_converted, "
+        "COALESCE(CAST(quantile_cont(lat, 0.5) * 2 AS BIGINT), 0) "
+        "AS med2_lat_us, "
+        "CASE WHEN COUNT(*) > 0 THEN "
+        "CAST(SUM(lat) // COUNT(*) AS BIGINT) ELSE 0 END "
+        "AS mean_lat_us FROM l) "
+        "SELECT n_from, n_converted, "
+        "CAST(CASE WHEN n_from > 0 THEN n_converted * 10000 "
+        "// n_from ELSE 0 END AS BIGINT) AS conv_bp, "
+        "med2_lat_us, mean_lat_us FROM nf, cs")
+
+
+def _char_entropy_sql() -> str:
+    """x221 oracle — identical µunit-rounded surprise over the
+    (source, char) counts; both engines round the same IEEE ln."""
+    return (
+        "WITH ch AS (SELECT src, unnest(string_split(text, '')) "
+        "AS ch FROM (SELECT source AS src, text FROM documents) q), "
+        "cc AS (SELECT src, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2), "
+        "tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cc "
+        "GROUP BY src), "
+        "per AS (SELECT cc.src, c, tot, "
+        "CAST(ROUND(-1000000.0 * LN(CAST(c AS DOUBLE) / tot)) "
+        "AS BIGINT) AS s_u FROM cc JOIN tot ON tot.src = cc.src) "
+        "SELECT src AS source, ANY_VALUE(tot) AS n_chars, "
+        "COUNT(*) AS n_distinct, "
+        "CAST(SUM(c * s_u) // ANY_VALUE(tot) AS BIGINT) AS h_nat_u "
+        "FROM per GROUP BY src ORDER BY source")
+
+
 def _mutual_deg_ctes() -> str:
     """Shared x212/x213/x214 oracle tail over the x149 chain: mutual
     a<b edges, both-direction edges, per-vertex degree."""
@@ -7874,6 +7973,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x216_lexical_diversity": _lexical_diversity_sql(),
     "x217_cell_modularity": _cell_modularity_sql(),
     "x218_personalized_pagerank": _ppr_sql(),
+    "x219_landing_bounce": _landing_bounce_sql(),
+    "x220_conversion_latency": _conversion_latency_sql(),
+    "x221_char_entropy": _char_entropy_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

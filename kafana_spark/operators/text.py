@@ -1865,3 +1865,40 @@ def lexical_diversity(df: DataFrame, source_col: str = "source",
                     F.expr("n_hapax * 10000 div n_distinct")
                     .alias("hapax_bp"))
             .orderBy("source"))
+
+
+def char_entropy(df: DataFrame, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source character-level Shannon entropy — the cheapest
+    garbage detector in the standard curation stack: binary blobs
+    and repeated-padding spam sit far from natural-language entropy,
+    and it needs no tokenizer, no language model, no vocabulary.
+
+    Integer discipline (the x200 rule): per-char surprise is the
+    µunit-ROUNDED double −ln(c/tot) (both engines round the identical
+    IEEE double), weighted by the exact integer count, summed, then
+    ONE integer division — h_nat_u = Σ c·s_u div tot, µ-nats per
+    char.
+
+    Output: (source, n_chars, n_distinct, h_nat_u), ordered.
+
+    Scale: one char explode into a combinable (source, char) count —
+    |sources|·|alphabet| rows after the only corpus-sized shuffle;
+    the entropy rollup runs on that tiny frame.
+    """
+    ch = df.select(F.col(source_col).alias("src"),
+                   F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    cc = ch.groupBy("src", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.groupBy("src").agg(F.sum("c").alias("tot"))
+    s_u = F.round(F.lit(-1_000_000.0)
+                  * F.log(F.col("c") / F.col("tot"))).cast("long")
+    per = (cc.join(F.broadcast(tot), "src")
+           .select("src", "c", "tot", s_u.alias("s_u")))
+    return (per.groupBy("src")
+            .agg(F.any_value("tot").alias("n_chars"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum(F.col("c") * F.col("s_u")).alias("h_sum"))
+            .select(F.col("src").alias("source"), "n_chars",
+                    "n_distinct",
+                    F.expr("h_sum div n_chars").alias("h_nat_u"))
+            .orderBy("source"))

@@ -576,3 +576,35 @@ def test_purchase_intervals_no_repeats_guarded(spark):
     r = ev.purchase_intervals(make(spark, rows)).collect()[0]
     assert (r.n_buyers, r.n_repeat, r.repeat_bp) == (1, 0, 0)
     assert (r.n_gaps, r.med2_gap_us, r.mean_gap_us) == (0, 0, 0)
+
+
+def test_landing_bounce_first_event_and_single_sessions(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(5), 1, "click", 1.0),
+        # u1 session 2 (90 min later): single purchase -> bounce
+        (ts(95), 1, "purchase", 1.0),
+        (ts(0), 2, "view", 1.0),           # u2: single view -> bounce
+    ]
+    out = {r.landing: r for r in ev.landing_bounce(
+        make(spark, rows)).collect()}
+    assert out["view"].n_sessions == 2
+    assert out["view"].n_bounces == 1          # u2's only
+    assert out["view"].bounce_bp == 5000
+    assert out["purchase"].n_sessions == 1
+    assert out["purchase"].bounce_bp == 10000
+    assert out["view"].share_bp == 6666        # 2 of 3 sessions
+
+
+def test_conversion_latency_strictly_after_first_signup(spark):
+    rows = [
+        (ts(0), 1, "signup", 1.0), (ts(30), 1, "purchase", 1.0),
+        (ts(60), 1, "purchase", 1.0),   # later buys don't count
+        (ts(10), 2, "signup", 1.0),     # never converts
+        (ts(0), 3, "purchase", 1.0), (ts(5), 3, "signup", 1.0),
+        # u3: purchase BEFORE signup -> not converted
+    ]
+    r = ev.conversion_latency(make(spark, rows)).collect()[0]
+    assert (r.n_from, r.n_converted) == (3, 1)
+    assert r.conv_bp == 3333
+    assert r.med2_lat_us == 2 * 30 * 60 * 1_000_000
+    assert r.mean_lat_us == 30 * 60 * 1_000_000

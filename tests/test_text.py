@@ -519,3 +519,20 @@ def test_lexical_diversity_ttr_and_hapax(spark):
     assert out["s1"].hapax_bp == 6666
     assert (out["s2"].n_tokens, out["s2"].ttr_bp,
             out["s2"].hapax_bp) == (2, 10000, 10000)
+
+
+def test_char_entropy_uniform_and_constant(spark):
+    import math
+
+    from kafana_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "abab", "s1"), (2, "zzzz", "s2")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in char_entropy(df).collect()}
+    # s1: uniform over {a,b} -> H = ln 2 nats; s_u = round(1e6*ln2)
+    su = round(1_000_000.0 * math.log(2))
+    assert (out["s1"].n_chars, out["s1"].n_distinct) == (4, 2)
+    assert out["s1"].h_nat_u == (2 * su + 2 * su) // 4
+    # s2: constant -> zero entropy
+    assert (out["s2"].n_distinct, out["s2"].h_nat_u) == (1, 0)
