@@ -480,3 +480,17 @@ def cluster_sample_from_index(spark: SparkSession, path: str,
     cl = knn_clusters_from_index(spark, path, k, n_probe, min_cos,
                                  max_iter)
     return quota_sample_from_clusters(cl)
+
+
+def pagerank_from_index(spark: SparkSession, path: str, k: int = 5,
+                        n_probe: int = 2, iters: int = 3,
+                        damp_bp: int = 8500,
+                        top_k: int = 50) -> DataFrame:
+    """x212's PageRank served from the stored graph — the walk tail
+    (``similarity.pagerank_from_edges``) over
+    ``mutual_knn_from_index``: centrality queries re-run with zero
+    assignment work, the same amortization the cluster chain gets."""
+    from kafana_spark.operators.similarity import pagerank_from_edges
+
+    mu = mutual_knn_from_index(spark, path, k, n_probe).select("a", "b")
+    return pagerank_from_edges(mu, iters, damp_bp, top_k)

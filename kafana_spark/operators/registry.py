@@ -3172,6 +3172,44 @@ def x_stored_metric_alerts(spark, sf_dir):
         spark, _event_index_root(spark, sf_dir), ALERT_RULES)
 
 
+def x_stored_pagerank(spark, sf_dir):
+    """x222 — x212's PageRank served from the PERSISTED IVF index
+    (stored graph → mutual edges → the same integer walk): the
+    centrality dashboard re-runs with zero assignment work. Same
+    oracle as x212 — lossless roundtrip proof."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    root = _cached_index_root(
+        "knnidx", sf_dir, lambda r: ann_index.build_ann_index(
+            e, r, method="fixed", centroid_k=KNN_CELLS,
+            n_assign=KNN_N_ASSIGN))
+    return ann_index.pagerank_from_index(
+        spark, root, k=KNN_K, n_probe=KNN_N_PROBE, iters=PR_ITERS,
+        damp_bp=PR_DAMP_BP, top_k=PR_TOP_K)
+
+
+def x_stored_mad_anomalies(spark, sf_dir):
+    """x223 — x209's MAD anomalies served from the PERSISTED event-
+    rollup index's daily series (per-batch partial counts summed —
+    distributive, exact). Same oracle as x209."""
+    from kafana_spark import event_index
+
+    return ev_ops.mad_anomalies_from_daily(
+        event_index.daily_from_store(
+            spark, _event_index_root(spark, sf_dir)), MAD_Z_BP)
+
+
+def x_stored_cusum(spark, sf_dir):
+    """x224 — x210's CUSUM scan served from the stored daily series.
+    Same oracle as x210."""
+    from kafana_spark import event_index
+
+    return ev_ops.cusum_from_daily(
+        event_index.daily_from_store(
+            spark, _event_index_root(spark, sf_dir)))
+
+
 def _event_index_root(spark, sf_dir) -> str:
     from kafana_spark import event_index
 
@@ -3436,6 +3474,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x219_landing_bounce": x_landing_bounce,
     "x220_conversion_latency": x_conversion_latency,
     "x221_char_entropy": x_char_entropy,
+    "x222_stored_pagerank": x_stored_pagerank,
+    "x223_stored_mad_anomalies": x_stored_mad_anomalies,
+    "x224_stored_cusum": x_stored_cusum,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7976,6 +8017,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x219_landing_bounce": _landing_bounce_sql(),
     "x220_conversion_latency": _conversion_latency_sql(),
     "x221_char_entropy": _char_entropy_sql(),
+    # x222-x224 serve x212/x209/x210 from persisted indexes — same
+    # oracles (lossless roundtrip), the stored-twin discipline.
+    "x222_stored_pagerank": _pagerank_sql(),
+    "x223_stored_mad_anomalies": _mad_anomalies_sql(),
+    "x224_stored_cusum": _cusum_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (
