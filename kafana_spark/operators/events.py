@@ -1126,3 +1126,194 @@ def conversion_latency(df: DataFrame, from_type: str = "signup",
                            F.expr("n_converted * 10000 div n_from"))
                     .otherwise(F.lit(0)).cast("long").alias("conv_bp"),
                     "med2_lat_us", "mean_lat_us"))
+
+
+def ab_test_report(df: DataFrame, conv_type: str = "purchase",
+                   time_col: str = "ts", key_col: str = "user_id",
+                   type_col: str = "event_type",
+                   value_col: str = "value") -> DataFrame:
+    """A/B experiment readout over a deterministic user split
+    (variant B iff ``user_id % 2 == 1`` — the hash-bucket assignment
+    every experimentation stack uses, here plain modulo so both
+    engines agree): per-arm exposed users, converters (>= 1
+    ``conv_type`` event), conversion rates, the bp lift, per-arm
+    revenue in integer cents (floor(value*100) per converting event),
+    and the pooled two-proportion z statistic.
+
+    With c = conv_a + conv_b and N = n_a + n_b, the pooled z
+    algebraically reduces to every operand being an exact integer:
+
+        z = (conv_b*n_a - conv_a*n_b)/(n_a*n_b)
+            / sqrt(c*(N - c) / (N*n_a*n_b))
+
+    The only doubles are the two final divisions and one sqrt
+    (correctly-rounded IEEE — identical in both engines) with FLOOR
+    toward -inf (the x190 discipline). Degenerate experiments (an
+    empty arm, zero or unanimous conversion) report z_bp = 0.
+
+    Output: ONE row (n_a, n_b, conv_a, conv_b, conv_a_bp, conv_b_bp,
+    lift_bp, rev_a_cents, rev_b_cents, z_bp).
+
+    Scale: one map-side-combinable per-user collapse (the only
+    event-cardinality shuffle, on the user key), then a single-row
+    global conditional aggregate — no windows, no joins.
+    """
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.col(type_col).alias("t"),
+                   F.col(value_col).alias("val"))
+    u = (ev.groupBy("k")
+         .agg(F.max(F.when(F.col("t") == conv_type, 1).otherwise(0))
+              .alias("conv"),
+              F.sum(F.when(F.col("t") == conv_type,
+                           F.floor(F.col("val") * 100).cast("long"))
+                    .otherwise(F.lit(0))).alias("rev"))
+         .select((F.col("k") % 2).alias("v"), "conv", "rev"))
+    s = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .alias("conv_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("rev")).otherwise(0))
+        .alias("rev_a_cents"),
+        F.sum(F.when(F.col("v") == 1, F.col("rev")).otherwise(0))
+        .alias("rev_b_cents"))
+    c = F.col("conv_a") + F.col("conv_b")
+    n = F.col("n_a") + F.col("n_b")
+    num = F.col("conv_b") * F.col("n_a") - F.col("conv_a") * F.col("n_b")
+    z = F.floor(
+        F.lit(10000.0) * num.cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+        / F.sqrt((c * (n - c)).cast("double")
+                 / (n * F.col("n_a") * F.col("n_b")).cast("double")))
+    rate = (lambda cv, nn:
+            F.when(F.col(nn) > 0, F.expr(f"{cv} * 10000 div {nn}"))
+            .otherwise(F.lit(0)).cast("long"))
+    return (s.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate("conv_a", "n_a").alias("conv_a_bp"),
+        rate("conv_b", "n_b").alias("conv_b_bp"),
+        "rev_a_cents", "rev_b_cents",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
+               & (c > 0) & (c < n), z)
+        .otherwise(F.lit(0)).cast("long").alias("z_bp"))
+        .withColumn("lift_bp",
+                    (F.col("conv_b_bp") - F.col("conv_a_bp"))
+                    .cast("long"))
+        .select("n_a", "n_b", "conv_a", "conv_b", "conv_a_bp",
+                "conv_b_bp", "lift_bp", "rev_a_cents", "rev_b_cents",
+                "z_bp"))
+
+
+def ewma_weights(window: int = 14) -> list[int]:
+    """Integer EWMA weights for decay 3/4: w_k = 3^(k-1) * 4^(W-k)
+    for lag k = 1..W — exactly (3/4)^(k-1) scaled by 4^(W-1), so the
+    weighted mean is one integer division and both engines agree bit
+    for bit (no pow(), no float decay)."""
+    return [3 ** (k - 1) * 4 ** (window - k) for k in range(1, window + 1)]
+
+
+def ewma_anomalies(df: DataFrame, window: int = 14,
+                   hi_bp: int = 15000, lo_bp: int = 6667,
+                   time_col: str = "ts") -> DataFrame:
+    """EWMA control chart over the daily event-count series — the
+    smoothed-baseline anomaly detector beside x209's MAD (static
+    robust band) and x210's CUSUM (mean-shift scan): each day is
+    compared against the exponentially-weighted mean of the STRICTLY
+    prior ``window`` days (decay 3/4, integer weights — see
+    ``ewma_weights``), and flagged when the ratio dev_bp =
+    10000*c*den div ewma_num leaves [lo_bp, hi_bp].
+
+    Only full-window days are scored (the x187 full-trailing-day
+    gating): a day needs all ``window`` prior days observed, so gaps
+    in the series disqualify rather than silently reweight.
+
+    Output: (day, c, ewma_c, dev_bp, flag) ordered by day.
+
+    Scale: the corpus collapses to the daily series first; the lag
+    fan-out is series x window rows joined back on the day index —
+    no window function anywhere. Bound: c*den*10000 with den =
+    4^W - 3^W ~ 2.7e8 at W=14 keeps bigints safe to ~3e9 events/day.
+    """
+    return ewma_from_daily(_daily_counts(df, time_col), window,
+                           hi_bp, lo_bp)
+
+
+def ewma_from_daily(d: DataFrame, window: int = 14,
+                    hi_bp: int = 15000, lo_bp: int = 6667) -> DataFrame:
+    """The EWMA chart tail over a (day, c) frame — shared with the
+    persisted event-rollup index."""
+    weights = ewma_weights(window)
+    den = sum(weights)
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    lag = d.select("day", "c",
+                   F.explode(F.sequence(F.lit(1), F.lit(window)))
+                   .alias("lk"))
+    j = (lag.alias("a")
+         .join(d.select(F.col("day").alias("bday"),
+                        F.col("c").alias("bc")).alias("b"),
+               F.col("bday") == F.col("a.day") - F.col("lk"))
+         .select(F.col("a.day").alias("day"), F.col("a.c").alias("c"),
+                 (F.element_at(warr, F.col("lk")) * F.col("bc"))
+                 .alias("wc")))
+    g = (j.groupBy("day", "c")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("wc").alias("num"))
+         .where(F.col("n") == window))
+    dev = F.when(F.col("num") > 0,
+                 F.expr(f"c * {den} * 10000 div num")) \
+        .otherwise(F.lit(0)).cast("long")
+    return (g.select("day", "c",
+                     F.expr(f"num div {den}").cast("long")
+                     .alias("ewma_c"),
+                     dev.alias("dev_bp"))
+            .withColumn("flag", (F.col("dev_bp") >= hi_bp)
+                        | (F.col("dev_bp") <= lo_bp))
+            .orderBy("day"))
+
+
+def markov_backtest(df: DataFrame, test_mod: int = 3,
+                    time_col: str = "ts", key_col: str = "user_id",
+                    type_col: str = "event_type",
+                    id_col: str = "event_id") -> DataFrame:
+    """Next-event prediction backtest — the eval loop for x184's
+    transition matrix (the x125/x142 discipline: method quality is
+    itself a query): train the first-order Markov predictor
+    (argmax next-type per src, ties to the lexicographically smallest
+    dst) on users with ``user_id % test_mod != test_mod - 1`` and
+    score it on the held-out users' transitions.
+
+    Output: (src, predicted, n_test, n_correct, acc_bp), one row per
+    src observed in BOTH splits (a src with no training transitions
+    has no prediction to score), ordered by src.
+
+    Scale: ONE per-user window builds the transition pairs (the
+    natural clickstream partitioning); the predictor table is a
+    |types|^2 aggregate with its rank window over those few rows, and
+    rides a broadcast join back onto the held-out pairs.
+    """
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"),
+                   F.col(id_col).alias("eid"),
+                   F.col(type_col).alias("src"))
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    pairs = (ev.withColumn("dst", F.lead("src").over(w))
+             .where(F.col("dst").isNotNull())
+             .select("k", "src", "dst"))
+    is_test = (F.col("k") % test_mod) == (test_mod - 1)
+    train = (pairs.where(~is_test).groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wr = Window.partitionBy("src").orderBy(F.desc("n"), "dst")
+    pred = (train.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select("src", F.col("dst").alias("predicted")))
+    return (pairs.where(is_test)
+            .join(F.broadcast(pred), "src")
+            .groupBy("src", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.col("dst") == F.col("predicted"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+            .select("src", "predicted", "n_test", "n_correct",
+                    F.expr("n_correct * 10000 div n_test")
+                    .alias("acc_bp"))
+            .orderBy("src"))

@@ -3256,6 +3256,86 @@ def x_stored_forecast(spark, sf_dir):
         spark, _event_index_root(spark, sf_dir), FORECAST_SEASON)
 
 
+
+#: x225 A/B readout converts on the funnel's terminal event.
+ABT_CONV_TYPE = "purchase"
+#: x226 collocations: rare-pair floor and report size.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+#: x227 EWMA chart: trailing window (decay 3/4) and ratio band.
+EWMA_WINDOW = 14
+EWMA_HI_BP = 15000
+EWMA_LO_BP = 6667
+#: x229 backtest: held-out users are user_id % MKV_TEST_MOD == MKV_TEST_MOD-1.
+MKV_TEST_MOD = 3
+#: x228 link prediction report size.
+LP_TOP_K = 30
+#: x230 layout advisor: rows per physical block (row-group proxy).
+LAYOUT_BLOCK = 512
+
+
+def x_ab_test(spark, sf_dir):
+    """x225 — A/B experiment readout (variant = user_id % 2):
+    per-arm conversion to purchase, bp lift, revenue cents, pooled
+    two-proportion z in bp (floor-on-double over exact integers)."""
+    return ev_ops.ab_test_report(_events(spark, sf_dir), ABT_CONV_TYPE)
+
+
+def x_pmi_collocations(spark, sf_dir):
+    """x226 — top-k bigram collocations by µnat PMI with a min-count
+    floor (the phrase detector before vocabulary building)."""
+    return text.pmi_collocations(_docs(spark, sf_dir),
+                                 PMI_MIN_COUNT, PMI_TOP_K)
+
+
+def x_ewma_anomalies(spark, sf_dir):
+    """x227 — EWMA control chart over the daily event counts (decay
+    3/4 as exact integer weights; full-window gating)."""
+    return ev_ops.ewma_anomalies(_events(spark, sf_dir), EWMA_WINDOW,
+                                 EWMA_HI_BP, EWMA_LO_BP)
+
+
+def x_link_prediction(spark, sf_dir):
+    """x228 — resource-allocation link prediction over the mutual
+    k-NN graph (integer µunit RA weights, top candidate non-edges)."""
+    return similarity.link_prediction(
+        _embs(spark, sf_dir), LP_TOP_K, k=KNN_K, method="fixed",
+        centroid_k=KNN_CELLS, n_probe=KNN_N_PROBE,
+        n_assign=KNN_N_ASSIGN)
+
+
+def x_markov_backtest(spark, sf_dir):
+    """x229 — next-event prediction backtest: argmax Markov predictor
+    trained on user_id%3 != 2, scored on the held-out third."""
+    return ev_ops.markov_backtest(_events(spark, sf_dir), MKV_TEST_MOD)
+
+
+def x_layout_advisor(spark, sf_dir):
+    """x230 — sort-key/layout advisor over events: per candidate
+    cluster column, current vs ideal block span under min-max
+    pruning (block = event_id div LAYOUT_BLOCK)."""
+    from kafana_spark.operators import skew
+
+    return skew.layout_advisor(
+        _events(spark, sf_dir),
+        [("day", F.expr(f"unix_micros(ts) div {ev_ops.US_PER_DAY}")),
+         ("user_id", F.col("user_id")),
+         ("event_type", F.col("event_type"))],
+        block_rows=LAYOUT_BLOCK)
+
+
+def x_stored_ewma(spark, sf_dir):
+    """x231 — x227's EWMA chart served from the PERSISTED event-
+    rollup index's daily series (per-batch partials summed — exact).
+    Same oracle as x227 — the lossless-roundtrip proof."""
+    from kafana_spark import event_index
+
+    return ev_ops.ewma_from_daily(
+        event_index.daily_from_store(
+            spark, _event_index_root(spark, sf_dir)),
+        EWMA_WINDOW, EWMA_HI_BP, EWMA_LO_BP)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3477,6 +3557,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x222_stored_pagerank": x_stored_pagerank,
     "x223_stored_mad_anomalies": x_stored_mad_anomalies,
     "x224_stored_cusum": x_stored_cusum,
+    "x225_ab_test": x_ab_test,
+    "x226_pmi_collocations": x_pmi_collocations,
+    "x227_ewma_anomalies": x_ewma_anomalies,
+    "x228_link_prediction": x_link_prediction,
+    "x229_markov_backtest": x_markov_backtest,
+    "x230_layout_advisor": x_layout_advisor,
+    "x231_stored_ewma": x_stored_ewma,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7255,6 +7342,168 @@ def _rocchio_sql() -> str:
         "WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+
+def _ab_test_sql() -> str:
+    """x225 oracle — identical per-user collapse + single-row
+    conditional aggregate; z is floor-on-double over exact integers
+    with the identical expression shape (the x190 discipline)."""
+    z = ("FLOOR(10000.0 * CAST(conv_b * n_a - conv_a * n_b AS DOUBLE) "
+         "/ CAST(n_a * n_b AS DOUBLE) / sqrt("
+         "CAST((conv_a + conv_b) * "
+         "((n_a + n_b) - (conv_a + conv_b)) AS DOUBLE) "
+         "/ CAST((n_a + n_b) * n_a * n_b AS DOUBLE)))")
+    guard = ("n_a > 0 AND n_b > 0 AND (conv_a + conv_b) > 0 "
+             "AND (conv_a + conv_b) < (n_a + n_b)")
+    return (
+        "WITH u AS (SELECT user_id % 2 AS v, "
+        f"MAX(CASE WHEN event_type = '{ABT_CONV_TYPE}' THEN 1 "
+        "ELSE 0 END) AS conv, "
+        f"CAST(SUM(CASE WHEN event_type = '{ABT_CONV_TYPE}' THEN "
+        "CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+        "AS rev FROM events GROUP BY user_id), "
+        "s AS (SELECT "
+        "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+        "CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+        "CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) "
+        "AS conv_a, "
+        "CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) "
+        "AS conv_b, "
+        "CAST(SUM(CASE WHEN v = 0 THEN rev ELSE 0 END) AS BIGINT) "
+        "AS rev_a_cents, "
+        "CAST(SUM(CASE WHEN v = 1 THEN rev ELSE 0 END) AS BIGINT) "
+        "AS rev_b_cents FROM u) "
+        "SELECT n_a, n_b, conv_a, conv_b, "
+        "CAST(CASE WHEN n_a > 0 THEN conv_a * 10000 // n_a ELSE 0 END "
+        "AS BIGINT) AS conv_a_bp, "
+        "CAST(CASE WHEN n_b > 0 THEN conv_b * 10000 // n_b ELSE 0 END "
+        "AS BIGINT) AS conv_b_bp, "
+        "CAST((CASE WHEN n_b > 0 THEN conv_b * 10000 // n_b ELSE 0 END) "
+        "- (CASE WHEN n_a > 0 THEN conv_a * 10000 // n_a ELSE 0 END) "
+        "AS BIGINT) AS lift_bp, "
+        "rev_a_cents, rev_b_cents, "
+        f"CAST(CASE WHEN {guard} THEN {z} ELSE 0 END AS BIGINT) AS z_bp "
+        "FROM s")
+
+
+def _pmi_collocations_sql() -> str:
+    """x226 oracle — identical count chain; every ln() input is an
+    integer count so the doubles agree; one µnat round."""
+    pmi = ("CAST(ROUND((ln(c.n_ab) + 2.0 * ln(t1) - ln(t2) "
+           "- ln(a.n) - ln(b.n)) * 1000000.0) AS BIGINT)")
+    return (
+        f"WITH dt AS (SELECT {_TOKS} AS t FROM documents), "
+        "u1 AS (SELECT w, COUNT(*) AS n FROM "
+        "(SELECT unnest(t) AS w FROM dt) q GROUP BY w), "
+        "tt1 AS (SELECT CAST(SUM(n) AS BIGINT) AS t1 FROM u1), "
+        "b2 AS (SELECT w1, w2, COUNT(*) AS n_ab FROM "
+        "(SELECT t[i] AS w1, t[i + 1] AS w2 FROM dt, "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) g(i) "
+        "WHERE i + 1 <= len(t)) q GROUP BY 1, 2), "
+        "tt2 AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS t2 FROM b2), "
+        "sc AS (SELECT c.w1, c.w2, CAST(c.n_ab AS BIGINT) AS n_ab, "
+        f"{pmi} AS pmi_u FROM b2 c "
+        "JOIN u1 a ON a.w = c.w1 JOIN u1 b ON b.w = c.w2, tt1, tt2 "
+        f"WHERE c.n_ab >= {PMI_MIN_COUNT}) "
+        "SELECT w1, w2, n_ab, pmi_u, rank FROM "
+        "(SELECT w1, w2, n_ab, pmi_u, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY pmi_u DESC, w1, w2) AS INTEGER) AS rank FROM sc) q "
+        f"WHERE rank <= {PMI_TOP_K} ORDER BY rank")
+
+
+def _ewma_sql() -> str:
+    """x227/x231 oracle — identical integer weight table (decay 3/4
+    scaled by 4^(W-1)) joined on the day index, full-window gated."""
+    weights = ev_ops.ewma_weights(EWMA_WINDOW)
+    den = sum(weights)
+    vals = ", ".join(f"({k + 1}, {w})" for k, w in enumerate(weights))
+    dev = (f"CAST(CASE WHEN num > 0 THEN c * {den} * 10000 // num "
+           "ELSE 0 END AS BIGINT)")
+    return (
+        f"WITH {_DAILY_CTE}, "
+        f"wt(lk, w) AS (VALUES {vals}), "
+        "j AS (SELECT a.day AS day, a.c AS c, COUNT(*) AS n, "
+        "CAST(SUM(wt.w * b.c) AS BIGINT) AS num "
+        "FROM d a JOIN wt ON TRUE "
+        "JOIN d b ON b.day = a.day - wt.lk GROUP BY 1, 2), "
+        "f AS (SELECT day, c, "
+        f"CAST(num // {den} AS BIGINT) AS ewma_c, {dev} AS dev_bp "
+        f"FROM j WHERE n = {EWMA_WINDOW}) "
+        "SELECT day, c, ewma_c, dev_bp, "
+        f"(dev_bp >= {EWMA_HI_BP} OR dev_bp <= {EWMA_LO_BP}) AS flag "
+        "FROM f ORDER BY day")
+
+
+def _link_prediction_sql() -> str:
+    """x228 oracle — common-neighbour enumeration over the directed
+    edge frame, existing edges anti-joined out, integer RA µunits."""
+    return (
+        f"WITH {_knn_chain_ctes()}, {_mutual_deg_ctes()}, "
+        "cn AS (SELECT e1.b AS pa, e2.b AS pb, e1.a AS m FROM ed e1 "
+        "JOIN ed e2 ON e2.a = e1.a AND e1.b < e2.b), "
+        "op AS (SELECT pa, pb, m FROM cn WHERE NOT EXISTS "
+        "(SELECT 1 FROM mu WHERE mu.a = cn.pa AND mu.b = cn.pb)), "
+        "sc AS (SELECT pa, pb, COUNT(*) AS n_common, "
+        "CAST(SUM(1000000 // dg.deg) AS BIGINT) AS ra_u "
+        "FROM op JOIN deg dg ON dg.a = op.m GROUP BY 1, 2) "
+        "SELECT pa AS a, pb AS b, n_common, ra_u, rank FROM "
+        "(SELECT pa, pb, n_common, ra_u, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY ra_u DESC, n_common DESC, pa, pb) AS INTEGER) "
+        "AS rank FROM sc) q "
+        f"WHERE rank <= {LP_TOP_K} ORDER BY rank")
+
+
+def _markov_backtest_sql() -> str:
+    """x229 oracle — the x184 LEAD chain split train/test; argmax
+    prediction by (n DESC, dst) rank over the |types|^2 table."""
+    m, t = MKV_TEST_MOD, MKV_TEST_MOD - 1
+    return (
+        "WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, "
+        "event_id AS eid, event_type AS src FROM events), "
+        "p AS (SELECT k, src, LEAD(src) OVER (PARTITION BY k "
+        "ORDER BY us, eid) AS dst FROM ev), "
+        "pp AS (SELECT k, src, dst FROM p WHERE dst IS NOT NULL), "
+        f"tr AS (SELECT src, dst, COUNT(*) AS n FROM pp "
+        f"WHERE k % {m} != {t} GROUP BY 1, 2), "
+        "pr AS (SELECT src, dst AS predicted FROM "
+        "(SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+        "ORDER BY n DESC, dst) AS rn FROM tr) q WHERE rn = 1) "
+        "SELECT t.src AS src, pr.predicted, COUNT(*) AS n_test, "
+        "CAST(SUM(CASE WHEN t.dst = pr.predicted THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_correct, "
+        "CAST(SUM(CASE WHEN t.dst = pr.predicted THEN 1 ELSE 0 END) "
+        "* 10000 // COUNT(*) AS BIGINT) AS acc_bp "
+        f"FROM pp t JOIN pr ON pr.src = t.src WHERE t.k % {m} = {t} "
+        "GROUP BY 1, 2 ORDER BY t.src")
+
+
+def _layout_advisor_sql() -> str:
+    """x230 oracle — identical block/value distinct counts and ideal
+    ceil-division block spans."""
+    B = LAYOUT_BLOCK
+    return (
+        f"WITH b AS (SELECT event_id // {B} AS blk, "
+        "epoch_us(ts) // 86400000000 AS day, user_id, event_type "
+        "FROM events), "
+        "nv AS (SELECT blk, 'day' AS cname, CAST(day AS VARCHAR) "
+        "AS val FROM b UNION ALL "
+        "SELECT blk, 'user_id', CAST(user_id AS VARCHAR) FROM b "
+        "UNION ALL SELECT blk, 'event_type', event_type FROM b), "
+        "pv AS (SELECT cname, val, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT blk) AS vblk FROM nv GROUP BY 1, 2), "
+        "nb AS (SELECT COUNT(DISTINCT blk) AS n_blocks FROM b), "
+        "per AS (SELECT cname, COUNT(*) AS n_vals, "
+        "CAST(SUM(vblk) AS BIGINT) AS val_blocks, "
+        f"CAST(SUM((n_rows + {B - 1}) // {B}) AS BIGINT) "
+        "AS ideal_blocks FROM pv GROUP BY 1) "
+        "SELECT cname AS col_name, n_vals, n_blocks, val_blocks, "
+        "ideal_blocks, "
+        "CAST(val_blocks * 10000 // ideal_blocks AS BIGINT) "
+        "AS cluster_bp, "
+        "CAST(val_blocks * 10000 // (n_vals * n_blocks) AS BIGINT) "
+        "AS scan_share_bp "
+        "FROM per, nb ORDER BY col_name")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -8022,6 +8271,15 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x222_stored_pagerank": _pagerank_sql(),
     "x223_stored_mad_anomalies": _mad_anomalies_sql(),
     "x224_stored_cusum": _cusum_sql(),
+    "x225_ab_test": _ab_test_sql(),
+    "x226_pmi_collocations": _pmi_collocations_sql(),
+    "x227_ewma_anomalies": _ewma_sql(),
+    "x228_link_prediction": _link_prediction_sql(),
+    "x229_markov_backtest": _markov_backtest_sql(),
+    "x230_layout_advisor": _layout_advisor_sql(),
+    # x231 serves x227 from the persisted event-rollup index — same
+    # oracle (lossless roundtrip), the stored-twin discipline.
+    "x231_stored_ewma": _ewma_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

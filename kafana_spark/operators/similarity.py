@@ -1664,3 +1664,65 @@ def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
     w = Window.orderBy(F.desc("pr"), "vec_id")
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("vec_id", "deg", "is_seed", "pr", "rank"))
+
+
+def link_prediction(df: DataFrame, top_k: int = 30, k: int = 5,
+                    centroid_mod: int = 40, n_probe: int = 2,
+                    n_assign: int = 1, method: str = "modulo",
+                    centroid_k: int | None = None) -> DataFrame:
+    """Link prediction over the mutual k-NN graph: the top candidate
+    NON-edges ranked by the resource-allocation index (Zhou et al.
+    2009) ra = sum over common neighbours m of 1/deg(m) — the
+    "these two documents should be neighbours" recommender that
+    surfaces pairs the k-NN cutoff just missed (dedup candidates,
+    related-content suggestions).
+
+    The RA weight is kept integer as 1000000 div deg(m) (deg >= 1 by
+    graph membership), so scores are exact µunit sums — no ln, no
+    doubles. Ties break by (n_common DESC, a, b).
+
+    Output: (a, b, n_common, ra_u, rank) — top_k by (ra_u DESC,
+    n_common DESC, a, b); a < b canonical.
+
+    Scale: common-neighbour enumeration fans out per middle vertex m
+    as deg(m)^2 <= k^2 pairs over the directed-edge frame (never
+    corpus^2); existing edges drop via an anti-join on the canonical
+    pair; the rank window runs over the post-TakeOrdered <= top_k
+    rows.
+    """
+    mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
+                    centroid_k).select("a", "b")
+    return link_prediction_from_edges(mu, top_k)
+
+
+def link_prediction_from_edges(mu: DataFrame,
+                               top_k: int = 30) -> DataFrame:
+    """The link-prediction tail over a canonical a<b edge frame."""
+    mu = mu.persist()
+    edges = mu.unionByName(mu.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    nb = edges.select(F.col("a").alias("m"), F.col("b").alias("u"))
+    pairs = (nb.alias("e1")
+             .join(nb.alias("e2"),
+                   (F.col("e1.m") == F.col("e2.m"))
+                   & (F.col("e1.u") < F.col("e2.u")))
+             .select(F.col("e1.u").alias("pa"),
+                     F.col("e2.u").alias("pb"),
+                     F.col("e1.m").alias("m")))
+    open_pairs = pairs.join(
+        mu, (pairs["pa"] == mu["a"]) & (pairs["pb"] == mu["b"]),
+        "left_anti")
+    scored = (open_pairs
+              .join(deg.select(F.col("a").alias("m"),
+                               F.col("deg").alias("dm")), "m")
+              .groupBy("pa", "pb")
+              .agg(F.count(F.lit(1)).alias("n_common"),
+                   F.sum(F.expr("1000000 div dm")).alias("ra_u")))
+    top = (scored.orderBy(F.desc("ra_u"), F.desc("n_common"),
+                          "pa", "pb")
+           .limit(top_k))
+    w = Window.orderBy(F.desc("ra_u"), F.desc("n_common"), "pa", "pb")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("pa").alias("a"), F.col("pb").alias("b"),
+                    "n_common", "ra_u", "rank"))

@@ -110,3 +110,62 @@ def salted_agg(df: DataFrame, keys: Sequence[str], unique_col: str,
     salted = with_salt(df, unique_col, buckets)
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def layout_advisor(df: DataFrame,
+                   candidates: Sequence[tuple[str, Column]],
+                   block_rows: int = 512,
+                   row_id_col: str = "event_id") -> DataFrame:
+    """Sort-key / file-layout advisor: for each candidate cluster
+    column, measure how scattered its values are across physical row
+    blocks under the CURRENT layout (block = row_id div block_rows —
+    insertion order as the row-group proxy) versus what sorting on
+    that column would achieve. This is the min-max-pruning question a
+    100 TB table asks before choosing its parquet sort order: a point
+    query on column c must read every block whose [min, max] spans
+    the value, and that block set IS the per-value distinct-block
+    count under contiguous layout.
+
+    Per candidate column:
+      - val_blocks   = sum over values v of distinct blocks holding v
+      - ideal_blocks = sum over v of ceil(rows_v / block_rows)
+                       (what a perfect sort on c would give)
+      - cluster_bp   = 10000*val_blocks div ideal_blocks
+                       (10000 = already perfectly clustered; big =
+                       sorting on c would prune that factor harder)
+      - scan_share_bp = 10000*val_blocks div (n_vals*n_blocks)
+                       (expected block fraction a point query on a
+                       uniformly-chosen value reads today)
+
+    Output: (col_name, n_vals, n_blocks, val_blocks, ideal_blocks,
+    cluster_bp, scan_share_bp) ordered by col_name.
+
+    Scale: ONE corpus pass explodes each row into |candidates|
+    (name, value) pairs (map-only), then everything is combinable
+    counts over (name, value, block); the global block count rides a
+    1-row broadcast. Nothing is collected, no windows.
+    """
+    blk = F.expr(f"{row_id_col} div {block_rows}").alias("blk")
+    named = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("cname"),
+                 expr.cast("string").alias("val"))
+        for name, expr in candidates])).alias("nv")
+    rows = df.select(blk, named).select("blk", "nv.cname", "nv.val")
+    per_val = (rows.groupBy("cname", "val")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.count_distinct("blk").alias("vblk")))
+    nb = df.select(blk).agg(F.count_distinct("blk").alias("n_blocks"))
+    per = (per_val.groupBy("cname")
+           .agg(F.count(F.lit(1)).alias("n_vals"),
+                F.sum("vblk").alias("val_blocks"),
+                F.sum(F.expr(
+                    f"(n_rows + {block_rows - 1}) div {block_rows}"))
+                .alias("ideal_blocks")))
+    return (per.crossJoin(F.broadcast(nb))
+            .select(F.col("cname").alias("col_name"), "n_vals",
+                    "n_blocks", "val_blocks", "ideal_blocks",
+                    F.expr("val_blocks * 10000 div ideal_blocks")
+                    .alias("cluster_bp"),
+                    F.expr("val_blocks * 10000 div (n_vals * n_blocks)")
+                    .alias("scan_share_bp"))
+            .orderBy("col_name"))

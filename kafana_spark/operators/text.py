@@ -1902,3 +1902,55 @@ def char_entropy(df: DataFrame, source_col: str = "source",
                     "n_distinct",
                     F.expr("h_sum div n_chars").alias("h_nat_u"))
             .orderBy("source"))
+
+
+def pmi_collocations(df: DataFrame, min_count: int = 5, k: int = 30,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information in
+    µnats — the corpus phrase detector (the word2vec-phrases / NLTK
+    collocation shape) that decides which adjacent word pairs behave
+    as single tokens before vocabulary building:
+
+        pmi = ln p(ab) - ln p(a) - ln p(b)
+            = ln(n_ab) + 2*ln(T1) - ln(T2) - ln(n_a) - ln(n_b)
+
+    over unigram/bigram MLE counts. Every ln() input is an integer
+    count, so both engines compute identical doubles (the x71
+    discipline); the sum is rounded ONCE to µnats. A min_count floor
+    kills the rare-pair PMI explosion before any join.
+
+    Output: (w1, w2, n_ab, pmi_u, rank) — top-k by (pmi_u DESC,
+    w1, w2).
+
+    Scale: two map-side-combinable count passes over exploded
+    tokens/grams; the candidate frame is filtered to >= min_count
+    BEFORE joining the unigram table (vocabulary-sized equi-joins);
+    totals ride 1-row broadcasts; the rank window runs over the
+    post-TakeOrdered <= k rows.
+    """
+    from kafana_spark.functions import grams, tokens
+
+    t1 = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    tot1 = t1.agg(F.sum("n").alias("t1"))
+    bg = (df.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
+          .groupBy("g").agg(F.count(F.lit(1)).alias("n_ab")))
+    tot2 = bg.agg(F.sum("n_ab").alias("t2"))
+    cand = (bg.where(F.col("n_ab") >= min_count)
+            .withColumn("w1", F.substring_index("g", " ", 1))
+            .withColumn("w2", F.substring_index("g", " ", -1)))
+    j = (cand
+         .join(t1.select(F.col("w").alias("w1"),
+                         F.col("n").alias("na")), "w1")
+         .join(t1.select(F.col("w").alias("w2"),
+                         F.col("n").alias("nb")), "w2")
+         .crossJoin(F.broadcast(tot1))
+         .crossJoin(F.broadcast(tot2)))
+    pmi = F.round((F.log("n_ab") + F.lit(2.0) * F.log("t1")
+                   - F.log("t2") - F.log("na") - F.log("nb"))
+                  * F.lit(1_000_000.0)).cast("long")
+    scored = j.select("w1", "w2", "n_ab", pmi.alias("pmi_u"))
+    top = scored.orderBy(F.desc("pmi_u"), "w1", "w2").limit(k)
+    w = Window.orderBy(F.desc("pmi_u"), "w1", "w2")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("w1", "w2", "n_ab", "pmi_u", "rank"))

@@ -1,0 +1,142 @@
+"""Session-6 additions (x225-x231) closed-form semantics.
+
+Pinned behaviors:
+- ab_test_report: variant = user_id % 2; converter = >=1 conv event;
+  revenue = floor(value*100) cents summed over conv events; z = the
+  pooled two-proportion statistic, 0 on degenerate splits; z sign
+  follows B minus A.
+- pmi_collocations: pairs below min_count never surface; PMI orders
+  exclusive pairs above promiscuous ones; rank ties break (w1, w2).
+- ewma: decay-3/4 integer weights; only full-window days scored
+  (gaps disqualify); flag at ratio band edges inclusive.
+- markov_backtest: predictor trained only on non-held-out users;
+  argmax ties break to smallest dst; held-out srcs without training
+  rows are dropped.
+- link_prediction: existing edges never appear; RA = sum 1e6 div
+  deg(m) over common neighbours; canonical a < b.
+- layout_advisor: a perfectly-clustered column reports cluster_bp
+  10000; a value striped across every block reports n_blocks per
+  value.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafana_spark.operators import events as ev
+from kafana_spark.operators import skew
+from kafana_spark.operators.similarity import link_prediction_from_edges
+from kafana_spark.operators.text import pmi_collocations
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def make(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, u, e, v) for i, (t, u, e, v) in enumerate(rows)], COLS)
+
+
+def test_ab_test_counts_and_degenerate_z(spark):
+    # u0/u2 arm A (even), u1/u3 arm B; only u1 converts, 2.5 -> 250c.
+    rows = [
+        (ts(0), 0, "view", 1.0), (ts(1), 2, "view", 1.0),
+        (ts(0), 1, "purchase", 2.5), (ts(1), 3, "view", 1.0),
+    ]
+    r = ev.ab_test_report(make(spark, rows)).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (2, 2, 0, 1)
+    assert (r.conv_a_bp, r.conv_b_bp, r.lift_bp) == (0, 5000, 5000)
+    assert (r.rev_a_cents, r.rev_b_cents) == (0, 250)
+    assert r.z_bp > 0  # B converts more -> positive z
+
+    # unanimous conversion -> degenerate, z = 0
+    rows2 = [(ts(0), 0, "purchase", 1.0), (ts(0), 1, "purchase", 1.0)]
+    assert ev.ab_test_report(make(spark, rows2)).collect()[0].z_bp == 0
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    # "aa bb" always together (exclusive); "cc" promiscuous.
+    docs = spark.createDataFrame(
+        [(i, "aa bb") for i in range(5)]
+        + [(10 + i, "cc dd") for i in range(5)]
+        + [(20 + i, "cc ee") for i in range(5)],
+        ["doc_id", "text"])
+    out = pmi_collocations(docs, min_count=5, k=10).collect()
+    assert out[0].w1 == "aa" and out[0].w2 == "bb"
+    pairs = {(r.w1, r.w2): r.pmi_u for r in out}
+    assert pairs[("aa", "bb")] > pairs[("cc", "dd")]
+    # below min_count never surfaces
+    assert ("zz", "zz") not in pairs
+
+
+def test_ewma_full_window_gating_and_flat_series(spark):
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(20)], ["day", "c"])
+    out = ev.ewma_from_daily(d, window=14).collect()
+    # days 0..13 lack a full 14-day history
+    assert [r.day for r in out] == list(range(14, 20))
+    for r in out:  # flat series: ewma == level, ratio exactly 10000
+        assert r.ewma_c == 100 and r.dev_bp == 10000 and not r.flag
+    # a gap disqualifies every day whose window spans it: drop day 5
+    # -> only days 20..24 still have 14 observed prior days
+    d2 = spark.createDataFrame(
+        [(i, 100) for i in range(25) if i != 5], ["day", "c"])
+    out2 = ev.ewma_from_daily(d2, window=14).collect()
+    assert [r.day for r in out2] == list(range(20, 25))
+
+
+def test_ewma_spike_flags(spark):
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(14)] + [(14, 200)], ["day", "c"])
+    r = ev.ewma_from_daily(d, window=14).collect()[0]
+    assert r.dev_bp == 20000 and r.flag
+
+
+def test_markov_backtest_argmax_and_holdout(spark):
+    # users 0,1,3,4 train (mod 3 != 2); user 2 held out.
+    rows = []
+    for u in (0, 1, 3, 4):
+        rows += [(ts(0), u, "a", 1.0), (ts(1), u, "b", 1.0)]
+    rows += [(ts(0), 2, "a", 1.0), (ts(1), 2, "b", 1.0),
+             (ts(2), 2, "b", 1.0)]  # b->b never trained -> dropped
+    out = ev.markov_backtest(make(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src, r.predicted, r.n_test, r.n_correct, r.acc_bp) == \
+        ("a", "b", 1, 1, 10000)
+
+
+def test_link_prediction_scores_open_triangle(spark):
+    # path 1-2-3 plus 1-4: open pairs (1,3) via 2, (2,4) via 1,
+    # (3,4) via 1? no: 3's neighbours {2}; 4's {1} -> no shared m.
+    mu = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], ["a", "b"])
+    out = {(r.a, r.b): r for r in
+           link_prediction_from_edges(mu, top_k=10).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    # middle 2 has deg 2 -> ra 500000; middle 1 has deg 2 -> 500000
+    assert out[(1, 3)].ra_u == 500000 and out[(1, 3)].n_common == 1
+    assert out[(2, 4)].ra_u == 500000
+
+
+def test_layout_advisor_clustered_vs_striped(spark):
+    # 4 blocks of 2 rows; "sorted" clusters per block, "striped"
+    # alternates two values across every block.
+    rows = [(i, i // 2, i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, ["rid", "sorted_v", "striped_v"])
+    out = {r.col_name: r for r in skew.layout_advisor(
+        df, [("sorted", F.col("sorted_v")),
+             ("striped", F.col("striped_v"))],
+        block_rows=2, row_id_col="rid").collect()}
+    s = out["sorted"]
+    assert (s.n_vals, s.n_blocks, s.val_blocks) == (4, 4, 4)
+    assert s.cluster_bp == 10000 and s.scan_share_bp == 2500
+    t = out["striped"]
+    assert t.val_blocks == 8  # each of 2 values in all 4 blocks
+    assert t.ideal_blocks == 4 and t.cluster_bp == 20000
+    assert t.scan_share_bp == 10000
