@@ -1317,3 +1317,103 @@ def markov_backtest(df: DataFrame, test_mod: int = 3,
                     F.expr("n_correct * 10000 div n_test")
                     .alias("acc_bp"))
             .orderBy("src"))
+
+
+def variant_funnel(df: DataFrame, steps: tuple[str, ...],
+                   time_col: str = "ts", key_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """The x181 ordered funnel split by experiment arm (variant =
+    user_id % 2, the x225 assignment) — the experiment readout teams
+    actually ship: WHERE in the funnel the treatment wins, not just
+    whether the terminal conversion moved.
+
+    Output: (variant, step_idx, step, n_users, conv_prev_bp,
+    conv_first_bp) ordered by (variant, step_idx); conversions are
+    within-arm (step 0 = 10000 per arm).
+
+    Scale: the shared first-touch stage chain (one filtered scan +
+    combinable MIN per user per step); the per-arm counts are a
+    2-row-per-step aggregate and the conversion window runs over the
+    2*len(steps)-row funnel frame.
+    """
+    ev = _base(df, time_col, key_col, type_col)
+    rows = []
+    for i, (s, stage) in enumerate(zip(steps, _funnel_stages(ev, steps))):
+        rows.append(stage.groupBy((F.col("k") % 2).alias("variant"))
+                    .agg(F.count(F.lit(1)).alias("n_users"))
+                    .select("variant",
+                            F.lit(i).cast("int").alias("step_idx"),
+                            F.lit(s).alias("step"), "n_users"))
+    fun = reduce(DataFrame.unionByName, rows)
+    w = Window.partitionBy("variant").orderBy("step_idx")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(w)
+    return (fun.withColumn("prev_n", prev).withColumn("first_n", first)
+            .select("variant", "step_idx", "step", "n_users",
+                    F.when(F.col("prev_n").isNull(), F.lit(10000))
+                    .when(F.col("prev_n") > 0,
+                          F.expr("n_users * 10000 div prev_n"))
+                    .otherwise(F.lit(0))
+                    .cast("long").alias("conv_prev_bp"),
+                    F.when(F.col("step_idx") == 0, F.lit(10000))
+                    .when(F.col("first_n") > 0,
+                          F.expr("n_users * 10000 div first_n"))
+                    .otherwise(F.lit(0))
+                    .cast("long").alias("conv_first_bp"))
+            .orderBy("variant", "step_idx"))
+
+
+#: Latency CDF bucket edges in seconds (<1m, <10m, <1h, <1d, <7d,
+#: >=7d) and their labels.
+LATENCY_EDGES_S = (60, 600, 3600, 86400, 604800)
+LATENCY_LABELS = ("<1m", "<10m", "<1h", "<1d", "<7d", ">=7d")
+
+
+def latency_cdf(df: DataFrame, from_type: str = "signup",
+                to_type: str = "purchase", time_col: str = "ts",
+                key_col: str = "user_id") -> DataFrame:
+    """Conversion-latency CDF: the x220 first-signup -> first
+    strictly-later purchase latencies bucketed on a log-ish grid
+    (<1m, <10m, <1h, <1d, <7d, >=7d) with cumulative share — the
+    "how fast do converters convert" distribution behind x220's
+    single-row summary (an SLA curve, not a mean).
+
+    Output: (bucket_idx, bucket, n, cum_n, share_bp, cum_bp) ordered
+    by bucket_idx; only observed buckets are emitted; shares are vs
+    the converter total.
+
+    Scale: the two filtered MIN-per-user passes + one user equi-join
+    (the x220 chain), then a <= 6-row bucket aggregate; the
+    cumulative window runs over those <= 6 rows; the total rides a
+    1-row broadcast.
+    """
+    first_from = (df.where(F.col("event_type") == from_type)
+                  .select(F.col(key_col).alias("k"),
+                          F.unix_micros(F.col(time_col)).alias("us"))
+                  .groupBy("k").agg(F.min("us").alias("t0")))
+    lat = (df.where(F.col("event_type") == to_type)
+           .select(F.col(key_col).alias("k"),
+                   F.unix_micros(F.col(time_col)).alias("us"))
+           .join(first_from, "k")
+           .where(F.col("us") > F.col("t0"))
+           .groupBy("k").agg(F.min("us").alias("t1"),
+                             F.any_value("t0").alias("t0"))
+           .select((F.col("t1") - F.col("t0")).alias("lat")))
+    b = F.lit(len(LATENCY_EDGES_S))
+    for i, e in reversed(list(enumerate(LATENCY_EDGES_S))):
+        b = F.when(F.col("lat") < e * 1_000_000, i).otherwise(b)
+    labels = F.array(*[F.lit(s) for s in LATENCY_LABELS])
+    g = (lat.select(b.cast("int").alias("bucket_idx"))
+         .groupBy("bucket_idx").agg(F.count(F.lit(1)).alias("n")))
+    tot = g.agg(F.sum("n").alias("tot"))
+    w = (Window.orderBy("bucket_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (g.withColumn("cum_n", F.sum("n").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("bucket_idx",
+                    F.element_at(labels, F.col("bucket_idx") + 1)
+                    .alias("bucket"),
+                    "n", "cum_n",
+                    F.expr("n * 10000 div tot").alias("share_bp"),
+                    F.expr("cum_n * 10000 div tot").alias("cum_bp"))
+            .orderBy("bucket_idx"))

@@ -3336,6 +3336,36 @@ def x_stored_ewma(spark, sf_dir):
         EWMA_WINDOW, EWMA_HI_BP, EWMA_LO_BP)
 
 
+
+def x_column_stats(spark, sf_dir):
+    """x232 — ANALYZE-style optimizer statistics for the events
+    table: counts, nulls, exact NDV, min/max, and integer equi-depth
+    quartiles (bounded-NDV fields only; event_id gets NDV/min/max)."""
+    from kafana_spark.operators import stats
+
+    return stats.column_stats(
+        _events(spark, sf_dir),
+        [("event_id", F.col("event_id"), False),
+         ("user_id", F.col("user_id"), True),
+         ("value_cents", F.expr("cast(floor(value * 100) as long)"),
+          True),
+         ("day", F.expr(f"unix_micros(ts) div {ev_ops.US_PER_DAY}"),
+          True)])
+
+
+def x_variant_funnel(spark, sf_dir):
+    """x233 — the x181 funnel split by the x225 experiment arm:
+    per-variant step counts and within-arm conversions."""
+    return ev_ops.variant_funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def x_latency_cdf(spark, sf_dir):
+    """x234 — signup->purchase conversion-latency CDF on the log-ish
+    bucket grid (the SLA curve behind x220's summary row)."""
+    return ev_ops.latency_cdf(_events(spark, sf_dir),
+                              CONV_FROM_TYPE, CONV_TO_TYPE)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3564,6 +3594,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x229_markov_backtest": x_markov_backtest,
     "x230_layout_advisor": x_layout_advisor,
     "x231_stored_ewma": x_stored_ewma,
+    "x232_column_stats": x_column_stats,
+    "x233_variant_funnel": x_variant_funnel,
+    "x234_latency_cdf": x_latency_cdf,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7504,6 +7537,96 @@ def _layout_advisor_sql() -> str:
         "FROM per, nb ORDER BY col_name")
 
 
+
+def _column_stats_sql() -> str:
+    """x232 oracle — identical (field, value) explode, distinct-value
+    cumulative quantile rule (ceil via (q*nn+99)//100)."""
+    pcols = ", ".join(
+        f"MIN(CASE WHEN cum >= ({q} * nn + 99) // 100 THEN val END) "
+        f"AS p{q}" for q in (25, 50, 75))
+    return (
+        "WITH eb AS (SELECT event_id, user_id, "
+        "CAST(FLOOR(value * 100) AS BIGINT) AS vc, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "nv AS (SELECT 'event_id' AS fname, event_id AS val FROM eb "
+        "UNION ALL SELECT 'user_id', user_id FROM eb "
+        "UNION ALL SELECT 'value_cents', vc FROM eb "
+        "UNION ALL SELECT 'day', day FROM eb), "
+        "base AS (SELECT fname, COUNT(*) AS n, "
+        "CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null FROM nv GROUP BY 1), "
+        "pv AS (SELECT fname, val, COUNT(*) AS cnt FROM nv "
+        "WHERE val IS NOT NULL GROUP BY 1, 2), "
+        "a1 AS (SELECT fname, COUNT(*) AS ndv, MIN(val) AS min_v, "
+        "MAX(val) AS max_v FROM pv GROUP BY 1), "
+        "cm AS (SELECT fname, val, CAST(SUM(cnt) OVER "
+        "(PARTITION BY fname ORDER BY val) AS BIGINT) AS cum FROM pv "
+        "WHERE fname IN ('user_id', 'value_cents', 'day')), "
+        "nn AS (SELECT fname, n - n_null AS nn FROM base), "
+        f"pc AS (SELECT cm.fname, {pcols} FROM cm "
+        "JOIN nn ON nn.fname = cm.fname GROUP BY cm.fname) "
+        "SELECT base.fname AS field, base.n, base.n_null, a1.ndv, "
+        "a1.min_v, a1.max_v, pc.p25, pc.p50, pc.p75 "
+        "FROM base JOIN a1 ON a1.fname = base.fname "
+        "LEFT JOIN pc ON pc.fname = base.fname ORDER BY field")
+
+
+def _variant_funnel_sql() -> str:
+    """x233 oracle — the shared stage chain counted per user_id % 2
+    arm, conversions windowed within the arm."""
+    ctes = _funnel_stage_ctes()
+    union = " UNION ALL ".join(
+        f"SELECT k % 2 AS variant, {i} AS step_idx, '{s}' AS step, "
+        f"COUNT(*) AS n_users FROM s{i} GROUP BY k % 2"
+        for i, s in enumerate(FUNNEL_STEPS))
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"f AS ({union}), "
+        "w AS (SELECT variant, step_idx, step, n_users, "
+        "LAG(n_users) OVER (PARTITION BY variant ORDER BY step_idx) "
+        "AS prev_n, "
+        "FIRST_VALUE(n_users) OVER (PARTITION BY variant "
+        "ORDER BY step_idx) AS first_n FROM f) "
+        "SELECT variant, step_idx, step, n_users, "
+        "CAST(CASE WHEN prev_n IS NULL THEN 10000 WHEN prev_n > 0 "
+        "THEN n_users * 10000 // prev_n ELSE 0 END AS BIGINT) "
+        "AS conv_prev_bp, "
+        "CAST(CASE WHEN step_idx = 0 THEN 10000 WHEN first_n > 0 "
+        "THEN n_users * 10000 // first_n ELSE 0 END AS BIGINT) "
+        "AS conv_first_bp FROM w ORDER BY variant, step_idx")
+
+
+def _latency_cdf_sql() -> str:
+    """x234 oracle — identical strictly-after latency chain and CASE
+    bucket grid."""
+    edges = ev_ops.LATENCY_EDGES_S
+    labels = ev_ops.LATENCY_LABELS
+    bucket = "CASE " + " ".join(
+        f"WHEN lat < {e * 1_000_000} THEN {i}"
+        for i, e in enumerate(edges)) + f" ELSE {len(edges)} END"
+    lab = "CASE bucket_idx " + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(labels)) + " END"
+    return (
+        "WITH ff AS (SELECT user_id AS k, MIN(epoch_us(ts)) AS t0 "
+        f"FROM events WHERE event_type = '{CONV_FROM_TYPE}' "
+        "GROUP BY user_id), "
+        "cv AS (SELECT e.user_id AS k, MIN(epoch_us(e.ts)) AS t1, "
+        "MIN(ff.t0) AS t0 FROM events e "
+        f"JOIN ff ON ff.k = e.user_id AND e.event_type = "
+        f"'{CONV_TO_TYPE}' AND epoch_us(e.ts) > ff.t0 "
+        "GROUP BY e.user_id), "
+        "lt AS (SELECT t1 - t0 AS lat FROM cv), "
+        f"g AS (SELECT CAST({bucket} AS INT) AS bucket_idx, "
+        "COUNT(*) AS n FROM lt GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g), "
+        "c AS (SELECT bucket_idx, n, CAST(SUM(n) OVER "
+        "(ORDER BY bucket_idx) AS BIGINT) AS cum_n FROM g) "
+        f"SELECT bucket_idx, {lab} AS bucket, n, cum_n, "
+        "CAST(n * 10000 // tot AS BIGINT) AS share_bp, "
+        "CAST(cum_n * 10000 // tot AS BIGINT) AS cum_bp "
+        "FROM c, t ORDER BY bucket_idx")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -8280,6 +8403,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x231 serves x227 from the persisted event-rollup index — same
     # oracle (lossless roundtrip), the stored-twin discipline.
     "x231_stored_ewma": _ewma_sql(),
+    "x232_column_stats": _column_stats_sql(),
+    "x233_variant_funnel": _variant_funnel_sql(),
+    "x234_latency_cdf": _latency_cdf_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -140,3 +140,45 @@ def test_layout_advisor_clustered_vs_striped(spark):
     assert t.val_blocks == 8  # each of 2 values in all 4 blocks
     assert t.ideal_blocks == 4 and t.cluster_bp == 20000
     assert t.scan_share_bp == 10000
+
+
+def test_column_stats_quantile_rule_and_nulls(spark):
+    from kafana_spark.operators.stats import column_stats
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 10, 20, 30, None])],
+        ["rid", "m"])
+    out = {r.field: r for r in column_stats(
+        df, [("rid", F.col("rid"), False),
+             ("m", F.col("m"), True)]).collect()}
+    m = out["m"]
+    assert (m.n, m.n_null, m.ndv, m.min_v, m.max_v) == (5, 1, 3, 10, 30)
+    # nn=4: p25 -> rank ceil(1)=1 -> 10; p50 -> rank 2 -> 10;
+    # p75 -> rank 3 -> 20
+    assert (m.p25, m.p50, m.p75) == (10, 10, 20)
+    r = out["rid"]
+    assert r.ndv == 5 and r.p25 is None  # quantiles not requested
+
+
+def test_variant_funnel_within_arm_conversion(spark):
+    rows = [
+        # arm A (u0): full funnel; arm B (u1): stops after view
+        (ts(0), 0, "view", 1.0), (ts(1), 0, "click", 1.0),
+        (ts(2), 0, "purchase", 1.0),
+        (ts(0), 1, "view", 1.0),
+    ]
+    out = {(r.variant, r.step): r for r in ev.variant_funnel(
+        make(spark, rows), ("view", "click", "purchase")).collect()}
+    assert out[(0, "view")].n_users == 1
+    assert out[(0, "purchase")].conv_first_bp == 10000
+    assert out[(1, "view")].conv_prev_bp == 10000
+    assert (1, "click") not in out  # arm B never clicked
+
+
+def test_latency_cdf_buckets_and_cumulative(spark):
+    rows = [(ts(0), 1, "signup", 1.0), (ts(0.5), 1, "purchase", 1.0),
+            (ts(0), 2, "signup", 1.0), (ts(30), 2, "purchase", 1.0),
+            (ts(0), 3, "signup", 1.0)]  # u3 never converts
+    out = ev.latency_cdf(make(spark, rows)).collect()
+    assert [(r.bucket_idx, r.bucket, r.n, r.cum_n) for r in out] == \
+        [(0, "<1m", 1, 1), (2, "<1h", 1, 2)]
+    assert out[-1].cum_bp == 10000
