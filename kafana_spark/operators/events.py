@@ -1417,3 +1417,102 @@ def latency_cdf(df: DataFrame, from_type: str = "signup",
                     F.expr("n * 10000 div tot").alias("share_bp"),
                     F.expr("cum_n * 10000 div tot").alias("cum_bp"))
             .orderBy("bucket_idx"))
+
+
+def stl_anomalies(df: DataFrame, z_bp_threshold: int = 35000,
+                  time_col: str = "ts") -> DataFrame:
+    """STL-lite decomposition anomalies over the daily series: each
+    day is trend (centered 7-day moving mean) + day-of-week seasonal
+    + residual, and residual outliers are flagged by the x209 MAD
+    rule — the detector that survives BOTH a trend (which breaks
+    x209's static median band) and a weekly rhythm (which x227's
+    trailing EWMA half-absorbs).
+
+    Everything stays integer by working in 7x units: t7 = sum of the
+    7 centered days (gated on a full window, the x187 rule), r7 =
+    7*c - t7, s7 = per-dow truncating mean of r7 (Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero — negative-safe by
+    parity), e7 = r7 - s7, then doubled-median MAD on e7.
+
+    Output: (day, c, t7, s7, e7, z_bp, is_anomaly) for fully-windowed
+    days, ordered by day.
+
+    Scale: daily collapse first; the +-3 fan-out, dow profile, and
+    medians all run over the series frame, never the corpus.
+    """
+    return stl_from_daily(_daily_counts(df, time_col), z_bp_threshold)
+
+
+def stl_from_daily(d: DataFrame,
+                   z_bp_threshold: int = 35000) -> DataFrame:
+    """The STL-lite tail over a (day, c) frame."""
+    off = d.select("day", "c",
+                   F.explode(F.sequence(F.lit(-3), F.lit(3)))
+                   .alias("off"))
+    t = (off.alias("a")
+         .join(d.select(F.col("day").alias("bday"),
+                        F.col("c").alias("bc")).alias("b"),
+               F.col("bday") == F.col("a.day") + F.col("off"))
+         .groupBy(F.col("a.day").alias("day"), F.col("a.c").alias("c"))
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("bc").alias("t7"))
+         .where(F.col("n") == 7)
+         .select("day", "c", "t7",
+                 (F.col("c") * 7 - F.col("t7")).alias("r7")))
+    s = (t.groupBy((F.col("day") % 7).alias("dow"))
+         .agg(F.expr("sum(r7) div count(1)").cast("long").alias("s7")))
+    e = (t.join(F.broadcast(s), (F.col("day") % 7) == F.col("dow"))
+         .select("day", "c", "t7", "s7",
+                 (F.col("r7") - F.col("s7")).alias("e7")))
+    med = e.agg((F.percentile("e7", F.lit(0.5)) * 2)
+                .cast("long").alias("med2"))
+    dev = (e.crossJoin(F.broadcast(med))
+           .withColumn("dev2", F.abs(F.col("e7") * 2 - F.col("med2"))))
+    mad = dev.agg((F.percentile("dev2", F.lit(0.5)) * 2)
+                  .cast("long").alias("mad2"))
+    z = F.when(F.col("mad2") > 0,
+               F.expr("dev2 * 10000 div mad2")).otherwise(F.lit(0))
+    return (dev.crossJoin(F.broadcast(mad))
+            .withColumn("z_bp", z.cast("long"))
+            .select("day", "c", "t7", "s7", "e7", "z_bp",
+                    (F.col("z_bp") > z_bp_threshold).alias("is_anomaly"))
+            .orderBy("day"))
+
+
+def anomaly_ensemble(df: DataFrame, mad_z_bp: int = 35000,
+                     ewma_window: int = 14, ewma_hi_bp: int = 15000,
+                     ewma_lo_bp: int = 6667, stl_z_bp: int = 35000,
+                     time_col: str = "ts") -> DataFrame:
+    """Anomaly-detector ensemble over the daily series: one row per
+    day flagged by ANY of MAD (x209), EWMA chart (x227), or STL-lite
+    residual (x235), with per-method booleans and the agreement count
+    — the triage view an on-call reads (3 = certainly real, 1 = check
+    which method's blind spot fired).
+
+    A method that did not SCORE a day (EWMA/STL full-window gating)
+    counts as not-flagged for that day — documented, matches the
+    oracle.
+
+    Output: (day, c, mad_flag, ewma_flag, stl_flag, n_methods) for
+    days with n_methods >= 1, ordered by day.
+
+    Scale: ONE daily collapse shared by all three methods; every
+    downstream frame is series-sized.
+    """
+    d = _daily_counts(df, time_col)
+    mad = (mad_anomalies_from_daily(d, mad_z_bp)
+           .select("day", F.col("is_anomaly").alias("mad_flag")))
+    ew = (ewma_from_daily(d, ewma_window, ewma_hi_bp, ewma_lo_bp)
+          .select("day", F.col("flag").alias("ewma_flag")))
+    stl = (stl_from_daily(d, stl_z_bp)
+           .select("day", F.col("is_anomaly").alias("stl_flag")))
+    out = (d.join(mad, "day", "left").join(ew, "day", "left")
+           .join(stl, "day", "left")
+           .select("day", "c",
+                   F.coalesce("mad_flag", F.lit(False)).alias("mad_flag"),
+                   F.coalesce("ewma_flag", F.lit(False)).alias("ewma_flag"),
+                   F.coalesce("stl_flag", F.lit(False)).alias("stl_flag")))
+    n = (F.col("mad_flag").cast("int") + F.col("ewma_flag").cast("int")
+         + F.col("stl_flag").cast("int"))
+    return (out.withColumn("n_methods", n)
+            .where(F.col("n_methods") >= 1)
+            .orderBy("day"))

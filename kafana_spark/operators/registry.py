@@ -3366,6 +3366,39 @@ def x_latency_cdf(spark, sf_dir):
                               CONV_FROM_TYPE, CONV_TO_TYPE)
 
 
+
+#: x235 STL-lite residual MAD threshold (the x209 rule on residuals).
+STL_Z_BP = 35000
+#: x236 ensemble thresholds — deliberately tighter than the
+#: single-method defaults so ordinary fixture wiggle exercises the
+#: agreement logic (the fixtures' max MAD z is ~2.1x; 3.5x never
+#: fires there).
+ENS_MAD_Z_BP = 15000
+ENS_STL_Z_BP = 15000
+ENS_EWMA_HI_BP = 11500
+ENS_EWMA_LO_BP = 8696
+
+
+def x_stl_anomalies(spark, sf_dir):
+    """x235 — STL-lite decomposition anomalies: centered 7-day trend
+    + dow seasonal in 7x integer units, MAD rule on the residual."""
+    return ev_ops.stl_anomalies(_events(spark, sf_dir), STL_Z_BP)
+
+
+def x_anomaly_ensemble(spark, sf_dir):
+    """x236 — MAD + EWMA + STL agreement triage over the daily
+    series: per flagged day, which detectors fired."""
+    return ev_ops.anomaly_ensemble(
+        _events(spark, sf_dir), ENS_MAD_Z_BP, EWMA_WINDOW,
+        ENS_EWMA_HI_BP, ENS_EWMA_LO_BP, ENS_STL_Z_BP)
+
+
+def x_langid_confusion(spark, sf_dir):
+    """x237 — x10's heuristic lang-id scored against the labeled
+    lang column: the per-language confusion matrix eval loop."""
+    return text.langid_confusion(_docs(spark, sf_dir))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3597,6 +3630,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x232_column_stats": x_column_stats,
     "x233_variant_funnel": x_variant_funnel,
     "x234_latency_cdf": x_latency_cdf,
+    "x235_stl_anomalies": x_stl_anomalies,
+    "x236_anomaly_ensemble": x_anomaly_ensemble,
+    "x237_langid_confusion": x_langid_confusion,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -4395,23 +4431,30 @@ def _pq_sql() -> str:
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_id_core_sql() -> str:
+    """CTE chain ending in ``lpred(doc_id, pred_lang)`` — the x10
+    heuristic, shared with the x237 confusion eval."""
     score = ("len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
              "[{words}]))")
     s = {lang: score.format(words=", ".join(f"'{w}'" for w in words))
          for lang, words in text.LANG_MARKERS.items()}
     return (
-        "WITH sc AS (SELECT doc_id, text, "
+        "sc AS (SELECT doc_id, text, "
         + ", ".join(f"{s[lang]} AS s_{lang}" for lang in sorted(s)) +
-        " FROM documents) "
-        "SELECT doc_id, CASE "
+        " FROM documents), "
+        "lpred AS (SELECT doc_id, CASE "
         f"WHEN regexp_matches(text, '{text.CJK_PATTERN}') THEN 'zh' "
         "WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
         "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
         "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
         "WHEN s_es >= s_fr THEN 'es' "
-        "ELSE 'fr' END AS pred_lang FROM sc ORDER BY doc_id"
+        "ELSE 'fr' END AS pred_lang FROM sc)"
     )
+
+
+def _lang_id_sql() -> str:
+    return (f"WITH {_lang_id_core_sql()} "
+            "SELECT doc_id, pred_lang FROM lpred ORDER BY doc_id")
 
 
 def _quality_core(final_name: str = "q") -> str:
@@ -7627,6 +7670,102 @@ def _latency_cdf_sql() -> str:
         "FROM c, t ORDER BY bucket_idx")
 
 
+
+def _stl_ctes(p: str) -> str:
+    """STL-lite CTE chain (prefix ``p``) over the daily frame ``d``,
+    ending in ``{p}f(day, c, t7, s7, e7, z_bp)`` — shared by the x235
+    oracle and the x236 ensemble."""
+    return (
+        f"{p}o AS (SELECT CAST(i AS BIGINT) AS off "
+        "FROM generate_series(-3, 3) g(i)), "
+        f"{p}t AS (SELECT a.day AS day, a.c AS c, COUNT(*) AS n, "
+        f"CAST(SUM(b.c) AS BIGINT) AS t7 FROM d a JOIN {p}o ON TRUE "
+        f"JOIN d b ON b.day = a.day + {p}o.off GROUP BY 1, 2), "
+        f"{p}r AS (SELECT day, c, t7, 7 * c - t7 AS r7 FROM {p}t "
+        "WHERE n = 7), "
+        f"{p}s AS (SELECT day % 7 AS dow, "
+        f"CAST(SUM(r7) // COUNT(*) AS BIGINT) AS s7 FROM {p}r "
+        "GROUP BY 1), "
+        f"{p}e AS (SELECT r.day, r.c, r.t7, s.s7, "
+        f"CAST(r.r7 - s.s7 AS BIGINT) AS e7 FROM {p}r r "
+        f"JOIN {p}s s ON s.dow = r.day % 7), "
+        f"{p}m AS (SELECT CAST(quantile_cont(e7, 0.5) * 2 AS BIGINT) "
+        f"AS med2 FROM {p}e), "
+        f"{p}d AS (SELECT day, c, t7, s7, e7, "
+        f"CAST(ABS(e7 * 2 - med2) AS BIGINT) AS dev2 FROM {p}e, {p}m), "
+        f"{p}m2 AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 "
+        f"AS BIGINT) AS mad2 FROM {p}d), "
+        f"{p}f AS (SELECT day, c, t7, s7, e7, "
+        "CAST(CASE WHEN mad2 > 0 THEN dev2 * 10000 // mad2 ELSE 0 END "
+        f"AS BIGINT) AS z_bp FROM {p}d, {p}m2)")
+
+
+def _stl_anomalies_sql() -> str:
+    """x235 oracle — identical 7x-unit decomposition + doubled-median
+    MAD on the residual (truncating // negative-parity with div)."""
+    return (
+        f"WITH {_daily_sql()}, {_stl_ctes('st')} "
+        "SELECT day, c, t7, s7, e7, z_bp, "
+        f"z_bp > {STL_Z_BP} AS is_anomaly FROM stf ORDER BY day")
+
+
+def _anomaly_ensemble_sql() -> str:
+    """x236 oracle — the x209/x227/x235 chains composed (suffixed
+    CTEs), unscored days coalesced to not-flagged."""
+    weights = ev_ops.ewma_weights(EWMA_WINDOW)
+    den = sum(weights)
+    vals = ", ".join(f"({k + 1}, {w})" for k, w in enumerate(weights))
+    return (
+        f"WITH {_daily_sql()}, "
+        "am AS (SELECT CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) "
+        "AS med2 FROM d), "
+        "ad AS (SELECT day, CAST(ABS(c * 2 - med2) AS BIGINT) "
+        "AS dev2 FROM d, am), "
+        "am2 AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) "
+        "AS mad2 FROM ad), "
+        "af AS (SELECT day, (CASE WHEN mad2 > 0 THEN "
+        f"dev2 * 10000 // mad2 ELSE 0 END) > {ENS_MAD_Z_BP} AS mad_flag "
+        "FROM ad, am2), "
+        f"wt(lk, w) AS (VALUES {vals}), "
+        "ej AS (SELECT a.day AS day, a.c AS c, COUNT(*) AS n, "
+        "CAST(SUM(wt.w * b.c) AS BIGINT) AS num FROM d a "
+        "JOIN wt ON TRUE JOIN d b ON b.day = a.day - wt.lk "
+        "GROUP BY 1, 2), "
+        "ef AS (SELECT day, (CAST(CASE WHEN num > 0 THEN "
+        f"c * {den} * 10000 // num ELSE 0 END AS BIGINT) "
+        f">= {ENS_EWMA_HI_BP} OR CAST(CASE WHEN num > 0 THEN "
+        f"c * {den} * 10000 // num ELSE 0 END AS BIGINT) "
+        f"<= {ENS_EWMA_LO_BP}) AS ewma_flag FROM ej "
+        f"WHERE n = {EWMA_WINDOW}), "
+        f"{_stl_ctes('st')}, "
+        f"sg AS (SELECT day, z_bp > {ENS_STL_Z_BP} AS stl_flag FROM stf) "
+        "SELECT day, c, mad_flag, ewma_flag, stl_flag, n_methods "
+        "FROM (SELECT d.day, d.c, "
+        "COALESCE(af.mad_flag, FALSE) AS mad_flag, "
+        "COALESCE(ef.ewma_flag, FALSE) AS ewma_flag, "
+        "COALESCE(sg.stl_flag, FALSE) AS stl_flag, "
+        "CAST(COALESCE(af.mad_flag, FALSE) AS INT) "
+        "+ CAST(COALESCE(ef.ewma_flag, FALSE) AS INT) "
+        "+ CAST(COALESCE(sg.stl_flag, FALSE) AS INT) AS n_methods "
+        "FROM d LEFT JOIN af ON af.day = d.day "
+        "LEFT JOIN ef ON ef.day = d.day "
+        "LEFT JOIN sg ON sg.day = d.day) q "
+        "WHERE n_methods >= 1 ORDER BY day")
+
+
+def _langid_confusion_sql() -> str:
+    """x237 oracle — the shared x10 prediction core joined to labels,
+    row-normalized per actual language."""
+    return (
+        f"WITH {_lang_id_core_sql()}, "
+        "cf AS (SELECT dd.lang, p.pred_lang, COUNT(*) AS n "
+        "FROM documents dd JOIN lpred p ON p.doc_id = dd.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT lang, pred_lang, n, "
+        "CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) "
+        "AS share_bp FROM cf ORDER BY lang, pred_lang")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -8406,6 +8545,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x232_column_stats": _column_stats_sql(),
     "x233_variant_funnel": _variant_funnel_sql(),
     "x234_latency_cdf": _latency_cdf_sql(),
+    "x235_stl_anomalies": _stl_anomalies_sql(),
+    "x236_anomaly_ensemble": _anomaly_ensemble_sql(),
+    "x237_langid_confusion": _langid_confusion_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1954,3 +1954,31 @@ def pmi_collocations(df: DataFrame, min_count: int = 5, k: int = 30,
     w = Window.orderBy(F.desc("pmi_u"), "w1", "w2")
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("w1", "w2", "n_ab", "pmi_u", "rank"))
+
+
+def langid_confusion(df: DataFrame, id_col: str = "doc_id",
+                     lang_col: str = "lang",
+                     text_col: str = "text") -> DataFrame:
+    """Confusion matrix of the x10 heuristic language ID against the
+    labeled ``lang`` column — the eval loop for lang_id (the
+    x125/x142/x229 discipline: method quality is itself a query):
+    per (actual, predicted) pair, the doc count and its share of the
+    actual language's row.
+
+    Output: (lang, pred_lang, n, share_bp) ordered by (lang,
+    pred_lang).
+
+    Scale: the prediction is a map-only expression over each doc;
+    the confusion matrix is a |langs|^2 combinable aggregate with its
+    row-normalizing window over those few rows.
+    """
+    pred = lang_id(df, id_col, text_col)
+    conf = (df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+            .join(pred, id_col)
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("lang")
+    return (conf.withColumn("tot", F.sum("n").over(w))
+            .select("lang", "pred_lang", "n",
+                    F.expr("n * 10000 div tot").alias("share_bp"))
+            .orderBy("lang", "pred_lang"))

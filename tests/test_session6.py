@@ -182,3 +182,55 @@ def test_latency_cdf_buckets_and_cumulative(spark):
     assert [(r.bucket_idx, r.bucket, r.n, r.cum_n) for r in out] == \
         [(0, "<1m", 1, 1), (2, "<1h", 1, 2)]
     assert out[-1].cum_bp == 10000
+
+
+def test_stl_separates_trend_and_seasonality(spark):
+    # pure weekly rhythm on a flat level: residuals all 0, no flags
+    d = spark.createDataFrame(
+        [(i, 100 + (50 if i % 7 == 0 else 0)) for i in range(28)],
+        ["day", "c"])
+    out = ev.stl_from_daily(d).collect()
+    assert [r.day for r in out] == list(range(3, 25))
+    assert all(r.e7 == 0 and not r.is_anomaly for r in out)
+    # one genuine spike on the rhythm -> that day's residual flags
+    d2 = spark.createDataFrame(
+        [(i, (100 + (50 if i % 7 == 0 else 0))
+          * (3 if i == 10 else 1)) for i in range(28)],
+        ["day", "c"])
+    flagged = [r.day for r in ev.stl_from_daily(d2).collect()
+               if r.is_anomaly]
+    assert 10 in flagged
+
+
+def test_anomaly_ensemble_counts_methods(spark):
+    import datetime as dtm
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        # wiggly baseline (keeps mad2 > 0) with a big spike on day 25
+        n = 1000 if day == 25 else 100 + day % 5
+        for j in range(n):
+            rows.append((eid, base + dtm.timedelta(days=day,
+                                                   minutes=j % 1440),
+                         1, "view", 1.0))
+            eid += 1
+    df = spark.createDataFrame(rows, COLS)
+    out = {r.day: r for r in ev.anomaly_ensemble(df).collect()}
+    spike_day = base.toordinal() - dtm.date(1970, 1, 1).toordinal() + 25
+    spike = out[spike_day]
+    assert spike.mad_flag and spike.ewma_flag
+    assert spike.n_methods >= 2
+
+
+def test_langid_confusion_rows_normalize(spark):
+    from kafana_spark.operators.text import langid_confusion
+    docs = spark.createDataFrame(
+        [(1, "en", "the of and to a"), (2, "en", "the of in is"),
+         (3, "de", "der die und das")],
+        ["doc_id", "lang", "text"])
+    out = {(r.lang, r.pred_lang): r for r in
+           langid_confusion(docs).collect()}
+    assert out[("en", "en")].n == 2
+    assert out[("en", "en")].share_bp == 10000
+    assert out[("de", "de")].share_bp == 10000
