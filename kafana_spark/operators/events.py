@@ -1516,3 +1516,29 @@ def anomaly_ensemble(df: DataFrame, mad_z_bp: int = 35000,
     return (out.withColumn("n_methods", n)
             .where(F.col("n_methods") >= 1)
             .orderBy("day"))
+
+
+def dow_hour_heatmap(df: DataFrame,
+                     time_col: str = "ts") -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (epoch-day % 7
+    bucket identity x UTC hour) with each cell's share of all events
+    — the traffic-shape dashboard behind capacity planning and the
+    x191 seasonal profile.
+
+    Output: (dow, hour, n, share_bp) ordered by (dow, hour); only
+    observed cells are emitted.
+
+    Scale: one map-side-combinable count over <= 168 cells; the
+    total rides a 1-row broadcast.
+    """
+    cell = df.select(
+        F.expr(f"unix_micros({time_col}) div {US_PER_DAY} % 7")
+        .alias("dow"),
+        F.expr(f"unix_micros({time_col}) div {US_PER_HOUR} % 24")
+        .alias("hour"))
+    g = cell.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("tot"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("dow", "hour", "n",
+                    F.expr("n * 10000 div tot").alias("share_bp"))
+            .orderBy("dow", "hour"))

@@ -3399,6 +3399,19 @@ def x_langid_confusion(spark, sf_dir):
     return text.langid_confusion(_docs(spark, sf_dir))
 
 
+
+def x_doc_metric_corr(spark, sf_dir):
+    """x238 — Pearson matrix over (n_chars, n_tokens, n_distinct)
+    per doc: the gate-redundancy screen (exact integer moments)."""
+    return text.doc_metric_corr(_docs(spark, sf_dir))
+
+
+def x_dow_hour_heatmap(spark, sf_dir):
+    """x239 — day-of-week x hour activity heatmap with cell shares
+    (epoch-day % 7 bucket identity, UTC hours)."""
+    return ev_ops.dow_hour_heatmap(_events(spark, sf_dir))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3633,6 +3646,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x235_stl_anomalies": x_stl_anomalies,
     "x236_anomaly_ensemble": x_anomaly_ensemble,
     "x237_langid_confusion": x_langid_confusion,
+    "x238_doc_metric_corr": x_doc_metric_corr,
+    "x239_dow_hour_heatmap": x_dow_hour_heatmap,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7766,6 +7781,49 @@ def _langid_confusion_sql() -> str:
         "AS share_bp FROM cf ORDER BY lang, pred_lang")
 
 
+
+def _doc_metric_corr_sql() -> str:
+    """x238 oracle — identical integer moments; floor-on-double only
+    at the final sqrt/divide (the x190 discipline)."""
+    def one(x: str, y: str, n1: str, n2: str) -> str:
+        num = f"(n * s_{x}{y} - s_{x} * s_{y})"
+        d1 = f"(n * s_{x}{x} - s_{x} * s_{x})"
+        d2 = f"(n * s_{y}{y} - s_{y} * s_{y})"
+        return (
+            f"SELECT '{n1}' AS m1, '{n2}' AS m2, n, "
+            f"CAST(CASE WHEN {d1} > 0 AND {d2} > 0 THEN "
+            f"FLOOR(10000.0 * CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE))) "
+            "ELSE 0 END AS BIGINT) AS r_bp FROM s")
+
+    sums = ", ".join(
+        [f"CAST(SUM({x}) AS BIGINT) AS s_{x}" for x in "abc"]
+        + [f"CAST(SUM({x} * {y}) AS BIGINT) AS s_{x}{y}"
+           for x, y in ("aa", "bb", "cc", "ab", "ac", "bc")])
+    return (
+        "WITH mm AS (SELECT n_chars AS a, "
+        f"len({_TOKS}) AS b, len(list_distinct({_TOKS})) AS c "
+        "FROM documents), "
+        f"s AS (SELECT COUNT(*) AS n, {sums} FROM mm) "
+        + one("a", "b", "n_chars", "n_tokens") + " UNION ALL "
+        + one("a", "c", "n_chars", "n_distinct") + " UNION ALL "
+        + one("b", "c", "n_tokens", "n_distinct")
+        + " ORDER BY m1, m2")
+
+
+def _dow_hour_heatmap_sql() -> str:
+    """x239 oracle — identical integer bucketing and shares."""
+    return (
+        "WITH cell AS (SELECT epoch_us(ts) // 86400000000 % 7 AS dow, "
+        "epoch_us(ts) // 3600000000 % 24 AS hour FROM events), "
+        "g AS (SELECT dow, hour, COUNT(*) AS n FROM cell "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g) "
+        "SELECT dow, hour, n, "
+        "CAST(n * 10000 // tot AS BIGINT) AS share_bp "
+        "FROM g, t ORDER BY dow, hour")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -8548,6 +8606,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x235_stl_anomalies": _stl_anomalies_sql(),
     "x236_anomaly_ensemble": _anomaly_ensemble_sql(),
     "x237_langid_confusion": _langid_confusion_sql(),
+    "x238_doc_metric_corr": _doc_metric_corr_sql(),
+    "x239_dow_hour_heatmap": _dow_hour_heatmap_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1982,3 +1982,54 @@ def langid_confusion(df: DataFrame, id_col: str = "doc_id",
             .select("lang", "pred_lang", "n",
                     F.expr("n * 10000 div tot").alias("share_bp"))
             .orderBy("lang", "pred_lang"))
+
+
+def doc_metric_corr(df: DataFrame,
+                    text_col: str = "text",
+                    chars_col: str = "n_chars") -> DataFrame:
+    """Pairwise Pearson correlation matrix over per-document metrics
+    (n_chars, n_tokens, n_distinct tokens) — the metric-redundancy
+    screen run before stacking quality gates (two gates on r~1
+    metrics are one gate twice).
+
+    The x190 ACF discipline: all moments are EXACT integer sums
+    (n, Σx, Σy, Σx², Σy², Σxy); the only doubles are the final
+    sqrt/divide, so r_bp = floor(10000·(nΣxy−ΣxΣy)/sqrt(...)) is
+    bit-identical in both engines; degenerate (constant) metrics
+    report r_bp = 0.
+
+    Output: (m1, m2, n, r_bp), one row per unordered metric pair,
+    ordered by (m1, m2).
+
+    Scale: ONE map-only pass derives the metrics; all nine moments
+    are one combinable single-row aggregate; the 3-row matrix is
+    built from that broadcast row.
+    """
+    tok = tokens(F.col(text_col))
+    m = df.select(F.col(chars_col).cast("long").alias("a"),
+                  F.size(tok).cast("long").alias("b"),
+                  F.size(F.array_distinct(tok)).cast("long").alias("c"))
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(x)).alias(f"s_{x}") for x in "abc"],
+        *[F.sum(F.col(x) * F.col(y)).alias(f"s_{x}{y}")
+          for x, y in ("aa", "bb", "cc", "ab", "ac", "bc")])
+    names = {"a": "n_chars", "b": "n_tokens", "c": "n_distinct"}
+    rows = []
+    for x, y in ("ab", "ac", "bc"):
+        num = F.col("n") * F.col(f"s_{x}{y}") \
+            - F.col(f"s_{x}") * F.col(f"s_{y}")
+        d1 = F.col("n") * F.col(f"s_{x}{x}") \
+            - F.col(f"s_{x}") * F.col(f"s_{x}")
+        d2 = F.col("n") * F.col(f"s_{y}{y}") \
+            - F.col(f"s_{y}") * F.col(f"s_{y}")
+        r = F.when((d1 > 0) & (d2 > 0),
+                   F.floor(F.lit(10000.0) * num.cast("double")
+                           / F.sqrt(d1.cast("double")
+                                    * d2.cast("double")))) \
+            .otherwise(F.lit(0))
+        rows.append(s.select(
+            F.lit(names[x]).alias("m1"), F.lit(names[y]).alias("m2"),
+            "n", r.cast("long").alias("r_bp")))
+    from functools import reduce as _reduce
+    return _reduce(DataFrame.unionByName, rows).orderBy("m1", "m2")

@@ -234,3 +234,33 @@ def test_langid_confusion_rows_normalize(spark):
     assert out[("en", "en")].n == 2
     assert out[("en", "en")].share_bp == 10000
     assert out[("de", "de")].share_bp == 10000
+
+
+def test_doc_metric_corr_perfect_and_degenerate(spark):
+    from kafana_spark.operators.text import doc_metric_corr
+    # n_chars == 10*n_tokens (r=1); n_distinct constant (r=0)
+    docs = spark.createDataFrame(
+        [(1, "a b", 20), (2, "a b c", 30), (3, "a b c d", 40)],
+        ["doc_id", "text", "n_chars"])
+    out = {(r.m1, r.m2): r.r_bp for r in doc_metric_corr(docs).collect()}
+    assert out[("n_chars", "n_tokens")] == 10000
+    # n_distinct == n_tokens here (all tokens distinct) -> also 1
+    assert out[("n_tokens", "n_distinct")] == 10000
+    docs2 = spark.createDataFrame(
+        [(1, "a a", 20), (2, "a a a", 30)],
+        ["doc_id", "text", "n_chars"])  # n_distinct constant = 1
+    out2 = {(r.m1, r.m2): r.r_bp
+            for r in doc_metric_corr(docs2).collect()}
+    assert out2[("n_chars", "n_distinct")] == 0  # degenerate guard
+
+
+def test_dow_hour_heatmap_buckets(spark):
+    import datetime as dtm
+    base = dtm.datetime(1970, 1, 1)  # epoch day 0 -> dow 0
+    rows = [(0, base.replace(hour=5), 1, "view", 1.0),
+            (1, base.replace(hour=5), 2, "view", 1.0),
+            (2, base + dtm.timedelta(days=1, hours=7), 3, "view", 1.0)]
+    df = spark.createDataFrame(rows, COLS)
+    out = {(r.dow, r.hour): r for r in ev.dow_hour_heatmap(df).collect()}
+    assert out[(0, 5)].n == 2 and out[(0, 5)].share_bp == 6666
+    assert out[(1, 7)].n == 1
