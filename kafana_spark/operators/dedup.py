@@ -270,6 +270,36 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold))
 
 
+def overlap_near_dup(df: DataFrame, min_bp: int,
+                     text_col: str = "text") -> DataFrame:
+    """Containment near-dup by overlap coefficient: |A∩B| / min(|A|,
+    |B|) in integer basis points (truncating div — engine-exact, no
+    float ratio).  The asymmetric sibling of :func:`ngram_jaccard_dup`
+    — a short doc wholly contained in a long one scores 10000 bp here
+    while its Jaccard can sit far below any resemblance threshold, so
+    this is the family member that catches quote/subset/boilerplate
+    nesting.  Identical inverted-index plan: one hashed-shingle
+    self-join provides both candidates and intersection counts.
+    """
+    sh = hashed_shingle_set(df, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (sh.alias("x").join(sh.alias("y"), F.col("x.h") == F.col("y.h"))
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("da"),
+                      F.col("y.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    joined = (inter
+              .join(sizes.withColumnRenamed("doc_id", "da")
+                    .withColumnRenamed("n", "na"), "da")
+              .join(sizes.withColumnRenamed("doc_id", "db")
+                    .withColumnRenamed("n", "nb"), "db"))
+    return (joined.select(
+        "da", "db",
+        F.expr("(i * 10000) div least(na, nb)").alias("overlap_bp"))
+        .where(F.col("overlap_bp") >= min_bp)
+        .orderBy("da", "db"))
+
+
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None):
     """Shared exact-collapse front end: distinct-text representatives

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafana_spark.operators import (
-    asof, dedup, events as ev_ops, multimodal, similarity, text,
+    asof, dedup, events as ev_ops, multimodal, relational, similarity,
+    text,
 )
 from kafana_spark.operators.dedup import (
     MINHASH_BANDS, MINHASH_COEFFS, MINHASH_P, MINHASH_ROWS, SIMHASH_BITS,
@@ -3412,6 +3413,170 @@ def x_dow_hour_heatmap(spark, sf_dir):
     return ev_ops.dow_hour_heatmap(_events(spark, sf_dir))
 
 
+# ------------------------------------------------- relational OLAP (r6 s7)
+#: Q1 cutoff / Q3 split date / Q5 & Q14 windows — chosen inside the
+#: fixtures' 1995–2001 span so every SF (incl. sf0.001) is non-empty.
+TPCH_Q1_CUTOFF = "2001-09-02 00:00:00"
+TPCH_Q3_SEGMENT = "BUILDING"
+TPCH_Q3_CUT = "1998-06-01 00:00:00"
+TPCH_Y0, TPCH_Y1 = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+TPCH_Q10_D0, TPCH_Q10_D1 = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+TPCH_BRAND_Y0, TPCH_BRAND_Y1 = ("1997-01-01 00:00:00",
+                                "1998-01-01 00:00:00")
+#: Q18 threshold in quantity-cents (250.00 units ≈ the p97 of per-
+#: order total quantity — a few dozen survivors per 1500 orders).
+TPCH_BIG_QTY_C = 25_000
+TPCH_TOP_K = 20
+#: x249 overlap-coefficient floor (bp). 6000 sits above the Jaccard
+#: near-dup floor so containment pairs are a distinct, smaller set.
+OVERLAP_MIN_BP = 6000
+#: x251 dormancy cut — the fixtures give every customer at least one
+#: order, so "never ordered" is vacuous; "no order since 1999" is the
+#: discriminating recency window (6/29 customers at sf0.001/0.01).
+TPCH_DORMANT_SINCE = "1999-01-01 00:00:00"
+
+
+def _t(spark, sf_dir, name):
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def x_pricing_summary(spark, sf_dir):
+    """x240 — TPC-H Q1 pricing summary (integer cents/bp, truncating
+    integer averages, 6 output rows)."""
+    return relational.pricing_summary(_t(spark, sf_dir, "lineitem"),
+                                      TPCH_Q1_CUTOFF)
+
+
+def x_top_revenue_orders(spark, sf_dir):
+    """x241 — TPC-H Q3 shipping priority: top unshipped-revenue
+    orders of the BUILDING segment around the split date."""
+    return relational.top_revenue_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), TPCH_Q3_SEGMENT, TPCH_Q3_CUT,
+        10)
+
+
+def x_regional_volume(spark, sf_dir):
+    """x242 — TPC-H Q5 local-supplier volume per (region, nation),
+    1996 order year, supplier-nation = customer-nation."""
+    return relational.regional_volume(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+        TPCH_Y0, TPCH_Y1)
+
+
+def x_returned_customers(spark, sf_dir):
+    """x243 — TPC-H Q10 returned-item ranking: top customers by
+    returned revenue in 1997Q1."""
+    return relational.returned_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "nation"),
+        TPCH_Q10_D0, TPCH_Q10_D1, TPCH_TOP_K)
+
+
+def x_brand_share(spark, sf_dir):
+    """x244 — per-brand 1997 revenue with integer-bp share of total
+    (the Q14 promo-share shape over the 25-brand frame)."""
+    return relational.brand_share(_t(spark, sf_dir, "lineitem"),
+                                  _t(spark, sf_dir, "part"),
+                                  TPCH_BRAND_Y0, TPCH_BRAND_Y1)
+
+
+def x_big_orders(spark, sf_dir):
+    """x245 — TPC-H Q18 large-volume customers: orders over the
+    quantity threshold, HAVING applied before any dimension join."""
+    return relational.big_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), TPCH_BIG_QTY_C, TPCH_TOP_K)
+
+
+def x_supplier_hhi(spark, sf_dir):
+    """x246 — supplier-concentration HHI per brand (integer bp²
+    Herfindahl over supplier revenue shares)."""
+    return relational.supplier_hhi(_t(spark, sf_dir, "lineitem"),
+                                   _t(spark, sf_dir, "part"))
+
+
+def x_priority_sla(spark, sf_dir):
+    """x247 — per-priority first-shipment lag report (min/avg/max
+    days; truncating integer average)."""
+    return relational.priority_sla(_t(spark, sf_dir, "orders"),
+                                   _t(spark, sf_dir, "lineitem"))
+
+
+def x_revenue_bands(spark, sf_dir):
+    """x248 — customer revenue concentration by power-of-two band
+    (exact length(bin(v))-1 bucketing; cumulative-from-top bp)."""
+    return relational.revenue_bands(_t(spark, sf_dir, "orders"))
+
+
+def x_overlap_near_dup(spark, sf_dir):
+    """x249 — containment near-dup: overlap coefficient |A∩B| /
+    min(|A|,|B|) in integer bp over hashed shingles — the asymmetric
+    sibling of x03 that catches subset/boilerplate nesting."""
+    return dedup.overlap_near_dup(_docs(spark, sf_dir), OVERLAP_MIN_BP)
+
+
+def x_late_order_priorities(spark, sf_dir):
+    """x250 — TPC-H Q4 shape: per-priority count of orders with a
+    line shipped after the order date (LEFT SEMI, correlated date
+    predicate)."""
+    return relational.late_order_priorities(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def x_idle_rich_customers(spark, sf_dir):
+    """x251 — TPC-H Q22 shape: above-average-balance customers with
+    no orders since the dormancy cut, per nation (exact cross-
+    multiplied threshold, LEFT ANTI join)."""
+    return relational.idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"), TPCH_DORMANT_SINCE)
+
+
+def x_small_qty_revenue(spark, sf_dir):
+    """x252 — TPC-H Q17 shape: revenue in lines under half the
+    part's average quantity, per brand (exact integer cross-multiply
+    for the correlated average cut)."""
+    return relational.small_qty_revenue(_t(spark, sf_dir, "lineitem"),
+                                        _t(spark, sf_dir, "part"))
+
+
+def x_market_share(spark, sf_dir):
+    """x253 — TPC-H Q8 shape: per (region, order year) the bp share
+    of revenue supplied from the customer's own nation (one fact
+    pass, conditional sum)."""
+    return relational.market_share(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"))
+
+
+def x_order_cadence(spark, sf_dir):
+    """x254 — per-nation re-order cadence: consecutive-order gap days
+    (lag window per custkey), truncating integer average."""
+    return relational.order_cadence(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"))
+
+
+def x_daily_revenue_running(spark, sf_dir):
+    """x255 — daily order revenue with running cumulative and a
+    gap-correct trailing 7-day RANGE window over the daily frame."""
+    return relational.daily_revenue_running(_t(spark, sf_dir, "orders"))
+
+
+def x_join_estimate_calibration(spark, sf_dir):
+    """x256 — optimizer-calibration advisor: textbook equi-join
+    cardinality estimate vs measured rows for the three star joins,
+    error in bp."""
+    return relational.join_estimate_calibration(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3648,6 +3813,23 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x237_langid_confusion": x_langid_confusion,
     "x238_doc_metric_corr": x_doc_metric_corr,
     "x239_dow_hour_heatmap": x_dow_hour_heatmap,
+    "x240_pricing_summary": x_pricing_summary,
+    "x241_top_revenue_orders": x_top_revenue_orders,
+    "x242_regional_volume": x_regional_volume,
+    "x243_returned_customers": x_returned_customers,
+    "x244_brand_share": x_brand_share,
+    "x245_big_orders": x_big_orders,
+    "x246_supplier_hhi": x_supplier_hhi,
+    "x247_priority_sla": x_priority_sla,
+    "x248_revenue_bands": x_revenue_bands,
+    "x249_overlap_near_dup": x_overlap_near_dup,
+    "x250_late_order_priorities": x_late_order_priorities,
+    "x251_idle_rich_customers": x_idle_rich_customers,
+    "x252_small_qty_revenue": x_small_qty_revenue,
+    "x253_market_share": x_market_share,
+    "x254_order_cadence": x_order_cadence,
+    "x255_daily_revenue_running": x_daily_revenue_running,
+    "x256_join_estimate_calibration": x_join_estimate_calibration,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -7824,6 +8006,305 @@ def _dow_hour_heatmap_sql() -> str:
         "FROM g, t ORDER BY dow, hour")
 
 
+# ------------------------------------------- relational OLAP oracles
+#: The identical double expressions as the Spark plans — left-to-right
+#: IEEE products, floored once to integer cents, summed as integers
+#: (every DuckDB SUM re-cast from HUGEINT to BIGINT).
+_O_REV = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) "
+          "AS BIGINT)")
+_O_CHARGE = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * "
+             "(1.0 + l_tax) * 100 + 0.5) AS BIGINT)")
+
+
+def _pricing_summary_sql() -> str:
+    return (
+        "WITH r AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc, "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS bc, "
+        f"{_O_REV} AS dc, {_O_CHARGE} AS cc, "
+        "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS db "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{TPCH_Q1_CUTOFF}'), "
+        "a AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(qc) AS BIGINT) AS sum_qty_c, "
+        "CAST(SUM(bc) AS BIGINT) AS sum_base_cents, "
+        "CAST(SUM(dc) AS BIGINT) AS sum_disc_cents, "
+        "CAST(SUM(cc) AS BIGINT) AS sum_charge_cents, "
+        "CAST(SUM(db) AS BIGINT) AS sdb, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order FROM r GROUP BY 1, 2) "
+        "SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_cents, "
+        "sum_disc_cents, sum_charge_cents, "
+        "sum_qty_c // count_order AS avg_qty_c, "
+        "sum_base_cents // count_order AS avg_price_c, "
+        "sdb // count_order AS avg_disc_bp, count_order "
+        "FROM a ORDER BY 1, 2")
+
+
+def _top_revenue_orders_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE c_mktsegment = '{TPCH_Q3_SEGMENT}' "
+        f"AND o_orderdate < TIMESTAMP '{TPCH_Q3_CUT}') "
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN o ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate > TIMESTAMP '{TPCH_Q3_CUT}' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue_cents DESC, o_orderkey LIMIT 10")
+
+
+def _regional_volume_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE o_orderdate >= TIMESTAMP '{TPCH_Y0}' "
+        f"AND o_orderdate < TIMESTAMP '{TPCH_Y1}') "
+        "SELECT r_name, n_name, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "AND o.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON o.c_nationkey = n.n_nationkey "
+        "JOIN region rg ON n.n_regionkey = rg.r_regionkey "
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name")
+
+
+def _returned_customers_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, o_custkey FROM orders "
+        f"WHERE o_orderdate >= TIMESTAMP '{TPCH_Q10_D0}' "
+        f"AND o_orderdate < TIMESTAMP '{TPCH_Q10_D1}'), "
+        "rv AS (SELECT o_custkey, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN o ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' GROUP BY o_custkey) "
+        "SELECT c_custkey, c_name, n_name, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents, "
+        "revenue_cents, n_lines "
+        "FROM rv JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        f"ORDER BY revenue_cents DESC, c_custkey LIMIT {TPCH_TOP_K}")
+
+
+def _brand_share_sql() -> str:
+    return (
+        "WITH a AS (SELECT p_brand, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{TPCH_BRAND_Y0}' "
+        f"AND l_shipdate < TIMESTAMP '{TPCH_BRAND_Y1}' GROUP BY p_brand), "
+        "t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tot FROM a) "
+        "SELECT p_brand, revenue_cents, n_lines, "
+        "(revenue_cents * 10000) // tot AS share_bp "
+        "FROM a, t ORDER BY revenue_cents DESC, p_brand")
+
+
+def _big_orders_sql() -> str:
+    return (
+        "WITH big AS (SELECT l_orderkey, "
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS total_qty_c, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem "
+        "GROUP BY l_orderkey "
+        "HAVING CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) "
+        f"AS BIGINT) > {TPCH_BIG_QTY_C}) "
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+        "c_custkey, c_name, total_qty_c, n_lines "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"ORDER BY total_qty_c DESC, o_orderkey LIMIT {TPCH_TOP_K}")
+
+
+def _supplier_hhi_sql() -> str:
+    return (
+        "WITH bs AS (SELECT p_brand, l_suppkey, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS rev "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY 1, 2), "
+        "br AS (SELECT p_brand, CAST(SUM(rev) AS BIGINT) AS "
+        "revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_suppliers "
+        "FROM bs GROUP BY 1), "
+        "sh AS (SELECT bs.p_brand, br.revenue_cents, br.n_suppliers, "
+        "(bs.rev * 10000) // br.revenue_cents AS share_bp "
+        "FROM bs JOIN br USING (p_brand)) "
+        "SELECT p_brand, n_suppliers, revenue_cents, "
+        "CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi "
+        "FROM sh GROUP BY 1, 2, 3 ORDER BY p_brand")
+
+
+def _priority_sla_sql() -> str:
+    return (
+        "WITH f AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship "
+        "FROM lineitem GROUP BY 1), "
+        "lg AS (SELECT o_orderpriority, "
+        "CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT) "
+        "AS lag FROM orders JOIN f ON o_orderkey = l_orderkey) "
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(MIN(lag) AS BIGINT) AS min_lag_days, "
+        "CAST(SUM(lag) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+        "AS avg_lag_days, "
+        "CAST(MAX(lag) AS BIGINT) AS max_lag_days "
+        "FROM lg GROUP BY 1 ORDER BY 1")
+
+
+def _revenue_bands_sql() -> str:
+    return (
+        "WITH pc AS (SELECT o_custkey, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS rev FROM orders GROUP BY o_custkey), "
+        "b AS (SELECT CAST(length(bin(rev)) - 1 AS INT) AS band, rev "
+        "FROM pc), "
+        "a AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(rev) AS BIGINT) AS band_cents FROM b GROUP BY band), "
+        "w AS (SELECT band, n_customers, band_cents, "
+        "CAST(SUM(band_cents) OVER () AS BIGINT) AS tot, "
+        "CAST(SUM(band_cents) OVER (ORDER BY band DESC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM a) "
+        "SELECT band, n_customers, band_cents, "
+        "(band_cents * 10000) // tot AS share_bp, "
+        "(cum * 10000) // tot AS cum_share_bp "
+        "FROM w ORDER BY band DESC")
+
+
+def _overlap_near_dup_sql() -> str:
+    return (
+        f"WITH {_SHINGLES}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, "
+        "CAST(COUNT(*) AS BIGINT) AS i FROM sh x "
+        "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+        "SELECT da, db, "
+        "(i * 10000) // LEAST(sa.n, sb.n) AS overlap_bp "
+        "FROM inter JOIN sizes sa ON sa.doc_id = da "
+        "JOIN sizes sb ON sb.doc_id = db "
+        f"WHERE (i * 10000) // LEAST(sa.n, sb.n) >= {OVERLAP_MIN_BP} "
+        "ORDER BY da, db")
+
+
+def _late_order_priorities_sql() -> str:
+    return (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS "
+        "n_late_orders FROM orders o WHERE EXISTS (SELECT 1 FROM "
+        "lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY 1 ORDER BY 1")
+
+
+def _idle_rich_customers_sql() -> str:
+    return (
+        "WITH bal AS (SELECT c_custkey, c_nationkey, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c "
+        "FROM customer), "
+        "p AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_pos, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pos FROM bal WHERE bal_c > 0) "
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(bal_c) AS BIGINT) AS acctbal_cents "
+        "FROM bal CROSS JOIN p JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE bal_c * n_pos > sum_pos "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = bal.c_custkey "
+        f"AND o.o_orderdate >= TIMESTAMP '{TPCH_DORMANT_SINCE}') "
+        "GROUP BY n_name ORDER BY n_name")
+
+
+def _small_qty_revenue_sql() -> str:
+    return (
+        "WITH pp AS (SELECT l_partkey AS pk, "
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_qc, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lines, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN pp ON l_partkey = pk "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * 2 * n "
+        "< sum_qc GROUP BY p_brand ORDER BY p_brand")
+
+
+def _market_share_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, c_nationkey, "
+        "CAST(year(o_orderdate) AS INT) AS o_year FROM orders "
+        "JOIN customer ON o_custkey = c_custkey), "
+        "a AS (SELECT r_name, o_year, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(SUM(CASE WHEN o.c_nationkey = s.s_nationkey THEN "
+        f"{_O_REV} ELSE CAST(0 AS BIGINT) END) AS BIGINT) "
+        "AS local_cents "
+        "FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON o.c_nationkey = n.n_nationkey "
+        "JOIN region rg ON n.n_regionkey = rg.r_regionkey "
+        "GROUP BY r_name, o_year) "
+        "SELECT r_name, o_year, revenue_cents, local_cents, "
+        "(local_cents * 10000) // revenue_cents AS local_share_bp "
+        "FROM a ORDER BY r_name, o_year")
+
+
+def _order_cadence_sql() -> str:
+    return (
+        "WITH g0 AS (SELECT o_custkey, o_orderdate, "
+        "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders), "
+        "g AS (SELECT o_custkey, "
+        "CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap "
+        "FROM g0 WHERE prev IS NOT NULL) "
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+        "CAST(MIN(gap) AS BIGINT) AS min_gap_days, "
+        "CAST(SUM(gap) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+        "AS avg_gap_days, "
+        "CAST(MAX(gap) AS BIGINT) AS max_gap_days "
+        "FROM g JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name")
+
+
+def _daily_revenue_running_sql() -> str:
+    return (
+        "WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) "
+        "AS ds, date_diff('day', DATE '1970-01-01', "
+        "CAST(o_orderdate AS DATE)) AS day, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS day_cents FROM orders GROUP BY 1, 2) "
+        "SELECT ds, day_cents, "
+        "CAST(SUM(day_cents) OVER (ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents, "
+        "CAST(SUM(day_cents) OVER (ORDER BY day "
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS trailing_7d_cents "
+        "FROM d ORDER BY ds")
+
+
+def _join_estimate_calibration_sql() -> str:
+    def one(name, lt, lc, rt, rc):
+        return (
+            f"SELECT '{name}' AS join_name, ls.n AS n_left, "
+            "rs.n AS n_right, ls.ndv AS ndv_left, rs.ndv AS ndv_right, "
+            "(ls.n * rs.n) // GREATEST(ls.ndv, rs.ndv) AS est_rows, "
+            "a.actual_rows, "
+            "(abs((ls.n * rs.n) // GREATEST(ls.ndv, rs.ndv) "
+            "- a.actual_rows) * 10000) // "
+            "GREATEST(a.actual_rows, CAST(1 AS BIGINT)) AS err_bp "
+            "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(DISTINCT {lc}) AS BIGINT) AS ndv FROM {lt}) ls, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(DISTINCT {rc}) AS BIGINT) AS ndv FROM {rt}) rs, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows "
+            f"FROM {lt} JOIN {rt} ON {lc} = {rc}) a")
+    return (" UNION ALL ".join([
+        one("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+        one("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+        one("lineitem_part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+    ]) + " ORDER BY join_name")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -8608,6 +9089,23 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x237_langid_confusion": _langid_confusion_sql(),
     "x238_doc_metric_corr": _doc_metric_corr_sql(),
     "x239_dow_hour_heatmap": _dow_hour_heatmap_sql(),
+    "x240_pricing_summary": _pricing_summary_sql(),
+    "x241_top_revenue_orders": _top_revenue_orders_sql(),
+    "x242_regional_volume": _regional_volume_sql(),
+    "x243_returned_customers": _returned_customers_sql(),
+    "x244_brand_share": _brand_share_sql(),
+    "x245_big_orders": _big_orders_sql(),
+    "x246_supplier_hhi": _supplier_hhi_sql(),
+    "x247_priority_sla": _priority_sla_sql(),
+    "x248_revenue_bands": _revenue_bands_sql(),
+    "x249_overlap_near_dup": _overlap_near_dup_sql(),
+    "x250_late_order_priorities": _late_order_priorities_sql(),
+    "x251_idle_rich_customers": _idle_rich_customers_sql(),
+    "x252_small_qty_revenue": _small_qty_revenue_sql(),
+    "x253_market_share": _market_share_sql(),
+    "x254_order_cadence": _order_cadence_sql(),
+    "x255_daily_revenue_running": _daily_revenue_running_sql(),
+    "x256_join_estimate_calibration": _join_estimate_calibration_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1,0 +1,489 @@
+"""Relational OLAP over the TPC-H-shaped star schema.
+
+The warehouse half of the engine: classic pricing / shipping / market
+reports over ``lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier`` with
+``nation``/``region`` as broadcast dims.  Everything follows the
+repo-wide fixed-point discipline — money is summed as integer cents
+(``floor(x·100 + 0.5)`` per row BEFORE aggregation, the identical
+double expression in the DuckDB twins), ratios are integer basis
+points via truncating ``div`` — so every result hashes bit-identically
+across engines.
+
+Scale notes (100 TB):
+- ``nation`` (25 rows) and ``region`` (5 rows) are broadcast
+  explicitly — they are constant-size at every scale factor.
+- ``customer``/``part``/``supplier`` grow with SF, so they are joined
+  WITHOUT a forced broadcast; AQE converts them to broadcast joins at
+  small SF and falls back to shuffle-hash when they outgrow the
+  threshold.  Fact-fact joins (``orders ⋈ lineitem``) shuffle on
+  ``orderkey`` — the natural co-partitioning key for both tables.
+- Every report aggregates BEFORE it windows or sorts: group frames are
+  bounded (priorities, brands, flag×status, power-of-two bands), so no
+  window ever sees a corpus-scale partition.
+
+Reference: the kafana stack ships Kafka topics into ES/Kibana
+(/root/reference/README.md); a warehouse-grade relational surface is
+what its users graduate to — expressed here Spark-first.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cents(col: str) -> F.Column:
+    """Integer cents with the engine-portable rounding used repo-wide."""
+    return F.expr(f"cast(floor({col} * 100 + 0.5) as bigint)")
+
+
+#: Discounted line revenue in cents — the one TPC-H money expression.
+#: Left-to-right double products match DuckDB's evaluation exactly.
+_REVENUE = "cast(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) as bigint)"
+_CHARGE = ("cast(floor(l_extendedprice * (1.0 - l_discount) * "
+           "(1.0 + l_tax) * 100 + 0.5) as bigint)")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) integer
+    sums of quantity / base / discounted / charged plus truncating
+    integer averages.  One scan, map-side combinable, 6 output rows.
+    """
+    rows = lineitem.where(F.col("l_shipdate") <=
+                          F.expr(f"timestamp '{cutoff}'"))
+    agg = (rows.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+                F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+                F.sum(F.expr(_REVENUE)).alias("sum_disc_cents"),
+                F.sum(F.expr(_CHARGE)).alias("sum_charge_cents"),
+                F.sum(F.expr("cast(floor(l_discount * 10000 + 0.5) "
+                             "as bigint)")).alias("sum_disc_bp"),
+                F.count(F.lit(1)).alias("count_order")))
+    return (agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_cents",
+        "sum_disc_cents", "sum_charge_cents",
+        F.expr("sum_qty_c div count_order").alias("avg_qty_c"),
+        F.expr("sum_base_cents div count_order").alias("avg_price_c"),
+        F.expr("sum_disc_bp div count_order").alias("avg_disc_bp"),
+        "count_order")
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: str,
+                       cut: str, k: int) -> DataFrame:
+    """TPC-H Q3 shipping priority: unshipped revenue of a market
+    segment's orders placed before ``cut``.  Dimension-to-fact join
+    order (customer→orders→lineitem) keeps the fact shuffle keyed on
+    orderkey; top-k is a TakeOrdered over the per-order aggregate.
+    """
+    cust = (customer.where(F.col("c_mktsegment") == segment)
+            .select("c_custkey"))
+    ords = (orders.where(F.col("o_orderdate") <
+                         F.expr(f"timestamp '{cut}'"))
+            .select("o_orderkey", "o_custkey", "o_orderdate")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate"))
+    lines = lineitem.where(F.col("l_shipdate") >
+                           F.expr(f"timestamp '{cut}'"))
+    return (lines.join(ords, lines["l_orderkey"] == ords["o_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select(F.col("o_orderkey"),
+                    F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                    "revenue_cents", "n_lines")
+            .orderBy(F.desc("revenue_cents"), "o_orderkey").limit(k))
+
+
+def regional_volume(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    y0: str, y1: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume, un-filtered by region: one-year
+    revenue where the supplying nation equals the customer nation,
+    reported per (region, nation).  nation/region broadcast (constant
+    25/5 rows at any SF); supplier joined on suppkey with the local-
+    supplier constraint applied as an equi-predicate.
+    """
+    geo = (nation.join(F.broadcast(region),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name", "r_name"))
+    ords = (orders
+            .where((F.col("o_orderdate") >= F.expr(f"timestamp '{y0}'")) &
+                   (F.col("o_orderdate") < F.expr(f"timestamp '{y1}'")))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_nationkey"))
+    su = supplier.select("s_suppkey", "s_nationkey")
+    return (lineitem
+            .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(su, (F.col("l_suppkey") == F.col("s_suppkey")) &
+                  (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(geo),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("r_name", "n_name"))
+
+
+def returned_customers(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       d0: str, d1: str, k: int) -> DataFrame:
+    """TPC-H Q10 returned-item ranking: customers who returned the
+    most revenue in one quarter.  Group AFTER the fact join, on the
+    customer grain; top-k via TakeOrdered, never a global sort.
+    """
+    ords = (orders
+            .where((F.col("o_orderdate") >= F.expr(f"timestamp '{d0}'")) &
+                   (F.col("o_orderdate") < F.expr(f"timestamp '{d1}'")))
+            .select("o_orderkey", "o_custkey"))
+    rev = (lineitem.where(F.col("l_returnflag") == "R")
+           .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_lines")))
+    cust = (customer.join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name",
+                _cents("c_acctbal").alias("acctbal_cents")))
+    return (rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "n_name", "acctbal_cents",
+                    "revenue_cents", "n_lines")
+            .orderBy(F.desc("revenue_cents"), "c_custkey").limit(k))
+
+
+def brand_share(lineitem: DataFrame, part: DataFrame,
+                y0: str, y1: str) -> DataFrame:
+    """Brand revenue share (the Q14 promo-share shape generalized):
+    one-year revenue per brand with integer-bp share of the total.
+    The share window runs over the 25-row brand aggregate, never the
+    fact table.
+    """
+    rows = (lineitem
+            .where((F.col("l_shipdate") >= F.expr(f"timestamp '{y0}'")) &
+                   (F.col("l_shipdate") < F.expr(f"timestamp '{y1}'")))
+            .join(part.select("p_partkey", "p_brand"),
+                  F.col("l_partkey") == F.col("p_partkey")))
+    agg = (rows.groupBy("p_brand")
+           .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_lines")))
+    from pyspark.sql.window import Window
+    total = F.sum("revenue_cents").over(
+        Window.partitionBy())  # 25-row frame: safe single partition
+    return (agg.select(
+        "p_brand", "revenue_cents", "n_lines",
+        F.expr("cast(revenue_cents * 10000 as bigint)")
+        .alias("_num"), total.alias("_tot"))
+        .select("p_brand", "revenue_cents", "n_lines",
+                F.expr("_num div _tot").alias("share_bp"))
+        .orderBy(F.desc("revenue_cents"), "p_brand"))
+
+
+def big_orders(customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, qty_c_min: int, k: int) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds the threshold.  The HAVING runs on the per-order partial
+    aggregate — the order/customer join only ever sees the few
+    surviving orders.
+    """
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(_cents("l_quantity")).alias("total_qty_c"),
+                F.count(F.lit(1)).alias("n_lines"))
+           .where(F.col("total_qty_c") > qty_c_min))
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                    "c_custkey", "c_name", "total_qty_c", "n_lines")
+            .orderBy(F.desc("total_qty_c"), "o_orderkey").limit(k))
+
+
+def supplier_hhi(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supplier concentration per brand: Herfindahl index over each
+    brand's supplier revenue shares, all-integer (shares in truncated
+    bp, HHI = Σ share_bp²).  Two bounded aggregates — (brand,
+    supplier) then brand — the 100 TB plan is two map-side-combinable
+    passes with no window over anything unbounded.
+    """
+    bs = (lineitem
+          .join(part.select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("p_brand", "l_suppkey")
+          .agg(F.sum(F.expr(_REVENUE)).alias("rev")))
+    brand = (bs.groupBy("p_brand")
+             .agg(F.sum("rev").alias("revenue_cents"),
+                  F.count(F.lit(1)).alias("n_suppliers")))
+    shares = (bs.join(brand, "p_brand")
+              .select("p_brand", "revenue_cents", "n_suppliers",
+                      F.expr("(rev * 10000) div revenue_cents")
+                      .alias("share_bp")))
+    return (shares.groupBy("p_brand", "n_suppliers", "revenue_cents")
+            .agg(F.sum(F.expr("share_bp * share_bp")).alias("hhi"))
+            .select("p_brand", "n_suppliers", "revenue_cents", "hhi")
+            .orderBy("p_brand"))
+
+
+def priority_sla(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-priority first-shipment lag report: days from order date to
+    the order's earliest ship date (min/avg/max, truncating integer
+    avg — both engines truncate toward zero on negatives).  Orders
+    with no lineitems (27 at sf0.001) are excluded by the inner join,
+    matching the oracle.
+    """
+    first = (lineitem.groupBy("l_orderkey")
+             .agg(F.min("l_shipdate").alias("first_ship")))
+    lag = (orders.join(first,
+                       F.col("o_orderkey") == F.col("l_orderkey"))
+           .select("o_orderpriority",
+                   F.expr("cast(datediff(cast(first_ship as date), "
+                          "cast(o_orderdate as date)) as bigint)")
+                   .alias("lag")))
+    return (lag.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("lag").alias("min_lag_days"),
+                 F.sum("lag").alias("_sum"),
+                 F.max("lag").alias("max_lag_days"))
+            .select("o_orderpriority", "n_orders", "min_lag_days",
+                    F.expr("_sum div n_orders").alias("avg_lag_days"),
+                    "max_lag_days")
+            .orderBy("o_orderpriority"))
+
+
+def revenue_bands(orders: DataFrame) -> DataFrame:
+    """Customer revenue concentration by power-of-two band: customers
+    are bucketed by ``floor(log2(lifetime cents))`` computed exactly
+    as ``length(bin(v)) - 1`` (integer, no libm), then each band
+    reports population, revenue, bp share, and cumulative-from-top
+    share.  The scale-safe Pareto curve: per-customer aggregate →
+    ≤64-row band frame; the cumulative window never touches the
+    customer grain.
+    """
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(_cents("o_totalprice")).alias("rev")))
+    bands = (per_cust
+             .select(F.expr("length(bin(rev)) - 1").alias("band"), "rev")
+             .groupBy("band")
+             .agg(F.count(F.lit(1)).alias("n_customers"),
+                  F.sum("rev").alias("band_cents")))
+    from pyspark.sql.window import Window
+    w_all = Window.partitionBy()          # ≤64 band rows
+    w_cum = (Window.partitionBy().orderBy(F.desc("band"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (bands.select(
+        "band", "n_customers", "band_cents",
+        F.sum("band_cents").over(w_all).alias("_tot"),
+        F.sum("band_cents").over(w_cum).alias("_cum"))
+        .select("band", "n_customers", "band_cents",
+                F.expr("(band_cents * 10000) div _tot").alias("share_bp"),
+                F.expr("(_cum * 10000) div _tot").alias("cum_share_bp"))
+        .orderBy(F.desc("band")))
+
+
+def late_order_priorities(orders: DataFrame,
+                          lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped after the
+    order date, counted per priority.  A LEFT SEMI join with the
+    correlated date predicate — Spark's semi-join never materializes
+    the match side, and the per-priority aggregate is 5 rows.
+    """
+    late = (orders.join(
+        lineitem,
+        (orders["o_orderkey"] == lineitem["l_orderkey"]) &
+        (lineitem["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_late_orders"))
+            .orderBy("o_orderpriority"))
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame,
+                        nation: DataFrame, since: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with an above-average positive
+    account balance and NO orders since ``since`` (dormant accounts —
+    the fixtures give every customer some order, so the recency cut is
+    what makes the anti-join discriminating), per nation.  The average
+    threshold is applied by exact integer cross-multiplication
+    (bal_c · n_pos > sum_pos_c — no float division anywhere); the
+    dormancy test is a LEFT ANTI join on custkey against the filtered
+    order stream.
+    """
+    bal = customer.select("c_custkey", "c_nationkey",
+                          _cents("c_acctbal").alias("bal_c"))
+    pos = (bal.where(F.col("bal_c") > 0)
+           .agg(F.sum("bal_c").alias("sum_pos"),
+                F.count(F.lit(1)).alias("n_pos")))
+    rich = (bal.crossJoin(F.broadcast(pos))
+            .where(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos")))
+    recent = (orders
+              .where(F.col("o_orderdate") >= F.expr(f"timestamp '{since}'"))
+              .select(F.col("o_custkey").alias("c_custkey")))
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    return (idle.join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("bal_c").alias("acctbal_cents"))
+            .orderBy("n_name"))
+
+
+def small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in lines ordering less than
+    half the part's average quantity, per brand.  The correlated
+    average is a per-part aggregate joined back to the lines, and the
+    comparison cross-multiplies (2·qty_c·n < sum_qty_c) so the half-
+    average cut is exact integer arithmetic in both engines.
+    """
+    per_part = (lineitem.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.sum(_cents("l_quantity")).alias("sum_qc"),
+                     F.count(F.lit(1)).alias("n")))
+    small = (lineitem
+             .join(per_part, F.col("l_partkey") == F.col("pk"))
+             .where(_cents("l_quantity") * 2 * F.col("n") <
+                    F.col("sum_qc")))
+    return (small.join(part.select("p_partkey", "p_brand"),
+                       F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_small_lines"),
+                 F.sum(F.expr(_REVENUE)).alias("revenue_cents"))
+            .orderBy("p_brand"))
+
+
+def market_share(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, region: DataFrame) -> DataFrame:
+    """TPC-H Q8 shape: per (region, order year), the bp share of
+    revenue supplied from within the customer's own nation.  One fact
+    pass with a conditional sum — the local/total split is a CASE
+    inside the aggregate, not a second scan.
+    """
+    geo = (nation.join(F.broadcast(region),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "r_name"))
+    ords = (orders
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_nationkey",
+                    F.year("o_orderdate").alias("o_year")))
+    joined = (lineitem
+              .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(supplier.select("s_suppkey", "s_nationkey"),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(geo),
+                    F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = (joined.groupBy("r_name", "o_year")
+           .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                F.sum(F.expr(
+                    f"case when c_nationkey = s_nationkey "
+                    f"then {_REVENUE} else cast(0 as bigint) end"))
+                .alias("local_cents")))
+    return (agg.select(
+        "r_name", "o_year", "revenue_cents", "local_cents",
+        F.expr("(local_cents * 10000) div revenue_cents")
+        .alias("local_share_bp"))
+        .orderBy("r_name", "o_year"))
+
+
+def order_cadence(customer: DataFrame, orders: DataFrame,
+                  nation: DataFrame) -> DataFrame:
+    """Per-nation re-order cadence: gaps in days between a customer's
+    consecutive orders (lag window PARTITIONED BY custkey — bounded
+    per customer at any scale), aggregated to 25 nation rows with a
+    truncating integer average.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    gaps = (orders
+            .withColumn("prev", F.lag("o_orderdate").over(w))
+            .where(F.col("prev").isNotNull())
+            .select("o_custkey",
+                    F.expr("cast(datediff(cast(o_orderdate as date), "
+                           "cast(prev as date)) as bigint)")
+                    .alias("gap")))
+    cust = customer.select("c_custkey", "c_nationkey")
+    return (gaps.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.min("gap").alias("min_gap_days"),
+                 F.sum("gap").alias("_sum"),
+                 F.max("gap").alias("max_gap_days"))
+            .select("n_name", "n_gaps", "min_gap_days",
+                    F.expr("_sum div n_gaps").alias("avg_gap_days"),
+                    "max_gap_days")
+            .orderBy("n_name"))
+
+
+def daily_revenue_running(orders: DataFrame) -> DataFrame:
+    """Daily order revenue with a running cumulative and a trailing
+    7-day RANGE window over the epoch-day key (gap-correct: missing
+    days shrink the trailing sum, unlike a ROWS frame).  Both windows
+    run over the ~2.4k-row daily aggregate, never the fact table.
+    """
+    from pyspark.sql.window import Window
+    daily = (orders
+             .groupBy(F.expr("cast(cast(o_orderdate as date) as string)")
+                      .alias("ds"),
+                      F.expr("datediff(cast(o_orderdate as date), "
+                             "date '1970-01-01')").alias("day"))
+             .agg(F.sum(_cents("o_totalprice")).alias("day_cents")))
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_7d = (Window.orderBy("day").rangeBetween(-6, 0))
+    return (daily.select(
+        "ds", "day_cents",
+        F.sum("day_cents").over(w_cum).alias("cum_cents"),
+        F.sum("day_cents").over(w_7d).alias("trailing_7d_cents"))
+        .orderBy("ds"))
+
+
+def join_estimate_calibration(customer: DataFrame, orders: DataFrame,
+                              lineitem: DataFrame,
+                              part: DataFrame) -> DataFrame:
+    """Optimizer-calibration advisor: for the three canonical star
+    joins, the textbook equi-join cardinality estimate |L|·|R| /
+    max(ndv_L, ndv_R) next to the measured row count, with the error
+    in bp.  This is the report a cost-based planner would consult
+    before choosing join order at 100 TB; every input is an exact
+    integer (counts and exact NDVs), the estimate is one truncating
+    div, and each actual is a counted equi-join.
+    """
+    def stats(df, col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(col)).alias("ndv"))
+
+    def one(name, left, lcol, right, rcol):
+        ls, rs = stats(left, lcol), stats(right, rcol)
+        actual = (left.select(F.col(lcol).alias("k"))
+                  .join(right.select(F.col(rcol).alias("k")), "k")
+                  .agg(F.count(F.lit(1)).alias("actual_rows")))
+        return (ls.crossJoin(rs.select(F.col("n").alias("n_r"),
+                                       F.col("ndv").alias("ndv_r")))
+                .crossJoin(actual)
+                .select(F.lit(name).alias("join_name"),
+                        F.col("n").alias("n_left"),
+                        F.col("n_r").alias("n_right"),
+                        F.col("ndv").alias("ndv_left"),
+                        F.col("ndv_r").alias("ndv_right"),
+                        F.expr("(n * n_r) div "
+                               "greatest(ndv, ndv_r)").alias("est_rows"),
+                        "actual_rows"))
+
+    reports = [
+        one("orders_customer", orders, "o_custkey",
+            customer, "c_custkey"),
+        one("lineitem_orders", lineitem, "l_orderkey",
+            orders, "o_orderkey"),
+        one("lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return (out.select(
+        "join_name", "n_left", "n_right", "ndv_left", "ndv_right",
+        "est_rows", "actual_rows",
+        F.expr("(abs(est_rows - actual_rows) * 10000) div "
+               "greatest(actual_rows, cast(1 as bigint))")
+        .alias("err_bp"))
+        .orderBy("join_name"))

@@ -1,0 +1,351 @@
+"""Closed-form tests for the relational OLAP family (x240–x249)."""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from kafana_spark.operators import dedup, relational
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _lineitem(spark, rows):
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"]
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+def test_pricing_summary_integer_sums_and_truncating_avg(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 3.0, 10.00, 0.10, 0.00, "A", "F", _ts("1996-01-01")),
+        (2, 1, 1, 1, 4.0, 20.00, 0.00, 0.10, "A", "F", _ts("1996-01-02")),
+        # past the cutoff: must be excluded
+        (3, 1, 1, 1, 9.0, 99.00, 0.00, 0.00, "A", "F", _ts("2002-01-01")),
+    ])
+    out = relational.pricing_summary(li, "2001-09-02 00:00:00").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.sum_qty_c == 700          # (3.0 + 4.0) · 100
+    assert r.sum_base_cents == 3000
+    # 10·0.9 = 9.00 → 900; 20·1.0 = 2000
+    assert r.sum_disc_cents == 2900
+    # charges: 900·1.0 and 2000·1.1 = 2200
+    assert r.sum_charge_cents == 3100
+    assert r.count_order == 2
+    assert r.avg_qty_c == 350
+    assert r.avg_price_c == 1500
+    assert r.avg_disc_bp == 500        # (1000 + 0) div 2
+
+
+def test_big_orders_threshold_is_strict(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 250.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (2, 1, 1, 1, 250.01, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=7, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_custkey=7, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=7, c_name="c7", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    out = relational.big_orders(cust, orders, li, 25_000, 20).collect()
+    # order 1 totals exactly 25000 qty-cents → excluded (strict >)
+    assert [r.o_orderkey for r in out] == [2]
+    assert out[0].total_qty_c == 25_001
+
+
+def test_supplier_hhi_monopoly_and_even_split(spark):
+    li = _lineitem(spark, [
+        # brand M: one supplier → HHI = 10000² = 100_000_000
+        (1, 1, 9, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # brand E: two equal suppliers → 2·5000² = 50_000_000
+        (2, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (3, 2, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="M", p_type="t",
+             p_size=1, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="E", p_type="t",
+             p_size=1, p_retailprice=1.0)])
+    out = {r.p_brand: r for r in
+           relational.supplier_hhi(li, part).collect()}
+    assert out["M"].hhi == 100_000_000 and out["M"].n_suppliers == 1
+    assert out["E"].hhi == 50_000_000 and out["E"].n_suppliers == 2
+
+
+def test_priority_sla_truncates_negative_average_toward_zero(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1995-12-29")),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-03")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")])
+    out = relational.priority_sla(orders, li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.min_lag_days, r.max_lag_days) == (-3, 2)
+    # sum = -1, n = 2 → -1 div 2 = 0 (toward zero, NOT floor's -1)
+    assert r.avg_lag_days == 0
+
+
+def test_revenue_bands_power_of_two_edges_and_cumulative(spark):
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=c, o_orderstatus="O",
+             o_totalprice=p, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")
+         for k, (c, p) in enumerate([
+             (1, 0.01),    # 1 cent  → band 0
+             (2, 0.02),    # 2 cents → band 1
+             (3, 0.03),    # 3 cents → band 1
+             (4, 0.04),    # 4 cents → band 2
+         ])])
+    out = relational.revenue_bands(orders).collect()
+    by_band = {r.band: r for r in out}
+    assert set(by_band) == {0, 1, 2}
+    assert by_band[0].n_customers == 1 and by_band[0].band_cents == 1
+    assert by_band[1].n_customers == 2 and by_band[1].band_cents == 5
+    assert by_band[2].band_cents == 4
+    # total 10 cents: shares 1000/5000/4000 bp; cum from top 4000/9000/10000
+    assert by_band[2].share_bp == 4000 and by_band[2].cum_share_bp == 4000
+    assert by_band[1].cum_share_bp == 9000
+    assert by_band[0].cum_share_bp == 10000
+    # rows ordered by band DESC
+    assert [r.band for r in out] == [2, 1, 0]
+
+
+def test_brand_share_bp_sums_to_at_most_10000(spark, tmp_path):
+    from kafana_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    out = relational.brand_share(li, part,
+                                 "1997-01-01 00:00:00",
+                                 "1998-01-01 00:00:00").collect()
+    assert out, "1997 brand revenue should be non-empty at sf0.001"
+    assert sum(r.share_bp for r in out) <= 10_000
+    assert all(r.share_bp >= 0 for r in out)
+    revs = [r.revenue_cents for r in out]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_overlap_near_dup_subset_scores_10000_bp(spark):
+    # doc 2 is a strict prefix of doc 1: containment = 1.0 even though
+    # Jaccard is far below any resemblance threshold.
+    long = " ".join(f"w{i}" for i in range(30))
+    short = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame([Row(doc_id=1, text=long),
+                                Row(doc_id=2, text=short)])
+    out = dedup.overlap_near_dup(df, 6000).collect()
+    assert len(out) == 1
+    assert (out[0].da, out[0].db) == (1, 2)
+    assert out[0].overlap_bp == 10_000
+    jac = dedup.ngram_jaccard_dup(df, 0.5).collect()
+    assert jac == []  # the resemblance family misses this pair
+
+
+def test_regional_volume_requires_local_supplier(spark):
+    li = _lineitem(spark, [
+        (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+        (2, 1, 20, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-06-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-06-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c", c_nationkey=3, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=10, s_name="local", s_nationkey=3, s_acctbal=0.0),
+         Row(s_suppkey=20, s_name="remote", s_nationkey=4,
+             s_acctbal=0.0)])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=3, n_name="GONDOR", n_regionkey=1),
+         Row(n_nationkey=4, n_name="ROHAN", n_regionkey=1)])
+    region = spark.createDataFrame(
+        [Row(r_regionkey=1, r_name="MIDDLE EARTH")])
+    out = relational.regional_volume(
+        cust, orders, li, supp, nation, region,
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00").collect()
+    # only the local-supplier line survives the c_nation = s_nation cut
+    assert len(out) == 1
+    assert out[0].n_name == "GONDOR" and out[0].revenue_cents == 10_000
+
+
+def test_late_order_priorities_semi_join_counts_orders_once(spark):
+    li = _lineitem(spark, [
+        # order 1: two late lines → still counted once
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-02-01")),
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-03-01")),
+        # order 2: shipped same day → not late
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT") for k in (1, 2)])
+    out = relational.late_order_priorities(orders, li).collect()
+    assert len(out) == 1 and out[0].n_late_orders == 1
+    plan = relational.late_order_priorities(orders, li)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_idle_rich_customers_threshold_and_anti_join(spark):
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="poor", c_nationkey=1, c_acctbal=1.0,
+             c_mktsegment="BUILDING"),
+         Row(c_custkey=2, c_name="rich-idle", c_nationkey=1,
+             c_acctbal=100.0, c_mktsegment="BUILDING"),
+         Row(c_custkey=3, c_name="rich-active", c_nationkey=1,
+             c_acctbal=100.0, c_mktsegment="BUILDING")])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=3, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("2000-06-01"),
+             o_orderpriority="1-URGENT"),
+         # customer 2's only order predates the dormancy cut
+         Row(o_orderkey=2, o_custkey=2, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1997-06-01"),
+             o_orderpriority="1-URGENT")])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="GONDOR", n_regionkey=1)])
+    q = relational.idle_rich_customers(cust, orders, nation,
+                                       "1999-01-01 00:00:00")
+    out = q.collect()
+    # avg positive balance = 67.0; only 2 and 3 exceed it; 3 is active
+    assert len(out) == 1
+    assert out[0].n_customers == 1 and out[0].acctbal_cents == 10_000
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_small_qty_revenue_half_average_cut_is_exact(spark):
+    # part 1: quantities 2 and 6 → avg 4, half-avg 2 → only qty-2·n<sum
+    # check: 2·200·2=800 < 800? NO (strict) — qty 2 is NOT below half
+    # average when avg=4 ⇒ threshold exactly at boundary excluded.
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (2, 1, 1, 1, 6.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # part 2: 1 and 9 → half-avg 5 → the qty-1 line qualifies
+        (3, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (4, 2, 1, 1, 9.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="B1", p_type="t",
+             p_size=1, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="B2", p_type="t",
+             p_size=1, p_retailprice=1.0)])
+    out = {r.p_brand: r for r in
+           relational.small_qty_revenue(li, part).collect()}
+    assert "B1" not in out          # boundary: 2 · qty_c · n == sum
+    assert out["B2"].n_small_lines == 1
+    assert out["B2"].revenue_cents == 1000
+
+
+def test_market_share_local_split(spark):
+    li = _lineitem(spark, [
+        (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+        (1, 1, 20, 2, 1.0, 300.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-06-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c", c_nationkey=3, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=10, s_name="local", s_nationkey=3, s_acctbal=0.0),
+         Row(s_suppkey=20, s_name="remote", s_nationkey=4,
+             s_acctbal=0.0)])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=3, n_name="GONDOR", n_regionkey=1)])
+    region = spark.createDataFrame(
+        [Row(r_regionkey=1, r_name="MIDDLE EARTH")])
+    out = relational.market_share(cust, orders, li, supp, nation,
+                                  region).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.o_year == 1996
+    assert r.revenue_cents == 40_000 and r.local_cents == 10_000
+    assert r.local_share_bp == 2500
+
+
+def test_order_cadence_gaps_and_truncation(spark):
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=d, o_orderpriority="1-URGENT")
+         for k, d in [(1, _ts("1996-01-01")), (2, _ts("1996-01-04")),
+                      (3, _ts("1996-01-08"))]])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="GONDOR", n_regionkey=1)])
+    out = relational.order_cadence(cust, orders, nation).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_gaps == 2 and (r.min_gap_days, r.max_gap_days) == (3, 4)
+    assert r.avg_gap_days == 3      # 7 div 2 truncates
+
+
+def test_daily_revenue_running_range_frame_respects_gaps(spark):
+    # days 0, 1, 10: the trailing-7d window at day 10 must NOT include
+    # days 0/1 (a ROWS frame would).
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+             o_totalprice=p, o_orderdate=d, o_orderpriority="1-URGENT")
+         for k, (p, d) in enumerate([
+             (1.0, _ts("1996-01-01")), (2.0, _ts("1996-01-02")),
+             (4.0, _ts("1996-01-11"))])])
+    out = {r.ds: r for r in
+           relational.daily_revenue_running(orders).collect()}
+    assert out["1996-01-02"].trailing_7d_cents == 300
+    assert out["1996-01-11"].trailing_7d_cents == 400
+    assert out["1996-01-11"].cum_cents == 700
+
+
+def test_join_estimate_calibration_exact_on_keyed_join(spark):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.join_name: r for r in relational.join_estimate_calibration(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part")).collect()}
+    lo = out["lineitem_orders"]
+    # orderkey is the PK of orders → estimate = |L|·|O| / |O| = |L|,
+    # and every lineitem has an order → exact calibration.
+    assert lo.est_rows == lo.n_left
+    assert lo.actual_rows == lo.n_left
+    assert lo.err_bp == 0
+
+
+def test_regional_volume_broadcasts_geo_dims(spark):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = relational.regional_volume(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"), load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
