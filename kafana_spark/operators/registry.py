@@ -3577,6 +3577,65 @@ def x_join_estimate_calibration(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
 
 
+#: x259 per-nation ranking depth; x260 basket-affinity floors.
+TOP_PER_NATION_K = 3
+AFFINITY_MIN_PAIRS = 5
+AFFINITY_TOP_K = 30
+
+
+def x_priority_order_profile(spark, sf_dir):
+    """x257 — per-priority exact integer quartiles of lines-per-order
+    and $100-bucketed order totals (per-group cumulative distinct-
+    value rule — bounded-NDV projections only)."""
+    return relational.priority_order_profile(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def x_revenue_rollup(spark, sf_dir):
+    """x258 — order revenue ROLLUP over (region, nation): all three
+    grouping levels in one pass, rolled-up levels as 'ALL'."""
+    return relational.revenue_rollup(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"))
+
+
+def x_top_customers_per_nation(spark, sf_dir):
+    """x259 — top-3 customers by lifetime revenue within each nation
+    (rank window over the customer-grain aggregate)."""
+    return relational.top_customers_per_nation(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"), TOP_PER_NATION_K)
+
+
+def x_brand_affinity(spark, sf_dir):
+    """x260 — market-basket brand affinity: within-order brand pairs
+    with integer-µunit lift vs independence, min-support floored."""
+    return relational.brand_affinity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        AFFINITY_MIN_PAIRS, AFFINITY_TOP_K)
+
+
+def _order_index_root(spark, sf_dir) -> str:
+    """Two-batch order-rollup build (orderkey parity split) so the
+    stored twin proves cross-batch partial-sum merging, not just a
+    write/read roundtrip."""
+    orders = _t(spark, sf_dir, "orders")
+    return _cached_index_root(
+        "ordidx", sf_dir,
+        lambda r: [relational.build_order_rollup(
+            orders.where(F.col("o_orderkey") % 2 == i), r,
+            batch=str(i)) for i in (0, 1)])
+
+
+def x_stored_daily_revenue(spark, sf_dir):
+    """x261 — x255's running daily revenue served from the PERSISTED
+    two-batch order-rollup index (per-batch partials summed — exact).
+    Same oracle as x255: the lossless-roundtrip proof."""
+    return relational.running_from_daily(
+        relational.daily_revenue_from_store(
+            spark, _order_index_root(spark, sf_dir)))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3830,6 +3889,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x254_order_cadence": x_order_cadence,
     "x255_daily_revenue_running": x_daily_revenue_running,
     "x256_join_estimate_calibration": x_join_estimate_calibration,
+    "x257_priority_order_profile": x_priority_order_profile,
+    "x258_revenue_rollup": x_revenue_rollup,
+    "x259_top_customers_per_nation": x_top_customers_per_nation,
+    "x260_brand_affinity": x_brand_affinity,
+    "x261_stored_daily_revenue": x_stored_daily_revenue,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -8305,6 +8369,92 @@ def _join_estimate_calibration_sql() -> str:
     ]) + " ORDER BY join_name")
 
 
+def _priority_order_profile_sql() -> str:
+    def gq(val, suffix, cols):
+        return (
+            f"pv{suffix} AS (SELECT g, {val} AS val, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM po GROUP BY 1, 2), "
+            f"nn{suffix} AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n "
+            f"FROM pv{suffix} GROUP BY 1), "
+            f"cm{suffix} AS (SELECT g, val, "
+            "CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY val "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            f"FROM pv{suffix}), "
+            f"q{suffix} AS (SELECT cm{suffix}.g, MAX(n) AS n, "
+            + ", ".join(
+                f"MIN(CASE WHEN cum >= ({q} * n + 99) // 100 "
+                f"THEN val END) AS {c}" for q, c in cols) +
+            f" FROM cm{suffix} JOIN nn{suffix} "
+            f"ON cm{suffix}.g = nn{suffix}.g GROUP BY 1)")
+    return (
+        "WITH lo AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) "
+        "AS n_lines FROM lineitem GROUP BY 1), "
+        "po AS (SELECT o_orderpriority AS g, n_lines, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 "
+        "AS price_h FROM orders JOIN lo ON o_orderkey = l_orderkey), "
+        + gq("n_lines", "l",
+             [(25, "p25_lines"), (50, "p50_lines"), (75, "p75_lines")])
+        + ", "
+        + gq("price_h", "p",
+             [(25, "p25_price_h"), (50, "p50_price_h"),
+              (75, "p75_price_h")])
+        + " SELECT ql.g AS o_orderpriority, ql.n AS n_orders, "
+        "p25_lines, p50_lines, p75_lines, "
+        "p25_price_h, p50_price_h, p75_price_h "
+        "FROM ql JOIN qp ON ql.g = qp.g ORDER BY 1")
+
+
+def _revenue_rollup_sql() -> str:
+    return (
+        "WITH base AS (SELECT r_name, n_name, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey) "
+        "SELECT COALESCE(r_name, 'ALL') AS r_name, "
+        "COALESCE(n_name, 'ALL') AS n_name, "
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM base GROUP BY ROLLUP(r_name, n_name) "
+        "ORDER BY 1, 2")
+
+
+def _top_customers_per_nation_sql() -> str:
+    return (
+        "WITH pc AS (SELECT o_custkey, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+        "r AS (SELECT n_name, c_custkey, c_name, revenue_cents, "
+        "n_orders, CAST(row_number() OVER (PARTITION BY n_name "
+        "ORDER BY revenue_cents DESC, o_custkey ASC) AS INT) AS rnk "
+        "FROM pc JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey) "
+        "SELECT n_name, c_custkey, c_name, revenue_cents, n_orders, "
+        f"rnk FROM r WHERE rnk <= {TOP_PER_NATION_K} "
+        "ORDER BY n_name, rnk")
+
+
+def _brand_affinity_sql() -> str:
+    return (
+        "WITH ob AS (SELECT DISTINCT l_orderkey, p_brand "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+        "t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) "
+        "AS n_tot FROM ob), "
+        "pb AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b "
+        "FROM ob GROUP BY 1), "
+        "pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ab FROM ob a JOIN ob b "
+        "ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {AFFINITY_MIN_PAIRS}) "
+        "SELECT brand_a, brand_b, n_ab, "
+        "(n_ab * n_tot * 1000000) // (na.n_b * nb.n_b) AS lift_u "
+        "FROM pr JOIN pb na ON na.p_brand = brand_a "
+        "JOIN pb nb ON nb.p_brand = brand_b CROSS JOIN t "
+        f"ORDER BY lift_u DESC, brand_a, brand_b LIMIT {AFFINITY_TOP_K}")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -9106,6 +9256,13 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x254_order_cadence": _order_cadence_sql(),
     "x255_daily_revenue_running": _daily_revenue_running_sql(),
     "x256_join_estimate_calibration": _join_estimate_calibration_sql(),
+    "x257_priority_order_profile": _priority_order_profile_sql(),
+    "x258_revenue_rollup": _revenue_rollup_sql(),
+    "x259_top_customers_per_nation": _top_customers_per_nation_sql(),
+    "x260_brand_affinity": _brand_affinity_sql(),
+    # x261 serves x255 from the persisted two-batch order-rollup
+    # index — same oracle (lossless roundtrip), stored-twin discipline.
+    "x261_stored_daily_revenue": _daily_revenue_running_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

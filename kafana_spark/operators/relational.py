@@ -418,23 +418,21 @@ def daily_revenue_running(orders: DataFrame) -> DataFrame:
     """Daily order revenue with a running cumulative and a trailing
     7-day RANGE window over the epoch-day key (gap-correct: missing
     days shrink the trailing sum, unlike a ROWS frame).  Both windows
-    run over the ~2.4k-row daily aggregate, never the fact table.
+    run over the ~2.4k-row daily aggregate, never the fact table
+    (the window tail is shared with the stored-index path via
+    :func:`running_from_daily`).
     """
-    from pyspark.sql.window import Window
-    daily = (orders
-             .groupBy(F.expr("cast(cast(o_orderdate as date) as string)")
-                      .alias("ds"),
-                      F.expr("datediff(cast(o_orderdate as date), "
-                             "date '1970-01-01')").alias("day"))
-             .agg(F.sum(_cents("o_totalprice")).alias("day_cents")))
-    w_cum = (Window.orderBy("day")
-             .rowsBetween(Window.unboundedPreceding, 0))
-    w_7d = (Window.orderBy("day").rangeBetween(-6, 0))
-    return (daily.select(
-        "ds", "day_cents",
-        F.sum("day_cents").over(w_cum).alias("cum_cents"),
-        F.sum("day_cents").over(w_7d).alias("trailing_7d_cents"))
-        .orderBy("ds"))
+    return running_from_daily(_daily_revenue(orders))
+
+
+def _daily_revenue(orders: DataFrame) -> DataFrame:
+    """(ds, day, day_cents): the shared daily-revenue reduction."""
+    return (orders
+            .groupBy(F.expr("cast(cast(o_orderdate as date) as string)")
+                     .alias("ds"),
+                     F.expr("datediff(cast(o_orderdate as date), "
+                            "date '1970-01-01')").alias("day"))
+            .agg(F.sum(_cents("o_totalprice")).alias("day_cents")))
 
 
 def join_estimate_calibration(customer: DataFrame, orders: DataFrame,
@@ -487,3 +485,163 @@ def join_estimate_calibration(customer: DataFrame, orders: DataFrame,
                "greatest(actual_rows, cast(1 as bigint))")
         .alias("err_bp"))
         .orderBy("join_name"))
+
+
+def priority_order_profile(orders: DataFrame,
+                           lineitem: DataFrame) -> DataFrame:
+    """Per-priority order-size profile: exact integer quartiles of (a)
+    lines per order and (b) order total in whole $100 units, via the
+    per-group cumulative distinct-value rule (``stats.group_quantiles``
+    — both projections are bounded-NDV by construction, so no window
+    ever sees a near-unique column).
+    """
+    from kafana_spark.operators import stats
+
+    lines = (lineitem.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_lines")))
+    per_order = (orders.join(
+        lines, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority", "n_lines",
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) "
+                       "div 10000").alias("price_h")))
+    ql = stats.group_quantiles(per_order, "o_orderpriority",
+                               F.col("n_lines"))
+    qp = (stats.group_quantiles(per_order, "o_orderpriority",
+                                F.col("price_h"))
+          .select(F.col("o_orderpriority"),
+                  F.col("p25").alias("p25_price_h"),
+                  F.col("p50").alias("p50_price_h"),
+                  F.col("p75").alias("p75_price_h")))
+    return (ql.select("o_orderpriority", F.col("n").alias("n_orders"),
+                      F.col("p25").alias("p25_lines"),
+                      F.col("p50").alias("p50_lines"),
+                      F.col("p75").alias("p75_lines"))
+            .join(qp, "o_orderpriority")
+            .orderBy("o_orderpriority"))
+
+
+def revenue_rollup(customer: DataFrame, orders: DataFrame,
+                   nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Order revenue ROLLUP over (region, nation): the (r, n), (r),
+    and grand-total grouping sets in ONE pass — Catalyst expands the
+    rollup into a single shuffle whose partial aggregates are shared
+    across levels.  Rolled-up levels surface as 'ALL' (the x23 cube
+    convention).
+    """
+    geo = (nation.join(F.broadcast(region),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name", "r_name"))
+    base = (orders
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(geo),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("r_name", "n_name",
+                    _cents("o_totalprice").alias("cents")))
+    return (base.rollup("r_name", "n_name")
+            .agg(F.sum("cents").alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                    "revenue_cents", "n_orders")
+            .orderBy("r_name", "n_name"))
+
+
+def top_customers_per_nation(customer: DataFrame, orders: DataFrame,
+                             nation: DataFrame, k: int) -> DataFrame:
+    """Top-k customers by lifetime order revenue within each nation:
+    rank window PARTITIONED BY nation over the per-customer aggregate
+    — the window input is customer-grain (already reduced), and the
+    partition key spreads the sort across nations.  Deterministic
+    ties: revenue desc, custkey asc.
+    """
+    from pyspark.sql.window import Window
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+                     F.count(F.lit(1)).alias("n_orders")))
+    w = (Window.partitionBy("n_name")
+         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey")))
+    return (per_cust
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", F.col("c_custkey"), "c_name",
+                    "revenue_cents", "n_orders")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .orderBy("n_name", "rnk"))
+
+
+def brand_affinity(lineitem: DataFrame, part: DataFrame,
+                   min_pairs: int, top_k: int) -> DataFrame:
+    """Market-basket affinity between brands: for brand pairs that
+    co-occur in at least ``min_pairs`` orders, the lift vs independence
+    in integer µunits — lift_u = (n_ab · N · 10⁶) div (n_a · n_b).
+    The pair join is WITHIN each order's distinct-brand set (≤ lines
+    per order, bounded), never a global cross of brands; n_a/n_ab are
+    combinable counts.
+    """
+    ob = (lineitem
+          .join(part.select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "p_brand").distinct())
+    n_orders = (ob.select("l_orderkey").distinct()
+                .agg(F.count(F.lit(1)).alias("n_tot")))
+    per_brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    pairs = (ob.alias("a").join(
+        ob.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey")) &
+        (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"),
+                 F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs))
+    return (pairs
+            .join(per_brand.select(F.col("p_brand").alias("brand_a"),
+                                   F.col("n_b").alias("n_a")), "brand_a")
+            .join(per_brand.select(F.col("p_brand").alias("brand_b"),
+                                   F.col("n_b").alias("n_bb")), "brand_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("brand_a", "brand_b", "n_ab",
+                    F.expr("(n_ab * n_tot * 1000000) div (n_a * n_bb)")
+                    .alias("lift_u"))
+            .orderBy(F.desc("lift_u"), "brand_a", "brand_b")
+            .limit(top_k))
+
+
+# --------------------------------------- persisted order-rollup index
+DAILY_REV_DIR = "daily_rev"
+
+
+def build_order_rollup(orders: DataFrame, path: str, *,
+                       batch: str = "base") -> None:
+    """Persist the per-batch daily revenue partials (ds, day,
+    day_cents).  Cents sums are distributive, so per-batch partials
+    merged with SUM are exact — the same mergeability contract as the
+    event-rollup index (event_index.py), proven by serving x255's
+    oracle from a two-batch build.
+    """
+    _daily_revenue(orders).write.mode("overwrite").parquet(
+        f"{path}/{DAILY_REV_DIR}/batch={batch}")
+
+
+def daily_revenue_from_store(spark, path: str) -> DataFrame:
+    """(ds, day, day_cents) merged across batches — exact partial
+    sums."""
+    return (spark.read.parquet(f"{path}/{DAILY_REV_DIR}")
+            .groupBy("ds", "day")
+            .agg(F.sum("day_cents").alias("day_cents")))
+
+
+def running_from_daily(daily: DataFrame) -> DataFrame:
+    """The window tail of :func:`daily_revenue_running`, shared by the
+    full-recompute path and the stored-index path so both hash-match
+    the same oracle."""
+    from pyspark.sql.window import Window
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_7d = (Window.orderBy("day").rangeBetween(-6, 0))
+    return (daily.select(
+        "ds", "day_cents",
+        F.sum("day_cents").over(w_cum).alias("cum_cents"),
+        F.sum("day_cents").over(w_7d).alias("trailing_7d_cents"))
+        .orderBy("ds"))

@@ -73,3 +73,33 @@ def column_stats(df: DataFrame,
             .select(F.col("fname").alias("field"), "n", "n_null",
                     "ndv", "min_v", "max_v", "p25", "p50", "p75")
             .orderBy("field"))
+
+
+def group_quantiles(df: DataFrame, group_col: str, val: Column,
+                    quantiles: Sequence[int] = (25, 50, 75)) -> DataFrame:
+    """Per-group exact integer quantiles by the same cumulative
+    distinct-value rule as :func:`column_stats` (p_q = smallest value
+    whose cumulative count reaches ceil(q·n/100)), partitioned by the
+    group column.  The window runs over each group's DISTINCT values —
+    callers must pass a bounded-NDV projection (bucketed amounts, line
+    counts), never a near-unique key; high-NDV quantiles belong to the
+    C15 t-digest.
+
+    Output: (group_col, n, p<q>...) ordered by group.
+    """
+    rows = df.select(F.col(group_col).alias("g"), val.cast("long")
+                     .alias("val")).where(F.col("val").isNotNull())
+    pv = rows.groupBy("g", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = rows.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    wv = (Window.partitionBy("g").orderBy("val")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = pv.withColumn("cum", F.sum("cnt").over(wv))
+    out = (cum.join(nn, "g")
+           .groupBy("g", "n")
+           .agg(*[F.min(F.when(
+               F.col("cum") >= F.expr(f"({q} * n + 99) div 100"),
+               F.col("val"))).alias(f"p{q}")
+               for q in quantiles]))
+    return (out.select(F.col("g").alias(group_col), "n",
+                       *[f"p{q}" for q in quantiles])
+            .orderBy(group_col))

@@ -349,3 +349,94 @@ def test_regional_volume_broadcasts_geo_dims(spark):
         "1996-01-01 00:00:00", "1997-01-01 00:00:00")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_group_quantiles_cumulative_rule(spark):
+    from kafana_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 2, 3, 4]] +
+        [Row(g="b", v=v) for v in [10, 10, 10, 40]])
+    out = {r.g: r for r in stats.group_quantiles(
+        df, "g", F.col("v")).collect()}
+    # group a: n=4 → thresholds ceil(q·4/100) = 1, 2, 3 → values 1,2,3
+    assert (out["a"].p25, out["a"].p50, out["a"].p75) == (1, 2, 3)
+    # group b: cum(10)=3 covers thresholds 1..3 → all quartiles = 10
+    assert (out["b"].p25, out["b"].p50, out["b"].p75) == (10, 10, 10)
+    assert out["a"].n == 4 and out["b"].n == 4
+
+
+def test_revenue_rollup_levels_reconcile(spark):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.revenue_rollup(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region")).collect()
+    total = [r for r in out if r.r_name == "ALL" and r.n_name == "ALL"]
+    regions = [r for r in out if r.r_name != "ALL" and r.n_name == "ALL"]
+    nations = [r for r in out if r.n_name != "ALL"]
+    assert len(total) == 1
+    # each level must sum to the same grand totals
+    assert sum(r.revenue_cents for r in regions) == total[0].revenue_cents
+    assert sum(r.revenue_cents for r in nations) == total[0].revenue_cents
+    assert sum(r.n_orders for r in nations) == total[0].n_orders
+
+
+def test_top_customers_per_nation_rank_and_ties(spark):
+    cust = spark.createDataFrame(
+        [Row(c_custkey=k, c_name=f"c{k}", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING") for k in (1, 2, 3)])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=c, o_orderstatus="O",
+             o_totalprice=p, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")
+         for i, (c, p) in enumerate([(1, 5.0), (2, 5.0), (3, 9.0)])])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="GONDOR", n_regionkey=1)])
+    out = relational.top_customers_per_nation(cust, orders, nation,
+                                              2).collect()
+    # tie between 1 and 2 broken by custkey asc; k=2 cuts customer 2
+    assert [(r.c_custkey, r.rnk) for r in out] == [(3, 1), (1, 2)]
+
+
+def test_brand_affinity_lift_closed_form(spark):
+    # 4 orders; brands X,Y co-occur in 2 of them; X in 3, Y in 2.
+    # lift_u = (2·4·1e6) div (3·2) = 1_333_333
+    rows, part_rows = [], []
+    brands = {1: "X", 2: "Y", 3: "Z"}
+    for pk, b in brands.items():
+        part_rows.append(Row(p_partkey=pk, p_name=b, p_brand=b,
+                             p_type="t", p_size=1, p_retailprice=1.0))
+    orders_parts = [(1, [1, 2]), (2, [1, 2]), (3, [1, 3]), (4, [3])]
+    ln = 0
+    for ok, pks in orders_parts:
+        for pk in pks:
+            ln += 1
+            rows.append((ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         _ts("1996-01-01")))
+    li = _lineitem(spark, rows)
+    part = spark.createDataFrame(part_rows)
+    out = relational.brand_affinity(li, part, 2, 10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.brand_a, r.brand_b, r.n_ab) == ("X", "Y", 2)
+    assert r.lift_u == 1_333_333
+
+
+def test_order_rollup_store_merges_batch_partials(spark, tmp_path):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    root = str(tmp_path / "ordidx")
+    for i in (0, 1):
+        relational.build_order_rollup(
+            orders.where(F.col("o_orderkey") % 2 == i), root,
+            batch=str(i))
+    served = relational.running_from_daily(
+        relational.daily_revenue_from_store(spark, root))
+    direct = relational.daily_revenue_running(orders)
+    assert served.orderBy("ds").collect() == \
+        direct.orderBy("ds").collect()
