@@ -3636,6 +3636,57 @@ def x_stored_daily_revenue(spark, sf_dir):
             spark, _order_index_root(spark, sf_dir)))
 
 
+#: x264 year-over-year comparison window.
+YOY_Y0, YOY_Y1 = 1996, 1997
+
+
+def x_order_of_record(spark, sf_dir):
+    """x262 — per-brand argmax line: one combinable struct-max
+    aggregate (revenue desc, orderkey asc), no window."""
+    return relational.order_of_record(_t(spark, sf_dir, "lineitem"),
+                                      _t(spark, sf_dir, "part"))
+
+
+def x_brand_return_z(spark, sf_dir):
+    """x263 — per-brand return-rate two-proportion z vs the rest of
+    the corpus (exact integer counts, floor-on-double z in bp)."""
+    return relational.brand_return_z(_t(spark, sf_dir, "lineitem"),
+                                     _t(spark, sf_dir, "part"))
+
+
+def x_yoy_growth(spark, sf_dir):
+    """x264 — per-nation year-over-year order revenue growth in bp
+    (both years in one conditional aggregate)."""
+    return relational.yoy_growth(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"), YOY_Y0, YOY_Y1)
+
+
+def x_priority_status_chi2(spark, sf_dir):
+    """x265 — chi-square independence cells for priority × status,
+    per-cell µunit contributions floored before any cross-cell sum."""
+    return relational.priority_status_chi2(_t(spark, sf_dir, "orders"))
+
+
+def x_discount_curve(spark, sf_dir):
+    """x266 — discount effectiveness curve: per exact discount-bp
+    level, volume and revenue share."""
+    return relational.discount_curve(_t(spark, sf_dir, "lineitem"))
+
+
+def x_lang_token_quartiles(spark, sf_dir):
+    """x267 — per-language token-count quartiles over documents via
+    the per-group cumulative distinct-value rule (stats.
+    group_quantiles — the same kernel as the relational x257)."""
+    from kafana_spark.operators import stats
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.expr("cast(size(split(text, ' ')) as bigint)")
+        .alias("n_tokens"))
+    return (stats.group_quantiles(d, "lang", F.col("n_tokens"))
+            .withColumnRenamed("n", "n_docs"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -3894,6 +3945,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x259_top_customers_per_nation": x_top_customers_per_nation,
     "x260_brand_affinity": x_brand_affinity,
     "x261_stored_daily_revenue": x_stored_daily_revenue,
+    "x262_order_of_record": x_order_of_record,
+    "x263_brand_return_z": x_brand_return_z,
+    "x264_yoy_growth": x_yoy_growth,
+    "x265_priority_status_chi2": x_priority_status_chi2,
+    "x266_discount_curve": x_discount_curve,
+    "x267_lang_token_quartiles": x_lang_token_quartiles,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -8455,6 +8512,112 @@ def _brand_affinity_sql() -> str:
         f"ORDER BY lift_u DESC, brand_a, brand_b LIMIT {AFFINITY_TOP_K}")
 
 
+def _order_of_record_sql() -> str:
+    return (
+        "WITH rws AS (SELECT p_brand, "
+        f"{_O_REV} AS rev, l_orderkey "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+        "mx AS (SELECT p_brand, CAST(MAX(rev) AS BIGINT) AS "
+        "top_revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM rws GROUP BY 1) "
+        "SELECT mx.p_brand, top_revenue_cents, "
+        "CAST(MIN(l_orderkey) AS BIGINT) AS top_orderkey, n_lines "
+        "FROM mx JOIN rws ON rws.p_brand = mx.p_brand "
+        "AND rws.rev = mx.top_revenue_cents "
+        "GROUP BY 1, 2, 4 ORDER BY 1")
+
+
+def _brand_return_z_sql() -> str:
+    z = ("floor(10000.0 * CAST(r * (nt - n) - (rt - r) * n AS DOUBLE) "
+         "/ CAST(n AS DOUBLE) / CAST(nt - n AS DOUBLE) / sqrt("
+         "CAST(rt AS DOUBLE) * CAST(nt - rt AS DOUBLE) "
+         "/ CAST(nt AS DOUBLE) / CAST(nt AS DOUBLE) "
+         "* (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nt - n AS DOUBLE))))")
+    guard = "n > 0 AND nt > n AND rt > 0 AND rt < nt"
+    return (
+        "WITH per AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS r "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
+        "CAST(SUM(r) AS BIGINT) AS rt FROM per) "
+        "SELECT p_brand, n, r, (r * 10000) // n AS rate_bp, "
+        f"CAST(CASE WHEN {guard} THEN {z} ELSE 0 END AS BIGINT) "
+        "AS z_bp FROM per CROSS JOIN t ORDER BY p_brand")
+
+
+def _yoy_growth_sql() -> str:
+    return (
+        "WITH base AS (SELECT n_name, "
+        "CAST(year(o_orderdate) AS INT) AS yr, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        f"WHERE year(o_orderdate) IN ({YOY_Y0}, {YOY_Y1})), "
+        "a AS (SELECT n_name, "
+        f"CAST(SUM(CASE WHEN yr = {YOY_Y0} THEN cents ELSE 0 END) "
+        "AS BIGINT) AS rev_y0_cents, "
+        f"CAST(SUM(CASE WHEN yr = {YOY_Y1} THEN cents ELSE 0 END) "
+        "AS BIGINT) AS rev_y1_cents FROM base GROUP BY 1) "
+        "SELECT n_name, rev_y0_cents, rev_y1_cents, "
+        "CASE WHEN rev_y0_cents > 0 THEN "
+        "((rev_y1_cents - rev_y0_cents) * 10000) // rev_y0_cents "
+        "ELSE 0 END AS growth_bp FROM a ORDER BY n_name")
+
+
+def _priority_status_chi2_sql() -> str:
+    return (
+        "WITH c AS (SELECT o_orderpriority, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+        "w AS (SELECT o_orderpriority, o_orderstatus, o, "
+        "CAST(SUM(o) OVER () AS BIGINT) AS nt, "
+        "CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS BIGINT) "
+        "AS rt, "
+        "CAST(SUM(o) OVER (PARTITION BY o_orderstatus) AS BIGINT) "
+        "AS ct FROM c) "
+        "SELECT o_orderpriority, o_orderstatus, o AS observed, "
+        "CAST(FLOOR(1000000.0 * CAST(o * nt - rt * ct AS DOUBLE) "
+        "* CAST(o * nt - rt * ct AS DOUBLE) "
+        "/ (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) "
+        "* CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) AS BIGINT) "
+        "AS contrib_u FROM w ORDER BY 1, 2")
+
+
+def _discount_curve_sql() -> str:
+    return (
+        "WITH r AS (SELECT "
+        "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp, "
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc, "
+        f"{_O_REV} AS rev FROM lineitem), "
+        "a AS (SELECT disc_bp, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(qc) AS BIGINT) AS sum_qty_c, "
+        "CAST(SUM(rev) AS BIGINT) AS revenue_cents FROM r GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tot FROM a) "
+        "SELECT disc_bp, n_lines, sum_qty_c, "
+        "sum_qty_c // n_lines AS avg_qty_c, revenue_cents, "
+        "(revenue_cents * 10000) // tot AS rev_share_bp "
+        "FROM a CROSS JOIN t ORDER BY disc_bp")
+
+
+def _lang_token_quartiles_sql() -> str:
+    return (
+        "WITH po AS (SELECT lang AS g, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS val "
+        "FROM documents), "
+        "pv AS (SELECT g, val, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM po GROUP BY 1, 2), "
+        "nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n "
+        "FROM pv GROUP BY 1), "
+        "cm AS (SELECT g, val, CAST(SUM(cnt) OVER (PARTITION BY g "
+        "ORDER BY val ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "FROM pv) "
+        "SELECT cm.g AS lang, MAX(n) AS n_docs, "
+        "MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN val END) AS p25, "
+        "MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN val END) AS p50, "
+        "MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN val END) AS p75 "
+        "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1 ORDER BY 1")
+
+
 EXTENSION_ORACLE: dict[str, str] = {
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
@@ -9263,6 +9426,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     # x261 serves x255 from the persisted two-batch order-rollup
     # index — same oracle (lossless roundtrip), stored-twin discipline.
     "x261_stored_daily_revenue": _daily_revenue_running_sql(),
+    "x262_order_of_record": _order_of_record_sql(),
+    "x263_brand_return_z": _brand_return_z_sql(),
+    "x264_yoy_growth": _yoy_growth_sql(),
+    "x265_priority_status_chi2": _priority_status_chi2_sql(),
+    "x266_discount_curve": _discount_curve_sql(),
+    "x267_lang_token_quartiles": _lang_token_quartiles_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -645,3 +645,147 @@ def running_from_daily(daily: DataFrame) -> DataFrame:
         F.sum("day_cents").over(w_cum).alias("cum_cents"),
         F.sum("day_cents").over(w_7d).alias("trailing_7d_cents"))
         .orderBy("ds"))
+
+
+def order_stream_sink(path: str):
+    """foreachBatch sink maintaining the order-rollup index from
+    streaming ingest: each micro-batch's daily-revenue partials land
+    as ``batch=<epoch_id>`` (the event_index.py sink contract) —
+    at-least-once redelivery overwrites its own partition, so every
+    order counts once in the served running series.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        build_order_rollup(batch_df, path, batch=str(epoch_id))
+
+    return _sink
+
+
+def order_of_record(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand argmax: the single highest-revenue line per brand as
+    ONE combinable struct-max aggregate — max(struct(rev, -orderkey))
+    gives revenue-desc / orderkey-asc determinism without any window,
+    so the 100 TB plan is a plain two-level hash aggregate.
+    """
+    rows = (lineitem
+            .join(part.select("p_partkey", "p_brand"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_brand", F.expr(_REVENUE).alias("rev"),
+                    "l_orderkey"))
+    top = (rows.groupBy("p_brand")
+           .agg(F.max(F.struct(F.col("rev"),
+                               (-F.col("l_orderkey")).alias("negk")))
+                .alias("m"),
+                F.count(F.lit(1)).alias("n_lines")))
+    return (top.select("p_brand",
+                       F.col("m.rev").alias("top_revenue_cents"),
+                       (-F.col("m.negk")).alias("top_orderkey"),
+                       "n_lines")
+            .orderBy("p_brand"))
+
+
+def brand_return_z(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand return-rate significance: two-proportion z (brand vs
+    rest of corpus) in bp — every operand an exact integer count, one
+    floor-on-double at the end (the x225/x190 discipline).  Flags the
+    brands whose 'R' share deviates beyond sampling noise.
+    """
+    per = (lineitem
+           .join(part.select("p_partkey", "p_brand"),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("l_returnflag") == "R").cast("long"))
+                .alias("r")))
+    tot = per.agg(F.sum("n").alias("nt"), F.sum("r").alias("rt"))
+    z = ("floor(10000.0 * cast(r * (nt - n) - (rt - r) * n as double) "
+         "/ cast(n as double) / cast(nt - n as double) / sqrt("
+         "cast(rt as double) * cast(nt - rt as double) "
+         "/ cast(nt as double) / cast(nt as double) "
+         "* (1.0 / cast(n as double) + 1.0 / cast(nt - n as double))))")
+    guard = "n > 0 and nt > n and rt > 0 and rt < nt"
+    return (per.crossJoin(F.broadcast(tot))
+            .select("p_brand", "n", "r",
+                    F.expr("(r * 10000) div n").alias("rate_bp"),
+                    F.expr(f"cast(case when {guard} then {z} "
+                           "else 0 end as bigint)").alias("z_bp"))
+            .orderBy("p_brand"))
+
+
+def yoy_growth(customer: DataFrame, orders: DataFrame,
+               nation: DataFrame, y0: int, y1: int) -> DataFrame:
+    """Year-over-year order revenue per nation: both years in ONE
+    conditional-aggregate pass, growth in truncated bp (guarded for a
+    zero base year)."""
+    base = (orders
+            .where(F.year("o_orderdate").isin(y0, y1))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", F.year("o_orderdate").alias("yr"),
+                    _cents("o_totalprice").alias("cents")))
+    agg = (base.groupBy("n_name")
+           .agg(F.sum(F.when(F.col("yr") == y0, F.col("cents"))
+                      .otherwise(F.lit(0))).alias("rev_y0_cents"),
+                F.sum(F.when(F.col("yr") == y1, F.col("cents"))
+                      .otherwise(F.lit(0))).alias("rev_y1_cents")))
+    return (agg.select(
+        "n_name", "rev_y0_cents", "rev_y1_cents",
+        F.expr("case when rev_y0_cents > 0 then "
+               "((rev_y1_cents - rev_y0_cents) * 10000) "
+               "div rev_y0_cents else 0 end").alias("growth_bp"))
+        .orderBy("n_name"))
+
+
+def priority_status_chi2(orders: DataFrame) -> DataFrame:
+    """Chi-square independence cells for priority × order status:
+    per-cell contribution (o−e)²/e in µunits, computed as the single
+    double expression (o·N − rt·ct)²/(rt·ct·N)·10⁶ floored PER CELL
+    (integer before any cross-cell sum, so cross-engine addition
+    order cannot move the result).  The contingency frame is 15 rows;
+    everything before it is one conditional-aggregate pass.
+    """
+    cells = (orders.groupBy("o_orderpriority", "o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("o")))
+    from pyspark.sql.window import Window
+    w_all = Window.partitionBy()            # ≤15 cell rows
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    with_tot = (cells
+                .withColumn("nt", F.sum("o").over(w_all))
+                .withColumn("rt", F.sum("o").over(w_row))
+                .withColumn("ct", F.sum("o").over(w_col)))
+    contrib = ("cast(floor(1000000.0 * "
+               "cast(o * nt - rt * ct as double) "
+               "* cast(o * nt - rt * ct as double) "
+               "/ (cast(rt as double) * cast(ct as double) "
+               "* cast(nt as double) * cast(nt as double))) as bigint)")
+    return (with_tot.select("o_orderpriority", "o_orderstatus",
+                            F.col("o").alias("observed"),
+                            F.expr(contrib).alias("contrib_u"))
+            .orderBy("o_orderpriority", "o_orderstatus"))
+
+
+def discount_curve(lineitem: DataFrame) -> DataFrame:
+    """Discount effectiveness: per discount level (exact bp bucket —
+    the fixtures quantize discounts to 1%), line count, quantity sums
+    and truncating average quantity, and the revenue share in bp.
+    One scan plus a window over the ≤11 bucket rows."""
+    rows = lineitem.select(
+        F.expr("cast(floor(l_discount * 10000 + 0.5) as bigint)")
+        .alias("disc_bp"),
+        _cents("l_quantity").alias("qc"),
+        F.expr(_REVENUE).alias("rev"))
+    agg = (rows.groupBy("disc_bp")
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum("qc").alias("sum_qty_c"),
+                F.sum("rev").alias("revenue_cents")))
+    from pyspark.sql.window import Window
+    tot = F.sum("revenue_cents").over(Window.partitionBy())
+    return (agg.withColumn("_tot", tot)
+            .select("disc_bp", "n_lines", "sum_qty_c",
+                    F.expr("sum_qty_c div n_lines").alias("avg_qty_c"),
+                    "revenue_cents",
+                    F.expr("(revenue_cents * 10000) div _tot")
+                    .alias("rev_share_bp"))
+            .orderBy("disc_bp"))

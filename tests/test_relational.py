@@ -440,3 +440,120 @@ def test_order_rollup_store_merges_batch_partials(spark, tmp_path):
     direct = relational.daily_revenue_running(orders)
     assert served.orderBy("ds").collect() == \
         direct.orderBy("ds").collect()
+
+
+def test_order_stream_sink_redelivery_safe(spark, tmp_path):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    root = str(tmp_path / "ordidx_stream")
+    relational.build_order_rollup(
+        orders.where(F.col("o_orderkey") % 2 == 0), root)
+    sink = relational.order_stream_sink(root)
+    rest = orders.where(F.col("o_orderkey") % 2 == 1)
+    sink(rest.where(F.col("o_orderkey") % 4 == 1), 0)
+    sink(rest.where(F.col("o_orderkey") % 4 == 3), 1)
+    sink(rest.where(F.col("o_orderkey") % 4 == 3), 1)   # redelivery
+    served = relational.running_from_daily(
+        relational.daily_revenue_from_store(spark, root))
+    direct = relational.daily_revenue_running(orders)
+    assert served.orderBy("ds").collect() == \
+        direct.orderBy("ds").collect()
+
+
+def test_order_of_record_argmax_tiebreak(spark):
+    # two lines tie on revenue 10.00 → lower orderkey wins
+    li = _lineitem(spark, [
+        (5, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (9, 1, 1, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="B", p_type="t",
+             p_size=1, p_retailprice=1.0)])
+    out = relational.order_of_record(li, part).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.top_revenue_cents == 1000 and r.top_orderkey == 2
+    assert r.n_lines == 3
+
+
+def test_brand_return_z_zero_when_rate_matches_pool(spark):
+    # both brands have identical 50% return rates → z must be 0 ± 0
+    rows = []
+    for i, (brand_pk, flag) in enumerate([(1, "R"), (1, "N"),
+                                          (2, "R"), (2, "N")] * 5):
+        rows.append((i, brand_pk, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O",
+                     _ts("1996-01-01")))
+    li = _lineitem(spark, rows)
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="A", p_type="t",
+             p_size=1, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="B", p_type="t",
+             p_size=1, p_retailprice=1.0)])
+    out = relational.brand_return_z(li, part).collect()
+    assert all(r.z_bp == 0 for r in out)
+    assert all(r.rate_bp == 5000 for r in out)
+
+
+def test_yoy_growth_conditional_split_and_guard(spark):
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=100.0, o_orderdate=_ts("1996-05-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+             o_totalprice=150.0, o_orderdate=_ts("1997-05-01"),
+             o_orderpriority="1-URGENT"),
+         # nation 2's customer only has 1997 revenue → guard hits
+         Row(o_orderkey=3, o_custkey=2, o_orderstatus="O",
+             o_totalprice=10.0, o_orderdate=_ts("1997-02-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c1", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING"),
+         Row(c_custkey=2, c_name="c2", c_nationkey=2, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="GONDOR", n_regionkey=1),
+         Row(n_nationkey=2, n_name="ROHAN", n_regionkey=1)])
+    out = {r.n_name: r for r in relational.yoy_growth(
+        cust, orders, nation, 1996, 1997).collect()}
+    assert out["GONDOR"].growth_bp == 5000      # +50%
+    assert out["ROHAN"].rev_y0_cents == 0
+    assert out["ROHAN"].growth_bp == 0          # guarded
+
+
+def test_priority_status_chi2_independent_table_is_zero(spark):
+    # perfectly independent 2×2 with equal margins → every cell
+    # contribution is exactly 0
+    rows = []
+    k = 0
+    for pri in ("1-URGENT", "5-LOW"):
+        for st in ("O", "F"):
+            for _ in range(10):
+                k += 1
+                rows.append(Row(o_orderkey=k, o_custkey=1,
+                                o_orderstatus=st, o_totalprice=1.0,
+                                o_orderdate=_ts("1996-01-01"),
+                                o_orderpriority=pri))
+    out = relational.priority_status_chi2(
+        spark.createDataFrame(rows)).collect()
+    assert len(out) == 4
+    assert all(r.contrib_u == 0 for r in out)
+    assert all(r.observed == 10 for r in out)
+
+
+def test_discount_curve_shares_and_buckets(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 2.0, 10.0, 0.00, 0.0, "N", "O", _ts("1996-01-01")),
+        (2, 1, 1, 1, 4.0, 10.0, 0.05, 0.0, "N", "O", _ts("1996-01-01")),
+        (3, 1, 1, 1, 6.0, 10.0, 0.05, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    out = {r.disc_bp: r for r in
+           relational.discount_curve(li).collect()}
+    assert set(out) == {0, 500}
+    assert out[500].n_lines == 2 and out[500].avg_qty_c == 500
+    # revenue: 1000 + 950·2 = 2900; share(500bp) = 19000000//2900
+    assert out[500].revenue_cents == 1900
+    assert out[0].rev_share_bp == 1000 * 10000 // 2900
