@@ -79,6 +79,20 @@ LADDER = [
      "cells; iteration is driver-side on the d x d table)"),
     ("x172_stored_gates", "build linear, serve ~constant (combinable "
      "aggregate over stored booleans)"),
+    ("x240_pricing_summary", "linear (one scan, map-side combinable, "
+     "6 groups)"),
+    ("x241_top_revenue_orders", "linear (pushed filters, orderkey "
+     "shuffle, TakeOrdered top-k)"),
+    ("x242_regional_volume", "linear (fact joins on keys; dims "
+     "broadcast)"),
+    ("x246_supplier_hhi", "linear (two bounded combinable "
+     "aggregates)"),
+    ("x255_daily_revenue_running", "linear collapse + calendar-length "
+     "day-series window (rows/day grow, series does not)"),
+    ("x257_priority_order_profile", "linear (bounded-NDV distinct-"
+     "value groups; windows over value groups only)"),
+    ("x260_brand_affinity", "linear (within-order pairs bounded by "
+     "lines-per-order squared)"),
 ]
 
 
@@ -194,8 +208,53 @@ def generate(path: str) -> None:
             ['{"k": %d}' % v for v in rng.integers(0, 100, n_big)]),
     })
     pq.write_table(tbl, f"{path}/events.parquet")
+
+    # ---- relational star schema: 10x key-shifted tiling. Each copy
+    # offsets every surrogate key by i*(max+1), so join integrity,
+    # per-key fan-outs, and value distributions are preserved EXACTLY
+    # — the honest growth axis for the x240+ family (dates and the
+    # constant nation/region dims unchanged: days get 10x denser, the
+    # day-series windows stay calendar-length).
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF01}/{t}.parquet')) "
+            f"TO '{path}/{t}.parquet' (FORMAT PARQUET)")
+    ok, ck, pk, sk = (con.execute(
+        f"SELECT MAX({c}) + 1 FROM read_parquet('{SF01}/{t}.parquet')"
+    ).fetchone()[0] for c, t in (
+        ("o_orderkey", "orders"), ("c_custkey", "customer"),
+        ("p_partkey", "part"), ("s_suppkey", "supplier")))
+    tiles = ", ".join(f"({i})" for i in range(SCALE))
+    tiled = {
+        "customer": (f"SELECT c_custkey + i * {ck} AS c_custkey, "
+                     "c_name || '#' || i AS c_name, c_nationkey, "
+                     "c_acctbal, c_mktsegment"),
+        "supplier": (f"SELECT s_suppkey + i * {sk} AS s_suppkey, "
+                     "s_name || '#' || i AS s_name, s_nationkey, "
+                     "s_acctbal"),
+        "part": (f"SELECT p_partkey + i * {pk} AS p_partkey, p_name, "
+                 "p_brand, p_type, p_size, p_retailprice"),
+        "orders": (f"SELECT o_orderkey + i * {ok} AS o_orderkey, "
+                   f"o_custkey + i * {ck} AS o_custkey, o_orderstatus, "
+                   "o_totalprice, o_orderdate, o_orderpriority"),
+        "lineitem": (f"SELECT l_orderkey + i * {ok} AS l_orderkey, "
+                     f"l_partkey + i * {pk} AS l_partkey, "
+                     f"l_suppkey + i * {sk} AS l_suppkey, "
+                     "l_linenumber, l_quantity, l_extendedprice, "
+                     "l_discount, l_tax, l_returnflag, l_linestatus, "
+                     "l_shipdate"),
+    }
+    for t, sel in tiled.items():
+        con.execute(
+            f"COPY ({sel} FROM read_parquet('{SF01}/{t}.parquet'), "
+            f"(VALUES {tiles}) tile(i)) "
+            f"TO '{path}/{t}.parquet' (FORMAT PARQUET)")
+    n_li = con.execute(f"SELECT COUNT(*) FROM "
+                       f"read_parquet('{path}/lineitem.parquet')"
+                       ).fetchone()[0]
     print(f"# generated {n_docs} docs / {n_vec} vectors / "
-          f"{n_big} events at {path}", file=sys.stderr)
+          f"{n_big} events / {n_li} lineitems at {path}",
+          file=sys.stderr)
 
 
 def main() -> None:
