@@ -3674,6 +3674,35 @@ def x_discount_curve(spark, sf_dir):
     return relational.discount_curve(_t(spark, sf_dir, "lineitem"))
 
 
+def x_bucketed_join_revenue(spark, sf_dir):
+    """x268 — per-status revenue over the BUCKETED orders ⋈ lineitem
+    warehouse: both tables persisted with bucketBy(8, orderkey), so
+    the equi-join plan carries no Exchange on either leg (pinned by
+    test).  The oracle is the plain join — bucketing changes the
+    plan, never the answer."""
+    import hashlib
+
+    root = _cached_index_root("bwh", sf_dir, lambda r: None)
+    prefix = "kafana_bwh_" + hashlib.md5(root.encode()).hexdigest()[:8]
+    names = relational.build_bucketed_warehouse(
+        spark, _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), root, prefix)
+    return relational.bucketed_join_revenue(spark, *names)
+
+
+def x_disjunctive_revenue(spark, sf_dir):
+    """x269 — TPC-H Q19 shape: OR-of-conjunctions revenue mixing part
+    and line predicates, one conditional aggregate per branch."""
+    return relational.disjunctive_revenue(_t(spark, sf_dir, "lineitem"),
+                                          _t(spark, sf_dir, "part"))
+
+
+def x_status_pivot(spark, sf_dir):
+    """x270 — priority × status contingency in WIDE form via pivot
+    with an explicit value list (deterministic schema)."""
+    return relational.status_pivot(_t(spark, sf_dir, "orders"))
+
+
 def x_lang_token_quartiles(spark, sf_dir):
     """x267 — per-language token-count quartiles over documents via
     the per-group cumulative distinct-value rule (stats.
@@ -3951,6 +3980,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x265_priority_status_chi2": x_priority_status_chi2,
     "x266_discount_curve": x_discount_curve,
     "x267_lang_token_quartiles": x_lang_token_quartiles,
+    "x268_bucketed_join_revenue": x_bucketed_join_revenue,
+    "x269_disjunctive_revenue": x_disjunctive_revenue,
+    "x270_status_pivot": x_status_pivot,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -8599,6 +8631,45 @@ def _discount_curve_sql() -> str:
         "FROM a CROSS JOIN t ORDER BY disc_bp")
 
 
+def _bucketed_join_revenue_sql() -> str:
+    return (
+        "SELECT o_orderstatus, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1 ORDER BY 1")
+
+
+def _disjunctive_revenue_sql() -> str:
+    qty = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+    b1 = f"(p_type = 'PROMO' AND {qty} <= 2000)"
+    b2 = f"(p_size >= 40 AND {qty} >= 4000)"
+    b3 = f"(p_brand = 'Brand#11' AND {qty} BETWEEN 1000 AND 3000)"
+    return (
+        "WITH j AS (SELECT CASE "
+        f"WHEN {b1} THEN 'promo_small' "
+        f"WHEN {b2} THEN 'large_bulk' "
+        "ELSE 'brand11_mid' END AS branch, "
+        f"{_O_REV} AS rev "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE {b1} OR {b2} OR {b3}) "
+        "SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(rev) AS BIGINT) AS revenue_cents "
+        "FROM j GROUP BY 1 ORDER BY 1")
+
+
+def _status_pivot_sql() -> str:
+    return (
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_f, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_o, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_p "
+        "FROM orders GROUP BY 1 ORDER BY 1")
+
+
 def _lang_token_quartiles_sql() -> str:
     return (
         "WITH po AS (SELECT lang AS g, "
@@ -9432,6 +9503,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x265_priority_status_chi2": _priority_status_chi2_sql(),
     "x266_discount_curve": _discount_curve_sql(),
     "x267_lang_token_quartiles": _lang_token_quartiles_sql(),
+    "x268_bucketed_join_revenue": _bucketed_join_revenue_sql(),
+    "x269_disjunctive_revenue": _disjunctive_revenue_sql(),
+    "x270_status_pivot": _status_pivot_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

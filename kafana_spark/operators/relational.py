@@ -789,3 +789,86 @@ def discount_curve(lineitem: DataFrame) -> DataFrame:
                     F.expr("(revenue_cents * 10000) div _tot")
                     .alias("rev_share_bp"))
             .orderBy("disc_bp"))
+
+
+# ------------------------------------------------ bucketed warehouse
+#: Bucket count for the co-located orders ⋈ lineitem warehouse. At
+#: 100 TB this is the knob that sizes per-bucket files; both tables
+#: MUST use the same count for the join to skip its exchanges.
+N_BUCKETS = 8
+
+
+def build_bucketed_warehouse(spark, orders: DataFrame,
+                             lineitem: DataFrame, path: str,
+                             prefix: str) -> tuple[str, str]:
+    """Persist orders and lineitem BUCKETED BY their join key
+    (Spark's table bucketing: ``bucketBy(N, orderkey)`` +
+    ``sortBy`` + ``saveAsTable``) so every future orderkey equi-join
+    between them reads co-located buckets and skips BOTH exchanges —
+    at 100 TB that's the difference between a full-fact shuffle per
+    query and none.  Tables are external (data under ``path``), names
+    prefixed for session-catalog isolation; returns the two names.
+    """
+    names = (f"{prefix}_orders", f"{prefix}_lineitem")
+    for df, key, name, sub in (
+            (orders, "o_orderkey", names[0], "orders"),
+            (lineitem, "l_orderkey", names[1], "lineitem")):
+        if not spark.catalog.tableExists(name):
+            (df.write.bucketBy(N_BUCKETS, key).sortBy(key)
+             .option("path", f"{path}/{sub}")
+             .mode("overwrite").saveAsTable(name))
+    return names
+
+
+def bucketed_join_revenue(spark, orders_table: str,
+                          lineitem_table: str) -> DataFrame:
+    """Per-status revenue over the BUCKETED orders ⋈ lineitem join —
+    the co-located-join demonstrator: with both sides bucketed by
+    orderkey at the same count, the physical plan carries no Exchange
+    on either join leg (pinned by test with broadcast disabled)."""
+    o = spark.table(orders_table).select("o_orderkey", "o_orderstatus")
+    li = spark.table(lineitem_table)
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_orderstatus"))
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of per-branch conjunctions
+    mixing part and line predicates.  Catalyst splits each branch's
+    single-table conjuncts for pushdown while the cross-table OR
+    evaluates post-join; the report returns one row per branch (a
+    conditional aggregate, not three scans).
+    """
+    qty = "cast(floor(l_quantity * 100 + 0.5) as bigint)"
+    b1 = f"(p_type = 'PROMO' and {qty} <= 2000)"
+    b2 = f"(p_size >= 40 and {qty} >= 4000)"
+    b3 = f"(p_brand = 'Brand#11' and {qty} between 1000 and 3000)"
+    joined = (lineitem
+              .join(part.select("p_partkey", "p_brand", "p_type",
+                                "p_size"),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .where(F.expr(f"{b1} or {b2} or {b3}")))
+    branch = (F.when(F.expr(b1), "promo_small")
+              .when(F.expr(b2), "large_bulk")
+              .otherwise("brand11_mid"))
+    return (joined.groupBy(branch.alias("branch"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.expr(_REVENUE)).alias("revenue_cents"))
+            .orderBy("branch"))
+
+
+def status_pivot(orders: DataFrame) -> DataFrame:
+    """Priority × status contingency in WIDE form via Spark's pivot
+    (explicit value list → deterministic schema); the oracle twin is
+    the equivalent conditional aggregation.  One combinable pass."""
+    return (orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .select("o_orderpriority",
+                    F.coalesce("F", F.lit(0)).alias("n_f"),
+                    F.coalesce("O", F.lit(0)).alias("n_o"),
+                    F.coalesce("P", F.lit(0)).alias("n_p"))
+            .orderBy("o_orderpriority"))

@@ -557,3 +557,85 @@ def test_discount_curve_shares_and_buckets(spark):
     # revenue: 1000 + 950·2 = 2900; share(500bp) = 19000000//2900
     assert out[500].revenue_cents == 1900
     assert out[0].rev_share_bp == 1000 * 10000 // 2900
+
+
+def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
+    from kafana_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    names = relational.build_bucketed_warehouse(
+        spark, load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"), str(tmp_path / "bwh"),
+        "test_bwh")
+    # disable broadcast so the join strategy itself must avoid the
+    # shuffle — the point of bucketing
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = relational.bucketed_join_revenue(spark, *names)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no Exchange below the join: bucketed scans satisfy the
+        # join's distribution on both legs
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # and the answer matches the unbucketed join
+        o = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        plain = (li.join(o.select("o_orderkey", "o_orderstatus"),
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_orderstatus")
+                 .agg(F.expr("cast(sum(cast(floor(l_extendedprice * "
+                             "(1.0 - l_discount) * 100 + 0.5) as "
+                             "bigint)) as bigint)")
+                      .alias("revenue_cents"),
+                      F.count(F.lit(1)).alias("n_lines"))
+                 .orderBy("o_orderstatus"))
+        assert q.collect() == plain.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_disjunctive_revenue_branch_assignment(spark):
+    li = _lineitem(spark, [
+        # qty 10 → promo_small (branch 1 wins even if others match)
+        (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # size-40 part, qty 45 → large_bulk
+        (2, 2, 1, 1, 45.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # Brand#11, qty 20 → brand11_mid
+        (3, 3, 1, 1, 20.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # matches nothing
+        (4, 3, 1, 1, 99.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="Brand#1",
+             p_type="PROMO", p_size=1, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="Brand#2",
+             p_type="LARGE", p_size=40, p_retailprice=1.0),
+         Row(p_partkey=3, p_name="c", p_brand="Brand#11",
+             p_type="SMALL", p_size=1, p_retailprice=1.0)])
+    out = {r.branch: r.n_lines for r in
+           relational.disjunctive_revenue(li, part).collect()}
+    assert out == {"promo_small": 1, "large_bulk": 1, "brand11_mid": 1}
+
+
+def test_status_pivot_counts_and_zero_fill(spark):
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="F",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_custkey=1, o_orderstatus="F",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT"),
+         Row(o_orderkey=3, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="5-LOW")])
+    out = {r.o_orderpriority: r for r in
+           relational.status_pivot(orders).collect()}
+    assert (out["1-URGENT"].n_f, out["1-URGENT"].n_o,
+            out["1-URGENT"].n_p) == (2, 0, 0)
+    assert (out["5-LOW"].n_f, out["5-LOW"].n_o,
+            out["5-LOW"].n_p) == (0, 1, 0)
