@@ -3674,6 +3674,29 @@ def x_discount_curve(spark, sf_dir):
     return relational.discount_curve(_t(spark, sf_dir, "lineitem"))
 
 
+def x_tukey_outlier_orders(spark, sf_dir):
+    """x271 — per-priority Tukey-fence outlier-order rate on
+    $100-bucketed totals (integer fence from the group-quantile
+    rule)."""
+    return relational.tukey_outlier_orders(_t(spark, sf_dir, "orders"))
+
+
+def x_revenue_forecast_backtest(spark, sf_dir):
+    """x272 — trailing-7-day MA forecast of daily revenue, strictly-
+    prior full-window gated, per-day errors + WAPE bp."""
+    return relational.revenue_forecast_backtest(
+        _t(spark, sf_dir, "orders"))
+
+
+def x_referential_integrity(spark, sf_dir):
+    """x273 — FK audit over the star schema: per edge, child rows and
+    orphan count via LEFT ANTI on the parent key set."""
+    return relational.referential_integrity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"))
+
+
 def x_bucketed_join_revenue(spark, sf_dir):
     """x268 — per-status revenue over the BUCKETED orders ⋈ lineitem
     warehouse: both tables persisted with bucketBy(8, orderkey), so
@@ -3983,6 +4006,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x268_bucketed_join_revenue": x_bucketed_join_revenue,
     "x269_disjunctive_revenue": x_disjunctive_revenue,
     "x270_status_pivot": x_status_pivot,
+    "x271_tukey_outlier_orders": x_tukey_outlier_orders,
+    "x272_revenue_forecast_backtest": x_revenue_forecast_backtest,
+    "x273_referential_integrity": x_referential_integrity,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -8631,6 +8657,75 @@ def _discount_curve_sql() -> str:
         "FROM a CROSS JOIN t ORDER BY disc_bp")
 
 
+def _tukey_outlier_orders_sql() -> str:
+    return (
+        "WITH po AS (SELECT o_orderpriority AS g, "
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 "
+        "AS val FROM orders), "
+        "pv AS (SELECT g, val, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM po GROUP BY 1, 2), "
+        "nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n "
+        "FROM pv GROUP BY 1), "
+        "cm AS (SELECT g, val, CAST(SUM(cnt) OVER (PARTITION BY g "
+        "ORDER BY val ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "FROM pv), "
+        "q AS (SELECT cm.g, "
+        "MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN val END) AS p25, "
+        "MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN val END) AS p75 "
+        "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1), "
+        "f AS (SELECT g, p75 + 3 * (p75 - p25) AS fence FROM q) "
+        "SELECT po.g AS o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CASE WHEN val > fence THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_outliers, "
+        "(CAST(SUM(CASE WHEN val > fence THEN 1 ELSE 0 END) AS BIGINT) "
+        "* 10000) // CAST(COUNT(*) AS BIGINT) AS outlier_rate_bp "
+        "FROM po JOIN f ON po.g = f.g GROUP BY 1 ORDER BY 1")
+
+
+def _revenue_forecast_backtest_sql() -> str:
+    return (
+        "WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) "
+        "AS ds, date_diff('day', DATE '1970-01-01', "
+        "CAST(o_orderdate AS DATE)) AS day, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS day_cents FROM orders GROUP BY 1, 2), "
+        "s AS (SELECT ds, day_cents, "
+        "CAST(SUM(day_cents) OVER (ORDER BY day RANGE BETWEEN 7 "
+        "PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum7, "
+        "CAST(COUNT(day_cents) OVER (ORDER BY day RANGE BETWEEN 7 "
+        "PRECEDING AND 1 PRECEDING) AS BIGINT) AS n7 FROM d), "
+        "e AS (SELECT ds, day_cents, sum7 // 7 AS pred_cents, "
+        "abs(day_cents - sum7 // 7) AS abs_err_cents "
+        "FROM s WHERE n7 = 7), "
+        "t AS (SELECT CAST(SUM(abs_err_cents) AS BIGINT) AS sum_err, "
+        "CAST(SUM(day_cents) AS BIGINT) AS sum_act FROM e) "
+        "SELECT ds, day_cents, pred_cents, "
+        "CAST(abs_err_cents AS BIGINT) AS abs_err_cents, "
+        "(sum_err * 10000) // sum_act AS wape_bp "
+        "FROM e CROSS JOIN t ORDER BY ds")
+
+
+def _referential_integrity_sql() -> str:
+    def one(name, ct, ck, pt, pk):
+        return (
+            f"SELECT '{name}' AS fk_edge, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_rows, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM "
+            f"{ct} WHERE NOT EXISTS (SELECT 1 FROM {pt} "
+            f"WHERE {pt}.{pk} = {ct}.{ck})) AS n_orphans")
+    return (" UNION ALL ".join([
+        one("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+        one("lineitem_part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+        one("lineitem_supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+        one("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+    ]) + " ORDER BY fk_edge")
+
+
 def _bucketed_join_revenue_sql() -> str:
     return (
         "SELECT o_orderstatus, "
@@ -9506,6 +9601,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x268_bucketed_join_revenue": _bucketed_join_revenue_sql(),
     "x269_disjunctive_revenue": _disjunctive_revenue_sql(),
     "x270_status_pivot": _status_pivot_sql(),
+    "x271_tukey_outlier_orders": _tukey_outlier_orders_sql(),
+    "x272_revenue_forecast_backtest": _revenue_forecast_backtest_sql(),
+    "x273_referential_integrity": _referential_integrity_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -872,3 +872,95 @@ def status_pivot(orders: DataFrame) -> DataFrame:
                     F.coalesce("O", F.lit(0)).alias("n_o"),
                     F.coalesce("P", F.lit(0)).alias("n_p"))
             .orderBy("o_orderpriority"))
+
+
+def tukey_outlier_orders(orders: DataFrame) -> DataFrame:
+    """Per-priority outlier-order rate by the Tukey fence on
+    $100-bucketed totals: an order is flagged when its bucket exceeds
+    p75 + 3·(p75 − p25), with the quartiles from the per-group
+    cumulative distinct-value rule — all integers, so the fence is
+    engine-exact.  Two passes over the order grain (quartiles, then a
+    broadcast fence join); output is 5 rows.
+    """
+    from kafana_spark.operators import stats
+
+    po = orders.select("o_orderpriority",
+                       F.expr("cast(floor(o_totalprice * 100 + 0.5) "
+                              "as bigint) div 10000").alias("price_h"))
+    q = (stats.group_quantiles(po, "o_orderpriority", F.col("price_h"))
+         .select("o_orderpriority",
+                 F.expr("p75 + 3 * (p75 - p25)").alias("fence")))
+    return (po.join(F.broadcast(q), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum((F.col("price_h") > F.col("fence"))
+                       .cast("long")).alias("n_outliers"))
+            .select("o_orderpriority", "n_orders", "n_outliers",
+                    F.expr("(n_outliers * 10000) div n_orders")
+                    .alias("outlier_rate_bp"))
+            .orderBy("o_orderpriority"))
+
+
+def revenue_forecast_backtest(orders: DataFrame) -> DataFrame:
+    """Naive trailing-7-day moving-average forecast of daily revenue,
+    backtested: prediction for day d is the truncating mean of the 7
+    STRICTLY PRIOR calendar days, evaluable only when all 7 exist
+    (full-window gating — one missing day disqualifies every day
+    whose window spans it).  Output is the per-day error table plus
+    WAPE in bp computed over the evaluable days; all windows run on
+    the calendar-length day series.
+    """
+    from pyspark.sql.window import Window
+    daily = _daily_revenue(orders)
+    w7 = Window.orderBy("day").rangeBetween(-7, -1)
+    scored = (daily
+              .withColumn("sum7", F.sum("day_cents").over(w7))
+              .withColumn("n7", F.count("day_cents").over(w7))
+              .where(F.col("n7") == 7)
+              .select("ds", "day_cents",
+                      F.expr("sum7 div 7").alias("pred_cents"))
+              .withColumn("abs_err_cents",
+                          F.expr("abs(day_cents - pred_cents)")))
+    tot = scored.agg(
+        F.sum("abs_err_cents").alias("sum_err"),
+        F.sum("day_cents").alias("sum_act"))
+    return (scored.crossJoin(F.broadcast(tot))
+            .select("ds", "day_cents", "pred_cents", "abs_err_cents",
+                    F.expr("(sum_err * 10000) div sum_act")
+                    .alias("wape_bp"))
+            .orderBy("ds"))
+
+
+def referential_integrity(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame) -> DataFrame:
+    """Foreign-key audit over the star schema: per declared FK edge,
+    child row count and orphan count (LEFT ANTI against the parent
+    key set).  The data-quality primitive a 100 TB ingest pipeline
+    runs after every load; each edge is one anti-join on the join key
+    it would later shuffle on anyway.
+    """
+    edges = [
+        ("lineitem_orders", lineitem, "l_orderkey",
+         orders, "o_orderkey"),
+        ("lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+        ("lineitem_supplier", lineitem, "l_suppkey",
+         supplier, "s_suppkey"),
+        ("orders_customer", orders, "o_custkey",
+         customer, "c_custkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        keys = child.select(F.col(ck).alias("k"))
+        orphans = (keys.join(parent.select(F.col(pk).alias("k")),
+                             "k", "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_orphans")))
+        outs.append(
+            keys.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select(F.lit(name).alias("fk_edge"), "n_rows",
+                    "n_orphans"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fk_edge")

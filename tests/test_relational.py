@@ -639,3 +639,65 @@ def test_status_pivot_counts_and_zero_fill(spark):
             out["1-URGENT"].n_p) == (2, 0, 0)
     assert (out["5-LOW"].n_f, out["5-LOW"].n_o,
             out["5-LOW"].n_p) == (0, 1, 0)
+
+
+def test_tukey_outliers_fence_boundary(spark):
+    # priority with 20 orders at $100 and one at $100000: quartiles
+    # all 1 ($100 bucket) → fence 1; the big order (bucket 1000) flags
+    rows = [Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+                o_totalprice=100.0, o_orderdate=_ts("1996-01-01"),
+                o_orderpriority="1-URGENT") for k in range(20)]
+    rows.append(Row(o_orderkey=99, o_custkey=1, o_orderstatus="O",
+                    o_totalprice=100000.0, o_orderdate=_ts("1996-01-01"),
+                    o_orderpriority="1-URGENT"))
+    out = relational.tukey_outlier_orders(
+        spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_orders == 21 and r.n_outliers == 1
+    assert r.outlier_rate_bp == 10000 // 21
+
+
+def test_revenue_forecast_full_window_gating(spark):
+    # 9 consecutive days then a gap then 1 more: only days 8 and 9
+    # have 7 strictly-prior days; the post-gap day does not
+    rows = []
+    days = list(range(1, 10)) + [15]
+    for i, d in enumerate(days):
+        rows.append(Row(o_orderkey=i, o_custkey=1, o_orderstatus="O",
+                        o_totalprice=float(d),
+                        o_orderdate=_ts(f"1996-01-{d:02d}"),
+                        o_orderpriority="1-URGENT"))
+    out = relational.revenue_forecast_backtest(
+        spark.createDataFrame(rows)).collect()
+    assert [r.ds for r in out] == ["1996-01-08", "1996-01-09"]
+    # day 8 pred: mean(100..700 cents) = 2800 div 7 = 400
+    assert out[0].pred_cents == 400
+    assert out[0].abs_err_cents == 400
+    # WAPE over both evaluable days
+    assert out[0].wape_bp == out[1].wape_bp
+
+
+def test_referential_integrity_counts_orphans(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        (99, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=7, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=7, c_name="c", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="B", p_type="t",
+             p_size=1, p_retailprice=1.0)])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=1, s_name="s", s_nationkey=1, s_acctbal=0.0)])
+    out = {r.fk_edge: r for r in relational.referential_integrity(
+        cust, orders, li, part, supp).collect()}
+    assert out["lineitem_orders"].n_orphans == 1   # orderkey 99
+    assert out["lineitem_part"].n_orphans == 0
+    assert out["orders_customer"].n_orphans == 0
+    assert out["lineitem_orders"].n_rows == 2
