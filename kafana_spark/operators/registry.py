@@ -3674,6 +3674,63 @@ def x_discount_curve(spark, sf_dir):
     return relational.discount_curve(_t(spark, sf_dir, "lineitem"))
 
 
+#: x275 Q6 band; x277 Q15 quarter; x279 Q7 year + report size.
+Q6_Y0, Q6_Y1 = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+Q6_D_LO, Q6_D_HI, Q6_QTY_MAX_C = 0.05, 0.07, 2400
+Q15_D0, Q15_D1 = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+TRADE_TOP_K = 30
+
+
+def x_blocking_suppliers(spark, sf_dir):
+    """x274 — TPC-H Q21 shape: unique last-shipping supplier in
+    multi-supplier orders, per-order aggregates only (no per-line
+    window)."""
+    return relational.blocking_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        TPCH_TOP_K)
+
+
+def x_forecast_revenue_change(spark, sf_dir):
+    """x275 — TPC-H Q6: revenue recovered by dropping small-quantity
+    discounts in the band (single pushed-down filter + one sum)."""
+    return relational.forecast_revenue_change(
+        _t(spark, sf_dir, "lineitem"), Q6_Y0, Q6_Y1, Q6_D_LO, Q6_D_HI,
+        Q6_QTY_MAX_C)
+
+
+def x_margin_proxy(spark, sf_dir):
+    """x276 — TPC-H Q9 shape with retail-cost proxy (partsupp absent
+    from fixtures — documented): margin per (supplier nation, ship
+    year)."""
+    return relational.margin_proxy(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"))
+
+
+def x_top_supplier_quarter(spark, sf_dir):
+    """x277 — TPC-H Q15: supplier(s) at the quarter-revenue maximum
+    (scalar-max semantics, ties surface; broadcast max join)."""
+    return relational.top_supplier_quarter(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        Q15_D0, Q15_D1)
+
+
+def x_order_count_distribution(spark, sf_dir):
+    """x278 — TPC-H Q13 custdist: customers per exact order count
+    (zero-order customers in the 0 bucket via LEFT join)."""
+    return relational.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+def x_trade_matrix(spark, sf_dir):
+    """x279 — TPC-H Q7 shape: cross-nation (supplier → customer)
+    revenue pairs where nations differ, one year, top-k."""
+    return relational.trade_matrix(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), TPCH_Y0, TPCH_Y1, TRADE_TOP_K)
+
+
 def x_tukey_outlier_orders(spark, sf_dir):
     """x271 — per-priority Tukey-fence outlier-order rate on
     $100-bucketed totals (integer fence from the group-quantile
@@ -4009,6 +4066,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x271_tukey_outlier_orders": x_tukey_outlier_orders,
     "x272_revenue_forecast_backtest": x_revenue_forecast_backtest,
     "x273_referential_integrity": x_referential_integrity,
+    "x274_blocking_suppliers": x_blocking_suppliers,
+    "x275_forecast_revenue_change": x_forecast_revenue_change,
+    "x276_margin_proxy": x_margin_proxy,
+    "x277_top_supplier_quarter": x_top_supplier_quarter,
+    "x278_order_count_distribution": x_order_count_distribution,
+    "x279_trade_matrix": x_trade_matrix,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -8657,6 +8720,99 @@ def _discount_curve_sql() -> str:
         "FROM a CROSS JOIN t ORDER BY disc_bp")
 
 
+def _blocking_suppliers_sql() -> str:
+    return (
+        "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+        "MAX(l_shipdate) AS supp_last FROM lineitem GROUP BY 1, 2), "
+        "st AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "
+        "n_supps, MAX(supp_last) AS order_last FROM pairs GROUP BY 1), "
+        "hit AS (SELECT p.l_orderkey, p.l_suppkey FROM pairs p "
+        "JOIN st ON p.l_orderkey = st.l_orderkey "
+        "WHERE p.supp_last = st.order_last AND st.n_supps >= 2), "
+        "u AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "
+        "n_hitters FROM hit GROUP BY 1), "
+        "b AS (SELECT hit.l_suppkey FROM hit JOIN u "
+        "ON hit.l_orderkey = u.l_orderkey WHERE u.n_hitters = 1) "
+        "SELECT s_suppkey, s_name, "
+        "CAST(COUNT(*) AS BIGINT) AS n_blocked_orders "
+        "FROM b JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY 1, 2 "
+        f"ORDER BY n_blocked_orders DESC, s_suppkey LIMIT {TPCH_TOP_K}")
+
+
+def _forecast_revenue_change_sql() -> str:
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS forgone_cents "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q6_Y0}' "
+        f"AND l_shipdate < TIMESTAMP '{Q6_Y1}' "
+        f"AND l_discount >= {Q6_D_LO} AND l_discount <= {Q6_D_HI} "
+        "AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) "
+        f"< {Q6_QTY_MAX_C}")
+
+
+def _margin_proxy_sql() -> str:
+    return (
+        "WITH rws AS (SELECT n_name, "
+        "CAST(year(l_shipdate) AS INT) AS yr, "
+        f"{_O_REV} AS rev, "
+        "(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) // 100 "
+        "AS cost "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey) "
+        "SELECT n_name, yr, CAST(SUM(rev) AS BIGINT) AS revenue_cents, "
+        "CAST(SUM(cost) AS BIGINT) AS cost_cents, "
+        "CAST(SUM(rev - cost) AS BIGINT) AS margin_cents "
+        "FROM rws GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def _top_supplier_quarter_sql() -> str:
+    return (
+        "WITH per AS (SELECT l_suppkey, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS total_revenue_cents "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q15_D0}' "
+        f"AND l_shipdate < TIMESTAMP '{Q15_D1}' GROUP BY 1), "
+        "m AS (SELECT MAX(total_revenue_cents) AS mx FROM per) "
+        "SELECT s_suppkey, s_name, total_revenue_cents "
+        "FROM per CROSS JOIN m "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue_cents = mx ORDER BY s_suppkey")
+
+
+def _order_count_distribution_sql() -> str:
+    return (
+        "WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY 1), "
+        "per AS (SELECT c_custkey, COALESCE(n, CAST(0 AS BIGINT)) AS "
+        "n_orders FROM customer LEFT JOIN oc ON c_custkey = o_custkey) "
+        "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers "
+        "FROM per GROUP BY 1 ORDER BY n_orders DESC")
+
+
+def _trade_matrix_sql() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE o_orderdate >= TIMESTAMP '{TPCH_Y0}' "
+        f"AND o_orderdate < TIMESTAMP '{TPCH_Y1}') "
+        "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+        f"CAST(SUM({_O_REV}) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+        "JOIN nation nc ON o.c_nationkey = nc.n_nationkey "
+        "WHERE o.c_nationkey <> s.s_nationkey "
+        "GROUP BY 1, 2 "
+        "ORDER BY revenue_cents DESC, supp_nation, cust_nation "
+        f"LIMIT {TRADE_TOP_K}")
+
+
 def _tukey_outlier_orders_sql() -> str:
     return (
         "WITH po AS (SELECT o_orderpriority AS g, "
@@ -9604,6 +9760,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x271_tukey_outlier_orders": _tukey_outlier_orders_sql(),
     "x272_revenue_forecast_backtest": _revenue_forecast_backtest_sql(),
     "x273_referential_integrity": _referential_integrity_sql(),
+    "x274_blocking_suppliers": _blocking_suppliers_sql(),
+    "x275_forecast_revenue_change": _forecast_revenue_change_sql(),
+    "x276_margin_proxy": _margin_proxy_sql(),
+    "x277_top_supplier_quarter": _top_supplier_quarter_sql(),
+    "x278_order_count_distribution": _order_count_distribution_sql(),
+    "x279_trade_matrix": _trade_matrix_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

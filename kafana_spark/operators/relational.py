@@ -964,3 +964,151 @@ def referential_integrity(customer: DataFrame, orders: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fk_edge")
+
+
+def forecast_revenue_change(lineitem: DataFrame, y0: str, y1: str,
+                            d_lo: float, d_hi: float,
+                            qty_max: int) -> DataFrame:
+    """TPC-H Q6: the revenue that would be recovered by dropping
+    small-quantity discounts in a band — one pushed-down filter and
+    one combinable sum of ep·disc cents.  The single-row report."""
+    rows = lineitem.where(
+        (F.col("l_shipdate") >= F.expr(f"timestamp '{y0}'")) &
+        (F.col("l_shipdate") < F.expr(f"timestamp '{y1}'")) &
+        (F.col("l_discount") >= d_lo) & (F.col("l_discount") <= d_hi) &
+        (F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+         < qty_max))
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.expr("cast(floor(l_extendedprice * l_discount * 100 "
+                     "+ 0.5) as bigint)")).alias("forgone_cents"))
+
+
+def order_count_distribution(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 custdist: how many customers placed exactly N orders
+    — per-customer count via LEFT join (zero-order customers land in
+    the 0 bucket), then the count-of-counts histogram.  Two combinable
+    aggregates; the histogram frame is ≤ max-orders-per-customer rows.
+    """
+    per = (customer.select("c_custkey")
+           .join(orders.groupBy("o_custkey")
+                 .agg(F.count(F.lit(1)).alias("n_orders")),
+                 F.col("c_custkey") == F.col("o_custkey"), "left")
+           .select("c_custkey",
+                   F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+    return (per.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy(F.desc("n_orders")))
+
+
+def top_supplier_quarter(lineitem: DataFrame, supplier: DataFrame,
+                         d0: str, d1: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving the maximum quarter
+    revenue — scalar-max semantics (ties all surface), computed as a
+    per-supplier aggregate joined to its broadcast global max; no
+    window, no sort beyond the final ≤-tie-count rows."""
+    per = (lineitem
+           .where((F.col("l_shipdate") >= F.expr(f"timestamp '{d0}'")) &
+                  (F.col("l_shipdate") < F.expr(f"timestamp '{d1}'")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.expr(_REVENUE)).alias("total_revenue_cents")))
+    mx = per.agg(F.max("total_revenue_cents").alias("mx"))
+    return (per.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue_cents") == F.col("mx"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), "s_name", "total_revenue_cents")
+            .orderBy("s_suppkey"))
+
+
+def blocking_suppliers(lineitem: DataFrame, supplier: DataFrame,
+                       k: int) -> DataFrame:
+    """TPC-H Q21 shape: in multi-supplier orders, the supplier whose
+    line shipped LAST (strictly after every other supplier's lines) —
+    the 'who held up the order' report.  Per-order aggregates only:
+    the order's max shipdate, the max among OTHER suppliers via the
+    two-top-values trick (max + distinct-supplier max pairs), never a
+    per-line window.
+    """
+    pairs = (lineitem.groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max("l_shipdate").alias("supp_last")))
+    stats = (pairs.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_supps"),
+                  F.max("supp_last").alias("order_last")))
+    # a supplier blocks iff it is the UNIQUE holder of the order max:
+    # count how many (order, supplier) pairs hit the max
+    hitters = (pairs.join(
+        stats.select("l_orderkey", "n_supps", "order_last"),
+        "l_orderkey")
+        .where((F.col("supp_last") == F.col("order_last")) &
+               (F.col("n_supps") >= 2)))
+    uniq = (hitters.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_hitters")))
+    blockers = (hitters.join(uniq, "l_orderkey")
+                .where(F.col("n_hitters") == 1))
+    return (blockers.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_blocked_orders"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "n_blocked_orders")
+            .orderBy(F.desc("n_blocked_orders"), "s_suppkey")
+            .limit(k))
+
+
+def trade_matrix(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, y0: str, y1: str,
+                 k: int) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade — revenue per (supplier
+    nation → customer nation) pair where the nations DIFFER, one year,
+    top-k pairs.  One fact pass; both nation lookups ride the same
+    broadcast dim."""
+    geo = F.broadcast(nation.select("n_nationkey", "n_name"))
+    ords = (orders
+            .where((F.col("o_orderdate") >= F.expr(f"timestamp '{y0}'")) &
+                   (F.col("o_orderdate") < F.expr(f"timestamp '{y1}'")))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_nationkey"))
+    joined = (lineitem
+              .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(supplier.select("s_suppkey", "s_nationkey"),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .where(F.col("c_nationkey") != F.col("s_nationkey")))
+    return (joined
+            .join(geo.select(F.col("n_nationkey").alias("sk"),
+                             F.col("n_name").alias("supp_nation")),
+                  F.col("s_nationkey") == F.col("sk"))
+            .join(geo.select(F.col("n_nationkey").alias("ck"),
+                             F.col("n_name").alias("cust_nation")),
+                  F.col("c_nationkey") == F.col("ck"))
+            .groupBy("supp_nation", "cust_nation")
+            .agg(F.sum(F.expr(_REVENUE)).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.desc("revenue_cents"), "supp_nation",
+                     "cust_nation")
+            .limit(k))
+
+
+def margin_proxy(lineitem: DataFrame, part: DataFrame,
+                 supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q9 shape with the schema we have: 'profit' proxied as
+    discounted revenue minus retail cost (p_retailprice · quantity,
+    both in exact cents), per (supplier nation, order year of
+    shipment).  The real Q9 uses ps_supplycost — partsupp is absent
+    from the fixtures, so the proxy is documented, not hidden."""
+    cost = ("cast(floor(p_retailprice * 100 + 0.5) as bigint) * "
+            "(cast(floor(l_quantity * 100 + 0.5) as bigint)) div 100")
+    rows = (lineitem
+            .join(part.select("p_partkey", "p_retailprice"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(supplier.select("s_suppkey", "s_nationkey"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("n_name", F.year("l_shipdate").alias("yr"),
+                    F.expr(_REVENUE).alias("rev"),
+                    F.expr(cost).alias("cost")))
+    return (rows.groupBy("n_name", "yr")
+            .agg(F.sum("rev").alias("revenue_cents"),
+                 F.sum("cost").alias("cost_cents"),
+                 F.sum(F.expr("rev - cost")).alias("margin_cents"))
+            .orderBy("n_name", "yr"))

@@ -701,3 +701,119 @@ def test_referential_integrity_counts_orphans(spark):
     assert out["lineitem_part"].n_orphans == 0
     assert out["orders_customer"].n_orphans == 0
     assert out["lineitem_orders"].n_rows == 2
+
+
+def test_blocking_suppliers_unique_last_only(spark):
+    li = _lineitem(spark, [
+        # order 1: supplier 1 ships last alone → blocks
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-03-01")),
+        (1, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-01-01")),
+        # order 2: both suppliers tie on the max day → nobody blocks
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-02-01")),
+        (2, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-02-01")),
+        # order 3: single supplier → excluded (n_supps < 2)
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("1996-05-01")),
+    ])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=1, s_name="s1", s_nationkey=1, s_acctbal=0.0),
+         Row(s_suppkey=2, s_name="s2", s_nationkey=1, s_acctbal=0.0)])
+    out = relational.blocking_suppliers(li, supp, 10).collect()
+    assert [(r.s_suppkey, r.n_blocked_orders) for r in out] == [(1, 1)]
+
+
+def test_top_supplier_quarter_ties_all_surface(spark):
+    li = _lineitem(spark, [
+        (1, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", _ts("1996-02-01")),
+        (2, 1, 2, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", _ts("1996-02-02")),
+        (3, 1, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts("1996-02-03")),
+    ])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=k, s_name=f"s{k}", s_nationkey=1, s_acctbal=0.0)
+         for k in (1, 2, 3)])
+    out = relational.top_supplier_quarter(
+        li, supp, "1996-01-01 00:00:00", "1996-04-01 00:00:00").collect()
+    assert [r.s_suppkey for r in out] == [1, 2]   # scalar-max ties
+
+
+def test_order_count_distribution_zero_bucket(spark):
+    cust = spark.createDataFrame(
+        [Row(c_custkey=k, c_name=f"c{k}", c_nationkey=1, c_acctbal=0.0,
+             c_mktsegment="BUILDING") for k in (1, 2, 3)])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=c, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-01-01"),
+             o_orderpriority="1-URGENT")
+         for i, c in enumerate([1, 1, 2])])
+    out = {r.n_orders: r.n_customers for r in
+           relational.order_count_distribution(cust, orders).collect()}
+    assert out == {2: 1, 1: 1, 0: 1}
+
+
+def test_trade_matrix_excludes_domestic(spark):
+    li = _lineitem(spark, [
+        (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+        (1, 1, 20, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", _ts("1996-06-01")),
+    ])
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=_ts("1996-06-01"),
+             o_orderpriority="1-URGENT")])
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c", c_nationkey=3, c_acctbal=0.0,
+             c_mktsegment="BUILDING")])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=10, s_name="domestic", s_nationkey=3,
+             s_acctbal=0.0),
+         Row(s_suppkey=20, s_name="foreign", s_nationkey=4,
+             s_acctbal=0.0)])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=3, n_name="GONDOR", n_regionkey=1),
+         Row(n_nationkey=4, n_name="ROHAN", n_regionkey=1)])
+    out = relational.trade_matrix(
+        cust, orders, li, supp, nation,
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00", 10).collect()
+    assert len(out) == 1
+    assert (out[0].supp_nation, out[0].cust_nation) == ("ROHAN",
+                                                        "GONDOR")
+    assert out[0].revenue_cents == 5000
+
+
+def test_margin_proxy_arithmetic(spark):
+    li = _lineitem(spark, [
+        # rev = 100·(1−0.1) = 90.00 → 9000; cost = 20.00·3 = 6000
+        (1, 1, 1, 1, 3.0, 100.0, 0.1, 0.0, "N", "O", _ts("1996-06-01")),
+    ])
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="B", p_type="t",
+             p_size=1, p_retailprice=20.0)])
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=1, s_name="s", s_nationkey=1, s_acctbal=0.0)])
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="GONDOR", n_regionkey=1)])
+    out = relational.margin_proxy(li, part, supp, nation).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.revenue_cents, r.cost_cents, r.margin_cents) == \
+        (9000, 6000, 3000)
+
+
+def test_forecast_revenue_change_band_filter(spark):
+    li = _lineitem(spark, [
+        # in band: qty 20 < 24, disc 0.06 → forgone = 100·0.06 = 600c
+        (1, 1, 1, 1, 20.0, 100.0, 0.06, 0.0, "N", "O",
+         _ts("1996-06-01")),
+        # qty 24 not < 24 → excluded
+        (2, 1, 1, 1, 24.0, 100.0, 0.06, 0.0, "N", "O",
+         _ts("1996-06-01")),
+        # discount outside band → excluded
+        (3, 1, 1, 1, 20.0, 100.0, 0.10, 0.0, "N", "O",
+         _ts("1996-06-01")),
+        # outside the year → excluded
+        (4, 1, 1, 1, 20.0, 100.0, 0.06, 0.0, "N", "O",
+         _ts("1997-06-01")),
+    ])
+    out = relational.forecast_revenue_change(
+        li, "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+        0.05, 0.07, 2400).collect()
+    assert len(out) == 1
+    assert (out[0].n_lines, out[0].forgone_cents) == (1, 600)
