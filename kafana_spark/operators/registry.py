@@ -46,6 +46,11 @@ ANN_K = 10
 ANN_CENTROID_MOD = 40
 ANN_N_PROBE = 3
 ANN_N_ASSIGN = 2
+#: x280–x282 filtered kNN (ES knn `filter`): labels 0–2 keep ~30% of
+#: the corpus; the filtered IVF over-probes 2× (6 cells vs x08's 3)
+#: to restore the candidate pool the filter thins out.
+FILTER_LABELS = (0, 1, 2)
+FILTERED_N_PROBE = 6
 #: x81 hyperplane-LSH shape. On the near-random synthetic embeddings
 #: (weak true-neighbor cosines — the hardest case for sign LSH) the
 #: measured recall@10 vs exact x07 at sf0.01 is pinned in
@@ -279,6 +284,58 @@ def x_ann_ivf(spark, sf_dir):
     return (similarity.ivf_topk(e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
                                 n_probe=ANN_N_PROBE, n_assign=ANN_N_ASSIGN)
             .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_filtered_knn(spark, sf_dir):
+    """x280 — ES knn with `filter` (PRE-filter semantics): exact
+    cosine top-k over the label∈{0,1,2} subset only, so every query
+    gets k hits from the eligible set — the correctness baseline the
+    post-filter shortcut (rank all, then filter) silently breaks.
+    Parity: /root/reference delegates search to ES 6.8 whose knn/
+    script_score requests take a filter context."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.filtered_topk(e, q, ANN_K, labels=FILTER_LABELS)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_filtered_ivf(spark, sf_dir):
+    """x281 — filtered IVF: the ONE label-blind index (same modulo
+    quantizer and n_assign=2 assignment as x08) serves the filtered
+    request; the label predicate applies to cell members at probe
+    time and the probe count doubles (FILTERED_N_PROBE) to offset the
+    ~30% selectivity. Fully deterministic → full DuckDB oracle."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.filtered_ivf_topk(
+        e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
+        n_probe=FILTERED_N_PROBE, labels=FILTER_LABELS,
+        n_assign=ANN_N_ASSIGN)
+        .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+def x_filtered_recall(spark, sf_dir):
+    """x282 — the eval loop for the filtered pair: per-query overlap
+    of the filtered IVF (x281) against the filtered exact truth
+    (x280) in integer basis points — the x125 discipline applied to
+    the filter path, where recall loss from thinned cells is exactly
+    what over-probing must be tuned against."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    bf = (similarity.filtered_topk(e, q, ANN_K, labels=FILTER_LABELS)
+          .select("qid", "vec_id"))
+    iv = (similarity.filtered_ivf_topk(
+        e, q, ANN_K, centroid_mod=ANN_CENTROID_MOD,
+        n_probe=FILTERED_N_PROBE, labels=FILTER_LABELS,
+        n_assign=ANN_N_ASSIGN)
+        .select("qid", "vec_id").withColumn("hit", F.lit(1)))
+    return (bf.join(iv, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.count("hit").cast("int").alias("n_overlap"))
+            .select("qid", "n_overlap",
+                    F.expr(f"10000 * n_overlap div {ANN_K}")
+                    .cast("long").alias("recall_bp"))
+            .orderBy("qid"))
 
 
 def x_ann_lsh(spark, sf_dir):
@@ -4072,6 +4129,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x277_top_supplier_quarter": x_top_supplier_quarter,
     "x278_order_count_distribution": x_order_count_distribution,
     "x279_trade_matrix": x_trade_matrix,
+    "x280_filtered_knn": x_filtered_knn,
+    "x281_filtered_ivf": x_filtered_ivf,
+    "x282_filtered_recall": x_filtered_recall,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5579,6 +5639,67 @@ def _ann_recall_sql() -> str:
         "AND iv.vec_id = bf.vec_id "
         "GROUP BY bf.qid ORDER BY bf.qid"
     )
+
+
+def _filtered_knn_sql() -> str:
+    """x280 oracle — the x07 brute-force shape with the label
+    predicate applied to the candidate side BEFORE ranking."""
+    labels = ", ".join(str(v) for v in FILTER_LABELS)
+    cos = _COS.format(a="q.v", b="c.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "label FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        f"elig AS (SELECT vec_id, v FROM e WHERE label IN ({labels})), "
+        f"scored AS (SELECT q.qid, c.vec_id, ROUND({cos}, 4) AS cos "
+        "FROM q, elig c WHERE c.vec_id <> q.qid), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank")
+
+
+def _filtered_ivf_sql() -> str:
+    """x281 oracle — the x08 IVF pipeline with the label filter on
+    cell MEMBERS (assignment stays label-blind: the argmax runs over
+    the full corpus before the predicate) and the doubled probe
+    count."""
+    labels = ", ".join(str(v) for v in FILTER_LABELS)
+    acos = "ROUND(" + _COS.format(a="x.v", b="c.cv") + ", 6)"
+    qcos = "ROUND(" + _COS.format(a="q.v", b="c.cv") + ", 6)"
+    cos = "ROUND(" + _COS.format(a="p.qv", b="m.v") + ", 4)"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "label FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {ANN_CENTROID_MOD} = 0), "
+        f"q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "asg AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT x.vec_id, x.v, x.label, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id "
+        f"ORDER BY {acos} DESC, c.cid) AS r FROM e x, c) t "
+        f"WHERE r <= {ANN_N_ASSIGN} AND label IN ({labels})), "
+        "probes AS (SELECT qid, qv, cid FROM ("
+        f"SELECT q.qid, q.v AS qv, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid "
+        f"ORDER BY {qcos} DESC, c.cid) AS r FROM q, c) t WHERE r <= {FILTERED_N_PROBE}), "
+        f"scored AS (SELECT DISTINCT p.qid, m.vec_id, {cos} AS cos "
+        "FROM probes p JOIN asg m ON p.cid = m.cid WHERE m.vec_id <> p.qid), "
+        "ranked AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K} "
+        "ORDER BY qid, rank")
+
+
+def _filtered_recall_sql() -> str:
+    """x282 oracle — x280/x281 as nested-CTE subqueries, per-qid
+    overlap in integer bp (the x125 shape)."""
+    return (
+        f"WITH fbf AS ({_filtered_knn_sql()}), "
+        f"fiv AS ({_filtered_ivf_sql()}) "
+        "SELECT fbf.qid, CAST(COUNT(fiv.vec_id) AS INT) AS n_overlap, "
+        f"CAST(10000 * COUNT(fiv.vec_id) // {ANN_K} AS BIGINT) "
+        "AS recall_bp "
+        "FROM fbf LEFT JOIN fiv ON fiv.qid = fbf.qid "
+        "AND fiv.vec_id = fbf.vec_id "
+        "GROUP BY fbf.qid ORDER BY fbf.qid")
 
 
 def _phrase_suggest_sql() -> str:
@@ -9766,6 +9887,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x277_top_supplier_quarter": _top_supplier_quarter_sql(),
     "x278_order_count_distribution": _order_count_distribution_sql(),
     "x279_trade_matrix": _trade_matrix_sql(),
+    "x280_filtered_knn": _filtered_knn_sql(),
+    "x281_filtered_ivf": _filtered_ivf_sql(),
+    "x282_filtered_recall": _filtered_recall_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

@@ -1726,3 +1726,63 @@ def link_prediction_from_edges(mu: DataFrame,
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("pa").alias("a"), F.col("pb").alias("b"),
                     "n_common", "ra_u", "rank"))
+
+
+def _vectors_labeled(df: DataFrame) -> DataFrame:
+    return df.select("vec_id",
+                     as_double_array(F.col("embedding")).alias("v"),
+                     "label")
+
+
+def filtered_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                  labels: tuple[int, ...] = (0,)) -> DataFrame:
+    """ES ``knn`` with ``filter`` — PRE-filter semantics
+    (kafana delegates search to ES, whose knn filter restricts the
+    candidate set BEFORE the top-k): every query gets k results drawn
+    from the eligible subset. The naive alternative — rank unfiltered,
+    then filter — silently returns fewer than k rows whenever
+    high-cosine ineligible vectors crowd the pool, which is the
+    classic filtered-ANN correctness trap.
+
+    This is the exact baseline (scan = |eligible| per query); the
+    scale path is filtered_ivf_topk. Output: (qid, vec_id, cos, rank).
+    """
+    corpus = (_with_norm(_vectors_labeled(df))
+              .where(F.col("label").isin(*labels)))
+    q = _with_norm(queries)
+    cos = F.round(dot(F.col("q.v"), F.col("c.v"))
+                  / (F.col("q.nrm") * F.col("c.nrm")), 4)
+    scored = (corpus.alias("c")
+              .join(F.broadcast(q.alias("q")),
+                    F.col("q.qid") != F.col("c.vec_id"))
+              .select(F.col("q.qid").alias("qid"),
+                      F.col("c.vec_id").alias("vec_id"),
+                      cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def filtered_ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                      centroid_mod: int = 40, n_probe: int = 6,
+                      labels: tuple[int, ...] = (0,),
+                      n_assign: int = 1) -> DataFrame:
+    """Filtered IVF: ONE label-blind index serves every filter.
+
+    The quantizer and the cell assignment are built over the full
+    corpus (indexes are shared across requests — rebuilding per
+    filter would defeat the point); the label predicate is applied to
+    cell MEMBERS at probe time, and the caller over-probes (n_probe
+    above the unfiltered operating point) to restore the candidate
+    pool the filter thins out: with selectivity s, a probed cell
+    contributes ~s× the members, so probes scale by ~1/s to keep the
+    pool size — still O(n·probes/cells) per query, never a full scan.
+    """
+    corpus = _with_norm(_vectors_labeled(df))
+    centroids = _ivf_centroids(df, corpus, "modulo", centroid_mod)
+    assigned = _ivf_assign(corpus, centroids, n_assign,
+                           extra=("label",))
+    eligible = assigned.where(F.col("label").isin(*labels)) \
+        .drop("label")
+    return _ivf_probe_rank(eligible, centroids, queries, k, n_probe)

@@ -624,3 +624,57 @@ def test_label_confusion_reconciles_with_label_prop(spark):
     for lbl, (n, nc) in acc.items():
         assert rows[lbl] == n
         assert diag.get(lbl, 0) == nc
+
+
+def test_filtered_topk_prefilter_semantics(spark):
+    """The filter restricts candidates BEFORE the top-k: the globally
+    nearest vector is ineligible and must not appear, yet every query
+    still gets k hits from the eligible subset."""
+    rows = [(0, [1.0, 0.0, 0.0], 9),        # query
+            (1, [0.99, 0.14, 0.0], 5),      # nearest, WRONG label
+            (2, [0.9, 0.43, 0.0], 0),
+            (3, [0.8, 0.6, 0.0], 0),
+            (4, [0.0, 1.0, 0.0], 0)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = e.where("vec_id = 0").selectExpr(
+        "vec_id as qid", "cast(embedding as array<double>) as v")
+    out = similarity.filtered_topk(e, q, k=2, labels=(0,)).collect()
+    got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [2, 3]            # k hits, ineligible 1 excluded
+
+
+def test_filtered_ivf_full_probe_matches_exact(spark):
+    """With enough probes to cover every cell, the filtered IVF must
+    reproduce the filtered exact top-k (same ids per query)."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = {(r.qid, r.rank): r.vec_id for r in
+             similarity.filtered_topk(e, q, k=5, labels=(0, 1, 2))
+             .collect()}
+    ivf = {(r.qid, r.rank): r.vec_id for r in
+           similarity.filtered_ivf_topk(
+               e, q, k=5, centroid_mod=40, n_probe=1000,
+               labels=(0, 1, 2), n_assign=1).collect()}
+    assert ivf == exact
+
+
+def test_filtered_ivf_overprobe_recall_floor(spark):
+    """2x over-probe under the ~30% label filter: mean recall@k vs
+    the filtered exact truth stays above the unfiltered x08 operating
+    point (measured 0.92 at sf0.01, 0.69 at sf0.1; smoke data covers
+    all cells so recall is 1.0 — pin a conservative floor)."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    bf = {r.qid: set() for r in q.select("qid").collect()}
+    for r in similarity.filtered_topk(e, q, k=5,
+                                      labels=(0, 1, 2)).collect():
+        bf[r.qid].add(r.vec_id)
+    iv = {qid: set() for qid in bf}
+    for r in similarity.filtered_ivf_topk(
+            e, q, k=5, centroid_mod=40, n_probe=6,
+            labels=(0, 1, 2), n_assign=2).collect():
+        iv[r.qid].add(r.vec_id)
+    recalls = [len(bf[qid] & iv[qid]) / max(1, len(bf[qid]))
+               for qid in bf]
+    assert sum(recalls) / len(recalls) >= 0.6
