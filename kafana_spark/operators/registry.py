@@ -860,6 +860,22 @@ def x_range_agg(spark, sf_dir):
     return query.range_agg(ev, "value", RANGE_BOUNDS)
 
 
+#: x283 variable_width_histogram bucket count.
+VWH_BUCKETS = 8
+
+
+def x_variable_width_histogram(spark, sf_dir):
+    """x283 — ES variable_width_histogram on events.value: bucket
+    boundaries at the 7 largest gaps between adjacent distinct cent
+    values (the deterministic ideal of ES's order-dependent streaming
+    clusterer); per-bucket min/max/centroid-key/doc_count."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.variable_width_histogram(ev, "value", VWH_BUCKETS)
+
+
 def x_filters_agg(spark, sf_dir):
     """ES filters aggregation: three OVERLAPPING named buckets counted
     in one scan."""
@@ -4132,6 +4148,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x280_filtered_knn": x_filtered_knn,
     "x281_filtered_ivf": x_filtered_ivf,
     "x282_filtered_recall": x_filtered_recall,
+    "x283_variable_width_histogram": x_variable_width_histogram,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -5639,6 +5656,26 @@ def _ann_recall_sql() -> str:
         "AND iv.vec_id = bf.vec_id "
         "GROUP BY bf.qid ORDER BY bf.qid"
     )
+
+
+def _variable_width_histogram_sql() -> str:
+    """x283 oracle — distinct-cent frame, adjacent-gap window, top
+    (n-1) gap boundaries, theta-join assignment. All-integer (values
+    are positive so // floor == Spark's truncating div)."""
+    return (
+        "WITH per AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) "
+        "AS v_c, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1), "
+        "g AS (SELECT v_c - LAG(v_c) OVER (ORDER BY v_c) AS gap, "
+        "v_c AS edge FROM per), "
+        "b AS (SELECT edge FROM g WHERE gap IS NOT NULL "
+        f"ORDER BY gap DESC, edge LIMIT {VWH_BUCKETS - 1}), "
+        "a AS (SELECT p.v_c, p.n, CAST(COUNT(b.edge) AS INT) AS bucket "
+        "FROM per p LEFT JOIN b ON b.edge <= p.v_c GROUP BY 1, 2) "
+        "SELECT bucket, MIN(v_c) AS min_c, MAX(v_c) AS max_c, "
+        "CAST(SUM(n) AS BIGINT) AS doc_count, "
+        "CAST(SUM(v_c * n) // SUM(n) AS BIGINT) AS key_c "
+        "FROM a GROUP BY 1 ORDER BY bucket")
 
 
 def _filtered_knn_sql() -> str:
@@ -9890,6 +9927,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x280_filtered_knn": _filtered_knn_sql(),
     "x281_filtered_ivf": _filtered_ivf_sql(),
     "x282_filtered_recall": _filtered_recall_sql(),
+    "x283_variable_width_histogram": _variable_width_histogram_sql(),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

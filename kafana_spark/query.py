@@ -387,6 +387,50 @@ def range_agg(df: DataFrame, field: str, bounds: Sequence[float]) -> DataFrame:
             .orderBy("bucket"))
 
 
+def variable_width_histogram(df: DataFrame, field: str,
+                             n_buckets: int) -> DataFrame:
+    """ES variable_width_histogram — data-driven bucket boundaries.
+
+    ES's implementation is a one-pass streaming approximation whose
+    buckets depend on shard document order — not reproducible — so
+    this computes the deterministic ideal it approximates: split the
+    cent-quantized value domain at the n_buckets-1 LARGEST gaps
+    between adjacent distinct values (1-D single-linkage clustering).
+    Output per bucket: min/max/centroid key (integer cents, floor-div
+    average) and doc_count — the ES bucket shape.
+
+    Scale: the corpus collapses to the distinct-cent frame FIRST (a
+    combinable groupBy bounded by the value DOMAIN — ≤100·range rows,
+    ~18k on the fixtures at sf0.1 and sub-linear in data size), the
+    adjacent-gap window runs over that bounded frame only, the
+    boundary set is a TakeOrdered limit(n_buckets-1), and bucket
+    assignment is a broadcast theta-join against ≤n_buckets-1 rows.
+    No corpus-scale window, no second scan of the raw data.
+    """
+    vc = F.expr(f"cast(floor({field} * 100 + 0.5) as bigint)")
+    per_v = (df.where(F.col(field).isNotNull())
+             .groupBy(vc.alias("v_c"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("v_c")  # distinct-cent frame only (bounded)
+    gaps = (per_v.select("v_c")
+            .withColumn("prev", F.lag("v_c").over(w))
+            .where(F.col("prev").isNotNull())
+            .select((F.col("v_c") - F.col("prev")).alias("gap"),
+                    F.col("v_c").alias("edge")))
+    bounds = (gaps.orderBy(F.desc("gap"), "edge")
+              .limit(max(0, n_buckets - 1)).select("edge"))
+    assigned = (per_v.join(F.broadcast(bounds),
+                           F.col("edge") <= F.col("v_c"), "left")
+                .groupBy("v_c", "n")
+                .agg(F.count("edge").cast("int").alias("bucket")))
+    return (assigned.groupBy("bucket")
+            .agg(F.min("v_c").alias("min_c"),
+                 F.max("v_c").alias("max_c"),
+                 F.sum("n").alias("doc_count"),
+                 F.expr("sum(v_c * n) div sum(n)").alias("key_c"))
+            .orderBy("bucket"))
+
+
 def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
     """ES filters aggregation: arbitrary, possibly-OVERLAPPING named
     buckets in ONE scan — each bucket is a conditional count, so k

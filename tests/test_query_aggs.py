@@ -341,3 +341,27 @@ def test_auto_date_histogram_single_row(spark):
                                "ts timestamp")
     out = auto_date_histogram(df, "ts", target_buckets=10).collect()
     assert len(out) == 1 and out[0].cnt == 1 and out[0].interval_s == 1
+
+
+def test_variable_width_histogram_splits_at_largest_gaps(spark):
+    """Three clusters separated by the two largest gaps: boundaries
+    must land exactly there, buckets report min/max/centroid/count."""
+    vals = [1.00, 1.01, 1.02, 5.00, 5.01, 9.00]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r.bucket: r for r in
+           query.variable_width_histogram(df, "value", 3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].min_c, out[0].max_c, out[0].doc_count) == (100, 102, 3)
+    assert (out[1].min_c, out[1].max_c, out[1].doc_count) == (500, 501, 2)
+    assert (out[2].min_c, out[2].max_c, out[2].doc_count) == (900, 900, 1)
+    assert out[0].key_c == (100 + 101 + 102) // 3
+
+
+def test_variable_width_histogram_fewer_values_than_buckets(spark):
+    """With fewer distinct values than buckets, every distinct value
+    gets its own bucket (no empty buckets fabricated)."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (1.0,)], "value double")
+    out = query.variable_width_histogram(df, "value", 8).collect()
+    assert len(out) == 2
+    assert sorted((r.min_c, r.doc_count) for r in out) == \
+        [(100, 2), (200, 1)]
