@@ -538,6 +538,54 @@ def x_latest_state(spark, sf_dir):
     return (latest_state(docs).select("key", "offset").orderBy("key"))
 
 
+#: x284/x285 write-API predicates: purge keys whose live record is an
+#: 'error'; archive keys whose live record is a 'purchase'.
+DBQ_TYPE = "error"
+UBQ_FROM, UBQ_TO = "purchase", "purchase_archived"
+
+
+def x_delete_by_query(spark, sf_dir):
+    """x284 — ES _delete_by_query over the changelog store: every key
+    whose LIVE record is an '{error}' event gets an appended TOMBSTONE
+    (no file rewrite — the delete is an ordinary ordered write, the
+    reference's own deletion model through Kafka null values); the
+    result is the served latest-state view after the purge."""
+    from kafana_spark import store
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    docs = enrich(events_as_kafka_records(ev))
+    after = store.delete_by_query(
+        docs, F.col("message.event_type") == DBQ_TYPE)
+    return (store.latest_state(after)
+            .select("key",
+                    F.col("message.event_type").alias("event_type"),
+                    "offset")
+            .orderBy("key"))
+
+
+def x_update_by_query(spark, sf_dir):
+    """x285 — ES _update_by_query: every key whose LIVE record is a
+    'purchase' gets an appended NEW VERSION with event_type rewritten
+    to 'purchase_archived' (append-after-max-offset, prior version
+    stays replayable below it); served latest-state view after."""
+    from kafana_spark import store
+    from kafana_spark.ingest import enrich, events_as_kafka_records
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    docs = enrich(events_as_kafka_records(ev))
+    after = store.update_by_query(
+        docs, F.col("message.event_type") == UBQ_FROM,
+        {"event_type": F.lit(UBQ_TO)})
+    return (store.latest_state(after)
+            .select("key",
+                    F.col("message.event_type").alias("event_type"),
+                    "offset")
+            .orderBy("key"))
+
+
 def x_dup_clusters(spark, sf_dir):
     """Near-dup cluster assignment (connected components over the
     verified pair graph) — the linear-output consumption shape of
@@ -4149,6 +4197,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x281_filtered_ivf": x_filtered_ivf,
     "x282_filtered_recall": x_filtered_recall,
     "x283_variable_width_histogram": x_variable_width_histogram,
+    "x284_delete_by_query": x_delete_by_query,
+    "x285_update_by_query": x_update_by_query,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -9928,6 +9978,34 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x281_filtered_ivf": _filtered_ivf_sql(),
     "x282_filtered_recall": _filtered_recall_sql(),
     "x283_variable_width_histogram": _variable_width_histogram_sql(),
+    "x284_delete_by_query": (
+        # live view after the tombstone append = users whose LATEST
+        # event is not the purged type; survivors keep their offsets
+        "WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key, "
+        "arg_max(event_type, event_id) AS event_type, "
+        "CAST(MAX(event_id) AS BIGINT) AS \"offset\" "
+        "FROM events GROUP BY user_id) "
+        "SELECT key, event_type, \"offset\" FROM l "
+        f"WHERE event_type <> '{DBQ_TYPE}' ORDER BY key"
+    ),
+    "x285_update_by_query": (
+        # updated keys surface the rewritten type at an appended
+        # offset (global max + rank-by-key over the update batch)
+        "WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key, "
+        "arg_max(event_type, event_id) AS et, "
+        "CAST(MAX(event_id) AS BIGINT) AS off "
+        "FROM events GROUP BY user_id), "
+        "m AS (SELECT MAX(event_id) AS mo FROM events), "
+        "u AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) AS rn "
+        f"FROM l WHERE et = '{UBQ_FROM}') "
+        "SELECT l.key, "
+        f"CASE WHEN u.key IS NOT NULL THEN '{UBQ_TO}' ELSE l.et END "
+        "AS event_type, "
+        "CAST(CASE WHEN u.key IS NOT NULL THEN m.mo + u.rn "
+        "ELSE l.off END AS BIGINT) AS offset "
+        "FROM l LEFT JOIN u ON l.key = u.key CROSS JOIN m "
+        "ORDER BY l.key"
+    ),
     "x160_skew_report": _skew_report_sql(),
     "x135_field_caps": "SELECT 'event_id' AS field, 'bigint' AS dtype, CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'user_id' AS field, 'bigint' AS dtype, CAST(MIN(user_id) AS DOUBLE) AS min_v, CAST(MAX(user_id) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'value' AS field, 'double' AS dtype, CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events UNION ALL SELECT 'ts' AS field, 'timestamp' AS dtype, CAST(epoch_us(MIN(ts)) AS DOUBLE) AS min_v, CAST(epoch_us(MAX(ts)) AS DOUBLE) AS max_v, CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events ORDER BY field",
     "x130_term_vectors": (

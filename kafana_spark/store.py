@@ -368,3 +368,75 @@ def latest_state(docs: DataFrame, drop_tombstones: bool = True) -> DataFrame:
     if drop_tombstones:
         state = state.where(F.col("message.value") != TOMBSTONE)
     return state
+
+
+def delete_by_query(docs: DataFrame, predicate) -> DataFrame:
+    """ES ``_delete_by_query`` in the changelog model: append one
+    TOMBSTONE record per LIVE matching key instead of rewriting data
+    files. A delete is then an ordinary ordered write — idempotent on
+    replay, time-travelable through offsets, reclaimed by compaction —
+    exactly how a deletion flows through the reference's Kafka→ES
+    path (a null-value record; TombstoneAwareAvroConverter.java:26-31).
+
+    ``predicate`` is evaluated against the LIVE state (latest record
+    per key), matching ES semantics where the query sees current
+    documents. Appended tombstones take offsets AFTER each
+    partition's current max (row_number over the per-partition victim
+    set — bounded by the delete-batch size, never the corpus), so
+    ``latest_state``'s (partition, offset) ordering picks them as the
+    newest record per key. Returns the appended changelog frame.
+
+    Scale note: the rank window partitions by (topic, partition) —
+    offset assignment within one Kafka partition is inherently
+    sequential (the broker's own serialization point), so this is the
+    minimal serial section, parallel across partitions. On the
+    single-literal-partition fixture Catalyst constant-folds the
+    partition spec empty (the plan shows an unpartitioned window over
+    the victim batch); with a real multi-partition topic the spec is
+    non-trivial.
+    """
+    from kafana_spark.ingest import doc_id
+
+    victims = latest_state(docs).where(predicate)
+    maxoff = (docs.groupBy("topic", "partition")
+              .agg(F.max("offset").alias("__mo")))
+    w = Window.partitionBy("topic", "partition").orderBy("key")
+    tomb = (victims.join(maxoff, ["topic", "partition"])
+            .withColumn("offset", F.col("__mo") + F.row_number().over(w))
+            .drop("__mo")
+            .withColumn("message", F.col("message")
+                        .withField("value", F.lit(TOMBSTONE)))
+            .withColumn("_id", doc_id())
+            .select(*docs.columns))
+    return docs.unionByName(tomb)
+
+
+def update_by_query(docs: DataFrame, predicate,
+                    set_fields: dict) -> DataFrame:
+    """ES ``_update_by_query``: append a NEW VERSION of every live
+    matching record with the given ``message`` fields replaced
+    ({field: Column}) — same append-after-max-offset discipline as
+    delete_by_query, so the update wins the latest-state view while
+    the prior version stays replayable below it.
+
+    ``message.value`` (the rendered JSON string) is NOT re-rendered
+    automatically — the raw decoded value is not recoverable from the
+    enriched frame; callers that need it in sync include it in
+    ``set_fields`` explicitly. Returns the appended changelog frame.
+    """
+    from kafana_spark.ingest import doc_id
+
+    victims = latest_state(docs).where(predicate)
+    maxoff = (docs.groupBy("topic", "partition")
+              .agg(F.max("offset").alias("__mo")))
+    w = Window.partitionBy("topic", "partition").orderBy("key")
+    upd = victims.join(maxoff, ["topic", "partition"]) \
+        .withColumn("offset", F.col("__mo") + F.row_number().over(w)) \
+        .drop("__mo")
+    msg = F.col("message")
+    for field, col in set_fields.items():
+        msg = msg.withField(field, col)
+    upd = (upd.withColumn("message", msg)
+           .withColumn("_id", doc_id())
+           .select(*docs.columns))
+    return docs.unionByName(upd)
