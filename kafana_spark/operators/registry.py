@@ -911,6 +911,20 @@ def x_range_agg(spark, sf_dir):
 #: x283 variable_width_histogram bucket count.
 VWH_BUCKETS = 8
 
+#: x286 terms + sum_other_doc_count: top users by event count.
+TWO_TOP_N = 10
+
+
+def x_terms_with_other(spark, sf_dir):
+    """x286 — ES terms agg with sum_other_doc_count: top-10 users by
+    event count plus the '__other__' remainder bucket (exact, so
+    doc_count_error_upper_bound ≡ 0 — documented, not emitted)."""
+    from kafana_spark import query
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return query.terms_with_other(ev, "user_id", TWO_TOP_N)
+
 
 def x_variable_width_histogram(spark, sf_dir):
     """x283 — ES variable_width_histogram on events.value: bucket
@@ -4199,6 +4213,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x283_variable_width_histogram": x_variable_width_histogram,
     "x284_delete_by_query": x_delete_by_query,
     "x285_update_by_query": x_update_by_query,
+    "x286_terms_with_other": x_terms_with_other,
     "x160_skew_report": x_skew_report,
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
@@ -9978,6 +9993,19 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x281_filtered_ivf": _filtered_ivf_sql(),
     "x282_filtered_recall": _filtered_recall_sql(),
     "x283_variable_width_histogram": _variable_width_histogram_sql(),
+    "x286_terms_with_other": (
+        "WITH g AS (SELECT CAST(user_id AS VARCHAR) AS term, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        f"top AS (SELECT term, cnt, 0 AS is_other FROM g "
+        f"ORDER BY cnt DESC, term LIMIT {TWO_TOP_N}), "
+        "o AS (SELECT '__other__' AS term, "
+        "(SELECT SUM(cnt) FROM g) - (SELECT SUM(cnt) FROM top) AS cnt, "
+        "1 AS is_other) "
+        "SELECT term, CAST(cnt AS BIGINT) AS cnt, "
+        "CAST(is_other AS INT) AS is_other "
+        "FROM (SELECT * FROM top UNION ALL SELECT * FROM o) "
+        "ORDER BY is_other, cnt DESC, term"
+    ),
     "x284_delete_by_query": (
         # live view after the tombstone append = users whose LATEST
         # event is not the purged type; survivors keep their offsets

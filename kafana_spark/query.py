@@ -135,6 +135,33 @@ def terms(df: DataFrame, field: str, n: int = 10) -> DataFrame:
             .limit(n))
 
 
+def terms_with_other(df: DataFrame, field: str, n: int = 10) -> DataFrame:
+    """C11 parity detail: ES terms responses carry
+    ``sum_other_doc_count`` — the documents NOT covered by the top-N
+    buckets — so dashboards can show "and 1.2M others". Output: the
+    top-N (term, cnt, is_other=0) rows plus one ('__other__',
+    remainder, 1) row; doc_count_error_upper_bound is identically 0
+    here because the computation is exact, not per-shard approximate.
+
+    Scale: one combinable groupBy collapses the corpus to the
+    distinct-term frame; the top-N is a TakeOrdered over it and the
+    remainder is total-minus-top — both re-aggregate the SMALL grouped
+    frame, never the raw data a second time.
+    """
+    grouped = (df.groupBy(F.col(field).cast("string").alias("term"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (grouped.orderBy(F.col("cnt").desc(), "term").limit(n)
+           .withColumn("is_other", F.lit(0)))
+    tot = grouped.agg(F.sum("cnt").alias("__total"))
+    other = (top.agg(F.sum("cnt").alias("__top"))
+             .crossJoin(F.broadcast(tot))
+             .select(F.lit("__other__").alias("term"),
+                     (F.col("__total") - F.col("__top")).alias("cnt"),
+                     F.lit(1).alias("is_other")))
+    return top.unionByName(other).orderBy("is_other",
+                                          F.col("cnt").desc(), "term")
+
+
 def date_histogram(df: DataFrame, interval: str = "1 hour",
                    time_col: str = "timestamp") -> DataFrame:
     """C12: tumbling time buckets (ES date_histogram)."""

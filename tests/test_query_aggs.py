@@ -365,3 +365,12 @@ def test_variable_width_histogram_fewer_values_than_buckets(spark):
     assert len(out) == 2
     assert sorted((r.min_c, r.doc_count) for r in out) == \
         [(100, 2), (200, 1)]
+
+
+def test_terms_with_other_remainder_bucket(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)],
+        "k string")
+    out = query.terms_with_other(df, "k", 2).collect()
+    assert [(r.term, r.cnt, r.is_other) for r in out] == \
+        [("a", 5, 0), ("b", 3, 0), ("__other__", 3, 1)]
