@@ -178,6 +178,18 @@ def error_spike_from_store(spark: SparkSession, path: str,
         hourly_from_store(spark, path), trail_hours, top_k)
 
 
+def trend_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """x287's OLS trend served from the stored per-type hourly grid:
+    hours collapse to per-type daily counts (exact — US_PER_DAY is
+    24·US_PER_HOUR, so integer hour-index div 24 IS the day index for
+    post-epoch timestamps), then the operator's own tail runs. No
+    event is re-read; the grid merge is a distributive sum."""
+    th = type_hourly_from_store(spark, path)
+    d = (th.select("t", F.expr("hour div 24").alias("day"), "observed")
+         .groupBy("t", "day").agg(F.sum("observed").alias("c")))
+    return ev_ops.trend_from_daily(d)
+
+
 def event_stream_sink(path: str, *, time_col: str = "ts",
                       key_col: str = "user_id",
                       type_col: str = "event_type",

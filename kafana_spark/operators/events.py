@@ -1542,3 +1542,155 @@ def dow_hour_heatmap(df: DataFrame,
             .select("dow", "hour", "n",
                     F.expr("n * 10000 div tot").alias("share_bp"))
             .orderBy("dow", "hour"))
+
+
+def scd2_dim(df: DataFrame, key_col: str = "user_id",
+             state_col: str = "event_type", time_col: str = "ts",
+             seq_col: str = "event_id") -> DataFrame:
+    """SCD Type-2 dimension built from an event changelog — the
+    warehouse pattern behind every versioned dimension (the reference
+    feeds exactly such changelogs into its store; this is the history
+    table the C16 latest-state view truncates).
+
+    Per key, consecutive identical states collapse into one validity
+    interval: rows where the state differs from its predecessor (by
+    (ts, seq) order — seq is the within-timestamp tiebreak, Kafka's
+    offset role) open a version at ``valid_from``; ``valid_to`` is the
+    next change's start (NULL = current, half-open [from, to)
+    intervals so versions tile the key's timeline exactly).
+
+    Output: (key, state, valid_from, valid_to, version, is_current)
+    ordered by (key, version).
+
+    Scale: both windows share one (key)-partitioned shuffle and each
+    partition holds one key's events — no global window, no driver
+    state; the collapse drops the frame to changes-only before the
+    lead/version pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
+    changes = (df.select(key_col, state_col, time_col, seq_col)
+               .withColumn("prev", F.lag(state_col).over(w))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col(state_col))))
+    return (changes
+            .withColumn("valid_to", F.lead(time_col).over(w))
+            .withColumn("version",
+                        F.row_number().over(w).cast("int"))
+            .select(F.col(key_col),
+                    F.col(state_col).alias("state"),
+                    F.col(time_col).alias("valid_from"),
+                    "valid_to", "version",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+                    .cast("int").alias("is_current"))
+            .orderBy(key_col, "version"))
+
+
+def scd2_state_at(df: DataFrame, probe_type: str = "purchase",
+                  key_col: str = "user_id",
+                  state_col: str = "event_type", time_col: str = "ts",
+                  seq_col: str = "event_id") -> DataFrame:
+    """Point-in-time (as-of) enrichment against the SCD2 dimension:
+    for each probe event, the state version in effect AT its
+    timestamp — the PIT join every feature-store / training-data
+    pipeline needs to avoid label leakage (state changes landing at
+    the probe's own ts are visible, later ones are not).
+
+    The half-open intervals make the lookup exact even when several
+    changes share a timestamp: an empty [ts, ts) version can never
+    match, so exactly one interval covers each probe.
+
+    Output: (probe event_id, key, ts, state_at, state_version)
+    ordered by event_id.
+
+    Scale: an equi-join on the key with the interval predicate as the
+    join filter — each probe meets only its own key's (bounded)
+    version list, never a corpus×corpus product; at 100 TB both sides
+    shuffle once on the key.
+    """
+    dim = scd2_dim(df, key_col, state_col, time_col, seq_col)
+    probes = (df.where(F.col(state_col) == probe_type)
+              .select(F.col(seq_col).alias("probe_id"),
+                      F.col(key_col), F.col(time_col).alias("p_ts")))
+    cond = ((F.col("valid_from") <= F.col("p_ts"))
+            & (F.col("valid_to").isNull()
+               | (F.col("p_ts") < F.col("valid_to"))))
+    return (probes.join(dim, key_col).where(cond)
+            .select(F.col("probe_id").alias("event_id"),
+                    F.col(key_col), F.col("p_ts").alias("ts"),
+                    F.col("state").alias("state_at"),
+                    F.col("version").alias("state_version"))
+            .orderBy("event_id"))
+
+
+def trend_fit(df: DataFrame, time_col: str = "ts",
+              type_col: str = "event_type") -> DataFrame:
+    """Per-series OLS trend over the daily count series — the
+    "is this metric growing?" regression a monitoring stack fits
+    before alerting on slope (the x192 backtest's model-zero).
+
+    The series is densified over the GLOBAL [min_day, max_day] spine
+    (missing days are real zeros for a count series) so every type
+    fits over the same x axis. Slope/intercept come from exact
+    integer moments (truncating µunit division, identical in both
+    engines); R² is the one floor-on-double at the end, the x190
+    discipline: r2_bp = floor(10⁴·(num/denx)·(num/deny)).
+
+    Output per type: (t, n_days, sum_y, slope_u, intercept_u, r2_bp)
+    ordered by t.
+
+    Scale: the corpus collapses to |types|×|days| daily counts (one
+    combinable aggregate); the spine explode and the moment sums run
+    over that tiny frame. Moment products stay bigint-safe to ~3e9
+    events/day on a 10-year series.
+    """
+    d = (df.select(F.col(type_col).alias("t"),
+                   F.expr(f"unix_micros({time_col}) div {US_PER_DAY}")
+                   .alias("day"))
+         .groupBy("t", "day").agg(F.count(F.lit(1)).alias("c")))
+    return trend_from_daily(d)
+
+
+def trend_from_daily(d: DataFrame) -> DataFrame:
+    """The OLS tail over a (t, day, c) per-type daily-count frame —
+    shared with the persisted event-rollup index's stored twin."""
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = d.select("t").distinct()
+    spine = (types.crossJoin(F.broadcast(rng))
+             .select("t", "d0",
+                     F.explode(F.sequence(
+                         F.lit(0),
+                         (F.col("d1") - F.col("d0")).cast("int")))
+                     .alias("x")))
+    yy = (spine.join(d.withColumnRenamed("t", "dt"),
+                     (F.col("dt") == F.col("t"))
+                     & (F.col("day") == F.col("d0") + F.col("x")),
+                     "left")
+          .select("t", "x", F.coalesce("c", F.lit(0)).alias("y")))
+    m = (yy.groupBy("t")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    icn = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when((den > 0) & (deny > 0),
+                F.floor(F.lit(10000.0)
+                        * (num.cast("double") / den.cast("double"))
+                        * (num.cast("double") / deny.cast("double"))))\
+        .otherwise(F.lit(0))
+    return (m.select(
+        "t", F.col("n").alias("n_days"),
+        F.col("sy").alias("sum_y"),
+        F.when(den > 0, (num * 1_000_000).cast("long"))
+        .otherwise(F.lit(0)).alias("_sl_num"),
+        den.alias("_den"), (icn * 1_000_000).cast("long").alias("_ic"),
+        r2.cast("long").alias("r2_bp"))
+        .selectExpr("t", "n_days", "sum_y",
+                    "CASE WHEN _den > 0 THEN _sl_num div _den "
+                    "ELSE 0 END AS slope_u",
+                    "CASE WHEN _den > 0 THEN _ic div _den "
+                    "ELSE 0 END AS intercept_u", "r2_bp")
+        .orderBy("t"))

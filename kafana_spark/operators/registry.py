@@ -3931,6 +3931,53 @@ def x_lang_token_quartiles(spark, sf_dir):
             .withColumnRenamed("n", "n_docs"))
 
 
+#: x288 PIT probe event type.
+SCD2_PROBE_TYPE = "purchase"
+
+
+def x_scd2_dim(spark, sf_dir):
+    """x287 — SCD Type-2 dimension from the event changelog:
+    consecutive identical states collapse into half-open validity
+    intervals with version numbers and a current flag (the history
+    table behind the C16 latest-state view)."""
+    from kafana_spark.operators import events as ev_ops
+
+    tune_session(spark)
+    return ev_ops.scd2_dim(_events(spark, sf_dir))
+
+
+def x_scd2_state_at(spark, sf_dir):
+    """x288 — point-in-time lookup against the x287 dimension: the
+    state version in effect AT each purchase event's timestamp (the
+    leakage-safe feature-store join)."""
+    from kafana_spark.operators import events as ev_ops
+
+    tune_session(spark)
+    return ev_ops.scd2_state_at(_events(spark, sf_dir),
+                                SCD2_PROBE_TYPE)
+
+
+def x_trend_fit(spark, sf_dir):
+    """x289 — per-event-type OLS trend over the zero-densified daily
+    count series: exact integer µunit slope/intercept, floor-on-double
+    R² (the "is this metric growing?" regression)."""
+    from kafana_spark.operators import events as ev_ops
+
+    tune_session(spark)
+    return ev_ops.trend_fit(_events(spark, sf_dir))
+
+
+def x_stored_trend(spark, sf_dir):
+    """x290 — x289 served from the PERSISTED event-rollup index's
+    per-type hourly grid (hours collapse to days exactly; the merge
+    across batches is a distributive sum). Same oracle as x289 — the
+    hash match proves the rollup roundtrip is lossless."""
+    from kafana_spark import event_index
+
+    return event_index.trend_from_store(
+        spark, _event_index_root(spark, sf_dir))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -4218,6 +4265,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x124_dedup_eval": x_dedup_eval,
     "x126_corpus_report": x_corpus_report,
     "x125_ann_recall": x_ann_recall,
+    "x287_scd2_dim": x_scd2_dim,
+    "x288_scd2_state_at": x_scd2_state_at,
+    "x289_trend_fit": x_trend_fit,
+    "x290_stored_trend": x_stored_trend,
 }
 
 
@@ -9163,7 +9214,92 @@ def _lang_token_quartiles_sql() -> str:
         "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1 ORDER BY 1")
 
 
+def _scd2_change_ctes() -> str:
+    """CTE chain ending in ``v(user_id, state, valid_from, valid_to,
+    version)`` — the collapsed SCD2 version frame shared by the x287
+    dimension and the x288 PIT lookup oracles."""
+    return (
+        "so AS (SELECT user_id, event_type, ts, event_id, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev FROM events), "
+        "sc AS (SELECT user_id, event_type, ts, event_id FROM so "
+        "WHERE prev IS NULL OR prev <> event_type), "
+        "v AS (SELECT user_id, event_type AS state, ts AS valid_from, "
+        "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS valid_to, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS INT) AS version FROM sc)"
+    )
+
+
+def _scd2_dim_sql() -> str:
+    return (
+        f"WITH {_scd2_change_ctes()} "
+        "SELECT user_id, state, valid_from, valid_to, version, "
+        "CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) "
+        "AS is_current FROM v ORDER BY user_id, version"
+    )
+
+
+def _scd2_state_at_sql() -> str:
+    return (
+        f"WITH {_scd2_change_ctes()}, "
+        "p AS (SELECT event_id, user_id, ts FROM events "
+        f"WHERE event_type = '{SCD2_PROBE_TYPE}') "
+        "SELECT p.event_id, p.user_id, p.ts, v.state AS state_at, "
+        "v.version AS state_version "
+        "FROM p JOIN v ON p.user_id = v.user_id "
+        "AND v.valid_from <= p.ts "
+        "AND (v.valid_to IS NULL OR p.ts < v.valid_to) "
+        "ORDER BY p.event_id"
+    )
+
+
+def _trend_fit_sql() -> str:
+    return (
+        "WITH dd AS (SELECT event_type AS t, "
+        "epoch_us(ts) // 86400000000 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd), "
+        # constant-bound series + loud cap (DuckDB generate_series
+        # takes no lateral column params) — the x130 pattern
+        "sp AS (SELECT ty.t, gs.i AS x, r.d0 "
+        "FROM (SELECT DISTINCT t FROM dd) ty CROSS JOIN r "
+        "CROSS JOIN generate_series(0, 3999) gs(i) "
+        "WHERE i <= CASE WHEN r.d1 - r.d0 > 3999 THEN "
+        "error('oracle day-spine cap 4000 exceeded') "
+        "ELSE r.d1 - r.d0 END), "
+        "yy AS (SELECT sp.t, sp.x, COALESCE(dd.c, 0) AS y "
+        "FROM sp LEFT JOIN dd ON dd.t = sp.t "
+        "AND dd.day = sp.d0 + sp.x), "
+        "m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x*x) AS BIGINT) AS sxx, "
+        "CAST(SUM(x*y) AS BIGINT) AS sxy, "
+        "CAST(SUM(y*y) AS BIGINT) AS syy FROM yy GROUP BY t), "
+        "k AS (SELECT t, n, sy, n*sxy - sx*sy AS num, "
+        "n*sxx - sx*sx AS den, sy*sxx - sx*sxy AS icn, "
+        "n*syy - sy*sy AS deny FROM m) "
+        "SELECT t, n AS n_days, sy AS sum_y, "
+        "CAST(CASE WHEN den > 0 THEN (1000000*num) // den "
+        "ELSE 0 END AS BIGINT) AS slope_u, "
+        "CAST(CASE WHEN den > 0 THEN (1000000*icn) // den "
+        "ELSE 0 END AS BIGINT) AS intercept_u, "
+        "CAST(CASE WHEN den > 0 AND deny > 0 THEN "
+        "FLOOR(10000.0 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) "
+        "* (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))) "
+        "ELSE 0 END AS BIGINT) AS r2_bp "
+        "FROM k ORDER BY t"
+    )
+
+
 EXTENSION_ORACLE: dict[str, str] = {
+    "x287_scd2_dim": _scd2_dim_sql(),
+    "x288_scd2_state_at": _scd2_state_at_sql(),
+    "x289_trend_fit": _trend_fit_sql(),
+    # x290 serves x289 from the persisted rollup grid - same
+    # oracle (lossless roundtrip), stored-twin discipline.
+    "x290_stored_trend": _trend_fit_sql(),
     "x01_dedup_keep_first": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
         "ORDER BY doc_id"

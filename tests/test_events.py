@@ -608,3 +608,75 @@ def test_conversion_latency_strictly_after_first_signup(spark):
     assert r.conv_bp == 3333
     assert r.med2_lat_us == 2 * 30 * 60 * 1_000_000
     assert r.mean_lat_us == 30 * 60 * 1_000_000
+
+
+def test_scd2_dim_collapses_runs_and_versions(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0), (ts(1), 1, "view", 1.0),
+        (ts(2), 1, "click", 1.0), (ts(3), 1, "view", 1.0),
+        (ts(0), 2, "signup", 1.0),
+    ]
+    out = ev.scd2_dim(make(spark, rows)).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.state, r.version, r.is_current) for r in u1] == [
+        ("view", 1, 0), ("click", 2, 0), ("view", 3, 1)]
+    # intervals tile: each valid_to == next valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None
+    u2 = [r for r in out if r.user_id == 2]
+    assert [(r.state, r.version, r.is_current) for r in u2] == [
+        ("signup", 1, 1)]
+
+
+def test_scd2_dim_same_ts_tiebreak_by_seq(spark):
+    # two changes at the identical timestamp: event_id orders them;
+    # the first gets an EMPTY [ts, ts) interval
+    rows = [
+        (ts(0), 1, "view", 1.0),
+        (ts(5), 1, "click", 1.0), (ts(5), 1, "error", 1.0),
+    ]
+    out = ev.scd2_dim(make(spark, rows)).collect()
+    assert [r.state for r in out] == ["view", "click", "error"]
+    assert out[1].valid_from == out[1].valid_to  # empty interval
+
+
+def test_scd2_state_at_half_open_lookup(spark):
+    rows = [
+        (ts(0), 1, "view", 1.0),
+        (ts(10), 1, "purchase", 1.0),   # probe AND change at ts=10
+        (ts(20), 1, "click", 1.0),
+        (ts(30), 1, "purchase", 1.0),   # probe: state flips again
+    ]
+    out = {r.event_id: r for r in ev.scd2_state_at(
+        make(spark, rows)).collect()}
+    assert len(out) == 2
+    # a change landing at the probe's own ts IS visible
+    assert out[1].state_at == "purchase"
+    assert out[1].state_version == 2
+    assert out[3].state_at == "purchase"
+    assert out[3].state_version == 4
+
+
+def test_trend_fit_exact_line_and_zero_densify(spark):
+    # type "a": y = 2x over days 0..2 -> slope 2e6, intercept 0, R2 1
+    # type "b": only day 0 fires; days 1,2 are DENSIFIED zeros
+    day = 24 * 60.0
+    rows = [
+        (ts(0 * day), 1, "a", 1.0), (ts(0 * day), 2, "a", 1.0),
+        (ts(1 * day), 1, "a", 1.0), (ts(1 * day), 2, "a", 1.0),
+        (ts(1 * day), 3, "a", 1.0), (ts(1 * day), 4, "a", 1.0),
+        (ts(2 * day), 1, "a", 1.0), (ts(2 * day), 2, "a", 1.0),
+        (ts(2 * day), 3, "a", 1.0), (ts(2 * day), 4, "a", 1.0),
+        (ts(2 * day), 5, "a", 1.0), (ts(2 * day), 6, "a", 1.0),
+        (ts(0 * day), 9, "b", 1.0),
+    ]
+    out = {r.t: r for r in ev.trend_fit(make(spark, rows)).collect()}
+    a = out["a"]
+    assert (a.n_days, a.sum_y) == (3, 12)
+    assert a.slope_u == 2_000_000
+    assert a.intercept_u == 2_000_000
+    assert a.r2_bp == 10000
+    b = out["b"]
+    assert (b.n_days, b.sum_y) == (3, 1)   # global spine densifies
+    assert b.slope_u < 0                   # 1,0,0 trends down
