@@ -3931,6 +3931,34 @@ def x_lang_token_quartiles(spark, sf_dir):
             .withColumnRenamed("n", "n_docs"))
 
 
+#: x292 stump label cut (the x141 heuristic-label boundary).
+STUMP_CUT = 4700
+STUMP_TOP_K = 5
+
+
+def x_benford_digits(spark, sf_dir):
+    """x291 — Benford first-digit audit of order totals (integer-cent
+    leading digit vs precomputed Benford bp constants; the classic
+    monetary data-quality screen)."""
+    from kafana_spark.operators import stats
+
+    o = _t(spark, sf_dir, "orders")
+    return stats.benford_digits(
+        o, F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+
+
+def x_quality_stump(spark, sf_dir):
+    """x292 — 1R decision stump: best n_chars threshold predicting
+    the x11 quality-heuristic label (integer purity criterion; the
+    interpretable baseline every learned gate is judged against)."""
+    from kafana_spark.operators import stats, text
+
+    q = text.quality_score(_docs(spark, sf_dir))
+    return stats.best_stump(
+        q, F.col("n_chars"),
+        (F.col("quality_bp") >= STUMP_CUT).cast("long"), STUMP_TOP_K)
+
+
 #: x288 PIT probe event type.
 SCD2_PROBE_TYPE = "purchase"
 
@@ -4269,6 +4297,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x288_scd2_state_at": x_scd2_state_at,
     "x289_trend_fit": x_trend_fit,
     "x290_stored_trend": x_stored_trend,
+    "x291_benford_digits": x_benford_digits,
+    "x292_quality_stump": x_quality_stump,
 }
 
 
@@ -9214,6 +9244,55 @@ def _lang_token_quartiles_sql() -> str:
         "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1 ORDER BY 1")
 
 
+def _benford_sql() -> str:
+    from kafana_spark.operators.stats import BENFORD_BP
+
+    vals = ", ".join(f"({d}, {bp})"
+                     for d, bp in zip(range(1, 10), BENFORD_BP))
+    return (
+        "WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) "
+        "AS BIGINT) AS c FROM orders "
+        "WHERE FLOOR(o_totalprice * 100 + 0.5) > 0), "
+        "g AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) "
+        "AS digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g), "
+        f"d AS (SELECT * FROM (VALUES {vals}) AS d(digit, exp_bp)) "
+        "SELECT d.digit, COALESCE(g.n, 0) AS n_obs, "
+        "CAST(COALESCE(g.n, 0) * 10000 // tot AS BIGINT) AS obs_bp, "
+        "CAST(exp_bp AS BIGINT) AS exp_bp, "
+        "CAST(COALESCE(g.n, 0) * 10000 // tot - exp_bp AS BIGINT) "
+        "AS dev_bp "
+        "FROM d LEFT JOIN g ON d.digit = g.digit CROSS JOIN t "
+        "ORDER BY d.digit"
+    )
+
+
+def _quality_stump_sql() -> str:
+    return (
+        f"WITH {_quality_core()}, "
+        f"b AS (SELECT n_chars AS f, CASE WHEN quality_bp >= "
+        f"{STUMP_CUT} THEN 1 ELSE 0 END AS y FROM q), "
+        "g AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS p FROM b GROUP BY f), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+        "CAST(SUM(p) AS BIGINT) AS pp FROM g), "
+        "c AS (SELECT f, CAST(SUM(n) OVER (ORDER BY f "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl, "
+        "CAST(SUM(p) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS pl FROM g) "
+        "SELECT f AS threshold, nl AS n_left, pl AS pos_left, "
+        "nn - nl AS n_right, pp - pl AS pos_right, "
+        "CAST((1000000 * (pl*pl + (nl-pl)*(nl-pl))) // nl + "
+        "(1000000 * ((pp-pl)*(pp-pl) + "
+        "((nn-pp)-(nl-pl))*((nn-pp)-(nl-pl)))) // (nn-nl) AS BIGINT) "
+        "AS score_u, "
+        "CAST(10000 * (GREATEST(pl, nl-pl) + "
+        "GREATEST(pp-pl, (nn-pp)-(nl-pl))) // nn AS BIGINT) AS acc_bp "
+        "FROM c CROSS JOIN t WHERE nl < nn "
+        f"ORDER BY score_u DESC, threshold LIMIT {STUMP_TOP_K}"
+    )
+
+
 def _scd2_change_ctes() -> str:
     """CTE chain ending in ``v(user_id, state, valid_from, valid_to,
     version)`` — the collapsed SCD2 version frame shared by the x287
@@ -9294,6 +9373,8 @@ def _trend_fit_sql() -> str:
 
 
 EXTENSION_ORACLE: dict[str, str] = {
+    "x291_benford_digits": _benford_sql(),
+    "x292_quality_stump": _quality_stump_sql(),
     "x287_scd2_dim": _scd2_dim_sql(),
     "x288_scd2_state_at": _scd2_state_at_sql(),
     "x289_trend_fit": _trend_fit_sql(),

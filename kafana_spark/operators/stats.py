@@ -13,6 +13,7 @@ approximate is acceptable — the output contract is unchanged.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -103,3 +104,92 @@ def group_quantiles(df: DataFrame, group_col: str, val: Column,
     return (out.select(F.col("g").alias(group_col), "n",
                        *[f"p{q}" for q in quantiles])
             .orderBy(group_col))
+
+
+#: floor(10⁴·log₁₀(1 + 1/d)) for d = 1..9 — the Benford expectation,
+#: computed ONCE driver-side so neither engine evaluates a log.
+BENFORD_BP = tuple(
+    int(math.floor(10000 * math.log10(1 + 1 / d)))
+    for d in range(1, 10))
+
+
+def benford_digits(df: DataFrame, cents: Column) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud/data-quality audit for naturally-occurring monetary
+    amounts (synthetic or truncated data departs loudly).
+
+    The amount is integer cents (floor(x·100 + 0.5), the house money
+    discipline) so the leading digit is exact string arithmetic —
+    no logs, no floats anywhere in either engine; the expected shares
+    are the precomputed :data:`BENFORD_BP` constants.
+
+    Output: one row per digit 1..9 (absent digits densified to 0):
+    (digit, n_obs, obs_bp, exp_bp, dev_bp) ordered by digit.
+
+    Scale: one combinable 9-bucket count; the total and the digit
+    spine ride 1-row/9-row broadcasts.
+    """
+    base = (df.select(cents.cast("long").alias("v"))
+            .where(F.col("v") > 0))
+    g = (base.select(F.substring(F.col("v").cast("string"), 1, 1)
+                     .cast("int").alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int")
+                                      .alias("digit"))
+    tot = g.agg(F.sum("n").alias("tot"))
+    exp_bp = F.element_at(
+        F.array(*[F.lit(b) for b in BENFORD_BP]), F.col("digit"))
+    return (spine.join(g, "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).alias("n_obs"),
+                    F.expr("coalesce(n, 0) * 10000 div tot")
+                    .alias("obs_bp"),
+                    exp_bp.cast("long").alias("exp_bp"))
+            .withColumn("dev_bp", F.col("obs_bp") - F.col("exp_bp"))
+            .orderBy("digit"))
+
+
+def best_stump(df: DataFrame, feature: Column, label: Column,
+               top_k: int = 5) -> DataFrame:
+    """1R decision stump: the best single-feature threshold split
+    (x ≤ t vs x > t) for a binary label, scored by the purity
+    criterion Σ_side (pos² + neg²)/n_side in integer µunits — the
+    monotone twin of Gini-impurity minimization, kept in truncating
+    integer division so both engines rank splits identically.
+
+    Candidate thresholds are the feature's distinct values with a
+    non-empty right side; ``acc_bp`` is the majority-vote accuracy of
+    the resulting two-leaf classifier.
+
+    Output: top-``top_k`` splits by (score_u desc, threshold asc):
+    (threshold, n_left, pos_left, n_right, pos_right, score_u,
+    acc_bp).
+
+    Scale: the corpus collapses to per-distinct-value (n, pos) counts
+    (map-side combinable); the cumulative window runs over the
+    DISTINCT-value groups only (the x232 rule — callers pass a
+    bounded-NDV feature, never a unique key); totals ride a 1-row
+    broadcast. Purity products stay bigint-safe to ~3e9 rows.
+    """
+    base = df.select(feature.cast("long").alias("f"),
+                     label.cast("long").alias("y"))
+    g = (base.groupBy("f")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")))
+    w = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select("f", F.sum("n").over(w).alias("nl"),
+                   F.sum("p").over(w).alias("pl"))
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("p").alias("pp"))
+    k = (cum.crossJoin(F.broadcast(tot))
+         .where(F.col("nl") < F.col("nn")))
+    return (k.selectExpr(
+        "f AS threshold", "nl AS n_left", "pl AS pos_left",
+        "nn - nl AS n_right", "pp - pl AS pos_right",
+        "(1000000 * (pl*pl + (nl-pl)*(nl-pl))) div nl + "
+        "(1000000 * ((pp-pl)*(pp-pl) + "
+        "((nn-pp)-(nl-pl))*((nn-pp)-(nl-pl)))) div (nn-nl) AS score_u",
+        "10000 * (greatest(pl, nl-pl) + "
+        "greatest(pp-pl, (nn-pp)-(nl-pl))) div nn AS acc_bp")
+        .orderBy(F.col("score_u").desc(), "threshold")
+        .limit(top_k))

@@ -264,3 +264,48 @@ def test_dow_hour_heatmap_buckets(spark):
     out = {(r.dow, r.hour): r for r in ev.dow_hour_heatmap(df).collect()}
     assert out[(0, 5)].n == 2 and out[(0, 5)].share_bp == 6666
     assert out[(1, 7)].n == 1
+
+
+# ---------------------------------------------------------------- s9:
+# Benford digit audit + 1R decision stump (x291/x292)
+
+def test_benford_digits_densifies_and_matches_constants(spark):
+    from kafana_spark.operators.stats import BENFORD_BP, benford_digits
+
+    # cents values with leading digits 1,1,2,9; zero/negative dropped
+    df = spark.createDataFrame(
+        [(100,), (19999,), (250,), (90,), (0,), (-5,)], ["c"])
+    out = {r.digit: r for r in benford_digits(df, F.col("c")).collect()}
+    assert len(out) == 9                       # spine densifies 3..8
+    assert out[1].n_obs == 2 and out[1].obs_bp == 5000
+    assert out[2].n_obs == 1 and out[9].n_obs == 1
+    assert out[3].n_obs == 0 and out[3].obs_bp == 0
+    for d in range(1, 10):
+        assert out[d].exp_bp == BENFORD_BP[d - 1]
+        assert out[d].dev_bp == out[d].obs_bp - out[d].exp_bp
+
+
+def test_best_stump_finds_separating_threshold(spark):
+    from kafana_spark.operators.stats import best_stump
+
+    # y = 1 exactly when f >= 10: perfect split at threshold 5
+    rows = [(1, 0), (3, 0), (5, 0), (10, 1), (12, 1), (20, 1)]
+    df = spark.createDataFrame(rows, ["f", "y"])
+    out = best_stump(df, F.col("f"), F.col("y"), top_k=2).collect()
+    best = out[0]
+    assert best.threshold == 5
+    assert (best.n_left, best.pos_left) == (3, 0)
+    assert (best.n_right, best.pos_right) == (3, 3)
+    # perfect purity: 1e6*(0+9)/3 + 1e6*(9+0)/3 = 6e6
+    assert best.score_u == 6_000_000
+    assert best.acc_bp == 10000
+    # runner-up is strictly worse
+    assert out[1].score_u < best.score_u
+
+
+def test_best_stump_right_side_never_empty(spark):
+    from kafana_spark.operators.stats import best_stump
+
+    df = spark.createDataFrame([(1, 0), (2, 1)], ["f", "y"])
+    out = best_stump(df, F.col("f"), F.col("y"), top_k=10).collect()
+    assert [r.threshold for r in out] == [1]   # f=2 split excluded
