@@ -3931,6 +3931,21 @@ def x_lang_token_quartiles(spark, sf_dir):
             .withColumnRenamed("n", "n_docs"))
 
 
+#: x293 RAKE: data-driven stopword pool size and report size.
+RAKE_STOP_K = 15
+RAKE_TOP_K = 20
+
+
+def x_rake_keywords(spark, sf_dir):
+    """x293 — RAKE keyphrase extraction: maximal non-stopword runs
+    scored by summed degree/frequency µunits; stopwords = the corpus's
+    top-15 tokens (deterministic cutoff)."""
+    from kafana_spark.operators import text
+
+    return text.rake_keywords(_docs(spark, sf_dir),
+                              RAKE_STOP_K, RAKE_TOP_K)
+
+
 #: x292 stump label cut (the x141 heuristic-label boundary).
 STUMP_CUT = 4700
 STUMP_TOP_K = 5
@@ -4299,6 +4314,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x290_stored_trend": x_stored_trend,
     "x291_benford_digits": x_benford_digits,
     "x292_quality_stump": x_quality_stump,
+    "x293_rake_keywords": x_rake_keywords,
 }
 
 
@@ -9244,6 +9260,35 @@ def _lang_token_quartiles_sql() -> str:
         "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1 ORDER BY 1")
 
 
+def _rake_sql() -> str:
+    return (
+        "WITH tk2 AS (SELECT doc_id, i AS p, t[i] AS w "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
+        "WHERE i <= len(t)), "
+        "fa AS (SELECT w, COUNT(*) AS cnt FROM tk2 GROUP BY w), "
+        f"st AS (SELECT w FROM fa ORDER BY cnt DESC, w "
+        f"LIMIT {RAKE_STOP_K}), "
+        "ns AS (SELECT doc_id, p, w FROM tk2 "
+        "WHERE w NOT IN (SELECT w FROM st)), "
+        "m AS (SELECT doc_id, p, w, p - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM ns), "
+        "m2 AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, grp) "
+        "AS plen FROM m), "
+        "ws AS (SELECT w, CAST(1000000 * SUM(plen) // COUNT(*) "
+        "AS BIGINT) AS ws_u FROM m2 GROUP BY w), "
+        "ph AS (SELECT doc_id, grp, "
+        "string_agg(w, ' ' ORDER BY p) AS phrase, "
+        "CAST(MAX(plen) AS BIGINT) AS plen, "
+        "CAST(SUM(ws_u) AS BIGINT) AS score_u "
+        "FROM m2 JOIN ws USING (w) GROUP BY doc_id, grp) "
+        "SELECT phrase, MAX(plen) AS plen, "
+        "CAST(COUNT(*) AS BIGINT) AS n_occur, "
+        "MAX(score_u) AS score_u FROM ph GROUP BY phrase "
+        f"ORDER BY score_u DESC, phrase LIMIT {RAKE_TOP_K}"
+    )
+
+
 def _benford_sql() -> str:
     from kafana_spark.operators.stats import BENFORD_BP
 
@@ -9373,6 +9418,7 @@ def _trend_fit_sql() -> str:
 
 
 EXTENSION_ORACLE: dict[str, str] = {
+    "x293_rake_keywords": _rake_sql(),
     "x291_benford_digits": _benford_sql(),
     "x292_quality_stump": _quality_stump_sql(),
     "x287_scd2_dim": _scd2_dim_sql(),

@@ -2033,3 +2033,61 @@ def doc_metric_corr(df: DataFrame,
             "n", r.cast("long").alias("r_bp")))
     from functools import reduce as _reduce
     return _reduce(DataFrame.unionByName, rows).orderBy("m1", "m2")
+
+
+def rake_keywords(df: DataFrame, stop_k: int = 15, k: int = 20,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency (degree = Σ length of the phrases its occurrences
+    sit in) and a phrase scores the sum of its words' scores — the
+    unsupervised keyphrase baseline of every document-tagging
+    pipeline.
+
+    The stopword set is data-driven — the corpus's ``stop_k`` most
+    frequent tokens (deterministic (count desc, word) cutoff) — so the
+    operator is self-contained on any corpus. Scores are integer
+    µunits (1e6·degree div freq, summed per phrase — order-independent
+    across engines).
+
+    Output: top-``k`` distinct phrases by (score_u desc, phrase):
+    (phrase, plen, n_occur, score_u).
+
+    Scale: one tokenize+posexplode pass; the stop set is a broadcast
+    ``stop_k``-row frame; islands come from a per-doc window (bounded
+    by doc length); word stats are map-side combinable and join back
+    vocab-keyed — no corpus×corpus product anywhere.
+    """
+    tok = df.select(F.col(id_col).alias("d"),
+                    F.posexplode(tokens(F.col(text_col)))
+                    .alias("pos", "w"))
+    fa = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    stops = (fa.orderBy(F.col("cnt").desc(), "w").limit(stop_k)
+             .select("w", F.lit(1).alias("is_stop")))
+    ns = (tok.join(F.broadcast(stops), "w", "left")
+          .where(F.col("is_stop").isNull())
+          .select("d", "pos", "w"))
+    wgrp = Window.partitionBy("d").orderBy("pos")
+    m = ns.withColumn("grp",
+                      F.col("pos") - F.row_number().over(wgrp))
+    m2 = m.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("d", "grp")))
+    ws = (m2.groupBy("w")
+          .agg(F.count(F.lit(1)).alias("freq"),
+               F.sum("plen").alias("deg"))
+          .select("w", F.expr("1000000 * deg div freq").alias("ws_u")))
+    ph = (m2.join(ws, "w")
+          .groupBy("d", "grp")
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                  lambda s: s["w"]), " ").alias("phrase"),
+              F.max("plen").alias("plen"),
+              F.sum("ws_u").alias("score_u")))
+    return (ph.groupBy("phrase")
+            .agg(F.max("plen").alias("plen"),
+                 F.count(F.lit(1)).alias("n_occur"),
+                 F.max("score_u").alias("score_u"))
+            .orderBy(F.col("score_u").desc(), "phrase")
+            .limit(k))

@@ -536,3 +536,28 @@ def test_char_entropy_uniform_and_constant(spark):
     assert out["s1"].h_nat_u == (2 * su + 2 * su) // 4
     # s2: constant -> zero entropy
     assert (out["s2"].n_distinct, out["s2"].h_nat_u) == (1, 0)
+
+
+def test_rake_keywords_scores_and_islands(spark):
+    from kafana_spark.operators.text import rake_keywords
+
+    # "the"/"of" dominate frequency -> become the stop set (stop_k=2);
+    # phrases: "big data" (x2), "fast engine", "data"
+    rows = [
+        (1, "the big data of the fast engine of"),
+        (2, "of the big data of the data"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.phrase: r for r in rake_keywords(
+        df, stop_k=2, k=10).collect()}
+    assert set(out) == {"big data", "fast engine", "data"}
+    # word stats: big f=2 d=4; data f=3 d=5; fast f=1 d=2; engine ...
+    big, data = 1_000_000 * 4 // 2, 1_000_000 * 5 // 3
+    assert out["big data"].score_u == big + data
+    assert out["big data"].n_occur == 2
+    assert out["big data"].plen == 2
+    assert out["data"].score_u == data
+    assert out["fast engine"].score_u == 2_000_000 + 2_000_000
+    # ranking: fast engine (4e6) > big data (3.67e6) > data
+    top = rake_keywords(df, stop_k=2, k=2).collect()
+    assert [r.phrase for r in top] == ["fast engine", "big data"]
