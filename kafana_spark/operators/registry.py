@@ -3931,6 +3931,37 @@ def x_lang_token_quartiles(spark, sf_dir):
             .withColumnRenamed("n", "n_docs"))
 
 
+#: x294 ABC classification boundaries (cumulative revenue %).
+ABC_A_PCT = 70
+ABC_B_PCT = 90
+
+#: x295 _msearch batch: search_id -> disjunctive BM25 terms.
+MSEARCH_QUERIES = {
+    "s1": ("spark", "sort"),
+    "s2": ("merge", "vector"),
+    "s3": ("window",),
+}
+MSEARCH_K = 5
+
+
+def x_abc_classification(spark, sf_dir):
+    """x294 — ABC/Pareto classification of parts by revenue: exact
+    integer cross-multiplied class boundaries over the per-part
+    aggregate (the 80/20 inventory report)."""
+    return relational.abc_classification(
+        _t(spark, sf_dir, "lineitem"), ABC_A_PCT, ABC_B_PCT)
+
+
+def x_msearch(spark, sf_dir):
+    """x295 — ES _msearch: three BM25 term queries answered in ONE
+    corpus pass (union term set through the shared x88 contribution
+    tree, broadcast (search, term) split, per-search rank window)."""
+    from kafana_spark.operators import relevance
+
+    return relevance.msearch_bm25(_docs(spark, sf_dir),
+                                  MSEARCH_QUERIES, MSEARCH_K)
+
+
 #: x293 RAKE: data-driven stopword pool size and report size.
 RAKE_STOP_K = 15
 RAKE_TOP_K = 20
@@ -4315,6 +4346,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x291_benford_digits": x_benford_digits,
     "x292_quality_stump": x_quality_stump,
     "x293_rake_keywords": x_rake_keywords,
+    "x294_abc_classification": x_abc_classification,
+    "x295_msearch": x_msearch,
 }
 
 
@@ -9260,6 +9293,56 @@ def _lang_token_quartiles_sql() -> str:
         "FROM cm JOIN nn ON cm.g = nn.g GROUP BY 1 ORDER BY 1")
 
 
+def _abc_sql() -> str:
+    return (
+        f"WITH pp AS (SELECT l_partkey, CAST(SUM({_O_REV}) AS BIGINT) "
+        "AS rev FROM lineitem GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM pp), "
+        "c AS (SELECT rev, CAST(SUM(rev) OVER (ORDER BY rev DESC, "
+        "l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "FROM pp), "
+        f"k AS (SELECT CASE WHEN 100 * cum <= {ABC_A_PCT} * tot "
+        f"THEN 'A' WHEN 100 * cum <= {ABC_B_PCT} * tot THEN 'B' "
+        "ELSE 'C' END AS cls, rev, tot FROM c CROSS JOIN t) "
+        "SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+        "CAST(SUM(rev) AS BIGINT) AS revenue_cents, "
+        "CAST(10000 * SUM(rev) // MAX(tot) AS BIGINT) AS share_bp "
+        "FROM k GROUP BY cls ORDER BY cls"
+    )
+
+
+def _msearch_sql() -> str:
+    from kafana_spark.operators.relevance import (
+        BM25_B, BM25_FP, BM25_K1)
+
+    union_terms = sorted({t for ts in MSEARCH_QUERIES.values()
+                          for t in ts})
+    terms = ", ".join(f"'{t}'" for t in union_terms)
+    vals = ", ".join(f"('{sid}', '{t}')"
+                     for sid, ts in sorted(MSEARCH_QUERIES.items())
+                     for t in ts)
+    return (
+        f"WITH {_TK_CTE}, "
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        f"AVG(len({_TOKS})) AS avgdl FROM documents), "
+        f"q AS (SELECT * FROM (VALUES {vals}) AS q(sid, term)), "
+        f"tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl "
+        f"FROM tk WHERE term IN ({terms}) GROUP BY 1, 2), "
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "c AS (SELECT doc_id, term, "
+        f"{_bm25_contrib(float(BM25_FP), BM25_K1, BM25_B)} "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st), "
+        "sc AS (SELECT q.sid, c.doc_id, CAST(COUNT(*) AS INT) "
+        "AS n_matched, CAST(SUM(c_u) AS BIGINT) AS score_u "
+        "FROM c JOIN q USING (term) GROUP BY 1, 2), "
+        "r AS (SELECT sid, doc_id, n_matched, score_u, "
+        "ROW_NUMBER() OVER (PARTITION BY sid "
+        "ORDER BY score_u DESC, doc_id) AS rnk FROM sc) "
+        "SELECT sid, CAST(rnk AS INT) AS rank, doc_id, n_matched, "
+        f"score_u FROM r WHERE rnk <= {MSEARCH_K} ORDER BY sid, rnk"
+    )
+
+
 def _rake_sql() -> str:
     return (
         "WITH tk2 AS (SELECT doc_id, i AS p, t[i] AS w "
@@ -9418,6 +9501,8 @@ def _trend_fit_sql() -> str:
 
 
 EXTENSION_ORACLE: dict[str, str] = {
+    "x294_abc_classification": _abc_sql(),
+    "x295_msearch": _msearch_sql(),
     "x293_rake_keywords": _rake_sql(),
     "x291_benford_digits": _benford_sql(),
     "x292_quality_stump": _quality_stump_sql(),

@@ -27,7 +27,7 @@ what its users graduate to — expressed here Spark-first.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _cents(col: str) -> F.Column:
@@ -1112,3 +1112,41 @@ def margin_proxy(lineitem: DataFrame, part: DataFrame,
                  F.sum("cost").alias("cost_cents"),
                  F.sum(F.expr("rev - cost")).alias("margin_cents"))
             .orderBy("n_name", "yr"))
+
+
+def abc_classification(lineitem: DataFrame, a_pct: int = 70,
+                       b_pct: int = 90) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the head reaching ``a_pct``% of cumulative revenue,
+    B to ``b_pct``%, C the tail — the 80/20 report every supply-chain
+    and storage-tiering decision starts from.
+
+    Class boundaries are exact integer cross-multiplication
+    (100·cum ≤ pct·total — no division, no float share), inclusive of
+    the part that crosses the boundary.
+
+    Output: one row per class: (cls, n_parts, revenue_cents, share_bp)
+    ordered by cls.
+
+    Scale: the corpus collapses to the per-part revenue aggregate
+    first; the cumulative window runs over that |parts|-bounded frame
+    (a dimension, not the fact stream — the x207 power-curve
+    discipline); the total rides a 1-row broadcast.
+    """
+    per_part = (lineitem.groupBy("l_partkey")
+                .agg(F.sum(F.expr(_REVENUE)).alias("rev")))
+    w = (Window.orderBy(F.col("rev").desc(), "l_partkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = per_part.agg(F.sum("rev").alias("tot"))
+    cum = (per_part.withColumn("cum", F.sum("rev").over(w))
+           .crossJoin(F.broadcast(tot)))
+    cls = (F.when(F.expr(f"100 * cum <= {a_pct} * tot"), "A")
+           .when(F.expr(f"100 * cum <= {b_pct} * tot"), "B")
+           .otherwise("C"))
+    return (cum.select(cls.alias("cls"), "rev", "tot")
+            .groupBy("cls")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev").alias("revenue_cents"),
+                 F.expr("10000 * sum(rev) div max(tot)")
+                 .alias("share_bp"))
+            .orderBy("cls"))

@@ -1023,3 +1023,42 @@ def percolator_alert_sink(queries_path: str, out_path: str,
          .parquet(f"{out_path}/batch={epoch_id}"))
 
     return _sink
+
+
+def msearch_bm25(df: DataFrame, searches, k: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """ES ``_msearch``: a batch of independent BM25 term queries
+    answered in ONE corpus pass — the dashboard fan-in that makes K
+    widgets cost one scan instead of K.
+
+    All searches' terms union into a single broadcast term set; the
+    shared :func:`_term_contribs` tree scores each (doc, term) once
+    (idf/df are per-term corpus facts, identical whichever search
+    asked), then a broadcast (search, term) mapping splits the
+    contributions back out and a per-search rank window (over matched
+    docs only) cuts each top-k.
+
+    ``searches`` maps search_id -> term sequence. Output:
+    (sid, rank, id, n_matched, score_u) ordered by (sid, rank).
+
+    Scale: the corpus is tokenized once; the rank window partitions
+    by search over the matched frame — never a second scan per query.
+    """
+    spark = df.sparkSession
+    pairs = [(sid, t) for sid, ts in sorted(searches.items())
+             for t in ts]
+    sdf = spark.createDataFrame(pairs, "sid string, term string")
+    terms_df = sdf.select("term").distinct()
+    c = _term_contribs(df, terms_df, id_col, text_col)
+    scored = (c.join(F.broadcast(sdf), "term")
+              .groupBy("sid", id_col)
+              .agg(F.count(F.lit(1)).cast("int").alias("n_matched"),
+                   F.sum("c_u").alias("score_u")))
+    w = Window.partitionBy("sid").orderBy(F.col("score_u").desc(),
+                                          F.col(id_col))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("sid", "rank", id_col, "n_matched", "score_u")
+            .orderBy("sid", "rank"))

@@ -817,3 +817,24 @@ def test_forecast_revenue_change_band_filter(spark):
         0.05, 0.07, 2400).collect()
     assert len(out) == 1
     assert (out[0].n_lines, out[0].forgone_cents) == (1, 600)
+
+
+def test_abc_classification_boundaries_inclusive(spark):
+    from kafana_spark.operators.relational import abc_classification
+
+    # revenues 70, 20, 10 (parts 1..3): A = {p1} (exactly 70%),
+    # B = {p2} (90%), C = {p3}
+    rows = [(1, 0.70), (2, 0.20), (3, 0.10)]
+    li = spark.createDataFrame(
+        [(p, 1, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1996, 1, 1))
+         for p, ep in [(r[0], r[1]) for r in rows]],
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"])
+    out = {r.cls: r for r in abc_classification(li).collect()}
+    assert out["A"].n_parts == 1 and out["A"].revenue_cents == 70
+    assert out["B"].n_parts == 1 and out["B"].revenue_cents == 20
+    assert out["C"].n_parts == 1 and out["C"].revenue_cents == 10
+    assert out["A"].share_bp == 7000
+    assert out["C"].share_bp == 1000

@@ -203,3 +203,24 @@ def test_term_suggest_matches_brute_force(spark):
 def test_term_suggest_no_suggestion_for_far_word(spark):
     out = R.term_suggest(docs(spark), ["xyzzy"]).collect()
     assert out == []
+
+
+def test_msearch_matches_single_search_bm25(spark):
+    """Each _msearch slice must equal the standalone x88 ranking for
+    the same terms — one scan, zero semantic drift."""
+    from kafana_spark.operators.relevance import bm25_topk, msearch_bm25
+
+    rows = [(i, t) for i, t in enumerate([
+        "spark sort spark", "merge sort", "spark merge merge",
+        "window scan", "sort sort window", "scan scan"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    searches = {"a": ("spark",), "b": ("merge", "sort")}
+    out = msearch_bm25(df, searches, k=3).collect()
+    for sid, terms in searches.items():
+        want = [(r.doc_id, r.n_matched, r.score_u)
+                for r in bm25_topk(df, terms, k=3).collect()]
+        got = [(r.doc_id, r.n_matched, r.score_u)
+               for r in out if r.sid == sid]
+        assert got == want, sid
+    # ranks are 1-based consecutive per sid
+    assert [r.rank for r in out if r.sid == "a"] == [1, 2]
