@@ -1544,6 +1544,24 @@ def dow_hour_heatmap(df: DataFrame,
             .orderBy("dow", "hour"))
 
 
+def scd2_changes(df: DataFrame, key_col: str = "user_id",
+                 state_col: str = "event_type", time_col: str = "ts",
+                 seq_col: str = "event_id") -> DataFrame:
+    """The SCD2 collapse half: per key, keep only rows whose state
+    differs from their (ts, seq)-ordered predecessor. Idempotent —
+    collapsing an already-collapsed change frame is a no-op — which
+    is what makes the persisted-index merge exact: for event-time-
+    partitioned batches (the streaming epoch contract),
+    collapse(concat(collapse(b1), collapse(b2))) ==
+    collapse(concat(b1, b2))."""
+    w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
+    return (df.select(key_col, state_col, time_col, seq_col)
+            .withColumn("prev", F.lag(state_col).over(w))
+            .where(F.col("prev").isNull()
+                   | (F.col("prev") != F.col(state_col)))
+            .drop("prev"))
+
+
 def scd2_dim(df: DataFrame, key_col: str = "user_id",
              state_col: str = "event_type", time_col: str = "ts",
              seq_col: str = "event_id") -> DataFrame:
@@ -1567,11 +1585,8 @@ def scd2_dim(df: DataFrame, key_col: str = "user_id",
     state; the collapse drops the frame to changes-only before the
     lead/version pass.
     """
+    changes = scd2_changes(df, key_col, state_col, time_col, seq_col)
     w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
-    changes = (df.select(key_col, state_col, time_col, seq_col)
-               .withColumn("prev", F.lag(state_col).over(w))
-               .where(F.col("prev").isNull()
-                      | (F.col("prev") != F.col(state_col))))
     return (changes
             .withColumn("valid_to", F.lead(time_col).over(w))
             .withColumn("version",
