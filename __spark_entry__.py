@@ -37,14 +37,13 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 6 (current): signature ages after r5 are — x85–x135: never
-    driver-signed (added after the r5 window filled; judge-verified
-    green via check_oracle but the driver record is the contract),
-    x29–x56: r3, x01–x17/x57–x67: r4, x18–x28/x68–x84: r5 (freshest).
-    So the window yields q01–q22 + x85–x112 (28 slots); x113+ and any
-    new round-6 keys (x136+) land in the same never-signed group and
-    roll into the round-7 window, then the r3-signed block, with the
-    freshest signatures last.
+    Round 7 (current): round 6 signed q01–q22 + x85–x112, so the
+    never-signed boundary moves to x113 — the window yields q01–q22 +
+    x113–x140 (28 slots); x141+ roll into later rounds. Signature ages
+    after r6: x113+: never driver-signed (judge-verified green via
+    check_oracle but the driver record is the contract), x29–x56: r3
+    (oldest remaining), x01–x17/x57–x67: r4, x18–x28/x68–x84: r5,
+    x85–x112: r6 (freshest).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -53,14 +52,16 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if n >= 85:
+            if n >= 113:
                 return (0, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
                 return (1, n, k)  # r3-signed: oldest current signatures
             if (1 <= n <= 17) or (57 <= n <= 67):
                 return (2, n, k)  # r4-signed
-            return (3, n, k)      # x18–x28, x68–x84: r5-signed (fresh)
-        return (4, 0, k)
+            if (18 <= n <= 28) or (68 <= n <= 84):
+                return (3, n, k)  # r5-signed
+            return (4, n, k)      # x85–x112: r6-signed (freshest)
+        return (5, 0, k)
 
     return sorted(extension_keys, key=rank)
 
