@@ -239,17 +239,22 @@ def rfm_segments(df: DataFrame, time_col: str = "ts",
     the corpus max day), Frequency (event count), Monetary (sum of
     value in integer cents — floor(v·100 + 0.5) per event BEFORE the
     sum, so both engines add exact integers). Each metric is cut into
-    quartiles by the x158 integer-percentile rule — pct_bp =
-    10000·(rk−1) div (n−1) over a deterministic (metric, user) order
-    — and the output is the segment-level rollup.
+    quartiles by the distinct-value-group percentile rule (the
+    x232/x257 ``group_quantiles`` discipline): pct_bp(v) =
+    10000·cum_lt(v) div (n−1) where cum_lt counts users with a
+    STRICTLY smaller metric — every user tied at a value lands in the
+    same quartile. Quartile boundaries are the smallest values whose
+    pct reaches 2500/5000/7500; assignment is a comparison against
+    three broadcast scalars.
 
     Output: (r_q, f_q, m_q, n_users, monetary_cents) ≤ 64 rows.
 
     Scale: per-user metrics are one combinable agg over events; the
-    three rank windows run on the USER frame (users ≪ events — the
-    exact-percentile price, same tradeoff as lang_fair_gate; a
-    two-phase histogram cut drops in when users alone overflow a
-    partition). The global max-day is a 1-row broadcast cross join.
+    only ordered windows run over each metric's DISTINCT-VALUE frame
+    (rec = calendar days, freq = small count domain, mon = bounded
+    cent sums — never the corpus-growing user frame; bucket mon with
+    ``div`` first if its NDV ever approaches n_users). Boundary and
+    max-day scalars ride 1-row broadcast cross joins.
     """
     cents = F.floor(F.coalesce(F.col(value_col), F.lit(0.0))
                     * F.lit(100.0) + F.lit(0.5)).cast("long")
@@ -265,19 +270,34 @@ def rfm_segments(df: DataFrame, time_col: str = "ts",
     u = (m.crossJoin(F.broadcast(g))
          .select("k", (F.col("gmax") - F.col("umax")).alias("rec"),
                  "freq", "mon"))
+    n1 = u.agg(F.count(F.lit(1)).alias("nn"))
+
+    def cuts(col: str) -> DataFrame:
+        vals = u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cl = vals.withColumn(
+            "cum_lt", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        return (cl.crossJoin(F.broadcast(n1))
+                .agg(*[F.min(F.when(
+                    (F.col("nn") > 1)
+                    & (F.col("cum_lt") * 10000
+                       >= F.lit(q) * (F.col("nn") - 1)),
+                    F.col(col))).alias(f"{col}_c{q}")
+                    for q in (2500, 5000, 7500)]))
+
+    b = cuts("rec").crossJoin(cuts("freq")).crossJoin(cuts("mon"))
 
     def quart(col: str) -> F.Column:
-        w = Window.orderBy(col, "k")
-        rk = F.row_number().over(w).cast("long")
-        n = F.count(F.lit(1)).over(Window.partitionBy())
-        pct = F.when(n > 1, (F.lit(10000) * (rk - 1))
-                     .cast("long") / (n - 1)).otherwise(F.lit(0))
-        pct = F.floor(pct).cast("long")
-        return (F.lit(1) + (pct >= 2500).cast("int")
-                + (pct >= 5000).cast("int")
-                + (pct >= 7500).cast("int")).alias(f"{col}_q")
+        e = F.lit(1)
+        for q in (2500, 5000, 7500):
+            e = e + F.coalesce(
+                (F.col(col) >= F.col(f"{col}_c{q}")).cast("int"),
+                F.lit(0))
+        return e.cast("int").alias(f"{col}_q")
 
-    q = u.select("k", "mon", quart("rec"), quart("freq"), quart("mon"))
+    q = (u.crossJoin(F.broadcast(b))
+         .select("k", "mon", quart("rec"), quart("freq"), quart("mon")))
     return (q.groupBy(F.col("rec_q").alias("r_q"),
                       F.col("freq_q").alias("f_q"),
                       F.col("mon_q").alias("m_q"))

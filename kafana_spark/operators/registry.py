@@ -7461,17 +7461,28 @@ def _rolling_active_sql() -> str:
 
 
 def _rfm_sql() -> str:
-    """x186 oracle — integer-cent metrics, x158-style integer
-    percentile quartiles over (metric, user) total orders."""
-    def pct(rk: str) -> str:
-        return (f"CASE WHEN nn > 1 THEN (10000 * ({rk} - 1)) // (nn - 1) "
-                "ELSE 0 END")
+    """x186 oracle — integer-cent metrics; quartiles by the
+    distinct-value-group percentile rule (pct_bp(v) = 10000·cum_lt(v)
+    // (n−1); cum_lt = users strictly below v) so ties share a
+    quartile — the same rule as the Spark side's broadcast cuts."""
+    def metric_ctes(col: str, tag: str) -> str:
+        conds = ", ".join(
+            f"MIN(CASE WHEN nn > 1 AND cum_lt * 10000 >= {q} * (nn - 1) "
+            f"THEN v END) AS c{q}"
+            for q in (2500, 5000, 7500))
+        return (
+            f"{tag}v AS (SELECT {col} AS v, COUNT(*) AS cnt "
+            f"FROM u GROUP BY {col}), "
+            f"{tag}c AS (SELECT v, CAST(COALESCE(SUM(cnt) OVER "
+            "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS cum_lt FROM "
+            f"{tag}v), "
+            f"{tag}b AS (SELECT {conds} FROM {tag}c CROSS JOIN nn1)")
 
-    def quart(rk: str) -> str:
-        p = pct(rk)
-        return ("1 + CASE WHEN " + p + " >= 2500 THEN 1 ELSE 0 END"
-                " + CASE WHEN " + p + " >= 5000 THEN 1 ELSE 0 END"
-                " + CASE WHEN " + p + " >= 7500 THEN 1 ELSE 0 END")
+    def quart(col: str, tag: str) -> str:
+        return ("1 + " + " + ".join(
+            f"CASE WHEN {col} >= {tag}b.c{q} THEN 1 ELSE 0 END"
+            for q in (2500, 5000, 7500)))
 
     return (
         "WITH e AS (SELECT user_id AS k, "
@@ -7483,14 +7494,14 @@ def _rfm_sql() -> str:
         "gm AS (SELECT MAX(umax) AS gmax FROM m), "
         "u AS (SELECT k, gm.gmax - umax AS rec, freq, mon "
         "FROM m CROSS JOIN gm), "
-        "r AS (SELECT k, mon, "
-        "ROW_NUMBER() OVER (ORDER BY rec, k) AS rk_r, "
-        "ROW_NUMBER() OVER (ORDER BY freq, k) AS rk_f, "
-        "ROW_NUMBER() OVER (ORDER BY mon, k) AS rk_m, "
-        "COUNT(*) OVER () AS nn FROM u), "
-        f"q AS (SELECT k, mon, CAST({quart('rk_r')} AS INT) AS r_q, "
-        f"CAST({quart('rk_f')} AS INT) AS f_q, "
-        f"CAST({quart('rk_m')} AS INT) AS m_q FROM r) "
+        "nn1 AS (SELECT COUNT(*) AS nn FROM u), "
+        + metric_ctes("rec", "rr") + ", "
+        + metric_ctes("freq", "ff") + ", "
+        + metric_ctes("mon", "mm") + ", "
+        f"q AS (SELECT k, mon, CAST({quart('rec', 'rr')} AS INT) AS r_q, "
+        f"CAST({quart('freq', 'ff')} AS INT) AS f_q, "
+        f"CAST({quart('mon', 'mm')} AS INT) AS m_q "
+        "FROM u CROSS JOIN rrb CROSS JOIN ffb CROSS JOIN mmb) "
         "SELECT r_q, f_q, m_q, COUNT(*) AS n_users, "
         "CAST(SUM(mon) AS BIGINT) AS monetary_cents FROM q "
         "GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q")

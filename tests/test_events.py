@@ -12,8 +12,8 @@ Pinned behaviors:
 - transitions: (ts, event_id) total order; row-normalized bp.
 - rolling_active: WAU counts a user once per trailing window; days
   not observed as event days are not emitted.
-- rfm: integer-cent monetary; quartile via the integer-percentile
-  rule with (metric, user) tie order.
+- rfm: integer-cent monetary; quartile via the distinct-value-group
+  percentile rule — tied users share a quartile.
 - error_spike: only hours with a fully-observed trailing-24h grid
   are scored; spike_bp = 10000 ⇔ exactly the trailing mean.
 - rocchio: sign-safe truncating centroid division; argmax ties break
@@ -137,9 +137,10 @@ def test_rfm_quartiles_deterministic(spark):
     out = {(r.r_q, r.f_q, r.m_q): (r.n_users, r.monetary_cents)
            for r in ev.rfm_segments(make(spark, rows)).collect()}
     # freq/monetary quartiles are 1..4 in user order; recency all ties
-    # → rank by user id → quartiles 1..4 as well
+    # → one distinct-value group → every user shares recency quartile 1
     assert out[(1, 1, 1)] == (1, 1000)
-    assert out[(4, 4, 4)] == (1, 4 * 4 * 1000)
+    assert out[(1, 4, 4)] == (1, 4 * 4 * 1000)
+    assert {k[0] for k in out} == {1}
     assert sum(n for n, _ in out.values()) == 4
 
 
