@@ -28,6 +28,7 @@ what its users graduate to — expressed here Spark-first.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _cents(col: str) -> F.Column:
@@ -1129,17 +1130,39 @@ def abc_classification(lineitem: DataFrame, a_pct: int = 70,
     ordered by cls.
 
     Scale: the corpus collapses to the per-part revenue aggregate
-    first; the cumulative window runs over that |parts|-bounded frame
-    (a dimension, not the fact stream — the x207 power-curve
-    discipline); the total rides a 1-row broadcast.
+    first; the running revenue is then two-phase (the x95
+    token-budget shape): (1) per power-of-two revenue band
+    (``length(bin(rev)) - 1``, the x248 discipline — ≤64 bands, no
+    libm) an exclusive running total over the tiny band frame, (2) the
+    within-band cumulative sum partitioned BY BAND — no ordered window
+    ever runs over the whole part dimension in one task. Bands are
+    disjoint rev ranges, so band-desc + within-band (rev desc,
+    l_partkey) reproduces the global total order exactly; a band only
+    degenerates to the full dimension if every part earns the same
+    octave (tighten the band expression if a corpus does that). The
+    banded per-part frame is persisted — three small aggregates
+    consume it (the graph_explore discipline).
     """
     per_part = (lineitem.groupBy("l_partkey")
                 .agg(F.sum(F.expr(_REVENUE)).alias("rev")))
-    w = (Window.orderBy(F.col("rev").desc(), "l_partkey")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    tot = per_part.agg(F.sum("rev").alias("tot"))
-    cum = (per_part.withColumn("cum", F.sum("rev").over(w))
-           .crossJoin(F.broadcast(tot)))
+    banded = (per_part
+              .withColumn("band",
+                          F.expr("length(bin(rev)) - 1").cast("int"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    tot = banded.agg(F.sum("rev").alias("tot"))
+    bt = banded.groupBy("band").agg(F.sum("rev").alias("brev"))
+    wb = (Window.orderBy(F.col("band").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = (bt.withColumn("cum_before",
+                          F.coalesce(F.sum("brev").over(wb), F.lit(0)))
+            .select("band", "cum_before"))
+    wib = (Window.partitionBy("band")
+           .orderBy(F.col("rev").desc(), "l_partkey")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (banded.join(F.broadcast(boff), "band")
+           .crossJoin(F.broadcast(tot))
+           .withColumn("cum",
+                       F.col("cum_before") + F.sum("rev").over(wib)))
     cls = (F.when(F.expr(f"100 * cum <= {a_pct} * tot"), "A")
            .when(F.expr(f"100 * cum <= {b_pct} * tot"), "B")
            .otherwise("C"))

@@ -838,3 +838,27 @@ def test_abc_classification_boundaries_inclusive(spark):
     assert out["C"].n_parts == 1 and out["C"].revenue_cents == 10
     assert out["A"].share_bp == 7000
     assert out["C"].share_bp == 1000
+
+
+def test_abc_part_window_partitioned_by_band(spark):
+    """The per-part running revenue must never sort the whole part
+    dimension in one task: every rev-ordered window spec in the plan
+    is partitioned by the power-of-two band column."""
+    import re
+
+    from kafana_spark.operators.relational import abc_classification
+
+    li = spark.createDataFrame(
+        [(p, 1, 1, 1, 1.0, float(p), 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1996, 1, 1))
+         for p in range(1, 9)],
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"])
+    plan = (abc_classification(li)
+            ._jdf.queryExecution().executedPlan().toString())
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        if "rev" in s and "DESC" in s:
+            assert s.lstrip().startswith("band"), s
