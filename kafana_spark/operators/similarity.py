@@ -1427,6 +1427,21 @@ def pagerank_mutual(df: DataFrame, iters: int = 3,
     return pagerank_from_edges(mu, iters, damp_bp, top_k)
 
 
+def _local_result(df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED result frame (top-k / 1-row graph
+    rollups), release the persisted walk inputs, and hand back a
+    driver-local copy — the edge/vertex cache lives exactly as long
+    as the walk (the dedup.py try/finally discipline) instead of
+    accumulating executor memory across repeated calls, while callers
+    still receive an ordinary DataFrame."""
+    try:
+        rows = df.collect()
+    finally:
+        for c in cached:
+            c.unpersist()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def pagerank_from_edges(mu: DataFrame, iters: int = 3,
                         damp_bp: int = 8500,
                         top_k: int = 50) -> DataFrame:
@@ -1453,8 +1468,9 @@ def pagerank_from_edges(mu: DataFrame, iters: int = 3,
                       .cast("long").alias("pr")))
     top = pr.orderBy(F.desc("pr"), "vec_id").limit(top_k)
     w = Window.orderBy(F.desc("pr"), "vec_id")
-    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
-            .select("vec_id", "deg", "pr", "rank"))
+    out = (top.withColumn("rank", F.row_number().over(w).cast("int"))
+           .select("vec_id", "deg", "pr", "rank"))
+    return _local_result(out, edges, verts)
 
 
 def graph_triangles(df: DataFrame, k: int = 5,
@@ -1501,13 +1517,14 @@ def triangles_from_edges(mu: DataFrame) -> DataFrame:
            .join(mu.alias("e3"), (F.col("wa") == F.col("e3.a"))
                  & (F.col("wc") == F.col("e3.b")))
            .agg(F.count(F.lit(1)).alias("n_triangles")))
-    return (base.crossJoin(F.broadcast(tri))
-            .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
-                    F.when(F.col("n_wedges") > 0,
-                           F.expr("3 * n_triangles * 10000 "
-                                  "div n_wedges"))
-                    .otherwise(F.lit(0)).cast("long")
-                    .alias("global_cc_bp")))
+    out = (base.crossJoin(F.broadcast(tri))
+           .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
+                   F.when(F.col("n_wedges") > 0,
+                          F.expr("3 * n_triangles * 10000 "
+                                 "div n_wedges"))
+                   .otherwise(F.lit(0)).cast("long")
+                   .alias("global_cc_bp")))
+    return _local_result(out, mu)
 
 
 def degree_histogram(df: DataFrame, k: int = 5,
@@ -1604,11 +1621,12 @@ def modularity_from_assignment(mu: DataFrame,
                 * (4 * F.col("m_edges") * F.col("sum_ec")
                    - F.col("sum_dc2")).cast("double")
                 / (4.0 * F.col("m_edges") * F.col("m_edges")))
-    return (agg.crossJoin(F.broadcast(m))
-            .select("n_cells", "m_edges",
-                    F.expr("sum_ec * 10000 div m_edges")
-                    .alias("intra_bp"),
-                    q.cast("long").alias("q_bp")))
+    out = (agg.crossJoin(F.broadcast(m))
+           .select("n_cells", "m_edges",
+                   F.expr("sum_ec * 10000 div m_edges")
+                   .alias("intra_bp"),
+                   q.cast("long").alias("q_bp")))
+    return _local_result(out, mu)
 
 
 def personalized_pagerank(df: DataFrame, seed_mod: int = 50,
@@ -1662,8 +1680,9 @@ def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
                       .cast("long").alias("pr")))
     top = pr.orderBy(F.desc("pr"), "vec_id").limit(top_k)
     w = Window.orderBy(F.desc("pr"), "vec_id")
-    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
-            .select("vec_id", "deg", "is_seed", "pr", "rank"))
+    out = (top.withColumn("rank", F.row_number().over(w).cast("int"))
+           .select("vec_id", "deg", "is_seed", "pr", "rank"))
+    return _local_result(out, edges, verts)
 
 
 def link_prediction(df: DataFrame, top_k: int = 30, k: int = 5,
@@ -1723,9 +1742,10 @@ def link_prediction_from_edges(mu: DataFrame,
                           "pa", "pb")
            .limit(top_k))
     w = Window.orderBy(F.desc("ra_u"), F.desc("n_common"), "pa", "pb")
-    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
-            .select(F.col("pa").alias("a"), F.col("pb").alias("b"),
-                    "n_common", "ra_u", "rank"))
+    out = (top.withColumn("rank", F.row_number().over(w).cast("int"))
+           .select(F.col("pa").alias("a"), F.col("pb").alias("b"),
+                   "n_common", "ra_u", "rank"))
+    return _local_result(out, mu)
 
 
 def _vectors_labeled(df: DataFrame) -> DataFrame:

@@ -125,3 +125,25 @@ def test_modularity_anti_community_is_negative(spark):
     asg = spark.createDataFrame([(1, 10), (2, 20)], ["vec_id", "cid"])
     r = modularity_from_assignment(mu, asg).collect()[0]
     assert (r.intra_bp, r.q_bp) == (0, -5000)
+
+
+def test_graph_walks_release_executor_cache(spark):
+    """The *_from_edges tails persist edge/vertex frames for the walk;
+    the cache must be GONE once the (bounded) result is handed back —
+    repeated calls in one session must not accumulate storage."""
+    from kafana_spark.operators.similarity import (
+        link_prediction_from_edges,
+        modularity_from_assignment,
+        ppr_from_edges,
+    )
+
+    mu = edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)], ["vec_id", "cid"])
+    pagerank_from_edges(mu, iters=2).collect()
+    ppr_from_edges(mu, seed_mod=10 ** 9, iters=1).collect()
+    triangles_from_edges(mu).collect()
+    modularity_from_assignment(mu, asg).collect()
+    link_prediction_from_edges(mu).collect()
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]
