@@ -216,7 +216,7 @@ def lloyd_stats_stream_sink(path: str, n_assign: int = 1,
 
 
 def refresh_lloyd_centroids(spark: SparkSession, path: str,
-                            dim: int = 64) -> DataFrame:
+                            dim: int | None = None) -> DataFrame:
     """Refresh the stored centroids from ALL accumulated sufficient
     statistics (base + every appended/streamed batch) — the store
     twin of ``operators.similarity.lloyd_update``, and the answer to
@@ -232,6 +232,9 @@ def refresh_lloyd_centroids(spark: SparkSession, path: str,
     Scale: the fold is |cells|·dim combinable rows; the merged table
     is driver-materialized (it is centroid-sized) before the
     overwrite so the read and the write never race on the same path.
+
+    ``dim`` is derived from the stored arrays; passing it is only a
+    cross-check (raises on mismatch with the built index).
     """
     import math
 
@@ -240,6 +243,12 @@ def refresh_lloyd_centroids(spark: SparkSession, path: str,
            .select("cid", F.transform(
                "cv", lambda x: F.floor(x * 1_000_000.0 + 0.5)
                .cast("bigint")).alias("cu")).collect()}
+    stored_dim = len(next(iter(old.values())))
+    if dim is not None and dim != stored_dim:
+        raise ValueError(
+            f"dim={dim} does not match the stored index "
+            f"(centroid arrays have {stored_dim} dimensions)")
+    dim = stored_dim
     stats = (spark.read.parquet(f"{path}/{LLOYD_STATS_DIR}")
              .drop("batch")
              .select("cid", "cnt", F.posexplode("s").alias("i", "si"))
@@ -254,6 +263,10 @@ def refresh_lloyd_centroids(spark: SparkSession, path: str,
              .collect())
     rows = []
     for r in sorted(stats, key=lambda r: r.cid):
+        if len(r.s) != dim:
+            raise ValueError(
+                f"stored stats for cell {r.cid} carry {len(r.s)} "
+                f"dimensions; the index has {dim}")
         cu = [int(math.floor(s / r.cnt + 0.5)) for s in r.s]
         shift = sum(abs(cu[j] - old[int(r.cid)][j])
                     for j in range(dim))

@@ -152,9 +152,13 @@ def terms_with_other(df: DataFrame, field: str, n: int = 10) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("cnt")))
     top = (grouped.orderBy(F.col("cnt").desc(), "term").limit(n)
            .withColumn("is_other", F.lit(0)))
-    tot = grouped.agg(F.sum("cnt").alias("__total"))
-    other = (top.agg(F.sum("cnt").alias("__top"))
+    tot = grouped.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__total"))
+    other = (top.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__top"))
              .crossJoin(F.broadcast(tot))
+             # an empty corpus has no buckets and no '__other__' row
+             # (ES reports sum_other_doc_count=0 with no buckets)
+             .where(F.col("__total") > 0)
              .select(F.lit("__other__").alias("term"),
                      (F.col("__total") - F.col("__top")).alias("cnt"),
                      F.lit(1).alias("is_other")))
@@ -1094,10 +1098,15 @@ def graph_explore(df: DataFrame, seed_term: str, text_col: str = "text",
                   F.sum(F.col("is_seed").cast("long")).alias("fg"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_seed = stats.agg(
-        F.max(F.when(F.col("term") == seed_term, F.col("fg")))
+        F.coalesce(F.max(F.when(F.col("term") == seed_term,
+                                F.col("fg"))),
+                   F.lit(0).cast("long"))
         .alias("n_seed"))
     totals = (df.agg(F.count(F.lit(1)).alias("n_docs"))
-              .crossJoin(F.broadcast(n_seed)))
+              .crossJoin(F.broadcast(n_seed))
+              # absent seed -> n_seed 0 -> empty result (never a NULL
+              # lift_bp row, matching the count-based formulation)
+              .where(F.col("n_seed") > 0))
     fg = (stats.where((F.col("term") != seed_term)
                       & (F.col("fg") >= min_fg)))
     # double arithmetic avoids int64 overflow at web scale (1e4·fg·N
@@ -1151,10 +1160,14 @@ def graph_explore_hops(df: DataFrame, seed_term: str,
                   F.sum(F.col("is_seed").cast("long")).alias("fg"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_seed = stats.agg(
-        F.max(F.when(F.col("term") == seed_term, F.col("fg")))
+        F.coalesce(F.max(F.when(F.col("term") == seed_term,
+                                F.col("fg"))),
+                   F.lit(0).cast("long"))
         .alias("n_seed"))
     nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    totals = nd.crossJoin(F.broadcast(n_seed))
+    # absent seed -> empty hop 1 -> empty frontier -> empty hop 2
+    totals = (nd.crossJoin(F.broadcast(n_seed))
+              .where(F.col("n_seed") > 0))
     lift1 = F.expr("CAST(floor(10000.0 * fg * n_docs / "
                    "(CAST(n_seed AS DOUBLE) * bg)) AS BIGINT)")
     h1 = (stats.where((F.col("term") != seed_term)

@@ -601,6 +601,17 @@ def test_graph_explore_lift_prefers_cooccurrence(spark):
     assert all(r.seed == "a" for r in out.values())
 
 
+def test_graph_explore_absent_seed_is_empty(spark):
+    # a seed term nowhere in the corpus must return an EMPTY frame
+    # (never NULL-lift rows), even with min_fg=0; same for the
+    # multi-hop variant
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")],
+        "doc_id: long, text: string")
+    assert query.graph_explore(df, "zz", min_fg=0, k=10).count() == 0
+    assert query.graph_explore_hops(df, "zz", min_fg=0).count() == 0
+
+
 def test_field_caps_bounds_and_nulls(spark):
     df = spark.createDataFrame(
         [(1, 2.0, dt.datetime(2024, 1, 1)),

@@ -374,3 +374,11 @@ def test_terms_with_other_remainder_bucket(spark):
     out = query.terms_with_other(df, "k", 2).collect()
     assert [(r.term, r.cnt, r.is_other) for r in out] == \
         [("a", 5, 0), ("b", 3, 0), ("__other__", 3, 1)]
+    # empty corpus: no buckets AND no '__other__' row (never a NULL
+    # remainder) — ES reports sum_other_doc_count=0 with no buckets
+    assert query.terms_with_other(df.where("k = 'zz'"), "k", 2) \
+        .count() == 0
+    # n >= distinct terms: the remainder row stays, exactly 0
+    full = query.terms_with_other(df, "k", 10).collect()
+    assert ("__other__", 0, 1) == (full[-1].term, full[-1].cnt,
+                                   full[-1].is_other)
