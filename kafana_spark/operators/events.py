@@ -1606,6 +1606,19 @@ def scd2_dim(df: DataFrame, key_col: str = "user_id",
     lead/version pass.
     """
     changes = scd2_changes(df, key_col, state_col, time_col, seq_col)
+    return scd2_dim_from_changes(changes, key_col, state_col,
+                                 time_col, seq_col)
+
+
+def scd2_dim_from_changes(changes: DataFrame,
+                          key_col: str = "user_id",
+                          state_col: str = "event_type",
+                          time_col: str = "ts",
+                          seq_col: str = "event_id") -> DataFrame:
+    """The version/interval tail over an already-collapsed change
+    frame — shared with the persisted SCD2 index's stored twin
+    (scd2_index.py), so the store roundtrip is provable by the same
+    oracle hash."""
     w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
     return (changes
             .withColumn("valid_to", F.lead(time_col).over(w))
@@ -1646,6 +1659,14 @@ def scd2_state_at(df: DataFrame, probe_type: str = "purchase",
     probes = (df.where(F.col(state_col) == probe_type)
               .select(F.col(seq_col).alias("probe_id"),
                       F.col(key_col), F.col(time_col).alias("p_ts")))
+    return scd2_state_at_from_dim(dim, probes, key_col)
+
+
+def scd2_state_at_from_dim(dim: DataFrame, probes: DataFrame,
+                           key_col: str = "user_id") -> DataFrame:
+    """The PIT-join tail over a built SCD2 dimension and a
+    (probe_id, key, p_ts) probe frame — shared with the persisted
+    index's stored twin."""
     cond = ((F.col("valid_from") <= F.col("p_ts"))
             & (F.col("valid_to").isNull()
                | (F.col("p_ts") < F.col("valid_to"))))

@@ -4052,6 +4052,52 @@ def x_stored_trend(spark, sf_dir):
         spark, _event_index_root(spark, sf_dir))
 
 
+def _scd2_index_root(spark, sf_dir) -> str:
+    """Build the persisted SCD2 dimension index as TWO event-time
+    halves (base ≤ midpoint < append), so the oracle-hashed serve
+    path exercises the cross-batch merge law, not just a single-batch
+    roundtrip."""
+    from kafana_spark import scd2_index
+
+    d = _events(spark, sf_dir)
+
+    def _build(r):
+        lo, hi = d.agg(F.min(F.unix_micros("ts")),
+                       F.max(F.unix_micros("ts"))).first()
+        cut = lo + (hi - lo) // 2
+        scd2_index.build_scd2_index(
+            d.where(F.unix_micros("ts") <= cut), r)
+        scd2_index.append_scd2_index(
+            d.where(F.unix_micros("ts") > cut), r, batch="b2")
+
+    return _cached_index_root("scd2idx", sf_dir, _build)
+
+
+def x_stored_scd2(spark, sf_dir):
+    """x296 — x287's SCD2 dimension served from the PERSISTED change
+    index (two event-time batches merged by the idempotent serve-time
+    re-collapse; no event re-read). Same oracle as x287 — the hash
+    match proves the store roundtrip AND the cross-batch merge law
+    are exact."""
+    from kafana_spark import scd2_index
+
+    tune_session(spark)
+    return scd2_index.scd2_dim_from_store(
+        spark, _scd2_index_root(spark, sf_dir))
+
+
+def x_stored_pit(spark, sf_dir):
+    """x297 — x288's point-in-time lookups served from the stored
+    dimension: probe events (the query input) join the maintained
+    index — the feature-store shape. Same oracle as x288."""
+    from kafana_spark import scd2_index
+
+    tune_session(spark)
+    return scd2_index.scd2_state_at_from_store(
+        spark, _events(spark, sf_dir),
+        _scd2_index_root(spark, sf_dir), SCD2_PROBE_TYPE)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -4348,6 +4394,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x293_rake_keywords": x_rake_keywords,
     "x294_abc_classification": x_abc_classification,
     "x295_msearch": x_msearch,
+    "x296_stored_scd2": x_stored_scd2,
+    "x297_stored_pit": x_stored_pit,
 }
 
 
@@ -9514,6 +9562,10 @@ def _trend_fit_sql() -> str:
 EXTENSION_ORACLE: dict[str, str] = {
     "x294_abc_classification": _abc_sql(),
     "x295_msearch": _msearch_sql(),
+    # the stored twins share the inline oracles — a hash match proves
+    # the SCD2 store roundtrip + cross-batch merge law are lossless
+    "x296_stored_scd2": _scd2_dim_sql(),
+    "x297_stored_pit": _scd2_state_at_sql(),
     "x293_rake_keywords": _rake_sql(),
     "x291_benford_digits": _benford_sql(),
     "x292_quality_stump": _quality_stump_sql(),
