@@ -723,7 +723,10 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
 def embedding_near_dup_bucketed(df: DataFrame, threshold: float = 0.99,
                                 centroid_mod: int = 40,
                                 n_assign: int = 2,
-                                block_size: int = 2048) -> DataFrame:
+                                block_size: int = 2048,
+                                method: str = "modulo",
+                                centroid_k: int | None = None
+                                ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup — the DEFAULT scale path.
 
     Composition: IVF cell assignment (similarity._ivf_assign, the same
@@ -734,6 +737,14 @@ def embedding_near_dup_bucketed(df: DataFrame, threshold: float = 0.99,
     versus the corpus-wide kernel's (n/block)² block pairs (the r4
     VERDICT's one flagged scale wart: the unbucketed kernel was the
     registry default).
+
+    Quantizer knob (the x149 story, same tradeoff): the default
+    ``method='modulo'`` ties CELL COUNT to n/centroid_mod — per-cell
+    population stays ~centroid_mod (cheap verify) but the ASSIGNMENT
+    pass is corpus × cells = n²/mod; ``method='fixed'`` +
+    ``centroid_k`` pins exactly k cells (linear n·k assignment,
+    per-cell verify (n/k)²·k) — set k≈√n so neither leg goes
+    quadratic (ladder-demonstrated in BASELINE.md §sf1).
 
     Semantics: returns pairs with ROUND(cos,4) >= threshold whose two
     vectors SHARE an assigned cell — approximate by design (a pair
@@ -747,7 +758,8 @@ def embedding_near_dup_bucketed(df: DataFrame, threshold: float = 0.99,
     )
 
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, "modulo", centroid_mod)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
+                               centroid_k=centroid_k)
     assigned = _ivf_assign(corpus, centroids, n_assign)
     e = assigned.select(F.col("cid").alias("cell"), "vec_id", "v")
     return _blocked_cosine_pairs(e, float(threshold), block_size)
