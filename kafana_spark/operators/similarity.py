@@ -56,9 +56,30 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10) -> DataFram
 
 
 def modulo_queries(df: DataFrame, mod: int = 100) -> DataFrame:
-    """Deterministic query subset: vec_id % mod == 0."""
+    """Deterministic query subset: vec_id % mod == 0. NOTE the set
+    grows with the corpus (n/mod queries) — the right shape for an
+    eval sweep, the wrong one for a fixed dashboard/benchmark budget;
+    use :func:`fixed_queries` when query count must not scale with n
+    (the same knob story as the fixed-k quantizer)."""
     return _vectors(df).where(F.col("vec_id") % mod == 0) \
         .select(F.col("vec_id").alias("qid"), "v")
+
+
+def fixed_queries(df: DataFrame, n_queries: int = 100) -> DataFrame:
+    """EXACTLY ``n_queries`` deterministic queries regardless of
+    corpus size — the fixed-budget twin of :func:`modulo_queries`.
+    Seeds are the n lowest portable-hash vec_ids (engine-exact
+    pseudo-random spread; TakeOrdered, no full sort) — the same
+    selection discipline as the fixed-k IVF seeds."""
+    from kafana_spark.functions import portable_hash64
+
+    if n_queries < 1:
+        raise ValueError("fixed_queries requires n_queries >= 1")
+    h = portable_hash64(F.concat_ws(
+        "#", F.col("vec_id").cast("string"), F.lit("queryseed")))
+    return (_vectors(df).orderBy(h.asc(), F.col("vec_id"))
+            .limit(n_queries)
+            .select(F.col("vec_id").alias("qid"), "v"))
 
 
 def kmeans_centroids(df: DataFrame, k: int, seed: int = 42,

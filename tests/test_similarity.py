@@ -678,3 +678,25 @@ def test_filtered_ivf_overprobe_recall_floor(spark):
     recalls = [len(bf[qid] & iv[qid]) / max(1, len(bf[qid]))
                for qid in bf]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_fixed_queries_exact_budget_and_determinism(spark):
+    """fixed_queries returns EXACTLY n deterministic rows regardless
+    of corpus size (the fixed-budget twin of modulo_queries), drawn by
+    portable-hash order — never ingestion order."""
+    import pytest
+
+    e = embs(spark)
+    a = similarity.fixed_queries(e, 7).collect()
+    b = similarity.fixed_queries(e, 7).collect()
+    assert len(a) == 7
+    assert [r.qid for r in a] == [r.qid for r in b]
+    # not simply the lowest ids (hash spread, not ingestion order)
+    lowest = [r.vec_id for r in
+              e.orderBy("vec_id").limit(7).collect()]
+    assert [r.qid for r in a] != lowest
+    # a larger budget extends, never reshuffles, the selection prefix
+    wide = [r.qid for r in similarity.fixed_queries(e, 20).collect()]
+    assert set(r.qid for r in a) <= set(wide)
+    with pytest.raises(ValueError):
+        similarity.fixed_queries(e, 0)
