@@ -64,8 +64,13 @@ LADDER = [
      "|types|^2 aggregate)"),
     ("x185_rolling_active", "linear x window_days (bounded explode "
      "on the collapsed user-day frame)"),
-    ("x186_rfm_segments", "n log n on the USER frame (exact "
-     "percentile ranks; events collapse first)"),
+    ("x186_rfm_segments", "linear (r7: distinct-value-group cuts — "
+     "windows ride bounded metric domains, never the user frame)"),
+    ("x287_scd2_dim", "linear (per-key windows; the change collapse "
+     "drops the frame before the version pass)"),
+    ("x296_stored_scd2", "serve = re-collapse + version tail over the "
+     "STORED changes-only frame (tiny vs the event stream; the "
+     "registry builder also pays the 2-batch build once per corpus)"),
     ("x187_error_spike", "linear + hour-series window (series "
      "length is clock time, not event count)"),
     ("x190_acf", "linear collapse + lag-join on the day series"),
