@@ -4098,6 +4098,42 @@ def x_stored_pit(spark, sf_dir):
         _scd2_index_root(spark, sf_dir), SCD2_PROBE_TYPE)
 
 
+#: x298 binary-ANN Hamming candidate pool (exact-reranked to ANN_K).
+BIN_POOL = 100
+BIN_DIM = 64
+
+
+def x_binary_ann(spark, sf_dir):
+    """x298 — binary (sign-bit) quantized ANN: Hamming top-BIN_POOL
+    over two bigint sign words per vector (8 B vs 512 B — the third
+    compression tier beside int8 x50 and PQ x59), exact-cosine rerank
+    to top-k. Deterministic end to end — the oracle replays the bit
+    packing, the xor/bit_count scan and both rank windows exactly."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    return (similarity.hamming_topk(e, q, ANN_K, BIN_POOL, BIN_DIM)
+            .orderBy("qid", "rank"))
+
+
+def x_binary_recall(spark, sf_dir):
+    """x299 — binary-ANN recall vs the x07 brute-force truth per
+    query in bp (the x125/x282 eval-loop discipline): how much of the
+    exact top-k the 64×-smaller Hamming scan retains after rerank."""
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    bf = (similarity.brute_force_topk(e, q, ANN_K)
+          .select("qid", "vec_id"))
+    bn = (similarity.hamming_topk(e, q, ANN_K, BIN_POOL, BIN_DIM)
+          .select("qid", "vec_id").withColumn("hit", F.lit(1)))
+    return (bf.join(bn, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.count("hit").cast("int").alias("n_overlap"))
+            .select("qid", "n_overlap",
+                    F.expr(f"10000 * n_overlap div {ANN_K}")
+                    .cast("long").alias("recall_bp"))
+            .orderBy("qid"))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x01_dedup_keep_first": x_dedup_keep_first,
     "x02_minhash_near_dup": x_minhash_near_dup,
@@ -4396,6 +4432,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x295_msearch": x_msearch,
     "x296_stored_scd2": x_stored_scd2,
     "x297_stored_pit": x_stored_pit,
+    "x298_binary_ann": x_binary_ann,
+    "x299_binary_recall": x_binary_recall,
 }
 
 
@@ -5897,6 +5935,58 @@ def _ann_recall_sql() -> str:
         "AS recall_bp "
         "FROM bf LEFT JOIN iv ON iv.qid = bf.qid "
         "AND iv.vec_id = bf.vec_id "
+        "GROUP BY bf.qid ORDER BY bf.qid"
+    )
+
+
+def _binary_ann_sql() -> str:
+    """x298 oracle — sign-word packing (1::BIGINT << (i−1) sums, the
+    exact integers Spark's shiftleft aggregate produces), xor +
+    bit_count Hamming pool, exact-cosine rerank."""
+    cos = _COS.format(a="qv.v", b="cv.v")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "bits AS (SELECT vec_id, i, CASE WHEN x > 0 THEN 1::BIGINT "
+        "ELSE 0::BIGINT END AS b FROM (SELECT vec_id, UNNEST(v) AS x, "
+        "GENERATE_SUBSCRIPTS(v, 1) AS i FROM e)), "
+        "words AS (SELECT vec_id, "
+        "CAST(SUM(CASE WHEN i <= 32 THEN b << (i - 1) ELSE 0 END) "
+        "AS BIGINT) AS w0, "
+        "CAST(SUM(CASE WHEN i > 32 THEN b << (i - 33) ELSE 0 END) "
+        "AS BIGINT) AS w1 FROM bits GROUP BY vec_id), "
+        "qw AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM words "
+        f"WHERE vec_id % {ANN_QUERY_MOD} = 0), "
+        "hm AS (SELECT qw.qid, c.vec_id, "
+        "CAST(bit_count(xor(c.w0, qw.qw0)) "
+        "+ bit_count(xor(c.w1, qw.qw1)) AS INT) AS ham "
+        "FROM qw CROSS JOIN words c WHERE c.vec_id <> qw.qid), "
+        "pooled AS (SELECT qid, vec_id, ham, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY ham, vec_id) AS pr FROM hm), "
+        f"cand AS (SELECT qid, vec_id, ham FROM pooled "
+        f"WHERE pr <= {BIN_POOL}), "
+        "scored AS (SELECT cand.qid, cand.vec_id, cand.ham, "
+        f"ROUND({cos}, 4) AS cos FROM cand "
+        "JOIN e cv ON cv.vec_id = cand.vec_id "
+        "JOIN e qv ON qv.vec_id = cand.qid), "
+        "ranked AS (SELECT qid, vec_id, ham, cos, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM scored) "
+        f"SELECT qid, vec_id, ham, cos, rank FROM ranked "
+        f"WHERE rank <= {ANN_K} ORDER BY qid, rank"
+    )
+
+
+def _binary_recall_sql() -> str:
+    """x299 oracle — x07 truth vs the x298 pipeline, overlap in bp."""
+    return (
+        f"WITH bf AS ({_ann_brute_force_sql()}), "
+        f"bn AS ({_binary_ann_sql()}) "
+        "SELECT bf.qid, CAST(COUNT(bn.vec_id) AS INT) AS n_overlap, "
+        f"CAST(10000 * COUNT(bn.vec_id) // {ANN_K} AS BIGINT) "
+        "AS recall_bp "
+        "FROM bf LEFT JOIN bn ON bn.qid = bf.qid "
+        "AND bn.vec_id = bf.vec_id "
         "GROUP BY bf.qid ORDER BY bf.qid"
     )
 
@@ -9566,6 +9656,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # the SCD2 store roundtrip + cross-batch merge law are lossless
     "x296_stored_scd2": _scd2_dim_sql(),
     "x297_stored_pit": _scd2_state_at_sql(),
+    "x298_binary_ann": _binary_ann_sql(),
+    "x299_binary_recall": _binary_recall_sql(),
     "x293_rake_keywords": _rake_sql(),
     "x291_benford_digits": _benford_sql(),
     "x292_quality_stump": _quality_stump_sql(),

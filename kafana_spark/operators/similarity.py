@@ -82,6 +82,81 @@ def fixed_queries(df: DataFrame, n_queries: int = 100) -> DataFrame:
             .select(F.col("vec_id").alias("qid"), "v"))
 
 
+def _sign_words(frame: DataFrame, id_col: str, dim: int) -> DataFrame:
+    """(id, w0..w{dim/32-1}) sign-bit words of the ``v`` column: bit i
+    of word b is (v[32b+i] > 0) — exact integer packing, identical in
+    both engines (shiftleft sums, no floats past the comparison)."""
+    if dim < 32 or dim % 32 != 0:
+        raise ValueError("sign packing requires dim % 32 == 0")
+    words = [
+        F.expr(f"aggregate(zip_with(slice(v, {32 * b + 1}, 32), "
+               "sequence(0, 31), "
+               "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+               "0L, (a, c) -> a + c)").alias(f"w{b}")
+        for b in range(dim // 32)]
+    return frame.select(F.col(id_col), *words)
+
+
+def binary_signs(df: DataFrame, dim: int = 64) -> DataFrame:
+    """1-bit (sign) quantization of the embedding column — the third
+    compression tier beside int8 (x50) and PQ (x59): a 64-dim float64
+    vector (512 B) serves from 8 B of sign bits. On L2-normalized
+    data, Hamming distance between sign words is a monotone proxy for
+    angular distance (the classic LSH/ITQ serving mode), so a Hamming
+    scan + exact rerank recovers cosine top-k at a fraction of the
+    scan bytes. Output: (vec_id, w0, w1, ...) bigint words.
+    """
+    return _sign_words(_vectors(df), "vec_id", dim)
+
+
+def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                 pool: int = 100, dim: int = 64) -> DataFrame:
+    """Binary-ANN serving: Hamming top-``pool`` candidates over the
+    sign words, exact-cosine rerank to top-``k`` — the
+    binary-quantized sibling of PQ/ADC+refine (x59), fully
+    deterministic so the DuckDB oracle replays it bit-for-bit.
+
+    Scale: the candidate scan touches dim/8 BYTES per corpus vector
+    (two bit_count(xor) words at dim=64 — ~64× fewer scan bytes than
+    the float64 brute force) against a broadcast query table; only
+    ``pool`` vectors per query are ever read at full precision. The
+    rank windows partition by qid over corpus rows (Hamming) and the
+    pooled candidates (rerank). Drop-in with the IVF bucketing for a
+    probe-then-Hamming composite at 100 TB.
+
+    Output: (qid, vec_id, ham, cos, rank), self-matches excluded.
+    """
+    n_words = dim // 32
+    cb = _sign_words(_vectors(df), "vec_id", dim)
+    qb = _sign_words(queries.select(F.col("qid").alias("vec_id"), "v"),
+                     "vec_id", dim) \
+        .select(F.col("vec_id").alias("qid"),
+                *[F.col(f"w{b}").alias(f"qw{b}")
+                  for b in range(n_words)])
+    ham = None
+    for b in range(n_words):
+        t = F.expr(f"bit_count(w{b} ^ qw{b})")
+        ham = t if ham is None else ham + t
+    scored = (cb.join(F.broadcast(qb),
+                      F.col("qid") != F.col("vec_id"))
+              .select("qid", "vec_id", ham.cast("int").alias("ham")))
+    wp = Window.partitionBy("qid").orderBy("ham", "vec_id")
+    cand = (scored.withColumn("pr", F.row_number().over(wp))
+            .where(F.col("pr") <= pool)
+            .select("qid", "vec_id", "ham"))
+    corpus = _with_norm(_vectors(df))
+    qv = _with_norm(queries)
+    cos = F.round(dot(F.col("q.v"), F.col("c.v"))
+                  / (F.col("q.nrm") * F.col("c.nrm")), 4)
+    rer = (cand.join(corpus.alias("c"), "vec_id")
+           .join(F.broadcast(qv.alias("q")), "qid")
+           .select("qid", "vec_id", "ham", cos.alias("cos")))
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (rer.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .where(F.col("rank") <= k))
+
+
 def kmeans_centroids(df: DataFrame, k: int, seed: int = 42,
                      max_iter: int = 10) -> DataFrame:
     """Fit MLlib KMeans over the corpus and return (cid, cv) centroid

@@ -700,3 +700,55 @@ def test_fixed_queries_exact_budget_and_determinism(spark):
     assert set(r.qid for r in a) <= set(wide)
     with pytest.raises(ValueError):
         similarity.fixed_queries(e, 0)
+
+
+def test_binary_signs_closed_form(spark):
+    # 64-dim: positives at positions 1, 2, 33 (1-indexed) -> w0 has
+    # bits 0 and 1 (= 3), w1 has bit 0 (= 1); zeros pack as 0-bits
+    v = [0.0] * 64
+    v[0] = 0.5
+    v[1] = 0.1
+    v[32] = 2.0
+    v[63] = -1.0
+    e = spark.createDataFrame([(7, v)], ["vec_id", "embedding"])
+    r = similarity.binary_signs(e, 64).collect()[0]
+    assert (r.vec_id, r.w0, r.w1) == (7, 3, 1)
+
+
+def test_binary_signs_rejects_partial_words(spark):
+    import pytest
+
+    e = spark.createDataFrame([(1, [1.0] * 48)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.binary_signs(e, 48)
+
+
+def test_hamming_topk_exact_duplicate_ranks_first(spark):
+    # vec 1 == query vector -> hamming 0 AND cosine 1.0 -> rank 1
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(64)]
+    rows = [(1, base)]
+    for i in range(2, 30):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(100, base)], ["qid", "v"])
+    out = similarity.hamming_topk(e, q, k=5, pool=10).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert (top.vec_id, top.ham, top.cos) == (1, 0, 1.0)
+    assert len(out) == 5
+
+
+def test_binary_ann_recall_floor(spark):
+    """Pool=100 on the smoke corpus: the Hamming pool + exact rerank
+    must retain >= 70% of the exact top-10 on average (measured 84%
+    at sf0.01, 80% min at smoke — floor set with headroom; the pool
+    is the recall knob as the corpus grows)."""
+    from kafana_spark.operators.registry import x_binary_recall
+    from tests.conftest import SF_SMOKE
+
+    rows = x_binary_recall(spark, SF_SMOKE).collect()
+    assert rows
+    mean_bp = sum(r.recall_bp for r in rows) / len(rows)
+    assert mean_bp >= 7000, mean_bp
