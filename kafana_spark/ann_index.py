@@ -507,3 +507,65 @@ def pagerank_from_index(spark: SparkSession, path: str, k: int = 5,
 
     mu = mutual_knn_from_index(spark, path, k, n_probe).select("a", "b")
     return pagerank_from_edges(mu, iters, damp_bp, top_k)
+
+
+# ------------------------------------------------ binary (sign-bit) index
+
+BIN_WORDS_DIR = "binary_words"
+BIN_VEC_DIR = "binary_vectors"
+
+
+def build_binary_index(df: DataFrame, path: str, dim: int = 64,
+                       mode: str = "overwrite",
+                       batch: str = "base") -> None:
+    """Persist the sign words + full-precision rerank vectors — the
+    binary twin of the PQ layout (codes + refine vectors): the
+    Hamming scan reads dim/8 bytes per vector from
+    ``binary_words``; only pooled candidates touch
+    ``binary_vectors``. Packing is append-only (no trained state, so
+    appends never drift — unlike IVF/PQ there is nothing to refresh)."""
+    from kafana_spark.operators.similarity import _vectors, binary_signs
+
+    if mode == "overwrite":
+        _clear_batched_dir(f"{path}/{BIN_WORDS_DIR}")
+        _clear_batched_dir(f"{path}/{BIN_VEC_DIR}")
+    binary_signs(df, dim).write.mode("overwrite") \
+        .parquet(f"{path}/{BIN_WORDS_DIR}/batch={batch}")
+    _vectors(df).write.mode("overwrite") \
+        .parquet(f"{path}/{BIN_VEC_DIR}/batch={batch}")
+
+
+def append_binary_index(df_new: DataFrame, path: str, batch: str,
+                        dim: int = 64) -> None:
+    """Pack and append a new batch — stateless encode, idempotent
+    per-batch overwrite (the ann/dedup sink discipline)."""
+    build_binary_index(df_new, path, dim, mode="append_batch",
+                       batch=batch)
+
+
+def binary_topk_from_index(spark: SparkSession, path: str,
+                           queries: DataFrame, k: int = 10,
+                           pool: int = 100,
+                           dim: int = 64) -> DataFrame:
+    """x298's binary ANN served from the store — the operator's own
+    Hamming-pool + exact-rerank tail over the stored words/vectors;
+    nothing is re-packed."""
+    from kafana_spark.operators.similarity import (
+        hamming_topk_from_parts,
+    )
+
+    words = spark.read.parquet(f"{path}/{BIN_WORDS_DIR}").drop("batch")
+    vecs = spark.read.parquet(f"{path}/{BIN_VEC_DIR}").drop("batch")
+    return hamming_topk_from_parts(words, vecs, queries, k, pool, dim)
+
+
+def binary_index_stream_sink(path: str, dim: int = 64):
+    """foreachBatch sink maintaining the binary index under streaming
+    ingest: per-epoch ``batch=<epoch_id>`` overwrite, so at-least-once
+    redelivery replaces its own partition."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        append_binary_index(batch_df, path, batch=str(epoch_id),
+                            dim=dim)
+
+    return _sink

@@ -4115,6 +4115,23 @@ def x_binary_ann(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def x_stored_binary_ann(spark, sf_dir):
+    """x300 — x298 served from the PERSISTED binary index (sign words
+    + refine vectors, the PQ codes+vectors layout; packing is
+    stateless so appends never drift). Same oracle as x298 — the hash
+    match proves the store roundtrip is lossless."""
+    from kafana_spark import ann_index
+
+    e = _embs(spark, sf_dir)
+    q = similarity.modulo_queries(e, ANN_QUERY_MOD)
+    root = _cached_index_root(
+        "binidx", sf_dir,
+        lambda r: ann_index.build_binary_index(e, r, BIN_DIM))
+    return (ann_index.binary_topk_from_index(
+        spark, root, q, ANN_K, BIN_POOL, BIN_DIM)
+        .orderBy("qid", "rank"))
+
+
 def x_binary_recall(spark, sf_dir):
     """x299 — binary-ANN recall vs the x07 brute-force truth per
     query in bp (the x125/x282 eval-loop discipline): how much of the
@@ -4434,6 +4451,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x297_stored_pit": x_stored_pit,
     "x298_binary_ann": x_binary_ann,
     "x299_binary_recall": x_binary_recall,
+    "x300_stored_binary_ann": x_stored_binary_ann,
 }
 
 
@@ -9658,6 +9676,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "x297_stored_pit": _scd2_state_at_sql(),
     "x298_binary_ann": _binary_ann_sql(),
     "x299_binary_recall": _binary_recall_sql(),
+    "x300_stored_binary_ann": _binary_ann_sql(),
     "x293_rake_keywords": _rake_sql(),
     "x291_benford_digits": _benford_sql(),
     "x292_quality_stump": _quality_stump_sql(),

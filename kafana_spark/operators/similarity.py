@@ -126,8 +126,20 @@ def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     Output: (qid, vec_id, ham, cos, rank), self-matches excluded.
     """
+    return hamming_topk_from_parts(
+        _sign_words(_vectors(df), "vec_id", dim), _vectors(df),
+        queries, k, pool, dim)
+
+
+def hamming_topk_from_parts(cb: DataFrame, corpus_vecs: DataFrame,
+                            queries: DataFrame, k: int = 10,
+                            pool: int = 100,
+                            dim: int = 64) -> DataFrame:
+    """The binary-ANN tail over an already-packed (vec_id, w0..wN)
+    word frame and the matching (vec_id, v) full-precision vectors —
+    shared with the persisted binary index's stored twin, so the
+    store roundtrip is provable by the same oracle hash."""
     n_words = dim // 32
-    cb = _sign_words(_vectors(df), "vec_id", dim)
     qb = _sign_words(queries.select(F.col("qid").alias("vec_id"), "v"),
                      "vec_id", dim) \
         .select(F.col("vec_id").alias("qid"),
@@ -144,7 +156,7 @@ def hamming_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     cand = (scored.withColumn("pr", F.row_number().over(wp))
             .where(F.col("pr") <= pool)
             .select("qid", "vec_id", "ham"))
-    corpus = _with_norm(_vectors(df))
+    corpus = _with_norm(corpus_vecs)
     qv = _with_norm(queries)
     cos = F.round(dot(F.col("q.v"), F.col("c.v"))
                   / (F.col("q.nrm") * F.col("c.nrm")), 4)

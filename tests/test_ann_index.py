@@ -400,3 +400,66 @@ def test_cluster_sample_from_index_equals_inline(spark, tmp_path):
     want = {tuple(r) for r in dedup.cluster_sample(
         e, k=5, method="fixed", centroid_k=20, n_probe=2).collect()}
     assert got == want and got
+
+
+def test_binary_index_store_equals_inline(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "binidx")
+    ann_index.build_binary_index(e, root, dim=64)
+    got = sorted(tuple(r) for r in ann_index.binary_topk_from_index(
+        spark, root, q, k=5, pool=50).collect())
+    want = sorted(tuple(r) for r in similarity.hamming_topk(
+        e, q, k=5, pool=50).collect())
+    assert got == want
+
+
+def test_binary_index_append_and_redelivery(spark, tmp_path):
+    """Packing is stateless, so a split build+append (and a redelivered
+    batch) must serve exactly the full one-shot build."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "binidx")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    ann_index.build_binary_index(base, root, dim=64)
+    ann_index.append_binary_index(rest, root, batch="b1")
+    ann_index.append_binary_index(rest, root, batch="b1")  # redeliver
+    got = sorted(tuple(r) for r in ann_index.binary_topk_from_index(
+        spark, root, q, k=5, pool=50).collect())
+    want = sorted(tuple(r) for r in similarity.hamming_topk(
+        e, q, k=5, pool=50).collect())
+    assert got == want
+
+
+def test_binary_index_stream_sink(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "binidx")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    ann_index.build_binary_index(base, root, dim=64)
+    sink = ann_index.binary_index_stream_sink(root)
+    sink(rest.where(F.col("vec_id") % 4 == 1), 0)
+    sink(rest.where(F.col("vec_id") % 4 == 3), 1)
+    sink(rest.where(F.col("vec_id") % 4 == 3), 1)   # redelivery
+    got = sorted(tuple(r) for r in ann_index.binary_topk_from_index(
+        spark, root, q, k=5, pool=50).collect())
+    want = sorted(tuple(r) for r in similarity.hamming_topk(
+        e, q, k=5, pool=50).collect())
+    assert got == want
+
+
+def test_binary_rebuild_clears_stale_batches(spark, tmp_path):
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    root = str(tmp_path / "binidx")
+    ann_index.build_binary_index(e, root, dim=64)
+    ann_index.append_binary_index(e.limit(0), root, batch="junk")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    ann_index.build_binary_index(base, root, dim=64)   # rebuild
+    got = sorted(tuple(r) for r in ann_index.binary_topk_from_index(
+        spark, root, q, k=5, pool=50).collect())
+    want = sorted(tuple(r) for r in similarity.hamming_topk(
+        base, q, k=5, pool=50).collect())
+    assert got == want
