@@ -247,3 +247,37 @@ def test_cms_never_undercounts_property(spark, texts):
     est = {r.t: r.cms_cnt for r in
            cms_estimate(cms_sketch(df, "text"), terms).collect()}
     assert all(est[t] >= c for t, c in exact.items())
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(1, 3),            # key
+              st.sampled_from(["a", "b", "c"]),   # state
+              st.integers(0, 30)),          # minute
+    min_size=0, max_size=25),
+    cut=st.integers(0, 30))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_merge_law_property(spark, events, cut):
+    """The scd2_changes merge law on RANDOM event streams and a RANDOM
+    event-time split: collapse(collapse(early) ∪ collapse(late)) ==
+    collapse(full), for any boundary — the structural guarantee the
+    persisted SCD2 index's append path rests on (scd2_index.py)."""
+    from kafana_spark.operators.events import scd2_changes
+
+    rows = [(i, BASE_TS + dt.timedelta(minutes=m), k, s)
+            for i, (k, s, m) in enumerate(events)]
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    d = spark.createDataFrame(rows, schema)
+    boundary = BASE_TS + dt.timedelta(minutes=cut)
+    early = d.where(F.col("ts") <= F.lit(boundary))
+    late = d.where(F.col("ts") > F.lit(boundary))
+    merged = scd2_changes(
+        scd2_changes(early).unionByName(scd2_changes(late)))
+    full = scd2_changes(d)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
