@@ -9473,7 +9473,9 @@ def _abc_sql() -> str:
         "ELSE 'C' END AS cls, rev, tot FROM c CROSS JOIN t) "
         "SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts, "
         "CAST(SUM(rev) AS BIGINT) AS revenue_cents, "
-        "CAST(10000 * SUM(rev) // MAX(tot) AS BIGINT) AS share_bp "
+        "CAST(CASE WHEN MAX(tot) > 0 "
+        "THEN 10000 * SUM(rev) // MAX(tot) ELSE 0 END AS BIGINT) "
+        "AS share_bp "
         "FROM k GROUP BY cls ORDER BY cls"
     )
 

@@ -1170,6 +1170,9 @@ def abc_classification(lineitem: DataFrame, a_pct: int = 70,
             .groupBy("cls")
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("rev").alias("revenue_cents"),
-                 F.expr("10000 * sum(rev) div max(tot)")
+                 # tot = 0 (every part zero-revenue) -> share 0, not /0
+                 F.expr("CASE WHEN max(tot) > 0 "
+                        "THEN 10000 * sum(rev) div max(tot) "
+                        "ELSE 0 END")
                  .alias("share_bp"))
             .orderBy("cls"))

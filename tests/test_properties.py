@@ -281,3 +281,96 @@ def test_scd2_merge_law_property(spark, events, cut):
     full = scd2_changes(d)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, full.collect()))
+
+
+@given(users=st.lists(
+    st.tuples(st.integers(0, 5),      # rec value domain (small: ties!)
+              st.integers(1, 6),      # freq
+              st.integers(0, 400)),   # monetary cents
+    min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rfm_group_quartiles_match_reference(spark, users):
+    """The r7 distinct-value-group percentile rule against a plain-
+    Python reference on random (rec, freq, mon) user sets heavy with
+    ties: pct(v) = 10000*|{u: metric(u) < v}| // (n-1), quartile =
+    1 + [pct>=2500] + [pct>=5000] + [pct>=7500]."""
+    from kafana_spark.operators.events import rfm_segments
+
+    # one event per (user, metric triple): recency realized by event
+    # day (rec = gmax - umax), freq by event count, mon by value
+    rows, eid = [], 0
+    max_day = max(r for r, _, _ in users)
+    for uid, (rec, freq, mon) in enumerate(users):
+        day = max_day - rec
+        for j in range(freq):
+            v = (mon / 100.0) if j == 0 else 0.0
+            rows.append((eid, BASE_TS + dt.timedelta(days=day,
+                                                     minutes=j),
+                         uid, "e", v))
+            eid += 1
+    d = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def quart(vals):
+        n = len(vals)
+
+        def q(v):
+            if n == 1:
+                return 1
+            cum_lt = sum(1 for x in vals if x < v)
+            pct = 10000 * cum_lt // (n - 1)
+            return (1 + (pct >= 2500) + (pct >= 5000)
+                    + (pct >= 7500))
+        return q
+
+    recs = [r for r, _, _ in users]
+    freqs = [f for _, f, _ in users]
+    mons = [m for _, _, m in users]
+    qr, qf, qm = quart(recs), quart(freqs), quart(mons)
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 0])
+    for (rec, freq, mon) in users:
+        kq = (qr(rec), qf(freq), qm(mon))
+        want[kq][0] += 1
+        want[kq][1] += mon
+    got = {(r.r_q, r.f_q, r.m_q): [r.n_users, r.monetary_cents]
+           for r in rfm_segments(d).collect()}
+    assert got == dict(want)
+
+
+@given(revs=st.lists(st.integers(0, 10 ** 6), min_size=1,
+                     max_size=25))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_abc_two_phase_matches_single_window_reference(spark, revs):
+    """The r7 banded two-phase running revenue against the plain
+    single-window reference on random revenue multisets (including
+    zeros and cross-band ties): identical class totals for any
+    distribution."""
+    from collections import defaultdict
+
+    from kafana_spark.operators.relational import abc_classification
+
+    li = spark.createDataFrame(
+        [(p, 1, 1, 1, 1.0, rev / 100.0, 0.0, 0.0, "N", "O",
+          dt.datetime(1996, 1, 1))
+         for p, rev in enumerate(revs, start=1)],
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"])
+    # reference: exact global (rev desc, partkey) running sum
+    per = sorted(((rev, p) for p, rev in enumerate(revs, start=1)),
+                 key=lambda t: (-t[0], t[1]))
+    tot = sum(r for r, _ in per)
+    want = defaultdict(lambda: [0, 0])
+    cum = 0
+    for rev, _ in per:
+        cum += rev
+        cls = ("A" if 100 * cum <= 70 * tot
+               else "B" if 100 * cum <= 90 * tot else "C")
+        want[cls][0] += 1
+        want[cls][1] += rev
+    got = {r.cls: [r.n_parts, r.revenue_cents]
+           for r in abc_classification(li).collect()}
+    assert got == {k: v for k, v in want.items()}
