@@ -41,6 +41,10 @@ LADDER = [
     ("x08_ann_ivf", "linear (probed cells only)"),
     ("x81_ann_lsh", "linear (bucketed candidates)"),
     ("x88_bm25_topk", "linear (matched pairs only)"),
+    ("x298_binary_ann", "corpus x queries like x07 but at dim/8 "
+     "BYTES per pair (two bit_count words) — the queries grow n/100 "
+     "with the corpus, so expect the x07 shape at a fraction of the "
+     "constant; the fixed_queries budget is the at-scale config"),
     ("x69_exact_substr", "~linear (sharded gram join)"),
     ("x33_pair_counts", "linear (combinable counts)"),
     ("x136_bpe_merge_train", "linear x N rounds (combinable counts)"),
