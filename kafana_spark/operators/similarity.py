@@ -1895,7 +1895,8 @@ def filtered_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 def filtered_ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                       centroid_mod: int = 40, n_probe: int = 6,
                       labels: tuple[int, ...] = (0,),
-                      n_assign: int = 1) -> DataFrame:
+                      n_assign: int = 1, method: str = "modulo",
+                      centroid_k: int | None = None) -> DataFrame:
     """Filtered IVF: ONE label-blind index serves every filter.
 
     The quantizer and the cell assignment are built over the full
@@ -1906,9 +1907,15 @@ def filtered_ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     pool the filter thins out: with selectivity s, a probed cell
     contributes ~s× the members, so probes scale by ~1/s to keep the
     pool size — still O(n·probes/cells) per query, never a full scan.
+
+    Quantizer knob (the x149/x68 story): the default modulo seeding
+    makes n/centroid_mod cells, so the ASSIGNMENT pass is n²/mod —
+    ``method='fixed'`` + ``centroid_k`` ≈ √n pins the cell count and
+    keeps both legs at n^1.5 (ladder-demonstrated, BASELINE.md §sf1).
     """
     corpus = _with_norm(_vectors_labeled(df))
-    centroids = _ivf_centroids(df, corpus, "modulo", centroid_mod)
+    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
+                               centroid_k=centroid_k)
     assigned = _ivf_assign(corpus, centroids, n_assign,
                            extra=("label",))
     eligible = assigned.where(F.col("label").isin(*labels)) \

@@ -45,6 +45,13 @@ LADDER = [
      "BYTES per pair (two bit_count words) — the queries grow n/100 "
      "with the corpus, so expect the x07 shape at a fraction of the "
      "constant; the fixed_queries budget is the at-scale config"),
+    ("x280_filtered_knn", "the exact filtered twin: |eligible| x "
+     "queries, both growing with the corpus — the x07-class "
+     "quadratic, kept as the recall truth"),
+    ("x281_filtered_ivf", "the scale path: one label-blind index, "
+     "probe-time predicate + 2x over-probe; modulo cells at the "
+     "gate config, so the assignment leg carries the same n^2/mod "
+     "story as x08 (fixed-k is the knob)"),
     ("x69_exact_substr", "~linear (sharded gram join)"),
     ("x33_pair_counts", "linear (combinable counts)"),
     ("x136_bpe_merge_train", "linear x N rounds (combinable counts)"),
