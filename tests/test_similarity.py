@@ -752,3 +752,36 @@ def test_binary_ann_recall_floor(spark):
     assert rows
     mean_bp = sum(r.recall_bp for r in rows) / len(rows)
     assert mean_bp >= 7000, mean_bp
+
+
+def test_filtered_ivf_fixed_k_full_probe_matches_exact(spark):
+    """The r7 fixed-k knob preserves the PRE-filter contract: with
+    enough probes to cover every cell, fixed-k filtered IVF also
+    reproduces the filtered exact top-k — the quantizer choice must
+    never change WHAT is eligible, only how it is bucketed."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    exact = {(r.qid, r.rank): r.vec_id for r in
+             similarity.filtered_topk(e, q, k=5, labels=(0, 1, 2))
+             .collect()}
+    ivf = {(r.qid, r.rank): r.vec_id for r in
+           similarity.filtered_ivf_topk(
+               e, q, k=5, n_probe=1000, labels=(0, 1, 2),
+               n_assign=1, method="fixed", centroid_k=12).collect()}
+    assert ivf == exact
+
+
+def test_filtered_ivf_fixed_k_returns_k_hits(spark):
+    """Fixed-k + over-probe still yields k hits per query from the
+    eligible subset (the filtered-ANN correctness trap the PRE-filter
+    semantics exist to avoid)."""
+    e = embs(spark)
+    q = similarity.fixed_queries(e, 5)
+    out = similarity.filtered_ivf_topk(
+        e, q, k=3, n_probe=8, labels=(0, 1, 2), n_assign=2,
+        method="fixed", centroid_k=12).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.qid, []).append(r.rank)
+    assert len(per) == 5
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
