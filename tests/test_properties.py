@@ -374,3 +374,27 @@ def test_abc_two_phase_matches_single_window_reference(spark, revs):
     got = {r.cls: [r.n_parts, r.revenue_cents]
            for r in abc_classification(li).collect()}
     assert got == {k: v for k, v in want.items()}
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(-2, 2, allow_nan=False, width=32),
+             min_size=64, max_size=64),
+    min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_binary_signs_match_python_reference(spark, vecs):
+    """Sign-word packing on random 64-dim vectors (zeros, negatives,
+    subnormals) against the plain-Python rule: bit i of word b set
+    iff v[32b+i] > 0 — the exact integers both engines must agree
+    on for the x298 oracle to hash."""
+    from kafana_spark.operators.similarity import binary_signs
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.w0, r.w1)
+           for r in binary_signs(df, 64).collect()}
+    for i, v in enumerate(vecs):
+        w0 = sum(1 << j for j in range(32) if v[j] > 0)
+        w1 = sum(1 << j for j in range(32) if v[32 + j] > 0)
+        assert got[i] == (w0, w1), (i, got[i], (w0, w1))
