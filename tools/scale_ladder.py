@@ -41,6 +41,10 @@ LADDER = [
     ("x08_ann_ivf", "linear (probed cells only)"),
     ("x81_ann_lsh", "linear (bucketed candidates)"),
     ("x88_bm25_topk", "linear (matched pairs only)"),
+    ("x295_msearch", "linear (N queries share ONE tf/df scan — the "
+     "batching amortization over x88's single-query cost)"),
+    ("x139_hybrid_rrf", "linear (BM25 leg + exact-cosine leg with a "
+     "FIXED query; bounded full-outer fusion)"),
     ("x298_binary_ann", "corpus x queries like x07 but at dim/8 "
      "BYTES per pair (two bit_count words) — the queries grow n/100 "
      "with the corpus, so expect the x07 shape at a fraction of the "
