@@ -45,6 +45,8 @@ LADDER = [
      "batching amortization over x88's single-query cost)"),
     ("x139_hybrid_rrf", "linear (BM25 leg + exact-cosine leg with a "
      "FIXED query; bounded full-outer fusion)"),
+    ("x91_percolate", "linear (fixed registered-query set x corpus "
+     "token match — the alerting loop's full-scan shape)"),
     ("x298_binary_ann", "corpus x queries like x07 but at dim/8 "
      "BYTES per pair (two bit_count words) — the queries grow n/100 "
      "with the corpus, so expect the x07 shape at a fraction of the "
