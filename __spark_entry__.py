@@ -37,13 +37,16 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 7 (current): round 6 signed q01–q22 + x85–x112, so the
-    never-signed boundary moves to x113 — the window yields q01–q22 +
-    x113–x140 (28 slots); x141+ roll into later rounds. Signature ages
-    after r6: x113+: never driver-signed (judge-verified green via
+    Round 8 (current): round 7 signed q01–q22 + x113–x140 but x130
+    errored (array<int> column vs the driver's pandas canonicalizer —
+    fixed this round by flattening to a string), so x130 leads the
+    window for a fresh green signature, then the never-signed block
+    from x141 — the window yields q01–q22 + x130 + x141–x167
+    (27 slots); x168+ roll into later rounds. Signature ages after
+    r7: x141+: never driver-signed (judge-verified green via
     check_oracle but the driver record is the contract), x29–x56: r3
     (oldest remaining), x01–x17/x57–x67: r4, x18–x28/x68–x84: r5,
-    x85–x112: r6 (freshest).
+    x85–x112: r6, x113–x140 minus x130: r7 (freshest).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -52,16 +55,20 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if n >= 113:
-                return (0, n, k)  # never driver-signed, oldest first
+            if n == 130:
+                return (0, n, k)  # red in r7 (canonicalizer) — re-sign
+            if n >= 141:
+                return (1, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
-                return (1, n, k)  # r3-signed: oldest current signatures
+                return (2, n, k)  # r3-signed: oldest current signatures
             if (1 <= n <= 17) or (57 <= n <= 67):
-                return (2, n, k)  # r4-signed
+                return (3, n, k)  # r4-signed
             if (18 <= n <= 28) or (68 <= n <= 84):
-                return (3, n, k)  # r5-signed
-            return (4, n, k)      # x85–x112: r6-signed (freshest)
-        return (5, 0, k)
+                return (4, n, k)  # r5-signed
+            if 85 <= n <= 112:
+                return (5, n, k)  # r6-signed
+            return (6, n, k)      # x113–x140 (minus x130): r7 (freshest)
+        return (7, 0, k)
 
     return sorted(extension_keys, key=rank)
 

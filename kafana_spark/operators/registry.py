@@ -10566,7 +10566,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"generate_series(1, {ORACLE_MAX_TOKENS}) gs(i) "
         "WHERE i <= len(t)), "
         "d AS (SELECT term, CAST(COUNT(*) AS INT) AS tf, "
-        f"list_sort(list(p)) AS positions FROM tk2 WHERE doc_id = {TV_DOC} "
+        "array_to_string(list_sort(list(p)), ',') AS positions "
+        f"FROM tk2 WHERE doc_id = {TV_DOC} "
         "GROUP BY term), "
         "c AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS INT) AS df, "
         "CAST(COUNT(*) AS INT) AS ttf FROM tk2 "

@@ -891,7 +891,10 @@ def term_vectors(df: DataFrame, doc_id: int, id_col: str = "doc_id",
     document — term frequency, corpus document frequency, total term
     frequency, and the token positions (ES's positions/offsets block;
     offsets omitted — the fixture tokens are space-joined, so
-    positions determine them).
+    positions determine them). Positions are emitted as a
+    comma-joined STRING, not array<int>: the result surface of every
+    query is scalar-typed by contract (driver canonicalizers sort
+    result frames through pandas, which cannot hash list cells).
 
     Scale: the document's own rows come from a pushed id predicate;
     df/ttf are corpus aggregates REDUCED to the doc's term set via a
@@ -903,7 +906,10 @@ def term_vectors(df: DataFrame, doc_id: int, id_col: str = "doc_id",
            .select(F.posexplode(tok).alias("p", "term")))
     doc_stats = (pos.groupBy("term")
                  .agg(F.count(F.lit(1)).cast("int").alias("tf"),
-                      F.sort_array(F.collect_list("p")).alias("positions")))
+                      F.array_join(
+                          F.sort_array(F.collect_list("p"))
+                          .cast("array<string>"), ",")
+                      .alias("positions")))
     corpus = df.select(F.col(id_col), F.explode(tok).alias("term"))
     needed = doc_stats.select("term")
     cstats = (corpus.join(F.broadcast(needed), "term")

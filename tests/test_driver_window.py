@@ -1,34 +1,103 @@
-"""Driver-contract window pins.
+"""Driver-contract window pins — MECHANICAL, not hardcoded.
 
 The driver records only the FIRST 50 ``queries()`` entries per round,
-so ``_ordered_keys`` must put the never-driver-signed block right
-after the declared q-set. This test pins the CURRENT round's window —
-it is SUPPOSED to fail when a new round starts without rotating the
-bands (the exact mechanical miss the r6 verdict flagged): update
-``_ordered_keys`` AND this pin together each round.
+so ``_ordered_keys`` must put the re-sign-needed and
+never-driver-signed blocks right after the declared q-set. The r6
+round forgot to rotate the bands and the (then hardcoded) pin test
+could not catch it — it asserted the window IS the old band, which an
+unrotated round trivially satisfies. This version derives the
+expected window from the ``CORRECTNESS_r*.json`` files the driver
+drops in the repo root: a key that appears in ANY correctness file is
+signed; a key whose LATEST row is red (err / any match False) needs a
+re-sign; everything else never-signed fills the window oldest-first.
+Forgetting to rotate now FAILS (the stale band is already signed);
+rotating without updating anything else passes by construction.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _correctness_rounds():
+    """{round_n: {key: row}} for every CORRECTNESS_r*.json present."""
+    out = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        with open(p) as f:
+            out[int(m.group(1))] = json.load(f)
+    return out
+
+
+def _row_green(row) -> bool:
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") and row.get("err") != "no_oracle":
+        # "no_oracle" is the documented rows-only check, not a
+        # failure — re-running it every round would never clear it.
+        return False
+    return all(row.get(k, True) is not False
+               for k in ("rows_match", "schema_match", "hash_match"))
 
 
 def _window():
     import __spark_entry__ as m
-    from kafana_spark.operators.registry import EXTENSION_QUERIES
+
+    return list(m.queries())[:WINDOW]
+
+
+def _xnum(k):
+    mm = re.match(r"x(\d+)", k)
+    return int(mm.group(1)) if mm else None
+
+
+def test_window_fronts_red_then_never_signed_keys():
+    """The 50-slot window must be: declared q-set, then every key
+    whose latest driver row is red, then never-driver-signed keys in
+    ascending order — fully derived from the CORRECTNESS files."""
+    import __spark_entry__ as m
     from kafana_spark.plans.declared import DECLARED_QUERIES
 
-    keys = (list(DECLARED_QUERIES)
-            + m._ordered_keys(list(EXTENSION_QUERIES)))
-    return keys[:50]
+    rounds = _correctness_rounds()
+    assert rounds, "driver correctness files missing from repo root"
 
+    latest = {}  # key -> (round, row), freshest round wins
+    for rn in sorted(rounds):
+        for k, row in rounds[rn].items():
+            latest[k] = (rn, row)
 
-def test_round7_window_is_q_set_plus_x113_x140():
+    all_keys = set(m.queries())
+    x_keys = {k for k in all_keys if k.startswith("x")}
+    red = sorted((k for k in x_keys
+                  if k in latest and not _row_green(latest[k][1])),
+                 key=_xnum)
+    never = sorted((k for k in x_keys if k not in latest), key=_xnum)
+
     w = _window()
-    assert len(w) == 50
-    assert all(k.startswith("q") for k in w[:22])
-    ns = [int(re.match(r"x(\d+)", k).group(1)) for k in w[22:]]
-    assert ns == list(range(113, 141)), ns
+    assert len(w) == WINDOW
+    n_q = len(DECLARED_QUERIES)
+    assert w[:n_q] == list(DECLARED_QUERIES)
+    expected_front = (red + never)[:WINDOW - n_q]
+    assert w[n_q:] == expected_front, (
+        f"window tail {w[n_q:]} != red+never-signed front "
+        f"{expected_front} — rotate _ordered_keys bands")
+
+
+def test_round8_window_is_q_set_plus_x130_plus_x141_x167():
+    """Belt-and-braces explicit pin for THIS round (r8): x130 errored
+    in CORRECTNESS_r07 (list-typed column) and leads the window for a
+    fresh signature; x141–x167 are the never-signed block."""
+    w = _window()
+    ns = [_xnum(k) for k in w[22:]]
+    assert ns == [130] + list(range(141, 168)), ns
 
 
 def test_oracle_keys_match_query_keys():

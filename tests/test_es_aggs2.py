@@ -518,7 +518,7 @@ def test_term_vectors_stats_and_positions(spark):
     df = spark.createDataFrame(
         [(0, "a b a"), (1, "a c")], "doc_id: long, text: string")
     got = {r.term: r for r in term_vectors(df, 0).collect()}
-    assert got["a"].tf == 2 and got["a"].positions == [0, 2]
+    assert got["a"].tf == 2 and got["a"].positions == "0,2"
     assert got["a"].df == 2 and got["a"].ttf == 3
     assert got["b"].tf == 1 and got["b"].df == 1
     assert "c" not in got
