@@ -250,11 +250,16 @@ def rfm_segments(df: DataFrame, time_col: str = "ts",
     Output: (r_q, f_q, m_q, n_users, monetary_cents) ≤ 64 rows.
 
     Scale: per-user metrics are one combinable agg over events; the
-    only ordered windows run over each metric's DISTINCT-VALUE frame
-    (rec = calendar days, freq = small count domain, mon = bounded
-    cent sums — never the corpus-growing user frame; bucket mon with
-    ``div`` first if its NDV ever approaches n_users). Boundary and
-    max-day scalars ride 1-row broadcast cross joins.
+    cum_lt ranking of each metric's DISTINCT-VALUE frame is two-phase
+    banded (the x248/abc discipline): (1) an exclusive running count
+    over the ≤64-row power-of-two-band frame, (2) the within-band
+    running count partitioned BY BAND — no ordered window ever runs
+    over a frame whose NDV grows with n_users (mon is a per-user cent
+    SUM, so its distinct-value frame approaches n_users at scale; rec
+    and freq are naturally bounded but ride the same shape for free).
+    Bands are disjoint value ranges, so band-asc + within-band value
+    order reproduces the global order exactly. Boundary and max-day
+    scalars ride 1-row broadcast cross joins.
     """
     cents = F.floor(F.coalesce(F.col(value_col), F.lit(0.0))
                     * F.lit(100.0) + F.lit(0.5)).cast("long")
@@ -274,10 +279,26 @@ def rfm_segments(df: DataFrame, time_col: str = "ts",
 
     def cuts(col: str) -> DataFrame:
         vals = u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = (Window.orderBy(col)
-             .rowsBetween(Window.unboundedPreceding, -1))
-        cl = vals.withColumn(
-            "cum_lt", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        # power-of-two band: sign-aware so the band is monotone
+        # non-decreasing in the value even if a metric goes negative
+        # (refund-heavy corpora can drive mon < 0)
+        banded = vals.withColumn(
+            "band",
+            F.expr(f"CASE WHEN {col} >= 0 THEN length(bin({col})) - 1 "
+                   f"ELSE -length(bin(-{col})) END").cast("int"))
+        bt = banded.groupBy("band").agg(F.sum("cnt").alias("bcnt"))
+        wb = (Window.orderBy("band")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        boff = (bt.withColumn(
+            "cum_before", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)))
+            .select("band", "cum_before"))
+        wib = (Window.partitionBy("band").orderBy(col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+        cl = (banded.join(F.broadcast(boff), "band")
+              .withColumn("cum_lt",
+                          F.col("cum_before")
+                          + F.coalesce(F.sum("cnt").over(wib),
+                                       F.lit(0))))
         return (cl.crossJoin(F.broadcast(n1))
                 .agg(*[F.min(F.when(
                     (F.col("nn") > 1)
