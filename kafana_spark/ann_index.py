@@ -243,6 +243,10 @@ def refresh_lloyd_centroids(spark: SparkSession, path: str,
            .select("cid", F.transform(
                "cv", lambda x: F.floor(x * 1_000_000.0 + 0.5)
                .cast("bigint")).alias("cu")).collect()}
+    if not old:
+        raise ValueError(
+            f"no centroids found under {path}/{CENT_DIR} — build the "
+            f"index before refreshing it")
     stored_dim = len(next(iter(old.values())))
     if dim is not None and dim != stored_dim:
         raise ValueError(
@@ -556,6 +560,19 @@ def binary_topk_from_index(spark: SparkSession, path: str,
 
     words = spark.read.parquet(f"{path}/{BIN_WORDS_DIR}").drop("batch")
     vecs = spark.read.parquet(f"{path}/{BIN_VEC_DIR}").drop("batch")
+    # dim cross-check against the stored word layout (the
+    # refresh_lloyd_centroids discipline): serving dim=64 against an
+    # index built at dim=128 would silently scan only the first half
+    # of the sign words — a degraded candidate pool with no error.
+    stored_words = sum(1 for c in words.columns
+                       if c.startswith("w") and c[1:].isdigit())
+    want_words = dim // 32  # _sign_words packs 32 bits per word
+    if stored_words != want_words:
+        raise ValueError(
+            f"dim={dim} expects {want_words} sign word(s) but the "
+            f"stored index at {path} has {stored_words} — rebuild the "
+            f"index or pass the dim it was built with "
+            f"({stored_words * 32})")
     return hamming_topk_from_parts(words, vecs, queries, k, pool, dim)
 
 

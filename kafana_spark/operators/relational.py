@@ -1140,9 +1140,36 @@ def abc_classification(lineitem: DataFrame, a_pct: int = 70,
     l_partkey) reproduces the global total order exactly; a band only
     degenerates to the full dimension if every part earns the same
     octave (tighten the band expression if a corpus does that). The
-    banded per-part frame is persisted — three small aggregates
-    consume it (the graph_explore discipline).
+    banded per-part frame is persisted for exactly the life of the
+    call — the ≤3-row output is materialized and the cache released
+    before returning (the _local_result discipline; repeated calls
+    must not accumulate executor storage).
     """
+    cum, banded = _abc_cum(lineitem)
+    cls = (F.when(F.expr(f"100 * cum <= {a_pct} * tot"), "A")
+           .when(F.expr(f"100 * cum <= {b_pct} * tot"), "B")
+           .otherwise("C"))
+    out = (cum.select(cls.alias("cls"), "rev", "tot")
+           .groupBy("cls")
+           .agg(F.count(F.lit(1)).alias("n_parts"),
+                F.sum("rev").alias("revenue_cents"),
+                # tot = 0 (every part zero-revenue) -> share 0, not /0
+                F.expr("CASE WHEN max(tot) > 0 "
+                       "THEN 10000 * sum(rev) div max(tot) "
+                       "ELSE 0 END")
+                .alias("share_bp"))
+           .orderBy("cls"))
+    from kafana_spark.operators.similarity import _local_result
+
+    return _local_result(out, banded)
+
+
+def _abc_cum(lineitem: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The banded running-revenue frame behind abc_classification —
+    (cum frame, persisted banded handle). Split out so the band-
+    partitioned window plan stays pinnable (the public function
+    materializes through _local_result, whose LocalTableScan hides
+    the window specs from executedPlan)."""
     per_part = (lineitem.groupBy("l_partkey")
                 .agg(F.sum(F.expr(_REVENUE)).alias("rev")))
     banded = (per_part
@@ -1163,16 +1190,4 @@ def abc_classification(lineitem: DataFrame, a_pct: int = 70,
            .crossJoin(F.broadcast(tot))
            .withColumn("cum",
                        F.col("cum_before") + F.sum("rev").over(wib)))
-    cls = (F.when(F.expr(f"100 * cum <= {a_pct} * tot"), "A")
-           .when(F.expr(f"100 * cum <= {b_pct} * tot"), "B")
-           .otherwise("C"))
-    return (cum.select(cls.alias("cls"), "rev", "tot")
-            .groupBy("cls")
-            .agg(F.count(F.lit(1)).alias("n_parts"),
-                 F.sum("rev").alias("revenue_cents"),
-                 # tot = 0 (every part zero-revenue) -> share 0, not /0
-                 F.expr("CASE WHEN max(tot) > 0 "
-                        "THEN 10000 * sum(rev) div max(tot) "
-                        "ELSE 0 END")
-                 .alias("share_bp"))
-            .orderBy("cls"))
+    return cum, banded

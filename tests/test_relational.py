@@ -843,9 +843,36 @@ def test_abc_classification_boundaries_inclusive(spark):
 def test_abc_part_window_partitioned_by_band(spark):
     """The per-part running revenue must never sort the whole part
     dimension in one task: every rev-ordered window spec in the plan
-    is partitioned by the power-of-two band column."""
+    is partitioned by the power-of-two band column. Pinned on the
+    internal cum frame — the public function materializes through
+    _local_result (LocalTableScan hides the window specs)."""
     import re
 
+    from kafana_spark.operators.relational import _abc_cum
+
+    li = spark.createDataFrame(
+        [(p, 1, 1, 1, 1.0, float(p), 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1996, 1, 1))
+         for p in range(1, 9)],
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"])
+    cum, banded = _abc_cum(li)
+    try:
+        plan = cum._jdf.queryExecution().executedPlan().toString()
+    finally:
+        banded.unpersist()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        if "rev" in s and "DESC" in s:
+            assert s.lstrip().startswith("band"), s
+
+
+def test_abc_releases_executor_cache(spark):
+    """abc_classification must not leave its banded per-part frame
+    persisted after returning (ADVICE r7: repeated calls accumulated
+    executor storage)."""
     from kafana_spark.operators.relational import abc_classification
 
     li = spark.createDataFrame(
@@ -855,10 +882,7 @@ def test_abc_part_window_partitioned_by_band(spark):
         ["l_partkey", "l_orderkey", "l_suppkey", "l_linenumber",
          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
          "l_returnflag", "l_linestatus", "l_shipdate"])
-    plan = (abc_classification(li)
-            ._jdf.queryExecution().executedPlan().toString())
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, plan
-    for s in specs:
-        if "rev" in s and "DESC" in s:
-            assert s.lstrip().startswith("band"), s
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    abc_classification(li).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before

@@ -134,3 +134,56 @@ def test_merge_law_time_partitioned_batches(spark):
         ev_ops.scd2_changes(b1).unionByName(ev_ops.scd2_changes(b2)))
     full = ev_ops.scd2_changes(d)
     _eq(merged, full)
+
+
+def test_append_out_of_order_batch_raises(spark, tmp_path):
+    """The merge-law precondition is enforced: a batch that is not
+    strictly event-time-later than every stored batch raises instead
+    of silently corrupting the served history (ADVICE r7 medium —
+    b1 = A@1,A@5 collapses away A@5; folding b2 = B@3 after the fact
+    would serve A,B where the true history is A,B,A)."""
+    import pytest
+
+    root = str(tmp_path / "scd2idx")
+    b1 = make(spark, [(ts(1), 1, "a", 1.0), (ts(5), 1, "a", 1.0)])
+    late = make(spark, [(ts(3), 1, "b", 1.0)])
+    scd2_index.build_scd2_index(b1, root)
+    with pytest.raises(ValueError, match="event-time"):
+        scd2_index.append_scd2_index(late, root, batch="b2")
+    # overlap with ANY stored batch raises, not just the base
+    ok = make(spark, [(ts(10), 1, "b", 1.0)])
+    scd2_index.append_scd2_index(ok, root, batch="b2")
+    overlap_b2 = make(spark, [(ts(8), 1, "c", 1.0)])
+    with pytest.raises(ValueError, match="event-time"):
+        scd2_index.append_scd2_index(overlap_b2, root, batch="b3")
+
+
+def test_append_redelivery_passes_order_check(spark, tmp_path):
+    """An exact redelivery (same batch id, same event-time span) is
+    NOT an ordering violation — it replaces its own partition, even
+    after later batches landed."""
+    root = str(tmp_path / "scd2idx")
+    b1 = make(spark, [(ts(0), 1, "a", 1.0)])
+    b2 = make(spark, [(ts(10), 1, "b", 1.0)])
+    b3 = make(spark, [(ts(20), 1, "a", 1.0)])
+    scd2_index.build_scd2_index(b1, root)
+    scd2_index.append_scd2_index(b2, root, batch="b2")
+    scd2_index.append_scd2_index(b3, root, batch="b3")
+    scd2_index.append_scd2_index(b2, root, batch="b2")  # redeliver old
+    out = scd2_index.scd2_dim_from_store(spark, root).collect()
+    assert [(r.state, r.version) for r in out] == \
+        [("a", 1), ("b", 2), ("a", 3)]
+
+
+def test_append_empty_batch_is_noop_for_ordering(spark, tmp_path):
+    """An empty micro-batch (idle stream epoch) neither raises nor
+    blocks later appends."""
+    root = str(tmp_path / "scd2idx")
+    b1 = make(spark, [(ts(0), 1, "a", 1.0)])
+    scd2_index.build_scd2_index(b1, root)
+    empty = make(spark, [(ts(5), 1, "a", 1.0)]).where("event_id < 0")
+    scd2_index.append_scd2_index(empty, root, batch="b2")
+    b3 = make(spark, [(ts(10), 1, "b", 1.0)])
+    scd2_index.append_scd2_index(b3, root, batch="b3")
+    out = scd2_index.scd2_dim_from_store(spark, root).collect()
+    assert [(r.state, r.version) for r in out] == [("a", 1), ("b", 2)]
