@@ -62,6 +62,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Serving-path subtotal (r7 verdict): the suite's heavy tail is
+    # capstone funnels that re-derive their full chains BY CONTRACT —
+    # their cost drowns the signal that actually gates a serving
+    # regression at 100×. The serving subset is mechanical: the
+    # declared q-set (the ES query surface) + every stored-index twin
+    # (read-the-index-and-serve, the 100 TB steady-state path).
+    serving_keys = [k for k in timings
+                    if k.startswith("q") or "stored" in k]
+    serving_total = round(sum(timings[k] for k in serving_keys), 3)
     # field order matters: the driver keeps only the TAIL of a long
     # line, so the per-query map goes FIRST and every summary field
     # (metric/value/s_per_query/...) comes after it — r2–r4 had the
@@ -75,6 +84,10 @@ def main() -> None:
         # the suite grows every round; s/query is the honest
         # cross-round comparison metric (BASELINE.md bench history)
         "s_per_query": round(total / max(1, len(timings)), 4),
+        "serving_total": serving_total,
+        "serving_n": len(serving_keys),
+        "serving_s_per_query": round(
+            serving_total / max(1, len(serving_keys)), 4),
         "sf": sf,
     }
     if errors:
@@ -87,7 +100,11 @@ def main() -> None:
     print(json.dumps({"metric": "declared_query_suite_total",
                       "value": total, "unit": "sec",
                       "n_queries": len(timings),
-                      "s_per_query": out["s_per_query"], "sf": sf}),
+                      "s_per_query": out["s_per_query"],
+                      "serving_total": serving_total,
+                      "serving_n": len(serving_keys),
+                      "serving_s_per_query":
+                          out["serving_s_per_query"], "sf": sf}),
           file=sys.stderr)
     spark.stop()
 
