@@ -305,18 +305,40 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
                     .select("vec_id", "v", "nrm", *extra,
                             (-F.col("best.ncid")).alias("cid")))
     else:
-        # top-n cells per vector: sorted-slice of the collected
-        # (−acos, cid) structs. The collected list is |centroids| long
-        # pre-slice; acceptable while centroids stay ~1e4 — beyond
-        # that, pre-bucket with a coarser quantizer first.
-        cells = F.slice(
-            F.array_sort(F.collect_list(
-                F.struct((-F.col("acos")).alias("nacos"), F.col("cid")))),
-            1, n_assign)
-        assigned = (expanded.groupBy("vec_id")
-                    .agg(*keep, cells.alias("cells"))
-                    .select("vec_id", "v", "nrm", *extra,
-                            F.explode("cells.cid").alias("cid")))
+        # top-n cells per vector as n_assign ITERATED argmax passes,
+        # each the same map-side-combinable max-of-struct as the
+        # n_assign=1 branch with the already-picked cells excluded.
+        # The previous shape (sorted-slice of a collect_list over ALL
+        # centroids) held |centroids| structs per vector inside one
+        # ObjectHashAggregate — the r8 sf10 ladder run OOMed the heap
+        # at 200k vectors × 447 fixed-k cells (89M structs). This one
+        # is memory-flat: n_assign broadcast re-expands (compute ×
+        # n_assign, n_assign ∈ {2,3} in practice) and only n-row
+        # exchanges — the at-100-TB trade, since the expanded frame
+        # never moves and nothing collects.
+        work = corpus
+        pick_cols: list[str] = []
+        for i in range(n_assign):
+            exp_i = (work.alias("x")
+                     .join(F.broadcast(centroids.alias("ct")))
+                     .select("x.*", "cid", ac.alias("acos")))
+            for pc in pick_cols:
+                # null-safe: a vector with fewer cells than n_assign
+                # carries a null pick; != would null out the predicate
+                exp_i = exp_i.where(
+                    ~F.col("cid").eqNullSafe(F.col(pc)))
+            best_i = (exp_i.groupBy("vec_id")
+                      .agg(F.max(F.struct(
+                          F.col("acos"),
+                          (-F.col("cid")).alias("ncid"))).alias("b"))
+                      .select("vec_id",
+                              (-F.col("b.ncid")).alias(f"p{i}")))
+            work = work.join(best_i, "vec_id", "left")
+            pick_cols.append(f"p{i}")
+        assigned = (work.select(
+            "vec_id", "v", "nrm", *extra,
+            F.explode(F.array_compact(F.array(
+                *[F.col(pc) for pc in pick_cols]))).alias("cid")))
 
     return assigned
 

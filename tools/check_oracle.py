@@ -62,6 +62,13 @@ def lint_decimals(name: str, rows, colnames) -> None:
                 return
 
 
+def _complex_cols(sdf) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def table_hash(rows, colnames) -> tuple[int, str]:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     acc = 0
@@ -99,6 +106,18 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        cplx = _complex_cols(sdf)
+        if cplx:
+            # The DRIVER's canonicalizer sorts result frames through
+            # pandas, which cannot hash list/dict cells — this gate
+            # str()s values and masked x130's array<int> column for
+            # two rounds (red in CORRECTNESS_r07). Fail loudly here
+            # so it never ships again.
+            print(f"FAIL {name}: complex-typed output column(s) "
+                  f"{cplx} break the driver canonicalizer — flatten "
+                  f"(array_join / one row per element)")
             n_fail += 1
             continue
         if name not in oracles:
