@@ -229,7 +229,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     centroids = _ivf_centroids(df, corpus, method, centroid_mod,
                                n_vectors, centroid_k)
     assigned = _ivf_assign(corpus, centroids, n_assign)
-    return _ivf_probe_rank(assigned, centroids, queries, k, n_probe)
+    return _ivf_probe_rank(assigned, centroids, queries, k, n_probe,
+                           dedup=n_assign > 1)
 
 
 def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
@@ -344,9 +345,18 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
 
 
 def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
-                    queries: DataFrame, k: int, n_probe: int) -> DataFrame:
+                    queries: DataFrame, k: int, n_probe: int,
+                    dedup: bool = True) -> DataFrame:
     """Probe n_probe nearest cells per query and rank only those
-    cells' members (equi-join on cell id)."""
+    cells' members (equi-join on cell id).
+
+    ``dedup=False`` skips the (qid, vec_id) dropDuplicates — at
+    n_assign=1 every member lives in exactly ONE cell, so the pair is
+    unique by construction and the dedup is a SECOND full shuffle of
+    the scored frame for nothing (the r8 sf10 decomposition: the
+    inline kNN graph's scored leg was ~93% of x151's wall). Stored-
+    index serves keep the safe default — batches may have been
+    appended with mixed n_assign."""
     # probe list: n_probe nearest centroids per query (queries are few —
     # a window over them is driver-trivial)
     q = _with_norm(queries)
@@ -373,7 +383,9 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
                       F.col("m.vec_id").alias("vec_id"),
                       cos.alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (scored.dropDuplicates(["qid", "vec_id"])
+    if dedup:
+        scored = scored.dropDuplicates(["qid", "vec_id"])
+    return (scored
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
@@ -1942,4 +1954,5 @@ def filtered_ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                            extra=("label",))
     eligible = assigned.where(F.col("label").isin(*labels)) \
         .drop("label")
-    return _ivf_probe_rank(eligible, centroids, queries, k, n_probe)
+    return _ivf_probe_rank(eligible, centroids, queries, k, n_probe,
+                           dedup=n_assign > 1)

@@ -785,3 +785,29 @@ def test_filtered_ivf_fixed_k_returns_k_hits(spark):
         per.setdefault(r.qid, []).append(r.rank)
     assert len(per) == 5
     assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_single_assign_probe_skips_dedup_shuffle(spark):
+    """At n_assign=1 each member lives in exactly one cell, so
+    (qid, vec_id) is unique by construction and the dropDuplicates
+    pre-pass is a redundant SECOND full shuffle of the scored frame
+    (the r8 sf10 decomposition: the scored leg was ~93% of the
+    inline kNN-cluster wall). Pin: no hashpartitioning on
+    (qid, vec_id) at n_assign=1; present at n_assign=2; results
+    identical either way."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning(qid" in ln
+                and "vec_id" in ln.split("qid", 1)[1].split(")")[0]]
+
+    one = similarity.ivf_topk(e, q, k=5, n_assign=1)
+    two = similarity.ivf_topk(e, q, k=5, n_assign=2)
+    assert not exchanges(one), exchanges(one)
+    assert exchanges(two), "n_assign=2 must still dedup (qid, vec_id)"
+    # the skipped dedup changes nothing at n_assign=1: pairs unique
+    rows = one.collect()
+    assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
