@@ -91,13 +91,13 @@ def test_window_fronts_red_then_never_signed_keys():
         f"{expected_front} — rotate _ordered_keys bands")
 
 
-def test_round8_window_is_q_set_plus_x130_plus_x141_x167():
-    """Belt-and-braces explicit pin for THIS round (r8): x130 errored
-    in CORRECTNESS_r07 (list-typed column) and leads the window for a
-    fresh signature; x141–x167 are the never-signed block."""
+def test_round9_window_is_q_set_plus_x168_x195():
+    """Belt-and-braces explicit pin for THIS round (r9): r8 signed
+    everything through x167 green, so x168–x195 are the oldest
+    never-signed block and fill the window."""
     w = _window()
     ns = [_xnum(k) for k in w[22:]]
-    assert ns == [130] + list(range(141, 168)), ns
+    assert ns == list(range(168, 196)), ns
 
 
 def test_oracle_keys_match_query_keys():
