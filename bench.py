@@ -65,11 +65,15 @@ def main() -> None:
     # Serving-path subtotal (r7 verdict): the suite's heavy tail is
     # capstone funnels that re-derive their full chains BY CONTRACT —
     # their cost drowns the signal that actually gates a serving
-    # regression at 100×. The serving subset is mechanical: the
-    # declared q-set (the ES query surface) + every stored-index twin
-    # (read-the-index-and-serve, the 100 TB steady-state path).
+    # regression at 100×. The serving subset is EXPLICIT (ADVICE r8):
+    # the declared q-set (the ES query surface) + the registry's
+    # declared SERVING_KEYS (stored-index twins — the 100 TB
+    # steady-state path). Logged so drift is visible.
+    from kafana_spark.operators.registry import SERVING_KEYS
     serving_keys = [k for k in timings
-                    if k.startswith("q") or "stored" in k]
+                    if k.startswith("q") or k in SERVING_KEYS]
+    print(f"# serving subset ({len(serving_keys)}): "
+          + " ".join(serving_keys), file=sys.stderr)
     serving_total = round(sum(timings[k] for k in serving_keys), 3)
     # field order matters: the driver keeps only the TAIL of a long
     # line, so the per-query map goes FIRST and every summary field

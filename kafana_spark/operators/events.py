@@ -252,7 +252,9 @@ def rfm_segments(df: DataFrame, time_col: str = "ts",
     Scale: per-user metrics are one combinable agg over events; the
     cum_lt ranking of each metric's DISTINCT-VALUE frame is two-phase
     banded (the x248/abc discipline): (1) an exclusive running count
-    over the ≤64-row power-of-two-band frame, (2) the within-band
+    over the ≤128-row power-of-two-band frame (64 non-negative + 63
+    negative bands when a metric goes negative — still O(1) in
+    n_users), (2) the within-band
     running count partitioned BY BAND — no ordered window ever runs
     over a frame whose NDV grows with n_users (mon is a per-user cent
     SUM, so its distinct-value frame approaches n_users at scale; rec

@@ -10619,3 +10619,41 @@ EXTENSION_ORACLE: dict[str, str] = {
         f"WHERE {_bucket_sql('doc_id')} < keep_ppm ORDER BY doc_id"
     ),
 }
+
+
+# Serving-path subset for bench.py's `serving_s_per_query` gate: the
+# stored-index twins (read-the-index-and-serve — the 100 TB
+# steady-state path). EXPLICIT, not name-matched (ADVICE r8): a future
+# key that merely contains "stored" must be declared here consciously
+# or the drift tripwire in tests/test_registry_serving_keys.py fails.
+# The declared q-set (q01–q22) joins this set inside bench.py.
+SERVING_KEYS: tuple[str, ...] = (
+    "x57_stored_near_dup",
+    "x58_stored_ann",
+    "x63_stored_pq",
+    "x67_stored_clusters",
+    "x74_stored_semantic_pairs",
+    "x76_stored_substr_spans",
+    "x83_stored_lsh",
+    "x133_stored_percolate",
+    "x143_stored_bpe_encode",
+    "x148_stored_lloyd",
+    "x172_stored_gates",
+    "x175_stored_knn_graph",
+    "x177_stored_knn_clusters",
+    "x178_stored_cluster_sample",
+    "x193_stored_rolling_active",
+    "x194_stored_acf",
+    "x195_stored_error_spike",
+    "x196_stored_forecast",
+    "x215_stored_metric_alerts",
+    "x222_stored_pagerank",
+    "x223_stored_mad_anomalies",
+    "x224_stored_cusum",
+    "x231_stored_ewma",
+    "x261_stored_daily_revenue",
+    "x290_stored_trend",
+    "x296_stored_scd2",
+    "x297_stored_pit",
+    "x300_stored_binary_ann",
+)

@@ -117,12 +117,20 @@ def build_scd2_index(df: DataFrame, path: str, *,
                      seq_col: str = "event_id",
                      batch: str = "base") -> None:
     """Collapse the changelog to change rows and persist them. A base
-    build clears stale batch partitions first."""
+    build clears stale batch partitions first; a non-base build is an
+    incremental write and rides the SAME event-time-partitioning
+    enforcement as ``append_scd2_index`` — an overlapping batch must
+    raise on every write path, or a build-instead-of-append call
+    silently corrupts the served history (ADVICE r8)."""
     from kafana_spark.ann_index import _clear_batched_dir
 
     if batch == "base":
         _clear_batched_dir(f"{path}/{CHANGES_DIR}")
         _clear_batched_dir(f"{path}/{MANIFEST_DIR}")
+    else:
+        mn0, mx0 = _batch_span(df, time_col, seq_col)
+        _enforce_event_time_partitioning(df.sparkSession, path, batch,
+                                         mn0, mx0)
     ev_ops.scd2_changes(df, key_col, state_col, time_col, seq_col) \
         .write.mode("overwrite") \
         .parquet(f"{path}/{CHANGES_DIR}/batch={batch}")

@@ -187,3 +187,22 @@ def test_append_empty_batch_is_noop_for_ordering(spark, tmp_path):
     scd2_index.append_scd2_index(b3, root, batch="b3")
     out = scd2_index.scd2_dim_from_store(spark, root).collect()
     assert [(r.state, r.version) for r in out] == [("a", 1), ("b", 2)]
+
+
+def test_build_nonbase_batch_enforces_ordering(spark, tmp_path):
+    """ADVICE r8: build_scd2_index with a non-'base' batch id is an
+    incremental write and must ride the SAME event-time enforcement
+    as append — an overlapping batch raises on every write path."""
+    import pytest
+
+    root = str(tmp_path / "scd2idx")
+    b1 = make(spark, [(ts(1), 1, "a", 1.0), (ts(5), 1, "a", 1.0)])
+    overlap = make(spark, [(ts(3), 1, "b", 1.0)])
+    scd2_index.build_scd2_index(b1, root)
+    with pytest.raises(ValueError, match="event-time"):
+        scd2_index.build_scd2_index(overlap, root, batch="b2")
+    # a genuinely later batch via build is accepted and serves exactly
+    ok = make(spark, [(ts(10), 1, "b", 1.0)])
+    scd2_index.build_scd2_index(ok, root, batch="b2")
+    out = scd2_index.scd2_dim_from_store(spark, root).collect()
+    assert [(r.state, r.version) for r in out] == [("a", 1), ("b", 2)]
