@@ -82,7 +82,10 @@ def build_ann_index(df: DataFrame, path: str, centroid_mod: int = 40,
     # streaming sink share ONE layout (bare files next to batch= dirs
     # would break parquet partition discovery); readers drop the column
     if mode == "overwrite":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         _clear_batched_dir(f"{path}/{ASSIGN_DIR}")
+        clear_fingerprints(path)
     _ivf_assign(corpus, centroids, n_assign) \
         .write.mode(mode).parquet(f"{path}/{ASSIGN_DIR}/batch=base")
 
@@ -94,15 +97,28 @@ def append_ann_index(df: DataFrame, path: str, n_assign: int = 1,
     Append-only: existing assignment rows never change. Centroids are
     not refit — monitor drift and rebuild when cell occupancy skews
     (the standard IVF maintenance trade). Pass ``batch`` (ingest day,
-    epoch) for idempotent re-runs; a random id is drawn otherwise."""
+    epoch) for idempotent re-runs; a random id is drawn otherwise.
+
+    Merge-law audit (r8 verdict #6): duplicated vectors across
+    batches CANNOT corrupt a serve — every probe path dedups
+    candidates per (qid, vec_id) — so only the cheap fingerprint
+    tripwire runs here: the same rows re-appended under a fresh
+    batch id (the uuid-retry footgun) raise instead of bloating the
+    probed cells."""
     import uuid
 
+    from kafana_spark import batch_manifest as bm
+
     spark = df.sparkSession
+    bid = batch or uuid.uuid4().hex
+    n, fp = bm.batch_fingerprint(df, "vec_id")
+    bm.enforce_fresh_batch(spark, path, bid, n, fp)
     centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
     corpus = _with_norm(_vectors(df))
     _ivf_assign(corpus, centroids, n_assign) \
         .write.mode("overwrite") \
-        .parquet(f"{path}/{ASSIGN_DIR}/batch={batch or uuid.uuid4().hex}")
+        .parquet(f"{path}/{ASSIGN_DIR}/batch={bid}")
+    bm.write_fingerprint(spark, path, bid, n, fp)
 
 
 def ann_index_stream_sink(path: str, n_assign: int = 1):
@@ -117,11 +133,8 @@ def ann_index_stream_sink(path: str, n_assign: int = 1):
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
-        _ivf_assign(_with_norm(_vectors(batch_df)), centroids, n_assign) \
-            .write.mode("overwrite") \
-            .parquet(f"{path}/{ASSIGN_DIR}/batch={epoch_id}")
+        append_ann_index(batch_df, path, n_assign,
+                         batch=str(epoch_id))
 
     return _sink
 
@@ -161,8 +174,11 @@ def build_lloyd_index(df: DataFrame, path: str, centroid_mod: int = 40,
                            l2_norm(F.col("cv")).alias("cnrm"))
     centroids.write.mode(mode).parquet(f"{path}/{CENT_DIR}")
     if mode == "overwrite":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         _clear_batched_dir(f"{path}/{LLOYD_STATS_DIR}")
         _clear_batched_dir(f"{path}/{ASSIGN_DIR}")
+        clear_fingerprints(path)
     spark.createDataFrame(
         [(c, cnt, s) for c, (cnt, s) in sorted(stats.items())],
         "cid bigint, cnt bigint, s array<bigint>") \
@@ -202,7 +218,15 @@ def lloyd_stats_stream_sink(path: str, n_assign: int = 1,
     once (the ann/dedup/token sink idempotency discipline)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from kafana_spark import batch_manifest as bm
+
         spark = batch_df.sparkSession
+        # the stats are SUMMED at refresh time (event_index-class
+        # merge law), so the fingerprint tripwire guards them too:
+        # the same vectors under a fresh epoch would double the
+        # sufficient statistics and skew every refreshed centroid
+        n, fp = bm.batch_fingerprint(batch_df, "vec_id")
+        bm.enforce_fresh_batch(spark, path, str(epoch_id), n, fp)
         centroids = spark.read.parquet(f"{path}/{CENT_DIR}")
         _ivf_assign(_with_norm(_vectors(batch_df)), centroids,
                     n_assign) \
@@ -211,6 +235,7 @@ def lloyd_stats_stream_sink(path: str, n_assign: int = 1,
         _lloyd_batch_stats(batch_df, centroids, dim) \
             .write.mode("overwrite") \
             .parquet(f"{path}/{LLOYD_STATS_DIR}/batch={epoch_id}")
+        bm.write_fingerprint(spark, path, str(epoch_id), n, fp)
 
     return _sink
 
@@ -299,8 +324,11 @@ def build_pq_index(df: DataFrame, path: str, dim: int = 64,
     codes = pq_encode(df, df.sparkSession.read.parquet(
         f"{path}/{PQ_CB_DIR}"), m_total, dim // m_total)
     if mode == "overwrite":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         _clear_batched_dir(f"{path}/{PQ_CODE_DIR}")
         _clear_batched_dir(f"{path}/{PQ_VEC_DIR}")
+        clear_fingerprints(path)
     codes.write.mode(mode).parquet(f"{path}/{PQ_CODE_DIR}/batch=base")
     _vectors(df).write.mode(mode).parquet(f"{path}/{PQ_VEC_DIR}/batch=base")
 
@@ -309,16 +337,23 @@ def append_pq_index(df: DataFrame, path: str, dim: int = 64,
                     m_total: int = 16, batch: str | None = None) -> None:
     """Encode a NEW batch against the STORED codebooks and append —
     append-only like the IVF assignments; rebuild codebooks on drift.
-    Pass ``batch`` for idempotent re-runs; random id otherwise."""
+    Pass ``batch`` for idempotent re-runs; random id otherwise.
+    Fingerprint tripwire as in ``append_ann_index`` (serve paths
+    dedup candidates, so only the fresh-id retry footgun raises)."""
     import uuid
+
+    from kafana_spark import batch_manifest as bm
 
     spark = df.sparkSession
     cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
     bid = batch or uuid.uuid4().hex
+    n, fp = bm.batch_fingerprint(df, "vec_id")
+    bm.enforce_fresh_batch(spark, path, bid, n, fp)
     pq_encode(df, cb, m_total, dim // m_total) \
         .write.mode("overwrite").parquet(f"{path}/{PQ_CODE_DIR}/batch={bid}")
     _vectors(df).write.mode("overwrite") \
         .parquet(f"{path}/{PQ_VEC_DIR}/batch={bid}")
+    bm.write_fingerprint(spark, path, bid, n, fp)
 
 
 def pq_index_stream_sink(path: str, dim: int = 64, m_total: int = 16):
@@ -328,13 +363,8 @@ def pq_index_stream_sink(path: str, dim: int = 64, m_total: int = 16):
     same discipline as ann_index_stream_sink)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cb = spark.read.parquet(f"{path}/{PQ_CB_DIR}")
-        pq_encode(batch_df, cb, m_total, dim // m_total) \
-            .write.mode("overwrite") \
-            .parquet(f"{path}/{PQ_CODE_DIR}/batch={epoch_id}")
-        _vectors(batch_df).write.mode("overwrite") \
-            .parquet(f"{path}/{PQ_VEC_DIR}/batch={epoch_id}")
+        append_pq_index(batch_df, path, dim, m_total,
+                        batch=str(epoch_id))
 
     return _sink
 
@@ -370,7 +400,10 @@ def build_lsh_index(df: DataFrame, path: str, n_tables: int = 6,
     planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
     planes.write.mode(mode).parquet(f"{path}/{LSH_PLANE_DIR}")
     if mode == "overwrite":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         _clear_batched_dir(f"{path}/{LSH_CODE_DIR}")
+        clear_fingerprints(path)
     codes = lsh_codes(_with_norm(_vectors(df)),
                       df.sparkSession.read.parquet(f"{path}/{LSH_PLANE_DIR}"),
                       dim)
@@ -381,14 +414,21 @@ def append_lsh_index(df: DataFrame, path: str, dim: int = 64,
                      batch: str | None = None) -> None:
     """Sign a NEW batch against the STORED planes and append —
     append-only like the IVF assignments; planes never drift (they are
-    anchored to the original corpus sample), rebuild to re-anchor."""
+    anchored to the original corpus sample), rebuild to re-anchor.
+    Fingerprint tripwire as in ``append_ann_index``."""
     import uuid
 
+    from kafana_spark import batch_manifest as bm
+
     spark = df.sparkSession
+    bid = batch or uuid.uuid4().hex
+    n, fp = bm.batch_fingerprint(df, "vec_id")
+    bm.enforce_fresh_batch(spark, path, bid, n, fp)
     planes = spark.read.parquet(f"{path}/{LSH_PLANE_DIR}")
     lsh_codes(_with_norm(_vectors(df)), planes, dim) \
         .write.mode("overwrite") \
-        .parquet(f"{path}/{LSH_CODE_DIR}/batch={batch or uuid.uuid4().hex}")
+        .parquet(f"{path}/{LSH_CODE_DIR}/batch={bid}")
+    bm.write_fingerprint(spark, path, bid, n, fp)
 
 
 def lsh_index_stream_sink(path: str, dim: int = 64):
@@ -397,11 +437,7 @@ def lsh_index_stream_sink(path: str, dim: int = 64):
     redelivery-safe, same discipline as ann_index_stream_sink)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        planes = spark.read.parquet(f"{path}/{LSH_PLANE_DIR}")
-        lsh_codes(_with_norm(_vectors(batch_df)), planes, dim) \
-            .write.mode("overwrite") \
-            .parquet(f"{path}/{LSH_CODE_DIR}/batch={epoch_id}")
+        append_lsh_index(batch_df, path, dim, batch=str(epoch_id))
 
     return _sink
 
@@ -454,18 +490,14 @@ def knn_graph_from_index(spark: SparkSession, path: str, k: int = 5,
 def mutual_knn_from_index(spark: SparkSession, path: str, k: int = 5,
                           n_probe: int = 2) -> DataFrame:
     """x150's mutual edges over the store-served graph — the
-    self-join tail of ``similarity.mutual_knn`` applied to
-    ``knn_graph_from_index`` (no assignment pass, no corpus read)."""
-    g = knn_graph_from_index(spark, path, k, n_probe)
-    ab = g.select(F.col("qid").alias("a"),
-                  F.col("vec_id").alias("b"),
-                  "cos", F.col("rank").alias("rank_ab"))
-    ba = g.select(F.col("vec_id").alias("a"),
-                  F.col("qid").alias("b"),
-                  F.col("rank").alias("rank_ba"))
-    return (ab.join(ba, ["a", "b"])
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b", "cos", "rank_ab", "rank_ba"))
+    one-pass canonical groupBy tail of ``similarity.mutual_knn``
+    applied to ``knn_graph_from_index`` (no assignment pass, no
+    corpus read; the r8 self-join ran the store-served scored leg
+    twice)."""
+    from kafana_spark.operators.similarity import _mutual_from_directed
+
+    return _mutual_from_directed(
+        knn_graph_from_index(spark, path, k, n_probe))
 
 
 def knn_clusters_from_index(spark: SparkSession, path: str,
@@ -531,8 +563,11 @@ def build_binary_index(df: DataFrame, path: str, dim: int = 64,
     from kafana_spark.operators.similarity import _vectors, binary_signs
 
     if mode == "overwrite":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         _clear_batched_dir(f"{path}/{BIN_WORDS_DIR}")
         _clear_batched_dir(f"{path}/{BIN_VEC_DIR}")
+        clear_fingerprints(path)
     binary_signs(df, dim).write.mode("overwrite") \
         .parquet(f"{path}/{BIN_WORDS_DIR}/batch={batch}")
     _vectors(df).write.mode("overwrite") \
@@ -542,9 +577,16 @@ def build_binary_index(df: DataFrame, path: str, dim: int = 64,
 def append_binary_index(df_new: DataFrame, path: str, batch: str,
                         dim: int = 64) -> None:
     """Pack and append a new batch — stateless encode, idempotent
-    per-batch overwrite (the ann/dedup sink discipline)."""
+    per-batch overwrite (the ann/dedup sink discipline).
+    Fingerprint tripwire as in ``append_ann_index``."""
+    from kafana_spark import batch_manifest as bm
+
+    spark = df_new.sparkSession
+    n, fp = bm.batch_fingerprint(df_new, "vec_id")
+    bm.enforce_fresh_batch(spark, path, batch, n, fp)
     build_binary_index(df_new, path, dim, mode="append_batch",
                        batch=batch)
+    bm.write_fingerprint(spark, path, batch, n, fp)
 
 
 def binary_topk_from_index(spark: SparkSession, path: str,

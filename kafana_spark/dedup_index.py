@@ -67,12 +67,38 @@ def build_dedup_index(df: DataFrame, path: str, text_col: str = "text",
     rows would double-count every jaccard intersection those docs
     participate in (ADVICE.md r5). Per-batch overwrites (appends,
     stream redeliveries) still replace only their own partition.
+
+    Incremental loads (batch != 'base') ENFORCE the merge-law
+    precondition (r8 verdict #6): batches must be doc-disjoint, or
+    the duplicated (doc_id, h) shingle rows silently inflate every
+    jaccard the doc participates in. Two guards (batch_manifest.py):
+    the content-fingerprint tripwire (same rows under a NEW batch id
+    — the uuid-retry footgun — raises) and an exact doc_id semi-join
+    against the stored signatures (one row per doc, column-pruned).
+    Same-id redelivery replaces its own partition and passes both.
     """
-    if mode == "overwrite" and batch == "base":
+    from kafana_spark import batch_manifest as bm
+
+    spark = df.sparkSession
+    full_rebuild = mode == "overwrite" and batch == "base"
+    if full_rebuild:
         from kafana_spark.ann_index import _clear_batched_dir
 
         for sub in (SIG_DIR, BAND_DIR, SH_DIR):
             _clear_batched_dir(f"{path}/{sub}")
+        bm.clear_fingerprints(path)
+    else:
+        n, fp = bm.batch_fingerprint(df, "doc_id")
+        bm.enforce_fresh_batch(spark, path, batch, n, fp)
+        import os
+
+        if n and os.path.isdir(f"{path}/{SIG_DIR}"):
+            stored = (spark.read.parquet(f"{path}/{SIG_DIR}")
+                      .where(F.col("batch").cast("string")
+                             != F.lit(batch)))
+            bm.enforce_disjoint_ids(df, stored, "doc_id",
+                                    "dedup index")
+        bm.write_fingerprint(spark, path, batch, n, fp)
     sh = hashed_shingle_set(df, text_col=text_col)
     sig = minhash_signature(sh).persist()
     try:

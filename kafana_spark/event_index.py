@@ -83,9 +83,12 @@ def build_event_index(df: DataFrame, path: str, *,
     from kafana_spark.ann_index import _clear_batched_dir
 
     if batch == "base":
+        from kafana_spark.batch_manifest import clear_fingerprints
+
         for sub in (DAILY_DIR, USER_DAYS_DIR, HOURLY_DIR,
                     TYPE_HOURLY_DIR):
             _clear_batched_dir(f"{path}/{sub}")
+        clear_fingerprints(path)
     _write_rollups(_rollups(df, time_col, key_col, type_col,
                             err_type), path, batch)
 
@@ -93,13 +96,29 @@ def build_event_index(df: DataFrame, path: str, *,
 def append_event_index(df_new: DataFrame, path: str, batch: str, *,
                        time_col: str = "ts", key_col: str = "user_id",
                        type_col: str = "event_type",
-                       err_type: str = "error") -> None:
+                       err_type: str = "error",
+                       seq_col: str = "event_id") -> None:
     """Fold a new event batch into the rollups — the same three
     aggregates over ONLY the new rows; merging happens at serve time
     by summing per-batch partials (exact, no base re-read). A
-    redelivered batch id replaces its own partition."""
+    redelivered batch id replaces its own partition.
+
+    The merge law needs ROW-DISJOINT batches (partial sums
+    double-count duplicated events). The store keeps only aggregates
+    — no ids survive to check exactly — so the enforceable guard is
+    the content-fingerprint tripwire (r8 verdict #6): the same rows
+    re-appended under a fresh batch id raise; same-id redelivery
+    replaces its own partition and passes. Partial overlaps remain
+    the caller's contract (offset-partitioned ingest batches satisfy
+    it by construction)."""
+    from kafana_spark import batch_manifest as bm
+
+    spark = df_new.sparkSession
+    n, fp = bm.batch_fingerprint(df_new, seq_col)
+    bm.enforce_fresh_batch(spark, path, batch, n, fp)
     _write_rollups(_rollups(df_new, time_col, key_col, type_col,
                             err_type), path, batch)
+    bm.write_fingerprint(spark, path, batch, n, fp)
 
 
 def daily_from_store(spark: SparkSession, path: str) -> DataFrame:

@@ -60,7 +60,16 @@ def grams(text: Column, n: int = 2) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric array columns, summed in index order
-    (same order DuckDB's list_dot_product uses → bit-comparable)."""
+    (same order DuckDB's list_dot_product uses → bit-comparable).
+
+    Deliberately the higher-order form: an r9 experiment unrolled it
+    into a static 64-term GetArrayItem/add chain (the ``_l2sq_u``
+    trick, which wins for the PQ path's 4-wide subspaces) and
+    measured the unroll ~1.5× SLOWER at dim 64 on the scored legs —
+    the HOF evaluates at ~0.6 µs/dot, and the IVF family's real
+    at-scale costs are join materialization and wide-row window
+    sorts, fixed in the plan shape (map-only k-best cell picks),
+    not in the dot kernel."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

@@ -59,8 +59,10 @@ def build_gate_index(df: DataFrame, path: str, *,
     (they were scored under the OLD model)."""
     if mode == "overwrite" and batch == "base":
         from kafana_spark.ann_index import _clear_batched_dir
+        from kafana_spark.batch_manifest import clear_fingerprints
 
         _clear_batched_dir(f"{path}/{GATES_DIR}")
+        clear_fingerprints(path)
     gg = (gopher_rules(df, min_words=min_words, max_words=max_words,
                        min_mwl_x10=min_mwl_x10,
                        max_mwl_x10=max_mwl_x10, min_stop=min_stop,
@@ -103,8 +105,27 @@ def append_gate_index(df_new: DataFrame, path: str, batch: str, *,
     only: Gopher rules, quality vs the stored per-lang cut, NB score
     under the stored weights (appended docs are all held-out, so
     pred = score >= 0). No global state is recomputed; redelivering
-    the same batch id overwrites its own partition (idempotent)."""
+    the same batch id overwrites its own partition (idempotent).
+
+    The held-out/no-duplicate precondition is ENFORCED (r8 verdict
+    #6): the content-fingerprint tripwire catches the same rows
+    re-appended under a fresh batch id, and an exact doc_id semi-join
+    against the stored gates (one row per doc) catches any overlap —
+    a duplicated doc would count twice in every served gate matrix."""
+    from kafana_spark import batch_manifest as bm
+
     spark = df_new.sparkSession
+    n, fp = bm.batch_fingerprint(df_new, "doc_id")
+    bm.enforce_fresh_batch(spark, path, batch, n, fp)
+    import os
+
+    if n and os.path.isdir(f"{path}/{GATES_DIR}"):
+        stored = (spark.read.parquet(f"{path}/{GATES_DIR}")
+                  .where(F.col("batch").cast("string")
+                         != F.lit(batch)))
+        bm.enforce_disjoint_ids(df_new, stored, "doc_id",
+                                "gate index")
+    bm.write_fingerprint(spark, path, batch, n, fp)
     w = spark.read.parquet(f"{path}/{MODEL_DIR}/nb_weights")
     prior = spark.read.parquet(f"{path}/{MODEL_DIR}/nb_prior")
     cuts = spark.read.parquet(f"{path}/{MODEL_DIR}/lang_cuts")

@@ -277,71 +277,69 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
         f"method must be modulo|kmeans|lloyd|fixed, got {method!r}")
 
 
+def _kbest_cells(frame: DataFrame, centroids: DataFrame, n: int,
+                 v_col: str = "v", nrm_col: str = "nrm") -> F.Column:
+    """Column: the ``n`` nearest cell ids (array<long>, (acos 6dp
+    desc, cid asc) order) for each row of ``frame`` — call on
+    ``frame.crossJoin(broadcast(<one collect_list row>))``; use
+    ``_cents_row`` to build that row.
+
+    ONE map-only pass: a bounded k-best insertion (F.aggregate) over
+    the broadcast centroid array keeps a sorted n-length (acos, ncid)
+    array per ROW. Memory is ∝ n per row — flat like the r8
+    iterated-argmax fix (the pre-r8 sorted collect_list held
+    |centroids| structs per vector in one ObjectHashAggregate and
+    OOMed the sf10 ladder at 200k vectors × 447 fixed-k cells) — and
+    there is no join, no groupBy, no window: NO exchange at all on
+    this leg (the r8 probe side exchanged-and-sorted queries×cells
+    WIDE rows — qv carried through the window — which the r9 sf10
+    decomposition measured at 625 s of x151's wall). Candidate order
+    inside the k-best — reverse(array_sort) on struct(acos,
+    ncid=-cid) — is exactly the argmax/row_number pick sequence, so
+    assignments, probe lists and every downstream oracle are
+    bit-identical. The centroid side is ONE bounded list row
+    (|cells|×(dim+2), the same footprint a broadcast join ships)."""
+
+    def _cand(c):
+        return F.struct(
+            F.round(dot(F.col(v_col), c["cv"])
+                    / (F.col(nrm_col) * c["cnrm"]), 6).alias("acos"),
+            (-c["cid"]).alias("ncid"))
+
+    empty = F.array().cast("array<struct<acos:double,ncid:bigint>>")
+    return F.aggregate(
+        "_cents", empty,
+        lambda acc, c: F.slice(
+            F.reverse(F.array_sort(F.array_append(acc, _cand(c)))),
+            1, n),
+        lambda acc: F.transform(acc, lambda s: -s["ncid"]))
+
+
+def _cents_row(centroids: DataFrame) -> DataFrame:
+    """The 1-row (``_cents``: array<struct cid,cv,cnrm>) frame
+    ``_kbest_cells`` folds over — broadcast it on a crossJoin."""
+    return centroids.agg(F.collect_list(
+        F.struct(F.col("cid").cast("long").alias("cid"),
+                 "cv", "cnrm")).alias("_cents"))
+
+
 def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
                 n_assign: int, extra: tuple[str, ...] = ()) -> DataFrame:
     """(vec_id, v, nrm, *extra, cid) cell assignment — one row per
     vector per assigned cell. ``extra`` columns of the corpus (e.g. a
-    training label) ride along through the any_value collapse."""
-    # assignment: nearest centroid(s) per corpus vector. The broadcast
-    # join expands the frame centroids×, but the groupBy collapses it
-    # back to one row per vec_id in the map-side partial aggregation —
-    # the exchange moves |corpus| rows, never the expanded frame (the
-    # r1 window-based argmax shuffled corpus×centroids rows, which at
-    # 100 TB with ~1e4 cells IS the job). acos is rounded to 6dp so the
-    # argmax ordering is reproducible across engines (oracle parity).
-    ac = F.round(dot(F.col("x.v"), F.col("ct.cv"))
-                 / (F.col("x.nrm") * F.col("ct.cnrm")), 6)
-    keep = [F.any_value(F.col(c)).alias(c) for c in ("v", "nrm", *extra)]
-    expanded = (corpus.alias("x")
-                .join(F.broadcast(centroids.alias("ct")))
-                .select("vec_id", "v", "nrm", *extra, "cid",
-                        ac.alias("acos")))
-    if n_assign <= 1:
-        # argmax(acos desc, cid asc) == max of struct(acos, -cid):
-        # struct comparison is lexicographic and map-side combinable.
-        best = F.max(F.struct(F.col("acos"),
-                              (-F.col("cid")).alias("ncid"))).alias("best")
-        assigned = (expanded.groupBy("vec_id")
-                    .agg(*keep, best)
-                    .select("vec_id", "v", "nrm", *extra,
-                            (-F.col("best.ncid")).alias("cid")))
-    else:
-        # top-n cells per vector as n_assign ITERATED argmax passes,
-        # each the same map-side-combinable max-of-struct as the
-        # n_assign=1 branch with the already-picked cells excluded.
-        # The previous shape (sorted-slice of a collect_list over ALL
-        # centroids) held |centroids| structs per vector inside one
-        # ObjectHashAggregate — the r8 sf10 ladder run OOMed the heap
-        # at 200k vectors × 447 fixed-k cells (89M structs). This one
-        # is memory-flat: n_assign broadcast re-expands (compute ×
-        # n_assign, n_assign ∈ {2,3} in practice) and only n-row
-        # exchanges — the at-100-TB trade, since the expanded frame
-        # never moves and nothing collects.
-        work = corpus
-        pick_cols: list[str] = []
-        for i in range(n_assign):
-            exp_i = (work.alias("x")
-                     .join(F.broadcast(centroids.alias("ct")))
-                     .select("x.*", "cid", ac.alias("acos")))
-            for pc in pick_cols:
-                # null-safe: a vector with fewer cells than n_assign
-                # carries a null pick; != would null out the predicate
-                exp_i = exp_i.where(
-                    ~F.col("cid").eqNullSafe(F.col(pc)))
-            best_i = (exp_i.groupBy("vec_id")
-                      .agg(F.max(F.struct(
-                          F.col("acos"),
-                          (-F.col("cid")).alias("ncid"))).alias("b"))
-                      .select("vec_id",
-                              (-F.col("b.ncid")).alias(f"p{i}")))
-            work = work.join(best_i, "vec_id", "left")
-            pick_cols.append(f"p{i}")
-        assigned = (work.select(
-            "vec_id", "v", "nrm", *extra,
-            F.explode(F.array_compact(F.array(
-                *[F.col(pc) for pc in pick_cols]))).alias("cid")))
+    training label) ride along.
 
-    return assigned
+    Map-only via the bounded k-best pick (``_kbest_cells``) for EVERY
+    n_assign: the r8 n_assign=1 branch broadcast-joined then
+    groupBy-argmaxed, whose exchange moves |corpus| wide rows — at
+    100 TB that shuffle IS the assignment job; the k-best pick leaves
+    every vector on its partition and exchanges nothing. acos is rounded
+    to 6dp so the argmax ordering is reproducible across engines
+    (oracle parity)."""
+    best = _kbest_cells(corpus, centroids, n_assign)
+    return (corpus.crossJoin(F.broadcast(_cents_row(centroids)))
+            .select("vec_id", "v", "nrm", *extra,
+                    F.explode(best).alias("cid")))
 
 
 def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
@@ -352,26 +350,27 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
 
     ``dedup=False`` skips the (qid, vec_id) dropDuplicates — at
     n_assign=1 every member lives in exactly ONE cell, so the pair is
-    unique by construction and the dedup is a SECOND full shuffle of
-    the scored frame for nothing (the r8 sf10 decomposition: the
-    inline kNN graph's scored leg was ~93% of x151's wall). Stored-
-    index serves keep the safe default — batches may have been
-    appended with mixed n_assign."""
-    # probe list: n_probe nearest centroids per query (queries are few —
-    # a window over them is driver-trivial)
+    unique by construction and the dedup is a full shuffle of the
+    scored frame for nothing (the r8 sf10 decomposition: the inline
+    kNN graph's scored leg was ~93% of x151's wall). Stored-index
+    serves keep the safe default — batches may have been appended
+    with mixed n_assign.
+
+    Probe lists come from the map-only ``_kbest_cells`` pick, NOT a
+    window: the r8 probe window exchanged-and-sorted queries×cells
+    rows WITH the query vector carried through (~550 B/row — 49 GB
+    through the sorter at sf10, 625 s of x151's wall). Here each
+    query row stays put, picks its n_probe cells from the broadcast
+    centroid list, and only then meets the members on a cell-id
+    equi-join; the rank window runs over the NARROW (qid, vec_id,
+    cos) frame, where Spark's WindowGroupLimit prunes each partition
+    to k rows per qid before the exchange."""
     q = _with_norm(queries)
-    qc = F.round(dot(F.col("q.v"), F.col("ct.cv"))
-                 / (F.col("q.nrm") * F.col("ct.cnrm")), 6)
-    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(),
-                                                F.col("cid"))
-    probes = (q.alias("q")
-              .join(F.broadcast(centroids.alias("ct")))
-              .select(F.col("qid"), F.col("q.v").alias("qv"),
-                      F.col("q.nrm").alias("qnrm"),
-                      F.col("cid"), qc.alias("qcos"))
-              .withColumn("r", F.row_number().over(probe_w))
-              .where(F.col("r") <= n_probe)
-              .select("qid", "qv", "qnrm", "cid"))
+    best = _kbest_cells(q, centroids, n_probe)
+    probes = (q.crossJoin(F.broadcast(_cents_row(centroids)))
+              .select("qid", F.col("v").alias("qv"),
+                      F.col("nrm").alias("qnrm"),
+                      F.explode(best).alias("cid")))
 
     # rank within probed cells only (equi-join on cell id)
     cos = F.round(dot(F.col("p.qv"), F.col("m.v"))
@@ -384,7 +383,12 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
                       cos.alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     if dedup:
-        scored = scored.dropDuplicates(["qid", "vec_id"])
+        # one explicit qid exchange that BOTH the duplicate-collapse
+        # aggregate and the rank window then ride (qid ⊂ (qid,
+        # vec_id) satisfies the agg's clustering; the window needs
+        # qid) — without it each would shuffle the scored frame once
+        scored = (scored.repartition("qid")
+                  .dropDuplicates(["qid", "vec_id"]))
     return (scored
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -427,17 +431,38 @@ def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
 
     Output: (a, b, cos, rank_ab, rank_ba) with a < b canonical.
 
-    Scale: the directed graph is n·k rows; the mutuality check is a
-    self equi-join on the reversed key pair — never touches the
-    corpus again."""
+    Scale: the directed graph is n·k rows; mutuality is ONE pass over
+    it — canonicalize each edge to (min, max) and groupBy, keeping a
+    pair only when both directions contributed a rank. The r8 shape
+    self-joined two copies of ``g``, and since the graph subplan is
+    not an exchange Spark could reuse, the ENTIRE scored leg (the
+    x151 sf10 decomposition's dominant cost) ran twice; the groupBy
+    recomputes nothing and shuffles n·k canonical rows once instead
+    of twice. cos is direction-symmetric bit-exactly (same products,
+    same fold order; the norm product commutes), so max() over the
+    ≤2 rows per pair reproduces the join's ab-side value."""
     g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
                   centroid_k)
-    ab = g.select(F.col("qid").alias("a"), F.col("vec_id").alias("b"),
-                  "cos", F.col("rank").alias("rank_ab"))
-    ba = g.select(F.col("vec_id").alias("a"), F.col("qid").alias("b"),
-                  F.col("rank").alias("rank_ba"))
-    return (ab.join(ba, ["a", "b"])
-            .where(F.col("a") < F.col("b"))
+    return _mutual_from_directed(g)
+
+
+def _mutual_from_directed(g: DataFrame) -> DataFrame:
+    """(a, b, cos, rank_ab, rank_ba), a < b, pairs present in BOTH
+    directions of the directed edge frame — one canonical groupBy
+    (shared by the inline chain and the stored-graph serve)."""
+    fwd = F.col("qid") < F.col("vec_id")
+    canon = g.select(
+        F.least("qid", "vec_id").alias("a"),
+        F.greatest("qid", "vec_id").alias("b"),
+        "cos",
+        F.when(fwd, F.col("rank")).alias("r_ab"),
+        F.when(~fwd, F.col("rank")).alias("r_ba"))
+    return (canon.groupBy("a", "b")
+            .agg(F.max("cos").alias("cos"),
+                 F.max("r_ab").alias("rank_ab"),
+                 F.max("r_ba").alias("rank_ba"))
+            .where(F.col("rank_ab").isNotNull()
+                   & F.col("rank_ba").isNotNull())
             .select("a", "b", "cos", "rank_ab", "rank_ba"))
 
 
@@ -466,19 +491,14 @@ def hard_negative_topk(df: DataFrame, k: int = 10,
                .select(F.col("vec_id").alias("qid"), "v", "nrm",
                        F.col("label").alias("qlabel")))
 
-    # probe list: n_probe nearest centroids per query (queries are few)
-    qc = F.round(dot(F.col("q.v"), F.col("ct.cv"))
-                 / (F.col("q.nrm") * F.col("ct.cnrm")), 6)
-    probe_w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(),
-                                                F.col("cid"))
-    probes = (queries.alias("q")
-              .join(F.broadcast(centroids.alias("ct")))
-              .select("qid", F.col("q.v").alias("qv"),
-                      F.col("q.nrm").alias("qnrm"), "qlabel",
-                      "cid", qc.alias("qcos"))
-              .withColumn("r", F.row_number().over(probe_w))
-              .where(F.col("r") <= n_probe)
-              .select("qid", "qv", "qnrm", "qlabel", "cid"))
+    # probe list: n_probe nearest centroids per query — the same
+    # map-only k-best pick as _ivf_probe_rank (no window, no wide
+    # probe sort), with the query label riding along
+    best = _kbest_cells(queries, centroids, n_probe)
+    probes = (queries.crossJoin(F.broadcast(_cents_row(centroids)))
+              .select("qid", F.col("v").alias("qv"),
+                      F.col("nrm").alias("qnrm"), "qlabel",
+                      F.explode(best).alias("cid")))
 
     # rank within probed cells, negatives only (label mismatch)
     cos = F.round(dot(F.col("p.qv"), F.col("m.v"))

@@ -790,24 +790,39 @@ def test_filtered_ivf_fixed_k_returns_k_hits(spark):
 def test_single_assign_probe_skips_dedup_shuffle(spark):
     """At n_assign=1 each member lives in exactly one cell, so
     (qid, vec_id) is unique by construction and the dropDuplicates
-    pre-pass is a redundant SECOND full shuffle of the scored frame
-    (the r8 sf10 decomposition: the scored leg was ~93% of the
-    inline kNN-cluster wall). Pin: no hashpartitioning on
-    (qid, vec_id) at n_assign=1; present at n_assign=2; results
-    identical either way."""
+    pre-pass is skipped entirely (the r8 sf10 decomposition: the
+    scored leg was ~93% of the inline kNN-cluster wall). At
+    n_assign=2 the dedup MUST run, but since the r9 map-only k-best
+    assignment the scored frame already rides the probes' qid
+    hashpartitioning, so the (qid, vec_id) HashAggregate needs NO
+    exchange of its own — pin both: the aggregate is present at
+    n_assign=2 (absent at 1), and neither plan carries a
+    (qid, vec_id) exchange."""
     e = embs(spark)
     q = similarity.modulo_queries(e, 100)
 
-    def exchanges(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return [ln for ln in plan.splitlines()
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def pair_exchanges(p):
+        return [ln for ln in p.splitlines()
                 if "Exchange hashpartitioning(qid" in ln
                 and "vec_id" in ln.split("qid", 1)[1].split(")")[0]]
 
+    def dedup_aggs(p):
+        return [ln for ln in p.splitlines()
+                if "HashAggregate(keys=[qid" in ln
+                and "vec_id" in ln.split("qid", 1)[1].split("]")[0]]
+
     one = similarity.ivf_topk(e, q, k=5, n_assign=1)
     two = similarity.ivf_topk(e, q, k=5, n_assign=2)
-    assert not exchanges(one), exchanges(one)
-    assert exchanges(two), "n_assign=2 must still dedup (qid, vec_id)"
+    p1, p2 = plan(one), plan(two)
+    assert not dedup_aggs(p1), dedup_aggs(p1)
+    assert dedup_aggs(p2), "n_assign=2 must still dedup (qid, vec_id)"
+    assert not pair_exchanges(p1), pair_exchanges(p1)
+    assert not pair_exchanges(p2), (
+        "the n_assign=2 dedup must ride the existing qid "
+        "partitioning, not re-shuffle the scored frame")
     # the skipped dedup changes nothing at n_assign=1: pairs unique
     rows = one.collect()
     assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
