@@ -15,6 +15,8 @@ no Python UDFs in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must
+# resolve in module globals (PEP 563 strings are evaluated there)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -226,10 +228,11 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     when n_probe alone plateaus.
     """
     corpus = _with_norm(_vectors(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
-                               n_vectors, centroid_k)
-    assigned = _ivf_assign(corpus, centroids, n_assign)
-    return _ivf_probe_rank(assigned, centroids, queries, k, n_probe,
+    ct = _collect_cents(_ivf_centroids(df, corpus, method,
+                                       centroid_mod, n_vectors,
+                                       centroid_k))
+    assigned = _ivf_assign(corpus, ct, n_assign)
+    return _ivf_probe_rank(assigned, ct, queries, k, n_probe,
                            dedup=n_assign > 1)
 
 
@@ -277,110 +280,249 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
         f"method must be modulo|kmeans|lloyd|fixed, got {method!r}")
 
 
-def _kbest_cells(frame: DataFrame, centroids: DataFrame, n: int,
-                 v_col: str = "v", nrm_col: str = "nrm") -> F.Column:
-    """Column: the ``n`` nearest cell ids (array<long>, (acos 6dp
-    desc, cid asc) order) for each row of ``frame`` — call on
-    ``frame.crossJoin(broadcast(<one collect_list row>))``; use
-    ``_cents_row`` to build that row.
+class _Cents:
+    """Collected (cid, cv, cnrm) centroid arrays — the |cells|×(dim+2)
+    driver footprint every IVF path already budgets for (it is the
+    same payload a broadcast join ships). Sorted by cid so 'array
+    index asc' == 'cid asc' inside the vectorized kernels."""
 
-    ONE map-only pass: a bounded k-best insertion (F.aggregate) over
-    the broadcast centroid array keeps a sorted n-length (acos, ncid)
-    array per ROW. Memory is ∝ n per row — flat like the r8
-    iterated-argmax fix (the pre-r8 sorted collect_list held
-    |centroids| structs per vector in one ObjectHashAggregate and
-    OOMed the sf10 ladder at 200k vectors × 447 fixed-k cells) — and
-    there is no join, no groupBy, no window: NO exchange at all on
-    this leg (the r8 probe side exchanged-and-sorted queries×cells
-    WIDE rows — qv carried through the window — which the r9 sf10
-    decomposition measured at 625 s of x151's wall). Candidate order
-    inside the k-best — reverse(array_sort) on struct(acos,
-    ncid=-cid) — is exactly the argmax/row_number pick sequence, so
-    assignments, probe lists and every downstream oracle are
-    bit-identical. The centroid side is ONE bounded list row
-    (|cells|×(dim+2), the same footprint a broadcast join ships)."""
+    __slots__ = ("cid", "C", "cnrm")
 
-    def _cand(c):
-        return F.struct(
-            F.round(dot(F.col(v_col), c["cv"])
-                    / (F.col(nrm_col) * c["cnrm"]), 6).alias("acos"),
-            (-c["cid"]).alias("ncid"))
-
-    empty = F.array().cast("array<struct<acos:double,ncid:bigint>>")
-    return F.aggregate(
-        "_cents", empty,
-        lambda acc, c: F.slice(
-            F.reverse(F.array_sort(F.array_append(acc, _cand(c)))),
-            1, n),
-        lambda acc: F.transform(acc, lambda s: -s["ncid"]))
+    def __init__(self, cid, C, cnrm):
+        self.cid, self.C, self.cnrm = cid, C, cnrm
 
 
-def _cents_row(centroids: DataFrame) -> DataFrame:
-    """The 1-row (``_cents``: array<struct cid,cv,cnrm>) frame
-    ``_kbest_cells`` folds over — broadcast it on a crossJoin."""
-    return centroids.agg(F.collect_list(
-        F.struct(F.col("cid").cast("long").alias("cid"),
-                 "cv", "cnrm")).alias("_cents"))
+def _collect_cents(centroids) -> "_Cents":
+    """Collect a (cid, cv, cnrm) centroid frame to numpy arrays
+    (pass-through if already collected, so multi-leg callers pay the
+    centroid job once)."""
+    import numpy as np
+
+    if isinstance(centroids, _Cents):
+        return centroids
+    rows = centroids.select(F.col("cid").cast("long"), "cv",
+                            "cnrm").collect()
+    rows.sort(key=lambda r: r[0])
+    if not rows:
+        return _Cents(np.empty(0, dtype=np.int64),
+                      np.empty((0, 0)), np.empty(0))
+    cid = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.float64)
+    cnrm = np.array([r[2] for r in rows], dtype=np.float64)
+    return _Cents(cid, C, cnrm)
 
 
-def _ivf_assign(corpus: DataFrame, centroids: DataFrame,
+def _kbest_pick_udf(ct: "_Cents", n: int):
+    """pandas_udf (v, nrm) -> array<long>: the ``n`` nearest cell ids
+    ((acos 6dp desc, cid asc) order) per row, vectorized.
+
+    ONE map-only Arrow pass: each batch of vectors is scored against
+    the in-closure centroid matrix with a BLAS matmul — no join, no
+    groupBy, no window: NO exchange at all on this leg, and the
+    compute runs at numpy speed. (The first r9 shape did the same
+    pick as a Catalyst F.aggregate fold; higher-order functions
+    evaluate INTERPRETED — measured ~275 µs/candidate, 24 s per leg
+    at a mere 20k×141 — where the matmul does the identical 2.8M
+    candidates in milliseconds.) Memory is flat: rows are sub-chunked
+    so the score block stays ≤ ~32 MB regardless of |cells|.
+
+    Tie order: acos is rounded to 6 decimals (np.rint on acos·1e6 —
+    the same values F.round/DuckDB ROUND produce away from exact
+    .5e-6 boundaries, which dot products of real-valued data do not
+    hit; the x68 blocked-BLAS kernel set this precedent) and ties
+    break to the SMALLEST cid — encoded into one integer sort key
+    (acos_int·|cells| − cid_rank) so argpartition needs no lexsort
+    and the pick order is total."""
+    import numpy as np
+
+    cid, C, cnrm = ct.cid, ct.C, ct.cnrm
+    m = len(cid)
+    nn = min(n, m)
+    chunk = max(1, 4_000_000 // max(1, m))
+
+    @F.pandas_udf("array<long>")
+    def pick(v: pd.Series, nrm: pd.Series) -> pd.Series:
+        if m == 0 or len(v) == 0:
+            return pd.Series([[] for _ in range(len(v))])
+        V = np.array(list(v), dtype=np.float64)
+        nr = nrm.to_numpy(dtype=np.float64)
+        out = []
+        for i in range(0, len(V), chunk):
+            s = V[i:i + chunk] @ C.T / np.outer(nr[i:i + chunk], cnrm)
+            key = (np.rint(s * 1e6).astype(np.int64) * m
+                   - np.arange(m, dtype=np.int64))
+            if nn < m:
+                idx = np.argpartition(-key, nn - 1, axis=1)[:, :nn]
+                sel = np.take_along_axis(key, idx, 1)
+                idx = np.take_along_axis(idx, np.argsort(-sel, axis=1), 1)
+            else:
+                idx = np.argsort(-key, axis=1)
+            out.extend(cid[idx].tolist())
+        return pd.Series(out)
+
+    return pick
+
+
+def _ivf_assign(corpus: DataFrame, centroids,
                 n_assign: int, extra: tuple[str, ...] = ()) -> DataFrame:
     """(vec_id, v, nrm, *extra, cid) cell assignment — one row per
     vector per assigned cell. ``extra`` columns of the corpus (e.g. a
-    training label) ride along.
+    training label) ride along. ``centroids`` is a (cid, cv, cnrm)
+    frame or a pre-collected ``_Cents``.
 
-    Map-only via the bounded k-best pick (``_kbest_cells``) for EVERY
-    n_assign: the r8 n_assign=1 branch broadcast-joined then
-    groupBy-argmaxed, whose exchange moves |corpus| wide rows — at
-    100 TB that shuffle IS the assignment job; the k-best pick leaves
-    every vector on its partition and exchanges nothing. acos is rounded
-    to 6dp so the argmax ordering is reproducible across engines
-    (oracle parity)."""
-    best = _kbest_cells(corpus, centroids, n_assign)
-    return (corpus.crossJoin(F.broadcast(_cents_row(centroids)))
-            .select("vec_id", "v", "nrm", *extra,
-                    F.explode(best).alias("cid")))
+    Map-only via the vectorized k-best pick for EVERY n_assign: the
+    r8 n_assign=1 branch broadcast-joined then groupBy-argmaxed,
+    whose exchange moves |corpus| wide rows — at 100 TB that shuffle
+    IS the assignment job; the pick leaves every vector on its
+    partition and exchanges nothing."""
+    pick = _kbest_pick_udf(_collect_cents(centroids), n_assign)
+    return corpus.select(
+        "vec_id", "v", "nrm", *extra,
+        F.explode(pick(F.col("v"), F.col("nrm"))).alias("cid"))
 
 
-def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
+def _cell_topk_scored(probes: DataFrame, members: DataFrame, k: int,
+                      probe_extra: tuple[str, ...] = (),
+                      member_extra: tuple[str, ...] = (),
+                      schema: str = "qid long, vec_id long, cos double",
+                      exclude_same_label: bool = False) -> DataFrame:
+    """Per-cell scored top-k: cogroup probes and cell members on cell
+    id and run ONE blocked-BLAS kernel per cell that scores every
+    (probe, member) pair in the cell and emits only each probe's
+    per-cell top-``k`` — (qid, *probe_extra, vec_id, *member_extra,
+    cos 4dp).
+
+    This leg is where the IVF family's at-scale cost lives, and the
+    kernel attacks both terms at once:
+
+    - compute: the pair cosines run as a numpy matmul instead of a
+      per-pair array fold (Catalyst HOFs evaluate interpreted — the
+      r8 sf10 decomposition's 1692 s 'scored leg' was mostly 179M
+      interpreted 64-step dots, not the sort);
+    - volume: the global top-k over a query's probed cells is exactly
+      the top-k of the UNION OF PER-CELL TOP-Ks (within its own cell
+      a globally-top-k member is beaten by < k members), so the
+      kernel emits ≤ k rows per (probe, cell) and the downstream rank
+      window sees queries·n_probe·k rows, never the full
+      queries·n_probe·(n/cells) candidate expansion.
+
+    Tie discipline matches the window it feeds: cos rounded to 4dp
+    (np.rint ·1e4 — the x68 kernel precedent), ties to the smallest
+    vec_id, both encoded in one integer key (cos_int·|cell| −
+    vec_id_rank). Self-pairs (qid == vec_id) and — when
+    ``exclude_same_label`` — label-equal pairs are masked BEFORE the
+    top-k so every emitted slot is a real candidate. Memory is flat:
+    probe rows are sub-chunked so a score block stays ≤ ~32 MB even
+    in a skewed cell."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [f.strip().split()[0] for f in schema.split(",")]
+    # the two sides routinely share lineage (queries ARE corpus rows
+    # in knn_graph / hard negatives), so their v/nrm columns carry the
+    # SAME attribute ids — cogroup conflates duplicate attributes
+    # across sides and silently drops the right side's copies; alias
+    # the member side to fresh m_* names (fresh exprIds) so both
+    # sides arrive whole
+    members = members.select(
+        F.col("cid").alias("m_cid"),
+        F.col("vec_id").alias("m_vid"),
+        F.col("v").alias("m_v"),
+        F.col("nrm").alias("m_nrm"),
+        *[F.col(c).alias(f"m_{c}") for c in member_extra])
+
+    def kern(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        vid = r["m_vid"].to_numpy()
+        order = np.argsort(vid)
+        # a cell may carry the same vec_id twice (duplicated vectors
+        # across pre-guard index batches; a vec_id names ONE vector,
+        # so copies are identical) — keep one, or the copies crowd
+        # real members out of the per-cell top-k
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = vid[order][1:] != vid[order][:-1]
+        order = order[keep]
+        vid = vid[order]
+        M = np.array(list(r["m_v"].to_numpy()[order]), dtype=np.float64)
+        mn = r["m_nrm"].to_numpy(dtype=np.float64)[order]
+        qid = l["qid"].to_numpy()
+        Q = np.array(list(l["v"]), dtype=np.float64)
+        qn = l["nrm"].to_numpy(dtype=np.float64)
+        mlab = (r["m_label"].to_numpy()[order]
+                if exclude_same_label else None)
+        qlab = l["qlabel"].to_numpy() if exclude_same_label else None
+        m = len(vid)
+        kk = min(k, m)
+        arange_m = np.arange(m, dtype=np.int64)
+        # mask sentinel: int64 min OVERFLOWS under negation
+        # (-imin == imin), which would make masked entries the BEST
+        # candidates under the -key partition below; min+1 negates
+        # cleanly to int64 max and sorts last
+        bad = np.iinfo(np.int64).min + 1
+        chunk = max(1, 4_000_000 // m)
+        parts = []
+        for i in range(0, len(Q), chunk):
+            cos = np.round(Q[i:i + chunk] @ M.T
+                           / np.outer(qn[i:i + chunk], mn), 4)
+            key = np.rint(cos * 1e4).astype(np.int64) * m - arange_m
+            key[qid[i:i + chunk, None] == vid[None, :]] = bad
+            if exclude_same_label:
+                key[qlab[i:i + chunk, None] == mlab[None, :]] = bad
+            if kk < m:
+                idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                sel = np.take_along_axis(key, idx, 1)
+                srt = np.argsort(-sel, axis=1)
+                idx = np.take_along_axis(idx, srt, 1)
+                sel = np.take_along_axis(sel, srt, 1)
+            else:
+                idx = np.argsort(-key, axis=1)
+                sel = np.take_along_axis(key, idx, 1)
+            rr, cc = np.nonzero(sel != bad)
+            j = idx[rr, cc]
+            part = {"qid": qid[i:i + chunk][rr], "vec_id": vid[j],
+                    "cos": cos[rr, j]}
+            for c in probe_extra:
+                part[c] = l[c].to_numpy()[i:i + chunk][rr]
+            for c in member_extra:
+                part[c] = r[f"m_{c}"].to_numpy()[order][j]
+            parts.append(pd.DataFrame(part))
+        return pd.concat(parts)[out_cols] if parts else \
+            pd.DataFrame({c: [] for c in out_cols})
+
+    return (probes.groupBy("cid")
+            .cogroup(members.groupBy("m_cid"))
+            .applyInPandas(kern, schema))
+
+
+def _ivf_probe_rank(assigned: DataFrame, centroids,
                     queries: DataFrame, k: int, n_probe: int,
                     dedup: bool = True) -> DataFrame:
     """Probe n_probe nearest cells per query and rank only those
-    cells' members (equi-join on cell id).
+    cells' members.
 
-    ``dedup=False`` skips the (qid, vec_id) dropDuplicates — at
+    Plan shape (r9): the probe list is the map-only vectorized k-best
+    pick (query rows never ride a sort; no exchange), probes meet
+    members on a cell-id cogroup whose blocked-BLAS kernel emits per-
+    cell top-k only (see ``_cell_topk_scored``), and the global rank
+    window runs over the PRUNED (qid, vec_id, cos) frame —
+    queries·n_probe·k rows, not the full candidate expansion.
+
+    ``dedup=False`` skips the (qid, vec_id) duplicate collapse — at
     n_assign=1 every member lives in exactly ONE cell, so the pair is
-    unique by construction and the dedup is a full shuffle of the
-    scored frame for nothing (the r8 sf10 decomposition: the inline
-    kNN graph's scored leg was ~93% of x151's wall). Stored-index
-    serves keep the safe default — batches may have been appended
-    with mixed n_assign.
-
-    Probe lists come from the map-only ``_kbest_cells`` pick, NOT a
-    window: the r8 probe window exchanged-and-sorted queries×cells
-    rows WITH the query vector carried through (~550 B/row — 49 GB
-    through the sorter at sf10, 625 s of x151's wall). Here each
-    query row stays put, picks its n_probe cells from the broadcast
-    centroid list, and only then meets the members on a cell-id
-    equi-join; the rank window runs over the NARROW (qid, vec_id,
-    cos) frame, where Spark's WindowGroupLimit prunes each partition
-    to k rows per qid before the exchange."""
+    unique by construction. Stored-index serves keep the safe default
+    (batches may have been appended with mixed n_assign). The
+    collapse is max(cos), not dropDuplicates: two cells' BLAS batches
+    may disagree in the last ulp, and max() is deterministic where
+    keep-any is not (the x68 kernel precedent)."""
     q = _with_norm(queries)
-    best = _kbest_cells(q, centroids, n_probe)
-    probes = (q.crossJoin(F.broadcast(_cents_row(centroids)))
-              .select("qid", F.col("v").alias("qv"),
-                      F.col("nrm").alias("qnrm"),
-                      F.explode(best).alias("cid")))
-
-    # rank within probed cells only (equi-join on cell id)
-    cos = F.round(dot(F.col("p.qv"), F.col("m.v"))
-                  / (F.col("p.qnrm") * F.col("m.nrm")), 4)
-    scored = (probes.alias("p")
-              .join(assigned.alias("m"), F.col("p.cid") == F.col("m.cid"))
-              .where(F.col("p.qid") != F.col("m.vec_id"))
-              .select(F.col("p.qid").alias("qid"),
-                      F.col("m.vec_id").alias("vec_id"),
-                      cos.alias("cos")))
+    ct = _collect_cents(centroids)
+    pick = _kbest_pick_udf(ct, n_probe)
+    probes = q.select("qid", "v", "nrm",
+                      F.explode(pick(F.col("v"), F.col("nrm")))
+                      .alias("cid"))
+    scored = _cell_topk_scored(
+        probes, assigned.select("cid", "vec_id", "v", "nrm"), k)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     if dedup:
         # one explicit qid exchange that BOTH the duplicate-collapse
@@ -388,7 +530,8 @@ def _ivf_probe_rank(assigned: DataFrame, centroids: DataFrame,
         # vec_id) satisfies the agg's clustering; the window needs
         # qid) — without it each would shuffle the scored frame once
         scored = (scored.repartition("qid")
-                  .dropDuplicates(["qid", "vec_id"]))
+                  .groupBy("qid", "vec_id")
+                  .agg(F.max("cos").alias("cos")))
     return (scored
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -485,32 +628,40 @@ def hard_negative_topk(df: DataFrame, k: int = 10,
     corpus = _with_norm(
         df.select("vec_id", as_double_array(F.col("embedding")).alias("v"),
                   F.col(label_col).alias("label")))
-    centroids = _ivf_centroids(df, corpus, "modulo", centroid_mod)
-    assigned = _ivf_assign(corpus, centroids, n_assign, extra=("label",))
+    ct = _collect_cents(_ivf_centroids(df, corpus, "modulo",
+                                       centroid_mod))
+    assigned = _ivf_assign(corpus, ct, n_assign, extra=("label",))
     queries = (corpus.where(F.col("vec_id") % query_mod == 0)
                .select(F.col("vec_id").alias("qid"), "v", "nrm",
                        F.col("label").alias("qlabel")))
 
     # probe list: n_probe nearest centroids per query — the same
-    # map-only k-best pick as _ivf_probe_rank (no window, no wide
-    # probe sort), with the query label riding along
-    best = _kbest_cells(queries, centroids, n_probe)
-    probes = (queries.crossJoin(F.broadcast(_cents_row(centroids)))
-              .select("qid", F.col("v").alias("qv"),
-                      F.col("nrm").alias("qnrm"), "qlabel",
-                      F.explode(best).alias("cid")))
-
-    # rank within probed cells, negatives only (label mismatch)
-    cos = F.round(dot(F.col("p.qv"), F.col("m.v"))
-                  / (F.col("p.qnrm") * F.col("m.nrm")), 4)
-    scored = (probes.alias("p")
-              .join(assigned.alias("m"), F.col("p.cid") == F.col("m.cid"))
-              .where((F.col("p.qid") != F.col("m.vec_id"))
-                     & (F.col("p.qlabel") != F.col("m.label")))
-              .select("qid", "qlabel", F.col("m.vec_id").alias("vec_id"),
-                      F.col("m.label").alias("label"), cos.alias("cos")))
+    # map-only vectorized pick as _ivf_probe_rank, with the query
+    # label riding along; the scored leg is the per-cell top-k
+    # kernel with the label-mismatch mask applied BEFORE the top-k,
+    # so every emitted slot is a true negative
+    pick = _kbest_pick_udf(ct, n_probe)
+    probes = queries.select("qid", "v", "nrm", "qlabel",
+                            F.explode(pick(F.col("v"), F.col("nrm")))
+                            .alias("cid"))
+    scored = _cell_topk_scored(
+        probes, assigned.select("cid", "vec_id", "v", "nrm", "label"),
+        k, probe_extra=("qlabel",), member_extra=("label",),
+        schema="qid long, qlabel int, vec_id long, label int, "
+               "cos double",
+        exclude_same_label=True)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (scored.dropDuplicates(["qid", "vec_id"])
+    if n_assign > 1:
+        # same shape as _ivf_probe_rank: at n_assign=1 each (qid,
+        # vec_id) pair is unique by construction, so the dedup would
+        # shuffle the scored frame for nothing; at n_assign>1 one
+        # explicit qid exchange serves both the collapse and the
+        # window (max() over ulp-twin copies, the x68 precedent)
+        scored = (scored.repartition("qid")
+                  .groupBy("qid", "qlabel", "vec_id", "label")
+                  .agg(F.max("cos").alias("cos")))
+    return (scored
+            .select("qid", "qlabel", "vec_id", "label", "cos")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
@@ -1968,11 +2119,11 @@ def filtered_ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     keeps both legs at n^1.5 (ladder-demonstrated, BASELINE.md §sf1).
     """
     corpus = _with_norm(_vectors_labeled(df))
-    centroids = _ivf_centroids(df, corpus, method, centroid_mod,
-                               centroid_k=centroid_k)
-    assigned = _ivf_assign(corpus, centroids, n_assign,
-                           extra=("label",))
+    ct = _collect_cents(_ivf_centroids(df, corpus, method,
+                                       centroid_mod,
+                                       centroid_k=centroid_k))
+    assigned = _ivf_assign(corpus, ct, n_assign, extra=("label",))
     eligible = assigned.where(F.col("label").isin(*labels)) \
         .drop("label")
-    return _ivf_probe_rank(eligible, centroids, queries, k, n_probe,
+    return _ivf_probe_rank(eligible, ct, queries, k, n_probe,
                            dedup=n_assign > 1)

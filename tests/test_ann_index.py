@@ -62,9 +62,16 @@ def test_index_query_reads_only_index_tables(spark, tmp_path):
         "formatted")
     plan = qe.explainString(mode).replace("\\", "/")
     # the assignment side must come from the index tables, not from a
-    # re-derivation over the corpus parquet
+    # re-derivation over the corpus parquet; centroids no longer
+    # appear IN the serve plan — they are collected once at plan
+    # build (the |cells|×(dim+2) driver footprint) and ride the probe
+    # pick UDF's closure, so the only scan left is the probed
+    # assignment table
     assert "annidx/assignments" in plan
-    assert "annidx/centroids" in plan
+    assert "annidx/centroids" not in plan
+    # exactly ONE corpus-parquet scan: the queries frame itself — the
+    # member side must never re-derive vectors from the corpus
+    assert plan.count("embeddings.parquet]") == 1
 
 
 def test_pq_index_query_equals_inline(spark, tmp_path):

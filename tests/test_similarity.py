@@ -826,3 +826,88 @@ def test_single_assign_probe_skips_dedup_shuffle(spark):
     # the skipped dedup changes nothing at n_assign=1: pairs unique
     rows = one.collect()
     assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
+
+
+def test_kbest_pick_matches_plain_python_reference(spark):
+    """The vectorized (BLAS) cell pick must reproduce the exact
+    (round(acos, 6) desc, cid asc) selection a plain-Python fold
+    computes — the ordering contract every oracle replays in SQL —
+    across quantizer methods and n_assign widths."""
+    e = embs(spark)
+    corpus = similarity._with_norm(similarity._vectors(e))
+    rows = corpus.collect()
+    for method, ck in (("modulo", None), ("fixed", 12)):
+        ct = similarity._collect_cents(similarity._ivf_centroids(
+            e, corpus, method, 40, centroid_k=ck))
+        cents = list(zip(ct.cid.tolist(), ct.C.tolist(),
+                         ct.cnrm.tolist()))
+        for n in (1, 2, 4):
+            pick = similarity._kbest_pick_udf(ct, n)
+            got = {r.vec_id: list(r.cells) for r in corpus.select(
+                "vec_id", pick(F.col("v"), F.col("nrm"))
+                .alias("cells")).collect()}
+            for r in rows:
+                ref = sorted(
+                    ((round(sum(a * b for a, b in zip(r.v, cv))
+                            / (r.nrm * cn), 6), cid)
+                     for cid, cv, cn in cents),
+                    key=lambda t: (-t[0], t[1]))
+                want = [cid for _, cid in ref[:min(n, len(ref))]]
+                assert got[r.vec_id] == want, (method, n, r.vec_id)
+
+
+def test_cell_topk_prune_matches_unpruned_ranking(spark):
+    """The per-cell top-k pre-prune must be invisible in the final
+    ranking: ivf_topk (pruned kernel) == the same probe set ranked
+    WITHOUT pruning (k = cell size), across n_assign widths."""
+    e = embs(spark)
+    q = similarity.modulo_queries(e, 100)
+    for n_assign in (1, 2):
+        pruned = similarity.ivf_topk(e, q, k=5, n_assign=n_assign)
+        corpus = similarity._with_norm(similarity._vectors(e))
+        ct = similarity._collect_cents(similarity._ivf_centroids(
+            e, corpus, "modulo", 40))
+        assigned = similarity._ivf_assign(corpus, ct, n_assign)
+        n_corpus = assigned.count()
+        # k >= any cell population => the kernel emits every scored
+        # pair, i.e. the unpruned candidate set
+        full = similarity._ivf_probe_rank(
+            assigned, ct, q, k=int(n_corpus), n_probe=3,
+            dedup=n_assign > 1).where(F.col("rank") <= 5)
+        a = {(r.qid, r.rank): (r.vec_id, r.cos) for r in pruned.collect()}
+        b = {(r.qid, r.rank): (r.vec_id, r.cos) for r in full.collect()}
+        assert a == b, n_assign
+
+
+def test_hard_negative_single_assign_skips_dedup_shuffle(spark):
+    """hard_negative_topk carries the same n_assign>1-only dedup as
+    _ivf_probe_rank (r9): at n_assign=1 no (qid, vec_id) aggregate and
+    no pair exchange; at n_assign=2 the dedup runs on the shared qid
+    repartition, never a (qid, vec_id) re-shuffle."""
+    e = embs(spark)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def pair_exchanges(p):
+        return [ln for ln in p.splitlines()
+                if "Exchange hashpartitioning(qid" in ln
+                and "vec_id" in ln.split("qid", 1)[1].split(")")[0]]
+
+    def dedup_aggs(p):
+        return [ln for ln in p.splitlines()
+                if "HashAggregate(keys=[qid" in ln
+                and "vec_id" in ln.split("qid", 1)[1].split("]")[0]]
+
+    one = similarity.hard_negative_topk(e, k=5, n_assign=1)
+    two = similarity.hard_negative_topk(e, k=5, n_assign=2)
+    p1, p2 = plan(one), plan(two)
+    assert not dedup_aggs(p1), dedup_aggs(p1)
+    assert dedup_aggs(p2), "n_assign=2 must still dedup (qid, vec_id)"
+    assert not pair_exchanges(p1), pair_exchanges(p1)
+    assert not pair_exchanges(p2), (
+        "the n_assign=2 dedup must ride the explicit qid repartition")
+    rows = one.collect()
+    assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
+    # negatives only: every hit's label differs from the query's
+    assert all(r.qlabel != r.label for r in rows)

@@ -13,7 +13,9 @@ probe leg is (n/100)·n_probe·(n/√n) = O(n^1.5) too); fixed
 overheads amortize, so healthy rows land well under that.
 
 Usage: python tools/sf10_spot.py [--regen]
-Writes LADDER_r8_sf10.json at the repo root.
+Writes LADDER_r9_sf10.json at the repo root (r9: re-measure after the
+map-only k-best cell pick + probe-rank rewrite + one-pass mutual kNN;
+r8 numbers preserved in LADDER_r8_sf10.json).
 """
 
 from __future__ import annotations
@@ -32,8 +34,8 @@ SF10 = "/tmp/sfscale/sf10"
 SCALE = 100  # sf0.1 -> sf10 vector multiplier
 
 
-def generate(path: str) -> None:
-    """sf10 embeddings only — x281/x151 read nothing else. Same
+def generate(path: str, scale: int = SCALE) -> None:
+    """Scaled embeddings only — x281/x151 read nothing else. Same
     fitted-gaussian recipe as tools/scale_ladder.py's generate()."""
     import duckdb
     import numpy as np
@@ -55,7 +57,7 @@ def generate(path: str) -> None:
         a = np.array(by_label[lab], dtype=np.float64)
         stats[lab] = (a.mean(axis=0), a.std(axis=0) + 1e-6,
                       len(a) / len(emb))
-    n_vec = SCALE * len(emb)
+    n_vec = scale * len(emb)
     lab_draw = rng.choice(labels, size=n_vec,
                           p=[stats[b][2] for b in labels])
     dim = len(next(iter(stats.values()))[0])
@@ -73,6 +75,9 @@ def generate(path: str) -> None:
 
 
 def main() -> None:
+    if "--regen" in sys.argv or not os.path.exists(
+            f"{SF1}/embeddings.parquet"):
+        generate(SF1, scale=SCALE // 10)
     if "--regen" in sys.argv or not os.path.exists(
             f"{SF10}/embeddings.parquet"):
         generate(SF10)
@@ -139,7 +144,7 @@ def main() -> None:
                       "<=31.6x wall, fixed overheads amortize below"}
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "LADDER_r8_sf10.json"),
+            os.path.abspath(__file__))), "LADDER_r9_sf10.json"),
             "w") as f:
         json.dump(result, f, indent=1)
     spark.stop()
