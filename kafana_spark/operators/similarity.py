@@ -1013,24 +1013,51 @@ def _km_corpus(df: DataFrame, dim: int) -> DataFrame:
 
 def _km_assign(corpus: DataFrame, cents: DataFrame,
                dim: int) -> DataFrame:
-    """(vec_id, vu, d2, cid) nearest-centroid assignment — broadcast
-    the tiny centroid frame, UNROLLED bigint squared distance (no
-    per-term rounding needed: inputs are already integers), map-side
-    combinable argmin via min(struct(d2, cid)) so the exchange moves
-    one row per vector, never the corpus×centroids expansion
-    (_ivf_assign's discipline)."""
-    d2 = None
-    for j in range(dim):
-        t = F.col("vu")[j] - F.col("cu")[j]
-        t = t * t
-        d2 = t if d2 is None else d2 + t
-    exp = (corpus.join(F.broadcast(cents))
-           .select("vec_id", "vu", "cid", d2.alias("d2")))
-    best = F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b")
-    return (exp.groupBy("vec_id")
-            .agg(F.any_value("vu").alias("vu"), best)
-            .select("vec_id", "vu", F.col("b.d2").alias("d2"),
-                    F.col("b.cid").alias("cid")))
+    """(vec_id, vu, d2, cid) nearest-centroid assignment — EXACT
+    integer µunit squared L2, ties to the lowest cid.
+
+    Map-only Arrow kernel (r9, the _kbest_pick_udf discipline): each
+    batch computes d2 = |vu|² + |cu|² − 2·vu@cu against the collected
+    centroid matrix in int64 — numpy integer matmul is exact, so d2
+    is bit-identical to the old unrolled Column expression (unit
+    µunit vectors keep every term ≤ ~1.7e14, five decades inside
+    int64) — and argmins on the cid-sorted matrix (first minimum =
+    lowest cid, the documented tie rule). No broadcast-join
+    expansion, no argmin exchange: each vector stays on its
+    partition. The centroid side is the |cells|×(dim+1) driver list
+    the Lloyd loop already materializes every round."""
+    import numpy as np
+
+    rows = sorted((int(r[0]), list(r[1]))
+                  for r in cents.select("cid", "cu").collect())
+    cid = np.array([c for c, _ in rows], dtype=np.int64)
+    CU = np.array([u for _, u in rows], dtype=np.int64)
+    if len(cid):
+        cu2 = np.einsum("ij,ij->i", CU, CU)
+    chunk = max(1, 4_000_000 // max(1, len(cid)))
+
+    def kern(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(cid) == 0:
+                continue
+            VU = np.array(list(pdf["vu"]), dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            for i in range(0, len(VU), chunk):
+                V = VU[i:i + chunk]
+                d2 = (np.einsum("ij,ij->i", V, V)[:, None] + cu2
+                      - 2 * (V @ CU.T))
+                j = np.argmin(d2, axis=1)
+                rr = np.arange(len(V))
+                yield _pd.DataFrame({
+                    "vec_id": vids[i:i + chunk],
+                    "vu": list(V),
+                    "d2": d2[rr, j],
+                    "cid": cid[j]})
+
+    return corpus.mapInPandas(
+        kern, "vec_id long, vu array<bigint>, d2 long, cid long")
 
 
 def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
