@@ -554,10 +554,12 @@ def test_x144_hybrid_lsh_candidates_are_equi_join(spark):
     assert re.search(r"keys \[2\]: \[t#\d+, code#\d+L\]", plan)
 
 
-def test_x145_kmeans_assign_is_broadcast_and_partial_agg(spark):
-    """The Lloyd assignment must broadcast the centroid frame (never
-    shuffle the corpus against it) and argmin via a map-side partial
-    min(struct) so the exchange moves one row per vector."""
+def test_x145_kmeans_assign_is_map_only_kernel(spark):
+    """The Lloyd assignment (r9) is one exact-int64 Arrow kernel:
+    every vector stays on its partition — NO join of any kind, NO
+    aggregate, NO exchange anywhere on the assign leg (the pre-r9
+    shape broadcast-joined the corpus×centroids expansion and paid a
+    groupBy-argmin exchange)."""
     from kafana_spark.operators import similarity
     from kafana_spark.operators.registry import _embs, KM_MOD, EMB_DIM
 
@@ -567,30 +569,38 @@ def test_x145_kmeans_assign_is_broadcast_and_partial_agg(spark):
              .select(F.col("vec_id").alias("cid"),
                      F.col("vu").alias("cu")))
     plan = plan_of(similarity._km_assign(corpus, cents, EMB_DIM))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    # the array-typed any_value(vu) buffer forces SortAggregate, but
-    # the partial-before-exchange pair must still be there: the
-    # shuffle carries one pre-combined row per vector
-    assert re.search(r"Keys \[1\]: \[vec_id", plan)
-    assert len(re.findall(r"\) (?:Sort|Hash)Aggregate", plan)) >= 2
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
 
 
 def test_x149_knn_member_join_is_equi_on_cell(spark):
-    """x149's candidate join must stay an equi-join on cell id even
-    with the whole corpus as queries — the n² pair frame must never
-    appear; only the tiny centroid broadcasts may be nested-loop."""
+    """x149's candidate meeting must stay keyed on cell id even with
+    the whole corpus as queries — the n² pair frame must never
+    appear. r9 shape: probes and members cogroup on cid into the
+    per-cell top-k kernel (two cid exchanges feeding
+    FlatMapCoGroupsInPandas), the rank window rides the PRUNED frame
+    (WindowGroupLimit before its exchange), and no join node of any
+    kind exists in the plan."""
     from kafana_spark.operators.registry import EXTENSION_QUERIES
 
     plan = plan_of(EXTENSION_QUERIES["x149_knn_graph"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # probes side is corpus-sized here, so the member join is a
-    # shuffle equi-join keyed on cid (SortMergeJoin) — Left/Right
-    # keys must both be the cell id
-    assert re.search(r"keys \[1\]: \[cid#\d+", plan)
-    # only the two tiny centroid-frame expansions may be nested-loop
-    # (formatted mode prints each node twice: tree + details)
-    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4
+    assert "Join" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    # both cogroup inputs exchange on the cell id
+    assert len(re.findall(r"hashpartitioning\((?:m_)?cid#\d+", plan)) >= 2
+    # the rank window's qid exchange sees the per-cell-top-k-pruned
+    # frame: a partial WindowGroupLimit must sit BELOW the qid
+    # exchange (formatted node ids grow outward: child < parent)
+    wgl = [int(n) for n in re.findall(r"\((\d+)\) WindowGroupLimit",
+                                      plan)]
+    qex = [int(n) for n, args in re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+        if "hashpartitioning(qid#" in args]
+    assert wgl and qex and min(wgl) < min(qex), (wgl, qex)
 
 
 # ------------------------------------------------- r6 s3 additions
