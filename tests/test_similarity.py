@@ -828,6 +828,63 @@ def test_single_assign_probe_skips_dedup_shuffle(spark):
     assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
 
 
+def test_full_probe_ivf_matches_brute_force_on_adversarial_random(spark):
+    """Full-probe IVF through the Arrow kernels must reproduce the
+    exact brute-force ranking on RANDOM data stressing the tie paths:
+    exact duplicate vectors (cos ties broken by vec_id), negative
+    components, near-collinear pairs — across n_assign widths."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 240
+    V = rng.standard_normal((n, dim))
+    V[40] = V[7]              # exact duplicates -> cos ties
+    V[41] = V[7] * 2.5        # collinear -> cos tie at different norm
+    V[42] = -V[7]             # antipodal
+    rows = [(int(i), [float(x) for x in V[i]], int(i % 4))
+            for i in range(n)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = similarity.modulo_queries(e, 40)
+    exact = {(r.qid, r.rank): (r.vec_id, r.cos) for r in
+             similarity.brute_force_topk(e, q, k=7).collect()}
+    for n_assign in (1, 2, 3):
+        ivf = {(r.qid, r.rank): (r.vec_id, r.cos) for r in
+               similarity.ivf_topk(e, q, k=7, centroid_mod=20,
+                                   n_probe=10_000,
+                                   n_assign=n_assign).collect()}
+        assert ivf == exact, n_assign
+
+
+def test_full_probe_hard_negatives_match_numpy_reference(spark):
+    """Full-probe hard negatives must equal the exact per-query
+    top-k among DIFFERENT-label vectors (cos 4dp desc, vec_id asc),
+    computed independently in numpy — locks the label mask running
+    BEFORE the per-cell top-k inside the kernel."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n, k = 8, 200, 6
+    V = rng.standard_normal((n, dim))
+    labels = (np.arange(n) % 3).astype(int)
+    rows = [(int(i), [float(x) for x in V[i]], int(labels[i]))
+            for i in range(n)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {}
+    for r in similarity.hard_negative_topk(
+            e, k=k, query_mod=50, centroid_mod=20, n_probe=10_000,
+            n_assign=2).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.cos))
+    nrm = np.sqrt((V * V).sum(1))
+    for qid in range(0, n, 50):
+        cos = np.round(V @ V[qid] / (nrm * nrm[qid]), 4)
+        cand = sorted(((-cos[j], j) for j in range(n)
+                       if j != qid and labels[j] != labels[qid]))
+        want = [(i + 1, j, -c) for i, (c, j) in enumerate(cand[:k])]
+        assert sorted(got[qid]) == want, qid
+
+
 def test_kbest_pick_matches_plain_python_reference(spark):
     """The vectorized (BLAS) cell pick must reproduce the exact
     (round(acos, 6) desc, cid asc) selection a plain-Python fold
