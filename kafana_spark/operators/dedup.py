@@ -654,6 +654,8 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
     import numpy as np
     import pandas as pd
 
+    from kafana_spark.operators.similarity import _finite, _half_away
+
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
@@ -694,11 +696,14 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
                 bids = np.asarray(row.bids, dtype=np.int64)
                 A = np.frombuffer(row.amat).reshape(len(aids), -1)
                 B = np.frombuffer(row.bmat).reshape(len(bids), -1)
-                # same formula as the oracle: dot / (||a|| * ||b||)
+                # same formula as the oracle: dot / (||a|| * ||b||);
+                # rounded half-away-from-zero to match DuckDB ROUND
+                # exactly (r10 — see similarity._half_away), with the
+                # zero-norm NaN guard
                 S = A @ B.T
                 na = np.sqrt(np.einsum("ij,ij->i", A, A))
                 nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-                cos = np.round(S / np.outer(na, nb), 4)
+                cos = _half_away(_finite(S / np.outer(na, nb)), 4)
                 mask = cos >= thr
                 if row.ablk == row.bblk:
                     mask &= aids[:, None] < bids[None, :]

@@ -280,6 +280,46 @@ def _ivf_centroids(df: DataFrame, corpus: DataFrame, method: str,
         f"method must be modulo|kmeans|lloyd|fixed, got {method!r}")
 
 
+def _finite(s: "np.ndarray") -> "np.ndarray":
+    """Neutralize non-finite cosines IN PLACE (zero-norm vectors
+    yield 0/0 = NaN; np.rint(nan).astype(int64) is undefined —
+    typically INT64_MIN, which then overflows under the ``*m`` key
+    multiply and produces arbitrary cell picks). A zero-norm vector
+    is 'similar to nothing': score 0 is the deterministic stance the
+    r9 ADVICE asked for, and it matches what the interpreted Catalyst
+    path effectively did (NaN sorted last)."""
+    import numpy as np
+
+    if not np.isfinite(s).all():
+        np.nan_to_num(s, copy=False, nan=0.0, posinf=0.0, neginf=0.0)
+    return s
+
+
+def _half_away(x: "np.ndarray", dp: int) -> "np.ndarray":
+    """Round half AWAY FROM ZERO to ``dp`` decimals — the exact
+    semantics of Spark ``F.round`` (HALF_UP) and DuckDB ``ROUND``,
+    which the oracle SQL replays. numpy's np.round/np.rint are
+    half-TO-EVEN; the two agree everywhere except exact .5·10^-dp
+    boundaries, which real-valued dot products do not hit — but the
+    r9 ADVICE is right that parity should not rest on that
+    assumption, so the kernels now round the way the SQL engines do:
+    sign(x)·floor(|x|·10^dp + 0.5) / 10^dp."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def _half_away_int(x: "np.ndarray", dp: int) -> "np.ndarray":
+    """sign(x)·floor(|x|·10^dp + 0.5) as int64 — the half-away-
+    from-zero integer sort key (see _half_away; input must already be
+    finite — run _finite first)."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return (np.sign(x) * np.floor(np.abs(x) * s + 0.5)).astype(np.int64)
+
+
 class _Cents:
     """Collected (cid, cv, cnrm) centroid arrays — the |cells|×(dim+2)
     driver footprint every IVF path already budgets for (it is the
@@ -326,10 +366,10 @@ def _kbest_pick_udf(ct: "_Cents", n: int):
     candidates in milliseconds.) Memory is flat: rows are sub-chunked
     so the score block stays ≤ ~32 MB regardless of |cells|.
 
-    Tie order: acos is rounded to 6 decimals (np.rint on acos·1e6 —
-    the same values F.round/DuckDB ROUND produce away from exact
-    .5e-6 boundaries, which dot products of real-valued data do not
-    hit; the x68 blocked-BLAS kernel set this precedent) and ties
+    Tie order: acos is rounded to 6 decimals half-away-from-zero
+    (_half_away_int — the exact F.round/DuckDB ROUND semantics, so
+    parity no longer rests on the no-exact-boundary assumption; r10,
+    per r9 ADVICE) and ties
     break to the SMALLEST cid — encoded into one integer sort key
     (acos_int·|cells| − cid_rank) so argpartition needs no lexsort
     and the pick order is total."""
@@ -348,8 +388,9 @@ def _kbest_pick_udf(ct: "_Cents", n: int):
         nr = nrm.to_numpy(dtype=np.float64)
         out = []
         for i in range(0, len(V), chunk):
-            s = V[i:i + chunk] @ C.T / np.outer(nr[i:i + chunk], cnrm)
-            key = (np.rint(s * 1e6).astype(np.int64) * m
+            s = _finite(V[i:i + chunk] @ C.T
+                        / np.outer(nr[i:i + chunk], cnrm))
+            key = (_half_away_int(s, 6) * m
                    - np.arange(m, dtype=np.int64))
             if nn < m:
                 idx = np.argpartition(-key, nn - 1, axis=1)[:, :nn]
@@ -407,7 +448,8 @@ def _cell_topk_scored(probes: DataFrame, members: DataFrame, k: int,
       queries·n_probe·(n/cells) candidate expansion.
 
     Tie discipline matches the window it feeds: cos rounded to 4dp
-    (np.rint ·1e4 — the x68 kernel precedent), ties to the smallest
+    half-away-from-zero (_half_away — exact F.round/DuckDB ROUND
+    semantics, r10), ties to the smallest
     vec_id, both encoded in one integer key (cos_int·|cell| −
     vec_id_rank). Self-pairs (qid == vec_id) and — when
     ``exclude_same_label`` — label-equal pairs are masked BEFORE the
@@ -463,8 +505,8 @@ def _cell_topk_scored(probes: DataFrame, members: DataFrame, k: int,
         chunk = max(1, 4_000_000 // m)
         parts = []
         for i in range(0, len(Q), chunk):
-            cos = np.round(Q[i:i + chunk] @ M.T
-                           / np.outer(qn[i:i + chunk], mn), 4)
+            cos = _half_away(_finite(Q[i:i + chunk] @ M.T
+                             / np.outer(qn[i:i + chunk], mn)), 4)
             key = np.rint(cos * 1e4).astype(np.int64) * m - arange_m
             key[qid[i:i + chunk, None] == vid[None, :]] = bad
             if exclude_same_label:
@@ -644,10 +686,14 @@ def hard_negative_topk(df: DataFrame, k: int = 10,
     probes = queries.select("qid", "v", "nrm", "qlabel",
                             F.explode(pick(F.col("v"), F.col("nrm")))
                             .alias("cid"))
+    # the kernel output schema must carry the CALLER'S label type —
+    # hardcoding 'int' broke string labels at Arrow conversion
+    # (r9 ADVICE); derive the DDL from the input column
+    lt = df.schema[label_col].dataType.simpleString()
     scored = _cell_topk_scored(
         probes, assigned.select("cid", "vec_id", "v", "nrm", "label"),
         k, probe_extra=("qlabel",), member_extra=("label",),
-        schema="qid long, qlabel int, vec_id long, label int, "
+        schema=f"qid long, qlabel {lt}, vec_id long, label {lt}, "
                "cos double",
         exclude_same_label=True)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))

@@ -968,3 +968,78 @@ def test_hard_negative_single_assign_skips_dedup_shuffle(spark):
     assert len({(r.qid, r.vec_id) for r in rows}) == len(rows)
     # negatives only: every hit's label differs from the query's
     assert all(r.qlabel != r.label for r in rows)
+
+
+def test_half_away_rounding_matches_duckdb_round():
+    """The kernels' rounding is half-AWAY-from-zero — the exact
+    F.round (HALF_UP) / DuckDB ROUND semantics — where numpy's
+    np.round is half-to-even; pinned on binary-exact .5 boundaries
+    (r10, closing the r9 ADVICE parity-by-assumption item)."""
+    import duckdb
+    import numpy as np
+
+    x = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5])
+    assert similarity._half_away(x, 0).tolist() == [1, 2, 3, -1, -2, -3]
+    assert similarity._half_away_int(x, 0).tolist() == [1, 2, 3, -1, -2, -3]
+    # the old behavior (np.round / np.rint) disagrees on every one of
+    # these — the point of the swap
+    assert np.round(x, 0).tolist() == [0, 2, 2, 0, -2, -2]
+    # and DuckDB ROUND (the oracle's function) agrees with _half_away
+    got = duckdb.sql(
+        "select round(0.5::double), round(1.5::double),"
+        " round(2.5::double), round(-0.5::double),"
+        " round(-1.5::double), round(-2.5::double)").fetchone()
+    assert list(got) == [1.0, 2.0, 3.0, -1.0, -2.0, -3.0]
+
+
+def test_zero_norm_vectors_are_deterministic_not_undefined(spark):
+    """A zero-norm vector yields 0/0 = NaN cosine; pre-r10 the
+    rint(nan).astype(int64) cast was undefined and the *m key
+    multiply overflowed into arbitrary cell picks (r9 ADVICE). The
+    _finite guard scores it 0: picks fall back to pure cid-asc
+    tiebreak and the scored kernel emits cos 0.0 — deterministic on
+    both legs."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(12)]
+    rows.append((12, [0.0, 0.0]))  # zero-norm corpus member + query
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    corpus = similarity._with_norm(similarity._vectors(e))
+    ct = similarity._collect_cents(
+        similarity._ivf_centroids(e, corpus, "modulo", 4))
+    pick = similarity._kbest_pick_udf(ct, 2)
+    got = {r.vec_id: list(r.c) for r in corpus.select(
+        "vec_id", pick(F.col("v"), F.col("nrm")).alias("c")).collect()}
+    # all-zero scores -> ties break to the smallest cids, in order
+    assert got[12] == sorted(ct.cid.tolist())[:2]
+    # scored leg: the zero-norm query ranks every candidate at cos 0.0
+    # with vec_id-asc order, and a second run is identical
+    q = corpus.where(F.col("vec_id") == 12) \
+        .select(F.col("vec_id").alias("qid"), "v", "nrm")
+    a = similarity.ivf_topk(e, q, k=3, centroid_mod=4,
+                            n_probe=10_000).collect()
+    b = similarity.ivf_topk(e, q, k=3, centroid_mod=4,
+                            n_probe=10_000).collect()
+    assert a == b
+    assert [(r.rank, r.vec_id, r.cos) for r in
+            sorted(a, key=lambda r: r.rank)] == \
+        [(1, 0, 0.0), (2, 1, 0.0), (3, 2, 0.0)]
+
+
+def test_hard_negative_topk_string_labels(spark):
+    """hard_negative_topk must carry the CALLER'S label type through
+    the kernel schema (r9 ADVICE: 'qlabel int' was hardcoded and
+    string labels failed at Arrow conversion)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((60, 6))
+    rows = [(int(i), [float(x) for x in V[i]], "red" if i % 2 else "blue")
+            for i in range(60)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = similarity.hard_negative_topk(
+        e, k=4, query_mod=15, centroid_mod=12, n_probe=10_000).collect()
+    assert out
+    assert all(isinstance(r.label, str) and isinstance(r.qlabel, str)
+               for r in out)
+    assert all(r.qlabel != r.label for r in out)
