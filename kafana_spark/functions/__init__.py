@@ -26,6 +26,30 @@ def portable_hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def shingle_hash64(c: Column, hash_fn: str = "md5") -> Column:
+    """60-bit-positive shingle hash with a production/verifiability
+    knob (r9 verdict #6).
+
+    - ``"md5"`` (default): the portable hash — identical in Spark and
+      DuckDB, so operator outputs hash-compare across engines. This
+      IS the oracle contract; every oracle-checked key uses it.
+    - ``"xxhash64"``: Spark's native 64-bit hash, folded to the same
+      positive 60-bit range (pmod 2^60) so every downstream stage
+      (``% MINHASH_P`` reduction, min-aggs, equi-joins) is untouched.
+      ~2-3x cheaper per row than md5 but NOT replayable in DuckDB —
+      the documented production setting for deployments that don't
+      carry the cross-engine verification constraint.
+
+    Both are deterministic per engine; collision odds are the same
+    n²/2⁶⁰ ballpark either way.
+    """
+    if hash_fn == "md5":
+        return portable_hash64(c)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(1 << 60))
+    raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens (documents.text is space-separated)."""
     return F.split(text, " ")

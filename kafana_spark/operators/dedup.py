@@ -71,7 +71,8 @@ def shingle_set(df: DataFrame, id_col: str = "doc_id",
 
 
 def hashed_shingle_set(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
+                       text_col: str = "text", n: int = 3,
+                       hash_fn: str = "md5") -> DataFrame:
     """(id, h) pairs: the inverted index with each shingle replaced by
     its 60-bit portable hash, computed ONCE at explode time.
 
@@ -82,14 +83,20 @@ def hashed_shingle_set(df: DataFrame, id_col: str = "doc_id",
     so hash collisions (P ≈ n²/2⁶¹ per pair) are the only way counts
     can differ from the string-keyed oracle — negligible and caught by
     the oracle gate if ever hit.
+
+    ``hash_fn``: "md5" (default — the cross-engine oracle contract) or
+    "xxhash64" (the documented production setting: ~2-3x cheaper per
+    row, not DuckDB-replayable). See functions.shingle_hash64.
     """
+    from kafana_spark.functions import shingle_hash64
+
     # explode first, hash after: the post-explode projection is
     # whole-stage-codegen'd, while a hash inside the array transform
     # runs as an interpreted higher-order lambda (~30% slower measured)
     return (df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("s"))
-        .select(id_col, portable_hash64(F.col("s")).alias("h")))
+        .select(id_col, shingle_hash64(F.col("s"), hash_fn).alias("h")))
 
 
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -190,7 +197,8 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 
 def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text", collapse_exact: bool = True,
-                     bucket_cap: int | None = None) -> DataFrame:
+                     bucket_cap: int | None = None,
+                     hash_fn: str = "md5") -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact verify. Output: (da, db, jaccard).
 
@@ -209,15 +217,25 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
     stage, and re-running it twice is cheaper than writing 50× the
     corpus to the memory store (measured locally, and categorically
     true at 100 TB).
+
+    ``hash_fn``: "md5" (default — the DuckDB-replayable oracle
+    contract; every oracle-checked key uses it) or "xxhash64" (the
+    production setting — the per-row md5 is the family's measured
+    per-row tail, and swapping it buys ~2-3x on the whole chain at
+    the price of cross-engine verifiability). The exact-Jaccard
+    verify is hash-set-intersection based, so both settings compute
+    identical jaccard values for any pair both surface; only LSH
+    candidate generation is hash-dependent (and band-collision recall
+    is the same by construction).
     """
     if not collapse_exact:
-        sh = hashed_shingle_set(df, text_col=text_col)
+        sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
         pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                                 bucket_cap=bucket_cap)
         return jaccard_verify(pairs, sh, threshold)
 
     reps, members, rep_pairs, sh = _rep_near_dup(
-        df, threshold, text_col, bucket_cap)
+        df, threshold, text_col, bucket_cap, hash_fn=hash_fn)
 
     # cross-group expansion: every member pair inherits its rep pair's
     # jaccard (identical shingle sets); least/greatest restores da<db
@@ -301,7 +319,8 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
 
 
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
-                  bucket_cap: int | None = None):
+                  bucket_cap: int | None = None,
+                  hash_fn: str = "md5"):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
     REPRESENTATIVES only, and the rep shingle index."""
@@ -309,7 +328,7 @@ def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
     members = (df.select(F.col("doc_id").alias("member"), text_col)
                .join(reps.withColumnRenamed("doc_id", "rep"), text_col)
                .select("rep", "member"))
-    sh = hashed_shingle_set(reps, text_col=text_col)
+    sh = hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                             bucket_cap=bucket_cap)
     return reps, members, jaccard_verify(pairs, sh, threshold), sh

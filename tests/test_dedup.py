@@ -332,3 +332,30 @@ def test_snm_pairs_are_true_near_dups(spark):
     assert snm, "SNM found nothing — fixture lost its prefix dups"
     assert set(snm) <= set(full)
     assert all(snm[p] == full[p] for p in snm)
+
+
+def test_minhash_hash_fn_knob_parity(spark):
+    """The r10 hash_fn knob: xxhash64 (production) must reproduce the
+    md5 (oracle-contract) near-dup output on the fixture corpus — the
+    exact-Jaccard verify is hash-set-intersection based, so values are
+    identical for any pair both settings surface, and band recall at
+    these thresholds is stable across hash functions. Oracles stay
+    md5; this pins that the opt-in path is the same operator, not a
+    different approximation."""
+    d = docs(spark)
+    md5_out = {(r.da, r.db): r.jaccard for r in
+               dedup.minhash_near_dup(d, threshold=0.5).collect()}
+    xx_out = {(r.da, r.db): r.jaccard for r in
+              dedup.minhash_near_dup(d, threshold=0.5,
+                                     hash_fn="xxhash64").collect()}
+    assert md5_out == xx_out
+    assert md5_out, "fixture must produce near-dup pairs"
+
+
+def test_shingle_hash64_rejects_unknown_fn():
+    import pytest
+
+    from kafana_spark.functions import shingle_hash64
+
+    with pytest.raises(ValueError):
+        shingle_hash64(F.lit("x"), "sha1")
