@@ -660,8 +660,8 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
                           block_size: int) -> DataFrame:
     """Blocked-BLAS cosine pair kernel over (cell, vec_id, v) rows.
 
-    Blocks are CELL-LOCAL: packing groups on (cell, blk) and the
-    block-pair join requires ``a.cell == b.cell``, so the pair space is
+    Blocks are CELL-LOCAL: packing groups on (cell, blk) and pair
+    tasks are formed within a cell only, so the pair space is
     the sum of per-cell squares, never the corpus square. The
     corpus-wide caller (``embedding_near_dup``) passes one constant
     cell — the documented exact/verify mode; the scale path
@@ -669,6 +669,21 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
     A pair assigned to >1 shared cell (multi-assignment IVF) is
     deduped by a (da, db) groupBy — max(cos) keeps it deterministic
     even if two cells' BLAS batches differ in the last ulp.
+
+    Pair formation (r10): the pre-r10 shape SELF-JOINED the packed
+    frame, which (a) re-ran the entire scan+pack pipeline for the
+    second join side — PythonUDF stages never canonicalize equal, so
+    ReusedExchange cannot deduplicate them — and (b) let the planner
+    pick the packed corpus (matrix bytes!) as a BroadcastExchange
+    build side, which at 100 TB is an executor OOM, not an
+    optimization. Now the corpus is packed ONCE: the per-cell sorted
+    block list (one long per block — tiny) comes from a column-pruned
+    scan of the RAW frame, each packed block explodes to its pair
+    keys (block b is side 'a' of pairs (b, j≥b) and side 'b' of
+    pairs (i<b, b)), and a groupBy on (cell, i, j) hands the kernel
+    exactly the two packed rows of each pair (one when i == j). The
+    shipped pair-payload volume is the same as the join's; the
+    second scan+pack run and the broadcast are gone.
     """
     import numpy as np
     import pandas as pd
@@ -697,50 +712,65 @@ def _blocked_cosine_pairs(e: DataFrame, thr: float,
         .applyInPandas(
             _pack, "cell long, blk long, ids array<long>, mat binary"))
 
-    par = max(32, e.sparkSession.sparkContext.defaultParallelism)
-    tasks = (packed.alias("a")
-             .join(packed.alias("b"),
-                   (F.col("a.cell") == F.col("b.cell"))
-                   & (F.col("a.blk") <= F.col("b.blk")))
-             .select(F.col("a.blk").alias("ablk"), F.col("b.blk").alias("bblk"),
-                     F.col("a.ids").alias("aids"), F.col("a.mat").alias("amat"),
-                     F.col("b.ids").alias("bids"), F.col("b.mat").alias("bmat"))
-             .repartition(par))
+    # per-cell sorted block lists from a column-pruned scan of the
+    # RAW frame (never a second pack run); broadcast — one long per
+    # block, bounded by n/block_size. The HOF lambdas below iterate
+    # these bounded lists only (the documented fine use; see SCALE.md
+    # r9 — never HOFs on a corpus×candidates leg).
+    blks = (e.withColumn(
+        "blk", (F.col("vec_id") / F.lit(block_size)).cast("long"))
+        .select("cell", "blk").distinct()
+        .groupBy("cell")
+        .agg(F.sort_array(F.collect_set("blk")).alias("blks")))
+    b = F.col("blk")
+    pair_keys = F.concat(
+        F.transform(F.filter(F.col("blks"), lambda x: x >= b),
+                    lambda x: F.struct(b.alias("i"), x.alias("j"),
+                                       F.lit("a").alias("side"))),
+        F.transform(F.filter(F.col("blks"), lambda x: x < b),
+                    lambda x: F.struct(x.alias("i"), b.alias("j"),
+                                       F.lit("b").alias("side"))))
+    tasks = (packed.join(F.broadcast(blks), "cell")
+             .select("cell", "ids", "mat", F.explode(pair_keys).alias("pk"))
+             .select("cell", F.col("pk.i").alias("i"),
+                     F.col("pk.j").alias("j"),
+                     F.col("pk.side").alias("side"), "ids", "mat"))
 
-    def _cosine_pairs(batches):
-        for pdf in batches:
-            out_da, out_db, out_cos = [], [], []
-            for row in pdf.itertuples(index=False):
-                aids = np.asarray(row.aids, dtype=np.int64)
-                bids = np.asarray(row.bids, dtype=np.int64)
-                A = np.frombuffer(row.amat).reshape(len(aids), -1)
-                B = np.frombuffer(row.bmat).reshape(len(bids), -1)
-                # same formula as the oracle: dot / (||a|| * ||b||);
-                # rounded half-away-from-zero to match DuckDB ROUND
-                # exactly (r10 — see similarity._half_away), with the
-                # zero-norm NaN guard
-                S = A @ B.T
-                na = np.sqrt(np.einsum("ij,ij->i", A, A))
-                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-                cos = _half_away(_finite(S / np.outer(na, nb)), 4)
-                mask = cos >= thr
-                if row.ablk == row.bblk:
-                    mask &= aids[:, None] < bids[None, :]
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    da = np.minimum(aids[ii], bids[jj])
-                    db = np.maximum(aids[ii], bids[jj])
-                    out_da.append(da)
-                    out_db.append(db)
-                    out_cos.append(cos[ii, jj])
-            if out_da:
-                yield pd.DataFrame({
-                    "da": np.concatenate(out_da),
-                    "db": np.concatenate(out_db),
-                    "cos": np.concatenate(out_cos),
-                })
+    def _pair_kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"da": [], "db": [], "cos": []})
+        arow = pdf[pdf["side"] == "a"]
+        brow = pdf[pdf["side"] == "b"]
+        same = int(pdf["i"].iloc[0]) == int(pdf["j"].iloc[0])
+        if len(arow) == 0 or (len(brow) == 0 and not same):
+            return empty
+        a = arow.iloc[0]
+        bb = a if same else brow.iloc[0]
+        aids = np.asarray(a["ids"], dtype=np.int64)
+        bids = np.asarray(bb["ids"], dtype=np.int64)
+        A = np.frombuffer(a["mat"]).reshape(len(aids), -1)
+        B = np.frombuffer(bb["mat"]).reshape(len(bids), -1)
+        # same formula as the oracle: dot / (||a|| * ||b||);
+        # rounded half-away-from-zero to match DuckDB ROUND
+        # exactly (r10 — see similarity._half_away), with the
+        # zero-norm NaN guard
+        S = A @ B.T
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        cos = _half_away(_finite(S / np.outer(na, nb)), 4)
+        mask = cos >= thr
+        if same:
+            mask &= aids[:, None] < bids[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        return pd.DataFrame({
+            "da": np.minimum(aids[ii], bids[jj]),
+            "db": np.maximum(aids[ii], bids[jj]),
+            "cos": cos[ii, jj],
+        })
 
-    raw = tasks.mapInPandas(_cosine_pairs, "da long, db long, cos double")
+    raw = tasks.groupBy("cell", "i", "j").applyInPandas(
+        _pair_kern, "da long, db long, cos double")
     return raw.groupBy("da", "db").agg(F.max("cos").alias("cos"))
 
 
