@@ -12,10 +12,20 @@ ratio for 10× data (queries grow n/100 with the corpus, so the
 probe leg is (n/100)·n_probe·(n/√n) = O(n^1.5) too); fixed
 overheads amortize, so healthy rows land well under that.
 
+r10 extension (verdict task 5): the minhash/text family — now the
+suite's top cost — gets its own two-decade evidence. The tool also
+generates sf1/sf10-shaped DOCUMENTS tables (same fitted recipe as
+tools/scale_ladder.py: vocab/length/dup-rate fitted from sf0.1) and
+times the x02-shaped banded minhash pipeline (claim: within ~2x of
+linear at 10x data — every stage is banded/bounded, nothing
+quadratic) and the x57-shaped stored-index serve (claim: the serve
+leg re-reads stored bands+shingles, so it scales with corpus size
+linearly too, but skips the shingle/signature recompute — the
+build-once amortization is the ratio between the two rows).
+
 Usage: python tools/sf10_spot.py [--regen]
-Writes LADDER_r9_sf10.json at the repo root (r9: re-measure after the
-map-only k-best cell pick + probe-rank rewrite + one-pass mutual kNN;
-r8 numbers preserved in LADDER_r8_sf10.json).
+Writes LADDER_r10_sf10.json at the repo root (r9 numbers preserved
+in LADDER_r9_sf10.json).
 """
 
 from __future__ import annotations
@@ -74,6 +84,50 @@ def generate(path: str, scale: int = SCALE) -> None:
     print(f"# generated {n_vec} vectors at {path}", file=sys.stderr)
 
 
+def generate_docs(path: str, scale: int) -> None:
+    """Scaled documents for the minhash rows — the scale_ladder
+    recipe (fitted vocab/lengths/dup rate from sf0.1), with the token
+    draws batched into ONE rng.choice call: per-doc choice(p=...)
+    re-sets up the sampler per document (O(docs x vocab)); one call
+    for the whole corpus is O(total_tokens x log vocab)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    os.makedirs(path, exist_ok=True)
+    con = duckdb.connect()
+    vocab = con.execute(
+        "SELECT tok, COUNT(*) c FROM (SELECT unnest(string_split(text,"
+        f"' ')) tok FROM read_parquet('{SF01}/documents.parquet')) "
+        "GROUP BY tok ORDER BY tok").fetchall()
+    words = np.array([v[0] for v in vocab])
+    wp = np.array([v[1] for v in vocab], dtype=float)
+    wp /= wp.sum()
+    lens = np.array([r[0] for r in con.execute(
+        "SELECT len(string_split(text, ' ')) FROM "
+        f"read_parquet('{SF01}/documents.parquet')").fetchall()])
+    n_src, n_dup_src = con.execute(
+        "SELECT COUNT(*), COUNT(*) - COUNT(DISTINCT text) FROM "
+        f"read_parquet('{SF01}/documents.parquet')").fetchone()
+    n_docs = scale * n_src
+    n_dup = scale * n_dup_src
+    doc_lens = rng.choice(lens, size=n_docs)
+    draws = rng.choice(words, size=int(doc_lens.sum()), p=wp)
+    bounds = np.cumsum(doc_lens)[:-1]
+    texts = [" ".join(part) for part in np.split(draws, bounds)]
+    for i in rng.choice(np.arange(1, n_docs), size=n_dup, replace=False):
+        texts[i] = texts[int(i) // 2]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{path}/documents.parquet")
+    print(f"# generated {n_docs} documents at {path}", file=sys.stderr)
+
+
 def main() -> None:
     if "--regen" in sys.argv or not os.path.exists(
             f"{SF1}/embeddings.parquet"):
@@ -81,6 +135,12 @@ def main() -> None:
     if "--regen" in sys.argv or not os.path.exists(
             f"{SF10}/embeddings.parquet"):
         generate(SF10)
+    if "--regen" in sys.argv or not os.path.exists(
+            f"{SF1}/documents.parquet"):
+        generate_docs(SF1, scale=SCALE // 10)
+    if "--regen" in sys.argv or not os.path.exists(
+            f"{SF10}/documents.parquet"):
+        generate_docs(SF10, scale=SCALE)
 
     from kafana_spark.operators import dedup, similarity
     from kafana_spark.operators.registry import (
@@ -118,10 +178,43 @@ def main() -> None:
             centroid_k=int(math.isqrt(n)), n_probe=KNN_N_PROBE,
             n_assign=KNN_N_ASSIGN, min_cos=KNN_CLUSTER_MIN_COS)
 
-    cases = {"x281_filtered_ivf_fixedk": filtered_ivf_fixed,
-             "x151_knn_clusters_fixedk": knn_clusters_fixed}
+    def minhash_neardup(sf_dir: str):
+        d = load_table(spark, sf_dir, "documents")
+        return dedup.minhash_near_dup(d, 0.5)
+
+    _idx_built: dict[str, str] = {}
+
+    def _dedup_index_for(sf_dir: str) -> str:
+        from kafana_spark import dedup_index
+
+        if sf_dir not in _idx_built:
+            root = f"/tmp/sfscale/ndidx_{os.path.basename(sf_dir)}"
+            if not os.path.exists(root):
+                t0 = time.time()
+                dedup_index.build_dedup_index(
+                    load_table(spark, sf_dir, "documents"), root)
+                print(f"# dedup index build @ {sf_dir}: "
+                      f"{time.time() - t0:.2f}s", file=sys.stderr)
+            _idx_built[sf_dir] = root
+        return _idx_built[sf_dir]
+
+    def stored_neardup_serve(sf_dir: str):
+        from kafana_spark import dedup_index
+
+        return dedup_index.near_dup_from_index(
+            spark, _dedup_index_for(sf_dir), 0.5)
+
+    cases = {"x281_filtered_ivf_fixedk": (filtered_ivf_fixed, 31.6,
+                                          "n^1.5 (fixed-k=sqrt(n))"),
+             "x151_knn_clusters_fixedk": (knn_clusters_fixed, 31.6,
+                                          "n^1.5 (fixed-k=sqrt(n))"),
+             "x02_minhash_neardup": (minhash_neardup, 20.0,
+                                     "~2x of linear (banded LSH)"),
+             "x57_stored_neardup_serve": (stored_neardup_serve, 20.0,
+                                          "~2x of linear (stored bands"
+                                          "+shingles, no rehash)")}
     out: dict[str, dict] = {}
-    for name, fn in cases.items():
+    for name, (fn, bound, law) in cases.items():
         row: dict[str, float] = {}
         for tag, d in (("sf1", SF1), ("sf10", SF10)):
             best = None
@@ -137,14 +230,16 @@ def main() -> None:
             print(f"# {name} @ {tag}: {best:.2f}s rows={nrows}",
                   file=sys.stderr)
         row["ratio"] = round(row["sf10"] / row["sf1"], 2)
-        row["n15_bound"] = 31.6
+        row["bound"] = bound
+        row["law"] = law
         out[name] = row
     result = {"metric": "sf10_fixedk_spot", "cases": out,
-              "note": "10x data at fixed-k=sqrt(n); n^1.5 predicts "
-                      "<=31.6x wall, fixed overheads amortize below"}
+              "note": "10x data; ANN rows bound by n^1.5 = 31.6x at "
+                      "fixed-k=sqrt(n), minhash rows by ~2x of linear "
+                      "= 20x (banded pipeline, nothing quadratic)"}
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "LADDER_r9_sf10.json"),
+            os.path.abspath(__file__))), "LADDER_r10_sf10.json"),
             "w") as f:
         json.dump(result, f, indent=1)
     spark.stop()
