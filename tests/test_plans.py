@@ -366,21 +366,34 @@ def test_x64_chunk_windows_is_map_only_before_sort(spark):
 
 
 def test_x68_block_pair_join_is_cell_local(spark):
-    """The SemDeDup default's block-pair self-join must be an EQUI join
-    keyed on the IVF cell id (blk <= blk only as residual) — the whole
-    point of x68 is that block pairs never span cells, so the pair
-    space is the sum of per-cell squares, not the corpus square. The
-    only nested-loop joins allowed are the broadcast-centroid
-    expansions (tiny build side, same shape x08 pins)."""
+    """The SemDeDup default's pair fan-out must stay cell-local AND
+    pack-once (the r10 shape, commit 7ea1c74): the pre-r10 self-join
+    of the packed frame re-ran the whole scan+pack pipeline for the
+    second join side (PythonUDF stages never canonicalize equal, so
+    ReusedExchange cannot dedup them) and let the planner broadcast
+    the packed corpus — matrix BYTES — as a build side. Pins:
+    exactly one _pack run and one _pair_kern run; the only join is a
+    broadcast EQUI join on the cell id whose build side is the tiny
+    per-cell block list (never the packed matrices); pair tasks come
+    from the pair-key explode, so the pair space is the sum of
+    per-cell squares, not the corpus square."""
     from kafana_spark.operators import dedup
     from kafana_spark.sources.tables import load_table
 
     e = load_table(spark, SF_SMOKE, "embeddings")
     plan = plan_of(dedup.embedding_near_dup_bucketed(e, 0.45))
     assert "CartesianProduct" not in plan
-    # the packed-block self-join: keys on cell, blk<=blk residual
-    assert re.search(r"keys \[\d+\]: \[cell#", plan)
-    assert re.search(r"Join condition: \(blk#\d+L <= blk#\d+L\)", plan)
+    # pack-once: one _pack node, one _pair_kern node, nothing else
+    assert len(re.findall(r"_pack\(", plan)) == 1
+    assert len(re.findall(r"_pair_kern\(", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2
+    # the pair join: broadcast equi on cell, both sides
+    assert re.search(r"Left keys \[1\]: \[cell#", plan)
+    assert re.search(r"Right keys \[1\]: \[cell#", plan)
+    # no broadcast may carry the packed matrix bytes
+    for node in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) BroadcastExchange", node.strip()):
+            assert "mat#" not in node, node
 
 
 def test_x69_exact_substr_shuffles_hashes_not_text(spark):
