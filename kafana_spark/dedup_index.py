@@ -157,7 +157,19 @@ def near_dup_from_index(spark: SparkSession, path: str,
     # both batch-built and stream-built (batch=<id>-partitioned) indexes
     bands = spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
     sh = spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
-    pairs = candidate_pairs(bands, bucket_cap=bucket_cap)
+    # materialize the candidate list ONCE: jaccard_verify references
+    # `pairs` from four places (cand-id prune, intersection join x2
+    # via sh_v, final join), and as a lazy subplan each reference
+    # re-embeds the whole bands self-join — the measured sf10p serve
+    # plan held 44 parquet scans and ZERO ReusedExchange, paying the
+    # bucket join ~4x (and at 100 TB, 4x the dominant leg). The pair
+    # list is the LSH-pruned edge set — small BY DESIGN (that is what
+    # banding buys) — so an eager localCheckpoint stores kilobytes,
+    # truncates the lineage, and every consumer reads the stored
+    # blocks. Same serve-boundary materialization contract as
+    # clusters_from_index's persist.
+    pairs = (candidate_pairs(bands, bucket_cap=bucket_cap)
+             .localCheckpoint(eager=True))
     return jaccard_verify(pairs, sh, threshold)
 
 
