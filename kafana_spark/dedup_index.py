@@ -228,11 +228,18 @@ def incremental_from_index(new: DataFrame, path: str,
     bn = lsh_bands(minhash_signature(sh_new))
     bo = (spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
           .join(F.broadcast(new_ids), "doc_id", "left_anti"))
+    # materialized for the same reason as near_dup_from_index's pair
+    # list: jaccard_verify references `cand` from four places, and as
+    # a lazy subplan each reference re-embeds the NEWxSTORE band join
+    # (and re-signs the new batch) — the measured incremental plan
+    # held 126 parquet scans before this. The candidate list is the
+    # LSH-pruned NEWxSTORE edge set — small by design.
     cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
             .select(F.least("a.doc_id", "b.doc_id").alias("da"),
                     F.greatest("a.doc_id", "b.doc_id").alias("db"))
             .where(F.col("da") < F.col("db"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=True))
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
