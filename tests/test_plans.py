@@ -396,6 +396,27 @@ def test_x68_block_pair_join_is_cell_local(spark):
             assert "mat#" not in node, node
 
 
+def test_stored_serve_plans_stay_materialized(spark, tmp_path):
+    """The stored/incremental near-dup serves must NOT re-embed their
+    candidate subplan per jaccard_verify reference: pre-fix the lazy
+    pair frame was referenced from four places, blowing the plans to
+    44 / 126 parquet scans (bucket join paid ~4x, wall varying 17-128
+    s run-to-run at the sf10 index). The eager localCheckpoint of the
+    LSH-pruned edge list pins them to a handful of scans; this test
+    fails if someone drops the materialization."""
+    from kafana_spark import dedup_index
+    from kafana_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    root = str(tmp_path / "ndidx")
+    dedup_index.build_dedup_index(docs.where("doc_id % 2 = 0"), root)
+    plan = plan_of(dedup_index.near_dup_from_index(spark, root, 0.5))
+    assert len(re.findall(r"Scan parquet", plan)) <= 12, plan
+    plan = plan_of(dedup_index.incremental_from_index(
+        docs.where("doc_id % 2 = 1"), root, 0.5))
+    assert len(re.findall(r"Scan parquet", plan)) <= 28, plan
+
+
 def test_x69_exact_substr_shuffles_hashes_not_text(spark):
     """The gram index must hash at explode time: no exchange may carry
     the gram STRING — only 8-byte hashes, ids and positions."""
