@@ -37,15 +37,15 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 10 (current): round 9 signed q01–q22 + x168–x195 all green
-    (CORRECTNESS_r09), so the never-signed block now starts at
-    x196 — the window yields q01–q22 + x196–x223 (28 slots);
-    x224–x300 roll into later rounds (~3 more at 28/round).
-    Signature ages after r9: x196+: never driver-signed
+    Round 11 (current): round 10 signed q01–q22 + x196–x223 all green
+    (CORRECTNESS_r10), so the never-signed block now starts at
+    x224 — the window yields q01–q22 + x224–x251 (28 slots);
+    x252–x300 roll into later rounds (~2 more at 28/round).
+    Signature ages after r10: x224+: never driver-signed
     (judge-verified green via check_oracle but the driver record is
     the contract), x29–x56: r3 (oldest remaining), x01–x17/x57–x67:
     r4, x18–x28/x68–x84: r5, x85–x112: r6, x113–x140 minus x130: r7,
-    x130/x141–x167: r8, x168–x195: r9 (freshest).
+    x130/x141–x167: r8, x168–x195: r9, x196–x223: r10 (freshest).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -54,7 +54,7 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if n >= 196:
+            if n >= 224:
                 return (1, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
                 return (2, n, k)  # r3-signed: oldest current signatures
@@ -67,9 +67,11 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
             if n == 130 or 141 <= n <= 167:
                 return (7, n, k)  # r8-signed
             if 168 <= n <= 195:
-                return (8, n, k)  # r9-signed (freshest)
+                return (8, n, k)  # r9-signed
+            if 196 <= n <= 223:
+                return (9, n, k)  # r10-signed (freshest)
             return (6, n, k)      # x113–x140 (minus x130): r7
-        return (9, 0, k)
+        return (10, 0, k)
 
     return sorted(extension_keys, key=rank)
 

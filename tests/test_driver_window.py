@@ -91,13 +91,13 @@ def test_window_fronts_red_then_never_signed_keys():
         f"{expected_front} — rotate _ordered_keys bands")
 
 
-def test_round10_window_is_q_set_plus_x196_x223():
-    """Belt-and-braces explicit pin for THIS round (r10): r9 signed
-    everything through x195 green, so x196–x223 are the oldest
+def test_round11_window_is_q_set_plus_x224_x251():
+    """Belt-and-braces explicit pin for THIS round (r11): r10 signed
+    everything through x223 green, so x224–x251 are the oldest
     never-signed block and fill the window."""
     w = _window()
     ns = [_xnum(k) for k in w[22:]]
-    assert ns == list(range(196, 224)), ns
+    assert ns == list(range(224, 252)), ns
 
 
 def test_oracle_keys_match_query_keys():
