@@ -1514,14 +1514,15 @@ def pca_power(df: DataFrame, n_iters: int = 4, dim: int = 64,
     Output: (bin, n) histogram of floor(centered_proj / bin_w),
     ordered by bin.
 
-    Scale: the Gram pass is the one corpus-scale job — a self
-    equi-join on vec_id expanding to n·d² rows that partial-
-    aggregates to d² cells (the standard distributed moment
-    computation; d² = 4096 cells combine map-side). The iteration
-    itself is driver-side O(d²·iters) on a d×d integer table —
-    exactly the sufficient-statistics shape the Lloyd walk
-    materializes. The projection is one broadcast-literal zip_with
-    pass; the histogram is a combinable count."""
+    Scale: the Gram pass is the one corpus-scale job — a map-only
+    Arrow kernel computing per-partition XᵀX partials in exact int64
+    (``_pca_moments``), reduced by a combinable d²-cell sum (d² =
+    4096 cells; no exchange ever carries more than partitions·d²
+    partial rows). The iteration itself is driver-side O(d²·iters)
+    on a d×d integer table — exactly the sufficient-statistics shape
+    the Lloyd walk materializes. The projection is one
+    broadcast-literal zip_with pass; the histogram is a combinable
+    count."""
     corpus = _km_corpus(df, dim)
     sj, S, n = _pca_moments(corpus, dim)
     v, _ = _pca_walk(sj, S, n, dim, n_iters)
@@ -1542,17 +1543,66 @@ def pca_power(df: DataFrame, n_iters: int = 4, dim: int = 64,
 def _pca_moments(corpus: DataFrame, dim: int):
     """Collect the exact integer first/second moments (s_j, S_jk, n)
     — the d + d² sufficient statistics of the covariance; the ONE
-    corpus-scale job behind the PCA family (see ``pca_power``)."""
-    ex = corpus.select("vec_id", F.posexplode("vu").alias("j", "x"))
-    sj = {int(r.j): int(r.s)
-          for r in ex.groupBy("j").agg(F.sum("x").alias("s"))
-          .collect()}
-    gram = (ex.alias("a")
-            .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
-            .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
-            .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s")))
-    S = {(int(r.j), int(r.k)): int(r.s) for r in gram.collect()}
-    return sj, S, corpus.count()
+    corpus-scale job behind the PCA family (see ``pca_power``).
+
+    Map-only Arrow kernel (r11, the ``_km_assign`` discipline): each
+    partition computes its XᵀX partial, column sums, and row count in
+    exact int64 numpy (integer matmul, no BLAS, bit-exact), emitting
+    d² + d + 1 partial rows; a combinable groupBy sums them and ONE
+    d²-row collect lands the statistics on the driver. The previous
+    shape — posexplode to n·d rows, then a self equi-join on vec_id
+    producing n·d² rows through a shuffle before the groupBy reduced
+    them — was correct but pushed n·d² rows through an exchange;
+    this pass moves n·d values once and shuffles only
+    partitions·(d²+d+1) partial rows. Same int64 headroom as before:
+    |Σ x_j·x_k| ≤ n·1e12 (µunit entries), overflow at n ≳ 9e6 rows
+    exactly as ``pca_power`` documents."""
+    rows = _pca_moments_frame(corpus, dim).collect()
+    sj, S, n = {}, {}, 0
+    for r in rows:
+        j, k = int(r.j), int(r.k)
+        if j == -2:
+            n = int(r.s)
+        elif k == -1:
+            sj[j] = int(r.s)
+        else:
+            S[(j, k)] = int(r.s)
+    return sj, S, n
+
+
+def _pca_moments_frame(corpus: DataFrame, dim: int) -> DataFrame:
+    """The (j, k, s) sufficient-statistics frame behind
+    ``_pca_moments``, pre-collect — split out so the plan-shape test
+    can pin that the Gram pass stays map-only (one MapInPandas, one
+    combinable groupBy, NO join)."""
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        G = _np.zeros((dim, dim), dtype=_np.int64)
+        s = _np.zeros(dim, dtype=_np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _stack(pdf["vu"], _np.int64)
+            G += X.T @ X
+            s += X.sum(axis=0, dtype=_np.int64)
+            n += len(pdf)
+        if not n:
+            return
+        d = _np.arange(dim)
+        yield _pd.DataFrame({
+            "j": _np.concatenate([_np.repeat(d, dim), d, [-2]]),
+            "k": _np.concatenate([_np.tile(d, dim),
+                                  _np.full(dim, -1), [-2]]),
+            "s": _np.concatenate([G.ravel(), s, [n]]),
+        })
+
+    return (corpus.select("vu")
+            .mapInPandas(partials, "j int, k int, s long")
+            .groupBy("j", "k").agg(F.sum("s").alias("s")))
 
 
 def _pca_cov(sj, S, n: int, dim: int):

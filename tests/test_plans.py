@@ -653,10 +653,9 @@ def test_gopher_rules_plan_no_window_no_cartesian(spark):
 
 
 def test_pca_power_gram_is_equi_join(spark):
-    """x167's Gram pass must join the exploded frame on vec_id (an
-    equi-join that partial-aggregates to d² cells) — never a
-    cartesian pair frame; the projection pass joins nothing wider
-    than the broadcast literal vector."""
+    """x167's projection/histogram plan must never widen past the
+    broadcast literal vector — no cartesian pair frame, no nested
+    loop join."""
     from kafana_spark.operators.registry import EXTENSION_QUERIES
 
     plan = plan_of(EXTENSION_QUERIES["x167_pca_power"](
@@ -664,6 +663,24 @@ def test_pca_power_gram_is_equi_join(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
     assert "BroadcastNestedLoopJoin" not in body
+
+
+def test_pca_moments_pass_is_map_only(spark):
+    """The PCA sufficient-statistics job (r11) must be ONE
+    MapInPandas kernel reduced by a combinable groupBy — NO join of
+    any kind may reappear (the pre-r11 shape self-joined the
+    posexploded frame on vec_id, pushing n·d² rows through an
+    exchange before the reduce)."""
+    from kafana_spark.operators import similarity
+    from kafana_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = similarity._km_corpus(emb, 64)
+    frame = similarity._pca_moments_frame(corpus, 64)
+    body = plan_of(frame).split("== Physical Plan ==")[-1]
+    assert "MapInPandas" in body
+    assert "Join" not in body
+    assert "Generate" not in body  # no posexplode leg either
 
 
 def test_knn_outliers_plan_is_take_ordered(spark):
