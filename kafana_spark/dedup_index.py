@@ -39,6 +39,7 @@ from kafana_spark.operators.dedup import (
     candidate_pairs, hashed_shingle_set, jaccard_verify, lsh_bands,
     minhash_signature,
 )
+from kafana_spark.session import serve_materialize
 
 SIG_DIR = "signatures"
 BAND_DIR = "bands"
@@ -152,7 +153,16 @@ def near_dup_from_index(spark: SparkSession, path: str,
                         bucket_cap: int | None = None) -> DataFrame:
     """All verified near-dup pairs (da, db, jaccard), da < db, computed
     from the stored signatures + shingles — no text is read and nothing
-    is re-hashed."""
+    is re-hashed.
+
+    The candidate list is materialized eagerly at the serve boundary;
+    its size is bounded only while the LSH edge list is — which
+    banding guarantees on natural-entropy corpora, but NOT on the
+    documented adversarial everything-similar regime (SCALE.md: ~80 GB
+    of candidates at 500k low-entropy docs). On such corpora set
+    ``bucket_cap`` — it bounds per-bucket pair fan-out and therefore
+    the materialized checkpoint, at the documented recall trade.
+    """
     # drop is a no-op when the column is absent, so one reader serves
     # both batch-built and stream-built (batch=<id>-partitioned) indexes
     bands = spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
@@ -164,12 +174,12 @@ def near_dup_from_index(spark: SparkSession, path: str,
     # plan held 44 parquet scans and ZERO ReusedExchange, paying the
     # bucket join ~4x (and at 100 TB, 4x the dominant leg). The pair
     # list is the LSH-pruned edge set — small BY DESIGN (that is what
-    # banding buys) — so an eager localCheckpoint stores kilobytes,
-    # truncates the lineage, and every consumer reads the stored
-    # blocks. Same serve-boundary materialization contract as
-    # clusters_from_index's persist.
-    pairs = (candidate_pairs(bands, bucket_cap=bucket_cap)
-             .localCheckpoint(eager=True))
+    # banding buys; see bucket_cap note above) — so the eager
+    # checkpoint stores kilobytes, truncates the lineage, and every
+    # consumer reads the stored blocks (reliable checkpoint when the
+    # session has a checkpoint dir — see session.serve_materialize).
+    pairs = serve_materialize(
+        candidate_pairs(bands, bucket_cap=bucket_cap))
     return jaccard_verify(pairs, sh, threshold)
 
 
@@ -223,7 +233,17 @@ def incremental_from_index(new: DataFrame, path: str,
     afterwards to fold the batch in.
     """
     spark = new.sparkSession
-    sh_new = hashed_shingle_set(new, text_col=text_col)
+    # sh_new is materialized FIRST (r10 ADVICE): the candidate leg
+    # (via bn) and the verify leg both derive from it, and with an
+    # eager checkpoint on `cand` alone the two legs would evaluate
+    # `new` on separate jobs — a non-deterministic batch (sample/
+    # limit/stream source) could then silently diverge between its
+    # own candidates and its verify shingles. The batch shingle set
+    # is bounded by the batch size; both legs now read the one
+    # materialized copy, which also stops the verify leg re-signing
+    # the batch.
+    sh_new = serve_materialize(
+        hashed_shingle_set(new, text_col=text_col))
     new_ids = sh_new.select("doc_id").distinct()
     bn = lsh_bands(minhash_signature(sh_new))
     bo = (spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
@@ -231,15 +251,15 @@ def incremental_from_index(new: DataFrame, path: str,
     # materialized for the same reason as near_dup_from_index's pair
     # list: jaccard_verify references `cand` from four places, and as
     # a lazy subplan each reference re-embeds the NEWxSTORE band join
-    # (and re-signs the new batch) — the measured incremental plan
-    # held 126 parquet scans before this. The candidate list is the
-    # LSH-pruned NEWxSTORE edge set — small by design.
-    cand = (bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
-            .select(F.least("a.doc_id", "b.doc_id").alias("da"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("db"))
-            .where(F.col("da") < F.col("db"))
-            .distinct()
-            .localCheckpoint(eager=True))
+    # — the measured incremental plan held 126 parquet scans before
+    # this. The candidate list is the LSH-pruned NEWxSTORE edge set —
+    # small by design (bucket entropy; see near_dup_from_index).
+    cand = serve_materialize(
+        bn.alias("a").join(bo.alias("b"), ["band", "bkey"])
+        .select(F.least("a.doc_id", "b.doc_id").alias("da"),
+                F.greatest("a.doc_id", "b.doc_id").alias("db"))
+        .where(F.col("da") < F.col("db"))
+        .distinct())
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)

@@ -262,7 +262,8 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
 
 
 def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      hash_fn: str = "md5") -> DataFrame:
     """Exact n-gram Jaccard near-dup: every pair sharing ≥1 shingle,
     verified exactly. The recall-1.0 oracle twin of minhash_near_dup.
 
@@ -270,8 +271,13 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
     IS both the candidate set (any pair it produces shares a shingle)
     and the intersection size — no separate candidate-pair join or
     distinct pass.
+
+    ``hash_fn``: "md5" (oracle contract) or "xxhash64" (production —
+    see functions.shingle_hash64). Output is identical either way:
+    intersection/size counts depend only on hash-set equality, never
+    on hash values (r11, extending the r10 minhash knob).
     """
-    sh = hashed_shingle_set(df, text_col=text_col)
+    sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (sh.alias("x").join(sh.alias("y"), F.col("x.h") == F.col("y.h"))
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -289,7 +295,8 @@ def ngram_jaccard_dup(df: DataFrame, threshold: float = 0.5,
 
 
 def overlap_near_dup(df: DataFrame, min_bp: int,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     hash_fn: str = "md5") -> DataFrame:
     """Containment near-dup by overlap coefficient: |A∩B| / min(|A|,
     |B|) in integer basis points (truncating div — engine-exact, no
     float ratio).  The asymmetric sibling of :func:`ngram_jaccard_dup`
@@ -298,8 +305,11 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
     this is the family member that catches quote/subset/boilerplate
     nesting.  Identical inverted-index plan: one hashed-shingle
     self-join provides both candidates and intersection counts.
+
+    ``hash_fn`` as in :func:`ngram_jaccard_dup` — counts are
+    hash-value-independent, so both settings produce identical rows.
     """
-    sh = hashed_shingle_set(df, text_col=text_col)
+    sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (sh.alias("x").join(sh.alias("y"), F.col("x.h") == F.col("y.h"))
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -499,7 +509,8 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
 
 def incremental_near_dup(new: DataFrame, old: DataFrame,
                          threshold: float = 0.5,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         hash_fn: str = "md5") -> DataFrame:
     """Incremental near-dedup: near-dup pairs between an incoming batch
     and an existing corpus — the daily-crawl-vs-historical-index shape.
     Output (da, db, jaccard) with da < db. Ids are expected to be
@@ -516,10 +527,14 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
     pass. At 100 TB the old side's band frame is a precomputed index
     you persist once (it's a pure per-document function) and re-read
     per batch.
+
+    ``hash_fn`` as in :func:`minhash_near_dup` (r11) — surfaced pairs
+    carry exact set-intersection jaccards either way; apply ONE
+    setting to both sides (and to any persisted index).
     """
-    sh_new = hashed_shingle_set(new, text_col=text_col)
+    sh_new = hashed_shingle_set(new, text_col=text_col, hash_fn=hash_fn)
     new_ids = sh_new.select("doc_id").distinct()
-    sh_old = (hashed_shingle_set(old, text_col=text_col)
+    sh_old = (hashed_shingle_set(old, text_col=text_col, hash_fn=hash_fn)
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     bn = lsh_bands(minhash_signature(sh_new))
     bo = lsh_bands(minhash_signature(sh_old))
@@ -535,7 +550,7 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
 
 def benchmark_overlap(df: DataFrame, benchmark: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, hash_fn: str = "md5") -> DataFrame:
     """Benchmark decontamination: per-document count of distinct word
     n-grams shared with a held-out benchmark/eval set.
 
@@ -552,11 +567,16 @@ def benchmark_overlap(df: DataFrame, benchmark: DataFrame,
     count (doc_id keyed, combinable) and the final left join back to
     ids. Shingles are distinct per document, so ``n_hits`` counts
     distinct shared n-grams without a dedup pass.
+
+    ``hash_fn`` as in :func:`ngram_jaccard_dup` (r11) — hit counts are
+    hash-set intersections, identical under either setting.
     """
     corpus_sh = hashed_shingle_set(df, id_col=id_col,
-                                   text_col=text_col, n=n)
+                                   text_col=text_col, n=n,
+                                   hash_fn=hash_fn)
     bench_sh = (hashed_shingle_set(benchmark, id_col=id_col,
-                                   text_col=text_col, n=n)
+                                   text_col=text_col, n=n,
+                                   hash_fn=hash_fn)
                 .select("h").distinct())
     hits = (corpus_sh.join(F.broadcast(bench_sh), "h")
             .groupBy(id_col)
@@ -577,6 +597,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
     bit b = 1 iff sum over shingles of ±1 (sign of hash bit b) > 0.
     One groupBy with 32 conditional sums — map-side combinable.
+
+    No ``hash_fn`` knob here on purpose (r11): the fingerprint IS a
+    function of the hash bit VALUES, so switching hash functions
+    changes every fingerprint (and thus chunk blocking + Hamming
+    verification) — not an output-identical cost knob like the
+    set-intersection family's.
     """
     hashed = hashed_shingle_set(df, id_col=id_col, text_col=text_col)
     bit_sums = [
@@ -1294,7 +1320,8 @@ def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
                             window: int = SNM_WINDOW,
                             key_tokens: int = SNM_KEY_TOKENS,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            hash_fn: str = "md5") -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup: the classic
     merge/purge blocking — sort by a content key, compare each record
     only with its ``window``-1 successors in sort order, verify with
@@ -1315,6 +1342,12 @@ def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
     window-1 (bucket, rn+off) probes — no range join, no nested loop.
     Output: (da, db, jaccard) — pairs adjacent in sort order that
     pass the Jaccard threshold.
+
+    ``hash_fn`` (r11) applies to the VERIFY leg's shingle index only
+    (hash-value-independent counts ⇒ identical output); the sort key
+    stays md5 because it defines the blocking semantics the oracle
+    replays — changing it would reshuffle neighborhoods, i.e. change
+    recall, not just cost.
     """
     from kafana_spark.functions import tokens
 
@@ -1337,5 +1370,6 @@ def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
         .select(F.least("da0", "db0").alias("da"),
                 F.greatest("da0", "db0").alias("db"))
         .distinct())
-    return jaccard_verify(cand, hashed_shingle_set(df, id_col, text_col),
-                          threshold)
+    return jaccard_verify(
+        cand, hashed_shingle_set(df, id_col, text_col, hash_fn=hash_fn),
+        threshold)

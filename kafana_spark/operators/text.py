@@ -1189,7 +1189,7 @@ def hash_bytes(data: bytes) -> int:
 
 def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", block_tokens: int = 3,
-                max_freq: int = 2) -> DataFrame:
+                max_freq: int = 2, hash_fn: str = "md5") -> DataFrame:
     """Boilerplate-chunk removal (CCNet-style line-level dedup,
     re-expressed for unstructured text): split every document into
     consecutive ``block_tokens``-token blocks, drop each block whose
@@ -1209,8 +1209,13 @@ def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
     collected. The per-doc block list is built by an interpreted
     ``transform`` lambda, but over O(n_tokens/block_tokens) elements —
     the same cost class as the shingle builders.
+
+    ``hash_fn``: "md5" (oracle contract) or "xxhash64" (production —
+    functions.shingle_hash64). Frequencies depend only on block-text
+    equality, so both settings emit identical clean_text (r11,
+    extending the r10 minhash knob).
     """
-    from kafana_spark.functions import portable_hash64
+    from kafana_spark.functions import shingle_hash64
 
     toks = tokens(F.col(text_col))
     nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
@@ -1219,7 +1224,7 @@ def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
         lambda i: F.array_join(
             F.slice(toks, i * block_tokens + 1, block_tokens), " "))
     b = df.select(F.col(id_col), F.posexplode(blocks).alias("blk_pos", "blk"))
-    bh = b.withColumn("bh", portable_hash64(F.col("blk")))
+    bh = b.withColumn("bh", shingle_hash64(F.col("blk"), hash_fn))
     freq = bh.groupBy("bh").agg(F.count(F.lit(1)).alias("freq"))
     kept = bh.join(freq, "bh").where(F.col("freq") <= F.lit(max_freq))
     ordered = F.array_sort(F.collect_list(F.struct("blk_pos", "blk")))

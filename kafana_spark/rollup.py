@@ -151,7 +151,9 @@ def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
         merged = update_rollup(existing, days, by=by, ds_col=ds_col,
                                value_col=value_col,
                                distinct_cols=distinct_cols)
-        merged.localCheckpoint(eager=True) \
+        from kafana_spark.session import serve_materialize
+
+        serve_materialize(merged) \
             .write.mode("overwrite").parquet(path)
 
     return _sink

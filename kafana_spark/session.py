@@ -62,3 +62,32 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def serve_materialize(df):
+    """Materialize a BOUNDED serve-boundary frame exactly once,
+    truncating its lineage (the r10 serve-boundary rule, SCALE.md:
+    a lazy subplan referenced N times re-embeds — and re-executes —
+    its whole pipeline N times, and cache/ReusedExchange cannot
+    always deduplicate PythonUDF stages).
+
+    Reliability (r10 ADVICE): ``localCheckpoint`` stores
+    NON-REPLICATED executor-local blocks — on a real cluster an
+    executor loss (or dynamic-allocation decommission) after the
+    checkpoint makes the serve unrecoverable instead of recomputable.
+    So when the session has a reliable checkpoint directory
+    configured (``spark.sparkContext.setCheckpointDir(...)`` — the
+    cluster deployment posture), use ``checkpoint(eager=True)``
+    (replicated, HDFS/object-store-backed, survives executor loss);
+    fall back to ``localCheckpoint(eager=True)`` otherwise (single-
+    JVM local/test sessions, where executor loss == session loss
+    anyway).
+
+    Only call this on frames that are bounded BY CONSTRUCTION
+    (LSH-pruned pair lists, rollup partials) — the checkpoint
+    materializes the full frame up front.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -352,6 +352,70 @@ def test_minhash_hash_fn_knob_parity(spark):
     assert md5_out, "fixture must produce near-dup pairs"
 
 
+def test_hash_fn_knob_parity_ngram_overlap_snm_chunk(spark):
+    """r11: the hash_fn knob extended to the remaining shingle
+    consumers the r10 verdict named — x03 ngram-Jaccard, x249 overlap
+    coefficient, x79 SNM verify, x45 chunk dedup. All four compute
+    hash-VALUE-independent outputs (set intersections / frequency
+    counts), so xxhash64 must reproduce the md5 rows exactly; oracles
+    stay md5."""
+    from kafana_spark.operators import text as text_ops
+
+    d = docs(spark)
+
+    ng_md5 = {(r.da, r.db): r.jaccard for r in
+              dedup.ngram_jaccard_dup(d, 0.5).collect()}
+    ng_xx = {(r.da, r.db): r.jaccard for r in
+             dedup.ngram_jaccard_dup(d, 0.5,
+                                     hash_fn="xxhash64").collect()}
+    assert ng_md5 == ng_xx and ng_md5
+
+    ov_md5 = {(r.da, r.db): r.overlap_bp for r in
+              dedup.overlap_near_dup(d, 5000).collect()}
+    ov_xx = {(r.da, r.db): r.overlap_bp for r in
+             dedup.overlap_near_dup(d, 5000,
+                                    hash_fn="xxhash64").collect()}
+    assert ov_md5 == ov_xx and ov_md5
+
+    snm_md5 = {(r.da, r.db): r.jaccard for r in
+               dedup.sorted_neighborhood_dup(d, 0.5).collect()}
+    snm_xx = {(r.da, r.db): r.jaccard for r in
+              dedup.sorted_neighborhood_dup(
+                  d, 0.5, hash_fn="xxhash64").collect()}
+    assert snm_md5 == snm_xx and snm_md5
+
+    cd = spark.createDataFrame(
+        [(1, "hdr hdr hdr unique one text"),
+         (2, "hdr hdr hdr unique two words"),
+         (3, "hdr hdr hdr unique three here")],
+        ["doc_id", "text"])
+    ck_md5 = {r.doc_id: r.clean_text for r in
+              text_ops.chunk_dedup(cd, block_tokens=3,
+                                   max_freq=2).collect()}
+    ck_xx = {r.doc_id: r.clean_text for r in
+             text_ops.chunk_dedup(cd, block_tokens=3, max_freq=2,
+                                  hash_fn="xxhash64").collect()}
+    assert ck_md5 == ck_xx and ck_md5
+
+    new = d.where("doc_id % 7 = 0")
+    old = d.where("doc_id % 7 != 0")
+    inc_md5 = {(r.da, r.db): r.jaccard for r in
+               dedup.incremental_near_dup(new, old, 0.5).collect()}
+    inc_xx = {(r.da, r.db): r.jaccard for r in
+              dedup.incremental_near_dup(
+                  new, old, 0.5, hash_fn="xxhash64").collect()}
+    assert inc_md5 == inc_xx and inc_md5
+
+    bo_md5 = {r.doc_id: (r.n_hits, r.contaminated) for r in
+              dedup.benchmark_overlap(old, new).collect()}
+    bo_xx = {r.doc_id: (r.n_hits, r.contaminated) for r in
+             dedup.benchmark_overlap(
+                 old, new, hash_fn="xxhash64").collect()}
+    assert bo_md5 == bo_xx
+    assert any(v[1] for v in bo_md5.values()), \
+        "fixture must contain contaminated docs"
+
+
 def test_shingle_hash64_rejects_unknown_fn():
     import pytest
 

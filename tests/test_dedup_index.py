@@ -179,3 +179,33 @@ def test_substr_rebuild_clears_stale_batches(spark, tmp_path):
     dedup_index.build_substr_index(d, root)    # full rebuild
     assert sorted(os.listdir(
         os.path.join(root, dedup_index.GRAM_DIR))) == ["batch=base"]
+
+
+def test_serve_materialize_uses_reliable_checkpoint_when_configured(
+        spark, tmp_path):
+    """r10 ADVICE: localCheckpoint blocks are executor-local and
+    non-replicated — on a cluster, an executor loss after the
+    checkpoint kills the serve. serve_materialize must switch to the
+    RELIABLE checkpoint (recoverable from the checkpoint dir) whenever
+    the session has one configured, and still produce identical rows."""
+    import os
+
+    from kafana_spark.session import serve_materialize
+
+    sc = spark.sparkContext
+    df = spark.range(10).withColumnRenamed("id", "n")
+    local = serve_materialize(df)
+    # either mode must truncate the lineage to a materialized scan
+    assert "LogicalRDD" in local._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    assert sc.getCheckpointDir() is None, \
+        "suite session should not preset a ckpt dir"
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    rel = serve_materialize(df)
+    assert "LogicalRDD" in rel._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    # the reliable checkpoint actually wrote recoverable blocks
+    assert any(files for _, _, files in os.walk(ckpt)), \
+        "no blocks written to the configured checkpoint dir"
+    assert sorted(r.n for r in rel.collect()) == list(range(10))
