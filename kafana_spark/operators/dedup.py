@@ -161,14 +161,41 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
-                   threshold: float, prune: bool = True) -> DataFrame:
+                   threshold: float, prune: bool = True,
+                   pair_first: bool = False) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
 
-    Intersections come from a shuffle on the shingle (the inverted
-    index join), sizes from a broadcast-able per-doc aggregate —
-    never a document×document cross join. With ``prune`` (default),
-    the inverted index is first semi-joined down to docs that appear
-    in ANY candidate pair, so the verify cost tracks the candidate
+    ``pairs`` must be a DISTINCT (da, db) frame with da < db (every
+    in-repo producer — candidate_pairs, SNM adjacency, the NEW×OLD
+    band joins — is, by construction); duplicate pairs would inflate
+    the pair-first intersection count.
+
+    Two intersection shapes, A/B-measured (r11), pick by corpus
+    entropy:
+
+    - default (``pair_first=False``): self-join the id-pruned
+      inverted index on the shingle. Join volume is Σ_h df² rows —
+      it computes intersections for every CO-CANDIDATE doc pair
+      sharing a shingle, a superset of the pair list — but both
+      sides read ONE exchange (identical subplans → ReusedExchange),
+      so at natural shingle entropy (small df) it is the cheaper
+      plan: 6.8 s vs 9.8 s on x02 at sf0.1, min-of-3 warm, control
+      flat.
+    - ``pair_first=True``: join the candidate list to the da-side
+      shingles first (Σ_pairs |A| rows), then one equi-join on
+      (db, h) picks exactly the shared shingles. Pays 3 differently-
+      keyed exchanges — slower at natural entropy — but its volume
+      is bounded by the bucket-capped CANDIDATE list times doc
+      length, where the default shape's Σ_h df² goes quadratic on
+      the documented low-entropy/boilerplate regime (12.47B join
+      rows at sf10-fitted vs the pair list's millions). Flip this on
+      exactly where ``bucket_cap`` is in play.
+
+    Output is identical under either shape (pinned by parity test).
+    Sizes come from a broadcast-able per-doc aggregate — never a
+    document×document cross join. With ``prune`` (default), the
+    inverted index is first semi-joined down to docs that appear in
+    ANY candidate pair, so the verify cost tracks the candidate
     count (what LSH bought us), not the corpus size.
     """
     key = "h" if "h" in sh.columns else "s"
@@ -179,13 +206,24 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                     .distinct())
         sh_v = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (sh_v.alias("x").join(sh_v.alias("y"),
-                                  F.col(f"x.{key}") == F.col(f"y.{key}"))
-             .where(F.col("x.doc_id") < F.col("y.doc_id"))
-             .groupBy(F.col("x.doc_id").alias("da"),
-                      F.col("y.doc_id").alias("db"))
-             .agg(F.count(F.lit(1)).alias("i")))
-    joined = (pairs.join(inter, ["da", "db"])
+    if pair_first:
+        p = pairs.select("da", "db").where(F.col("da") < F.col("db"))
+        a_sh = p.join(sh_v.withColumnRenamed("doc_id", "da"), "da")
+        inter = (a_sh.join(sh_v.select(F.col("doc_id").alias("db"),
+                                       F.col(key)),
+                           ["db", key])
+                 .groupBy("da", "db")
+                 .agg(F.count(F.lit(1)).alias("i")))
+        joined = inter
+    else:
+        inter = (sh_v.alias("x").join(sh_v.alias("y"),
+                                      F.col(f"x.{key}") == F.col(f"y.{key}"))
+                 .where(F.col("x.doc_id") < F.col("y.doc_id"))
+                 .groupBy(F.col("x.doc_id").alias("da"),
+                          F.col("y.doc_id").alias("db"))
+                 .agg(F.count(F.lit(1)).alias("i")))
+        joined = pairs.join(inter, ["da", "db"])
+    joined = (joined
               .join(sizes.withColumnRenamed("doc_id", "da")
                     .withColumnRenamed("n", "na"), "da")
               .join(sizes.withColumnRenamed("doc_id", "db")

@@ -416,6 +416,24 @@ def test_hash_fn_knob_parity_ngram_overlap_snm_chunk(spark):
         "fixture must contain contaminated docs"
 
 
+def test_jaccard_verify_pair_first_parity(spark):
+    """r11: the pair-first verify shape (the low-entropy-regime
+    escape hatch — join volume bounded by the candidate list instead
+    of Σ df²) must produce EXACTLY the default self-join shape's
+    rows. Run on the full minhash front end so real LSH candidates,
+    not synthetic pairs, exercise it."""
+    d = docs(spark)
+    sh = dedup.hashed_shingle_set(d)
+    pairs = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signature(sh)))
+    default = {(r.da, r.db): r.jaccard for r in
+               dedup.jaccard_verify(pairs, sh, 0.5).collect()}
+    pf = {(r.da, r.db): r.jaccard for r in
+          dedup.jaccard_verify(pairs, sh, 0.5,
+                               pair_first=True).collect()}
+    assert default == pf and default
+
+
 def test_shingle_hash64_rejects_unknown_fn():
     import pytest
 
