@@ -150,7 +150,8 @@ def dedup_index_stream_sink(path: str, text_col: str = "text"):
 
 def near_dup_from_index(spark: SparkSession, path: str,
                         threshold: float = 0.5,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        pair_first: bool = False) -> DataFrame:
     """All verified near-dup pairs (da, db, jaccard), da < db, computed
     from the stored signatures + shingles — no text is read and nothing
     is re-hashed.
@@ -180,7 +181,7 @@ def near_dup_from_index(spark: SparkSession, path: str,
     # session has a checkpoint dir — see session.serve_materialize).
     pairs = serve_materialize(
         candidate_pairs(bands, bucket_cap=bucket_cap))
-    return jaccard_verify(pairs, sh, threshold)
+    return jaccard_verify(pairs, sh, threshold, pair_first=pair_first)
 
 
 def clusters_from_index(spark: SparkSession, universe: DataFrame,
@@ -217,7 +218,8 @@ def clusters_from_index(spark: SparkSession, universe: DataFrame,
 
 def incremental_from_index(new: DataFrame, path: str,
                            threshold: float = 0.5,
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           pair_first: bool = False) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus.
 
     The batch is signed on the fly (it is new — nothing stored yet);
@@ -262,7 +264,8 @@ def incremental_from_index(new: DataFrame, path: str,
         .distinct())
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
-    return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+    return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold,
+                          pair_first=pair_first)
 
 
 # ------------------------------------------------ substring (gram) index

@@ -236,7 +236,8 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text", collapse_exact: bool = True,
                      bucket_cap: int | None = None,
-                     hash_fn: str = "md5") -> DataFrame:
+                     hash_fn: str = "md5",
+                     pair_first: bool = False) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact verify. Output: (da, db, jaccard).
 
@@ -270,10 +271,12 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
         sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
         pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                                 bucket_cap=bucket_cap)
-        return jaccard_verify(pairs, sh, threshold)
+        return jaccard_verify(pairs, sh, threshold,
+                              pair_first=pair_first)
 
     reps, members, rep_pairs, sh = _rep_near_dup(
-        df, threshold, text_col, bucket_cap, hash_fn=hash_fn)
+        df, threshold, text_col, bucket_cap, hash_fn=hash_fn,
+        pair_first=pair_first)
 
     # cross-group expansion: every member pair inherits its rep pair's
     # jaccard (identical shingle sets); least/greatest restores da<db
@@ -368,7 +371,7 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
 
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None,
-                  hash_fn: str = "md5"):
+                  hash_fn: str = "md5", pair_first: bool = False):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
     REPRESENTATIVES only, and the rep shingle index."""
@@ -379,7 +382,9 @@ def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
     sh = hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                             bucket_cap=bucket_cap)
-    return reps, members, jaccard_verify(pairs, sh, threshold), sh
+    return (reps, members,
+            jaccard_verify(pairs, sh, threshold, pair_first=pair_first),
+            sh)
 
 
 def _unionfind_labels(edges: list[tuple[int, int]]) -> dict[int, int]:

@@ -416,6 +416,18 @@ def test_hash_fn_knob_parity_ngram_overlap_snm_chunk(spark):
         "fixture must contain contaminated docs"
 
 
+def test_minhash_pipeline_pair_first_parity(spark):
+    """The pair_first knob threaded through the full pipeline (r11):
+    minhash_near_dup(pair_first=True) must equal the default on the
+    fixture, through the collapse_exact expansion."""
+    d = docs(spark)
+    base = {(r.da, r.db): r.jaccard for r in
+            dedup.minhash_near_dup(d, 0.5).collect()}
+    pf = {(r.da, r.db): r.jaccard for r in
+          dedup.minhash_near_dup(d, 0.5, pair_first=True).collect()}
+    assert base == pf and base
+
+
 def test_jaccard_verify_pair_first_parity(spark):
     """r11: the pair-first verify shape (the low-entropy-regime
     escape hatch — join volume bounded by the candidate list instead
