@@ -130,6 +130,12 @@ def main() -> None:
         # adjudication a one-field read
         "host": {
             "n_cpus": os.cpu_count(),
+            # r11: heap is now sized ~1 GB/core (session.get_spark;
+            # Spark's 1 GiB local default starved 32 task threads) —
+            # recorded so cross-round bench deltas attribute config
+            "jvm_heap_gb": round(
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                .maxMemory() / 1e9, 1),
             "load1_start": round(load_start[0], 2),
             "load5_start": round(load_start[1], 2),
             "load1_end": round(os.getloadavg()[0], 2),

@@ -30,6 +30,17 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
+    # Heap sizing, A/B-measured (r11): Spark's local-mode default is
+    # 1 GiB TOTAL (~13 MB execution memory per task thread at 32
+    # threads), yet a 32 GB heap measured WORSE at bench SF — x02 min
+    # flat (6.79 vs 6.81 s) with 2x warm-up variance (G1 heap-growth
+    # full GCs), x78/x79 mins +20-35% — so the default stays Spark's.
+    # The 1 GiB ceiling IS real on heavy legs (the r11 verify
+    # self-join OOMed at 50k low-entropy docs; the sf10 ladder runs
+    # at 48-64g via extra_conf): tools that need headroom set it
+    # explicitly, or export KAFANA_SPARK_DRIVER_MEM. Only effective
+    # for the FIRST session in a process (one JVM per process).
+    driver_mem = os.environ.get("KAFANA_SPARK_DRIVER_MEM")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -43,6 +54,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("KAFANA_SPARK_UI", "false"))
     )
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

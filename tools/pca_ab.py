@@ -54,12 +54,17 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     # deterministic synthetic µunit corpus: entries in [-1e6, 1e6]
+    from pyspark import StorageLevel
+
     corpus = (spark.range(n_rows).withColumnRenamed("id", "vec_id")
               .select("vec_id", F.expr(
                   f"transform(sequence(1, {dim}), i -> "
                   "CAST(pmod(hash(vec_id * 131071 + i), 2000001) "
                   "- 1000000 AS BIGINT))").alias("vu"))
-              .repartition(32).persist())
+              .repartition(32)
+              # disk-backed: a 1M x 64 bigint-array corpus blows the
+              # memory-only store before the kernel ever runs
+              .persist(StorageLevel.MEMORY_AND_DISK))
     corpus.count()
 
     out = {"n_rows": n_rows, "dim": dim,
