@@ -130,9 +130,10 @@ def main() -> None:
         # adjudication a one-field read
         "host": {
             "n_cpus": os.cpu_count(),
-            # r11: heap is now sized ~1 GB/core (session.get_spark;
-            # Spark's 1 GiB local default starved 32 task threads) —
-            # recorded so cross-round bench deltas attribute config
+            # r11: the session keeps Spark's 1 GiB local default (a
+            # 32 GB heap A/B'd WORSE on the short join-heavy keys —
+            # see NOTES_r11 §6); KAFANA_SPARK_DRIVER_MEM overrides.
+            # Recorded so cross-round bench deltas attribute config.
             "jvm_heap_gb": round(
                 spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
                 .maxMemory() / 1e9, 1),

@@ -136,7 +136,13 @@ def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
 
     The merged frame is eagerly materialized (localCheckpoint) before
     the overwrite so the read-modify-write on the same path never
-    races its own scan.
+    races its own scan. Deliberately NOT serve_materialize/reliable
+    checkpoint (r11 review): the materialization here only guards the
+    within-batch read-then-overwrite — executor-loss durability is
+    irrelevant because the parquet write follows immediately and a
+    failed micro-batch is redelivered whole, while per-batch reliable
+    checkpoints would accrete never-cleaned rdd-N directories in the
+    checkpoint store for the lifetime of the stream.
     """
     import os
 
@@ -151,9 +157,7 @@ def rollup_stream_sink(path: str, by: Sequence[str] = ("topic",),
         merged = update_rollup(existing, days, by=by, ds_col=ds_col,
                                value_col=value_col,
                                distinct_cols=distinct_cols)
-        from kafana_spark.session import serve_materialize
-
-        serve_materialize(merged) \
+        merged.localCheckpoint(eager=True) \
             .write.mode("overwrite").parquet(path)
 
     return _sink

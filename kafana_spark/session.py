@@ -102,5 +102,14 @@ def serve_materialize(df):
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
+        # persist first: a reliable checkpoint otherwise RECOMPUTES
+        # the pipeline in the checkpoint-writing job (Spark's
+        # documented RDD-checkpoint behavior) — exactly the double
+        # execution this function exists to prevent. The cache is
+        # dropped once the checkpoint files hold the data.
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)

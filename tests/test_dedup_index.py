@@ -187,7 +187,10 @@ def test_serve_materialize_uses_reliable_checkpoint_when_configured(
     non-replicated — on a cluster, an executor loss after the
     checkpoint kills the serve. serve_materialize must switch to the
     RELIABLE checkpoint (recoverable from the checkpoint dir) whenever
-    the session has one configured, and still produce identical rows."""
+    the session has one configured, and still produce identical rows.
+    The checkpoint dir is RESTORED afterwards (r11 review: leaving it
+    set leaked cluster-posture semantics into every later test on the
+    session-scoped context)."""
     import os
 
     from kafana_spark.session import serve_materialize
@@ -198,14 +201,24 @@ def test_serve_materialize_uses_reliable_checkpoint_when_configured(
     # either mode must truncate the lineage to a materialized scan
     assert "LogicalRDD" in local._jdf.queryExecution().optimizedPlan() \
         .toString()
-    assert sc.getCheckpointDir() is None, \
-        "suite session should not preset a ckpt dir"
+    prev = sc.getCheckpointDir()
     ckpt = str(tmp_path / "ckpt")
     sc.setCheckpointDir(ckpt)
-    rel = serve_materialize(df)
-    assert "LogicalRDD" in rel._jdf.queryExecution().optimizedPlan() \
-        .toString()
-    # the reliable checkpoint actually wrote recoverable blocks
-    assert any(files for _, _, files in os.walk(ckpt)), \
-        "no blocks written to the configured checkpoint dir"
-    assert sorted(r.n for r in rel.collect()) == list(range(10))
+    try:
+        rel = serve_materialize(df)
+        assert "LogicalRDD" in rel._jdf.queryExecution().optimizedPlan() \
+            .toString()
+        # the reliable checkpoint actually wrote recoverable blocks
+        assert any(files for _, _, files in os.walk(ckpt)), \
+            "no blocks written to the configured checkpoint dir"
+        assert sorted(r.n for r in rel.collect()) == list(range(10))
+    finally:
+        # restore the prior (usually unset) dir: the public API has no
+        # unset, so reach the scala var directly for the None case
+        if prev is not None:
+            sc.setCheckpointDir(prev)
+        else:
+            scala_none = getattr(
+                getattr(sc._jvm.scala, "None$"), "MODULE$")
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+    assert sc.getCheckpointDir() == prev
