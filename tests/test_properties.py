@@ -398,3 +398,65 @@ def test_binary_signs_match_python_reference(spark, vecs):
         w0 = sum(1 << j for j in range(32) if v[j] > 0)
         w1 = sum(1 << j for j in range(32) if v[32 + j] > 0)
         assert got[i] == (w0, w1), (i, got[i], (w0, w1))
+
+
+# ------------------------------------------------------- r11 kernels
+
+_corpus_strategy = st.lists(
+    st.lists(st.integers(min_value=-1_000_000, max_value=1_000_000),
+             min_size=4, max_size=4),
+    min_size=1, max_size=24)
+
+
+@given(vs=_corpus_strategy,
+       n_parts=st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pca_moments_partition_invariant(spark, vs, n_parts):
+    """The r11 map-only moment kernel computes EXACT integer sums, so
+    (sj, S, n) must be bit-identical under any repartitioning — the
+    property that makes the statistics safe to compute distributed.
+    Also cross-checks the kernel against a driver-side numpy brute
+    force on the same rows."""
+    import numpy as np
+
+    from kafana_spark.operators import similarity
+
+    dim = 4
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, vu array<bigint>")
+    base = similarity._pca_moments(df.repartition(1), dim)
+    re = similarity._pca_moments(df.repartition(n_parts), dim)
+    assert base == re
+    X = np.array(vs, dtype=np.int64)
+    sj, S, n = base
+    assert n == len(vs)
+    assert [sj[j] for j in range(dim)] == list(X.sum(axis=0))
+    G = X.T @ X
+    assert all(S[(j, k)] == int(G[j, k])
+               for j in range(dim) for k in range(dim))
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=6, max_size=30),
+    min_size=2, max_size=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_verify_shapes_agree_on_random_corpora(spark, texts):
+    """Both verify shapes must agree on arbitrary (including
+    degenerate: empty shingle sets, all-identical docs) corpora, not
+    just the fixture — the pair-first rewrite's structural parity."""
+    from kafana_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sh = dedup.hashed_shingle_set(df)
+    pairs = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signature(sh)))
+    a = sorted(map(tuple, dedup.jaccard_verify(pairs, sh, 0.3)
+                   .collect()))
+    b = sorted(map(tuple, dedup.jaccard_verify(pairs, sh, 0.3,
+                                               pair_first=True)
+                   .collect()))
+    assert a == b
