@@ -37,15 +37,19 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 11 (current): round 10 signed q01–q22 + x196–x223 all green
-    (CORRECTNESS_r10), so the never-signed block now starts at
-    x224 — the window yields q01–q22 + x224–x251 (28 slots);
-    x252–x300 roll into later rounds (~2 more at 28/round).
-    Signature ages after r10: x224+: never driver-signed
+    Round 12 (current): round 11 signed q01–q22 + x224–x251 all green
+    (CORRECTNESS_r11), so the never-signed block now starts at
+    x252 — the window yields q01–q22 + x252–x279 (28 slots);
+    x280–x300 (21 keys) drain in round 13 with ~7 spare slots, which
+    the x29–x56 r3-signed band (ranked immediately behind the
+    never-signed block) fills automatically to begin the re-sign
+    ladder.
+    Signature ages after r11: x252+: never driver-signed
     (judge-verified green via check_oracle but the driver record is
     the contract), x29–x56: r3 (oldest remaining), x01–x17/x57–x67:
     r4, x18–x28/x68–x84: r5, x85–x112: r6, x113–x140 minus x130: r7,
-    x130/x141–x167: r8, x168–x195: r9, x196–x223: r10 (freshest).
+    x130/x141–x167: r8, x168–x195: r9, x196–x223: r10,
+    x224–x251: r11 (freshest).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -54,7 +58,7 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if n >= 224:
+            if n >= 252:
                 return (1, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
                 return (2, n, k)  # r3-signed: oldest current signatures
@@ -69,9 +73,11 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
             if 168 <= n <= 195:
                 return (8, n, k)  # r9-signed
             if 196 <= n <= 223:
-                return (9, n, k)  # r10-signed (freshest)
+                return (9, n, k)  # r10-signed
+            if 224 <= n <= 251:
+                return (10, n, k)  # r11-signed (freshest)
             return (6, n, k)      # x113–x140 (minus x130): r7
-        return (10, 0, k)
+        return (11, 0, k)
 
     return sorted(extension_keys, key=rank)
 

@@ -91,13 +91,13 @@ def test_window_fronts_red_then_never_signed_keys():
         f"{expected_front} — rotate _ordered_keys bands")
 
 
-def test_round11_window_is_q_set_plus_x224_x251():
-    """Belt-and-braces explicit pin for THIS round (r11): r10 signed
-    everything through x223 green, so x224–x251 are the oldest
+def test_round12_window_is_q_set_plus_x252_x279():
+    """Belt-and-braces explicit pin for THIS round (r12): r11 signed
+    everything through x251 green, so x252–x279 are the oldest
     never-signed block and fill the window."""
     w = _window()
     ns = [_xnum(k) for k in w[22:]]
-    assert ns == list(range(224, 252)), ns
+    assert ns == list(range(252, 280)), ns
 
 
 def test_oracle_keys_match_query_keys():
