@@ -165,10 +165,12 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    pair_first: bool = False) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
 
-    ``pairs`` must be a DISTINCT (da, db) frame with da < db (every
+    ``pairs`` should be a DISTINCT (da, db) frame with da < db (every
     in-repo producer — candidate_pairs, SNM adjacency, the NEW×OLD
-    band joins — is, by construction); duplicate pairs would inflate
-    the pair-first intersection count.
+    band joins — is, by construction). The pair-first branch enforces
+    distinctness itself because a duplicate pair would there inflate
+    the intersection count (wrong jaccard), not just duplicate an
+    output row.
 
     Two intersection shapes, A/B-measured (r11), pick by corpus
     entropy:
@@ -207,7 +209,15 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         sh_v = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pair_first:
-        p = pairs.select("da", "db").where(F.col("da") < F.col("db"))
+        # distinct is load-bearing here, not just normalization: a
+        # duplicated (da, db) row would double-count every shared
+        # shingle and inflate jaccard, where the default shape merely
+        # duplicates output rows (r11 ADVICE — asymmetric footgun on
+        # a public knob). Candidate lists are near-distinct already,
+        # so this costs little relative to the shingle joins.
+        p = (pairs.select("da", "db")
+             .where(F.col("da") < F.col("db"))
+             .distinct())
         a_sh = p.join(sh_v.withColumnRenamed("doc_id", "da"), "da")
         inter = (a_sh.join(sh_v.select(F.col("doc_id").alias("db"),
                                        F.col(key)),

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("KAFANA_SPARK_UI", "false"))
+        # Reliable checkpoints (serve_materialize's cluster branch)
+        # write one rdd-N dir per call; incremental_from_index calls
+        # it twice per batch, so a long-lived per-batch loop would
+        # accrete checkpoint storage unboundedly. This makes the
+        # ContextCleaner delete a checkpoint's files once its RDD is
+        # GC'd on the driver (r11 ADVICE).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if driver_mem:
         builder = builder.config("spark.driver.memory", driver_mem)

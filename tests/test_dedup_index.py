@@ -3,7 +3,12 @@ recompute-everything pipeline, and append maintenance is lossless."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from kafana_spark import dedup_index
 from kafana_spark.operators import dedup
@@ -181,44 +186,53 @@ def test_substr_rebuild_clears_stale_batches(spark, tmp_path):
         os.path.join(root, dedup_index.GRAM_DIR))) == ["batch=base"]
 
 
+def test_serve_materialize_truncates_lineage_local_branch(spark):
+    """The single-JVM branch (no checkpoint dir configured) must
+    truncate the lineage to a materialized scan."""
+    from kafana_spark.session import serve_materialize
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    df = spark.range(10).withColumnRenamed("id", "n")
+    local = serve_materialize(df)
+    assert "LogicalRDD" in local._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    assert sorted(r.n for r in local.collect()) == list(range(10))
+
+
+@pytest.mark.slow
 def test_serve_materialize_uses_reliable_checkpoint_when_configured(
-        spark, tmp_path):
+        tmp_path):
     """r10 ADVICE: localCheckpoint blocks are executor-local and
     non-replicated — on a cluster, an executor loss after the
     checkpoint kills the serve. serve_materialize must switch to the
     RELIABLE checkpoint (recoverable from the checkpoint dir) whenever
     the session has one configured, and still produce identical rows.
-    The checkpoint dir is RESTORED afterwards (r11 review: leaving it
-    set leaked cluster-posture semantics into every later test on the
-    session-scoped context)."""
-    import os
 
-    from kafana_spark.session import serve_materialize
+    Runs in a SUBPROCESS with its own SparkContext (r11 ADVICE: the
+    old version set the dir on the shared session-scoped context and
+    hand-restored it through the JVM-private ``checkpointDir_$eq``
+    var — a Spark rename would break the test and strand the dir set
+    for every later test). One context per JVM, so isolation means a
+    fresh process."""
+    import subprocess
+    import sys
 
-    sc = spark.sparkContext
-    df = spark.range(10).withColumnRenamed("id", "n")
-    local = serve_materialize(df)
-    # either mode must truncate the lineage to a materialized scan
-    assert "LogicalRDD" in local._jdf.queryExecution().optimizedPlan() \
-        .toString()
-    prev = sc.getCheckpointDir()
-    ckpt = str(tmp_path / "ckpt")
-    sc.setCheckpointDir(ckpt)
-    try:
-        rel = serve_materialize(df)
-        assert "LogicalRDD" in rel._jdf.queryExecution().optimizedPlan() \
-            .toString()
-        # the reliable checkpoint actually wrote recoverable blocks
-        assert any(files for _, _, files in os.walk(ckpt)), \
-            "no blocks written to the configured checkpoint dir"
-        assert sorted(r.n for r in rel.collect()) == list(range(10))
-    finally:
-        # restore the prior (usually unset) dir: the public API has no
-        # unset, so reach the scala var directly for the None case
-        if prev is not None:
-            sc.setCheckpointDir(prev)
-        else:
-            scala_none = getattr(
-                getattr(sc._jvm.scala, "None$"), "MODULE$")
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
-    assert sc.getCheckpointDir() == prev
+    script = f"""
+import os, sys
+sys.path.insert(0, {str(_REPO)!r})
+from kafana_spark.session import get_spark, serve_materialize
+spark = get_spark("ckpt-test", master="local[2]", shuffle_partitions=2)
+spark.sparkContext.setCheckpointDir({str(tmp_path / "ckpt")!r})
+df = spark.range(10).withColumnRenamed("id", "n")
+rel = serve_materialize(df)
+plan = rel._jdf.queryExecution().optimizedPlan().toString()
+assert "LogicalRDD" in plan, plan
+blocks = [f for _, _, fs in os.walk({str(tmp_path / "ckpt")!r}) for f in fs]
+assert blocks, "no blocks written to the configured checkpoint dir"
+assert sorted(r.n for r in rel.collect()) == list(range(10))
+print("CKPT_OK")
+os._exit(0)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300)
+    assert "CKPT_OK" in out.stdout, out.stdout + out.stderr

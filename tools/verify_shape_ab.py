@@ -73,7 +73,15 @@ def main() -> None:
                     dedup.jaccard_verify(pairs, sh, 0.5, pair_first=pf)
                     .collect()))
             except Exception as e:  # noqa: BLE001 - record, don't die
-                out["shapes"][name] = {"error": f"{type(e).__name__}"}
+                # keep any already-measured runs alongside the error,
+                # and drop the stale result so parity is only computed
+                # from fully successful shapes (r11 ADVICE: a warm-run
+                # failure used to erase the first run's timings yet
+                # leave its rows feeding the parity check)
+                out["shapes"][name] = {
+                    "error": f"{type(e).__name__}",
+                    "secs": secs, "load1": loads}
+                results.pop(name, None)
                 break
             dt = time.time() - t0
             secs.append(round(dt, 2))
