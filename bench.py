@@ -6,6 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Timing = full query wall time (plan + execute + fetch) on a warm
 session; the session build itself is excluded (it is constant overhead,
 not query cost).
+
+Usage: python bench.py [--min-of N] [--detail] [key ...]
+
+- ``--min-of N`` (or env SPARK_GRAFT_MIN_OF): runs per query, reporting
+  the min (default 2 — the driver contract; adjudication runs use 3).
+- ``key ...``: restrict to a subset of queries() keys (adjudication).
+- ``--detail`` (implied by a key subset): per-query secs/load1 lists in
+  the output JSON, load sampled before every run.
+
+One code path for driver runs AND quiet-box adjudications (r11 verdict
+#5): tools/quiet_bench.py is now a thin wrapper over this file.
 """
 
 from __future__ import annotations
@@ -45,7 +56,19 @@ def _host_delta(j0: list[int], j1: list[int]) -> dict:
             "cpu_steal_pct": round(100.0 * d[7] / total, 2)}
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    min_of = int(os.environ.get("SPARK_GRAFT_MIN_OF", "2"))
+    if "--min-of" in argv:
+        i = argv.index("--min-of")
+        min_of = int(argv[i + 1])
+        del argv[i:i + 2]
+    detail = "--detail" in argv
+    if detail:
+        argv.remove("--detail")
+    only = argv  # remaining positionals are query keys
+    detail = detail or bool(only)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -66,29 +89,41 @@ def main() -> None:
     load_start = os.getloadavg()
     jiffies_start = _cpu_jiffies()
 
+    qmap = entrymod.queries()
+    if only:
+        missing = [k for k in only if k not in qmap]
+        if missing:
+            raise SystemExit(f"unknown keys: {missing}")
+        qmap = {k: qmap[k] for k in only}
+
     timings: dict[str, float] = {}
+    runs_detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
-        # min of 2 runs: first run pays per-plan JIT/codegen compilation
-        # (amortized away on a long-lived cluster); min shaves scheduler
-        # noise on a shared box. collect, not count: count() lets
-        # Catalyst prune payload columns and under-measures.
-        best, n = None, 0
+    for name, fn in qmap.items():
+        # min of N runs (default 2): first run pays per-plan
+        # JIT/codegen compilation (amortized away on a long-lived
+        # cluster); min shaves scheduler noise on a shared box.
+        # collect, not count: count() lets Catalyst prune payload
+        # columns and under-measures.
+        secs, loads, n = [], [], 0
         try:
-            for _ in range(2):
+            for _ in range(min_of):
+                loads.append(round(os.getloadavg()[0], 2))
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = len(df.collect())
-                el = time.time() - t0
-                best = el if best is None or el < best else best
+                secs.append(round(time.time() - t0, 3))
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # not void the whole suite (round-3 lesson: a testdata
             # schema change crashed q01 and erased every timing)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n} "
+        timings[name] = min(secs)
+        if detail:
+            runs_detail[name] = {"secs": secs, "min": min(secs),
+                                 "load1": loads}
+        print(f"# {name}: {timings[name]:.3f}s rows={n} runs={secs} "
               f"load1={os.getloadavg()[0]:.2f}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -114,6 +149,7 @@ def main() -> None:
         "metric": "declared_query_suite_total",
         "value": total,
         "unit": "sec",
+        "min_of": min_of,
         "n_queries": len(timings),
         # the suite grows every round; s/query is the honest
         # cross-round comparison metric (BASELINE.md bench history)
@@ -144,6 +180,8 @@ def main() -> None:
             **_host_delta(jiffies_start, _cpu_jiffies()),
         },
     }
+    if detail:
+        out["runs"] = runs_detail
     if errors:
         # still exit 0: a partial suite with timings beats a void one
         # (the correctness gate is where per-query breakage is graded)
@@ -161,7 +199,8 @@ def main() -> None:
                           out["serving_s_per_query"], "sf": sf,
                       "host": out["host"]}),
           file=sys.stderr)
-    spark.stop()
+    if stop_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

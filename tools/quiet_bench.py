@@ -1,25 +1,21 @@
 """Quiet-box bench adjudication (r9 verdict task 3).
 
-Runs a named subset of registry queries min-of-N warm (default 3) with
-host load recorded before/after EACH query, so a "code or box?" bench
-regression can be adjudicated from one JSON blob instead of a round of
-judge time. Usage:
+THIN WRAPPER over bench.py (r11 verdict #5: driver runs and
+adjudication runs must share one timing code path — half of every
+judge round's perf section was re-litigating ambient noise measured
+two different ways). Equivalent to:
 
-    python tools/quiet_bench.py [key ...]     # default: the r9 watch
-                                              # set + flat controls
+    python bench.py --min-of $QUIET_BENCH_RUNS --detail [key ...]
 
-Prints one JSON line: {key: {"secs": [..], "min": s, "load1": [..]},
-..., "host": {...}}. Compare "min" against the BENCH_local_r{N}.json
-history; the controls (untouched trivial queries) calibrate ambient
-inflation — if controls are inflated too, it's the box.
+Default keys: the historical watch set + flat controls. Compare each
+key's "min" against the BENCH_local_r{N}.json history; if the controls
+are inflated too, it's the box, not the code.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,41 +32,12 @@ DEFAULT_KEYS = [
 
 def main() -> None:
     keys = sys.argv[1:] or DEFAULT_KEYS
-    n_runs = int(os.environ.get("QUIET_BENCH_RUNS", "3"))
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = os.environ.get("QUIET_BENCH_RUNS", "3")
 
     import bench
-    import __spark_entry__ as entrymod
-    from kafana_spark.session import get_spark
 
-    qmap = entrymod.queries()
-    missing = [k for k in keys if k not in qmap]
-    if missing:
-        raise SystemExit(f"unknown keys: {missing}")
-
-    spark = get_spark("kafana-quiet-bench")
-    spark.range(1000).count()
-    (spark.range(64).repartition(32)
-     .mapInPandas(lambda it: it, "id long").count())
-
-    j0 = bench._cpu_jiffies()
-    out: dict = {}
-    for k in keys:
-        secs, loads = [], []
-        for _ in range(n_runs):
-            loads.append(round(os.getloadavg()[0], 2))
-            t0 = time.time()
-            len(qmap[k](spark, sf_dir).collect())
-            secs.append(round(time.time() - t0, 3))
-        out[k] = {"secs": secs, "min": min(secs), "load1": loads}
-        print(f"# {k}: min={min(secs):.3f}s runs={secs} load1={loads}",
-              file=sys.stderr)
-    out["host"] = {
-        "n_cpus": os.cpu_count(),
-        "load1_end": round(os.getloadavg()[0], 2),
-        **bench._host_delta(j0, bench._cpu_jiffies()),
-    }
-    print(json.dumps(out))
+    bench.main(["--min-of", n_runs, "--detail", *keys],
+               stop_session=False)
     os._exit(0)  # spark.stop() hangs after results print (verify doc)
 
 
