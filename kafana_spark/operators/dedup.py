@@ -160,9 +160,41 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+# Auto verify-shape thresholds (r12, calibrated with
+# tools/verify_shape_ab.py on both regimes): prefer the default
+# self-join unless its estimated join volume (Σ_h df² over the pruned
+# inverted index) exceeds BOTH an absolute floor and a multiple of the
+# pair-first volume (Σ_pairs |A|). At natural shingle entropy the two
+# estimates are the same order (default wins on its shared exchange);
+# on the low-entropy corpus Σ_h df² runs 2–4 orders larger.
+AUTO_SHAPE_RATIO = 8.0
+AUTO_SHAPE_FLOOR = 5e7
+
+
+def verify_shape_estimates(pairs: DataFrame, sh_v: DataFrame,
+                           key: str) -> tuple[int, int]:
+    """Cheap volume estimates for the two jaccard_verify shapes, from
+    frames the pipeline already has (two aggregation jobs — run them
+    on a persisted ``sh_v``).
+
+    Returns ``(est_self, est_pair_first)``: the default shape's
+    self-join volume Σ_h df² (df = docs per shingle in the PRUNED
+    index) and the pair-first shape's expansion volume Σ_pairs |A|
+    (candidate list joined to da-side doc sizes).
+    """
+    df_counts = sh_v.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
+    est_self = df_counts.agg(
+        F.sum(F.col("df") * F.col("df")).alias("v")).first()["v"] or 0
+    sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    est_pf = (pairs.select("da").join(
+        sizes.withColumnRenamed("doc_id", "da"), "da")
+        .agg(F.sum("n").alias("v")).first()["v"]) or 0
+    return int(est_self), int(est_pf)
+
+
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float, prune: bool = True,
-                   pair_first: bool = False) -> DataFrame:
+                   pair_first: bool | str = False) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
 
     ``pairs`` should be a DISTINCT (da, db) frame with da < db (every
@@ -192,6 +224,15 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
       the documented low-entropy/boilerplate regime (12.47B join
       rows at sf10-fitted vs the pair list's millions). Flip this on
       exactly where ``bucket_cap`` is in play.
+    - ``pair_first="auto"`` (r12): estimate both volumes from the
+      pruned index (``verify_shape_estimates`` — two aggregation
+      jobs over a persisted ``sh_v``, so the shingle pipeline runs
+      once) and pick pair-first only when Σ_h df² exceeds both
+      ``AUTO_SHAPE_FLOOR`` and ``AUTO_SHAPE_RATIO`` × Σ_pairs |A|.
+      Auto is EAGER (the estimates are Spark actions at call time)
+      and leaves ``sh_v`` persisted for the verify legs to reuse;
+      where the estimates are close it picks the default shape, so
+      behavior is unchanged at natural entropy.
 
     Output is identical under either shape (pinned by parity test).
     Sizes come from a broadcast-able per-doc aggregate — never a
@@ -207,6 +248,11 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                     .unionByName(pairs.select(F.col("db").alias("doc_id")))
                     .distinct())
         sh_v = sh.join(cand_ids, "doc_id", "left_semi")
+    if pair_first == "auto":
+        sh_v = sh_v.persist()
+        est_self, est_pf = verify_shape_estimates(pairs, sh_v, key)
+        pair_first = est_self > max(AUTO_SHAPE_FLOOR,
+                                    AUTO_SHAPE_RATIO * est_pf)
     sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pair_first:
         # distinct is load-bearing here, not just normalization: a
@@ -247,7 +293,7 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text", collapse_exact: bool = True,
                      bucket_cap: int | None = None,
                      hash_fn: str = "md5",
-                     pair_first: bool = False) -> DataFrame:
+                     pair_first: bool | str = False) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact verify. Output: (da, db, jaccard).
 
@@ -381,7 +427,7 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
 
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None,
-                  hash_fn: str = "md5", pair_first: bool = False):
+                  hash_fn: str = "md5", pair_first: bool | str = False):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
     REPRESENTATIVES only, and the rep shingle index."""

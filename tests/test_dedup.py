@@ -446,6 +446,36 @@ def test_jaccard_verify_pair_first_parity(spark):
     assert default == pf and default
 
 
+def test_jaccard_verify_auto_parity_and_default_at_natural_entropy(
+        spark):
+    """r12: pair_first="auto" estimates both join volumes from the
+    pruned index and picks a shape; on the natural-entropy fixture
+    the estimates are the same order, so auto must (a) produce the
+    exact default rows and (b) actually pick the default self-join
+    shape (behavior unchanged where estimates are close)."""
+    d = docs(spark)
+    sh = dedup.hashed_shingle_set(d)
+    pairs = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signature(sh)))
+    default = {(r.da, r.db): r.jaccard for r in
+               dedup.jaccard_verify(pairs, sh, 0.5).collect()}
+    auto = {(r.da, r.db): r.jaccard for r in
+            dedup.jaccard_verify(pairs, sh, 0.5,
+                                 pair_first="auto").collect()}
+    assert default == auto and default
+
+    key = "h" if "h" in sh.columns else "s"
+    from pyspark.sql import functions as F
+    cand = (pairs.select(F.col("da").alias("doc_id"))
+            .unionByName(pairs.select(F.col("db").alias("doc_id")))
+            .distinct())
+    sh_v = sh.join(cand, "doc_id", "left_semi")
+    est_self, est_pf = dedup.verify_shape_estimates(pairs, sh_v, key)
+    assert est_self <= max(dedup.AUTO_SHAPE_FLOOR,
+                           dedup.AUTO_SHAPE_RATIO * est_pf), \
+        (est_self, est_pf)
+
+
 def test_shingle_hash64_rejects_unknown_fn():
     import pytest
 

@@ -17,6 +17,13 @@ asserts identical output. The default shape gets a per-run wall guard
 (SHAPE_TIMEOUT_S) — on this corpus it may simply not finish; that IS
 the result.
 
+r12: also records the AUTO selector's inputs and decision
+(``verify_shape_estimates`` → Σ_h df² vs Σ_pairs |A|, the same code
+jaccard_verify(pair_first="auto") runs) and asserts auto picked the
+shape this tool measured as faster. Set ``VERIFY_AB_CORPUS=<dir>`` to
+run against a real documents.parquet (the natural-entropy regime)
+instead of generating the fitted corpus.
+
 Usage: python tools/verify_shape_ab.py [scale] [bucket_cap] [runs]
 """
 
@@ -37,6 +44,7 @@ SHAPE_TIMEOUT_S = int(os.environ.get("SHAPE_TIMEOUT_S", "240"))
 def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     bucket_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    bucket_cap = bucket_cap if bucket_cap > 0 else None  # 0 = no cap
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     from sf10_spot import generate_docs
@@ -44,9 +52,12 @@ def main() -> None:
     from kafana_spark.operators import dedup
     from kafana_spark.session import get_spark
 
-    path = f"/tmp/verify_ab_fitted_x{scale}"
-    if not os.path.exists(f"{path}/documents.parquet"):
-        generate_docs(path, scale, planted=False)
+    path = os.environ.get("VERIFY_AB_CORPUS")
+    corpus = "natural" if path else "fitted"
+    if not path:
+        path = f"/tmp/verify_ab_fitted_x{scale}"
+        if not os.path.exists(f"{path}/documents.parquet"):
+            generate_docs(path, scale, planted=False)
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,9 +70,27 @@ def main() -> None:
         .localCheckpoint(eager=True))   # same candidates to both shapes
     n_pairs = pairs.count()
 
-    out = {"n_docs": docs.count(), "bucket_cap": bucket_cap,
+    out = {"corpus": corpus, "n_docs": docs.count(),
+           "bucket_cap": bucket_cap,
            "n_cand_pairs": n_pairs, "cpus": os.cpu_count(),
            "shape_timeout_s": SHAPE_TIMEOUT_S, "shapes": {}}
+
+    # The auto selector's view: same pruned-index estimates that
+    # jaccard_verify(pair_first="auto") computes.
+    from pyspark.sql import functions as F
+
+    key = "h" if "h" in sh.columns else "s"
+    cand_ids = (pairs.select(F.col("da").alias("doc_id"))
+                .unionByName(pairs.select(F.col("db").alias("doc_id")))
+                .distinct())
+    sh_v = sh.join(cand_ids, "doc_id", "left_semi").persist()
+    est_self, est_pf = dedup.verify_shape_estimates(pairs, sh_v, key)
+    auto_pf = est_self > max(dedup.AUTO_SHAPE_FLOOR,
+                             dedup.AUTO_SHAPE_RATIO * est_pf)
+    sh_v.unpersist()
+    out["auto"] = {"est_selfjoin": est_self, "est_pair_first": est_pf,
+                   "ratio": round(est_self / max(1, est_pf), 2),
+                   "picks_pair_first": auto_pf}
     results = {}
     for name, pf in (("pair_first", True), ("default_selfjoin", False)):
         secs, loads = [], []
@@ -99,9 +128,21 @@ def main() -> None:
     if len(results) == 2:
         out["parity"] = results["pair_first"] == results[
             "default_selfjoin"]
+    # auto must match the measured-better shape when both completed;
+    # when the default DNF'd/errored, auto must have picked pair_first
+    mins = {n: s.get("min") for n, s in out["shapes"].items()
+            if s.get("min") is not None and "error" not in s}
+    if len(mins) == 2:
+        faster_is_pf = mins["pair_first"] <= mins["default_selfjoin"]
+        out["auto"]["matches_measured"] = auto_pf == faster_is_pf
+    elif "pair_first" in mins:
+        out["auto"]["matches_measured"] = auto_pf
     print(json.dumps(out))
     if out.get("parity") is False:
         raise SystemExit("PARITY FAILURE between verify shapes")
+    if out["auto"].get("matches_measured") is False:
+        raise SystemExit("AUTO SHAPE MISMATCH: selector picked the "
+                         "measured-slower shape")
 
 
 if __name__ == "__main__":
