@@ -1020,18 +1020,35 @@ def positional_gram_index(df: DataFrame, k: int = EXSUB_K,
                           text_col: str = "text") -> DataFrame:
     """(id, pos, h) positional k-gram index — the per-document pure
     function the ExactSubstr family shares (persistable: see
-    dedup_index.build_substr_index)."""
+    dedup_index.build_substr_index).
+
+    Shape (r12, the substr-ladder finding): posexplode the tokens,
+    then assemble each gram with k-1 ``lead`` calls over ONE per-doc
+    window — whole-stage-codegen'd, linear in corpus tokens, and the
+    doc-id shuffle restores full parallelism regardless of input file
+    count. The previous array-``F.transform`` construction evaluated
+    INTERPRETED (Catalyst higher-order functions always do) and
+    re-ran the token split per gram position — O(len²) string work
+    per document — while inheriting the scan's 2-file parallelism:
+    measured 15+ min for the sf1p (50k-doc) serve leg vs seconds for
+    this shape. Rows where the (k-1)-lead is null are the < k-token
+    tail (and whole docs shorter than k tokens) — filtered, matching
+    the old empty-array branch. ``concat_ws`` is null-skipping, so
+    the filter must come AFTER gram assembly, never instead of it.
+    """
     from kafana_spark.functions import portable_hash64, tokens
 
-    tok = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
-    grams_arr = F.when(
-        F.size(tok) >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
-    ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col),
-                      F.posexplode(grams_arr).alias("pos", "g"))
-            .select(id_col, "pos", portable_hash64(F.col("g")).alias("h")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "t"))
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    return (toks
+            .withColumn("g", F.concat_ws(" ", *parts))
+            .withColumn("__tail", F.lead("t", k - 1).over(w))
+            .where(F.col("__tail").isNotNull())
+            .select(id_col, "pos",
+                    portable_hash64(F.col("g")).alias("h")))
 
 
 def _spans_from_grams(g: DataFrame, k: int, id_col: str = "doc_id",

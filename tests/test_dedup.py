@@ -210,6 +210,25 @@ def test_embedding_near_dup_bucketed_subset_and_recall(spark):
 
 # ------------------------------------------------- exact-substring dedup
 
+def test_positional_gram_index_is_window_not_hof(spark):
+    """Plan pin (r12 substr-ladder finding): the gram assembly must
+    be the codegen'd lead-window shape, never an array-transform —
+    Catalyst higher-order functions evaluate INTERPRETED and re-ran
+    the token split per gram position (O(len²) per doc; 15+ min on
+    the 50k-doc sf1p serve leg vs seconds for the window shape).
+    Also pins short-doc semantics: docs under k tokens yield no
+    grams."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "too short")], ["doc_id", "text"])
+    g = dedup.positional_gram_index(df, k=5)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "transform(" not in plan, plan
+    rows = g.collect()
+    assert sorted(r.pos for r in rows if r.doc_id == 1) == [0, 1]
+    assert not [r for r in rows if r.doc_id == 2]
+
+
 def test_exact_substr_spans_planted_cross_doc(spark):
     dup = "alpha beta gamma delta epsilon"   # one 5-token gram (k=5)
     df = spark.createDataFrame(
