@@ -858,13 +858,20 @@ TRIGRAM_BLOOM_BITS = 4096
 
 
 def char_trigrams(text_col: "F.Column") -> "F.Column":
-    """Distinct lowercase character 3-grams of a string column."""
-    t = F.lower(text_col)
-    idx = F.sequence(F.lit(1), F.length(t) - 2)
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.substring(t, i, F.lit(3))))
-    # sequence(1, n) runs DESCENDING for n < 1 — guard short strings
-    return F.when(F.length(t) >= 3, grams) \
+    """Distinct lowercase character 3-grams of a string column.
+
+    Zipped shifted char-slices, not ``transform(idx, i ->
+    substring(t, i, 3))`` — the lambda body's ``lower()`` would be
+    re-evaluated per character position (O(len²) char work per row;
+    the r12 HOF-audit bug class). The three slices are arguments,
+    evaluated once per row; the lambda only concats struct fields."""
+    chars = F.split(F.lower(text_col), "")
+    m = F.size(chars) - 2
+    zipped = F.arrays_zip(F.slice(chars, 1, m), F.slice(chars, 2, m),
+                          F.slice(chars, 3, m))
+    grams = F.array_distinct(F.transform(
+        zipped, lambda s: F.concat(s["0"], s["1"], s["2"])))
+    return F.when(m >= 1, grams) \
         .otherwise(F.array().cast("array<string>"))
 
 
