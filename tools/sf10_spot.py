@@ -311,6 +311,16 @@ def main() -> None:
                                           "~2x of linear (stored bands"
                                           "+shingles, no rehash)",
                                           (SF1P, SF10P))}
+    # optional subset: positional case names (r12 — re-measure the
+    # minhash rows after the shingle-shape fix without re-running the
+    # ANN rows and the audit)
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if only:
+        unknown = [k for k in only if k not in cases]
+        if unknown:
+            raise SystemExit(f"unknown cases: {unknown}")
+        cases = {k: v for k, v in cases.items() if k in only}
+
     out: dict[str, dict] = {}
     for name, (fn, bound, law, dirs) in cases.items():
         row: dict[str, float] = {}
@@ -331,6 +341,12 @@ def main() -> None:
         row["bound"] = bound
         row["law"] = law
         out[name] = row
+    if only:
+        # subset mode: print the measured rows only; do NOT overwrite
+        # the r10 record file
+        print(json.dumps({"metric": "sf10_spot_subset", "cases": out}))
+        os._exit(0)  # spark.stop() hangs after results print
+
     audit = {}
     for tag, d in (("sf1", SF1), ("sf10", SF10)):
         t0 = time.time()
