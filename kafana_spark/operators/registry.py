@@ -669,7 +669,16 @@ def x_avro_roundtrip(spark, sf_dir):
 
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    recs = events_as_kafka_records(ev)
+    # The envelope is a single synthetic Kafka partition over a
+    # single-row-group parquet file, so the scan is ONE task and the
+    # whole encode→decode→enrich chain (two Python codec stages + the
+    # JSON render) would run serialized until the final sort's
+    # Exchange. Spread it across the executor cores first — the
+    # shuffle moves only the raw envelope bytes, orders of magnitude
+    # cheaper than the per-record codec work it parallelizes. Real
+    # Kafka ingest gets this parallelism from source partitions.
+    recs = events_as_kafka_records(ev) \
+        .repartition(spark.sparkContext.defaultParallelism)
     framed = to_confluent_avro(recs, AVRO_EVENT_SCHEMA, schema_id=1)
     decoded = from_confluent_avro_py(
         framed, AVRO_EVENT_SCHEMA,
