@@ -1122,6 +1122,89 @@ def _km_assign(corpus: DataFrame, cents: DataFrame,
         kern, "vec_id long, vu array<bigint>, d2 long, cid long")
 
 
+def _km_cell_stats(corpus: DataFrame, cent_rows, dim: int) -> DataFrame:
+    """Per-cell sufficient statistics of the nearest-centroid
+    assignment, long-form: (cid, j, s) with j = -2 → Σ d2 (µunit²
+    inertia), j = -1 → count, j ∈ [0, dim) → per-dimension µunit sum.
+
+    Same exact-int64 assignment as ``_km_assign`` (same centroid
+    matrix prep, same argmin-on-cid-sorted-matrix tie rule), but the
+    kernel folds each partition's statistics instead of emitting
+    per-vector rows (the ``_pca_moments_frame`` partials shape): the
+    shuffle carries ≤ |cells|·(dim+2) rows per partition instead of
+    the corpus, and the dim separate ``sum(vu[j])`` expressions — a
+    heavyweight analyze/codegen step that the Lloyd loop was paying
+    PER ROUND — disappear from the plan. Integer partials are
+    associative, so the combined stats are bit-identical to the old
+    per-vector groupBy. ``cent_rows`` is the plain-Python
+    [(cid, cu), ...] list the driver loop already holds — passing it
+    directly skips the createDataFrame→re-collect round trip the
+    DataFrame-taking kernel forced on every round."""
+    import numpy as np
+
+    rows = sorted((int(c), list(u)) for c, u in cent_rows)
+    cid = np.array([c for c, _ in rows], dtype=np.int64)
+    CU = np.array([u for _, u in rows], dtype=np.int64)
+    if len(cid):
+        cu2 = np.einsum("ij,ij->i", CU, CU)
+    chunk = max(1, 4_000_000 // max(1, len(cid)))
+
+    def kern(batches):
+        import pandas as _pd
+
+        cnt = np.zeros(len(cid), dtype=np.int64)
+        inu = np.zeros(len(cid), dtype=np.int64)
+        S = np.zeros((len(cid), dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0 or len(cid) == 0:
+                continue
+            VU = _stack(pdf["vu"].values, np.int64)
+            for i in range(0, len(VU), chunk):
+                V = VU[i:i + chunk]
+                d2 = (np.einsum("ij,ij->i", V, V)[:, None] + cu2
+                      - 2 * (V @ CU.T))
+                j = np.argmin(d2, axis=1)
+                rr = np.arange(len(V))
+                np.add.at(cnt, j, 1)
+                np.add.at(inu, j, d2[rr, j])
+                np.add.at(S, j, V)
+                seen = True
+        if not seen:
+            return
+        nz = np.flatnonzero(cnt)
+        d = np.arange(dim)
+        yield _pd.DataFrame({
+            "cid": np.concatenate([np.repeat(cid[nz], dim),
+                                   cid[nz], cid[nz]]),
+            "j": np.concatenate([np.tile(d, len(nz)),
+                                 np.full(len(nz), -1),
+                                 np.full(len(nz), -2)]),
+            "s": np.concatenate([S[nz].ravel(), cnt[nz], inu[nz]]),
+        })
+
+    return (corpus.select("vu").mapInPandas(kern, "cid long, j int, s long")
+            .groupBy("cid", "j").agg(F.sum("s").alias("s")))
+
+
+def _km_collect_cell_stats(corpus: DataFrame, cent_rows,
+                           dim: int) -> dict:
+    """Collect ``_km_cell_stats`` into {cid: (cnt, inertia_u,
+    [per-dim sums])} — the |cells|·(dim+2)-row driver table every
+    Lloyd round materializes anyway."""
+    cells: dict[int, list] = {}
+    for r in _km_cell_stats(corpus, cent_rows, dim).collect():
+        e = cells.setdefault(int(r.cid), [0, 0, [0] * dim])
+        j = int(r.j)
+        if j == -1:
+            e[0] = int(r.s)
+        elif j == -2:
+            e[1] = int(r.s)
+        else:
+            e[2][j] = int(r.s)
+    return {c: (cnt, inu, s) for c, (cnt, inu, s) in cells.items()}
+
+
 def kmeans_refine(df: DataFrame, centroid_mod: int = 40,
                   n_iters: int = 3, dim: int = 64) -> DataFrame:
     """Unrolled Lloyd k-means refinement of the deterministic modulo
@@ -1167,7 +1250,6 @@ def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
     exactly the rounded means of the returned statistics."""
     import math
 
-    spark = df.sparkSession
     corpus = _km_corpus(df, dim)
     cents = sorted(
         (int(r.vec_id), [int(x) for x in r.vu])
@@ -1176,23 +1258,18 @@ def _km_loop(df: DataFrame, centroid_mod: int, n_iters: int,
     out = []
     stats = {}
     for it in range(1, n_iters + 1):
-        cdf = spark.createDataFrame(cents, "cid bigint, cu array<bigint>")
-        sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
-        cell = (_km_assign(corpus, cdf, dim)
-                .groupBy("cid")
-                .agg(F.count(F.lit(1)).alias("cnt"),
-                     F.sum("d2").alias("in_u"), *sums)
-                .collect())
-        out.append((it, len(cell), max(r.cnt for r in cell),
-                    sum(r.in_u for r in cell)))
-        stats = {int(r.cid): (int(r.cnt),
-                              [int(r[f"s{j}"]) for j in range(dim)])
-                 for r in cell}
+        # one long-form cell-stats job per round (_km_cell_stats):
+        # bit-identical to the old per-vector _km_assign + dim-wide
+        # groupBy, without re-analyzing dim sum expressions or
+        # round-tripping the centroid list through createDataFrame
+        cell = _km_collect_cell_stats(corpus, cents, dim)
+        out.append((it, len(cell),
+                    max(cnt for cnt, _, _ in cell.values()),
+                    sum(inu for _, inu, _ in cell.values())))
+        stats = {c: (cnt, s) for c, (cnt, _, s) in cell.items()}
         cents = sorted(
-            (int(r.cid),
-             [int(math.floor(r[f"s{j}"] / r.cnt + 0.5))
-              for j in range(dim)])
-            for r in cell)
+            (c, [int(math.floor(s[j] / cnt + 0.5)) for j in range(dim)])
+            for c, (cnt, _, s) in cell.items())
     return out, cents, stats
 
 
@@ -1240,14 +1317,12 @@ def lloyd_update(df: DataFrame, batch_mod: int = 2,
     base = df.where(F.col("vec_id") % batch_mod == 0)
     newb = df.where(F.col("vec_id") % batch_mod != 0)
     _, cents, stats = _km_loop(base, centroid_mod, n_iters, dim)
-    cdf = spark.createDataFrame(cents, "cid bigint, cu array<bigint>")
-    sums = [F.sum(F.col("vu")[j]).alias(f"s{j}") for j in range(dim)]
-    bstat = {int(r.cid): (int(r.cnt),
-                          [int(r[f"s{j}"]) for j in range(dim)])
-             for r in (_km_assign(_km_corpus(newb, dim), cdf, dim)
-                       .groupBy("cid")
-                       .agg(F.count(F.lit(1)).alias("cnt"), *sums)
-                       .collect())}
+    # same long-form cell-stats kernel as the walk rounds (the
+    # inertia rows are simply unused here); bit-identical to the old
+    # per-vector assignment + dim-wide groupBy
+    bstat = {c: (cnt, s) for c, (cnt, _, s) in
+             _km_collect_cell_stats(_km_corpus(newb, dim), cents,
+                                    dim).items()}
     out = []
     for cid, cu in cents:
         n_base, s_base = stats[cid]

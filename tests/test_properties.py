@@ -495,3 +495,50 @@ def test_jaccard_verify_shapes_agree_on_random_corpora(spark, texts):
                                                pair_first=True)
                    .collect()))
     assert a == b
+
+
+# ------------------------------------------------------- r12 kernels
+
+
+@given(vs=_corpus_strategy,
+       n_parts=st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_km_cell_stats_partition_invariant_and_exact(spark, vs, n_parts):
+    """The r12 long-form Lloyd cell-stats kernel (_km_cell_stats) is
+    exact-integer and partition-invariant, and reproduces a driver
+    numpy brute force with the documented tie rule (nearest centroid,
+    ties to the LOWEST cid) — the properties that let it replace the
+    per-vector _km_assign + dim-wide groupBy bit-for-bit inside the
+    Lloyd walk."""
+    import numpy as np
+
+    from kafana_spark.operators import similarity
+
+    dim = 4
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, vu array<bigint>")
+    # centroids: every 3rd vector (cid = its vec_id), at least one
+    cents = [(i, [int(x) for x in v])
+             for i, v in enumerate(vs) if i % 3 == 0] or [(0, list(vs[0]))]
+
+    base = similarity._km_collect_cell_stats(df.repartition(1), cents, dim)
+    re = similarity._km_collect_cell_stats(
+        df.repartition(n_parts), cents, dim)
+    assert base == re
+
+    X = np.array(vs, dtype=np.int64)
+    cid = np.array([c for c, _ in sorted(cents)], dtype=np.int64)
+    CU = np.array([u for _, u in sorted(cents)], dtype=np.int64)
+    d2 = (np.einsum("ij,ij->i", X, X)[:, None]
+          + np.einsum("ij,ij->i", CU, CU) - 2 * (X @ CU.T))
+    j = np.argmin(d2, axis=1)  # first minimum = lowest cid (sorted)
+    ref = {}
+    for i, ji in enumerate(j):
+        cnt, inu, s = ref.setdefault(int(cid[ji]), [0, 0, [0] * dim])
+        e = ref[int(cid[ji])]
+        e[0] += 1
+        e[1] += int(d2[i, ji])
+        e[2] = [a + int(b) for a, b in zip(e[2], X[i])]
+    assert base == {c: (cnt, inu, s) for c, (cnt, inu, s) in ref.items()}
