@@ -741,23 +741,13 @@ def hard_negative_topk(df: DataFrame, k: int = 10,
 # projection onto normal (t, j), computed in integer micro-units
 # (floor(term*1e6 + 0.5) per dimension BEFORE the sum, the _l2sq_u
 # stance) so the sum is pure integer arithmetic — both engines agree
-# bit-for-bit regardless of accumulation order. Candidates come from an
-# equi-join on (table, code); the codes frame carries its vectors, so
-# ranking needs no second corpus join. The 100 TB shape: the index IS
-# the (t, code)-partitioned codes table, per-query work is
-# O(L * bucket), and the one exchange moves |corpus| * L compact rows.
-
-
-def _proj_u(v, h, dim: int) -> F.Column:
-    """Projection of ``v`` onto ``h`` in integer micro-units — unrolled
-    per-dimension floor-rounding (see _l2sq_u: order-independent
-    integer sums, and the static chain stays inside codegen where the
-    interpreted zip_with/aggregate form does not)."""
-    s = None
-    for j in range(dim):
-        t = F.floor(v[j] * h[j] * F.lit(1_000_000.0) + F.lit(0.5))
-        s = t if s is None else s + t
-    return s
+# bit-for-bit regardless of accumulation order. Signing is a map-only
+# Arrow kernel closed over the bounded plane matrix (r12; the
+# _km_assign discipline — no plane join, no codes exchange).
+# Candidates come from an equi-join on (table, code); the codes frame
+# carries its vectors, so ranking needs no second corpus join. The
+# 100 TB shape: the index IS the (t, code)-partitioned codes table,
+# per-query work is O(L * bucket), and signing shuffles nothing.
 
 
 def lsh_planes(df: DataFrame, n_tables: int = 6, n_bits: int = 4,
@@ -787,20 +777,83 @@ def lsh_planes(df: DataFrame, n_tables: int = 6, n_bits: int = 4,
                     (F.col("pid") % n_bits).cast("int").alias("j"), "h"))
 
 
+def _lsh_plane_matrix(planes: DataFrame):
+    """Collect the bounded (≤ n_tables·n_bits rows by construction)
+    plane frame into (tvals, tidx, J, H): table ids, per-plane table
+    index, per-plane bit positions, and the (p, dim) normal matrix,
+    plane rows sorted by (t, j)."""
+    import numpy as np
+
+    rows = sorted(((int(r.t), int(r.j), list(r.h))
+                   for r in planes.select("t", "j", "h").collect()))
+    tvals = sorted({t for t, _, _ in rows})
+    tpos = {t: i for i, t in enumerate(tvals)}
+    tidx = np.array([tpos[t] for t, _, _ in rows], dtype=np.int64)
+    J = np.array([j for _, j, _ in rows], dtype=np.int64)
+    H = np.array([h for _, _, h in rows], dtype=np.float64)
+    return tvals, tidx, J, H
+
+
+def _lsh_du(V, H):
+    """(n, p) integer µunit projections of the vector batch onto every
+    plane: per-dimension floor((v[j]·h[j])·1e6 + 0.5), summed as
+    int64 — each term is floored to an exact integer BEFORE the sum,
+    so the result is order-independent, and numpy float64
+    mult/add/floor are IEEE-identical to the JVM codegen chain this
+    replaced (r5–r11's unrolled per-dimension Column fold), so the
+    signs and codes replay exactly in SQL."""
+    import numpy as np
+
+    T = np.floor((V[:, None, :] * H[None, :, :]) * 1_000_000.0 + 0.5)
+    return T.astype(np.int64).sum(axis=2)
+
+
 def lsh_codes(vectors: DataFrame, planes: DataFrame, dim: int) -> DataFrame:
     """(vec_id, v, nrm, t, code): the b-bit sign signature of every
-    vector in every table. The broadcast plane join expands the frame
-    ×(L·b), but the groupBy collapses it map-side — the exchange moves
-    |vectors| × L rows, never the expanded frame."""
-    du = _proj_u(F.col("x.v"), F.col("p.h"), dim)
-    bit = (du >= 0).cast("long")
-    term = bit * F.pow(F.lit(2.0), F.col("p.j")).cast("long")
-    expanded = (vectors.alias("x").join(F.broadcast(planes.alias("p")))
-                .select("vec_id", "v", "nrm", "t", term.alias("term")))
-    return (expanded.groupBy("vec_id", "t")
-            .agg(F.any_value(F.col("v")).alias("v"),
-                 F.any_value(F.col("nrm")).alias("nrm"),
-                 F.sum("term").alias("code")))
+    vector in every table.
+
+    Map-only Arrow kernel (r12, the _km_assign discipline): the plane
+    frame is bounded by construction (n_tables·n_bits rows), so it is
+    collected once and closed over; each batch computes all
+    projections as one numpy tensor product and emits L rows per
+    vector directly. The r5–r11 shape — broadcast-join ×(L·b)
+    expansion, per-row 64-term codegen chains, then a groupBy whose
+    exchange moved |vectors|·L rows WITH their vectors — had no
+    corpus-scale shuffle left to remove but still paid (a) ~2 s of
+    driver time per call building the unrolled projection Columns
+    through Py4J and (b) the codes exchange; both are gone. µunit
+    floor semantics are unchanged (see _lsh_du), so codes are
+    bit-identical and the DuckDB oracle replays them."""
+    import numpy as np
+
+    tvals, tidx, J, H = _lsh_plane_matrix(planes)
+    nt, p = len(tvals), len(J)
+    chunk = max(1, 4_000_000 // max(1, p * dim))
+    tarr = np.array(tvals, dtype=np.int64)
+
+    def kern(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or p == 0:
+                continue
+            for i in range(0, len(pdf), chunk):
+                part = pdf.iloc[i:i + chunk]
+                V = _stack(part["v"].values, np.float64)
+                du = _lsh_du(V, H)
+                bits = (du >= 0).astype(np.int64)
+                codes = np.zeros((len(part), nt), dtype=np.int64)
+                for q in range(p):
+                    codes[:, tidx[q]] += bits[:, q] << J[q]
+                yield _pd.DataFrame({
+                    "vec_id": np.repeat(part["vec_id"].to_numpy(), nt),
+                    "v": np.repeat(part["v"].values, nt),
+                    "nrm": np.repeat(part["nrm"].to_numpy(), nt),
+                    "t": np.tile(tarr, len(part)),
+                    "code": codes.ravel()})
+
+    return vectors.select("vec_id", "v", "nrm").mapInPandas(
+        kern, "vec_id long, v array<double>, nrm double, t int, code long")
 
 
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -840,36 +893,59 @@ def lsh_multiprobe_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     the weakest-bit argmin replays exactly in SQL."""
     planes = lsh_planes(df, n_tables, n_bits, anchor_mod)
     codes = lsh_codes(_with_norm(_vectors(df)), planes, dim)
-    qc = _lsh_qcodes_with_margin(queries, planes, dim)
-    flip = F.struct(F.abs(F.col("du")).alias("a"), F.col("j")).alias("m")
-    probes = (qc.groupBy("qid", "t")
-              .agg(F.any_value("qv").alias("qv"),
-                   F.any_value("qnrm").alias("qnrm"),
-                   F.sum(F.col("bit")
-                         * F.pow(F.lit(2.0), F.col("j")).cast("long"))
-                   .alias("code"),
-                   F.min_by(F.col("j"), flip).alias("jstar"))
-              .select("qid", "qv", "qnrm", "t",
-                      F.explode(F.array(
-                          F.col("code"),
-                          F.col("code").bitwiseXOR(
-                              F.pow(F.lit(2.0), F.col("jstar"))
-                              .cast("long")))).alias("code")))
-    return _lsh_rank(codes, probes, k)
+    return _lsh_rank(codes, _lsh_qprobes(queries, planes, dim), k)
 
 
-def _lsh_qcodes_with_margin(queries: DataFrame, planes: DataFrame,
-                            dim: int) -> DataFrame:
-    """(qid, qv, qnrm, t, j, du, bit) per-bit query projections —
-    the margin |du| feeds multiprobe's weakest-bit choice."""
+def _lsh_qprobes(queries: DataFrame, planes: DataFrame,
+                 dim: int) -> DataFrame:
+    """(qid, qv, qnrm, t, code) multiprobe rows — per (query, table)
+    the query's own code AND the code with the weakest bit flipped
+    (smallest |du| margin, ties to the lowest j — the running
+    strictly-less argmin over the j-sorted plane slice replays the
+    old ``min_by(j, struct(abs(du), j))`` exactly). Same Arrow-kernel
+    shape as lsh_codes; same µunit floor arithmetic, so the flipped
+    codes are bit-identical and the DuckDB oracle replays them."""
+    import numpy as np
+
+    tvals, tidx, J, H = _lsh_plane_matrix(planes)
+    nt, p = len(tvals), len(J)
+    chunk = max(1, 4_000_000 // max(1, p * dim))
+    tarr = np.array(tvals, dtype=np.int64)
+
+    def kern(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or p == 0:
+                continue
+            for i in range(0, len(pdf), chunk):
+                part = pdf.iloc[i:i + chunk]
+                V = _stack(part["v"].values, np.float64)
+                du = _lsh_du(V, H)
+                bits = (du >= 0).astype(np.int64)
+                n = len(part)
+                codes = np.zeros((n, nt), dtype=np.int64)
+                flips = np.full((n, nt), np.iinfo(np.int64).max,
+                                dtype=np.int64)
+                jstar = np.zeros((n, nt), dtype=np.int64)
+                for q in range(p):
+                    codes[:, tidx[q]] += bits[:, q] << J[q]
+                    a = np.abs(du[:, q])
+                    better = a < flips[:, tidx[q]]
+                    flips[better, tidx[q]] = a[better]
+                    jstar[better, tidx[q]] = J[q]
+                probe2 = codes ^ (np.int64(1) << jstar)
+                both = np.stack([codes, probe2], axis=2)  # (n, nt, 2)
+                yield _pd.DataFrame({
+                    "qid": np.repeat(part["qid"].to_numpy(), nt * 2),
+                    "qv": np.repeat(part["v"].values, nt * 2),
+                    "qnrm": np.repeat(part["nrm"].to_numpy(), nt * 2),
+                    "t": np.tile(np.repeat(tarr, 2), n),
+                    "code": both.reshape(n, nt * 2).ravel()})
+
     q = _with_norm(queries)
-    du = _proj_u(F.col("x.v"), F.col("p.h"), dim)
-    return (q.select(F.col("qid"), F.col("v"), F.col("nrm")).alias("x")
-            .join(F.broadcast(planes.alias("p")))
-            .select(F.col("x.qid").alias("qid"),
-                    F.col("x.v").alias("qv"), F.col("x.nrm").alias("qnrm"),
-                    "t", "j", du.alias("du"))
-            .withColumn("bit", (F.col("du") >= 0).cast("long")))
+    return q.select("qid", "v", "nrm").mapInPandas(
+        kern, "qid long, qv array<double>, qnrm double, t int, code long")
 
 
 def _lsh_rank(codes: DataFrame, qcodes: DataFrame, k: int) -> DataFrame:

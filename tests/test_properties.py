@@ -542,3 +542,61 @@ def test_km_cell_stats_partition_invariant_and_exact(spark, vs, n_parts):
         e[1] += int(d2[i, ji])
         e[2] = [a + int(b) for a, b in zip(e[2], X[i])]
     assert base == {c: (cnt, inu, s) for c, (cnt, inu, s) in ref.items()}
+
+
+_vec_strategy = st.lists(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=16)
+
+
+@given(vs=_vec_strategy, n_parts=st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_sign_kernels_match_reference(spark, vs, n_parts):
+    """The r12 LSH signing kernels (lsh_codes / _lsh_qprobes) are
+    partition-invariant and replay a plain-Python reference of the
+    contract arithmetic: per-dimension floor((v[j]*h[j])*1e6 + 0.5)
+    summed, sign bits packed per table, and multiprobe's weakest-bit
+    flip choosing the smallest |margin| with ties to the lowest j."""
+    import math
+
+    from kafana_spark.operators import similarity
+    from kafana_spark.operators.similarity import _lsh_qprobes, lsh_codes
+
+    dim, n_bits = 4, 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 1.0) for i, v in enumerate(vs)],
+        "vec_id long, v array<double>, nrm double")
+    # two tables x two bits of deterministic planes from the data
+    planes = [(t, j, [float(x) + 0.1 * t - 0.05 * j for x in vs[0]])
+              for t in range(2) for j in range(n_bits)]
+    pdf = spark.createDataFrame(planes, "t int, j int, h array<double>")
+
+    def du(v, h):
+        return sum(int(math.floor((a * b) * 1_000_000.0 + 0.5))
+                   for a, b in zip(v, h))
+
+    ref_codes = {}
+    ref_probes = {}
+    for i, v in enumerate(vs):
+        for t in range(2):
+            code, best = 0, None
+            for j in range(n_bits):
+                d = du(v, planes[t * n_bits + j][2])
+                if d >= 0:
+                    code += 1 << j
+                if best is None or abs(d) < best[0]:
+                    best = (abs(d), j)
+            ref_codes[(i, t)] = code
+            ref_probes[(i, t)] = (code, code ^ (1 << best[1]))
+
+    got = {(r.vec_id, r.t): r.code
+           for r in lsh_codes(df.repartition(n_parts), pdf, dim).collect()}
+    assert got == ref_codes
+    q = df.select(F.col("vec_id").alias("qid"), "v")
+    probes = _lsh_qprobes(q.repartition(n_parts), pdf, dim).collect()
+    gp = {}
+    for r in probes:
+        gp.setdefault((r.qid, r.t), []).append(r.code)
+    assert {k: tuple(v) for k, v in gp.items()} == ref_probes
