@@ -2052,18 +2052,32 @@ def pagerank_from_edges(mu: DataFrame, iters: int = 3,
     shared tail, also directly usable on any undirected edge list."""
     edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
                                       F.col("a").alias("b"))))
-    edges = edges.persist()
+    # partitioned by the per-round join key, so the cached edge
+    # blocks satisfy the join's distribution directly (zero
+    # edge-side exchanges across all rounds)
+    edges = edges.repartition("a").persist()
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     verts = deg.select(F.col("a").alias("vec_id"), "deg").persist()
     teleport = (10000 - damp_bp) * 1_000_000 // 10000
     pr = verts.withColumn("pr", F.lit(1_000_000).cast("long"))
+    zero = verts.select("vec_id", "deg",
+                        F.lit(None).cast("long").alias("c"))
     for _ in range(iters):
+        # One shuffle per round (r12): the old shape joined the sums
+        # BACK to verts with a per-round left join just to give
+        # contribution-less vertices their teleport row; unioning a
+        # zero-contribution row per vertex into the SAME combinable
+        # aggregation computes the identical integer result —
+        # sum(c) over {nulls} is null → coalesce 0, max(deg) picks
+        # the vertex row's degree — with one fewer join per round.
         contrib = (edges.join(pr.select(F.col("vec_id").alias("a"),
                                         "deg", "pr"), "a")
                    .select(F.col("b").alias("vec_id"),
+                           F.lit(None).cast("long").alias("deg"),
                            F.expr("pr div deg").alias("c")))
-        sums = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
-        pr = (verts.join(sums, "vec_id", "left")
+        pr = (contrib.unionByName(zero)
+              .groupBy("vec_id")
+              .agg(F.max("deg").alias("deg"), F.sum("c").alias("s"))
               .select("vec_id", "deg",
                       (F.lit(teleport)
                        + F.expr(f"{damp_bp} * coalesce(s, 0) "
@@ -2260,7 +2274,7 @@ def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
     frame; seeds = graph vertices with vec_id % seed_mod == 0."""
     edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
                                       F.col("a").alias("b"))))
-    edges = edges.persist()
+    edges = edges.repartition("a").persist()
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     verts = (deg.select(F.col("a").alias("vec_id"), "deg",
                         (F.col("a") % seed_mod == 0).alias("is_seed"))
@@ -2270,13 +2284,23 @@ def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
     pr = verts.withColumn(
         "pr", F.when(F.col("is_seed"), F.lit(1_000_000))
         .otherwise(F.lit(0)).cast("long"))
+    zero = verts.select("vec_id", "deg", "is_seed",
+                        F.lit(None).cast("long").alias("c"))
     for _ in range(iters):
+        # same one-shuffle round shape as pagerank_from_edges (r12):
+        # zero-contribution vertex rows replace the per-round left
+        # join; identical integer result by sum/coalesce semantics
         contrib = (edges.join(pr.select(F.col("vec_id").alias("a"),
                                         "deg", "pr"), "a")
                    .select(F.col("b").alias("vec_id"),
+                           F.lit(None).cast("long").alias("deg"),
+                           F.lit(None).cast("boolean").alias("is_seed"),
                            F.expr("pr div deg").alias("c")))
-        sums = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
-        pr = (verts.join(sums, "vec_id", "left")
+        pr = (contrib.unionByName(zero)
+              .groupBy("vec_id")
+              .agg(F.max("deg").alias("deg"),
+                   F.max("is_seed").alias("is_seed"),
+                   F.sum("c").alias("s"))
               .select("vec_id", "deg", "is_seed",
                       (tele + F.expr(f"{damp_bp} * coalesce(s, 0) "
                                      "div 10000"))
