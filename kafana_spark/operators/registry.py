@@ -126,6 +126,26 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _spread(df):
+    """Guide §2: restore executor-wide parallelism before a HEAVY
+    narrow stage. The local testdata tables are single-row-group
+    parquet files, which Spark cannot split, so a query's whole
+    pre-shuffle leg would otherwise run as ONE task regardless of
+    cores. No-op whenever the scan already yields
+    >= defaultParallelism partitions (any real multi-file /
+    multi-row-group table — the cluster case), so the spread is
+    scale-adaptive, not a local[32] constant. Applied ONLY at sites
+    whose narrow leg measurably dominates (r12 scan-spread A/B:
+    x72 0.35x, x94 0.35x, x113 0.46x, x50 0.52x, x45 0.61x,
+    x04 0.68x, x101 0.84x): a blanket spread REGRESSES
+    shuffle-first queries (x01 1.8x, x186-family 1.6x) by adding a
+    pointless full-frame exchange in front of their first groupBy."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 # ------------------------------------------------------------ Spark side
 
 def x_dedup_keep_first(spark, sf_dir):
@@ -144,7 +164,8 @@ def x_ngram_jaccard_dup(spark, sf_dir):
 
 
 def x_simhash_fingerprints(spark, sf_dir):
-    return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+    # _spread: heavy narrow per-doc hashing leg (r12 scan-spread A/B)
+    return dedup.simhash(_spread(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 def x_simhash_near_dup(spark, sf_dir):
@@ -986,7 +1007,7 @@ def x_chunk_dedup(spark, sf_dir):
     """Boilerplate-chunk removal with in-order reconstruction (CCNet
     line-dedup shape): 3-token blocks occurring more than twice across
     the corpus are dropped from every document."""
-    return (text.chunk_dedup(_docs(spark, sf_dir),
+    return (text.chunk_dedup(_spread(_docs(spark, sf_dir)),
                              block_tokens=CHUNK_BLOCK_TOKENS,
                              max_freq=CHUNK_MAX_FREQ)
             .orderBy("doc_id"))
@@ -1042,7 +1063,7 @@ def x_int8_quantize(spark, sf_dir):
     """Scalar int8 quantization of the embeddings corpus, exploded to
     (vec_id, pos, q) long format — integer-only output, so the hash
     check is exact (scale/recall semantics are pytest-pinned)."""
-    qz = similarity.int8_quantize(_embs(spark, sf_dir))
+    qz = similarity.int8_quantize(_spread(_embs(spark, sf_dir)))
     return (qz.select("vec_id", F.posexplode("q8").alias("pos", "q"))
             .orderBy("vec_id", "pos"))
 
@@ -1300,7 +1321,7 @@ def x_cms_counts(spark, sf_dir):
     from kafana_spark import rollup
     from kafana_spark.functions import tokens
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
     exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.col("exact_cnt").desc(), "t").limit(CMS_TOP_K)
@@ -1547,7 +1568,7 @@ def x_dsir_weights(spark, sf_dir):
     top-K most target-like documents (target = lang='en')."""
     from kafana_spark.operators import sample
 
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return (sample.dsir_weights(d, F.col("lang") == "en")
             .orderBy(F.col("weight_u").desc(), "doc_id")
             .limit(DSIR_K))
@@ -1685,6 +1706,10 @@ def x_boxplot(spark, sf_dir):
     from kafana_spark import query
 
     tune_session(spark)
+    # no _spread: measured flat (3.28 vs 3.37 min-of-3) — the exact
+    # percentile's per-group value-map merge lands on one reducer per
+    # group regardless of scan parallelism, so spreading the scan
+    # only moves the cost from the map side to the merge
     li = load_table(spark, sf_dir, "lineitem")
     return query.boxplot(li, "l_extendedprice", "l_returnflag")
 
@@ -1840,7 +1865,7 @@ def x_novelty(spark, sf_dir):
     """x113 — per-doc n-gram novelty: share of the doc's shingles
     first seen (lowest doc id) in this doc — the corpus-diversity
     price signal of the curation pipeline."""
-    return text.novelty(_docs(spark, sf_dir)).orderBy("doc_id")
+    return text.novelty(_spread(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 #: x114 rank_eval: single-term query batch, binary judgment tf ≥ 4
