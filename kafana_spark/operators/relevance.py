@@ -281,18 +281,30 @@ def deletion_variants(word: F.Column) -> F.Column:
 def _symspell_candidates(df: DataFrame, qdf: DataFrame,
                          key_cols: Sequence[str], per_term: int,
                          text_col: str = "text",
-                         vocab: DataFrame | None = None) -> DataFrame:
+                         vocab: DataFrame | None = None,
+                         q_words: Sequence[str] | None = None) -> DataFrame:
     """Shared SymSpell candidate generator (term_suggest + the phrase
     suggester): corpus vocabulary vs the query frame ``qdf`` (columns
     ``key_cols`` + ``q``), deletion-neighborhood equi-join, exact
     levenshtein verify, (dist, freq DESC, term) top-``per_term`` per
     key. Returns key_cols + (term, freq, dist, rn). Pass ``vocab``
-    ((term, freq)) to reuse an already-built aggregate."""
+    ((term, freq)) to reuse an already-built aggregate; pass the
+    driver-known query words as ``q_words`` to pre-filter the
+    vocabulary to the exact length window before the O(L²)
+    deletion-variant explode (levenshtein ≤ SUGGEST_MAX_EDIT forces
+    ``|len(term) − len(q)| ≤ SUGGEST_MAX_EDIT``, so the filter is a
+    superset of the join's own length constraint — result-identical,
+    and the variant work drops with every excluded long term)."""
     if vocab is None:
         vocab = (df.select(F.explode(tokens(F.col(text_col)))
                            .alias("term"))
                  .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
-    vvar = vocab.select(
+    vside = vocab
+    if q_words:
+        lens = [len(w) for w in q_words]
+        vside = vocab.where(F.length("term").between(
+            min(lens) - SUGGEST_MAX_EDIT, max(lens) + SUGGEST_MAX_EDIT))
+    vvar = vside.select(
         "term", "freq",
         F.explode(deletion_variants(F.col("term"))).alias("v"))
     qvar = qdf.select(
@@ -330,7 +342,8 @@ def term_suggest(df: DataFrame, misspelled: Sequence[str],
     """
     spark = df.sparkSession
     qdf = spark.createDataFrame([(m,) for m in misspelled], "q string")
-    return (_symspell_candidates(df, qdf, ["q"], per_term, text_col)
+    return (_symspell_candidates(df, qdf, ["q"], per_term, text_col,
+                                 q_words=list(misspelled))
             .select("q", "term", "dist", "freq", "rn")
             .orderBy("q", "rn"))
 
@@ -786,12 +799,25 @@ def phrase_suggest(df: DataFrame, phrase: Sequence[str],
     BEFORE the sum).
 
     Scale: vocabulary and bigram counts are map-side-combinable corpus
-    aggregates; both are immediately SEMI-JOINED down to the candidate
-    words/pairs (≤ W·per_term words, ≤ (W−1)·per_term² pairs) before
-    any scoring join, so the combination space — per_term^W rows,
-    bounded by construction — only ever joins tiny frames.
+    aggregates. The candidate frame is BOUNDED by construction
+    (≤ W·per_term words, ≤ (W−1)·per_term² adjacent pairs,
+    ≤ per_term^W combinations), so the whole recombination/scoring
+    tail runs on collected rows (the graph family's ``_local_result``
+    / Lloyd-centroid bounded-collect discipline): the corpus is
+    touched exactly twice — the vocab aggregate (persisted across the
+    candidate/count/total lookups, released before return) and one
+    bigram pass pre-filtered to the candidate pairs BEFORE its
+    aggregation. The count lookups are string-keyed — the oracle's
+    own c1/c2 grain. The cost arithmetic stays in Spark Column
+    expressions over the 27-row local frame, so the floating-point
+    path (JVM ln on integer counts, rounded to the 1e4 grain) is
+    identical to the former join-based plan. r12: the former shape
+    paid ~1.5 s of driver plan analysis for its ~20-join tree and
+    re-ran the vocab aggregate per broadcast subquery.
     """
-    from kafana_spark.functions import grams, portable_hash64
+    import itertools
+
+    from kafana_spark.functions import grams
 
     if len(phrase) < 2:
         raise ValueError(
@@ -804,67 +830,71 @@ def phrase_suggest(df: DataFrame, phrase: Sequence[str],
             "— split longer inputs into clauses")
     spark = df.sparkSession
     w_count = len(phrase)
-    # ONE vocab aggregate feeds both the SymSpell candidates and the
-    # LM count tables (the bigram table below is the only other
-    # corpus-scale pass on the query path)
+    # ONE vocab aggregate feeds the SymSpell candidates, the c1/total
+    # count lookups (persisted: three bounded actions, one corpus pass)
     vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
-             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
-    qdf = spark.createDataFrame(list(enumerate(phrase)),
-                                "pos int, q string")
-    cand = (_symspell_candidates(df, qdf, ["pos"], per_term, text_col,
-                                 vocab=vocab)
-            .select("pos", "term", "dist"))
-    c1 = (vocab.select(portable_hash64(F.col("term")).alias("h"),
-                       F.col("freq"))
-          .groupBy("h").agg(F.sum("freq").alias("c1")))
-    tot = vocab.agg(F.sum("freq").alias("n1"),
-                    F.count(F.lit(1)).alias("nv"))
-    c2 = (df.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
-          .select(portable_hash64(F.col("g")).alias("h2"))
-          .groupBy("h2").agg(F.count(F.lit(1)).alias("c2")))
-    need_w = cand.select(
-        portable_hash64(F.col("term")).alias("h")).distinct()
-    c1n = c1.join(F.broadcast(need_w), "h")
-    # build the combination frame by folding tiny broadcast joins
-    combos = (cand.where(F.col("pos") == 0)
-              .select(F.col("term").alias("w0"),
-                      F.col("dist").alias("d0")))
-    for i in range(1, w_count):
-        nxt = (cand.where(F.col("pos") == i)
-               .select(F.col("term").alias(f"w{i}"),
-                       F.col("dist").alias(f"d{i}")))
-        combos = combos.crossJoin(F.broadcast(nxt))
-    need_p = combos.select(*[
-        portable_hash64(F.concat_ws(" ", F.col(f"w{i}"),
-                                    F.col(f"w{i+1}"))).alias(f"hp{i}")
-        for i in range(w_count - 1)])
-    pair_hashes = None
-    for i in range(w_count - 1):
-        part = need_p.select(F.col(f"hp{i}").alias("h2"))
-        pair_hashes = part if pair_hashes is None \
-            else pair_hashes.unionByName(part)
-    c2n = c2.join(F.broadcast(pair_hashes.distinct()), "h2")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+             .persist())
+    try:
+        qdf = spark.createDataFrame(list(enumerate(phrase)),
+                                    "pos int, q string")
+        cand_rows = (_symspell_candidates(df, qdf, ["pos"], per_term,
+                                          text_col, vocab=vocab,
+                                          q_words=list(phrase))
+                     .select("pos", "term", "dist").collect())
+        n1, nv = vocab.agg(F.sum("freq"), F.count(F.lit(1))).first()
+        n1, nv = int(n1 or 0), int(nv or 0)
+        words = sorted({r["term"] for r in cand_rows})
+        # count lookups are string-keyed — exactly the oracle's c1/c2
+        # grain (the former plan keyed on 60-bit hashes, the
+        # engine-side approximation of this)
+        c1_map: dict[str, int] = {}
+        if words:
+            c1_map = {r["term"]: r["freq"] for r in
+                      vocab.where(F.col("term").isin(words)).collect()}
+    finally:
+        vocab.unpersist()
+    by_pos = [sorted((r["term"], r["dist"]) for r in cand_rows
+                     if r["pos"] == i) for i in range(w_count)]
+    adj_pairs = sorted({(a, b)
+                        for i in range(w_count - 1)
+                        for a, _ in by_pos[i]
+                        for b, _ in by_pos[i + 1]})
+    c2_map: dict[tuple[str, str], int] = {}
+    if adj_pairs:
+        # the candidate-pair filter runs BEFORE the bigram
+        # aggregation: the corpus explode is map-only + a ≤18-string
+        # isin predicate, and the groupBy shuffles ≤18 keys
+        pair_strs = [f"{a} {b}" for a, b in adj_pairs]
+        c2_rows = (df.select(F.explode(grams(F.col(text_col), 2))
+                             .alias("g"))
+                   .where(F.col("g").isin(pair_strs))
+                   .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+                   .collect())
+        gc = {r["g"]: r["c2"] for r in c2_rows}
+        c2_map = {(a, b): gc[f"{a} {b}"] for a, b in adj_pairs
+                  if f"{a} {b}" in gc}
+    combo_schema = ", ".join(
+        [f"w{i} string, d{i} int" for i in range(w_count)]
+        + [f"cp{i} bigint, cn{i} bigint, c2_{i} bigint"
+           for i in range(w_count - 1)])
+    combo_rows = []
+    for combo in itertools.product(*by_pos):
+        row: list = []
+        for w, d in combo:
+            row += [w, d]
+        for i in range(w_count - 1):
+            row += [c1_map.get(combo[i][0]),
+                    c1_map.get(combo[i + 1][0]),
+                    c2_map.get((combo[i][0], combo[i + 1][0]))]
+        combo_rows.append(tuple(row))
+    scored = spark.createDataFrame(combo_rows, combo_schema)
     # per-adjacency cost: seen → ln c1(prev) − ln c2(pair);
     # unseen → add-one unigram of the next word + the backoff discount
-    scored = combos.join(F.broadcast(tot))
     cost_cols = []
     for i in range(w_count - 1):
-        prev_h = portable_hash64(F.col(f"w{i}"))
-        next_h = portable_hash64(F.col(f"w{i+1}"))
-        pair_h = portable_hash64(
-            F.concat_ws(" ", F.col(f"w{i}"), F.col(f"w{i+1}")))
-        scored = (scored
-                  .join(F.broadcast(c1n.select(
-                      F.col("h"), F.col("c1").alias(f"cp{i}"))),
-                      prev_h == F.col("h"), "left").drop("h")
-                  .join(F.broadcast(c1n.select(
-                      F.col("h"), F.col("c1").alias(f"cn{i}"))),
-                      next_h == F.col("h"), "left").drop("h")
-                  .join(F.broadcast(c2n.select(
-                      F.col("h2"), F.col("c2").alias(f"c2_{i}"))),
-                      pair_h == F.col("h2"), "left").drop("h2"))
         seen = (F.log(F.col(f"cp{i}")) - F.log(F.col(f"c2_{i}")))
-        unseen = (F.log(F.col("n1") + F.col("nv"))
+        unseen = (F.log(F.lit(int(n1)) + F.lit(int(nv)))
                   - F.log(F.coalesce(F.col(f"cn{i}"), F.lit(0)) + 1)
                   - F.log(F.lit(0.4)))
         cost = F.when(F.col(f"c2_{i}").isNotNull(), seen) \

@@ -654,6 +654,63 @@ def test_phrase_suggest_rejects_single_word(spark):
         phrase_suggest(df, ["slwo"])
 
 
+def test_phrase_suggest_matches_python_reference_incl_backoff(spark):
+    """r12 bounded-collect rewrite pin: every suggestion's cost_u
+    equals the Stupid-Backoff formula replayed in plain Python —
+    including UNSEEN candidate pairs (the backoff branch), which the
+    happy-path test never exercises."""
+    import itertools
+    import math
+
+    from kafana_spark.operators.relevance import (
+        PHRASE_EDIT_PENALTY_U, phrase_suggest)
+
+    # "b c" is a seen bigram; "e d"/"b d"/"e c" never co-occur, so
+    # half the combination space takes the backoff branch
+    rows = [("b c a",), ("b c b",), ("e a d",), ("c d e",)]
+    df = spark.createDataFrame(rows, "text: string")
+    out = phrase_suggest(df, ["bb", "cc"], per_term=2, topn=10).collect()
+    assert out, "expected candidates within edit distance 2"
+
+    toks = [t for r, in rows for t in r.split()]
+    c1 = {w: toks.count(w) for w in set(toks)}
+    bigrams = [f"{a} {b}" for r, in rows
+               for a, b in zip(r.split(), r.split()[1:])]
+    c2 = {g: bigrams.count(g) for g in set(bigrams)}
+    n1, nv = len(toks), len(c1)
+
+    def lev(a, b):
+        d = {(i, 0): i for i in range(len(a) + 1)}
+        d.update({(0, j): j for j in range(len(b) + 1)})
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                              d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return d[len(a), len(b)]
+
+    def pos_cands(q, per_term):
+        scored = sorted((lev(q, w), -c1[w], w) for w in c1
+                        if lev(q, w) <= 2)[:per_term]
+        return [(w, d) for d, _, w in scored]
+
+    expect = {}
+    for (wa, da), (wb, db) in itertools.product(
+            pos_cands("bb", 2), pos_cands("cc", 2)):
+        g = f"{wa} {wb}"
+        if g in c2:
+            cost = math.log(c1[wa]) - math.log(c2[g])
+        else:
+            cost = (math.log(n1 + nv) - math.log(c1.get(wb, 0) + 1)
+                    - math.log(0.4))
+        expect[f"{wa} {wb}"] = (da + db, round(cost * 10000.0)
+                                + PHRASE_EDIT_PENALTY_U * (da + db))
+    got = {r.suggestion: (r.total_dist, r.cost_u) for r in out}
+    assert got == {s: v for s, v in expect.items() if s in got}
+    assert len(got) == len(expect)
+    # seen-path suggestions must outrank backoff-path ones here
+    assert out[0].suggestion in c2
+
+
 def test_normalize_constant_series_has_no_nan(spark):
     rows = [(dt.datetime(2024, 1, 1), 5.0), (dt.datetime(2024, 1, 2), 5.0)]
     df = spark.createDataFrame(rows, "ts: timestamp, v: double")
