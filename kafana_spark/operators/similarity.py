@@ -986,8 +986,9 @@ def _lsh_rank(codes: DataFrame, qcodes: DataFrame, k: int) -> DataFrame:
 # boundary could then hash-mismatch across engines — ADVICE.md r5.)
 
 
-def _l2sq_u(a, b, dim: int) -> F.Column:
+def _l2sq_u(a: str, b: str, dim: int) -> F.Column:
     """Squared L2 distance in integer micro-units (exact, portable).
+    ``a``/``b`` are SQL column references (qualified names allowed).
 
     Each dimension's squared difference is rounded to µunits BEFORE
     accumulation (floor(t·1e6 + 0.5) — round-half-up for nonneg), so
@@ -997,18 +998,24 @@ def _l2sq_u(a, b, dim: int) -> F.Column:
     chain of codegen'd GetArrayItem/multiply/add nodes — the
     interpreted F.aggregate/zip_with higher-order form costs ~3× more
     per row on the encode path (1M+ rows at bench scale).
+
+    The chain is built as ONE ``F.expr`` string parsed JVM-side (r12):
+    composing it from Python Column operators cost ~8 Py4J roundtrips
+    per dimension — ~0.5 s of pure driver time for the 64-term refine
+    chain alone, ~half of x59/x63's warm wall. The parsed tree is
+    node-identical (``D``-suffixed double literals, left-assoc sum),
+    so plans and results are unchanged.
+
+    round-half-up == floor(t + 0.5) for the nonneg squares; Spark's
+    ROUND on doubles detours through BigDecimal (~1.6× measured on
+    the encode/refine paths) while floor codegens to Math.floor and
+    yields LONG directly — integer sums from the first add. DuckDB
+    floors bit-identically.
     """
-    d2 = None
-    for j in range(dim):
-        # round-half-up == floor(t + 0.5) for the nonneg squares;
-        # Spark's ROUND on doubles detours through BigDecimal (~1.6×
-        # measured on the encode/refine paths) while floor codegens to
-        # Math.floor and yields LONG directly — integer sums from the
-        # first add. DuckDB floors bit-identically.
-        t = F.floor((a[j] - b[j]) * (a[j] - b[j]) * F.lit(1_000_000.0)
-                    + F.lit(0.5))
-        d2 = t if d2 is None else d2 + t
-    return d2
+    return F.expr(" + ".join(
+        f"FLOOR(({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])"
+        f" * 1000000.0D + 0.5D)"
+        for j in range(dim)))
 
 
 def pq_codebooks(df: DataFrame, dim: int, m_total: int = 8,
@@ -1054,8 +1061,7 @@ def pq_encode(df: DataFrame, codebooks: DataFrame, m_total: int,
                     F.col("x.m") == F.col("cb.m"))
               .select("vec_id", F.col("x.m").alias("m"),
                       F.col("cb.code").alias("code"),
-                      _l2sq_u(F.col("x.sv"), F.col("cb.cv"),
-                              sub).alias("d2u")))
+                      _l2sq_u("x.sv", "cb.cv", sub).alias("d2u")))
     # argmin(d2u, tie → smallest code) == lexicographic struct min
     best = F.min(F.struct("d2u", "code")).alias("b")
     return (scored.groupBy("vec_id", "m").agg(best)
@@ -1080,8 +1086,7 @@ def _pq_adc_rank(codes: DataFrame, codebooks: DataFrame,
              .join(F.broadcast(codebooks.alias("cb")),
                    F.col("q.m") == F.col("cb.m"))
              .select("qid", F.col("q.m").alias("m"), "code",
-                     _l2sq_u(F.col("q.qsv"), F.col("cb.cv"),
-                             sub).alias("d2u")))
+                     _l2sq_u("q.qsv", "cb.cv", sub).alias("d2u")))
     scored = (codes.alias("c")
               .join(F.broadcast(table.alias("t")),
                     (F.col("c.m") == F.col("t.m"))
@@ -1112,7 +1117,7 @@ def _pq_refine(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
     refine): the candidate list (|queries|·pool rows) broadcasts
     against ONE corpus scan, so true vectors are read for candidates
     only and nothing larger than the pool ever shuffles."""
-    d2u = _l2sq_u(F.col("q.v"), F.col("c.v"), dim)
+    d2u = _l2sq_u("q.v", "c.v", dim)
     scored = (corpus.alias("c")
               .join(F.broadcast(cands.select("qid", "vec_id")), "vec_id")
               .join(F.broadcast(queries.alias("q")), "qid")
