@@ -2050,11 +2050,194 @@ def _local_result(df: DataFrame, *cached: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 
+def _gated_edge_rows(mu: DataFrame, max_edges: int | None
+                     ) -> tuple[DataFrame, list | None]:
+    """The graph-walk driver gate (r12) — the ``dedup._cc_labels``
+    hybrid discipline applied to the fixed-iteration walk tails:
+    mutual-kNN edge lists are k-pruned (≤ n·k/2 rows, two longs
+    each), and below the heap-derived gate a driver pass beats one
+    shuffle-joined round per iteration by an order of magnitude; the
+    distributed branch stays for larger graphs (and is pinned equal
+    by test). Returns ``(persisted_mu, rows-or-None)``: rows when the
+    edge count fits the gate (``mu`` already unpersisted), else None
+    (caller owns the persisted frame — pass it to _local_result)."""
+    from kafana_spark.operators.dedup import _derived_cc_gate
+
+    if max_edges is None:
+        max_edges = _derived_cc_gate(mu.sparkSession)
+    mu = mu.persist()
+    if mu.count() <= max_edges:
+        try:
+            return mu, [(r["a"], r["b"]) for r in mu.collect()]
+        finally:
+            mu.unpersist()
+    return mu, None
+
+
+def _directed_degrees(edge_pairs: list) -> tuple[list, dict]:
+    """Directed edge list (both orientations) + per-vertex degree for
+    a canonical a<b pair list — the walk tails' shared driver shape."""
+    directed: list = []
+    for a, b in edge_pairs:
+        directed.append((a, b))
+        directed.append((b, a))
+    deg: dict = {}
+    for a, _ in directed:
+        deg[a] = deg.get(a, 0) + 1
+    return directed, deg
+
+
+def _pagerank_local(spark, edge_pairs: list, iters: int, damp_bp: int,
+                    top_k: int) -> DataFrame:
+    """Driver replay of the pagerank_from_edges walk — identical
+    integer arithmetic (pr div deg contributions, damp_bp·s div 10000
+    update, teleport constant), identical (pr DESC, vec_id) ranking."""
+    directed, deg = _directed_degrees(edge_pairs)
+    teleport = (10000 - damp_bp) * 1_000_000 // 10000
+    pr = {v: 1_000_000 for v in deg}
+    for _ in range(iters):
+        s: dict = {}
+        for a, b in directed:
+            s[b] = s.get(b, 0) + pr[a] // deg[a]
+        pr = {v: teleport + damp_bp * s.get(v, 0) // 10000
+              for v in deg}
+    top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return spark.createDataFrame(
+        [(v, deg[v], p, i + 1) for i, (v, p) in enumerate(top)],
+        "vec_id long, deg long, pr long, rank int")
+
+
+def _ppr_local(spark, edge_pairs: list, seed_mod: int, iters: int,
+               damp_bp: int, top_k: int) -> DataFrame:
+    """Driver replay of the ppr_from_edges walk (seed-only teleport
+    mass; otherwise the pagerank arithmetic)."""
+    directed, deg = _directed_degrees(edge_pairs)
+    teleport = (10000 - damp_bp) * 1_000_000 // 10000
+    seed = {v: v % seed_mod == 0 for v in deg}
+    pr = {v: 1_000_000 if seed[v] else 0 for v in deg}
+    for _ in range(iters):
+        s: dict = {}
+        for a, b in directed:
+            s[b] = s.get(b, 0) + pr[a] // deg[a]
+        pr = {v: (teleport if seed[v] else 0)
+              + damp_bp * s.get(v, 0) // 10000 for v in deg}
+    top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return spark.createDataFrame(
+        [(v, deg[v], seed[v], p, i + 1) for i, (v, p) in enumerate(top)],
+        "vec_id long, deg long, is_seed boolean, pr long, rank int")
+
+
+def _link_prediction_local(spark, edge_pairs: list,
+                           top_k: int) -> DataFrame:
+    """Driver replay of link_prediction_from_edges: common-neighbour
+    enumeration per middle vertex, existing (canonical) edges
+    excluded, ra_u = Σ 1000000 div deg(m), ranked (ra_u DESC,
+    n_common DESC, a, b)."""
+    eset = set(edge_pairs)
+    nbrs: dict = {}
+    for a, b in edge_pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    acc: dict = {}
+    for m, us in nbrs.items():
+        w = 1_000_000 // len(us)
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                p = (us[i], us[j])
+                if p in eset:
+                    continue
+                e = acc.setdefault(p, [0, 0])
+                e[0] += 1
+                e[1] += w
+    ranked = sorted(acc.items(),
+                    key=lambda kv: (-kv[1][1], -kv[1][0], kv[0]))[:top_k]
+    return spark.createDataFrame(
+        [(a, b, nc, ra, i + 1)
+         for i, ((a, b), (nc, ra)) in enumerate(ranked)],
+        "a long, b long, n_common long, ra_u long, rank int")
+
+
+def _modularity_local(spark, edge_pairs: list,
+                      asg_rows: list) -> DataFrame:
+    """Driver replay of modularity_from_assignment's rollup: inner-join
+    semantics on the assignment (edges with an unassigned endpoint
+    drop from e_c/d_c but still count in m), the identical
+    (10000.0 · (4m·Σe_c − Σd_c²)) / ((4.0·m)·m) double expression,
+    floor, and the integer intra_bp div."""
+    import math
+
+    cid = dict(asg_rows)
+    m = len(edge_pairs)
+    ec: dict = {}
+    dc: dict = {}
+    for a, b in edge_pairs:
+        ca, cb = cid.get(a), cid.get(b)
+        if ca is not None and cb is not None and ca == cb:
+            ec[ca] = ec.get(ca, 0) + 1
+        if ca is not None:
+            dc[ca] = dc.get(ca, 0) + 1
+        if cb is not None:
+            dc[cb] = dc.get(cb, 0) + 1
+    n_cells = len(dc)
+    if n_cells == 0 or m == 0:
+        sum_ec = sum(ec.get(c, 0) for c in dc) if n_cells else None
+        row = (n_cells, m,
+               sum_ec * 10000 // m if (sum_ec is not None and m) else None,
+               None)
+        return spark.createDataFrame(
+            [row], "n_cells long, m_edges long, intra_bp long, "
+                   "q_bp long")
+    sum_ec = sum(ec.get(c, 0) for c in dc)
+    sum_dc2 = sum(d * d for d in dc.values())
+    q_bp = math.floor(10000.0 * float(4 * m * sum_ec - sum_dc2)
+                      / ((4.0 * m) * m))
+    return spark.createDataFrame(
+        [(n_cells, m, sum_ec * 10000 // m, q_bp)],
+        "n_cells long, m_edges long, intra_bp long, q_bp long")
+
+
+def _triangles_local(spark, edge_pairs: list) -> DataFrame:
+    """Driver replay of triangles_from_edges: canonical-wedge closure
+    census with the identical integer div expressions."""
+    eset = set(edge_pairs)
+    _, deg = _directed_degrees(edge_pairs)
+    n_vertices = len(deg)
+    n_edges = len(edge_pairs)
+    n_wedges = (sum(d * (d - 1) // 2 for d in deg.values())
+                if deg else None)
+    # wedge (a<b, b<c) closed by (a, c) — both constituent edges
+    # canonical, matching the e2.a == e1.b join
+    fwd: dict = {}
+    for a, b in edge_pairs:
+        fwd.setdefault(a, []).append(b)
+    n_triangles = 0
+    for a, b in edge_pairs:
+        for c in fwd.get(b, ()):
+            if (a, c) in eset:
+                n_triangles += 1
+    cc = (3 * n_triangles * 10000 // n_wedges
+          if n_wedges and n_wedges > 0 else 0)
+    return spark.createDataFrame(
+        [(n_vertices, n_edges, n_wedges, n_triangles, cc)],
+        "n_vertices long, n_edges long, n_wedges long, "
+        "n_triangles long, global_cc_bp long")
+
+
 def pagerank_from_edges(mu: DataFrame, iters: int = 3,
-                        damp_bp: int = 8500,
-                        top_k: int = 50) -> DataFrame:
+                        damp_bp: int = 8500, top_k: int = 50,
+                        driver_walk_max_edges: int | None = None
+                        ) -> DataFrame:
     """The PageRank walk over a canonical a<b mutual-edge frame —
-    shared tail, also directly usable on any undirected edge list."""
+    shared tail, also directly usable on any undirected edge list.
+    Hybrid (r12): edge lists under the heap-derived driver gate run
+    the identical integer walk on the driver (``_pagerank_local``,
+    pinned equal by test); larger graphs take the one-shuffle-per-
+    round distributed walk below."""
+    mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
+    if rows is not None:
+        return _pagerank_local(mu.sparkSession, rows, iters, damp_bp,
+                               top_k)
     edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
                                       F.col("a").alias("b"))))
     # partitioned by the per-round join key, so the cached edge
@@ -2092,7 +2275,7 @@ def pagerank_from_edges(mu: DataFrame, iters: int = 3,
     w = Window.orderBy(F.desc("pr"), "vec_id")
     out = (top.withColumn("rank", F.row_number().over(w).cast("int"))
            .select("vec_id", "deg", "pr", "rank"))
-    return _local_result(out, edges, verts)
+    return _local_result(out, edges, verts, mu)
 
 
 def graph_triangles(df: DataFrame, k: int = 5,
@@ -2119,9 +2302,14 @@ def graph_triangles(df: DataFrame, k: int = 5,
     return triangles_from_edges(mu)
 
 
-def triangles_from_edges(mu: DataFrame) -> DataFrame:
-    """The triangle census over a canonical a<b edge frame."""
-    mu = mu.persist()
+def triangles_from_edges(mu: DataFrame,
+                         driver_walk_max_edges: int | None = None
+                         ) -> DataFrame:
+    """The triangle census over a canonical a<b edge frame.
+    Hybrid driver gate (r12) — see pagerank_from_edges."""
+    mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
+    if rows is not None:
+        return _triangles_local(mu.sparkSession, rows)
     edges = mu.unionByName(mu.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
@@ -2215,11 +2403,27 @@ def cell_modularity(df: DataFrame, k: int = 5,
     return modularity_from_assignment(mu, asg)
 
 
-def modularity_from_assignment(mu: DataFrame,
-                               asg: DataFrame) -> DataFrame:
+def modularity_from_assignment(mu: DataFrame, asg: DataFrame,
+                               driver_walk_max_edges: int | None = None
+                               ) -> DataFrame:
     """The modularity rollup over a canonical a<b edge frame and a
-    (vec_id, cid) partition assignment — shared testable tail."""
-    mu = mu.persist()
+    (vec_id, cid) partition assignment — shared testable tail.
+    Hybrid driver gate (r12) — see pagerank_from_edges; the driver
+    branch reads the assignment ONLY for edge endpoints (≤ 2·edges
+    rows via a broadcast semi-join — the corpus-sized assignment
+    never moves to the driver)."""
+    mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
+    if rows is not None:
+        spark = mu.sparkSession
+        endpoints = sorted({v for e in rows for v in e})
+        asg_rows = []
+        if endpoints:
+            ids = spark.createDataFrame([(v,) for v in endpoints],
+                                        "vec_id long")
+            asg_rows = [(r["vec_id"], r["cid"]) for r in
+                        asg.join(F.broadcast(ids), "vec_id")
+                        .select("vec_id", "cid").collect()]
+        return _modularity_local(spark, rows, asg_rows)
     lab = (mu.join(asg.select(F.col("vec_id").alias("a"),
                               F.col("cid").alias("ca")), "a")
            .join(asg.select(F.col("vec_id").alias("b"),
@@ -2274,9 +2478,16 @@ def personalized_pagerank(df: DataFrame, seed_mod: int = 50,
 
 def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
                    iters: int = 3, damp_bp: int = 8500,
-                   top_k: int = 50) -> DataFrame:
+                   top_k: int = 50,
+                   driver_walk_max_edges: int | None = None
+                   ) -> DataFrame:
     """The personalized-PageRank walk over a canonical a<b edge
-    frame; seeds = graph vertices with vec_id % seed_mod == 0."""
+    frame; seeds = graph vertices with vec_id % seed_mod == 0.
+    Hybrid driver gate (r12) — see pagerank_from_edges."""
+    mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
+    if rows is not None:
+        return _ppr_local(mu.sparkSession, rows, seed_mod, iters,
+                          damp_bp, top_k)
     edges = (mu.unionByName(mu.select(F.col("b").alias("a"),
                                       F.col("a").alias("b"))))
     edges = edges.repartition("a").persist()
@@ -2314,7 +2525,7 @@ def ppr_from_edges(mu: DataFrame, seed_mod: int = 50,
     w = Window.orderBy(F.desc("pr"), "vec_id")
     out = (top.withColumn("rank", F.row_number().over(w).cast("int"))
            .select("vec_id", "deg", "is_seed", "pr", "rank"))
-    return _local_result(out, edges, verts)
+    return _local_result(out, edges, verts, mu)
 
 
 def link_prediction(df: DataFrame, top_k: int = 30, k: int = 5,
@@ -2346,10 +2557,14 @@ def link_prediction(df: DataFrame, top_k: int = 30, k: int = 5,
     return link_prediction_from_edges(mu, top_k)
 
 
-def link_prediction_from_edges(mu: DataFrame,
-                               top_k: int = 30) -> DataFrame:
-    """The link-prediction tail over a canonical a<b edge frame."""
-    mu = mu.persist()
+def link_prediction_from_edges(mu: DataFrame, top_k: int = 30,
+                               driver_walk_max_edges: int | None = None
+                               ) -> DataFrame:
+    """The link-prediction tail over a canonical a<b edge frame.
+    Hybrid driver gate (r12) — see pagerank_from_edges."""
+    mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
+    if rows is not None:
+        return _link_prediction_local(mu.sparkSession, rows, top_k)
     edges = mu.unionByName(mu.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))

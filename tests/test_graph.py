@@ -152,3 +152,50 @@ def test_graph_walks_release_executor_cache(spark):
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     leaked = [str(i) for i in infos if i.id() not in before]
     assert not leaked, leaked
+
+
+def test_walk_tails_driver_branch_equals_distributed(spark):
+    """r12 hybrid driver gate: every *_from_edges tail computes the
+    IDENTICAL frame on the driver branch (small graphs, gate=default)
+    and the distributed branch (forced with driver_walk_max_edges=0)
+    — same integer arithmetic, same tie order."""
+    import random
+
+    from kafana_spark.operators.similarity import (
+        link_prediction_from_edges,
+        modularity_from_assignment,
+        pagerank_from_edges,
+        ppr_from_edges,
+        triangles_from_edges,
+    )
+
+    rng = random.Random(7)
+    pairs = sorted({(a, b) for a, b in
+                    ((rng.randrange(0, 40), rng.randrange(0, 40))
+                     for _ in range(120)) if a < b})
+    mu = edges(spark, pairs)
+    asg = spark.createDataFrame(
+        [(v, v % 3) for v in range(40)], ["vec_id", "cid"])
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(pagerank_from_edges(mu, iters=3)) == \
+        rows(pagerank_from_edges(mu, iters=3, driver_walk_max_edges=0))
+    assert rows(ppr_from_edges(mu, seed_mod=5, iters=3)) == \
+        rows(ppr_from_edges(mu, seed_mod=5, iters=3,
+                            driver_walk_max_edges=0))
+    assert rows(link_prediction_from_edges(mu, top_k=25)) == \
+        rows(link_prediction_from_edges(mu, top_k=25,
+                                        driver_walk_max_edges=0))
+    assert rows(triangles_from_edges(mu)) == \
+        rows(triangles_from_edges(mu, driver_walk_max_edges=0))
+    assert rows(modularity_from_assignment(mu, asg)) == \
+        rows(modularity_from_assignment(mu, asg,
+                                        driver_walk_max_edges=0))
+    # empty graph: both branches agree on the degenerate row shapes
+    empty = spark.createDataFrame([], "a long, b long")
+    for fn in (lambda m, **kw: pagerank_from_edges(m, **kw),
+               lambda m, **kw: triangles_from_edges(m, **kw),
+               lambda m, **kw: modularity_from_assignment(m, asg, **kw)):
+        assert rows(fn(empty)) == rows(fn(empty, driver_walk_max_edges=0))
