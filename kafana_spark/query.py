@@ -707,8 +707,16 @@ def boxplot(df: DataFrame, field: str, by: str) -> DataFrame:
     Scale: pass 1 is a combinable groupBy (percentile is the one
     memory-heavy agg — per-group sorted buffer, the exact-twin stance
     of C15 where t-digest is the streaming path); pass 2 re-scans with
-    the tiny fence table broadcast. Group cardinality bounds state.
+    the tiny fence table broadcast. Group cardinality bounds state —
+    and therefore bounds the quantile frame, so it is COLLECTED once
+    (r12): the lazy shape evaluated the percentile aggregate three
+    times (the fence broadcast subquery plus both sides of the final
+    join referenced it), tripling the heaviest pass. Fence arithmetic
+    runs on the collected doubles in the identical IEEE order.
     """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
     c = F.col(field)
     g = (df.groupBy(by)
          .agg(F.count(F.lit(1)).alias("cnt"),
@@ -719,14 +727,25 @@ def boxplot(df: DataFrame, field: str, by: str) -> DataFrame:
                  F.round(F.col("qs")[0], 4).alias("q1"),
                  F.round(F.col("qs")[1], 4).alias("q2"),
                  F.round(F.col("qs")[2], 4).alias("q3"))
-    iqr = F.col("q3") - F.col("q1")
-    fences = q.select(by, (F.col("q1") - 1.5 * iqr).alias("fl"),
-                      (F.col("q3") + 1.5 * iqr).alias("fu"))
+    q_rows = q.collect()
+    # fl/fu: q1 − 1.5·(q3 − q1) / q3 + 1.5·(q3 − q1), the same ops in
+    # the same order as the former Column expression (IEEE doubles are
+    # deterministic); an all-null group keeps null fences, so its
+    # whisker rows filter out exactly as before
+    fence_schema = StructType([q.schema[by],
+                               StructField("fl", DoubleType()),
+                               StructField("fu", DoubleType())])
+    fences = spark.createDataFrame(
+        [(r[by],
+          None if r["q1"] is None else r["q1"] - 1.5 * (r["q3"] - r["q1"]),
+          None if r["q1"] is None else r["q3"] + 1.5 * (r["q3"] - r["q1"]))
+         for r in q_rows], fence_schema)
     wh = (df.join(F.broadcast(fences), by)
           .where((c >= F.col("fl")) & (c <= F.col("fu")))
           .groupBy(by).agg(F.min(c).alias("lo_whisker"),
                            F.max(c).alias("hi_whisker")))
-    return q.join(wh, by).orderBy(by)
+    qlocal = spark.createDataFrame(q_rows, q.schema)
+    return qlocal.join(wh, by).orderBy(by)
 
 
 def t_test(df: DataFrame, field: str, group_col: str,
