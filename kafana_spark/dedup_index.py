@@ -181,7 +181,11 @@ def near_dup_from_index(spark: SparkSession, path: str,
     # session has a checkpoint dir — see session.serve_materialize).
     pairs = serve_materialize(
         candidate_pairs(bands, bucket_cap=bucket_cap))
-    return jaccard_verify(pairs, sh, threshold, pair_first=pair_first)
+    # ckpt_pairs=False: `pairs` is already the materialized checkpoint
+    # above — a second serve boundary would only re-write the same
+    # bounded rows (r12).
+    return jaccard_verify(pairs, sh, threshold, pair_first=pair_first,
+                          ckpt_pairs=False)
 
 
 def clusters_from_index(spark: SparkSession, universe: DataFrame,
@@ -264,8 +268,9 @@ def incremental_from_index(new: DataFrame, path: str,
         .distinct())
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
+    # ckpt_pairs=False: `cand` is the materialized checkpoint above
     return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold,
-                          pair_first=pair_first)
+                          pair_first=pair_first, ckpt_pairs=False)
 
 
 # ------------------------------------------------ substring (gram) index

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from kafana_spark.functions import (
     MINHASH_P, as_double_array, cosine, portable_hash64, shingles,
 )
+from kafana_spark.session import serve_materialize
 
 # --- MinHash parameters (fixed seed; the DuckDB oracle embeds the same
 # literals, generated from this very list) --------------------------------
@@ -194,7 +195,9 @@ def verify_shape_estimates(pairs: DataFrame, sh_v: DataFrame,
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float, prune: bool = True,
-                   pair_first: bool | str = False) -> DataFrame:
+                   pair_first: bool | str = False,
+                   ckpt_pairs: bool = True,
+                   ckpt_index: bool = True) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
 
     ``pairs`` should be a DISTINCT (da, db) frame with da < db (every
@@ -226,13 +229,15 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
       exactly where ``bucket_cap`` is in play.
     - ``pair_first="auto"`` (r12): estimate both volumes from the
       pruned index (``verify_shape_estimates`` — two aggregation
-      jobs over a persisted ``sh_v``, so the shingle pipeline runs
-      once) and pick pair-first only when Σ_h df² exceeds both
-      ``AUTO_SHAPE_FLOOR`` and ``AUTO_SHAPE_RATIO`` × Σ_pairs |A|.
-      Auto is EAGER (the estimates are Spark actions at call time)
-      and leaves ``sh_v`` persisted for the verify legs to reuse;
-      where the estimates are close it picks the default shape, so
-      behavior is unchanged at natural entropy.
+      jobs over the materialized ``sh_v``) and pick pair-first only
+      when Σ_h df² exceeds both ``AUTO_SHAPE_FLOOR`` and
+      ``AUTO_SHAPE_RATIO`` × Σ_pairs |A|. Where the estimates are
+      close it picks the default shape, so behavior is unchanged at
+      natural entropy.
+
+    This function is EAGER as of r12 (the serve boundaries below are
+    materialized at call time); the returned frame is the remaining
+    verify tail over those bounded checkpoints.
 
     Output is identical under either shape (pinned by parity test).
     Sizes come from a broadcast-able per-doc aggregate — never a
@@ -240,16 +245,37 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     inverted index is first semi-joined down to docs that appear in
     ANY candidate pair, so the verify cost tracks the candidate
     count (what LSH bought us), not the corpus size.
+
+    Serve boundaries (r12): ``pairs`` and the PRUNED index ``sh_v``
+    are materialized once via :func:`serve_materialize` — the lazy
+    shape re-derived the whole candidate pipeline for the cand-id
+    semi-join AND again for the final pair join, and re-ran the
+    shingle+hash pass for each of the verify legs ReusedExchange
+    cannot conflate (the sizes aggregate is a different projection
+    of sh_v than the self-join's exchange). Both frames are bounded
+    by the LSH candidate list — exactly serve_materialize's contract
+    — where the UNpruned corpus index stays deliberately uncached
+    (minhash_near_dup's documented stance). NOT ``persist()``:
+    Spark's CacheManager matches canonicalized plans, so a persisted
+    subplan would be silently substituted into the next identical
+    build in the same session (a separately-constructed pipeline —
+    e.g. a re-run of the same query — would read the first run's
+    cache instead of computing; measured, and exactly the cross-run
+    caching this repo bans). localCheckpoint/checkpoint blocks are
+    object-scoped: every build computes its own.
     """
     key = "h" if "h" in sh.columns else "s"
+    if ckpt_pairs:
+        pairs = serve_materialize(pairs.select("da", "db"))
     sh_v = sh
     if prune:
         cand_ids = (pairs.select(F.col("da").alias("doc_id"))
                     .unionByName(pairs.select(F.col("db").alias("doc_id")))
                     .distinct())
         sh_v = sh.join(cand_ids, "doc_id", "left_semi")
+        if ckpt_index:
+            sh_v = serve_materialize(sh_v)
     if pair_first == "auto":
-        sh_v = sh_v.persist()
         est_self, est_pf = verify_shape_estimates(pairs, sh_v, key)
         pair_first = est_self > max(AUTO_SHAPE_FLOOR,
                                     AUTO_SHAPE_RATIO * est_pf)
@@ -1486,6 +1512,10 @@ def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
         .select(F.least("da0", "db0").alias("da"),
                 F.greatest("da0", "db0").alias("db"))
         .distinct())
+    # ckpt_pairs=False: SNM's window-adjacency pair list is one cheap
+    # rank join (re-derivation is healed by ReusedExchange), so the
+    # eager checkpoint job costs more than it saves — A/B'd r12; the
+    # pruned-index boundary alone is the winning combination here.
     return jaccard_verify(
         cand, hashed_shingle_set(df, id_col, text_col, hash_fn=hash_fn),
-        threshold)
+        threshold, ckpt_pairs=False)

@@ -502,3 +502,39 @@ def test_shingle_hash64_rejects_unknown_fn():
 
     with pytest.raises(ValueError):
         shingle_hash64(F.lit("x"), "sha1")
+
+
+def test_jaccard_verify_ckpt_knob_parity(spark):
+    """The r12 serve boundaries (pairs / pruned-index checkpoints) are
+    pure materialization: every knob combination computes identical
+    rows."""
+    d = docs(spark)
+    sh = dedup.hashed_shingle_set(d)
+    pairs = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signature(sh)))
+    ref = None
+    for cp in (False, True):
+        for ci in (False, True):
+            got = {(r.da, r.db): r.jaccard for r in
+                   dedup.jaccard_verify(pairs, sh, 0.5, ckpt_pairs=cp,
+                                        ckpt_index=ci).collect()}
+            if ref is None:
+                ref = got
+            assert got == ref, (cp, ci)
+    assert ref
+
+
+def test_jaccard_verify_boundaries_do_not_leak_into_fresh_builds(spark):
+    """The serve boundaries must be localCheckpoint-based, never
+    ``persist()``: Spark's CacheManager matches CANONICALIZED plans, so
+    a persisted subplan is silently substituted into the next identical
+    build in the same session — a separately-constructed re-run of the
+    same query would then read the first run's cache instead of
+    computing from the inputs (measured r12; the banned cross-run
+    caching). Pin: after running the full pipeline once, a fresh
+    identical build's executed plan contains no InMemoryTableScan."""
+    d = docs(spark)
+    dedup.minhash_near_dup(d, 0.5).collect()
+    fresh = dedup.minhash_near_dup(d, 0.5)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
