@@ -416,6 +416,15 @@ def nb_train(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
         F.round(F.lit(1_000_000.0)
                 * F.log((F.col("n1") + 1) / (F.col("n0") + 1)))
         .cast("long").alias("prior_u"))
+    # Deliberately LAZY (r12, measured): w (≤ vocab_k rows) and prior
+    # (1 row) look like serve-boundary candidates, but an interleaved
+    # A/B showed checkpointing them here is a WASH-to-regression —
+    # the training pass is one small combinable job whose repeated
+    # references the runtime already largely heals, while the two
+    # eager checkpoint jobs serialize at build time and multiply
+    # across multi-gate consumers (x165/x179/x168 each train several
+    # times). Contrast jaccard_verify's boundaries, where the
+    # re-embedded pipeline is the dominant cost.
     return w, prior
 
 
@@ -559,8 +568,15 @@ def nb_roc(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
                      .cast("int").alias("yt")))
     j = (preds.join(truth, id_col)
          .select(F.col("nb_score_u").alias("s"), "yt"))
-    g = (j.groupBy("s")
-         .agg(F.count(F.lit(1)).alias("c"), F.sum("yt").alias("t1")))
+    # serve boundary (r12): g is the per-distinct-score aggregate —
+    # three longs per score value, compact by construction — and the
+    # curve tail references it four ways (tot twice via the broadcast
+    # crossJoins, the cumsum window feeding both auc and the bins);
+    # lazily each reference re-embedded the whole scoring pipeline
+    from kafana_spark.session import serve_materialize
+    g = serve_materialize(
+        j.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("yt").alias("t1")))
     tot = g.agg(F.sum("c").alias("n"), F.sum("t1").alias("n1"),
                 F.sum(F.col("c") - F.col("t1")).alias("n0"))
     wd = Window.orderBy(F.col("s").desc())
