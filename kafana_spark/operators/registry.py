@@ -2431,10 +2431,16 @@ def x_rejection_report(spark, sf_dir):
                   .otherwise(F.coalesce(F.col("pred"), F.lit(False)))
                   .alias("g_nb")))
     j = gg.join(gf, "doc_id").join(gn, "doc_id")
-    tot = j.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total = Σn over the ≤8-row cross-tab — an all-rows window on
+    # the grouped frame, NOT j.agg(): the separate count was a second
+    # full reference to j, and as a different aggregation it shared no
+    # exchange with the groupBy, so the whole 3-gate pipeline ran
+    # twice (r12; the x169 half of the audit's 48-scan flag)
+    from pyspark.sql.window import Window as _W
+    w_all = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
     return (j.groupBy("g_gopher", "g_fair", "g_nb")
             .agg(F.count(F.lit(1)).alias("n"))
-            .crossJoin(F.broadcast(tot))
+            .withColumn("n_total", F.sum("n").over(w_all))
             .select("g_gopher", "g_fair", "g_nb", "n",
                     F.expr("10000 * n div n_total").cast("long")
                     .alias("share_bp"))
