@@ -319,7 +319,9 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text", collapse_exact: bool = True,
                      bucket_cap: int | None = None,
                      hash_fn: str = "md5",
-                     pair_first: bool | str = False) -> DataFrame:
+                     pair_first: bool | str = False,
+                     ckpt_pairs: bool = True,
+                     ckpt_index: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact verify. Output: (da, db, jaccard).
 
@@ -348,17 +350,30 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
     identical jaccard values for any pair both surface; only LSH
     candidate generation is hash-dependent (and band-collision recall
     is the same by construction).
+
+    ``ckpt_pairs``/``ckpt_index`` pass through to
+    :func:`jaccard_verify`'s serve boundaries (default on — the
+    direct-key A/B re-confirmed them on a quiet box: x35 0.62×, x02
+    0.82×, x79 0.86×, x46 0.88×, interleaved min-of-3). Turn them OFF
+    where the caller's plan consumes the SAME shingle pass in another
+    branch: x124's exact-Jaccard truth side shares it in one lazy
+    plan, and the eager boundary cut that cross-branch ReusedExchange
+    (measured 1.22× regression, min-of-4 interleaved — the per-site
+    discipline, not a default change).
     """
     if not collapse_exact:
         sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
         pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                                 bucket_cap=bucket_cap)
         return jaccard_verify(pairs, sh, threshold,
-                              pair_first=pair_first)
+                              pair_first=pair_first,
+                              ckpt_pairs=ckpt_pairs,
+                              ckpt_index=ckpt_index)
 
     reps, members, rep_pairs, sh = _rep_near_dup(
         df, threshold, text_col, bucket_cap, hash_fn=hash_fn,
-        pair_first=pair_first)
+        pair_first=pair_first,
+        ckpt_pairs=ckpt_pairs, ckpt_index=ckpt_index)
 
     # cross-group expansion: every member pair inherits its rep pair's
     # jaccard (identical shingle sets); least/greatest restores da<db
@@ -453,7 +468,8 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
 
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None,
-                  hash_fn: str = "md5", pair_first: bool | str = False):
+                  hash_fn: str = "md5", pair_first: bool | str = False,
+                  ckpt_pairs: bool = True, ckpt_index: bool = True):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
     REPRESENTATIVES only, and the rep shingle index."""
@@ -465,7 +481,8 @@ def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                             bucket_cap=bucket_cap)
     return (reps, members,
-            jaccard_verify(pairs, sh, threshold, pair_first=pair_first),
+            jaccard_verify(pairs, sh, threshold, pair_first=pair_first,
+                           ckpt_pairs=ckpt_pairs, ckpt_index=ckpt_index),
             sh)
 
 

@@ -2872,7 +2872,16 @@ def x_dedup_eval(spark, sf_dir):
     (each orders of magnitude smaller than the corpus) reduced to one
     row."""
     d = _docs(spark, sf_dir)
-    lsh = (dedup.minhash_near_dup(d, NEAR_DUP_THRESHOLD)
+    # ckpt boundaries OFF here (r12, measured): this is the one caller
+    # whose plan consumes the shingle pass TWICE — the exact-Jaccard
+    # truth side below shares hashed_shingle_set with the LSH branch,
+    # and in the fully-lazy plan runtime ReusedExchange computes it
+    # once for both; the eager verify boundaries cut that cross-branch
+    # reuse (jobs can't share exchanges), re-running the shingle pass.
+    # Interleaved min-of-4 quiet-box A/B: ckpt-on 9.54 s vs off 7.81 s
+    # (1.22×), parity OK — tools/funnel_vtail_ab.py.
+    lsh = (dedup.minhash_near_dup(d, NEAR_DUP_THRESHOLD,
+                                  ckpt_pairs=False, ckpt_index=False)
            .select("da", "db").withColumn("in_lsh", F.lit(1)))
     ex = (dedup.ngram_jaccard_dup(d, NEAR_DUP_THRESHOLD)
           .select("da", "db").withColumn("in_ex", F.lit(1)))

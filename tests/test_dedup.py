@@ -524,6 +524,23 @@ def test_jaccard_verify_ckpt_knob_parity(spark):
     assert ref
 
 
+def test_minhash_near_dup_ckpt_knob_passthrough_parity(spark):
+    """minhash_near_dup's ckpt knobs (r12 — threaded through for the
+    x124-style caller whose plan consumes the shingle pass in a second
+    branch) are pure materialization: knobs-off equals the default on
+    both collapse_exact branches."""
+    d = docs(spark)
+    for ce in (True, False):
+        ref = {(r.da, r.db): r.jaccard for r in
+               dedup.minhash_near_dup(d, 0.5, collapse_exact=ce)
+               .collect()}
+        off = {(r.da, r.db): r.jaccard for r in
+               dedup.minhash_near_dup(d, 0.5, collapse_exact=ce,
+                                      ckpt_pairs=False,
+                                      ckpt_index=False).collect()}
+        assert off == ref and ref, ce
+
+
 def test_jaccard_verify_boundaries_do_not_leak_into_fresh_builds(spark):
     """The serve boundaries must be localCheckpoint-based, never
     ``persist()``: Spark's CacheManager matches CANONICALIZED plans, so
