@@ -466,17 +466,47 @@ def overlap_near_dup(df: DataFrame, min_bp: int,
         .orderBy("da", "db"))
 
 
+#: exact-collapse join key: "hash" keys the rep<->member joins on
+#: unhex(sha2(text)) — 32 bytes regardless of document size, the
+#: exact_dedup discipline (guide §2.3: shuffle keys, not payloads; at
+#: 100 TB the member joins otherwise re-shuffle the corpus TEXT).
+#: "text" is the legacy key, kept for the A/B tool only.
+_COLLAPSE_KEY = "hash"
+
+
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None,
                   hash_fn: str = "md5", pair_first: bool | str = False,
                   ckpt_pairs: bool = True, ckpt_index: bool = True):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
-    REPRESENTATIVES only, and the rep shingle index."""
-    reps = df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
-    members = (df.select(F.col("doc_id").alias("member"), text_col)
-               .join(reps.withColumnRenamed("doc_id", "rep"), text_col)
-               .select("rep", "member"))
+    REPRESENTATIVES only, and the rep shingle index.
+
+    The member map joins on the 32-byte content hash, not the text
+    (``_COLLAPSE_KEY``): min(text) over a sha2-equal group IS the
+    group's text, so reps are identical, and the df-side shuffle
+    carries (member, 32 B) instead of the corpus text — same stance
+    as :func:`exact_dedup` (collision P ≈ n²/2²⁵⁷, and any hit is
+    caught by the oracle gate). The two member projections here and
+    in :func:`dup_clusters` are the SAME subplan, so one exchange
+    serves both at runtime."""
+    if _COLLAPSE_KEY == "hash":
+        th = F.unhex(F.sha2(F.col(text_col), 256)).alias("__th")
+        reps = (df.groupBy(th)
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.min(text_col).alias(text_col)))
+        members = (df.select(F.col("doc_id").alias("member"), th)
+                   .join(reps.select("__th",
+                                     F.col("doc_id").alias("rep")),
+                         "__th")
+                   .select("rep", "member"))
+        reps = reps.drop("__th")
+    else:
+        reps = df.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+        members = (df.select(F.col("doc_id").alias("member"), text_col)
+                   .join(reps.withColumnRenamed("doc_id", "rep"),
+                         text_col)
+                   .select("rep", "member"))
     sh = hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                             bucket_cap=bucket_cap)
@@ -635,9 +665,23 @@ def dup_clusters(df: DataFrame, threshold: float = 0.5,
         # twice (the r1 inherit/isolated union did exactly that).
         from kafana_spark.functions import tokens
         has_sh = (F.size(tokens(F.col(text_col))) >= 3).alias("has_sh")
-        reps_f = reps.select(text_col, F.col("doc_id").alias("rep"), has_sh)
-        return (df.select(F.col("doc_id").alias("member"), text_col)
-                .join(reps_f, text_col)
+        if _COLLAPSE_KEY == "hash":
+            # same 32-byte join key as _rep_near_dup's member map —
+            # the df-side projection is the SAME subplan, so runtime
+            # ReusedExchange serves both joins from one exchange and
+            # the corpus text is never shuffled here
+            th = F.unhex(F.sha2(F.col(text_col), 256)).alias("__th")
+            reps_f = reps.select(th, F.col("doc_id").alias("rep"),
+                                 has_sh)
+            inherit = (df.select(F.col("doc_id").alias("member"), th)
+                       .join(reps_f, "__th"))
+        else:
+            reps_f = reps.select(text_col, F.col("doc_id").alias("rep"),
+                                 has_sh)
+            inherit = (df.select(F.col("doc_id").alias("member"),
+                                 text_col)
+                       .join(reps_f, text_col))
+        return (inherit
                 .join(labels.withColumnRenamed("node", "rep"),
                       "rep", "left")
                 .select(
