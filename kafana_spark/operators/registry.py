@@ -2236,8 +2236,12 @@ def x_curation_v4(spark, sf_dir):
                         F.col("quality_bp") >= NB_QUALITY_CUT)
                  .otherwise(F.coalesce(F.col("pred"), F.lit(False))))
           .select("doc_id"))
+    # keep-first on the 32-byte content hash, not the text (the
+    # exact_dedup / r12 collapse-key discipline): identical survivor
+    # set, the dedup shuffle never carries document text
     s3 = (s2.join(d.select("doc_id", "text"), "doc_id")
-          .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+          .groupBy(F.unhex(F.sha2(F.col("text"), 256)).alias("__th"))
+          .agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id"))
     cs = (dedup.cluster_sample(e, k=KNN_K,
                                method="fixed", centroid_k=KNN_CELLS,
@@ -2357,8 +2361,10 @@ def _v5_stages(spark, sf_dir):
                         F.col("quality_bp") >= NB_QUALITY_CUT)
                  .otherwise(F.coalesce(F.col("pred"), F.lit(False))))
           .select("doc_id"))
+    # keep-first on the 32-byte content hash (see x_curation_v4 s3)
     s4 = (s3.join(d.select("doc_id", "text"), "doc_id")
-          .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+          .groupBy(F.unhex(F.sha2(F.col("text"), 256)).alias("__th"))
+          .agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id"))
     ol = (similarity.knn_outliers(
         e, k=KNN_K, method="fixed", centroid_k=KNN_CELLS,

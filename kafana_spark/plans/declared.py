@@ -220,7 +220,12 @@ def q20_text_stats(spark, sf_dir):
 # --- E1 exact dedup ---------------------------------------------------------
 def q21_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return (docs.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    # group on the 32-byte content hash, not the text (the exact_dedup
+    # discipline, r12): the count shuffle then carries sha2 keys
+    # instead of the distinct corpus text — identical dup_texts by
+    # construction (collision P ≈ n²/2²⁵⁷; oracle replays group-by-text)
+    return (docs.groupBy(F.unhex(F.sha2(F.col("text"), 256)).alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > 1)
             .agg(F.count(F.lit(1)).alias("dup_texts")))
 
