@@ -37,19 +37,17 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
     (r3-signed — the oldest remaining signatures) filling the window,
     with the r4-signed blocks last.
 
-    Round 12 (current): round 11 signed q01–q22 + x224–x251 all green
-    (CORRECTNESS_r11), so the never-signed block now starts at
-    x252 — the window yields q01–q22 + x252–x279 (28 slots);
-    x280–x300 (21 keys) drain in round 13 with ~7 spare slots, which
-    the x29–x56 r3-signed band (ranked immediately behind the
-    never-signed block) fills automatically to begin the re-sign
-    ladder.
-    Signature ages after r11: x252+: never driver-signed
+    Round 13 (current): round 12 signed q01–q22 + x252–x279 all green
+    (CORRECTNESS_r12), so the never-signed block is x280–x300
+    (21 keys); the 7 spare window slots fall to the x29–x56 r3-signed
+    band (the oldest remaining signatures), beginning the re-sign
+    ladder — the window yields q01–q22 + x280–x300 + x29–x35.
+    Signature ages after r12: x280+: never driver-signed
     (judge-verified green via check_oracle but the driver record is
     the contract), x29–x56: r3 (oldest remaining), x01–x17/x57–x67:
     r4, x18–x28/x68–x84: r5, x85–x112: r6, x113–x140 minus x130: r7,
     x130/x141–x167: r8, x168–x195: r9, x196–x223: r10,
-    x224–x251: r11 (freshest).
+    x224–x251: r11, x252–x279: r12 (freshest).
     """
 
     def rank(k: str) -> tuple[int, int, str]:
@@ -58,7 +56,7 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
                 n = int(k[1:].split("_", 1)[0])
             except ValueError:
                 n = 999
-            if n >= 252:
+            if n >= 280:
                 return (1, n, k)  # never driver-signed, oldest first
             if 29 <= n <= 56:
                 return (2, n, k)  # r3-signed: oldest current signatures
@@ -75,9 +73,11 @@ def _ordered_keys(extension_keys: list[str]) -> list[str]:
             if 196 <= n <= 223:
                 return (9, n, k)  # r10-signed
             if 224 <= n <= 251:
-                return (10, n, k)  # r11-signed (freshest)
+                return (10, n, k)  # r11-signed
+            if 252 <= n <= 279:
+                return (11, n, k)  # r12-signed (freshest)
             return (6, n, k)      # x113–x140 (minus x130): r7
-        return (11, 0, k)
+        return (12, 0, k)
 
     return sorted(extension_keys, key=rank)
 

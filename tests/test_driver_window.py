@@ -80,24 +80,31 @@ def test_window_fronts_red_then_never_signed_keys():
                   if k in latest and not _row_green(latest[k][1])),
                  key=_xnum)
     never = sorted((k for k in x_keys if k not in latest), key=_xnum)
+    # When red+never leave spare slots, the re-sign ladder fills them
+    # with the GREEN keys holding the stalest driver signature
+    # (oldest round first, then ascending key number).
+    stale = sorted((k for k in x_keys
+                    if k in latest and _row_green(latest[k][1])),
+                   key=lambda k: (latest[k][0], _xnum(k)))
 
     w = _window()
     assert len(w) == WINDOW
     n_q = len(DECLARED_QUERIES)
     assert w[:n_q] == list(DECLARED_QUERIES)
-    expected_front = (red + never)[:WINDOW - n_q]
+    expected_front = (red + never + stale)[:WINDOW - n_q]
     assert w[n_q:] == expected_front, (
-        f"window tail {w[n_q:]} != red+never-signed front "
+        f"window tail {w[n_q:]} != red+never-signed+stale front "
         f"{expected_front} — rotate _ordered_keys bands")
 
 
-def test_round12_window_is_q_set_plus_x252_x279():
-    """Belt-and-braces explicit pin for THIS round (r12): r11 signed
-    everything through x251 green, so x252–x279 are the oldest
-    never-signed block and fill the window."""
+def test_round13_window_is_q_set_plus_x280_x300_plus_resign():
+    """Belt-and-braces explicit pin for THIS round (r13): r12 signed
+    x252–x279 green, so x280–x300 are the last never-signed block
+    (21 keys) and the 7 spare slots begin the re-sign ladder with the
+    r3-signed band x29–x35."""
     w = _window()
     ns = [_xnum(k) for k in w[22:]]
-    assert ns == list(range(252, 280)), ns
+    assert ns == list(range(280, 301)) + list(range(29, 36)), ns
 
 
 def test_oracle_keys_match_query_keys():
