@@ -187,6 +187,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         # (the correctness gate is where per-query breakage is graded)
         out["errors"] = errors
     print(json.dumps(out))
+    # compact per-query line (r12 verdict #5): the driver keeps only
+    # the LAST ~2000 bytes of output, so the big line above loses all
+    # but ~40 of its per-query entries. This line re-emits every
+    # timing as integer CENTISECONDS keyed by the unique short prefix
+    # ("q01", "x212") — ~3.4 KB for 322 keys, so its tail packs ~3x
+    # more surviving entries per captured byte than the full-name map.
+    # Printed BEFORE the summary guard so the guard stays the last
+    # complete JSON line (what the driver's parser picks up).
+    print(json.dumps(
+        {"per_query_cs": {k.split("_", 1)[0]: int(round(v * 100))
+                          for k, v in timings.items()}},
+        separators=(",", ":")), file=sys.stderr)
     # short tail-safe summary line as a second guard: even if the big
     # line is truncated from the head, this one always survives intact
     print(json.dumps({"metric": "declared_query_suite_total",
