@@ -516,6 +516,129 @@ def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
             sh)
 
 
+def lsh_eval_counts(df: DataFrame, threshold: float,
+                    text_col: str = "text",
+                    hash_fn: str = "md5",
+                    ckpt_gc: bool = False,
+                    ckpt_pairs: bool = True,
+                    ckpt_index: bool = True) -> DataFrame:
+    """TP/FP/FN of MinHash+LSH near-dup pairs against the exact
+    n-gram-Jaccard truth set, as ONE structured comparison (feeds
+    x124_dedup_eval). Returns a 1-row (tp, fp, fn) frame whose counts
+    are identical to full-outer-joining the two MEMBER-level pair
+    lists (``minhash_near_dup`` vs ``ngram_jaccard_dup`` over the raw
+    corpus) — pinned by test.
+
+    r13 restructure (r12 verdict #2): the old shape ran the two
+    pipelines independently — ``minhash_near_dup`` shingled the
+    exact-collapsed reps while ``ngram_jaccard_dup`` shingled the RAW
+    corpus (different canonical subplans, so not even runtime
+    ReusedExchange could share them) and both expanded to member-level
+    pair lists just to be counted. This shape:
+
+    - collapses once and materializes ONE rep-level
+      ``hashed_shingle_set`` (:func:`serve_materialize` — the single
+      shingle scan in the executed plan); the LSH branch (signature →
+      bands → candidates → verify) and the exact-truth branch (the
+      ``ngram_jaccard_dup`` self-join core) both consume the
+      checkpoint. At 100 TB one lazy mega-plan holding both full
+      pipelines is fragile (an executor loss recomputes everything);
+      the boundary makes the shared pass a bounded restart point.
+    - never builds member-level pair lists: identical texts have
+      identical shingle sets, so a rep pair (ra, rb) stands for
+      |group(ra)|·|group(rb)| member pairs with the SAME jaccard, and
+      intra-group pairs (jaccard 1.0, shingled groups only) are TP in
+      BOTH sets. The comparison therefore full-outer-joins the two
+      rep-level pair sets and weights by group counts — arithmetic
+      instead of three expansion joins per branch.
+
+    Equivalence to the member-level comparison: groups partition
+    doc_ids, so each cross-group member pair maps to exactly one rep
+    pair (no double counting); the LSH rep set is a subset of the
+    exact rep set by construction (the verify step applies the same
+    jaccard to the same index), so FP ≡ 0 mechanically, exactly as
+    the old shape documented.
+    """
+    th = F.unhex(F.sha2(F.col(text_col), 256)).alias("__th")
+    # Job 1 (the one shingle scan): collapse to distinct-text reps,
+    # shingle+hash them, checkpoint the rep-level inverted index.
+    reps = (df.groupBy(th)
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min(text_col).alias(text_col)))
+    sh = serve_materialize(
+        hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn))
+    # Per-rep member counts — the groupBy shuffles (32-byte key, two
+    # longs), never the text. One row per distinct text. Deliberately
+    # LAZY by default (``ckpt_gc=False``): all three references (the
+    # two count joins and the intra term) live in ONE job, where
+    # runtime ReusedExchange already computes the aggregate once —
+    # the eager ckpt job only adds a serialized scheduling floor
+    # (interleaved min-of-3: gc-ckpt 5.28 s vs lazy 4.97 s; the
+    # nb_train lesson — boundaries pay only when the re-embedding
+    # crosses jobs).
+    gc = (df.groupBy(th).agg(F.min("doc_id").alias("rep"),
+                             F.count(F.lit(1)).alias("cnt"))
+          .select("rep", "cnt"))
+    if ckpt_gc:
+        gc = serve_materialize(gc)
+
+    # LSH branch: candidates + exact verify, all over the sh ckpt.
+    cand = candidate_pairs(lsh_bands(minhash_signature(sh)))
+    lsh_rep = jaccard_verify(cand, sh, threshold,
+                             ckpt_pairs=ckpt_pairs,
+                             ckpt_index=ckpt_index).select("da", "db")
+    # Exact-truth branch: the ngram_jaccard_dup core over the SAME
+    # ckpt (one inverted-index self-join is both candidate set and
+    # intersection count).
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (sh.alias("x").join(sh.alias("y"),
+                                F.col("x.h") == F.col("y.h"))
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("da"),
+                      F.col("y.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    exact_rep = (inter
+                 .join(sizes.withColumnRenamed("doc_id", "da")
+                       .withColumnRenamed("n", "na"), "da")
+                 .join(sizes.withColumnRenamed("doc_id", "db")
+                       .withColumnRenamed("n", "nb"), "db")
+                 .where(F.round(jac, 4) >= threshold)
+                 .select("da", "db"))
+
+    # Rep-level comparison, weighted by group sizes.
+    j = (lsh_rep.withColumn("in_lsh", F.lit(1))
+         .join(exact_rep.withColumn("in_ex", F.lit(1)),
+               ["da", "db"], "full_outer")
+         .join(gc.withColumnRenamed("rep", "da")
+               .withColumnRenamed("cnt", "ca"), "da")
+         .join(gc.withColumnRenamed("rep", "db")
+               .withColumnRenamed("cnt", "cb"), "db"))
+    w = F.col("ca") * F.col("cb")
+    both = F.col("in_lsh").isNotNull() & F.col("in_ex").isNotNull()
+    cross = j.agg(
+        F.coalesce(F.sum(F.when(both, w)), F.lit(0))
+        .cast("long").alias("tp_cross"),
+        F.coalesce(F.sum(F.when(F.col("in_lsh").isNotNull()
+                                & F.col("in_ex").isNull(), w)),
+                   F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("in_lsh").isNull()
+                                & F.col("in_ex").isNotNull(), w)),
+                   F.lit(0)).cast("long").alias("fn"))
+    # Intra-group pairs: C(cnt, 2) per SHINGLED group — in both sets
+    # (jaccard 1.0; shingle-less texts never pair in either pipeline).
+    intra = (gc.join(sh.select(F.col("doc_id").alias("rep")).distinct(),
+                     "rep")
+             .agg(F.coalesce(
+                 F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))
+                 .cast("long").alias("tp_intra")))
+    if threshold > 1.0:
+        intra = intra.select(F.lit(0).cast("long").alias("tp_intra"))
+    return (cross.crossJoin(intra)
+            .select((F.col("tp_cross") + F.col("tp_intra")).alias("tp"),
+                    "fp", "fn"))
+
+
 def _unionfind_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find with path compression; labels = component min."""
     parent: dict[int, int] = {}

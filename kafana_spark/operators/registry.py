@@ -2878,27 +2878,13 @@ def x_dedup_eval(spark, sf_dir):
     (each orders of magnitude smaller than the corpus) reduced to one
     row."""
     d = _docs(spark, sf_dir)
-    # ckpt boundaries OFF here (r12, measured): this is the one caller
-    # whose plan consumes the shingle pass TWICE — the exact-Jaccard
-    # truth side below shares hashed_shingle_set with the LSH branch,
-    # and in the fully-lazy plan runtime ReusedExchange computes it
-    # once for both; the eager verify boundaries cut that cross-branch
-    # reuse (jobs can't share exchanges), re-running the shingle pass.
-    # Interleaved min-of-4 quiet-box A/B: ckpt-on 9.54 s vs off 7.81 s
-    # (1.22×), parity OK — tools/funnel_vtail_ab.py.
-    lsh = (dedup.minhash_near_dup(d, NEAR_DUP_THRESHOLD,
-                                  ckpt_pairs=False, ckpt_index=False)
-           .select("da", "db").withColumn("in_lsh", F.lit(1)))
-    ex = (dedup.ngram_jaccard_dup(d, NEAR_DUP_THRESHOLD)
-          .select("da", "db").withColumn("in_ex", F.lit(1)))
-    j = lsh.join(ex, ["da", "db"], "full_outer")
-    agg = j.agg(
-        F.count(F.when(F.col("in_lsh").isNotNull()
-                       & F.col("in_ex").isNotNull(), 1)).alias("tp"),
-        F.count(F.when(F.col("in_lsh").isNotNull()
-                       & F.col("in_ex").isNull(), 1)).alias("fp"),
-        F.count(F.when(F.col("in_lsh").isNull()
-                       & F.col("in_ex").isNotNull(), 1)).alias("fn"))
+    # r13 restructure (r12 verdict #2): ONE exact-collapse + ONE
+    # materialized shingle pass feeds both the LSH branch and the
+    # exact-Jaccard truth branch, and the comparison is weighted
+    # rep-level arithmetic instead of two member-level pair-list
+    # expansions — counts identical by construction (pinned by
+    # test + oracle). See dedup.lsh_eval_counts.
+    agg = dedup.lsh_eval_counts(d, NEAR_DUP_THRESHOLD)
     return agg.select(
         "tp", "fp", "fn",
         F.when(F.col("tp") + F.col("fp") > 0,

@@ -555,3 +555,34 @@ def test_jaccard_verify_boundaries_do_not_leak_into_fresh_builds(spark):
     fresh = dedup.minhash_near_dup(d, 0.5)
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan
+
+
+def test_lsh_eval_counts_matches_member_level_comparison(spark):
+    """lsh_eval_counts (the r13 x124 shape: one collapse + one
+    materialized shingle pass, rep-level comparison weighted by group
+    counts) must produce the EXACT tp/fp/fn of the old formulation —
+    full-outer-joining the member-level pair lists of
+    minhash_near_dup and ngram_jaccard_dup over the raw corpus — on a
+    corpus mixing exact-dup groups (sizes 2 and 3), near-dups across
+    groups, shingle-less twins, and unique docs."""
+    base = docs(spark).limit(60).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "tiny"), (9002, "tiny"),          # shingle-less twins
+         (9003, "one two three four five six seven eight nine ten"),
+         (9004, "one two three four five six seven eight nine ten"),
+         (9005, "one two three four five six seven eight nine ten"),
+         (9006, "one two three four five six seven eight nine eleven"),
+         (9007, "one two three four five six seven eight nine eleven")],
+        ["doc_id", "text"])
+    corpus = base.unionByName(extra).unionByName(
+        base.limit(10).select((F.col("doc_id") + 5000).alias("doc_id"),
+                              "text"))
+    lsh = {(r.da, r.db) for r in
+           dedup.minhash_near_dup(corpus, 0.5).collect()}
+    ex = {(r.da, r.db) for r in
+          dedup.ngram_jaccard_dup(corpus, 0.5).collect()}
+    want = {"tp": len(lsh & ex), "fp": len(lsh - ex),
+            "fn": len(ex - lsh)}
+    assert want["tp"] > 0  # fixture must exercise the comparison
+    got = dedup.lsh_eval_counts(corpus, 0.5).collect()[0].asDict()
+    assert got == want, (got, want)

@@ -20,6 +20,15 @@ Interleaved round-robin (ambient drift hits both arms alike), full
 registry query timed bench-style (build + collect), an untouched
 control key records ambient, loads sampled per run.
 
+History note (r12 ADVICE, then r13): between the 9ae8032 call-site
+fix and the r13 restructure, x124 passed ckpt_pairs/ckpt_index=False
+explicitly, so both arms were identical for that key (a re-run then
+could not reproduce the documented 1.22x and should not be read as
+the regression vanishing). Since the r13 lsh_eval_counts restructure
+x124's verify tail runs with knob DEFAULTS over a checkpointed
+shingle index, so the A/B is live for it again — with a different
+(smaller) expected effect.
+
 Usage: python tools/funnel_vtail_ab.py [min_of] [key ...]
 """
 
