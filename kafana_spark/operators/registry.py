@@ -163,6 +163,23 @@ def x_ngram_jaccard_dup(spark, sf_dir):
             .orderBy("da", "db"))
 
 
+def x_minhash_prod(spark, sf_dir):
+    """x301 — the PRODUCTION-path twin of x02 (r12 verdict #3): the
+    same MinHash+LSH pipeline keyed on ``hash_fn="xxhash64"`` — no md5
+    string materialization per shingle row, so the signature exchange
+    and every downstream equi-join hash 8-byte native longs (~2-3×
+    cheaper per row, guide §4). xxhash64 is not DuckDB-replayable, so
+    this key is rows-only by design (the declared-twin split: every
+    ORACLE-checked key keeps md5, the cross-engine contract); parity
+    of the two settings' output is pinned by
+    test_minhash_hash_fn_knob_parity and re-checked at bench SF by
+    tools/hash_ab.py."""
+    return (dedup.minhash_near_dup(_docs(spark, sf_dir),
+                                   NEAR_DUP_THRESHOLD,
+                                   hash_fn="xxhash64")
+            .orderBy("da", "db"))
+
+
 def x_simhash_fingerprints(spark, sf_dir):
     # _spread: heavy narrow per-doc hashing leg (r12 scan-spread A/B)
     return dedup.simhash(_spread(_docs(spark, sf_dir))).orderBy("doc_id")
@@ -4493,6 +4510,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x298_binary_ann": x_binary_ann,
     "x299_binary_recall": x_binary_recall,
     "x300_stored_binary_ann": x_stored_binary_ann,
+    "x301_minhash_prod": x_minhash_prod,
 }
 
 

@@ -101,10 +101,11 @@ def test_round13_window_is_q_set_plus_x280_x300_plus_resign():
     """Belt-and-braces explicit pin for THIS round (r13): r12 signed
     x252–x279 green, so x280–x300 are the last never-signed block
     (21 keys) and the 7 spare slots begin the re-sign ladder with the
-    r3-signed band x29–x35."""
+    r3-signed band (x301, the r13 production twin, is never-signed
+    too and slots in after x300)."""
     w = _window()
     ns = [_xnum(k) for k in w[22:]]
-    assert ns == list(range(280, 301)) + list(range(29, 36)), ns
+    assert ns == list(range(280, 302)) + list(range(29, 35)), ns
 
 
 def test_oracle_keys_match_query_keys():
@@ -113,5 +114,6 @@ def test_oracle_keys_match_query_keys():
     q = set(m.queries())
     o = set(m.oracle_sql())
     assert o <= q
-    # exactly the documented rows-only key lacks an oracle
-    assert q - o == {"x29_pack_sequences"}, sorted(q - o)
+    # exactly the documented rows-only keys lack an oracle
+    assert q - o == {"x29_pack_sequences",
+                     "x301_minhash_prod"}, sorted(q - o)

@@ -31,6 +31,11 @@ WEAK_REASONS = {
         "partition-local greedy packing — layout depends on Spark "
         "partitioning, not SQL-expressible; x66 is the deterministic "
         "sharded twin with a full oracle"),
+    "x301_minhash_prod": (
+        "hash_fn=xxhash64 production twin of x02 — Spark-native hash, "
+        "not DuckDB-replayable by design; parity with the md5 oracle "
+        "path is pinned by test_minhash_hash_fn_knob_parity and "
+        "tools/hash_ab.py"),
 }
 
 
