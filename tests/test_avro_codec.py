@@ -146,3 +146,49 @@ def test_decode_avro_falls_back_without_jar(spark, caplog):
         out = avro_codec.decode_avro(df, sj, "k int").collect()
     assert out[0].value_struct.k == 41
     assert any("dev path" in r.message for r in caplog.records)
+
+
+@settings(max_examples=200, deadline=None)
+@given(et=st.text(max_size=30),
+       val=st.one_of(st.none(), st.floats(allow_nan=False,
+                                          allow_infinity=False)),
+       props=st.one_of(st.none(), st.text(max_size=200)))
+def test_compiled_codec_matches_walker(et, val, props):
+    """The r13 compiled fast path (per-field closures encode,
+    exec-codegen'd decode) must be BYTE-identical to the generic
+    schema walker on the flat record-of-primitives shape it handles,
+    and roundtrip to the same dict."""
+    from kafana_spark.sources.avro_codec import (
+        _compile_record_decoder,
+        _compile_record_encoder,
+        _decode,
+        _encode,
+    )
+
+    schema = json.loads(
+        '{"type": "record", "name": "event", "fields": ['
+        '{"name": "event_type", "type": "string"}, '
+        '{"name": "value", "type": ["null", "double"]}, '
+        '{"name": "props", "type": ["null", "string"]}]}')
+    enc_c = _compile_record_encoder(schema)
+    dec_c = _compile_record_decoder(schema)
+    assert enc_c is not None and dec_c is not None
+    rec = {"event_type": et, "value": val, "props": props}
+    out = bytearray()
+    _encode(schema, rec, out)
+    wire = bytes(out)
+    assert enc_c(rec, b"") == wire
+    assert dec_c(wire, 0) == _decode(schema, wire, 0)
+
+
+def test_compiled_codec_falls_back_on_nested_shapes():
+    """Arrays/maps/nested records are the generic walker's job — the
+    compilers must decline them (None), never mis-encode."""
+    from kafana_spark.sources.avro_codec import (
+        _compile_record_decoder,
+        _compile_record_encoder,
+    )
+
+    full = json.loads(FULL)
+    assert _compile_record_encoder(full) is None
+    assert _compile_record_decoder(full) is None
