@@ -39,6 +39,10 @@ def main() -> None:
      .mapInPandas(lambda it: it, "id long").count())
 
     qmap = entrymod.queries()
+    # save/restore the caller's value rather than a hardcoded "hash":
+    # if the production default ever changes, the finally block must
+    # not silently force the old key (r12 ADVICE).
+    orig_key = dedup._COLLAPSE_KEY
     secs: dict[tuple[str, str], list[float]] = {}
     loads: dict[tuple[str, str], list[float]] = {}
     rows_by: dict[tuple[str, str], list] = {}
@@ -64,7 +68,7 @@ def main() -> None:
                           f"{type(exc).__name__}: {exc}"[:300],
                           file=sys.stderr)
                 finally:
-                    dedup._COLLAPSE_KEY = "hash"
+                    dedup._COLLAPSE_KEY = orig_key
                     spark.sparkContext.setJobDescription(None)
     for key in keys:
         h = secs.get((key, "hash"), [])

@@ -1,0 +1,114 @@
+"""Core-scaling ladder (r12 verdict #4): 8-core vs 32-core wall at
+10x data for the top-cost families.
+
+The driver's own low-core bench runs at sf0.1, where the suite is
+fixed-overhead-bound (plan construction, scheduling floors, JVM
+costs) — 8-core ~= 32-core, structurally uninformative. This tool
+times the heavy legs on the PLANTED 10x corpus (/tmp/sfscale/sf1,
+fitted from sf0.1 by tools/scale_ladder.py — same generator, numpy
+seed 42, deterministic) at two core counts, each in its OWN
+subprocess (a Spark master is fixed per JVM), and reports the
+low/high-core wall ratio per key. A parallel operator should read
+well above 1 (ideally -> cores_hi/cores_lo as compute dominates); a
+ratio near 1 at 10x data names a serial bottleneck.
+
+Usage:
+  python tools/core_ladder.py                  # orchestrates both arms
+  python tools/core_ladder.py --worker key...  # one arm (internal)
+
+Env: CORE_LADDER_KEYS (comma list), CORE_LADDER_CPUS (default "8,32"),
+KAFANA_SPARK_DRIVER_MEM passes through (default 48g here — 10x data
+in one local JVM needs a real heap; a cluster spreads this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BIG = "/tmp/sfscale/sf1"
+
+DEFAULT_KEYS = [
+    "x35_incremental_near_dup",   # minhash verify tail over NEW x OLD
+    "x02_minhash_near_dup",       # the family's batch shape
+    "x81_ann_lsh",                # LSH signing + bucketed candidates
+    "x56_curation_v2",            # curation funnel (multi-gate DAG)
+]
+
+
+def worker(keys: list[str]) -> None:
+    import __spark_entry__ as m
+    from kafana_spark.session import get_spark
+
+    spark = get_spark("core-ladder")
+    spark.range(1000).count()
+    (spark.range(64).repartition(int(os.environ["SPARK_GRAFT_CPUS"]))
+     .mapInPandas(lambda it: it, "id long").count())
+    qs = m.queries()
+    out = {}
+    for key in keys:
+        spark.sparkContext.setJobDescription(f"core-ladder {key}")
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            len(qs[key](spark, BIG).collect())
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        out[key] = round(best, 2)
+        print(f"# {key}: {best:.2f}s "
+              f"(local[{os.environ['SPARK_GRAFT_CPUS']}])",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        keys = [a for a in sys.argv[1:] if not a.startswith("--")]
+        worker(keys or DEFAULT_KEYS)
+        return
+
+    if not os.path.exists(f"{BIG}/documents.parquet"):
+        from tools.scale_ladder import generate
+        generate(BIG)
+
+    keys = (os.environ.get("CORE_LADDER_KEYS", "").split(",")
+            if os.environ.get("CORE_LADDER_KEYS") else DEFAULT_KEYS)
+    cpus = [c.strip() for c in
+            os.environ.get("CORE_LADDER_CPUS", "8,32").split(",")]
+    arms: dict[str, dict[str, float]] = {}
+    for c in cpus:
+        env = dict(os.environ,
+                   SPARK_GRAFT_CPUS=c,
+                   KAFANA_SPARK_DRIVER_MEM=os.environ.get(
+                       "KAFANA_SPARK_DRIVER_MEM", "48g"))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             *keys],
+            env=env, capture_output=True, text=True, cwd=REPO)
+        for line in p.stderr.splitlines():
+            if line.startswith("# "):
+                print(f"[{c}c] {line}", file=sys.stderr)
+        last = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not last:
+            print(f"ARM local[{c}] FAILED rc={p.returncode}:\n"
+                  + p.stderr[-2000:], file=sys.stderr)
+            continue
+        arms[c] = json.loads(last[-1])
+
+    lo, hi = cpus[0], cpus[-1]
+    rows = {}
+    for key in keys:
+        a, b = arms.get(lo, {}).get(key), arms.get(hi, {}).get(key)
+        rows[key] = {f"wall_{lo}c": a, f"wall_{hi}c": b,
+                     "lo_over_hi": round(a / b, 2) if a and b else None}
+    print(json.dumps({"data": BIG, "cpus": cpus, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
