@@ -100,6 +100,20 @@ def hashed_shingle_set(df: DataFrame, id_col: str = "doc_id",
         .select(id_col, shingle_hash64(F.col("s"), hash_fn).alias("h")))
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """registry._spread's contract for dedup-internal call sites:
+    restore executor-wide parallelism on a RAW-SCAN frame about to
+    feed a heavy narrow stage (the local single-row-group testdata
+    is unsplittable → one task). No-op whenever the scan already
+    yields >= defaultParallelism partitions (any real table). Only
+    ever call on cheap projections — the .rdd probe compiles the
+    plan driver-side."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K min-hash values per document (one aggregation, map-side
     combinable — partial mins merge associatively on the shuffle).
@@ -197,8 +211,21 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float, prune: bool = True,
                    pair_first: bool | str = False,
                    ckpt_pairs: bool = True,
-                   ckpt_index: bool = True) -> DataFrame:
+                   ckpt_index: bool = True,
+                   index_docs: DataFrame | None = None,
+                   index_fn=None) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only.
+
+    ``index_docs``/``index_fn`` (r13, both or neither): the documents
+    frame ``sh`` was built from and the builder itself. When given,
+    the prune step semi-joins the DOCUMENTS to the candidate ids and
+    shingles only the survivors (``index_fn(index_docs ⋉ cand_ids)``)
+    instead of semi-joining the already-built index — the shingle
+    pass for the verify side then runs over the candidate-bounded
+    subset only, and the FULL-corpus shingle pass executes exactly
+    once per pipeline (inside the pairs checkpoint job). Identical
+    rows by construction: shingles of a doc subset ≡ the subset of
+    the index (pinned by the family parity/oracle tests).
 
     ``pairs`` should be a DISTINCT (da, db) frame with da < db (every
     in-repo producer — candidate_pairs, SNM adjacency, the NEW×OLD
@@ -272,7 +299,17 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         cand_ids = (pairs.select(F.col("da").alias("doc_id"))
                     .unionByName(pairs.select(F.col("db").alias("doc_id")))
                     .distinct())
-        sh_v = sh.join(cand_ids, "doc_id", "left_semi")
+        if index_docs is not None and index_fn is not None:
+            # NOTE for callers: a broadcast semi-join inherits
+            # index_docs' partitioning — pass a frame whose scan
+            # parallelism is real (post-shuffle aggregates are; a raw
+            # single-row-group local scan is ONE task and needs the
+            # caller-side _spread treatment), or the shingle pass and
+            # the whole verify tail reading the checkpoint serialize.
+            sh_v = index_fn(index_docs.join(cand_ids, "doc_id",
+                                            "left_semi"))
+        else:
+            sh_v = sh.join(cand_ids, "doc_id", "left_semi")
         if ckpt_index:
             sh_v = serve_materialize(sh_v)
     if pair_first == "auto":
@@ -365,10 +402,13 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
         sh = hashed_shingle_set(df, text_col=text_col, hash_fn=hash_fn)
         pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                                 bucket_cap=bucket_cap)
-        return jaccard_verify(pairs, sh, threshold,
-                              pair_first=pair_first,
-                              ckpt_pairs=ckpt_pairs,
-                              ckpt_index=ckpt_index)
+        return jaccard_verify(
+            pairs, sh, threshold,
+            pair_first=pair_first,
+            ckpt_pairs=ckpt_pairs, ckpt_index=ckpt_index,
+            index_docs=df.select("doc_id", text_col),
+            index_fn=lambda d: hashed_shingle_set(
+                d, text_col=text_col, hash_fn=hash_fn))
 
     reps, members, rep_pairs, sh = _rep_near_dup(
         df, threshold, text_col, bucket_cap, hash_fn=hash_fn,
@@ -384,9 +424,14 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      F.greatest("a", "b").alias("db"), "jaccard"))
     # intra-group pairs: identical texts are jaccard 1.0 by definition —
     # but only for texts that shingle at all (the uncollapsed pipeline
-    # never pairs shingle-less docs)
-    shingled = sh.select("doc_id").distinct() \
-        .withColumnRenamed("doc_id", "rep")
+    # never pairs shingle-less docs). A doc shingles iff it has >= n
+    # tokens (shingles() returns the empty array below n), so the gate
+    # is a per-row predicate on reps — NOT a third full run of the
+    # shingle+hash index (r13; the reps exchange is already in this
+    # job via `members`, so ReusedExchange serves it for free).
+    shingled = (reps
+                .where(F.size(F.split(F.col(text_col), " ")) >= 3)
+                .select(F.col("doc_id").alias("rep")))
     mm = members.join(shingled, "rep")
     intra = (mm.alias("x").join(
         mm.alias("y"), (F.col("x.rep") == F.col("y.rep"))
@@ -510,9 +555,16 @@ def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
     sh = hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn)
     pairs = candidate_pairs(lsh_bands(minhash_signature(sh)),
                             bucket_cap=bucket_cap)
+    # index_docs/index_fn (r13): the verify side shingles only the
+    # candidate-pruned reps — the full rep index is computed exactly
+    # once (inside the pairs ckpt job) instead of a second time for
+    # the pruned-index semi-join.
     return (reps, members,
             jaccard_verify(pairs, sh, threshold, pair_first=pair_first,
-                           ckpt_pairs=ckpt_pairs, ckpt_index=ckpt_index),
+                           ckpt_pairs=ckpt_pairs, ckpt_index=ckpt_index,
+                           index_docs=reps.select("doc_id", text_col),
+                           index_fn=lambda d: hashed_shingle_set(
+                               d, text_col=text_col, hash_fn=hash_fn)),
             sh)
 
 
@@ -852,7 +904,17 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
                     F.greatest("a.doc_id", "b.doc_id").alias("db"))
             .where(F.col("da") < F.col("db"))
             .distinct())
-    return jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+    # index_docs/index_fn (r13): the verify side re-shingles only the
+    # candidate-pruned docs (same NEW-over-OLD precedence as the sh
+    # union above) instead of semi-joining the two full indexes —
+    # the corpus-side shingle pass runs once, in the band/ckpt job.
+    old_docs = (_spread_scan(old.select("doc_id", text_col))
+                .join(F.broadcast(new_ids), "doc_id", "left_anti"))
+    return jaccard_verify(
+        cand, sh_new.unionByName(sh_old), threshold,
+        index_docs=new.select("doc_id", text_col).unionByName(old_docs),
+        index_fn=lambda d: hashed_shingle_set(
+            d, text_col=text_col, hash_fn=hash_fn))
 
 
 # ------------------------------------------------------- decontamination
@@ -1700,6 +1762,13 @@ def sorted_neighborhood_dup(df: DataFrame, threshold: float = 0.5,
     # rank join (re-derivation is healed by ReusedExchange), so the
     # eager checkpoint job costs more than it saves — A/B'd r12; the
     # pruned-index boundary alone is the winning combination here.
+    # index_docs/index_fn (r13): SNM's candidates come from the sort
+    # key, not from shingles, so with the pruned-index build the
+    # shingle pass runs over candidate docs ONLY — never the corpus.
     return jaccard_verify(
         cand, hashed_shingle_set(df, id_col, text_col, hash_fn=hash_fn),
-        threshold, ckpt_pairs=False)
+        threshold, ckpt_pairs=False,
+        index_docs=_spread_scan(
+            df.select(F.col(id_col).alias("doc_id"), text_col)),
+        index_fn=lambda d: hashed_shingle_set(
+            d, text_col=text_col, hash_fn=hash_fn))

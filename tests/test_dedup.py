@@ -586,3 +586,22 @@ def test_lsh_eval_counts_matches_member_level_comparison(spark):
     assert want["tp"] > 0  # fixture must exercise the comparison
     got = dedup.lsh_eval_counts(corpus, 0.5).collect()[0].asDict()
     assert got == want, (got, want)
+
+
+def test_jaccard_verify_index_fn_prune_equivalence(spark):
+    """The r13 index_docs/index_fn prune (shingle only the candidate-
+    pruned DOCS instead of semi-joining the full index) must produce
+    exactly the rows of the index-semi-join shape — shingles of a doc
+    subset are the subset of the index by construction."""
+    d = docs(spark).select("doc_id", "text")
+    sh = dedup.hashed_shingle_set(d)
+    pairs = dedup.candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signature(sh)))
+    base = dedup.jaccard_verify(pairs, sh, 0.3)
+    pruned = dedup.jaccard_verify(
+        pairs, sh, 0.3,
+        index_docs=d,
+        index_fn=lambda x: dedup.hashed_shingle_set(x))
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, pruned.collect()))
+    assert a and a == b
