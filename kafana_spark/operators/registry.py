@@ -159,7 +159,11 @@ def x_minhash_near_dup(spark, sf_dir):
 
 
 def x_ngram_jaccard_dup(spark, sf_dir):
-    return (dedup.ngram_jaccard_dup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+    # _spread: the md5+explode index leg is heavy narrow work feeding
+    # the h self-join — one task on the unsplittable local scan
+    # without it (r13 A/B: 3.94 -> 1.40 s)
+    return (dedup.ngram_jaccard_dup(_spread(_docs(spark, sf_dir)),
+                                    NEAR_DUP_THRESHOLD)
             .orderBy("da", "db"))
 
 
@@ -3709,7 +3713,10 @@ def x_overlap_near_dup(spark, sf_dir):
     """x249 — containment near-dup: overlap coefficient |A∩B| /
     min(|A|,|B|) in integer bp over hashed shingles — the asymmetric
     sibling of x03 that catches subset/boilerplate nesting."""
-    return dedup.overlap_near_dup(_docs(spark, sf_dir), OVERLAP_MIN_BP)
+    # _spread: same heavy narrow md5+explode leg as x03
+    # (r13 A/B: 3.52 -> 1.19 s)
+    return dedup.overlap_near_dup(_spread(_docs(spark, sf_dir)),
+                                  OVERLAP_MIN_BP)
 
 
 def x_late_order_priorities(spark, sf_dir):
