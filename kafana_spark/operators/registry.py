@@ -190,7 +190,10 @@ def x_simhash_fingerprints(spark, sf_dir):
 
 
 def x_simhash_near_dup(spark, sf_dir):
-    return dedup.simhash_near_dup(_docs(spark, sf_dir)).orderBy("da", "db")
+    # _spread: r12 left this borderline (0.86x inside noise); the r13
+    # min-of-5 quiet re-run confirms it (1.93 -> 1.66 s)
+    return dedup.simhash_near_dup(_spread(_docs(spark, sf_dir))) \
+        .orderBy("da", "db")
 
 
 def x_embedding_near_dup(spark, sf_dir):
@@ -2071,7 +2074,9 @@ def x_bpe_merge_train(spark, sf_dir):
     """x136 — iterative BPE merge training (the tokenizer-prep loop
     x33 scores one round of): count pairs, apply the top merge,
     re-count — unrolled for BPE_MERGE_ROUNDS rounds."""
-    return text.bpe_merge_train(_docs(spark, sf_dir),
+    # _spread: r13 min-of-5 quiet A/B 2.57 -> 2.30 s (the per-round
+    # pair-count explode is the heavy narrow leg)
+    return text.bpe_merge_train(_spread(_docs(spark, sf_dir)),
                                 n_merges=BPE_MERGE_ROUNDS,
                                 topk=BPE_MERGE_TOPK)
 
@@ -2818,7 +2823,9 @@ def x_phrase_suggest(spark, sf_dir):
     corrections, integer fixed-point end-to-end."""
     from kafana_spark.operators import relevance
 
-    return relevance.phrase_suggest(_docs(spark, sf_dir),
+    # _spread: r13 min-of-5 quiet A/B 1.91 -> 1.66 s (vocab + bigram
+    # LM passes are narrow scans)
+    return relevance.phrase_suggest(_spread(_docs(spark, sf_dir)),
                                     list(PHRASE_INPUT))
 #: x128 completion-suggester prefix + size
 COMPLETION_PREFIX = "s"
