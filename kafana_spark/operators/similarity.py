@@ -2396,22 +2396,45 @@ def cell_modularity(df: DataFrame, k: int = 5,
     corpus = _with_norm(_vectors(df))
     centroids = _ivf_centroids(df, corpus, method, centroid_mod,
                                centroid_k=centroid_k)
-    asg = (_ivf_assign(corpus, centroids, 1)
+    cc = _collect_cents(centroids)   # one centroid job for both legs
+    asg = (_ivf_assign(corpus, cc, 1)
            .select("vec_id", "cid"))
     mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign, method,
                     centroid_k).select("a", "b")
-    return modularity_from_assignment(mu, asg)
+
+    # r13 (verdict #7): on the driver branch the modularity rollup
+    # needs cell ids for EDGE ENDPOINTS only, but the argmax kernel is
+    # opaque — the endpoint semi-join cannot push below it, so the
+    # full-corpus assignment ran just to be filtered. Assigning the
+    # semi-joined corpus computes cids for <= 2*edges vectors instead
+    # (identical values: the pick is a pure per-vector function). The
+    # distributed branch still consumes the full `asg`.
+    def _asg_of_ids(ids):
+        return (_ivf_assign(corpus.join(F.broadcast(ids), "vec_id",
+                                        "left_semi"), cc, 1)
+                .select("vec_id", "cid"))
+
+    return modularity_from_assignment(mu, asg, asg_of_ids=_asg_of_ids)
 
 
 def modularity_from_assignment(mu: DataFrame, asg: DataFrame,
-                               driver_walk_max_edges: int | None = None
-                               ) -> DataFrame:
+                               driver_walk_max_edges: int | None = None,
+                               asg_of_ids=None) -> DataFrame:
     """The modularity rollup over a canonical a<b edge frame and a
     (vec_id, cid) partition assignment — shared testable tail.
     Hybrid driver gate (r12) — see pagerank_from_edges; the driver
     branch reads the assignment ONLY for edge endpoints (≤ 2·edges
     rows via a broadcast semi-join — the corpus-sized assignment
-    never moves to the driver)."""
+    never moves to the driver).
+
+    ``asg_of_ids`` (r13, optional): ids-frame → (vec_id, cid) builder
+    that computes the assignment for ONLY those ids. The default
+    filters the full ``asg`` frame, which cannot push the filter
+    below an opaque assignment kernel — callers whose assignment is a
+    pure per-vector function pass a builder so the kernel runs over
+    endpoints, not the corpus. Must agree with ``asg`` on every id
+    (same deterministic function); the distributed branch always
+    uses ``asg``."""
     mu, rows = _gated_edge_rows(mu, driver_walk_max_edges)
     if rows is not None:
         spark = mu.sparkSession
@@ -2420,9 +2443,10 @@ def modularity_from_assignment(mu: DataFrame, asg: DataFrame,
         if endpoints:
             ids = spark.createDataFrame([(v,) for v in endpoints],
                                         "vec_id long")
+            src = (asg_of_ids(ids) if asg_of_ids is not None
+                   else asg.join(F.broadcast(ids), "vec_id"))
             asg_rows = [(r["vec_id"], r["cid"]) for r in
-                        asg.join(F.broadcast(ids), "vec_id")
-                        .select("vec_id", "cid").collect()]
+                        src.select("vec_id", "cid").collect()]
         return _modularity_local(spark, rows, asg_rows)
     lab = (mu.join(asg.select(F.col("vec_id").alias("a"),
                               F.col("cid").alias("ca")), "a")
