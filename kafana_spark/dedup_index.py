@@ -151,7 +151,7 @@ def dedup_index_stream_sink(path: str, text_col: str = "text"):
 def near_dup_from_index(spark: SparkSession, path: str,
                         threshold: float = 0.5,
                         bucket_cap: int | None = None,
-                        pair_first: bool | str = False) -> DataFrame:
+                        pair_first: bool | str = "auto") -> DataFrame:
     """All verified near-dup pairs (da, db, jaccard), da < db, computed
     from the stored signatures + shingles — no text is read and nothing
     is re-hashed.
@@ -223,7 +223,7 @@ def clusters_from_index(spark: SparkSession, universe: DataFrame,
 def incremental_from_index(new: DataFrame, path: str,
                            threshold: float = 0.5,
                            text_col: str = "text",
-                           pair_first: bool | str = False) -> DataFrame:
+                           pair_first: bool | str = "auto") -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus.
 
     The batch is signed on the fly (it is new — nothing stored yet);

@@ -356,7 +356,7 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
                      text_col: str = "text", collapse_exact: bool = True,
                      bucket_cap: int | None = None,
                      hash_fn: str = "md5",
-                     pair_first: bool | str = False,
+                     pair_first: bool | str = "auto",
                      ckpt_pairs: bool = True,
                      ckpt_index: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
@@ -387,6 +387,16 @@ def minhash_near_dup(df: DataFrame, threshold: float = 0.5,
     identical jaccard values for any pair both surface; only LSH
     candidate generation is hash-dependent (and band-collision recall
     is the same by construction).
+
+    ``pair_first`` defaults to ``"auto"`` (r13): at natural shingle
+    entropy the estimator picks the default self-join shape (plans
+    and outputs unchanged — the two estimate jobs over the bounded
+    materialized index cost ~0.17 s locally), and past the
+    documented low-entropy threshold it flips to pair-first — the
+    10×-planted corpus crossed it (Σ_h df² = 140.7M join rows vs the
+    pair list's ~7M; measured 38.6 s → 12.1 s at sf1, rows
+    identical). The knob was opt-in-and-never-opted-into in r12,
+    which left the quadratic regime reachable by default.
 
     ``ckpt_pairs``/``ckpt_index`` pass through to
     :func:`jaccard_verify`'s serve boundaries (default on — the
@@ -521,7 +531,7 @@ _COLLAPSE_KEY = "hash"
 
 def _rep_near_dup(df: DataFrame, threshold: float, text_col: str,
                   bucket_cap: int | None = None,
-                  hash_fn: str = "md5", pair_first: bool | str = False,
+                  hash_fn: str = "md5", pair_first: bool | str = "auto",
                   ckpt_pairs: bool = True, ckpt_index: bool = True):
     """Shared exact-collapse front end: distinct-text representatives
     (min doc_id), the rep<->member map, verified near-dup pairs among
@@ -634,9 +644,12 @@ def lsh_eval_counts(df: DataFrame, threshold: float,
     if ckpt_gc:
         gc = serve_materialize(gc)
 
-    # LSH branch: candidates + exact verify, all over the sh ckpt.
+    # LSH branch: candidates + exact verify, all over the sh ckpt
+    # (pair_first="auto" — the r13 family default; the truth branch
+    # below is the inter self-join BY DESIGN, it IS the candidate
+    # generator there).
     cand = candidate_pairs(lsh_bands(minhash_signature(sh)))
-    lsh_rep = jaccard_verify(cand, sh, threshold,
+    lsh_rep = jaccard_verify(cand, sh, threshold, pair_first="auto",
                              ckpt_pairs=ckpt_pairs,
                              ckpt_index=ckpt_index).select("da", "db")
     # Exact-truth branch: the ngram_jaccard_dup core over the SAME
@@ -912,6 +925,7 @@ def incremental_near_dup(new: DataFrame, old: DataFrame,
                 .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     return jaccard_verify(
         cand, sh_new.unionByName(sh_old), threshold,
+        pair_first="auto",
         index_docs=new.select("doc_id", text_col).unionByName(old_docs),
         index_fn=lambda d: hashed_shingle_set(
             d, text_col=text_col, hash_fn=hash_fn))

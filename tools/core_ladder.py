@@ -42,6 +42,12 @@ DEFAULT_KEYS = [
 ]
 
 
+def _steal_jiffies() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:]]
+    return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+
 def worker(keys: list[str]) -> None:
     import __spark_entry__ as m
     from kafana_spark.session import get_spark
@@ -52,6 +58,7 @@ def worker(keys: list[str]) -> None:
      .mapInPandas(lambda it: it, "id long").count())
     qs = m.queries()
     out = {}
+    st0, tot0 = _steal_jiffies()
     for key in keys:
         spark.sparkContext.setJobDescription(f"core-ladder {key}")
         best = None
@@ -64,6 +71,10 @@ def worker(keys: list[str]) -> None:
         print(f"# {key}: {best:.2f}s "
               f"(local[{os.environ['SPARK_GRAFT_CPUS']}])",
               file=sys.stderr)
+    st1, tot1 = _steal_jiffies()
+    out["_steal_pct"] = round(100.0 * (st1 - st0) /
+                              max(1, tot1 - tot0), 2)
+    out["_load1"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
 
 
@@ -81,8 +92,10 @@ def main() -> None:
             if os.environ.get("CORE_LADDER_KEYS") else DEFAULT_KEYS)
     cpus = [c.strip() for c in
             os.environ.get("CORE_LADDER_CPUS", "8,32").split(",")]
+    reps = int(os.environ.get("CORE_LADDER_REPS", "1"))
     arms: dict[str, dict[str, float]] = {}
-    for c in cpus:
+    telemetry: list[dict] = []
+    for c in cpus * reps:
         env = dict(os.environ,
                    SPARK_GRAFT_CPUS=c,
                    KAFANA_SPARK_DRIVER_MEM=os.environ.get(
@@ -99,7 +112,13 @@ def main() -> None:
             print(f"ARM local[{c}] FAILED rc={p.returncode}:\n"
                   + p.stderr[-2000:], file=sys.stderr)
             continue
-        arms[c] = json.loads(last[-1])
+        got = json.loads(last[-1])
+        telemetry.append({"cpus": c,
+                          "steal_pct": got.pop("_steal_pct", None),
+                          "load1": got.pop("_load1", None)})
+        prev = arms.get(c)
+        arms[c] = ({k: min(v, prev.get(k, v)) for k, v in got.items()}
+                   if prev else got)
 
     lo, hi = cpus[0], cpus[-1]
     rows = {}
@@ -107,7 +126,8 @@ def main() -> None:
         a, b = arms.get(lo, {}).get(key), arms.get(hi, {}).get(key)
         rows[key] = {f"wall_{lo}c": a, f"wall_{hi}c": b,
                      "lo_over_hi": round(a / b, 2) if a and b else None}
-    print(json.dumps({"data": BIG, "cpus": cpus, "rows": rows}))
+    print(json.dumps({"data": BIG, "cpus": cpus, "reps": reps,
+                      "rows": rows, "arm_telemetry": telemetry}))
 
 
 if __name__ == "__main__":
