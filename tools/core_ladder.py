@@ -17,6 +17,10 @@ Usage:
   python tools/core_ladder.py --worker key...  # one arm (internal)
 
 Env: CORE_LADDER_KEYS (comma list), CORE_LADDER_CPUS (default "8,32"),
+CORE_LADDER_DATA (corpus dir, default /tmp/sfscale/sf1 — use the PLANTED
+sf1p/sf10p for scaling-law rows; the fitted sf1 is the documented
+adversarial low-entropy corpus), CORE_LADDER_REPS (interleaved arm
+repeats),
 KAFANA_SPARK_DRIVER_MEM passes through (default 48g here — 10x data
 in one local JVM needs a real heap; a cluster spreads this).
 """
@@ -32,7 +36,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BIG = "/tmp/sfscale/sf1"
+BIG = os.environ.get("CORE_LADDER_DATA", "/tmp/sfscale/sf1")
 
 DEFAULT_KEYS = [
     "x35_incremental_near_dup",   # minhash verify tail over NEW x OLD
@@ -48,6 +52,31 @@ def _steal_jiffies() -> tuple[int, int]:
     return vals[7] if len(vals) > 7 else 0, sum(vals)
 
 
+def _shapes():
+    """Direct pipeline shapes for the PLANTED corpora (text-only
+    schema — registry keys needing lang/quality columns can't run
+    there). Key prefix "s:"."""
+    from pyspark.sql import functions as F
+
+    from kafana_spark.operators import dedup
+
+    def docs(spark):
+        return (spark.read.parquet(f"{BIG}/documents.parquet")
+                .select("doc_id", "text"))
+
+    return {
+        "s:x02_minhash": lambda spark, _:
+            dedup.minhash_near_dup(docs(spark), 0.5),
+        "s:x03_ngram": lambda spark, _:
+            dedup.ngram_jaccard_dup(
+                docs(spark).repartition(256), 0.5),
+        "s:x35_incremental": lambda spark, _:
+            dedup.incremental_near_dup(
+                docs(spark).where(F.col("doc_id") % 20 == 0),
+                docs(spark).where(F.col("doc_id") % 20 != 0), 0.5),
+    }
+
+
 def worker(keys: list[str]) -> None:
     import __spark_entry__ as m
     from kafana_spark.session import get_spark
@@ -57,6 +86,7 @@ def worker(keys: list[str]) -> None:
     (spark.range(64).repartition(int(os.environ["SPARK_GRAFT_CPUS"]))
      .mapInPandas(lambda it: it, "id long").count())
     qs = m.queries()
+    qs = {**qs, **_shapes()}
     out = {}
     st0, tot0 = _steal_jiffies()
     for key in keys:
