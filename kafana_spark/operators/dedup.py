@@ -198,13 +198,20 @@ def verify_shape_estimates(pairs: DataFrame, sh_v: DataFrame,
     (candidate list joined to da-side doc sizes).
     """
     df_counts = sh_v.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
-    est_self = df_counts.agg(
-        F.sum(F.col("df") * F.col("df")).alias("v")).first()["v"] or 0
     sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    est_pf = (pairs.select("da").join(
-        sizes.withColumnRenamed("doc_id", "da"), "da")
-        .agg(F.sum("n").alias("v")).first()["v"]) or 0
-    return int(est_self), int(est_pf)
+    # ONE action (r13): the two 1-row aggregates ride one union job
+    # instead of two driver round-trips — and, when the boundaries
+    # are lazy, this job is also the one that materializes them.
+    rows = (df_counts.agg(F.sum(F.col("df") * F.col("df")).alias("v"))
+            .select(F.lit("self").alias("k"), "v")
+            .unionByName(
+                pairs.select("da")
+                .join(sizes.withColumnRenamed("doc_id", "da"), "da")
+                .agg(F.sum("n").alias("v"))
+                .select(F.lit("pf").alias("k"), "v"))
+            .collect())
+    vals = {r["k"]: (r["v"] or 0) for r in rows}
+    return int(vals["self"]), int(vals["pf"])
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
@@ -292,8 +299,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     object-scoped: every build computes its own.
     """
     key = "h" if "h" in sh.columns else "s"
+    # eager=False (r13): the pairs and index boundaries materialize in
+    # the FIRST downstream job (the estimate job under "auto", else
+    # the verify tail) instead of one eager job each — the index job
+    # otherwise re-runs the collapse/scan prefix the pairs job just
+    # ran (jobs cannot share exchanges). Lineage is truncated at
+    # build time either way; blocks compute exactly once.
     if ckpt_pairs:
-        pairs = serve_materialize(pairs.select("da", "db"))
+        pairs = serve_materialize(pairs.select("da", "db"), eager=False)
     sh_v = sh
     if prune:
         cand_ids = (pairs.select(F.col("da").alias("doc_id"))
@@ -311,7 +324,7 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         else:
             sh_v = sh.join(cand_ids, "doc_id", "left_semi")
         if ckpt_index:
-            sh_v = serve_materialize(sh_v)
+            sh_v = serve_materialize(sh_v, eager=False)
     if pair_first == "auto":
         est_self, est_pf = verify_shape_estimates(pairs, sh_v, key)
         pair_first = est_self > max(AUTO_SHAPE_FLOOR,

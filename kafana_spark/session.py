@@ -84,12 +84,26 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def serve_materialize(df):
+def serve_materialize(df, eager: bool = True):
     """Materialize a BOUNDED serve-boundary frame exactly once,
     truncating its lineage (the r10 serve-boundary rule, SCALE.md:
     a lazy subplan referenced N times re-embeds — and re-executes —
     its whole pipeline N times, and cache/ReusedExchange cannot
     always deduplicate PythonUDF stages).
+
+    ``eager=False`` (r13) defers the materialization to the FIRST job
+    that touches the frame while still truncating the lineage
+    immediately (``Dataset.localCheckpoint`` swaps in the LogicalRDD
+    either way). Two boundaries built back-to-back then materialize
+    in ONE job instead of two — the second boundary's job otherwise
+    re-runs the first's un-shareable prefix (jobs cannot share
+    exchanges). Exactly-once compute is preserved: localCheckpoint
+    persists the RDD, and BlockManager block locks make concurrent
+    references within the materializing job compute each partition
+    once. Only the local branch defers; a configured RELIABLE
+    checkpoint stays eager — its persist/unpersist bracket must
+    enclose the checkpoint write to avoid recomputing the pipeline
+    in the checkpoint job, which has no sound lazy equivalent.
 
     Reliability (r10 ADVICE): ``localCheckpoint`` stores
     NON-REPLICATED executor-local blocks — on a real cluster an
@@ -119,4 +133,4 @@ def serve_materialize(df):
             return df.checkpoint(eager=True)
         finally:
             df.unpersist()
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
