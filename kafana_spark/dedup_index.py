@@ -180,7 +180,7 @@ def near_dup_from_index(spark: SparkSession, path: str,
     # consumer reads the stored blocks (reliable checkpoint when the
     # session has a checkpoint dir — see session.serve_materialize).
     pairs = serve_materialize(
-        candidate_pairs(bands, bucket_cap=bucket_cap))
+        candidate_pairs(bands, bucket_cap=bucket_cap), eager=False)
     # ckpt_pairs=False: `pairs` is already the materialized checkpoint
     # above — a second serve boundary would only re-write the same
     # bounded rows (r12).
@@ -249,7 +249,7 @@ def incremental_from_index(new: DataFrame, path: str,
     # materialized copy, which also stops the verify leg re-signing
     # the batch.
     sh_new = serve_materialize(
-        hashed_shingle_set(new, text_col=text_col))
+        hashed_shingle_set(new, text_col=text_col), eager=False)
     new_ids = sh_new.select("doc_id").distinct()
     bn = lsh_bands(minhash_signature(sh_new))
     bo = (spark.read.parquet(f"{path}/{BAND_DIR}").drop("batch")
@@ -265,7 +265,7 @@ def incremental_from_index(new: DataFrame, path: str,
         .select(F.least("a.doc_id", "b.doc_id").alias("da"),
                 F.greatest("a.doc_id", "b.doc_id").alias("db"))
         .where(F.col("da") < F.col("db"))
-        .distinct())
+        .distinct(), eager=False)
     sh_old = (spark.read.parquet(f"{path}/{SH_DIR}").drop("batch")
               .join(F.broadcast(new_ids), "doc_id", "left_anti"))
     # ckpt_pairs=False: `cand` is the materialized checkpoint above

@@ -641,7 +641,8 @@ def lsh_eval_counts(df: DataFrame, threshold: float,
             .agg(F.min("doc_id").alias("doc_id"),
                  F.min(text_col).alias(text_col)))
     sh = serve_materialize(
-        hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn))
+        hashed_shingle_set(reps, text_col=text_col, hash_fn=hash_fn),
+        eager=False)
     # Per-rep member counts — the groupBy shuffles (32-byte key, two
     # longs), never the text. One row per distinct text. Deliberately
     # LAZY by default (``ckpt_gc=False``): all three references (the
