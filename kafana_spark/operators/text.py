@@ -576,7 +576,8 @@ def nb_roc(df: DataFrame, train_mod: int = 3, vocab_k: int = 50,
     from kafana_spark.session import serve_materialize
     g = serve_materialize(
         j.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("c"), F.sum("yt").alias("t1")))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("yt").alias("t1")),
+        eager=False)
     tot = g.agg(F.sum("c").alias("n"), F.sum("t1").alias("n1"),
                 F.sum(F.col("c") - F.col("t1")).alias("n0"))
     wd = Window.orderBy(F.col("s").desc())
@@ -1361,7 +1362,14 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         F.explode(tokens(F.col(text_col))).alias("t"))
         .select(id_col, portable_hash64(F.col("t")).alias("h")))
     vocab = h.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    total = h.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # total is DERIVED from vocab (r13): n = Σ cnt is the same integer
+    # the direct count computed, and the re-aggregation rides vocab's
+    # exchange (runtime-reused with the cost join's build side)
+    # instead of a third full tokenize+hash pass over the corpus.
+    # Deriving vocab from per_doc as well was measured and REJECTED:
+    # the extra differently-keyed exchanges cost more at bench SF
+    # than the saved scan (x71 1.35x, x110 1.20x interleaved).
+    total = vocab.groupBy().agg(F.sum("cnt").alias("n"))
     per_doc = h.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
     cost_u = F.round((F.log(F.col("n")) - F.log(F.col("cnt")))
                      * F.lit(float(UNIGRAM_FP))).cast("long")
@@ -1414,8 +1422,12 @@ def bigram_logprob(df: DataFrame, train_pred: "F.Column",
     t1 = train.select(F.explode(tokens(F.col(text_col))).alias("t")) \
         .select(portable_hash64(F.col("t")).alias("h1"))
     c1 = t1.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
-    tot = t1.agg(F.count(F.lit(1)).alias("n1"),
-                 F.count_distinct(F.col("h1")).alias("nv"))
+    # derived, not a second train-slice pass (r13): N = Σ c1 and
+    # V = |c1| are the same integers the direct aggregate computed,
+    # and the re-aggregation rides c1's exchange instead of
+    # re-exploding the train corpus.
+    tot = c1.groupBy().agg(F.sum("c1").alias("n1"),
+                           F.count(F.lit(1)).alias("nv"))
     c2 = (train.select(F.explode(grams(F.col(text_col), 2)).alias("g"))
           .select(portable_hash64(F.col("g")).alias("h2"))
           .groupBy("h2").agg(F.count(F.lit(1)).alias("c2")))
@@ -1486,8 +1498,14 @@ def novelty(df: DataFrame, id_col: str = "doc_id",
     g = (df.select(F.col(id_col),
                    F.explode(shingles(F.col(text_col), n)).alias("s"))
          .select(id_col, portable_hash64(F.col("s")).alias("h")))
-    first = g.groupBy("h").agg(F.min(id_col).alias("first_doc"))
-    j = g.join(first, "h")
+    # window instead of agg+self-join (r13): min(id) over the h
+    # partition IS the first-occurrence table joined back — one
+    # corpus shingle pass and one exchange, where the join shape
+    # re-scanned the corpus for the probe side and paid a second
+    # sort for the merge join. Same integers row for row.
+    j = g.select(
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy("h")).alias("first_doc"))
     return (j.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.count(F.when(F.col("first_doc") == F.col(id_col),
