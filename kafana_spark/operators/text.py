@@ -1588,8 +1588,11 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     window, no join wider than doc_id."""
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tok"))
     n = F.size(F.col("tok"))
-    charsum = F.aggregate(
-        F.col("tok"), F.lit(0), lambda a, x: a + F.length(x))
+    # length of the separator-free concatenation == Σ length(token),
+    # as a single codegen'd expression — the F.aggregate lambda it
+    # replaces evaluates INTERPRETED per token (the r12 HOF-audit
+    # class; same integers by construction)
+    charsum = F.length(F.concat_ws("", F.col("tok")))
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     base = toked.select(
         F.col(id_col),
@@ -1598,13 +1601,14 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         F.size(F.array_intersect(F.array_distinct(F.col("tok")), stops))
         .cast("long").alias("n_stop"))
     # bigram positions: explode → multiplicity → duplicated share.
-    # element_at is 1-based; sequence(1, n-1) is guarded for 1-token
-    # docs (Spark's sequence(1, 0) counts DOWN).
-    bg = (toked.where(n >= 2)
-          .select(F.col(id_col), F.explode(F.expr(
-              "transform(sequence(1, size(tok) - 1), "
-              "i -> concat(element_at(tok, i), ' ', "
-              "element_at(tok, i + 1)))")).alias("b")))
+    # grams() is the codegen'd arrays_zip shape (r12 HOF audit) and
+    # yields exactly the same space-joined adjacent pairs the old
+    # interpreted transform(sequence, element_at) lambda built, with
+    # the same empty-below-2-tokens guard.
+    from kafana_spark.functions import grams
+
+    bg = df.select(F.col(id_col),
+                   F.explode(grams(F.col(text_col), 2)).alias("b"))
     dup = (bg.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
            .groupBy(id_col)
            .agg(F.sum(F.when(F.col("c") >= 2, F.col("c"))
