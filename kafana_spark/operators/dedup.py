@@ -1489,7 +1489,8 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                  n_probe: int = 2, n_assign: int = 1,
                  min_cos: float = 0.0, max_iter: int = 25,
                  method: str = "modulo",
-                 centroid_k: int | None = None) -> DataFrame:
+                 centroid_k: int | None = None,
+                 graph: DataFrame | None = None) -> DataFrame:
     """Density clusters: connected components over the MUTUAL k-NN
     graph (x150) — the semantic-domain-discovery step (cluster-then-
     sample curation, domain mixture analysis). Differs from
@@ -1510,7 +1511,7 @@ def knn_clusters(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     from kafana_spark.operators.similarity import mutual_knn
 
     mu = mutual_knn(df, k, centroid_mod, n_probe, n_assign,
-                    method, centroid_k)
+                    method, centroid_k, graph=graph)
     return clusters_from_mutual(df.select("vec_id"), mu, min_cos,
                                 max_iter)
 
@@ -1545,7 +1546,8 @@ def clusters_from_mutual(ids_df: DataFrame, mu: DataFrame,
 def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                    n_probe: int = 2, n_assign: int = 1,
                    min_cos: float = 0.0, method: str = "modulo",
-                   centroid_k: int | None = None) -> DataFrame:
+                   centroid_k: int | None = None,
+                   graph: DataFrame | None = None) -> DataFrame:
     """Cluster-balanced sampling — the step after ``knn_clusters``
     in cluster-then-sample curation: keep ceil(sqrt(csize)) members
     per density cluster, so over-represented semantic regions are
@@ -1567,7 +1569,8 @@ def cluster_sample(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     connected regions) before reaching for a two-phase rank.
     """
     cl = knn_clusters(df, k, centroid_mod, n_probe, n_assign, min_cos,
-                      method=method, centroid_k=centroid_k)
+                      method=method, centroid_k=centroid_k,
+                      graph=graph)
     return quota_sample_from_clusters(cl)
 
 

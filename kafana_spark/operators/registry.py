@@ -2392,17 +2392,33 @@ def _v5_stages(spark, sf_dir):
           .groupBy(F.unhex(F.sha2(F.col("text"), 256)).alias("__th"))
           .agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id"))
+    # ONE kNN graph for both embedding stages (r13): the outlier drop
+    # and the cluster quota build the SAME directed graph (same k /
+    # quantizer), and its Arrow-kernel scoring leg is a PythonUDF
+    # stage runtime exchange reuse cannot conflate — two independent
+    # builds per funnel run. The checkpointed frame is the k-pruned
+    # edge list (n·k light rows, ~1/20 the vector bytes — the same
+    # class clusters_from_mutual already persists within-call).
+    from kafana_spark.session import serve_materialize
+
+    g = serve_materialize(
+        similarity.knn_graph(e, k=KNN_K, method="fixed",
+                             centroid_k=KNN_CELLS,
+                             n_probe=KNN_N_PROBE,
+                             n_assign=KNN_N_ASSIGN),
+        eager=False)
     ol = (similarity.knn_outliers(
         e, k=KNN_K, method="fixed", centroid_k=KNN_CELLS,
         n_probe=KNN_N_PROBE, n_assign=KNN_N_ASSIGN,
-        bottom=OUTLIER_K)
+        bottom=OUTLIER_K, graph=g)
         .select(F.col("vec_id").alias("doc_id")))
     s5 = s4.join(ol, "doc_id", "left_anti")
     cs = (dedup.cluster_sample(e, k=KNN_K,
                                method="fixed", centroid_k=KNN_CELLS,
                                n_probe=KNN_N_PROBE,
                                n_assign=KNN_N_ASSIGN,
-                               min_cos=KNN_CLUSTER_MIN_COS)
+                               min_cos=KNN_CLUSTER_MIN_COS,
+                               graph=g)
           .select(F.col("vec_id").alias("doc_id")))
     s6 = s5.join(cs, "doc_id")
     return d, [s1, s2, s3, s4, s5, s6]

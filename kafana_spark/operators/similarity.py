@@ -624,7 +624,8 @@ def knn_graph(df: DataFrame, k: int = 5, centroid_mod: int = 40,
 def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                n_probe: int = 2, n_assign: int = 1,
                method: str = "modulo",
-               centroid_k: int | None = None) -> DataFrame:
+               centroid_k: int | None = None,
+               graph: DataFrame | None = None) -> DataFrame:
     """Mutual k-NN edges — keep (a, b) only when each is in the
     other's top-``k`` (THE standard local-density filter: one-way
     edges into dense hubs drop out, so downstream clustering does not
@@ -642,8 +643,13 @@ def mutual_knn(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     of twice. cos is direction-symmetric bit-exactly (same products,
     same fold order; the norm product commutes), so max() over the
     ≤2 rows per pair reproduces the join's ab-side value."""
-    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
-                  centroid_k)
+    # ``graph``: a precomputed directed kNN edge frame with the same
+    # (k, quantizer) parameters — callers composing several consumers
+    # of ONE graph (the v5 funnel's outlier drop + cluster quota)
+    # pass a materialized copy so the Arrow-kernel scoring leg runs
+    # once (PythonUDF stages are not exchange-reusable).
+    g = graph if graph is not None else knn_graph(
+        df, k, centroid_mod, n_probe, n_assign, method, centroid_k)
     return _mutual_from_directed(g)
 
 
@@ -1604,7 +1610,8 @@ def knn_outliers(df: DataFrame, k: int = 5, centroid_mod: int = 40,
                  n_probe: int = 2, n_assign: int = 1,
                  method: str = "modulo",
                  centroid_k: int | None = None,
-                 bottom: int = 25) -> DataFrame:
+                 bottom: int = 25,
+                 graph: DataFrame | None = None) -> DataFrame:
     """Embedding-space outlier report — the ``bottom`` vectors whose
     mean top-k neighbor cosine is LOWEST (isolated points: noise,
     mislabeled data, or genuinely novel content — the triage list a
@@ -1622,8 +1629,8 @@ def knn_outliers(df: DataFrame, k: int = 5, centroid_mod: int = 40,
     Scale: one combinable aggregate over the n·k edge frame, a
     broadcast-size left join back to ids, and a TakeOrdered —
     no window, no full sort."""
-    g = knn_graph(df, k, centroid_mod, n_probe, n_assign, method,
-                  centroid_k)
+    g = graph if graph is not None else knn_graph(
+        df, k, centroid_mod, n_probe, n_assign, method, centroid_k)
     cb = g.select("qid",
                   F.round(F.col("cos") * 10000).cast("long")
                   .alias("cb"))
